@@ -1,0 +1,200 @@
+"""Query registry: every implemented operator as (PySpark impl, DuckDB oracle).
+
+This mirrors the reference's differential-test strategy (engine vs hand
+oracle, reference test/Test1.hs:27-57) with DuckDB as the oracle — SURVEY §5.
+
+Each query callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the oracle SQL exactly (the driver sorts columns by name
+and hashes values).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark import folds
+from map_reduce_folds_spark.core import Assign, Filter, FoldReduce, MapReduce, Melt
+from map_reduce_folds_spark.sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query implementation and (optionally) its DuckDB oracle."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col: str) -> F.Column:
+    # exact-sum path for fractional doubles (see __spark_entry__ docstring)
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Core map-reduce fold algebra (SURVEY §2.1-§2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "mr_readme_sum",
+    oracle="""
+    SELECT (l_partkey % 3 = 0) AS k,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE CAST(l_quantity AS BIGINT) % 2 = 0
+    GROUP BY 1
+    """,
+)
+def mr_readme_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The readme query (reference examples/readmeExample.hs / Readme.md:28-47)
+    re-expressed on lineitem: filter even, key by divisible-by-3, sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mr = MapReduce(
+        unpack=Filter(F.col("l_quantity").cast("bigint") % 2 == 0),
+        assign=Assign(
+            keys={"k": F.col("l_partkey") % 3 == 0},
+            values={"v": _dec("l_extendedprice")},
+        ),
+        reduce=FoldReduce({"sum_price": folds.sum_("v").map(lambda c: c.cast("double"))}),
+    )
+    return mr.run(li)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mr_readme_sum(spark, sf_dir)
+
+
+@query(
+    "mr_task1_mean",
+    oracle="""
+    SELECT l_returnflag AS k,
+           SUM(l_quantity) / COUNT(*) AS mean_qty
+    FROM lineitem
+    WHERE CAST(l_quantity AS BIGINT) % 2 = 0
+    GROUP BY 1
+    """,
+)
+def mr_task1_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench Task 1 (reference bench/MapReduce.hs:47-65): filter even value,
+    group by low-cardinality label, mean.  l_quantity is integer-valued so
+    the sum is exact; mean = one double division (stable vs oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mr = MapReduce(
+        unpack=Filter(F.col("l_quantity").cast("bigint") % 2 == 0),
+        assign=Assign(keys={"k": "l_returnflag"}, values={"v": "l_quantity"}),
+        reduce=FoldReduce({
+            "mean_qty": folds.Fold.zip(
+                folds.sum_("v"), folds.count_(),
+                combine=lambda s, n: s / n,
+            ),
+        }),
+    )
+    return mr.run(li)
+
+
+@query(
+    "mr_applicative",
+    oracle="""
+    SELECT l_returnflag AS k,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n_rows,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           SUM(l_quantity) / COUNT(*) AS mean_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def mr_applicative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applicative Reduce fusion (Core.hs:211-218, ListStats.hs:39-40):
+    six folds, ONE .agg, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mr = MapReduce(
+        assign=Assign(
+            keys={"k": "l_returnflag"},
+            values={"v": "l_quantity", "d": _dec("l_discount")},
+        ),
+        reduce=FoldReduce({
+            "sum_qty": folds.sum_("v"),
+            "n_rows": folds.count_(),
+            "min_qty": folds.min_("v"),
+            "max_qty": folds.max_("v"),
+            "mean_qty": folds.Fold.zip(folds.sum_("v"), folds.count_(),
+                                       combine=lambda s, n: s / n),
+            "sum_disc": folds.sum_("d").map(lambda c: c.cast("double")),
+        }),
+    )
+    return mr.run(li)
+
+
+@query(
+    "mr_melt",
+    oracle="""
+    WITH melted AS (
+        SELECT l_returnflag AS k, l_quantity AS y FROM lineitem
+        UNION ALL
+        SELECT l_returnflag AS k, 2 * l_quantity AS y FROM lineitem
+    )
+    SELECT k, SUM(y) AS sum_y, COUNT(*) AS n FROM melted GROUP BY k
+    """,
+)
+def mr_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt unpack (Core.hs:98; andTwice at ListStats.hs:12): each row
+    becomes [x, 2x], then group-sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mr = MapReduce(
+        unpack=Melt(
+            F.array(F.col("l_quantity"), F.col("l_quantity") * 2),
+            alias="y", keep=("l_returnflag",),
+        ),
+        assign=Assign(keys={"k": "l_returnflag"}, values={"v": "y"}),
+        reduce=FoldReduce({"sum_y": folds.sum_("v"), "n": folds.count_()}),
+    )
+    return mr.run(li)
+
+
+@query(
+    "mr_task2_sparse",
+    oracle="""
+    WITH sparse AS (
+        SELECT CAST(l_quantity AS BIGINT) AS a,
+               l_partkey % 47 AS b,
+               CASE WHEN CAST(l_quantity AS BIGINT) % 2 = 0
+                    THEN l_partkey % 13 END AS c
+        FROM lineitem
+    )
+    SELECT c AS k, SUM(a + b) / COUNT(*) AS mean_ab, COUNT(*) AS n
+    FROM sparse WHERE c IS NOT NULL GROUP BY c
+    """,
+)
+def mr_task2_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench Task 2 (reference bench/MapReduce.hs:280-306): sparse rows —
+    keep rows where optional field C is present, group by C, mean(A+B).
+    The Maybe-typed melt maps to a nullable column + null filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sparse = li.select(
+        F.col("l_quantity").cast("bigint").alias("a"),
+        (F.col("l_partkey") % 47).alias("b"),
+        F.when(F.col("l_quantity").cast("bigint") % 2 == 0,
+               F.col("l_partkey") % 13).alias("c"),
+    )
+    mr = MapReduce(
+        unpack=Filter(F.col("c").isNotNull()),
+        assign=Assign(keys={"k": "c"}, values={"ab": F.col("a") + F.col("b")}),
+        reduce=FoldReduce({
+            "mean_ab": folds.Fold.zip(folds.sum_("ab"), folds.count_(),
+                                      combine=lambda s, n: s / n),
+            "n": folds.count_(),
+        }),
+    )
+    return mr.run(sparse)

@@ -1,0 +1,189 @@
+"""Core engine tests — ports of the reference's own fixtures.
+
+* readme example (reference examples/readmeExample.hs:26-28): ints 1..10,
+  filter even, key by (x mod 3 == 0), sum → {False: 24, True: 6}.
+* ListStats (examples/ListStats.hs:36-50,72-80): applicative reduce fusion,
+  melt (x -> [x, 2x]).
+* Test1 property (test/Test1.hs:27-57): random ints vs a direct oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark import (
+    Assign, Filter, FoldReduce, GroupReduce, Keep, MapReduce, Melt, folds,
+)
+from map_reduce_folds_spark.core import MapInPandas, Transform, concat
+
+
+@pytest.fixture(scope="module")
+def ints10(spark):
+    return spark.range(1, 11).withColumnRenamed("id", "x")
+
+
+def as_dict(df, key="k", val=None):
+    rows = df.collect()
+    if val is None:
+        val = [c for c in df.columns if c != key]
+        if len(val) == 1:
+            val = val[0]
+        else:
+            return {tuple(r[k] for k in ([key] if isinstance(key, str) else key)): r for r in rows}
+    return {r[key]: r[val] for r in rows}
+
+
+def test_readme_example(ints10):
+    mr = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    )
+    out = as_dict(mr.run(ints10), val="s")
+    # golden output from examples/readmeExample.hs comments:
+    assert out == {False: 24, True: 6}
+
+
+def test_applicative_reduce_single_agg(ints10):
+    """N folds -> ONE .agg (Core.hs:211-218). Plan must contain exactly one
+    Aggregate."""
+    mr = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+        reduce=FoldReduce({
+            "s": folds.sum_("v", dtype="bigint"),
+            "m": folds.mean_("v"),
+            "n": folds.count_(),
+        }),
+    )
+    res = mr.run(ints10)
+    got = {r["k"]: (r["s"], r["m"], r["n"]) for r in res.collect()}
+    assert got == {False: (24, 6.0, 4), True: (6, 6.0, 1)}
+    # single shuffle: one Aggregate pair (partial+final) in the plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange") == 1
+
+
+def test_melt(ints10):
+    """ListStats.hs:12-15 — andTwice x = [x, 2x]; sum per key over melted."""
+    mr = MapReduce(
+        unpack=Melt(F.array(F.col("x"), F.col("x") * 2), alias="y"),
+        assign=Assign(keys={"k": F.col("y") % 3 == 0}, values={"v": "y"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    )
+    out = as_dict(mr.run(ints10), val="s")
+    # oracle: ints 1..10 and their doubles
+    vals = list(range(1, 11)) + [2 * x for x in range(1, 11)]
+    exp = {
+        True: sum(v for v in vals if v % 3 == 0),
+        False: sum(v for v in vals if v % 3 != 0),
+    }
+    assert out == exp
+
+
+def test_transform_unpack(ints10):
+    mr = MapReduce(
+        unpack=Transform({"y": F.col("x") * 10}),
+        assign=Assign(keys={"k": F.lit(1)}, values={"v": "y"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    )
+    assert mr.run(ints10).collect()[0]["s"] == 550
+
+
+def test_unpack_only(ints10):
+    mr = MapReduce(unpack=Filter("x % 2 = 0"))
+    got = sorted(r["x"] for r in mr.run(ints10).collect())
+    assert got == [2, 4, 6, 8, 10]
+
+
+def test_mapinpandas_unpack(ints10):
+    """UnpackM (Core.hs:121-122): python-side melt dropping odd rows and
+    duplicating even ones."""
+
+    def melt(batches):
+        for pdf in batches:
+            ev = pdf[pdf.x % 2 == 0]
+            yield pd.concat([ev, ev.assign(x=ev.x * 2)])
+
+    mr = MapReduce(
+        unpack=MapInPandas(melt, schema="x bigint"),
+        assign=Assign(keys={"k": F.lit(True)}, values={"v": "x"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    )
+    assert mr.run(ints10).collect()[0]["s"] == 30 + 60
+
+
+def test_custom_fold_pandas_path(ints10):
+    """Non-compilable fold → applyInPandas fallback; mixes with builtins."""
+    sum_sq = folds.fold_from_pandas(lambda p: float((p["v"] ** 2).sum()), dtype="double")
+    mr = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+        reduce=FoldReduce({"ss": sum_sq, "n": folds.count_()}),
+    )
+    got = {r["k"]: (r["ss"], r["n"]) for r in mr.run(ints10).collect()}
+    assert got == {False: (4.0 + 16 + 64 + 100, 4), True: (36.0, 1)}
+
+
+def test_custom_fold_steps(ints10):
+    """fold_from_steps — row-at-a-time FL.Fold step/init/extract."""
+    f = folds.fold_from_steps(step=lambda a, x: a + x, init=lambda: 0,
+                              extract=float, dtype="double")
+    mr = MapReduce(
+        assign=Assign(keys={"k": F.lit(1)}, values={"v": "x"}),
+        reduce=FoldReduce({"s": f}),
+    )
+    assert mr.run(ints10).collect()[0]["s"] == 55.0
+
+
+def test_group_reduce_key_in_scope(ints10):
+    """Reduce.Reduce with key access (Core.hs:180): key-dependent fold."""
+
+    def fn(key, pdf):
+        (k,) = key
+        agg = float(pdf.v.sum()) if k else float(pdf.v.mean())
+        return pd.DataFrame([{"k": k, "r": agg}])
+
+    mr = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+        reduce=GroupReduce(fn, schema="k boolean, r double"),
+    )
+    out = as_dict(mr.run(ints10), val="r")
+    assert out == {True: 6.0, False: (2 + 4 + 8 + 10) / 4}
+
+
+def test_concat(ints10):
+    """concatFold (Simple.hs:156-162): merge per-group results globally."""
+    mr = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    )
+    total = concat(mr.run(ints10), {"t": folds.sum_("s", dtype="bigint")})
+    assert total.collect()[0]["t"] == 30
+
+
+def test_property_vs_oracle(spark):
+    """Test1.hs:27-57 differential property: filter even, key x%3==0, sum —
+    random lists vs direct python oracle."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        xs = [rng.randint(0, 10000) for _ in range(rng.randint(0, 100))]
+        direct: dict[bool, int] = {}
+        for x in xs:
+            if x % 2 == 0:
+                direct[x % 3 == 0] = direct.get(x % 3 == 0, 0) + x
+        df = spark.createDataFrame([(x,) for x in xs], "x bigint") if xs else \
+            spark.createDataFrame([], "x bigint")
+        mr = MapReduce(
+            unpack=Filter("x % 2 = 0"),
+            assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+            reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+        )
+        assert as_dict(mr.run(df), val="s") == direct

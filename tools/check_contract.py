@@ -1,0 +1,123 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet tables, then compares
+row count + column names + exact values (order-insensitive).  Exact float
+equality is intentional: queries are designed to be bitwise-deterministic
+(see __spark_entry__ docstring); any drift is a bug to fix, not tolerate.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from map_reduce_folds_spark.sources import TABLES
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and len(col) and isinstance(col.dropna().iloc[0] if len(col.dropna()) else None, (list, np.ndarray)):
+            df[c] = col.apply(lambda v: tuple(v) if v is not None else None)
+        elif str(col.dtype).startswith("decimal") or (len(col.dropna()) and type(col.dropna().iloc[0]).__name__ == "Decimal"):
+            df[c] = col.astype("float64")
+        elif str(col.dtype) in ("float32",):
+            df[c] = col.astype("float64")
+        elif "datetime" in str(col.dtype):
+            df[c] = pd.to_datetime(col).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    s, d = canon(spark_pdf), canon(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sa = sv.astype("float64").to_numpy()
+            da = dv.astype("float64").to_numpy()
+            eq = (sa == da) | (np.isnan(sa) & np.isnan(da))
+            if not eq.all():
+                bad = int((~eq).sum())
+                diff = np.nanmax(np.abs(sa - da)) if len(sa) else 0
+                problems.append(f"col {c}: {bad} rows differ, max abs diff {diff:.3e}")
+        else:
+            if not sv.equals(dv):
+                bad = int((sv != dv).sum())
+                problems.append(f"col {c}: {bad} rows differ (dtype {sv.dtype}/{dv.dtype})")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from map_reduce_folds_spark.session import get_spark
+
+    spark = get_spark(app_name="check-contract")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e!r}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK  {name}: rows={len(spark_pdf)} (no oracle; rows-only check)")
+            n_weak += 1
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e!r}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        dt = time.time() - t0
+        if problems:
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({dt:.1f}s, rows={len(spark_pdf)})")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
