@@ -1,0 +1,80 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing methodology: each query is built and executed to completion via a
+count-style action (``df.write.format("noop")`` is not in OSS pyspark's
+default; we use ``collect`` on aggregated results, which are small, and
+``count`` for large outputs) after a single untimed warm-up of the Spark
+session (JVM + codegen init is not what we're measuring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: exercised per-round by the driver; keep to the queries that
+# represent the engine (core fold algebra, join-heavy, dedup, similarity).
+BENCH_QUERIES = [
+    "mr_readme_sum",
+    "mr_task1_mean",
+    "mr_applicative",
+    "mr_melt",
+    "mr_task2_sparse",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_orders_customer",
+    "topk_orders",
+    "window_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats",
+    "sim_topk_bruteforce",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # parse sf from dir name (…/sf0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(base[2:]) if base.startswith("sf") else None
+
+    from map_reduce_folds_spark.session import get_spark
+    from map_reduce_folds_spark.queries import QUERIES
+
+    spark = get_spark(app_name="mrf-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the session (JVM, Arrow, codegen) on a trivial job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

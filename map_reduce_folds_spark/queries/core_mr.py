@@ -17,22 +17,8 @@ from pyspark.sql import functions as F
 
 from map_reduce_folds_spark import folds
 from map_reduce_folds_spark.core import Assign, Filter, FoldReduce, MapReduce, Melt
+from map_reduce_folds_spark.queries.registry import query
 from map_reduce_folds_spark.sources import load_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a query implementation and (optionally) its DuckDB oracle."""
-
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
 
 
 def _dec(col: str) -> F.Column:

@@ -1,0 +1,568 @@
+"""Relational operator queries (SURVEY §2.7 GAP rows) with DuckDB oracles.
+
+Joins (all types + broadcast), sort/limit/top-k, set ops, distinct,
+rollup/cube/grouping-sets, window functions, scalar-function passthrough,
+and three TPC-H-shaped multi-join aggregations as the headline queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators import relational as R
+from map_reduce_folds_spark.operators import windows as W
+from map_reduce_folds_spark.queries.registry import query
+from map_reduce_folds_spark.sources import load_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# revenue term used by the TPC-H-ish queries: exact decimal arithmetic so
+# the sum is bitwise-reproducible vs DuckDB (policy in __spark_entry__).
+def _revenue() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_orders_customer",
+    oracle="""
+    SELECT c.c_mktsegment AS seg, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join fact→dim with broadcast (customer is dimension-sized)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = R.join(o, c, on=o.o_custkey == c.c_custkey, broadcast_right=True)
+    return j.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey AS custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeps order-less customers (COUNT(col) skips nulls)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = R.join(c, o, on=c.c_custkey == o.o_custkey, how="left")
+    return j.groupBy(F.col("c_custkey").alias("custkey")).agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment AS seg, COUNT(*) AS n_cust
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    GROUP BY 1
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having a >100k order, counted per segment."""
+    o = load_table(spark, sf_dir, "orders").filter("o_totalprice > 100000")
+    c = load_table(spark, sf_dir, "customer")
+    j = R.join(c, o, on=c.c_custkey == o.o_custkey, how="semi")
+    return j.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment AS seg, COUNT(*) AS n_cust
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY 1
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 300k."""
+    o = load_table(spark, sf_dir, "orders").filter("o_totalprice > 300000")
+    c = load_table(spark, sf_dir, "customer")
+    j = R.join(c, o, on=c.c_custkey == o.o_custkey, how="anti")
+    return j.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle=f"""
+    SELECT r.r_name AS region, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema chain: fact lineitem joined to three broadcast dims —
+    zero fact-side shuffles before the final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = R.join(li, s, li.l_suppkey == s.s_suppkey, broadcast_right=True)
+    j = R.join(j, n, F.col("s_nationkey") == n.n_nationkey, broadcast_right=True)
+    j = R.join(j, r, F.col("n_regionkey") == r.r_regionkey, broadcast_right=True)
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped headline queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_REV_SQL} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-table scan + 8-fold aggregation — the classic
+    map-side-combine showcase (one shuffle of 6 tiny groups)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _revenue()
+    charge = rev * (one + _dec("l_tax", 4, 2))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(rev).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_dec("l_discount", 4, 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 3
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into two fact joins,
+    aggregate, global top-10 (TakeOrderedAndProject — no full sort).
+    Tie-break on orderkey makes the limit boundary deterministic."""
+    c = load_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    j = R.join(o, c, F.col("o_custkey") == F.col("c_custkey"), broadcast_right=True)
+    j = R.join(li, j, F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = j.groupBy(
+        F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate")
+    ).agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    return R.topk(agg, [F.col("revenue").desc(), F.col("orderkey")], 10).select(
+        "orderkey", "revenue", "orderdate"
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with a same-nation equi-constraint;
+    dims broadcast, facts join on their natural keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+
+    j = R.join(o, F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    j = R.join(li, j, F.col("l_orderkey") == F.col("o_orderkey"))
+    j = R.join(
+        j, s,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+        broadcast_right=True,
+    )
+    j = R.join(j, n, F.col("s_nationkey") == F.col("n_nationkey"), broadcast_right=True)
+    j = R.join(j, r, F.col("n_regionkey") == F.col("r_regionkey"), broadcast_right=True)
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(_revenue()).cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k / windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return R.topk(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100).select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("price")
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT seg, orderkey, price FROM (
+        SELECT c.c_mktsegment AS seg, o.o_orderkey AS orderkey,
+               o.o_totalprice AS price,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number window after a broadcast join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = R.join(o, c, o.o_custkey == c.c_custkey, broadcast_right=True).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return R.topk_per_group(
+        j, ["seg"], [F.col("price").desc(), F.col("orderkey")], 3
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer in order-date order (unique tie-break)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = W.running(
+        o,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        aggs={"running_total": F.sum(_dec("o_totalprice"))},
+    )
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("running_total").cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           LAG(o_totalprice, 1) OVER w AS o_totalprice_lag1,
+           LEAD(o_totalprice, 1) OVER w AS o_totalprice_lead1
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = W.lag_lead(o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")],
+                     "o_totalprice")
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        "o_totalprice_lag1", "o_totalprice_lead1",
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id,
+               CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via lag + running-sum windows,
+    aggregated to session sizes.  events.ts is strictly increasing per the
+    generator, so ordering by (ts, event_id) is total."""
+    e = load_table(spark, sf_dir, "events")
+    s = W.sessionize(e, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Set ops / distinct / grouping sets
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT custkey, COUNT(*) AS n FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    ) GROUP BY 1
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter("c_acctbal > 5000").select(
+        F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").filter("o_totalprice > 200000").select(
+        F.col("o_custkey").alias("custkey"))
+    return R.union_distinct(c, o).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    )
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter("c_acctbal > 5000").select(
+        F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").filter("o_totalprice > 200000").select(
+        F.col("o_custkey").alias("custkey"))
+    return R.intersect(c, o)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter("c_acctbal > 5000").select(
+        F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").filter("o_totalprice > 200000").select(
+        F.col("o_custkey").alias("custkey"))
+    return R.except_(c, o)
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY 1
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_cust
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (region, nation)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals — one Expand+Aggregate pass."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = R.join(c, n, c.c_nationkey == n.n_nationkey, broadcast_right=True)
+    j = R.join(j, r, F.col("n_regionkey") == r.r_regionkey, broadcast_right=True)
+    j = j.select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    return R.rollup_agg(j, ["region", "nation"], {"n_cust": F.count(F.lit(1))})
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (flag, status)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        "l_quantity",
+    )
+    return R.cube_agg(li, ["flag", "status"],
+                      {"sum_qty": F.sum("l_quantity"), "n": F.count(F.lit(1))})
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT n_nationkey AS k,
+           UPPER(n_name) AS uname,
+           SUBSTRING(n_name, 1, 3) AS pre,
+           LENGTH(n_name) AS name_len,
+           CONCAT(n_name, '_', CAST(n_regionkey AS VARCHAR)) AS tagged,
+           ABS(n_nationkey - 12) AS dist,
+           CAST(SQRT(CAST(n_nationkey AS DOUBLE)) AS DOUBLE) AS rootk,
+           n_nationkey % 5 AS m5
+    FROM nation
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function passthrough (string/math) — SURVEY §2.7: the
+    reference's arbitrary host-language row functions map to
+    pyspark.sql.functions."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("k"),
+        F.upper("n_name").alias("uname"),
+        F.substring("n_name", 1, 3).alias("pre"),
+        F.length("n_name").cast("bigint").alias("name_len"),
+        F.concat_ws("_", F.col("n_name"), F.col("n_regionkey").cast("string")).alias("tagged"),
+        F.abs(F.col("n_nationkey") - 12).alias("dist"),
+        F.sqrt(F.col("n_nationkey").cast("double")).alias("rootk"),
+        (F.col("n_nationkey") % 5).alias("m5"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+           EXTRACT(MONTH FROM o_orderdate) AS m,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows over the events table — the batch shape of
+    the streaming windowed aggregation (streaming/ runs the same plan on
+    readStream)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    ).select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")

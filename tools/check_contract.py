@@ -35,7 +35,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif str(col.dtype) in ("float32",):
             df[c] = col.astype("float64")
         elif "datetime" in str(col.dtype):
-            df[c] = pd.to_datetime(col).dt.tz_localize(None)
+            col = pd.to_datetime(col)
+            try:
+                col = col.dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[c] = col.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(col.dtype):
+            df[c] = col.astype("Int64")
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
