@@ -1,0 +1,263 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (north-star GAP ops).
+
+Design for 100 TB:
+
+* Exact dedup is a hash-groupBy — one shuffle on a 60-bit digest, map-side
+  partial dedup for free.
+* Near-dup never does an O(n²) cross join.  The exact Jaccard path uses an
+  inverted shingle index (explode → join on shingle hash → count per pair),
+  which only touches pairs that actually share a shingle.  The MinHash-LSH
+  path reduces that further: signature (k portable hashes, pure Catalyst
+  exprs), band, bucket-join — candidate generation is linear in corpus
+  size, and the exact-Jaccard verification runs only on candidates.
+* Everything is Catalyst expressions (md5-based hash60) — no Python in the
+  hot path, and every deterministic step has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators.text import (
+    distinct_shingle_hashes, hash60, tokenize,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal — dropDuplicates (hash aggregation)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact text digest — deterministic
+    representative selection (min_by), one shuffle on the digest."""
+    return (
+        df.withColumn("__digest", hash60(text_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingle_hashes: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature as array<bigint>.
+
+    Permutation i is simulated by re-salting the portable hash — min over
+    hash60(salt_i ++ shingle).  All-JVM; k×|shingles| md5 evaluations.
+    Empty shingle sets get NULL elements (no shingles → no signature)."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_hashes,
+                                lambda h, i=i: hash60(h.cast("string"), salt=f"mh{i}:")))
+        for i in range(k)
+    ])
+
+
+def band_hashes(signature: Column, bands: int, rows: int) -> Column:
+    """Split a k=bands·rows signature into band digests: array of
+    hash60(concat of the band's rows)."""
+    return F.array(*[
+        hash60(F.concat_ws(",", *[
+            F.element_at(signature, b * rows + r + 1).cast("string")
+            for r in range(rows)
+        ]), salt=f"band{b}:")
+        for b in range(bands)
+    ])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, band_col: str, bands: int
+) -> DataFrame:
+    """Candidate pairs = ids sharing any band bucket.
+
+    Explode bands → shuffle on (band_idx, digest) → pair up within bucket.
+    Bucket pairing is a self-join on the bucket key (not collect_list) so a
+    pathological mega-bucket still streams through the join rather than
+    materializing in one task."""
+    e = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(band_col)).alias("band_idx", "digest"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.digest") == F.col("b.digest"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    return pairs.distinct()
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two hash-set arrays — single double division."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / F.size(F.array_union(a, b))
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: shingle → sign → band → bucket-join
+    → exact-Jaccard verify ≥ threshold.
+
+    Output: (id_a, id_b, jaccard).  Probabilistic recall (bands/rows tune
+    the S-curve); precision is exact because candidates are verified."""
+    rows = k // bands
+    sh = docs.select(
+        F.col(id_col), distinct_shingle_hashes(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
+    banded = sig.withColumn("bandh", band_hashes(F.col("sig"), bands, rows))
+    cand = lsh_candidate_pairs(banded, id_col, "bandh", bands)
+
+    sets_ = sh.select(F.col(id_col), F.col("sh"))
+    j = (
+        cand.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted shingle index
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ALL pairs with Jaccard ≥ threshold, exactly — via the inverted index:
+    explode shingles, self-join on shingle hash, count common shingles per
+    pair, then jaccard = common / (|A| + |B| - common).
+
+    Cost ∝ Σ_shingle bucket², not n² — frequency-skewed shingles are the
+    scale risk; drop ultra-common shingles (stopword n-grams) upstream if
+    bucket skew appears."""
+    sh = docs.select(
+        F.col(id_col), distinct_shingle_hashes(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("sz"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("h"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("common").cast("double")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("common"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash signature: per-token 60-bit hash; bit j of the signature is
+    set when more token-hashes have bit j set than not.
+
+    Entirely row-local array expressions — zero shuffles, and exactly
+    reproducible in SQL (the oracle generator mirrors this construction).
+    Uses distinct tokens (set semantics) to match the Jaccard-style ops."""
+    toks = F.array_distinct(tokenize(text))
+    hs = F.transform(toks, lambda t: hash60(t))
+    ntok = F.size(hs)
+    terms = [
+        (
+            F.when(
+                F.size(F.filter(hs, lambda h: h.bitwiseAND(F.lit(1 << j)) != 0)) * 2
+                > ntok,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+        ).cast("bigint")
+        for j in range(bits)
+    ]
+    return _reduce(lambda x, y: x + y, terms)
+
+
+def simhash_sql(text_expr: str, bits: int = 32) -> str:
+    """DuckDB SQL mirroring :func:`simhash` bit-for-bit (oracle generator)."""
+    h = ("CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)")
+    hs = f"list_transform(list_distinct(string_split({text_expr}, ' ')), t -> {h})"
+    terms = [
+        f"CASE WHEN 2 * len(list_filter(__hs, h -> (h & {1 << j}) != 0)) > len(__hs)"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    ]
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {hs} AS __hs) __t)"
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the signature into ``blocks`` bit-blocks;
+    any pair within distance < blocks shares at least one exact block →
+    join per block, then verify true hamming distance.  Linear candidate
+    generation, no cross join."""
+    assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
+    width = bits // blocks
+    mask = (1 << width) - 1
+    s = docs.select(F.col(id_col), simhash(text_col, bits).alias("sig"))
+    blocked = s.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("sig", i * width).bitwiseAND(F.lit(mask)).alias("bh"),
+            )
+            for i in range(blocks)
+        ])).alias("b"),
+    ).select(id_col, "sig", "b.blk", "b.bh")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+    ).distinct()
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

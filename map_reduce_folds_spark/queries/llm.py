@@ -1,7 +1,416 @@
 """LLM-data-pipeline queries: dedup, similarity search, text analysis.
 
-(Populated alongside operators/dedup.py, operators/similarity.py,
-operators/text.py.)
+Every deterministic pipeline here carries an exact DuckDB oracle — including
+the full MinHash-LSH near-dup pipeline, whose oracle is generated SQL that
+mirrors the Spark plan hash-for-hash (portable md5-based hash60, see
+operators/text.py).  Only the sign-random-projection ANN query is rows-only
+(its recall is probabilistic by design; tests/test_llm.py checks recall
+against the brute-force baseline instead).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators import dedup as D
+from map_reduce_folds_spark.operators import similarity as S
+from map_reduce_folds_spark.operators import text as T
+from map_reduce_folds_spark.queries.registry import query
+from map_reduce_folds_spark.sources import load_table
+
+# shared hyperparameters (Spark impl and SQL oracle must agree)
+_N = 3            # shingle n-gram size
+_K = 16           # minhash signature length
+_BANDS = 8        # LSH bands (rows = _K // _BANDS = 2)
+_JT = 0.5         # jaccard threshold
+_DIM = 64         # embedding dimension
+_TOPK = 10
+_COS_T = 0.4      # embedding near-dup threshold (fixture embeddings are
+                  # random; max pairwise cosine ≈ 0.51)
+
+_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _h60(x: str) -> str:
+    return _H60.format(x=x)
+
+
+# SQL building block: distinct hashed n-gram shingles per doc, mirroring
+# operators/text.distinct_shingle_hashes (n=_N).
+_SH_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           {_h60(f"array_to_string(tk[g.gs:g.gs+{_N - 1}], ' ')")} AS h
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - {_N - 1})) AS gs) g
+    WHERE len(tk) >= {_N}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+           least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+             + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) * 0.4
+             + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                           t -> length(t) <= 2)) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.2
+               AS quality
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: token count, char count, lexical
+    diversity, composite quality score — all Catalyst expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokenize("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        T.type_token_ratio(toks).alias("ttr"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: f"len(list_intersect(tk, {list(words)}))"
+        for lang, words in T.LANG_MARKERS.items()
+    }
+    langs = list(T.LANG_MARKERS)
+    gmax = f"greatest({', '.join(score[lg] for lg in langs)})"
+    case = f"CASE WHEN {gmax} = 0 THEN 'und' " + " ".join(
+        f"WHEN {score[lg]} = {gmax} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents)
+    SELECT lang, {case} AS pred, COUNT(*) AS n
+    FROM t GROUP BY 1, 2
+    """
+
+
+@query("lang_id_confusion", oracle=_lang_id_sql())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID vs the labeled lang column, as a confusion
+    table.  argmax with first-wins tie-break (order = LANG_MARKERS order)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("lang", T.lang_id("text").alias("pred")).groupBy(
+        "lang", "pred"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS mean_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish) token counting aggregated per source — integer sums
+    are exact, mean is one double division."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = T.token_count_regex("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        (F.sum(tc).cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH {_SH_CTE}
+    SELECT d.doc_id, {_h60('d.text')} AS fp,
+           (SELECT COUNT(*) FROM sh WHERE sh.doc_id = d.doc_id) AS n_shingles
+    FROM documents d
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint (60-bit md5 digest) + shingle-set size."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.doc_fingerprint("text").alias("fp"),
+        F.size(T.distinct_shingle_hashes("text", _N)).cast("bigint").alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def _planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-keyed copies of every 10th doc — a corpus with known
+    exact duplicates, derived purely from the fixture."""
+    d = load_table(spark, sf_dir, "documents")
+    dups = d.filter("doc_id % 10 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return d.unionByName(dups)
+
+
+_PLANTED_SQL = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_PLANTED_SQL}
+    SELECT {_h60('text')} AS digest, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by text digest over a corpus with planted duplicates:
+    keep lowest id, report copy counts (only actual dup groups)."""
+    c = _planted(spark, sf_dir)
+    return (
+        D.exact_dedup_keep_first(c, "text", "doc_id")
+        .filter("n_copies > 1")
+        .select(F.col("__digest").alias("digest"),
+                F.col("doc_id").alias("keep_id"), "n_copies")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {_JT}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL near-dup pairs with 3-gram Jaccard ≥ 0.5, exactly, via the
+    inverted shingle index (no cross join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=_N, threshold=_JT)
+
+
+def _minhash_oracle() -> str:
+    rows = _K // _BANDS
+    mins = ",\n           ".join(
+        "MIN(" + _h60(f"concat('mh{i}:', CAST(h AS VARCHAR))") + f") AS m{i}"
+        for i in range(_K)
+    )
+    bandcols = ",\n           ".join(
+        _h60(
+            f"concat('band{b}:', concat_ws(',', "
+            + ", ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+            + "))"
+        )
+        + f" AS b{b}"
+        for b in range(_BANDS)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, b{b} AS digest FROM bandh"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_SH_CTE},
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bandh AS (
+        SELECT doc_id,
+           {bandcols}
+        FROM sig
+    ),
+    bandrows AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandrows a JOIN bandrows b
+          ON a.band_idx = b.band_idx AND a.digest = b.digest
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS cc
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(cc AS DOUBLE) / (sa.sz + sb.sz - cc) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(cc AS DOUBLE) / (sa.sz + sb.sz - cc) >= {_JT}
+    """
+
+
+@query("dedup_minhash", oracle=_minhash_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(8 bands × 2 rows) near-dup pairs, exact-Jaccard
+    verified at ≥ 0.5.  Fully deterministic (md5-salted permutations), so
+    the oracle reproduces the whole pipeline — including which pairs LSH
+    surfaces — in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(
+        d, "doc_id", "text", n=_N, k=_K, bands=_BANDS, threshold=_JT
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {D.simhash_sql('text', 32)} AS sig
+    FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (bit-for-bit SQL oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash("text", 32).alias("sig"))
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 32 bits) via pigeonhole
+    blocking.  Rows-only: validated against signatures in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
+                                    max_hamming=3, blocks=4)
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {S.cosine_sql('a.embedding', 'b.embedding', _DIM)} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {S.cosine_sql('a.embedding', 'b.embedding', _DIM)} >= {_COS_T}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 (exact self-join baseline;
+    cosine arithmetic mirrored term-for-term in the oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(e, "vec_id", "embedding", _DIM, _COS_T)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {S.cosine_sql('q.embedding', 'c.embedding', _DIM)} AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {_TOPK}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors — the ANN ground
+    truth baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    return S.brute_force_topk(q, e, "vec_id", "embedding", _DIM, _TOPK)
+
+
+@query("sim_topk_lsh")
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-random-projection LSH (6 planes × 8
+    tables).  Rows-only by design (probabilistic recall); recall vs the
+    brute-force baseline is asserted in tests/test_llm.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    return S.srp_lsh_topk(q, e, "vec_id", "embedding", _DIM, _TOPK,
+                          n_planes=6, n_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS digest60
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset plumbing: text bytes stood in as media payloads →
+    mapInPandas feature extraction (deterministic fake codec).  The oracle
+    covers the deterministic outputs (byte length, md5 digest); the fake
+    feature vector is exercised by tests/test_multimodal.py."""
+    from map_reduce_folds_spark.operators import multimodal as M
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = M.to_assets(d, "doc_id", "text", "image")
+    feats = M.extract_features(assets, fake=True)
+    return feats.select("asset_id", "n_bytes", "digest60")
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    -- every sampled frame is a full 64-byte window (stride windows never
+    -- overrun: i*64+64 <= floor(L/64)*64 <= L), so the per-asset frame
+    -- geometry is closed-form
+    SELECT doc_id AS asset_id,
+           least(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 16) AS n_frames,
+           least(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 16) * 64 AS total_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) >= 64
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling layout (1 asset → N frame rows), aggregated to
+    per-asset frame counts/bytes so the oracle is engine-agnostic."""
+    from map_reduce_folds_spark.operators import multimodal as M
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = M.to_assets(d, "doc_id", "text", "video")
+    frames = M.frame_sample(assets, every_n_bytes=64, max_frames=16)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_bytes").cast("bigint")).alias("total_bytes"),
+    )

@@ -1,0 +1,117 @@
+"""Structured Streaming surface (SURVEY §2.7 GAP / §7.2 step 6).
+
+The reference's "streams" are in-memory lazy sequences whose grouping step
+materializes everything (reference Engines/Streaming.hs:85-88) — nothing is
+incremental across the group boundary.  Here the SAME ``MapReduce`` spec
+compiles onto Structured Streaming, where the grouping becomes a true
+incremental stateful aggregation:
+
+* ``stream_mapreduce`` — unpack/assign stages apply unchanged (narrow ops
+  are identical in batch and streaming); the reduce stage runs as a
+  windowed streaming aggregation with a watermark bounding state.
+* The fold's (step, init, extract) triple is exactly a streaming state
+  spec; builtin folds compile to Spark's native incremental aggregates.
+
+Late data: the watermark is the contract — events later than it are
+dropped from their window; everything newer updates results incrementally.
+State size is bounded by (#keys × #open windows), the quantity to watch at
+100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.core import Assign, FoldReduce, MapReduce, Unpack
+from map_reduce_folds_spark.folds import Fold
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream: replays a parquet directory as micro-batches
+    (the fixture-friendly source; swap for kafka in production)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def stream_mapreduce(
+    stream: DataFrame,
+    mr: MapReduce,
+    ts_col: str,
+    window: str | None = None,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Compile a ``MapReduce`` spec onto a streaming DataFrame.
+
+    The unpack stage must be row-wise (Filter/Transform/Melt all qualify).
+    The assign stage's keys are augmented with a time window over ``ts_col``
+    when ``window`` is given (tumbling, or sliding when ``slide`` is set).
+    The reduce stage must be a compilable ``FoldReduce`` — streaming
+    aggregation state is maintained incrementally per (window, key).
+    """
+    if not isinstance(mr.reduce, FoldReduce):
+        raise TypeError("streaming reduce must be a FoldReduce")
+    if not all(f.compilable for f in mr.reduce.folds.values()):
+        raise TypeError(
+            "streaming folds must compile to Spark aggregate expressions "
+            "(custom folds need applyInPandasWithState — see stateful_fold)"
+        )
+
+    out = mr.unpack.apply(stream)
+    # keep the event-time column alongside assigned (k, v) for the watermark
+    assign = mr.assign
+    exprs = [F.col(ts_col).alias("__ts")]
+    exprs += [
+        (F.expr(e) if isinstance(e, str) else e).alias(n)
+        for n, e in {**assign.keys, **assign.values}.items()
+    ]
+    kv = out.select(*exprs).withWatermark("__ts", watermark)
+
+    group_cols = []
+    if window is not None:
+        win = F.window("__ts", window, slide) if slide else F.window("__ts", window)
+        group_cols.append(win.alias("window"))
+    group_cols += [F.col(k) for k in assign.key_names]
+
+    aggs = [f.spark_agg().alias(name) for name, f in mr.reduce.folds.items()]
+    return kv.groupBy(*group_cols).agg(*aggs)
+
+
+def session_windows(
+    stream: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap: str,
+    aggs: Mapping[str, Fold],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation (dynamic gap-based windows) — the
+    streaming analog of operators/windows.sessionize."""
+    w = stream.withWatermark(ts_col, watermark)
+    agg_exprs = [f.spark_agg().alias(name) for name, f in aggs.items()]
+    return w.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *keys).agg(
+        *agg_exprs
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 60) -> DataFrame:
+    """Drain a (file-replay) stream into an in-memory table and return it —
+    test/debug sink only."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,100 @@
+"""LLM-pipeline operator tests: recall/completeness properties that the
+rows-only queries (probabilistic LSH paths) can't prove via the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators import dedup as D
+from map_reduce_folds_spark.operators import similarity as S
+from map_reduce_folds_spark.operators import text as T
+from map_reduce_folds_spark.sources import load_table
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_minhash_recall_vs_exact(docs):
+    """LSH candidates must surface most true near-dup pairs; verified
+    precision is exact by construction (candidates are re-checked)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert mh <= exact  # precision 1.0: every reported pair is a true pair
+    if exact:
+        recall = len(mh & exact) / len(exact)
+        assert recall >= 0.8, f"minhash recall {recall:.2f} on {len(exact)} pairs"
+
+
+def test_simhash_pigeonhole_complete(docs):
+    """Blocking must find EVERY pair with hamming <= max_hamming (pigeonhole
+    guarantees it); cross-check against brute-force over signatures."""
+    sigs = {r.doc_id: r.sig for r in
+            docs.select("doc_id", D.simhash("text", 32).alias("sig")).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_dup_pairs(docs, bits=32, max_hamming=3, blocks=4).collect()
+    }
+    assert found == brute
+
+
+def test_srp_lsh_recall(emb):
+    """ANN recall vs brute force. Random fixture embeddings are the hardest
+    case for LSH (no cluster structure), so the floor is modest — the
+    assertion is about the machinery working, not embedding quality."""
+    q = emb.filter("vec_id < 5")
+    truth = S.brute_force_topk(q, emb, k=10).collect()
+    approx = S.srp_lsh_topk(q, emb, k=10, n_planes=6, n_tables=8).collect()
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # every approx result must carry the correct cosine (verified scoring)
+    truth_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in truth}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in truth_cos:
+            assert abs(r.cos_sim - truth_cos[(r.query_id, r.neighbor_id)]) < 1e-12
+    recall = len(truth_set & approx_set) / len(truth_set)
+    assert recall >= 0.3, f"srp-lsh recall {recall:.2f}"
+
+
+def test_exact_dedup_removes_planted_dups(spark, docs):
+    dups = docs.filter("doc_id % 7 = 0").withColumn("doc_id", F.col("doc_id") + 10_000)
+    corpus = docs.unionByName(dups)
+    kept = D.exact_dedup_keep_first(corpus, "text", "doc_id")
+    n_docs = docs.count()
+    assert kept.count() == n_docs  # one representative per distinct text
+    assert kept.filter("n_copies > 1").count() == dups.count()
+    # representative is always the original (lower id)
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(T.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(F.size(T.distinct_shingle_hashes("text", 3)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 2]

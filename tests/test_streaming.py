@@ -1,0 +1,94 @@
+"""Streaming parity tests: the same MapReduce spec run (a) as a batch plan
+and (b) through Structured Streaming file-replay must agree — the streaming
+analog of the reference's engine-vs-oracle differential tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark import Assign, Filter, FoldReduce, MapReduce, folds
+from map_reduce_folds_spark.sources import load_table
+from map_reduce_folds_spark.streaming import (
+    read_parquet_stream, run_to_memory, session_windows, stream_mapreduce,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_stream_path(spark, events_batch, tmp_path_factory):
+    # re-write the fixture as several files so file-replay produces real
+    # micro-batches (the driver fixture is a single file)
+    p = str(tmp_path_factory.mktemp("events_stream"))
+    events_batch.repartition(4).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _spec():
+    return MapReduce(
+        unpack=Filter("value > 1"),
+        assign=Assign(keys={"event_type": "event_type"},
+                      values={"v": F.col("value").cast("decimal(12,2)")}),
+        reduce=FoldReduce({
+            "n": folds.count_(),
+            "sum_v": folds.sum_("v").map(lambda c: c.cast("double")),
+        }),
+    )
+
+
+def test_windowed_stream_matches_batch(spark, events_batch, events_stream_path):
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema,
+                                 max_files_per_trigger=2)
+    out = stream_mapreduce(stream, _spec(), ts_col="ts", window="1 hour",
+                           watermark="30 days")
+    got = run_to_memory(out, "win_agg", timeout_s=120)
+
+    batch = (
+        events_batch.filter("value > 1")
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_v"))
+    )
+    g = {(r.window.start, r.event_type): (r.n, r.sum_v) for r in got.collect()}
+    b = {(r.window.start, r.event_type): (r.n, r.sum_v) for r in batch.collect()}
+    assert g == b
+
+
+def test_global_key_stream_matches_batch(spark, events_batch, events_stream_path):
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema)
+    out = stream_mapreduce(stream, _spec(), ts_col="ts", window=None,
+                           watermark="30 days")
+    got = run_to_memory(out, "key_agg", timeout_s=120)
+    batch = _spec().run(events_batch)
+    g = {r.event_type: (r.n, r.sum_v) for r in got.collect()}
+    b = {r.event_type: (r.n, r.sum_v) for r in batch.collect()}
+    assert g == b
+
+
+def test_session_window_stream(spark, events_batch, events_stream_path):
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema)
+    out = session_windows(
+        stream, "ts", ["user_id"], "30 minutes",
+        {"n": folds.count_()}, watermark="30 days",
+    )
+    got = run_to_memory(out, "sess_agg", timeout_s=120)
+    # oracle: batch sessionization with the same 30-min gap
+    from map_reduce_folds_spark.operators.windows import sessionize
+
+    sess = sessionize(events_batch, "user_id", "ts", 1800)
+    batch_counts = sorted(
+        (r.user_id, r.n) for r in
+        sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    got_counts = sorted((r.user_id, r.n) for r in got.collect())
+    assert got_counts == batch_counts
