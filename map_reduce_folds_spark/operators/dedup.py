@@ -50,44 +50,69 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _mh_coeffs(i: int) -> tuple[int, int]:
+    """Fixed multiplier/offset for permutation i — Knuth-style constants,
+    all < 2^31 so a·h + b stays < 2^62 (no bigint overflow in Spark OR in
+    the DuckDB oracle, which errors on overflow rather than wrapping)."""
+    a = (2654435761 * (i + 1)) % _MH_P
+    b = (40503 * (i + 17) + 1) % _MH_P
+    return (a | 1), b  # odd multiplier
+
+
 def minhash_signature(shingle_hashes: Column, k: int = 16) -> Column:
     """k-permutation MinHash signature as array<bigint>.
 
-    Permutation i is simulated by re-salting the portable hash — min over
-    hash60(salt_i ++ shingle).  All-JVM; k×|shingles| md5 evaluations.
-    Empty shingle sets get NULL elements (no shingles → no signature)."""
+    Permutation i is the universal hash (aᵢ·(h mod 2³¹) + bᵢ) mod (2³¹−1)
+    over the already-md5-derived shingle hashes — pure integer arithmetic
+    (no per-permutation md5), bit-identical in any engine.  Empty shingle
+    sets get NULL elements (no shingles → no signature)."""
+    def perm(i):
+        a, b = _mh_coeffs(i)
+        return lambda h: (F.lit(a) * (h % F.lit(2147483648)) + F.lit(b)) % F.lit(_MH_P)
     return F.array(*[
-        F.array_min(F.transform(shingle_hashes,
-                                lambda h, i=i: hash60(h.cast("string"), salt=f"mh{i}:")))
-        for i in range(k)
+        F.array_min(F.transform(shingle_hashes, perm(i))) for i in range(k)
     ])
 
 
 def band_hashes(signature: Column, bands: int, rows: int) -> Column:
-    """Split a k=bands·rows signature into band digests: array of
-    hash60(concat of the band's rows)."""
-    return F.array(*[
-        hash60(F.concat_ws(",", *[
-            F.element_at(signature, b * rows + r + 1).cast("string")
-            for r in range(rows)
-        ]), salt=f"band{b}:")
-        for b in range(bands)
-    ])
+    """Split a k=bands·rows signature into band digests.  Each signature
+    element is < 2³¹, so a band of `rows` elements packs injectively into
+    one bigint via base-2³¹ positional encoding — no hashing needed, and
+    the same expression is exact in the SQL oracle."""
+    def pack(b: int) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for r in range(rows):
+            acc = acc * F.lit(2147483648) + F.element_at(signature, b * rows + r + 1)
+        return acc
+    return F.array(*[pack(b) for b in range(bands)])
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, band_col: str, bands: int
+    df: DataFrame, id_col: str, band_col: str, bands: int,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs = ids sharing any band bucket.
 
     Explode bands → shuffle on (band_idx, digest) → pair up within bucket.
     Bucket pairing is a self-join on the bucket key (not collect_list) so a
     pathological mega-bucket still streams through the join rather than
-    materializing in one task."""
+    materializing in one task.
+
+    ``materialize`` persists the exploded (id, band, digest) rows before the
+    self-join.  This matters twice over: it stops Spark re-deriving the md5
+    signature pipeline on both join sides, and it keeps the join's codegen
+    tree small (self-joining the raw expression lineage compiles a huge
+    whole-stage method — observed 30× slower).  The cluster-scale analog is
+    writing signatures to a table between the two stages."""
     e = df.select(
         F.col(id_col),
         F.posexplode(F.col(band_col)).alias("band_idx", "digest"),
     )
+    if materialize:
+        e = e.persist()
     a = e.alias("a")
     b = e.alias("b")
     pairs = a.join(
@@ -122,9 +147,12 @@ def minhash_near_dup_pairs(
     Output: (id_a, id_b, jaccard).  Probabilistic recall (bands/rows tune
     the S-curve); precision is exact because candidates are verified."""
     rows = k // bands
+    # persist the hashed shingle sets: reused by the signature pass and by
+    # BOTH sides of the verification join (otherwise the md5 pipeline is
+    # re-evaluated per branch)
     sh = docs.select(
         F.col(id_col), distinct_shingle_hashes(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).persist()
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
     banded = sig.withColumn("bandh", band_hashes(F.col("sig"), bands, rows))
     cand = lsh_candidate_pairs(banded, id_col, "bandh", bands)

@@ -222,16 +222,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from map_reduce_folds_spark.operators.dedup import _mh_coeffs
+
     rows = _K // _BANDS
     mins = ",\n           ".join(
-        "MIN(" + _h60(f"concat('mh{i}:', CAST(h AS VARCHAR))") + f") AS m{i}"
+        "MIN(({a} * (h % 2147483648) + {b}) % 2147483647) AS m{i}".format(
+            a=_mh_coeffs(i)[0], b=_mh_coeffs(i)[1], i=i
+        )
         for i in range(_K)
     )
     bandcols = ",\n           ".join(
-        _h60(
-            f"concat('band{b}:', concat_ws(',', "
-            + ", ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
-            + "))"
+        " + ".join(
+            f"m{b * rows + r} * {2147483648 ** (rows - 1 - r)}"
+            for r in range(rows)
         )
         + f" AS b{b}"
         for b in range(_BANDS)

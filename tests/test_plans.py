@@ -1,0 +1,60 @@
+"""Scale-property assertions on physical plans: pushdown, pruning,
+broadcast, shuffle counts.  These pin the plans we want — a regression here
+is a 100 TB problem even when sf0.01 results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark import plans as P
+from map_reduce_folds_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes the plan
+    return df
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _run(spark, "q1_pricing_summary")
+    assert P.has_pushed_filter(df, "l_shipdate"), P.executed_plan(df)
+
+
+def test_column_pruning(spark):
+    df = _run(spark, "mr_task1_mean")
+    cols = P.scan_columns(df)
+    # 16-column lineitem: the scan must read only the 2 referenced columns
+    assert set(cols) == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_applicative_reduce_is_one_shuffle(spark):
+    df = _run(spark, "mr_applicative")
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_dim_joins_broadcast(spark):
+    df = _run(spark, "join_broadcast_dims")
+    assert P.count_broadcast_joins(df) == 3
+    assert P.count_sortmerge_joins(df) == 0
+    # star-chain + final agg: the only shuffle is the aggregation
+    assert P.count_exchanges(df) <= 1, P.executed_plan(df)
+
+
+def test_q3_broadcasts_dim_side(spark):
+    df = _run(spark, "q3_shipping_priority")
+    assert P.count_broadcast_joins(df) >= 1
+
+
+def test_topk_no_global_sort(spark):
+    df = _run(spark, "topk_orders")
+    plan = P.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_whole_stage_codegen(spark):
+    for name in ("mr_readme_sum", "q1_pricing_summary", "text_stats"):
+        df = _run(spark, name)
+        assert P.uses_whole_stage_codegen(df), name
