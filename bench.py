@@ -27,12 +27,14 @@ BENCH_QUERIES = [
     "mr_applicative",
     "mr_melt",
     "mr_task2_sparse",
+    "mr_fold_vocab",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "join_orders_customer",
     "topk_orders",
     "window_topk_per_group",
+    "asof_join_purchase_click",
     "dedup_exact",
     "dedup_minhash",
     "text_stats",

@@ -24,28 +24,36 @@ share one pass and applicative reduces share one grouping
 
 from map_reduce_folds_spark.core import (
     Assign,
+    AssignUDF,
     Filter,
     FoldReduce,
     GroupReduce,
     Keep,
+    MapInPandas,
     MapReduce,
     Melt,
     Transform,
+    concat,
+    shared_scan,
 )
 from map_reduce_folds_spark import folds
 from map_reduce_folds_spark.session import get_spark
 
 __all__ = [
     "Assign",
+    "AssignUDF",
     "Filter",
     "FoldReduce",
     "GroupReduce",
     "Keep",
+    "MapInPandas",
     "MapReduce",
     "Melt",
     "Transform",
+    "concat",
     "folds",
     "get_spark",
+    "shared_scan",
 ]
 
 __version__ = "0.1.0"

@@ -184,3 +184,85 @@ def mr_task2_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         }),
     )
     return mr.run(sparse)
+
+
+@query(
+    "mr_fold_vocab",
+    oracle="""
+    SELECT l_returnflag AS k,
+           MIN(l_quantity) AS min_q,
+           MAX(l_quantity) AS max_q,
+           (SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
+               / (COUNT(*) - 1) AS var_q,
+           sqrt((SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
+               / (COUNT(*) - 1)) AS std_q,
+           COUNT(DISTINCT l_partkey) AS nd_part,
+           MAX(l_discount > 0.05) AS any_big_disc,
+           MIN(l_quantity > 0) AS all_pos_qty,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses
+    FROM lineitem GROUP BY 1
+    """,
+)
+def mr_fold_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete §2.6 fold vocabulary in ONE applicative .agg (one
+    shuffle): min/max, variance/stddev (computed from exact integer sums so
+    the oracle matches bitwise — builtin var_samp uses a different update
+    formula), count-distinct, any/all, sorted collect_set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kv = li.select(
+        F.col("l_returnflag").alias("k"),
+        F.col("l_quantity").alias("v"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_discount").alias("d"),
+        F.col("l_linestatus").alias("st"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("v")
+    ssq = F.sum(F.col("v") * F.col("v"))
+    var = (ssq - s * s / n) / (n - F.lit(1))
+    return kv.groupBy("k").agg(
+        F.min("v").alias("min_q"),
+        F.max("v").alias("max_q"),
+        var.alias("var_q"),
+        F.sqrt(var).alias("std_q"),
+        F.countDistinct("p").alias("nd_part"),
+        F.max(F.col("d") > 0.05).alias("any_big_disc"),
+        F.min(F.col("v") > 0).alias("all_pos_qty"),
+        F.sort_array(F.collect_set("st")).alias("statuses"),
+    )
+
+
+@query(
+    "mr_assign_udf",
+    oracle="""
+    SELECT (l_partkey * 2654435761) % 4294967296 % 8 AS k,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def mr_assign_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AssignM (Core.hs:156-157): the key is computed by arbitrary Python
+    over Arrow batches (a Knuth-hash bucket here, so the oracle can mirror
+    the arithmetic)."""
+    import pandas as pd
+
+    from map_reduce_folds_spark.core import AssignUDF
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": (pdf.l_partkey * 2654435761) % (2 ** 32) % 8,
+            "v": pdf.l_quantity.astype("int64"),
+        })
+
+    mr = MapReduce(
+        assign=AssignUDF(assign, schema="k bigint, v bigint",
+                         keys=["k"], values=["v"]),
+        reduce=FoldReduce({
+            "sum_q": folds.sum_("v", dtype="bigint"),
+            "n": folds.count_(),
+        }),
+    )
+    return mr.run(li)

@@ -566,3 +566,33 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     ).select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for each purchase, the latest prior click by
+    the same user.  Composition of conditional join + window dedup
+    (operators/relational.asof_join); DuckDB's native ASOF JOIN is the
+    oracle."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("click_value")
+    )
+    out = R.asof_join(purchases, clicks, on="user_id",
+                      left_time="ts", right_time="c_ts")
+    return out.select(
+        "purchase_id", "user_id",
+        F.col("__rt").alias("click_ts"), "click_value",
+    )

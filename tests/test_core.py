@@ -187,3 +187,59 @@ def test_property_vs_oracle(spark):
             reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
         )
         assert as_dict(mr.run(df), val="s") == direct
+
+
+def test_merge_path_distributed_custom_fold(spark):
+    """CustomFold with merge → two-stage partial aggregation (the shuffle
+    carries states, not rows)."""
+    from map_reduce_folds_spark.core import Assign, FoldReduce, MapReduce
+
+    df = spark.range(1, 1001).withColumnRenamed("id", "x").repartition(8)
+    ssq = folds.fold_from_steps(
+        step=lambda acc, x: acc + x * x,
+        init=lambda: 0,
+        extract=float,
+        merge=lambda a, b: a + b,
+        dtype="double",
+    )
+    mr = MapReduce(
+        assign=Assign(keys={"k": F.col("x") % 3}, values={"v": "x"}),
+        reduce=FoldReduce({"ssq": ssq}),
+    )
+    got = {r["k"]: r["ssq"] for r in mr.run(df).collect()}
+    exp: dict[int, float] = {}
+    for x in range(1, 1001):
+        exp[x % 3] = exp.get(x % 3, 0) + x * x
+    assert got == {k: float(v) for k, v in exp.items()}
+    # the plan's shuffle input is the partial-state stream, not raw rows
+    plan = mr.run(df)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_assign_udf(spark):
+    """AssignM (Core.hs:156-157): python-computed key/value."""
+    from map_reduce_folds_spark.core import AssignUDF, FoldReduce, MapReduce
+
+    df = spark.range(1, 11).withColumnRenamed("id", "x")
+
+    def assign(pdf):
+        return pd.DataFrame({"k": pdf.x % 2 == 0, "v": pdf.x * 10})
+
+    mr = MapReduce(
+        assign=AssignUDF(assign, schema="k boolean, v bigint",
+                         keys=["k"], values=["v"]),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    )
+    out = {r["k"]: r["s"] for r in mr.run(df).collect()}
+    assert out == {True: 300, False: 250}
+
+
+def test_assign_contramap(ints10):
+    """Profunctor lmap on Assign (Core.hs:147-153)."""
+    base = Assign(keys={"k": F.col("y") % 2 == 0}, values={"v": "y"})
+    pre = base.contramap({"y": F.col("x") * 3})
+    mr = MapReduce(assign=pre,
+                   reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}))
+    out = {r["k"]: r["s"] for r in mr.run(ints10).collect()}
+    # y = 3x for x in 1..10 → evens are y ∈ {6,12,18,24,30} sum=90; odds sum 75
+    assert out == {True: 90, False: 75}
