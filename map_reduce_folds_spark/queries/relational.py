@@ -596,3 +596,108 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id", "user_id",
         F.col("__rt").alias("click_ts"), "click_value",
     )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
+    FROM events GROUP BY 1
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (GAP: scalar passthrough): parse the events
+    props JSON column, extract and aggregate a field."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+@query(
+    "argmax_order_per_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS seg,
+           max_by(o.o_orderkey,
+                  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      * 100000000 + o.o_orderkey) AS top_orderkey,
+           MAX(o.o_totalprice) AS top_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def argmax_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max fold (max_by): the orderkey of the most expensive order per
+    segment.  The comparator packs (price-cents, orderkey) into one bigint
+    so ties break identically in both engines (DuckDB's max_by has no
+    struct comparator)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = R.join(o, c, o.o_custkey == c.c_custkey, broadcast_right=True)
+    cmp = (
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+        * F.lit(100000000) + F.col("o_orderkey")
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.max_by("o_orderkey", cmp).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@query(
+    "salted_aggregation",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events GROUP BY 1
+    """,
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation — must produce results
+    identical to the direct GROUP BY (the oracle IS the direct form)."""
+    from map_reduce_folds_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "dv", F.col("value").cast("decimal(12,2)")
+    )
+    out = salted_aggregate(
+        e.select("event_type", "dv", "value"),
+        keys=["event_type"],
+        aggs={
+            "n": ("count", None),
+            "sum_v": ("sum", "dv"),
+            "min_v": ("min", "value"),
+            "max_v": ("max", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select("event_type", "n", F.col("sum_v").cast("double").alias("sum_v"),
+                      "min_v", "max_v")
+
+
+@query(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (distinct from rollup/cube): per-flag,
+    per-status, and grand-total rows in one Expand+Aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        "l_quantity",
+    )
+    return R.grouping_sets_agg(
+        li, sets=[["flag"], ["status"], []], keys=["flag", "status"],
+        aggs={"sum_qty": F.sum("l_quantity")},
+    )

@@ -102,11 +102,12 @@ def session_windows(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 60) -> DataFrame:
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 60,
+                  output_mode: str = "complete") -> DataFrame:
     """Drain a (file-replay) stream into an in-memory table and return it —
     test/debug sink only."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -115,3 +116,65 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 60) -> DataF
     q.awaitTermination(timeout_s)
     q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def stateful_fold(
+    stream: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    fold,
+    out_col: str = "result",
+    out_dtype: str = "double",
+    output_mode: str = "update",
+) -> "StreamingFoldQuery":
+    """Arbitrary custom fold as an incrementally-maintained streaming state
+    (``applyInPandasWithState``).
+
+    The fold's ``(step, init, extract)`` triple — the reference's
+    ``FL.Fold`` (Streamly.hs:140-141) — IS the state spec: state = acc,
+    update = step over the micro-batch's rows, emit = extract(acc).  The
+    fold must be a ``CustomFold`` with picklable step/init/extract; state
+    is carried as JSON (custom fold states are small by definition).
+
+    Each micro-batch emits one updated row per touched key (update mode).
+    Unlike the windowed path this never drops state (no watermark): use it
+    for per-key running aggregates, not unbounded-cardinality keys.
+    """
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields if f.name in keys
+    )
+    out_schema = f"{key_fields}, {out_col} {out_dtype}"
+    state_schema = "acc string"
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd  # local import: runs on executors
+
+        if state.exists:
+            (acc_json,) = state.get
+            acc = json.loads(acc_json)
+        else:
+            acc = fold.init() if callable(fold.init) else fold.init
+        for pdf in pdf_iter:
+            for row in pdf[value_cols].itertuples(index=False):
+                arg = row if len(value_cols) > 1 else row[0]
+                acc = fold.step(acc, arg)
+        state.update((json.dumps(acc),))
+        row = dict(zip(keys, key))
+        row[out_col] = fold.extract(acc)
+        yield pd.DataFrame([row])
+
+    return (
+        stream.groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,59 @@
+"""Source/sink round-trips (SURVEY §2.7 GAP: the reference has no I/O)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark import sources
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return sources.load_table(spark, SF_DIR, "nation")
+
+
+def test_parquet_roundtrip(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pq")) + "/nation"
+    sources.write_parquet(nation, p)
+    back = sources.read_parquet(spark, p)
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_parquet_partitioned_write_prunes(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pqp")) + "/nation"
+    sources.write_parquet(nation, p, partition_by=["n_regionkey"])
+    back = sources.read_parquet(spark, p).filter("n_regionkey = 2")
+    back.collect()
+    from map_reduce_folds_spark.plans import executed_plan
+
+    # partition pruning: the filter must land in PartitionFilters, and only
+    # that directory's files are read
+    assert "PartitionFilters: [isnotnull(n_regionkey" in executed_plan(back) or \
+           "PartitionFilters: [" in executed_plan(back)
+    assert back.count() == nation.filter("n_regionkey = 2").count()
+
+
+def test_csv_roundtrip(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("csv")) + "/nation"
+    nation.write.mode("overwrite").option("header", "true").csv(p)
+    back = sources.read_csv(
+        spark, p, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_json_roundtrip(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("json")) + "/nation"
+    nation.write.mode("overwrite").json(p)
+    back = sources.read_json(
+        spark, p, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_register_views(spark):
+    sources.register_views(spark, SF_DIR)
+    n = spark.sql("select count(*) as n from nation").collect()[0].n
+    assert n == 25

@@ -92,3 +92,35 @@ def test_session_window_stream(spark, events_batch, events_stream_path):
     )
     got_counts = sorted((r.user_id, r.n) for r in got.collect())
     assert got_counts == batch_counts
+
+
+def test_stateful_custom_fold(spark, events_batch, events_stream_path):
+    """applyInPandasWithState: a custom (step, init, extract) fold maintained
+    incrementally across micro-batches equals the batch fold."""
+    from map_reduce_folds_spark import folds as flds
+    from map_reduce_folds_spark.streaming import stateful_fold
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema,
+                                 max_files_per_trigger=1)
+    # running count+sum via a custom fold (state = [n, total_cents])
+    fold = flds.fold_from_steps(
+        step=lambda acc, v: [acc[0] + 1, acc[1] + int(round(v * 100))],
+        init=lambda: [0, 0],
+        extract=lambda acc: float(acc[0]) + acc[1] / 1e13,  # pack for 1-col out
+        dtype="double",
+    )
+    out = stateful_fold(stream, ["event_type"], ["value"], fold, "packed")
+    got = run_to_memory(out, "stateful", timeout_s=120, output_mode="update")
+    # update mode: several rows per key (one per touched micro-batch);
+    # counts are monotone -> final state = max
+    import collections
+    final: dict = collections.defaultdict(float)
+    for r in got.collect():
+        final[r.event_type] = max(final[r.event_type], r.packed)
+    batch = events_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    exp = {r.event_type: float(r.n) + r.cents / 1e13 for r in batch.collect()}
+    assert dict(final) == exp
