@@ -68,15 +68,22 @@ def brute_force_topk(
     The query side is broadcast (it is the small side by construction);
     the corpus is scanned once, no shuffle until the per-query top-k
     window — which AQE keeps proportional to |Q|·k."""
+    # norms are per-vector: compute them once per side before the join
+    # (identical chain expression, so the factored form is still bitwise
+    # equal to cosine() inline — and the join-side codegen shrinks 3x)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col), dim).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col), dim).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("qv"), F.col("cv"), dim).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
     return topk_per_group(
@@ -163,10 +170,13 @@ def embedding_near_dup_pairs(
     O(n²/2) scoring: correct-by-construction baseline for small/medium n
     (the differential oracle); at corpus scale use srp_lsh buckets first
     and verify within buckets (same verify expression)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  norm(F.col(vec_col), dim).alias("na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  norm(F.col(vec_col), dim).alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     out = pairs.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb"), dim).alias("cos_sim")
+        "id_a", "id_b",
+        (dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
     )
     return out.filter(F.col("cos_sim") >= threshold)

@@ -701,3 +701,90 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, sets=[["flag"], ["status"], []], keys=["flag", "status"],
         aggs={"sum_qty": F.sum("l_quantity")},
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — every predicate must
+    push to the scan (no shuffle at all beyond the final single-partition
+    agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2))
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV_SQL}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+               / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_pct,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast join.
+    Both sums are exact decimals; the ratio is a single double op chain."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = R.join(li, p, li.l_partkey == p.p_partkey, broadcast_right=True)
+    rev = _revenue()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return j.agg(
+        (F.sum(promo).cast("double") * F.lit(100.0)
+         / F.sum(rev).cast("double")).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+           SUM(l.l_quantity) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    HAVING SUM(l.l_quantity) > 150
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-filter (HAVING) over a fact-fact
+    join — the join shuffles on the shared key, the HAVING prunes after."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = R.join(li, o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy(F.col("o_orderkey").alias("orderkey"),
+                  F.col("o_totalprice").alias("totalprice"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter("total_qty > 150")
+    )

@@ -1,0 +1,132 @@
+"""Fold-vocabulary unit tests (SURVEY §2.6), plus a hypothesis property
+test mirroring the reference's hedgehog differential property
+(test/Test1.hs:54-57: random lists vs a direct oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark import Assign, Filter, FoldReduce, MapReduce, folds
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    # (label, value) rows — bench Task 1 shape
+    data = [(chr(65 + i % 5), i % 7 + 1) for i in range(100)]
+    return spark.createDataFrame(data, "label string, v bigint").cache()
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_builtin_folds(pairs):
+    mr = MapReduce(
+        assign=Assign(keys={"k": F.lit(1)}, values={"v": "v"}),
+        reduce=FoldReduce({
+            "s": folds.sum_("v", dtype="bigint"),
+            "m": folds.mean_("v"),
+            "n": folds.count_(),
+            "nc": folds.count_col("v"),
+            "nd": folds.count_distinct("v"),
+            "mn": folds.min_("v"),
+            "mx": folds.max_("v"),
+            "fv": folds.variance("v"),
+            "sd": folds.stddev("v"),
+        }),
+    )
+    r = _one(mr.run(pairs))
+    vals = [i % 7 + 1 for i in range(100)]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((x - mean) ** 2 for x in vals) / (n - 1)
+    assert r["s"] == sum(vals)
+    assert r["m"] == pytest.approx(mean)
+    assert (r["n"], r["nc"], r["nd"]) == (n, n, 7)
+    assert (r["mn"], r["mx"]) == (1, 7)
+    assert r["fv"] == pytest.approx(var)
+    assert r["sd"] == pytest.approx(math.sqrt(var))
+
+
+def test_any_all_collect(pairs):
+    mr = MapReduce(
+        assign=Assign(keys={"k": "label"}, values={"v": "v"}),
+        reduce=FoldReduce({
+            "any6": folds.any_(F.col("v") > 6),
+            "all_pos": folds.all_(F.col("v") > 0),
+            "st": folds.collect_set("v", dtype="array<bigint>").map(F.sort_array),
+        }),
+    )
+    for r in mr.run(pairs).collect():
+        assert r["all_pos"] is True
+        assert isinstance(r["st"], list) and r["st"] == sorted(set(r["st"]))
+
+
+def test_product_fold(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "v bigint")
+    mr = MapReduce(
+        assign=Assign(keys={"k": F.lit(1)}, values={"v": "v"}),
+        reduce=FoldReduce({"p": folds.product_("v")}),
+    )
+    assert _one(mr.run(df))["p"] == 24.0
+
+
+def test_first_last_order_caveat(spark):
+    # first/last are order-dependent; on a single sorted partition they are
+    # deterministic — the documented usage pattern
+    df = spark.createDataFrame([(i,) for i in range(10)], "v bigint").coalesce(1)
+    mr = MapReduce(
+        assign=Assign(keys={"k": F.lit(1)}, values={"v": "v"}),
+        reduce=FoldReduce({"f": folds.first_("v", dtype="bigint"),
+                           "l": folds.last_("v", dtype="bigint")}),
+    )
+    r = _one(mr.run(df))
+    assert (r["f"], r["l"]) == (0, 9)
+
+
+def test_zip_struct_result(pairs):
+    z = folds.Fold.zip(folds.sum_("v", dtype="bigint"), folds.count_())
+    mr = MapReduce(
+        assign=Assign(keys={"k": F.lit(1)}, values={"v": "v"}),
+        reduce=FoldReduce({"z": z}),
+    )
+    r = _one(mr.run(pairs))["z"]
+    assert (r["_0"], r["_1"]) == (sum(i % 7 + 1 for i in range(100)), 100)
+
+
+def test_premap_pandas_path(pairs):
+    f = folds.fold_from_pandas(lambda p: float(p["v"].sum()), dtype="double")
+    pre = f.premap(lambda p: (p * 2).rename(columns={"v": "v"}))
+    mr = MapReduce(
+        assign=Assign(keys={"k": F.lit(1)}, values={"v": "v"}),
+        reduce=FoldReduce({"s2": pre}),
+    )
+    assert _one(mr.run(pairs))["s2"] == 2.0 * sum(i % 7 + 1 for i in range(100))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(xs=st.lists(st.integers(min_value=0, max_value=10000), max_size=80))
+def test_hypothesis_differential(spark, xs):
+    """The reference's hedgehog property, via hypothesis: engine result ==
+    direct python oracle for the readme query on arbitrary int lists."""
+    direct: dict[bool, int] = {}
+    for x in xs:
+        if x % 2 == 0:
+            direct[x % 3 == 0] = direct.get(x % 3 == 0, 0) + x
+    df = spark.createDataFrame([(x,) for x in xs], "x bigint") if xs \
+        else spark.createDataFrame([], "x bigint")
+    mr = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    )
+    got = {r["k"]: r["s"] for r in mr.run(df).collect()}
+    assert got == direct
