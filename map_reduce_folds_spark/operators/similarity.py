@@ -180,3 +180,89 @@ def embedding_near_dup_pairs(
         (dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
     )
     return out.filter(F.col("cos_sim") >= threshold)
+
+
+def _train_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, dim: int,
+    n_centroids: int, sample_limit: int = 8192, iters: int = 8,
+):
+    """Deterministic mini-kmeans coarse quantizer: fixed sample (lowest ids),
+    fixed init (first K of sample), fixed iteration count.  The model is
+    tiny (K×dim floats) and trains driver-side on a bounded sample — the
+    standard IVF pattern: train small, broadcast, assign at scale."""
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
+    )
+    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def _cell_dists(vec: Column, centroids: list[list[float]], dim: int) -> Column:
+    """array<struct<d,double idx,int>> of squared distances to each centroid
+    (only the -2·v·c + |c|² part — |v|² is constant under argmin)."""
+    cells = []
+    for idx, cent in enumerate(centroids):
+        c2 = sum(v * v for v in cent)
+        terms = [
+            F.element_at(vec, i + 1).cast("double") * F.lit(-2.0 * cent[i])
+            for i in range(dim)
+        ]
+        score = _reduce(lambda x, y: x + y, terms) + F.lit(c2)
+        cells.append(F.struct(score.alias("d"), F.lit(idx).alias("idx")))
+    return F.array(*cells)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    to their nearest centroid cell once; each query probes its ``n_probe``
+    nearest cells and scores exact cosine only within them.
+
+    Scale shape: the assignment pass is one narrow scan (no shuffle); the
+    search joins on cell id — per-query work is |corpus|·(n_probe/K) instead
+    of |corpus|.  Recall depends on cluster structure; on unclustered data
+    prefer srp_lsh_topk."""
+    centroids = _train_centroids(corpus, id_col, vec_col, dim, n_centroids)
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col), dim).alias("cn"),
+        F.array_min(_cell_dists(F.col(vec_col), centroids, dim))["idx"].alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col), dim).alias("qn"),
+        F.slice(F.array_sort(_cell_dists(F.col(vec_col), centroids, dim)),
+                1, n_probe).alias("probes"),
+    ).select(
+        "query_id", "qv", "qn", F.explode(F.col("probes")["idx"]).alias("cell")
+    )
+    cand = c_assigned.join(
+        F.broadcast(q_cells),
+        (q_cells.cell == c_assigned.cell) & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id")], k
+    )

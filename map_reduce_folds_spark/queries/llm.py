@@ -417,3 +417,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame_bytes").cast("bigint")).alias("total_bytes"),
     )
+
+
+@query("sim_topk_ivf")
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (driver-trained deterministic mini-kmeans
+    quantizer, 8 cells, probe 4).  Rows-only (probabilistic recall);
+    tests/test_llm.py asserts recall + exact scoring vs brute force."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    return S.ivf_topk(q, e, "vec_id", "embedding", _DIM, _TOPK,
+                      n_centroids=8, n_probe=4)

@@ -74,3 +74,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each fixture table as a temp view for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (saveAsTable — bucketing metadata needs the
+    catalog).  Two tables bucketed identically on the join key co-locate:
+    the join compiles with NO Exchange on either side — at 100 TB that is
+    the difference between a metadata lookup and reshuffling both fact
+    tables.  Pair with ``spark.sql.sources.bucketing.enabled`` (default on).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

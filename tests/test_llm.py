@@ -98,3 +98,20 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
     out = df.select(F.size(T.distinct_shingle_hashes("text", 3)).alias("n")).collect()
     assert [r.n for r in out] == [0, 2]
+
+
+def test_ivf_topk_recall(emb):
+    """IVF ANN: machinery check — results carry exact cosine, recall floor
+    modest on unclustered fixture embeddings."""
+    q = emb.filter("vec_id < 5")
+    truth = S.brute_force_topk(q, emb, k=10).collect()
+    approx = S.ivf_topk(q, emb, k=10, n_centroids=8, n_probe=4).collect()
+    truth_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in truth}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in truth_cos:
+            assert abs(r.cos_sim - truth_cos[(r.query_id, r.neighbor_id)]) < 1e-12
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth_set & approx_set) / len(truth_set)
+    # probing half the cells on unclustered data: expect roughly >= n_probe/K
+    assert recall >= 0.3, f"ivf recall {recall:.2f}"

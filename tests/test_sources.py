@@ -57,3 +57,33 @@ def test_register_views(spark):
     sources.register_views(spark, SF_DIR)
     n = spark.sql("select count(*) as n from nation").collect()[0].n
     assert n == 25
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
+    """Co-located bucketed join: both sides bucketed on the key → the join
+    plan contains zero shuffle Exchanges."""
+    from map_reduce_folds_spark.plans import count_exchanges, executed_plan
+
+    o = sources.load_table(spark, SF_DIR, "orders")
+    li = sources.load_table(spark, SF_DIR, "lineitem")
+    sources.write_bucketed(o.select("o_orderkey", "o_totalprice"),
+                           "t_orders_b", ["o_orderkey"], 8)
+    sources.write_bucketed(li.select("l_orderkey", "l_quantity"),
+                           "t_lineitem_b", ["l_orderkey"], 8)
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    j = a.join(b, a.o_orderkey == b.l_orderkey).groupBy("o_orderkey").agg(
+        F.sum("l_quantity").alias("q"))
+    # disable broadcast so the test exercises the shuffle path decision
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j.collect()
+        plan = executed_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucketing co-locates both sides: no Exchange before the join;
+        # the groupBy on the bucket key reuses the same distribution
+        assert count_exchanges(j) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

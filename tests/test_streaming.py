@@ -124,3 +124,62 @@ def test_stateful_custom_fold(spark, events_batch, events_stream_path):
     )
     exp = {r.event_type: float(r.n) + r.cents / 1e13 for r in batch.collect()}
     assert dict(final) == exp
+
+
+def test_sliding_window_stream(spark, events_batch, events_stream_path):
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema)
+    out = stream_mapreduce(stream, _spec(), ts_col="ts", window="1 hour",
+                           slide="30 minutes", watermark="30 days")
+    got = run_to_memory(out, "slide_agg", timeout_s=120)
+    batch = (
+        events_batch.filter("value > 1")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_v"))
+    )
+    g = {(r.window.start, r.event_type): (r.n, r.sum_v) for r in got.collect()}
+    b = {(r.window.start, r.event_type): (r.n, r.sum_v) for r in batch.collect()}
+    assert g == b
+
+
+def test_watermark_append_emits_only_finalized_windows(spark, events_batch, tmp_path_factory):
+    """Watermark semantics (order-independent form): in append mode every
+    emitted window is finalized, its count never exceeds the batch count
+    for that window, and the stream's final (max-ts) window — never
+    finalized by the watermark — is absent."""
+    import os
+
+    p = str(tmp_path_factory.mktemp("late"))
+    e = events_batch
+    hi = e.orderBy(F.col("ts").desc()).limit(100)
+    lo = e.orderBy(F.col("ts").asc()).limit(100)
+    hi.coalesce(1).write.parquet(os.path.join(p, "b0"))
+    lo.coalesce(1).write.parquet(os.path.join(p, "b1"))
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p + "/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_agg").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    both = hi.unionByName(lo)
+    batch = {
+        r.w.start: r.n
+        for r in both.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    emitted = {r.w.start: r.n for r in spark.table("late_agg").collect()}
+    assert emitted, "no finalized windows emitted"
+    for start, n in emitted.items():
+        assert n <= batch[start]
+    last_window = max(batch)
+    assert last_window not in emitted  # never finalized by the watermark
