@@ -54,8 +54,13 @@ def main():
     spark = get_spark(app_name="mrf-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the session (JVM, Arrow, codegen) on a trivial job
+    # warm up the session: JVM + codegen on a trivial job, then one pass of
+    # parquet footer/listing per table so no query pays cold-FS costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from map_reduce_folds_spark.sources import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.selectExpr("count(1)").collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -236,7 +236,7 @@ def mr_fold_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mr_assign_udf",
     oracle="""
     SELECT (l_partkey * 2654435761) % 4294967296 % 8 AS k,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
            COUNT(*) AS n
     FROM lineitem GROUP BY 1
     """,

@@ -116,7 +116,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)) AS DOUBLE)
                / COUNT(*) AS mean_tokens
     FROM documents GROUP BY 1

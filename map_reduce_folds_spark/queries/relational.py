@@ -602,7 +602,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
     FROM events GROUP BY 1
     """,

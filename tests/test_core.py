@@ -243,3 +243,25 @@ def test_assign_contramap(ints10):
     out = {r["k"]: r["s"] for r in mr.run(ints10).collect()}
     # y = 3x for x in 1..10 → evens are y ∈ {6,12,18,24,30} sum=90; odds sum 75
     assert out == {True: 90, False: 75}
+
+
+def test_shared_scan_applicative_folds(spark, ints10):
+    """Fold-level applicative (ListStats.hs:36): N pipelines over one cached
+    scan — results equal independent runs."""
+    from map_reduce_folds_spark.core import shared_scan
+
+    sums = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    )
+    means = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={"k": F.col("x") % 3 == 0}, values={"v": "x"}),
+        reduce=FoldReduce({"m": folds.mean_("v")}),
+    )
+    rs, rm = shared_scan(ints10, sums, means)
+    assert {r["k"]: r["s"] for r in rs.collect()} == {False: 24, True: 6}
+    assert {r["k"]: r["m"] for r in rm.collect()} == {False: 6.0, True: 6.0}
+    assert ints10.is_cached
+    ints10.unpersist()
