@@ -788,3 +788,76 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter("total_qty > 150")
     )
+
+
+@query(
+    "median_exact",
+    oracle="""
+    SELECT k, med_qty, n FROM (
+        SELECT l_returnflag AS k, l_quantity AS med_qty,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    """,
+)
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (lower) median per group via rank selection — deterministic
+    under a total order, unlike interpolating percentile implementations
+    whose arithmetic differs across engines.  One shuffle on the group key.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("k"),
+        F.col("l_quantity").alias("med_qty"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint")
+    ).select("k", "med_qty", "n")
+
+
+@query(
+    "corr_exact",
+    oracle="""
+    SELECT l_returnflag AS k,
+           (COUNT(*) * CAST(SUM(CAST(l_quantity AS BIGINT)
+                                * CAST(l_partkey % 100 AS BIGINT)) AS DOUBLE)
+            - CAST(SUM(l_quantity) AS DOUBLE) * CAST(SUM(l_partkey % 100) AS DOUBLE))
+           / (sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity AS BIGINT)
+                                       * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   - CAST(SUM(l_quantity) AS DOUBLE) * CAST(SUM(l_quantity) AS DOUBLE))
+              * sqrt(COUNT(*) * CAST(SUM(CAST(l_partkey % 100 AS BIGINT)
+                                         * CAST(l_partkey % 100 AS BIGINT)) AS DOUBLE)
+                     - CAST(SUM(l_partkey % 100) AS DOUBLE) * CAST(SUM(l_partkey % 100) AS DOUBLE)))
+               AS corr_qp,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact integer sums (the textbook formula
+    over Σx, Σy, Σxy, Σx², Σy² — all exact bigint sums), so the result is
+    one deterministic double expression.  Builtin corr() uses a streaming
+    update formula whose rounding differs across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = (F.col("l_partkey") % 100).cast("bigint")
+    kv = li.select(F.col("l_returnflag").alias("k"), x.alias("x"), y.alias("y"))
+    n = F.count(F.lit(1))
+    sx, sy = F.sum(F.col("x").cast("double")), F.sum(F.col("y").cast("double"))
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return kv.groupBy("k").agg(corr.alias("corr_qp"), n.alias("n"))

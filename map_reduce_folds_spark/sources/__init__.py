@@ -47,6 +47,12 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which the parquet reader
+        # rejects unless nanos are read as long.  This is a runtime-settable
+        # SQL conf — set it here so the loader works on ANY session (the
+        # driver harness builds its own), not just ours.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanoseconds —

@@ -1,0 +1,115 @@
+"""Direct unit tests for relational operators (join modes, top-k
+determinism, set ops, as-of edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators import relational as R
+from map_reduce_folds_spark.operators import windows as W
+
+
+@pytest.fixture(scope="module")
+def left(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, l string"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def right(spark):
+    return spark.createDataFrame(
+        [(2, "x"), (3, "y"), (4, "z")], "id bigint, r string"
+    ).cache()
+
+
+def test_join_modes(left, right):
+    inner = R.join(left, right, "id", "inner")
+    assert sorted(r.id for r in inner.collect()) == [2, 3]
+    lj = R.join(left, right, "id", "left")
+    assert sorted((r.id, r.r) for r in lj.collect()) == [(1, None), (2, "x"), (3, "y")]
+    semi = R.join(left, right, "id", "semi")
+    assert sorted(r.id for r in semi.collect()) == [2, 3]
+    assert semi.columns == ["id", "l"]  # semi keeps only left columns
+    anti = R.join(left, right, "id", "anti")
+    assert [r.id for r in anti.collect()] == [1]
+    full = R.join(left, right, "id", "full")
+    assert full.count() == 4
+
+
+def test_topk_deterministic_on_ties(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id bigint, v bigint"
+    )
+    out1 = [r.id for r in R.topk(df, [F.col("v").desc(), F.col("id")], 5).collect()]
+    out2 = [r.id for r in R.topk(df, [F.col("v").desc(), F.col("id")], 5).collect()]
+    assert out1 == out2 == [2, 5, 8, 11, 14]
+
+
+def test_topk_per_group_keeps_rank(spark):
+    df = spark.createDataFrame(
+        [(g, v) for g in range(2) for v in range(5)], "g bigint, v bigint"
+    )
+    out = R.topk_per_group(df, ["g"], [F.col("v").desc()], 2, keep_rank=True)
+    rows = sorted((r.g, r.rn, r.v) for r in out.collect())
+    assert rows == [(0, 1, 4), (0, 2, 3), (1, 1, 4), (1, 2, 3)]
+
+
+def test_set_ops(left, right):
+    a = left.select("id")
+    b = right.select("id")
+    assert sorted(r.id for r in R.union_all(a, b).collect()) == [1, 2, 2, 3, 3, 4]
+    assert sorted(r.id for r in R.union_distinct(a, b).collect()) == [1, 2, 3, 4]
+    assert sorted(r.id for r in R.intersect(a, b).collect()) == [2, 3]
+    assert [r.id for r in R.except_(a, b).collect()] == [1]
+
+
+def test_asof_backward_and_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)],
+        "sym string, t bigint, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 4, 1), ("A", 6, 2), ("B", 2, 3), ("C", 9, 4)],
+        "sym string, t bigint, trade_id bigint",
+    )
+    back = R.asof_join(trades, quotes.withColumnRenamed("t", "qt"),
+                       on="sym", left_time="t", right_time="qt")
+    got = {r.trade_id: r.px for r in back.collect()}
+    # trade A@4 -> quote A@1; A@6 -> A@5; B@2 -> none; C -> none
+    assert got == {1: 10.0, 2: 11.0, 3: None, 4: None}
+
+    fwd = R.asof_join(trades, quotes.withColumnRenamed("t", "qt"),
+                      on="sym", left_time="t", right_time="qt",
+                      direction="forward")
+    got = {r.trade_id: r.px for r in fwd.collect()}
+    # A@4 -> A@5 (next); A@6 -> none; B@2 -> B@3; C -> none
+    assert got == {1: 11.0, 2: None, 3: 20.0, 4: None}
+
+
+def test_sessionize_gap_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 2000), (2, 0)],
+        "user_id bigint, sec bigint",
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    out = W.sessionize(df, "user_id", "ts", gap_seconds=1800)
+    sessions = {(r.user_id, r.ts.second + r.ts.minute * 60 + r.ts.hour * 3600): r.session_id
+                for r in out.collect()}
+    assert sessions[(1, 0)] == sessions[(1, 100)]      # within gap
+    assert sessions[(1, 2000)] == sessions[(1, 0)] + 1  # past gap -> new session
+    assert sessions[(2, 0)] == 1
+
+
+def test_rollup_cube_row_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "p string, q string, v bigint"
+    )
+    roll = R.rollup_agg(df, ["p", "q"], {"s": F.sum("v")})
+    # rows: 3 leaf + 2 per-p + 1 total
+    assert roll.count() == 6
+    cube = R.cube_agg(df, ["p", "q"], {"s": F.sum("v")})
+    # rows: 3 leaf + 2 per-p + 2 per-q + 1 total
+    assert cube.count() == 8
+    total = {r.s for r in cube.filter("p IS NULL AND q IS NULL").collect()}
+    assert total == {6}
