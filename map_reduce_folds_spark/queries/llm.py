@@ -428,3 +428,127 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter("vec_id < 5")
     return S.ivf_topk(q, e, "vec_id", "embedding", _DIM, _TOPK,
                       n_centroids=8, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and pipeline composition
+# ---------------------------------------------------------------------------
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.tk AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+             LATERAL (SELECT unnest(toks) AS tk) t
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 9) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 9) DESC,
+                 term
+    ) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document.  Classic text-pipeline op built
+    entirely from the engine's own primitives: explode → two fold
+    aggregations (tf per (doc,term), df per term) → broadcast join →
+    per-doc top-k window.  tf·ln(N/df) is one deterministic double chain."""
+    from map_reduce_folds_spark.operators.relational import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokenize("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: tiny, known at plan time
+    # ln() is not bitwise-identical across libm implementations (1-ulp
+    # differences); round to 9 decimals before ranking AND output so both
+    # engines order and emit identical values
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 9
+        ).alias("tfidf"),
+    )
+    return topk_per_group(
+        scored, ["doc_id"], [F.col("tfidf").desc(), F.col("term")], 3
+    )
+
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE {_h60('text')} % 100 < 20
+    GROUP BY 1
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 20% sample — reproducible across engines, partitionings
+    and runs (unlike rng-based df.sample), the right sampling primitive for
+    a data pipeline.  Filtered per-lang counts as the check."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(T.hash60(F.col("text")) % 100 < 20).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) * 0.4
+                 + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                               t -> length(t) <= 2)) AS DOUBLE)
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.2
+                   AS quality
+        FROM documents
+    ),
+    kept AS (
+        SELECT *, {_h60('text')} AS digest FROM scored
+        WHERE quality >= 0.5 AND n_tokens >= 20
+    ),
+    dedup AS (
+        SELECT digest, MIN(doc_id) AS keep_id, MAX(lang) AS lang,
+               MAX(n_tokens) AS n_tokens
+        FROM kept GROUP BY 1
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM dedup GROUP BY 1
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline in one plan:
+    quality-score filter → length filter → exact dedup (keep lowest id) →
+    per-lang corpus stats.  The composition the engine exists for."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokenize("text")
+    scored = d.select(
+        "doc_id", "lang", "text",
+        F.size(toks).alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+    dedup = kept.groupBy(T.hash60(F.col("text")).alias("digest")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.max("lang").alias("lang"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    return dedup.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -551,7 +551,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_tumbling_window",
     oracle="""
-    SELECT date_trunc('hour', ts) AS win_start, event_type,
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
@@ -565,14 +565,15 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
-    ).select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    ).select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+             "event_type", "n", "sum_value")
 
 
 @query(
     "asof_join_purchase_click",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id AS user_id,
-           c.ts AS click_ts, c.value AS click_value
+           epoch_us(c.ts) AS click_us, c.value AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -592,9 +593,12 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = R.asof_join(purchases, clicks, on="user_id",
                       left_time="ts", right_time="c_ts")
+    # emit epoch-micros (bigint) rather than a timestamp: events.ts is
+    # nanos in parquet; Spark reads it floor-truncated to micros while
+    # DuckDB keeps nanos — integer micros compare identically everywhere
     return out.select(
         "purchase_id", "user_id",
-        F.col("__rt").alias("click_ts"), "click_value",
+        F.unix_micros(F.col("__rt")).alias("click_us"), "click_value",
     )
 
 
@@ -861,3 +865,31 @@ def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return kv.groupBy("k").agg(corr.alias("corr_qp"), n.alias("n"))
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id % 10 AS bucket,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): event counts per user bucket.  Explicit value
+    list keeps the plan a single pass (no distinct-values pre-query)."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing cells null; count semantics want 0
+    return out.select(
+        "bucket", *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                    for c in ("click", "error", "purchase", "signup", "view")]
+    )
