@@ -266,3 +266,31 @@ def mr_assign_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         }),
     )
     return mr.run(li)
+
+
+@query(
+    "mr_null_key_group",
+    oracle="""
+    SELECT CASE WHEN CAST(l_quantity AS BIGINT) % 2 = 0
+                THEN l_partkey % 5 END AS k,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+    FROM lineitem GROUP BY 1
+    """,
+)
+def mr_null_key_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key grouping semantics: both engines place NULL keys in one
+    group (the reference's Maybe-keyed rows, kept rather than filtered)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mr = MapReduce(
+        assign=Assign(
+            keys={"k": F.when(F.col("l_quantity").cast("bigint") % 2 == 0,
+                              F.col("l_partkey") % 5)},
+            values={"v": F.col("l_quantity").cast("bigint")},
+        ),
+        reduce=FoldReduce({
+            "n": folds.count_(),
+            "sum_q": folds.sum_("v", dtype="bigint"),
+        }),
+    )
+    return mr.run(li)

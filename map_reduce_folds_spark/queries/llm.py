@@ -305,10 +305,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", D.simhash("text", 32).alias("sig"))
 
 
-@query("dedup_simhash_pairs")
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 of 32 bits) via pigeonhole
-    blocking.  Rows-only: validated against signatures in tests."""
+    blocking.  The oracle brute-forces all pairs — valid because blocking
+    is provably complete (tests/test_llm.py proves set equality too)."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
                                     max_hamming=3, blocks=4)

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_folds_spark import folds
+from map_reduce_folds_spark.core import Assign, FoldReduce, MapReduce, Melt
 from map_reduce_folds_spark.operators import relational as R
 from map_reduce_folds_spark.operators import windows as W
 from map_reduce_folds_spark.queries.registry import query
@@ -893,3 +895,82 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", *[F.coalesce(F.col(c), F.lit(0)).alias(c)
                     for c in ("click", "error", "purchase", "signup", "view")]
     )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           SUM(o_totalprice_i) OVER w3 / COUNT(*) OVER w3 AS mavg3
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS o_totalprice_i
+          FROM orders)
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (moving average over the last 3 orders).  The
+    price is converted to integer cents first so the windowed sum is exact
+    and the average a single division."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    w3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        (F.sum("cents").over(w3) / F.count(F.lit(1)).over(w3)).alias("mavg3"),
+    )
+
+
+@query(
+    "melt_long_format",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag AS k, 'qty' AS metric, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    SELECT k, metric, COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(14,2))) AS DOUBLE) AS total,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM long GROUP BY 1, 2
+    """,
+)
+def melt_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tidy-data melt: wide row → (metric, value) long rows via an
+    array-of-structs explode (Melt flatten), then per-metric folds — the
+    reference's general Unpack (Core.hs:98) in its most common analytics
+    shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mr = MapReduce(
+        unpack=Melt(
+            F.array(
+                F.struct(F.lit("qty").alias("metric"), F.col("l_quantity").alias("v")),
+                F.struct(F.lit("discount").alias("metric"), F.col("l_discount").alias("v")),
+                F.struct(F.lit("tax").alias("metric"), F.col("l_tax").alias("v")),
+            ),
+            alias="m", keep=("l_returnflag",), flatten=True,
+        ),
+        assign=Assign(
+            keys={"k": "l_returnflag", "metric": "metric"},
+            values={"v": "v", "dv": F.col("v").cast("decimal(14,2)")},
+        ),
+        reduce=FoldReduce({
+            "n": folds.count_(),
+            "total": folds.sum_("dv").map(lambda c: c.cast("double")),
+            "min_v": folds.min_("v"),
+            "max_v": folds.max_("v"),
+        }),
+    )
+    return mr.run(li)
