@@ -1,0 +1,74 @@
+"""Runnable tour of the engine — the reference's readme/ListStats examples
+re-expressed on the driver fixtures, plus one of each operator family.
+
+    python examples/demo.py [sf_dir]     # default /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark import (
+    Assign, Filter, FoldReduce, MapReduce, Melt, folds, get_spark,
+)
+from map_reduce_folds_spark.operators import dedup, relational, similarity
+from map_reduce_folds_spark.sources import load_table
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="mrf-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    print("\n-- readme query: filter even, key by %3==0, sum --")
+    MapReduce(
+        unpack=Filter(F.col("l_quantity").cast("bigint") % 2 == 0),
+        assign=Assign(keys={"k": F.col("l_partkey") % 3 == 0},
+                      values={"v": "l_extendedprice"}),
+        reduce=FoldReduce({"total": folds.sum_("v")}),
+    ).run(li).show()
+
+    print("-- applicative reduce: four folds, ONE shuffle --")
+    MapReduce(
+        assign=Assign(keys={"flag": "l_returnflag"}, values={"v": "l_quantity"}),
+        reduce=FoldReduce({
+            "n": folds.count_(),
+            "total": folds.sum_("v"),
+            "lo": folds.min_("v"),
+            "hi": folds.max_("v"),
+        }),
+    ).run(li).show()
+
+    print("-- melt: row -> [x, 2x] --")
+    MapReduce(
+        unpack=Melt(F.array(F.col("l_quantity"), F.col("l_quantity") * 2),
+                    alias="y", keep=("l_returnflag",)),
+        assign=Assign(keys={"flag": "l_returnflag"}, values={"v": "y"}),
+        reduce=FoldReduce({"total": folds.sum_("v")}),
+    ).run(li).show()
+
+    print("-- broadcast star join --")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    relational.join(o, c, o.o_custkey == c.c_custkey, broadcast_right=True) \
+        .groupBy("c_mktsegment").agg(F.count("*").alias("orders")).show()
+
+    print("-- MinHash-LSH near-dup pairs (jaccard >= 0.5) --")
+    docs = load_table(spark, sf_dir, "documents")
+    dedup.minhash_near_dup_pairs(docs, threshold=0.5).show(5)
+
+    print("-- cosine top-3 neighbors for 2 query vectors --")
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.brute_force_topk(emb.filter("vec_id < 2"), emb, k=3).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from map_reduce_folds_spark import Assign, Filter, FoldReduce, MapReduce, folds
+from map_reduce_folds_spark import Assign, Filter, FoldReduce, MapReduce, Melt, folds
 from map_reduce_folds_spark.sources import load_table
 from map_reduce_folds_spark.streaming import (
     read_parquet_stream, run_to_memory, session_windows, stream_mapreduce,
@@ -183,3 +183,27 @@ def test_watermark_append_emits_only_finalized_windows(spark, events_batch, tmp_
         assert n <= batch[start]
     last_window = max(batch)
     assert last_window not in emitted  # never finalized by the watermark
+
+
+def test_streaming_melt_unpack(spark, events_batch, events_stream_path):
+    """Melt unpack works unchanged on the streaming side (narrow op)."""
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema)
+    spec = MapReduce(
+        unpack=Melt(F.array(F.col("value"), F.col("value") * 2), alias="y",
+                    keep=("ts", "event_type")),
+        assign=Assign(keys={"event_type": "event_type"},
+                      values={"v": F.col("y").cast("decimal(12,2)")}),
+        reduce=FoldReduce({"s": folds.sum_("v").map(lambda c: c.cast("double"))}),
+    )
+    out = stream_mapreduce(stream, spec, ts_col="ts", watermark="30 days")
+    got = {r.event_type: r.s for r in
+           run_to_memory(out, "melt_agg", timeout_s=120).collect()}
+    batch = (
+        events_batch.select("event_type", F.explode(
+            F.array(F.col("value"), F.col("value") * 2)).alias("y"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("y").cast("decimal(12,2)")).cast("double").alias("s"))
+    )
+    exp = {r.event_type: r.s for r in batch.collect()}
+    assert got == exp
