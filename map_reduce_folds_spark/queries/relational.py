@@ -974,3 +974,128 @@ def melt_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         }),
     )
     return mr.run(li)
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT p.p_partkey, s.s_suppkey, s.s_acctbal, n.n_name,
+               l.l_extendedprice / l.l_quantity AS unit_cost
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE l.l_quantity > 0
+    )
+    SELECT p_partkey AS partkey, s_suppkey AS suppkey, n_name AS nation
+    FROM costs c
+    WHERE unit_cost = (SELECT MIN(unit_cost) FROM costs c2
+                       WHERE c2.p_partkey = c.p_partkey)
+      AND p_partkey % 50 = 0
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY s_suppkey) = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-subquery — re-expressed as a window
+    min (Spark's planner would de-correlate to the same thing).  Unit cost
+    is a single double division, deterministic in both engines; suppkey
+    tie-break when several rows share the minimum."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter("l_quantity > 0")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = R.join(li, p, li.l_partkey == p.p_partkey, broadcast_right=True)
+    j = R.join(j, s, F.col("l_suppkey") == s.s_suppkey, broadcast_right=True)
+    j = R.join(j, n, F.col("s_nationkey") == n.n_nationkey, broadcast_right=True)
+    costs = j.select(
+        "p_partkey", "s_suppkey", "n_name",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    w = Window.partitionBy("p_partkey")
+    flagged = costs.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        (F.col("unit_cost") == F.col("min_cost")) & (F.col("p_partkey") % 50 == 0)
+    )
+    wdedup = Window.partitionBy("p_partkey").orderBy("s_suppkey")
+    return (
+        flagged.withColumn("rn", F.row_number().over(wdedup)).filter("rn = 1")
+        .select(F.col("p_partkey").alias("partkey"),
+                F.col("s_suppkey").alias("suppkey"),
+                F.col("n_name").alias("nation"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH part_value AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(18,2))) AS value_d
+        FROM lineitem GROUP BY 1
+    ),
+    total AS (SELECT SUM(value_d) AS t FROM part_value)
+    SELECT l_partkey AS partkey, value
+    FROM part_value, total
+    WHERE value_d > t * 0.0001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global-total scalar subquery.
+    The share comparison happens in exact decimals (value_d > total*0.001)
+    so the cut is bitwise-identical; only the reported value is a double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("value"),
+        F.sum(_dec("l_extendedprice").cast("decimal(18,2)")).alias("value_d"),
+    )
+    total = pv.agg(F.sum("value_d").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_d") > F.col("t") * F.lit(0.0001).cast("decimal(5,4)"))
+        .select(F.col("l_partkey").alias("partkey"), "value")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name AS supplier, COUNT(*) AS n_waiting
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.l_shipdate > TIMESTAMP '1999-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > TIMESTAMP '1999-01-01')
+    GROUP BY 1
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the same fact
+    table — compiled as a left-semi then left-anti self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    late = li.filter(F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp"))
+    others = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    late_others = late.select(F.col("l_orderkey").alias("o3"),
+                              F.col("l_suppkey").alias("s3"))
+    cand = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    cand = cand.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    j = R.join(cand, s, cand.l_suppkey == s.s_suppkey, broadcast_right=True)
+    return j.groupBy(F.col("s_name").alias("supplier")).agg(
+        F.count(F.lit(1)).alias("n_waiting")
+    )
