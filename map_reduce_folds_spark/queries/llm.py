@@ -564,3 +564,26 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@query("sketch_distinct_approx")
+def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch (approx_count_distinct, rsd=2%) next to the
+    exact count per returnflag.  Rows-only by nature (sketch estimates are
+    implementation-specific); tests assert the estimate lands within 5% of
+    exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("k")).agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_approx"),
+        F.countDistinct("l_partkey").alias("nd_exact"),
+    )
+
+
+@query("sketch_quantiles_approx")
+def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile sketch (percentile_approx) per group —
+    rows-only (sketch-specific values); tests bound the rank error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("k")).agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+    )

@@ -115,3 +115,31 @@ def test_ivf_topk_recall(emb):
     recall = len(truth_set & approx_set) / len(truth_set)
     # probing half the cells on unclustered data: expect roughly >= n_probe/K
     assert recall >= 0.3, f"ivf recall {recall:.2f}"
+
+
+def test_sketch_accuracy(spark):
+    from map_reduce_folds_spark.queries import QUERIES
+
+    rows = QUERIES["sketch_distinct_approx"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.nd_approx - r.nd_exact) <= max(2, 0.05 * r.nd_exact)
+
+    q = {r.k: r.quartiles for r in
+         QUERIES["sketch_quantiles_approx"](spark, SF_DIR).collect()}
+    from map_reduce_folds_spark.sources import load_table
+    li = load_table(spark, SF_DIR, "lineitem").select("l_returnflag", "l_quantity").collect()
+    import collections
+    by_k = collections.defaultdict(list)
+    for r in li:
+        by_k[r.l_returnflag].append(r.l_quantity)
+    for k, (q1, q2, q3) in ((k, v) for k, v in q.items()):
+        vals = sorted(by_k[k])
+        n = len(vals)
+        for frac, est in [(0.25, q1), (0.5, q2), (0.75, q3)]:
+            # rank error bound: estimate must sit within ±2% of the target rank
+            import bisect
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            target = frac * n
+            assert lo - 0.02 * n - 1 <= target <= hi + 0.02 * n + 1, (k, frac, est)
