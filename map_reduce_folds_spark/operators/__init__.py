@@ -1,1 +1,9 @@
-from map_reduce_folds_spark.operators import relational, windows  # noqa: F401
+from map_reduce_folds_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    skew,
+    text,
+    windows,
+)
