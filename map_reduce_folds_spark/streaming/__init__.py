@@ -178,3 +178,50 @@ def stateful_fold(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a bounded time relation: right events
+    within [left_time - max_delay, left_time].
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — together these let Spark expire join state (without them a
+    stream-stream join buffers forever).  State size ≈ rate × (watermark +
+    max_delay) per side: THE quantity to watch at production ingest rates.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_time] >= F.expr(f"{left_time} - INTERVAL {max_delay}"))
+        & (rw[right_time] <= lw[left_time])
+    )
+    return lw.join(rw, cond, how)
+
+
+def write_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch sink: apply an arbitrary BATCH writer to each
+    micro-batch (the idiomatic exactly-once-ish bridge to any batch sink —
+    upserts, bucketed tables, multiple destinations).  ``batch_fn(df,
+    batch_id)`` runs on the driver with a normal batch DataFrame."""
+    w = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -207,3 +207,64 @@ def test_streaming_melt_unpack(spark, events_batch, events_stream_path):
     )
     exp = {r.event_type: r.s for r in batch.collect()}
     assert got == exp
+
+
+def test_stream_stream_join_matches_batch(spark, events_batch, events_stream_path):
+    """Stream-stream bounded-time join == the equivalent batch join."""
+    from map_reduce_folds_spark.streaming import stream_stream_join
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    purchases = read_parquet_stream(spark, events_stream_path, schema).filter(
+        "event_type = 'purchase'"
+    ).select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+    clicks = read_parquet_stream(spark, events_stream_path, schema).filter(
+        "event_type = 'click'"
+    ).select(F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"),
+             F.col("event_id").alias("c_id"))
+
+    joined = stream_stream_join(
+        purchases, clicks.withColumnRenamed("c_uid", "user_id"),
+        on="user_id", left_time="p_ts", right_time="c_ts",
+        max_delay="30 minutes", watermark="30 days",
+    ).select("p_id", "c_id")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ssj").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {(r.p_id, r.c_id) for r in spark.table("ssj").collect()}
+
+    p = events_batch.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+    c = events_batch.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"))
+    exp_df = p.join(
+        c,
+        (p.user_id == c.c_uid)
+        & (F.col("c_ts") >= F.expr("p_ts - INTERVAL 30 minutes"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    exp = {(r.p_id, r.c_id) for r in exp_df.collect()}
+    assert got == exp and len(exp) > 0
+
+
+def test_foreach_batch_sink(spark, events_batch, events_stream_path, tmp_path_factory):
+    from map_reduce_folds_spark.streaming import write_foreach_batch
+
+    out_dir = str(tmp_path_factory.mktemp("fb_out"))
+    ckpt = str(tmp_path_factory.mktemp("fb_ckpt"))
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema,
+                                 max_files_per_trigger=2)
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    q = write_foreach_batch(stream.select("event_id", "event_type"),
+                            write_batch, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == events_batch.count()
+    assert sorted(r.event_id for r in back.collect()) == \
+           sorted(r.event_id for r in events_batch.collect())
