@@ -587,3 +587,50 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(F.col("l_returnflag").alias("k")).agg(
         F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
     )
+
+
+@query(
+    "data_quality_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN text IS NULL THEN 1 END) AS text__nulls,
+           COUNT(DISTINCT text) AS text__distinct,
+           COUNT(CASE WHEN lang IS NULL THEN 1 END) AS lang__nulls,
+           COUNT(DISTINCT lang) AS lang__distinct,
+           COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS n_chars__nulls,
+           COUNT(DISTINCT n_chars) AS n_chars__distinct
+    FROM documents
+    """,
+)
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health profile (null/distinct counts per column) — N checks
+    in one aggregation pass, the gate a pipeline runs before training."""
+    from map_reduce_folds_spark.operators.quality import profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return profile(d, ["text", "lang", "n_chars"])
+
+
+@query(
+    "data_quality_expectations",
+    oracle="""
+    SELECT COUNT(CASE WHEN NOT (n_chars > 0) THEN 1 END) AS chars_positive,
+           COUNT(CASE WHEN NOT (length(text) = n_chars) THEN 1 END) AS chars_consistent,
+           COUNT(CASE WHEN NOT (lang IN ('en','de','fr','es','zh')) THEN 1 END) AS lang_in_domain,
+           COUNT(CASE WHEN NOT (doc_id >= 0) THEN 1 END) AS id_nonneg
+    FROM documents
+    """,
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation violation counts (0 everywhere = corpus passes the
+    gate).  Also differentially proves length(text) == n_chars metadata
+    consistency in both engines."""
+    from map_reduce_folds_spark.operators.quality import expect
+
+    d = load_table(spark, sf_dir, "documents")
+    return expect(d, {
+        "chars_positive": F.col("n_chars") > 0,
+        "chars_consistent": F.length("text") == F.col("n_chars"),
+        "lang_in_domain": F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        "id_nonneg": F.col("doc_id") >= 0,
+    })

@@ -225,3 +225,21 @@ def write_foreach_batch(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys``.
+
+    With ``ts_col``: dropDuplicatesWithinWatermark — state for a key is
+    dropped once the watermark passes it (bounded state, the production
+    form for at-least-once sources that may redeliver).  Without: global
+    dropDuplicates (state grows with distinct keys — bounded domains only).
+    """
+    if ts_col is not None:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)

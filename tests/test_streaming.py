@@ -268,3 +268,27 @@ def test_foreach_batch_sink(spark, events_batch, events_stream_path, tmp_path_fa
     assert back.count() == events_batch.count()
     assert sorted(r.event_id for r in back.collect()) == \
            sorted(r.event_id for r in events_batch.collect())
+
+
+def test_stream_dedup(spark, events_batch, tmp_path_factory):
+    """Redelivered events (same event_id) are emitted exactly once."""
+    import os
+
+    from map_reduce_folds_spark.streaming import stream_dedup
+
+    p = str(tmp_path_factory.mktemp("dup_stream"))
+    sample = events_batch.limit(200)
+    sample.coalesce(1).write.parquet(os.path.join(p, "f0"))
+    sample.limit(80).coalesce(1).write.parquet(os.path.join(p, "f1"))  # redelivery
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(p + "/f*")
+    )
+    out = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="30 days")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = [r.event_id for r in spark.table("dedup_stream").collect()]
+    assert len(got) == len(set(got)) == 200
