@@ -1172,3 +1172,69 @@ def q22_global_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    j = R.join(li, o, F.col("l_orderkey") == o.o_orderkey)
+    j = R.join(j, c, F.col("o_custkey") == c.c_custkey, broadcast_right=True)
+    agg = j.groupBy(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    ).agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    return R.topk(agg, [F.col("revenue").desc(), F.col("custkey")], 20)
+
+
+@query(
+    "q12_priority_classes",
+    oracle="""
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS prio_class,
+           EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
+           COUNT(*) AS n_items,
+           SUM(l.l_quantity) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-bucketed counts over a fact-fact join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = R.join(li, o, li.l_orderkey == o.o_orderkey)
+    prio = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return j.groupBy(
+        prio.alias("prio_class"),
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
