@@ -104,7 +104,13 @@ def _lang_id_sql() -> str:
 @query("lang_id_confusion", oracle=_lang_id_sql())
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID vs the labeled lang column, as a confusion
-    table.  argmax with first-wins tie-break (order = LANG_MARKERS order)."""
+    table.  argmax with first-wins tie-break (order = LANG_MARKERS order).
+
+    NOTE: the fixture corpus is the same English-ish token vocabulary for
+    every lang label (the label is independent metadata), so no text-based
+    classifier can recover it — the confusion matrix here validates the
+    OPERATOR differentially, not classifier accuracy.  On real multilingual
+    text the marker lexicons discriminate normally."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("lang", T.lang_id("text").alias("pred")).groupBy(
         "lang", "pred"
@@ -634,3 +640,54 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_in_domain": F.col("lang").isin("en", "de", "fr", "es", "zh"),
         "id_nonneg": F.col("doc_id") >= 0,
     })
+
+
+@query(
+    "dedup_multimodal_union",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    text_pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {_JT}
+    ),
+    emb_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {S.cosine_sql('a.embedding', 'b.embedding', _DIM)} >= {_COS_T}
+    )
+    SELECT id_a, id_b,
+           MAX(src_text) AS by_text, MAX(src_emb) AS by_embedding
+    FROM (
+        SELECT id_a, id_b, TRUE AS src_text, FALSE AS src_emb FROM text_pairs
+        UNION ALL
+        SELECT id_a, id_b, FALSE, TRUE FROM emb_pairs
+    ) GROUP BY 1, 2
+    """,
+)
+def dedup_multimodal_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup union: a pair is flagged if the TEXT channel
+    (3-gram Jaccard ≥ 0.5 on documents) OR the EMBEDDING channel (cosine ≥
+    0.4 on the parallel embeddings table) fires; flags record which.  The
+    shape of a production dedup pass that fuses lexical and semantic
+    signals before choosing survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    text_pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=_N, threshold=_JT) \
+        .select("id_a", "id_b", F.lit(True).alias("src_text"),
+                F.lit(False).alias("src_emb"))
+    emb_pairs = S.embedding_near_dup_pairs(e, "vec_id", "embedding", _DIM, _COS_T) \
+        .select("id_a", "id_b", F.lit(False).alias("src_text"),
+                F.lit(True).alias("src_emb"))
+    both = text_pairs.unionByName(emb_pairs)
+    return both.groupBy("id_a", "id_b").agg(
+        F.max("src_text").alias("by_text"),
+        F.max("src_emb").alias("by_embedding"),
+    )
