@@ -101,7 +101,11 @@ class Fold:
 
 
 class _Expr(Fold):
-    """A builtin fold backed by a Catalyst aggregate expression builder."""
+    """A builtin fold backed by a Catalyst aggregate expression builder.
+
+    ``make`` optionally accepts a gate: ``make(gate)`` where ``gate`` wraps
+    the fold's input expression in ``when(cond, x)`` — this powers
+    :func:`filtered` without a second scan."""
 
     def __init__(self, make: Callable[[], Column], pandas_fn: Callable, dtype: str):
         self._make = make
@@ -110,6 +114,14 @@ class _Expr(Fold):
 
     def spark_agg(self) -> Column:
         return self._make()
+
+    def spark_agg_filtered(self, cond: Column) -> Column:
+        import inspect
+
+        sig = inspect.signature(self._make)
+        if len(sig.parameters) >= 1:
+            return self._make(lambda c: F.when(cond, c))
+        raise TypeError("this builtin fold does not support filtered()")
 
     def pandas_agg(self, pdf):
         return self._pandas(pdf)
@@ -229,7 +241,8 @@ def _single(pdf):
 
 
 def sum_(c: str | Column = "v", dtype="double") -> Fold:
-    return _Expr(lambda: F.sum(_to_col(c)), lambda p: _single(p).sum(), dtype)
+    return _Expr(lambda g=None: F.sum(g(_to_col(c)) if g else _to_col(c)),
+                 lambda p: _single(p).sum(), dtype)
 
 
 def product_(c: str | Column = "v", dtype="double") -> Fold:
@@ -242,11 +255,13 @@ def product_(c: str | Column = "v", dtype="double") -> Fold:
 
 
 def mean_(c: str | Column = "v", dtype="double") -> Fold:
-    return _Expr(lambda: F.avg(_to_col(c)), lambda p: _single(p).mean(), dtype)
+    return _Expr(lambda g=None: F.avg(g(_to_col(c)) if g else _to_col(c)),
+                 lambda p: _single(p).mean(), dtype)
 
 
 def count_(dtype="bigint") -> Fold:
-    return _Expr(lambda: F.count(F.lit(1)), lambda p: len(p), dtype)
+    return _Expr(lambda g=None: F.count(g(F.lit(1)) if g else F.lit(1)),
+                 lambda p: len(p), dtype)
 
 
 def count_col(c: str | Column, dtype="bigint") -> Fold:
@@ -258,11 +273,13 @@ def count_distinct(c: str | Column, dtype="bigint") -> Fold:
 
 
 def min_(c: str | Column = "v", dtype="double") -> Fold:
-    return _Expr(lambda: F.min(_to_col(c)), lambda p: _single(p).min(), dtype)
+    return _Expr(lambda g=None: F.min(g(_to_col(c)) if g else _to_col(c)),
+                 lambda p: _single(p).min(), dtype)
 
 
 def max_(c: str | Column = "v", dtype="double") -> Fold:
-    return _Expr(lambda: F.max(_to_col(c)), lambda p: _single(p).max(), dtype)
+    return _Expr(lambda g=None: F.max(g(_to_col(c)) if g else _to_col(c)),
+                 lambda p: _single(p).max(), dtype)
 
 
 def variance(c: str | Column = "v", dtype="double") -> Fold:
@@ -298,3 +315,34 @@ def collect_list(c: str | Column = "v", dtype="array<double>") -> Fold:
 
 def collect_set(c: str | Column = "v", dtype="array<double>") -> Fold:
     return _Expr(lambda: F.collect_set(_to_col(c)), lambda p: sorted(set(_single(p))), dtype)
+
+
+class _Filtered(Fold):
+    def __init__(self, inner: Fold, cond: Column, pandas_cond=None):
+        self._inner = inner
+        self._cond = cond
+        self._pandas_cond = pandas_cond
+        self.dtype = inner.dtype
+        self.compilable = inner.compilable
+
+    def spark_agg(self) -> Column:
+        # rewrite the inner agg over rows satisfying cond: builtin
+        # aggregates ignore NULLs, so gate the input expression with when()
+        inner = self._inner
+        if isinstance(inner, _Expr):
+            return inner.spark_agg_filtered(self._cond)
+        raise TypeError("filtered() supports builtin folds on the Catalyst path")
+
+    def pandas_agg(self, pdf):
+        if self._pandas_cond is None:
+            raise TypeError("filtered() needs pandas_cond on the fallback path")
+        return self._inner.pandas_agg(pdf[self._pandas_cond(pdf)])
+
+
+def filtered(fold: Fold, cond: Column, pandas_cond=None) -> Fold:
+    """Conditional fold — SQL's ``agg(x) FILTER (WHERE cond)``.
+
+    Composes with the applicative: several differently-filtered folds still
+    run in ONE .agg / one shuffle (the classic conditional-aggregation
+    pattern), instead of N filtered scans."""
+    return _Filtered(fold, cond, pandas_cond)

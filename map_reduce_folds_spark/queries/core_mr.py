@@ -294,3 +294,34 @@ def mr_null_key_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         }),
     )
     return mr.run(li)
+
+
+@query(
+    "mr_filtered_folds",
+    oracle="""
+    SELECT l_returnflag AS k,
+           SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS sum_big_disc,
+           COUNT(*) FILTER (WHERE CAST(l_quantity AS BIGINT) % 2 = 0) AS n_even,
+           MAX(l_quantity) FILTER (WHERE l_tax = 0) AS max_untaxed,
+           SUM(l_quantity) AS sum_all
+    FROM lineitem GROUP BY 1
+    """,
+)
+def mr_filtered_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional folds (SQL FILTER clause): differently-filtered
+    aggregates fused into ONE .agg — no extra scans or shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mr = MapReduce(
+        assign=Assign(
+            keys={"k": "l_returnflag"},
+            values={"v": "l_quantity", "d": "l_discount", "t": "l_tax"},
+        ),
+        reduce=FoldReduce({
+            "sum_big_disc": folds.filtered(folds.sum_("v"), F.col("d") > 0.05),
+            "n_even": folds.filtered(
+                folds.count_(), F.col("v").cast("bigint") % 2 == 0),
+            "max_untaxed": folds.filtered(folds.max_("v"), F.col("t") == 0),
+            "sum_all": folds.sum_("v"),
+        }),
+    )
+    return mr.run(li)
