@@ -243,3 +243,63 @@ def stream_dedup(
     if ts_col is not None:
         return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return stream.dropDuplicates(keys)
+
+
+def stateful_fold_tws(
+    stream: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    fold,
+    out_col: str = "result",
+    out_dtype: str = "double",
+):
+    """``stateful_fold`` on Spark 4's transformWithStateInPandas API.
+
+    Same semantics (the fold triple as per-key incremental state), but on
+    the newer StatefulProcessor runtime: typed ValueState instead of a
+    row-tuple, per-processor init/close hooks, and (in cluster deployments)
+    the RocksDB state store with changelog checkpointing — the
+    forward-looking choice for large state."""
+    import json
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields if f.name in keys
+    )
+    out_schema = f"{key_fields}, {out_col} {out_dtype}"
+
+    class FoldProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("acc", "acc string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            exists = self._state.exists()
+            acc = (json.loads(self._state.get()[0]) if exists
+                   else (fold.init() if callable(fold.init) else fold.init))
+            for pdf in rows:
+                for row in pdf[value_cols].itertuples(index=False):
+                    arg = row if len(value_cols) > 1 else row[0]
+                    acc = fold.step(acc, arg)
+            self._state.update((json.dumps(acc),))
+            out = dict(zip(keys, key))
+            out[out_col] = fold.extract(acc)
+            yield pd.DataFrame([out])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.groupBy(*keys)
+        .transformWithStateInPandas(
+            FoldProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -292,3 +292,32 @@ def test_stream_dedup(spark, events_batch, tmp_path_factory):
     q.stop()
     got = [r.event_id for r in spark.table("dedup_stream").collect()]
     assert len(got) == len(set(got)) == 200
+
+
+def test_stateful_fold_tws(spark, events_batch, events_stream_path):
+    """transformWithStateInPandas variant of the stateful fold — same
+    batch-equivalence contract as test_stateful_custom_fold.  Skipped when
+    google.protobuf (the TWS control channel) is absent."""
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="TWS needs protobuf; not in this container")
+    from map_reduce_folds_spark import folds as flds
+    from map_reduce_folds_spark.streaming import stateful_fold_tws
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema,
+                                 max_files_per_trigger=1)
+    fold = flds.fold_from_steps(
+        step=lambda acc, v: acc + 1,
+        init=lambda: 0,
+        extract=float,
+        dtype="double",
+    )
+    out = stateful_fold_tws(stream, ["event_type"], ["value"], fold, "n")
+    got = run_to_memory(out, "tws_fold", timeout_s=120, output_mode="update")
+    import collections
+    final: dict = collections.defaultdict(float)
+    for r in got.collect():
+        final[r.event_type] = max(final[r.event_type], r.n)
+    exp = {r.event_type: float(r.cnt) for r in
+           events_batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert dict(final) == exp
