@@ -147,17 +147,24 @@ def minhash_near_dup_pairs(
     Output: (id_a, id_b, jaccard).  Probabilistic recall (bands/rows tune
     the S-curve); precision is exact because candidates are verified."""
     rows = k // bands
-    # persist the hashed shingle sets: reused by the signature pass and by
-    # BOTH sides of the verification join (otherwise the md5 pipeline is
-    # re-evaluated per branch)
-    sh = docs.select(
-        F.col(id_col), distinct_shingle_hashes(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0).persist()
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
-    banded = sig.withColumn("bandh", band_hashes(F.col("sig"), bands, rows))
-    cand = lsh_candidate_pairs(banded, id_col, "bandh", bands)
+    # ONE persisted projection carries both the shingle sets (for verify)
+    # and the band digests (for candidate generation): a single cache fill,
+    # reused by the bucket self-join's two sides and the verify join's two
+    # sides (five consumers, one evaluation of the md5 pipeline)
+    base = (
+        docs.select(F.col(id_col), distinct_shingle_hashes(text_col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        # second projection: sig/bands reference the "sh" COLUMN, so the md5
+        # pipeline is evaluated once per row, not once per permutation
+        .select(
+            F.col(id_col), F.col("sh"),
+            band_hashes(minhash_signature(F.col("sh"), k), bands, rows).alias("bandh"),
+        )
+        .persist()
+    )
+    cand = lsh_candidate_pairs(base, id_col, "bandh", bands, materialize=False)
 
-    sets_ = sh.select(F.col(id_col), F.col("sh"))
+    sets_ = base.select(F.col(id_col), F.col("sh"))
     j = (
         cand.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
