@@ -346,3 +346,18 @@ def filtered(fold: Fold, cond: Column, pandas_cond=None) -> Fold:
     run in ONE .agg / one shuffle (the classic conditional-aggregation
     pattern), instead of N filtered scans."""
     return _Filtered(fold, cond, pandas_cond)
+
+
+def first_by(value: str | Column, order: str | Column, dtype="double") -> Fold:
+    """Deterministic 'first': the value at the MINIMUM of an explicit
+    ordering column (min_by).  Prefer this over first_()/last_() anywhere
+    partitioning is not controlled."""
+    return _Expr(lambda: F.min_by(_to_col(value), _to_col(order)),
+                 lambda p: p.loc[p[p.columns[1]].idxmin(), p.columns[0]], dtype)
+
+
+def last_by(value: str | Column, order: str | Column, dtype="double") -> Fold:
+    """Deterministic 'last': the value at the MAXIMUM of an explicit
+    ordering column (max_by)."""
+    return _Expr(lambda: F.max_by(_to_col(value), _to_col(order)),
+                 lambda p: p.loc[p[p.columns[1]].idxmax(), p.columns[0]], dtype)

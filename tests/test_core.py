@@ -265,3 +265,31 @@ def test_shared_scan_applicative_folds(spark, ints10):
     assert {r["k"]: r["m"] for r in rm.collect()} == {False: 6.0, True: 6.0}
     assert ints10.is_cached
     ints10.unpersist()
+
+
+def test_global_reduce_zero_keys(ints10):
+    """Assign with no keys -> global aggregation (groupBy() with no cols)."""
+    mr = MapReduce(
+        unpack=Filter("x % 2 = 0"),
+        assign=Assign(keys={}, values={"v": "x"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint"),
+                           "n": folds.count_()}),
+    )
+    row = mr.run(ints10).collect()[0]
+    assert (row["s"], row["n"]) == (30, 5)
+
+
+def test_first_by_last_by(spark):
+    df = spark.createDataFrame(
+        [("a", 3, "x3"), ("a", 1, "x1"), ("a", 2, "x2"), ("b", 9, "y9")],
+        "k string, ord bigint, v string",
+    ).repartition(4)
+    mr = MapReduce(
+        assign=Assign(keys={"k": "k"}, values={"v": "v", "ord": "ord"}),
+        reduce=FoldReduce({
+            "f": folds.first_by("v", "ord", dtype="string"),
+            "l": folds.last_by("v", "ord", dtype="string"),
+        }),
+    )
+    got = {r["k"]: (r["f"], r["l"]) for r in mr.run(df).collect()}
+    assert got == {"a": ("x1", "x3"), "b": ("y9", "y9")}
