@@ -128,11 +128,15 @@ class _Expr(Fold):
 
 
 class _Premap(Fold):
+    # pandas-path-only: Catalyst premap is expressed by passing the input
+    # expression to the fold factory instead (sum_(expr)), so a _Premap in
+    # a reduce must route the whole reduce to the pandas path
+    compilable = False
+
     def __init__(self, inner: Fold, expr):
         self._inner = inner
         self._expr = expr
         self.dtype = inner.dtype
-        self.compilable = inner.compilable and not callable(expr)
 
     def spark_agg(self) -> Column:
         # premap on the Catalyst path = substitute input expression. Builtin

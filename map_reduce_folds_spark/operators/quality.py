@@ -28,7 +28,9 @@ def expect(df: DataFrame, expectations: Mapping[str, Column]) -> DataFrame:
     should hold for every row).  Returns one row: name → violation count;
     0 everywhere means the gate passes.  One scan regardless of N."""
     aggs = [
-        F.count(F.when(~cond, 1)).alias(name)
+        # NULL-evaluating predicates count as violations (a NULL in the
+        # expression is itself a quality failure, not a pass)
+        F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(name)
         for name, cond in expectations.items()
     ]
     return df.agg(*aggs)

@@ -620,10 +620,10 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "data_quality_expectations",
     oracle="""
-    SELECT COUNT(CASE WHEN NOT (n_chars > 0) THEN 1 END) AS chars_positive,
-           COUNT(CASE WHEN NOT (length(text) = n_chars) THEN 1 END) AS chars_consistent,
-           COUNT(CASE WHEN NOT (lang IN ('en','de','fr','es','zh')) THEN 1 END) AS lang_in_domain,
-           COUNT(CASE WHEN NOT (doc_id >= 0) THEN 1 END) AS id_nonneg
+    SELECT COUNT(CASE WHEN NOT coalesce(n_chars > 0, FALSE) THEN 1 END) AS chars_positive,
+           COUNT(CASE WHEN NOT coalesce(length(text) = n_chars, FALSE) THEN 1 END) AS chars_consistent,
+           COUNT(CASE WHEN NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE) THEN 1 END) AS lang_in_domain,
+           COUNT(CASE WHEN NOT coalesce(doc_id >= 0, FALSE) THEN 1 END) AS id_nonneg
     FROM documents
     """,
 )

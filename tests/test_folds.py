@@ -130,3 +130,16 @@ def test_hypothesis_differential(spark, xs):
     )
     got = {r["k"]: r["s"] for r in mr.run(df).collect()}
     assert got == direct
+
+
+def test_premap_routes_builtin_to_pandas_path(spark):
+    """premap on a builtin fold must take the pandas path (not crash on
+    the Catalyst path)."""
+    df = spark.createDataFrame([(1, 2)], "v bigint, w bigint")
+    pre = folds.sum_("v").premap(lambda p: p[["w"]].rename(columns={"w": "v"}))
+    assert pre.compilable is False
+    mr = MapReduce(
+        assign=Assign(keys={"k": F.lit(1)}, values={"v": "v", "w": "w"}),
+        reduce=FoldReduce({"s": pre}),
+    )
+    assert mr.run(df).collect()[0]["s"] == 2
