@@ -1238,3 +1238,26 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+_SHARED_SQL = """
+    SELECT l_returnflag AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+@query("sql_passthrough", oracle=_SHARED_SQL)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql surface: the exact same SQL text (ANSI common subset) runs
+    verbatim on Spark (over registered fixture views) and on DuckDB as its
+    own oracle — one definition, two engines."""
+    from map_reduce_folds_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)
