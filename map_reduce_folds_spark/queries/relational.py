@@ -186,7 +186,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l.l_orderkey AS orderkey,
            CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
-           o.o_orderdate AS orderdate
+           epoch_us(o.o_orderdate) AS orderdate_us
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -215,7 +215,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate")
     ).agg(F.sum(_revenue()).cast("double").alias("revenue"))
     return R.topk(agg, [F.col("revenue").desc(), F.col("orderkey")], 10).select(
-        "orderkey", "revenue", "orderdate"
+        "orderkey", "revenue", F.unix_micros(F.col("orderdate").cast("timestamp")).alias("orderdate_us")
     )
 
 
@@ -368,9 +368,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, event_id,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+                   AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events
@@ -873,11 +873,11 @@ def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_counts",
     oracle="""
     SELECT user_id % 10 AS bucket,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY 1
     """,
 )
