@@ -93,6 +93,7 @@ def band_hashes(signature: Column, bands: int, rows: int) -> Column:
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, band_col: str, bands: int,
     materialize: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """Candidate pairs = ids sharing any band bucket.
 
@@ -123,7 +124,7 @@ def lsh_candidate_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
-    return pairs.distinct()
+    return pairs.distinct() if distinct else pairs
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -162,7 +163,8 @@ def minhash_near_dup_pairs(
         )
         .persist()
     )
-    cand = lsh_candidate_pairs(base, id_col, "bandh", bands, materialize=False)
+    cand = lsh_candidate_pairs(base, id_col, "bandh", bands, materialize=False,
+                               distinct=False)
 
     sets_ = base.select(F.col(id_col), F.col("sh"))
     j = (
@@ -170,7 +172,11 @@ def minhash_near_dup_pairs(
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
     )
-    return j.filter(F.col("jaccard") >= threshold)
+    # dedup AFTER verification: candidates repeated across bands re-verify
+    # (cheap array ops, band-multiplicity-bounded) but the pre-verify
+    # .distinct() stage barrier disappears — one fewer shuffle in the
+    # critical path; the post-filter set is far smaller to dedup
+    return j.filter(F.col("jaccard") >= threshold).distinct()
 
 
 # ---------------------------------------------------------------------------
