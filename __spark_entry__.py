@@ -14,7 +14,12 @@ sum exactly in binary double, so they need no cast.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# importable regardless of the harness's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
