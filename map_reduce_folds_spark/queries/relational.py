@@ -1261,3 +1261,127 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_SQL)
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a cross-table column comparison —
+    a left-semi join whose condition spans both sides."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — per-customer order counts
+    (left join keeps zero-order customers, join-condition filter ≠ WHERE),
+    then the distribution of those counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(CAST({_REV_SQL} AS DECIMAL(18,4))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '1999-07-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + max-over-the-view scalar filter.
+    The equality test runs on exact decimals so the winner is unambiguous;
+    only the reported revenue is a double."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-07-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_revenue().cast("decimal(18,4)")).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("mx"))
+    return top.join(F.broadcast(s), top.suppkey == s.s_suppkey).select(
+        "suppkey", F.col("s_name").alias("name"),
+        F.col("total_rev").cast("double").alias("total_rev"),
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS aq
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.2 * a.aq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-key average (de-correlated to an
+    aggregate join); the 0.2·avg cut is a deterministic double comparison
+    (avg is an exact-sum single division in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("aq")
+    )
+    j = li.join(avg_qty, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("aq")
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+         / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
