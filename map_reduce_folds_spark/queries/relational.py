@@ -1385,3 +1385,87 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(7.0)).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_9'))
+      AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under
+    different roles with a symmetric OR pair condition."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    j = j.join(o, j.l_orderkey == o.o_orderkey)
+    j = j.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+    j = j.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    j = j.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    j = j.filter(
+        ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_9"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(F.sum(_revenue()).cast("double").alias("volume"))
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS profit, COUNT(*) AS n_items
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%green%' OR p.p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: five-table join with a substring predicate on the
+    part dimension, profit per (nation, year)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%green%") | (F.col("p_type") == "ECONOMY"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = j.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    j = j.join(o, F.col("l_orderkey") == o.o_orderkey)
+    j = j.join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(
+        F.sum(_revenue()).cast("double").alias("profit"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
