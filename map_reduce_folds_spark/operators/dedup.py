@@ -82,6 +82,11 @@ def band_hashes(signature: Column, bands: int, rows: int) -> Column:
     element is < 2³¹, so a band of `rows` elements packs injectively into
     one bigint via base-2³¹ positional encoding — no hashing needed, and
     the same expression is exact in the SQL oracle."""
+    # base-2^31 packing is injective only while bands of `rows` elements fit
+    # a bigint: rows >= 3 reaches ~2^93 and silently wraps (and overflows the
+    # DuckDB oracle, which errors instead of wrapping)
+    assert rows <= 2, f"band packing supports rows <= 2, got {rows}; use more bands"
+
     def pack(b: int) -> Column:
         acc = F.lit(0).cast("bigint")
         for r in range(rows):

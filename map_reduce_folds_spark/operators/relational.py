@@ -132,6 +132,10 @@ def asof_join(
     production use, bucket both sides by (key, time-bucket) first.  Spark's
     range-join hint applies when both sides are large.
     """
+    # a generated row id is the dedup identity: partitioning the window by
+    # *left.columns would (a) shuffle on the whole row — fragile for wide
+    # rows — and (b) silently merge fully-identical left rows, dropping one
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
     r = right.select(
         F.col(on).alias("__k"), F.col(right_time).alias("__rt"),
         *[c for c in right.columns if c not in (on, right_time)],
@@ -142,10 +146,10 @@ def asof_join(
     else:
         cond = (F.col(on) == F.col("__k")) & (F.col("__rt") >= F.col(left_time))
         order = F.col("__rt").asc()
-    joined = left.join(r, cond, "left")
-    w = Window.partitionBy(*left.columns).orderBy(order)
+    joined = lid.join(r, cond, "left")
+    w = Window.partitionBy("__lid").orderBy(order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__k")
+        .drop("__rn", "__k", "__lid")
     )

@@ -162,6 +162,75 @@ def srp_lsh_topk(
     )
 
 
+def srp_signature_sql(vec: str, dim: int, n_planes: int, table: int) -> str:
+    """DuckDB SQL mirroring :func:`srp_signature` bit-for-bit (oracle
+    generator): each plane's projection is the same left-associated ±term
+    chain, so the sign — and therefore the bucket id — is identical."""
+    terms = []
+    for p in range(n_planes):
+        chain = " + ".join(
+            f"CAST({vec}[{i}] AS DOUBLE) * {_srp_coeff(table, p, i)}"
+            for i in range(1, dim + 1)
+        )
+        terms.append(f"CASE WHEN ({chain}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via SRP-LSH buckets — the 100 TB path (no cross join).
+
+    Candidates = pairs sharing an SRP bucket in ≥1 of ``n_tables`` tables;
+    exact cosine is verified only within buckets.  Candidate generation is a
+    shuffle on (table, bucket) — linear in corpus size.  Precision is exact
+    (every emitted pair is re-scored); recall is the LSH S-curve
+    1−(1−p₁^planes)^tables with p₁ = 1−θ/π, high for true near-dups
+    (cos ≥ 0.9 → 98% at the defaults), deliberately probabilistic for
+    barely-similar pairs.  Fully deterministic (md5-parity hyperplanes), so
+    a SQL oracle can reproduce the bucketing — including which pairs
+    surface — exactly (see queries/llm.py).
+
+    ``materialize`` persists the (id, vec, table, bucket) rows before the
+    self-join: same lesson as dedup.lsh_candidate_pairs — without it the
+    6·dim-term signature expression is re-derived on both join sides and
+    codegen doubles.  Cluster-scale analog: write signatures to a table."""
+    buckets = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])).alias("s"),
+    ).select("__id", "__v", "s.tbl", "s.bucket")
+    if materialize:
+        buckets = buckets.persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+        F.col("a.__v").alias("va"), F.col("b.__v").alias("vb"),
+    ).dropDuplicates(["id_a", "id_b"])
+    out = cand.select(
+        "id_a", "id_b",
+        cosine(F.col("va"), F.col("vb"), dim).alias("cos_sim"),
+    )
+    return out.filter(F.col("cos_sim") >= threshold)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -171,9 +240,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, via self-join.
 
-    O(n²/2) scoring: correct-by-construction baseline for small/medium n
-    (the differential oracle); at corpus scale use srp_lsh buckets first
-    and verify within buckets (same verify expression)."""
+    O(n²/2) scoring: correct-by-construction BASELINE for small/medium n
+    (differential tests measure LSH recall against it) — NOT the production
+    dedup path; that is :func:`embedding_near_dup_pairs_lsh`."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                   norm(F.col(vec_col), dim).alias("na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

@@ -22,6 +22,13 @@ def optimized_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def initial_physical_plan(df: DataFrame) -> str:
+    """Pre-AQE physical plan.  Use when AQE's runtime shortcuts (e.g. empty-
+    relation propagation at tiny SF) hide the join strategies that would run
+    on real data."""
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle boundaries in the final plan (broadcast exchanges
     excluded)."""
@@ -57,6 +64,13 @@ def scan_columns(df: DataFrame) -> list[str]:
             inner = frag[frag.find("<") + 1: frag.rfind(">")]
             return [f.split(":")[0] for f in inner.split(",") if ":" in f]
     return []
+
+
+def count_cartesian_joins(df: DataFrame) -> int:
+    """Cartesian/nested-loop joins in the final plan — the O(n²) smell.
+    A dedup/similarity plan containing one does NOT survive a scale-up."""
+    p = executed_plan(df)
+    return p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin")
 
 
 def uses_whole_stage_codegen(df: DataFrame) -> bool:

@@ -199,7 +199,7 @@ def mr_task2_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_partkey) AS nd_part,
            MAX(l_discount > 0.05) AS any_big_disc,
            MIN(l_quantity > 0) AS all_pos_qty,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
     FROM lineitem GROUP BY 1
     """,
 )
@@ -228,7 +228,8 @@ def mr_fold_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p").alias("nd_part"),
         F.max(F.col("d") > 0.05).alias("any_big_disc"),
         F.min(F.col("v") > 0).alias("all_pos_qty"),
-        F.sort_array(F.collect_set("st")).alias("statuses"),
+        # string, not array: the driver canonicalizer can't hash list cells
+        F.array_join(F.sort_array(F.collect_set("st")), ",").alias("statuses"),
     )
 
 
@@ -274,7 +275,7 @@ def mr_assign_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN CAST(l_quantity AS BIGINT) % 2 = 0
                 THEN l_partkey % 5 END AS k,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
     FROM lineitem GROUP BY 1
     """,
 )

@@ -332,20 +332,54 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     max_hamming=3, blocks=4)
 
 
+_SRP_PLANES = 6   # SRP-LSH hyperplanes per table
+_SRP_TABLES = 8   # SRP-LSH tables
+
+
+def _emb_lsh_cand_sql() -> str:
+    """CTE fragment: SRP bucket rows + distinct candidate pairs, mirroring
+    operators/similarity.embedding_near_dup_pairs_lsh bucket-for-bucket."""
+    branches = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {t} AS tbl, "
+        f"{S.srp_signature_sql('embedding', _DIM, _SRP_PLANES, t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(_SRP_TABLES)
+    )
+    return f"""
+    srp_buckets AS (
+{branches}
+    ),
+    emb_cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM srp_buckets a JOIN srp_buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )"""
+
+
 @query(
     "dedup_embedding",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {S.cosine_sql('a.embedding', 'b.embedding', _DIM)} AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {S.cosine_sql('a.embedding', 'b.embedding', _DIM)} >= {_COS_T}
+    WITH {_emb_lsh_cand_sql()}
+    SELECT c.id_a, c.id_b,
+           {S.cosine_sql('ea.embedding', 'eb.embedding', _DIM)} AS cos_sim
+    FROM emb_cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {S.cosine_sql('ea.embedding', 'eb.embedding', _DIM)} >= {_COS_T}
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.4 (exact self-join baseline;
-    cosine arithmetic mirrored term-for-term in the oracle)."""
+    """Embedding near-dup pairs (cosine ≥ 0.4) via SRP-LSH buckets — the
+    scale path: candidate generation is a (table, bucket) join, linear in
+    corpus size, NO O(n²) self-join.  Deterministic md5-parity hyperplanes
+    let the oracle reproduce the bucketing — including which pairs LSH
+    surfaces — exactly in SQL (same pattern as dedup_minhash).  Recall vs
+    the exact quadratic baseline is asserted in tests/test_llm.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(e, "vec_id", "embedding", _DIM, _COS_T)
+    return S.embedding_near_dup_pairs_lsh(
+        e, "vec_id", "embedding", _DIM, _COS_T,
+        n_planes=_SRP_PLANES, n_tables=_SRP_TABLES,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -590,8 +624,12 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna quantile sketch (percentile_approx) per group —
     rows-only (sketch-specific values); tests bound the rank error."""
     li = load_table(spark, sf_dir, "lineitem")
+    # scalar columns, not one array column: the driver canonicalizer
+    # cannot hash list cells (same trap as mr_fold_vocab round 1)
     return li.groupBy(F.col("l_returnflag").alias("k")).agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+        F.percentile_approx("l_quantity", 0.25, 10000).alias("q25"),
+        F.percentile_approx("l_quantity", 0.50, 10000).alias("q50"),
+        F.percentile_approx("l_quantity", 0.75, 10000).alias("q75"),
     )
 
 
@@ -658,10 +696,13 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {_JT}
     ),
+    {_emb_lsh_cand_sql().lstrip()},
     emb_pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {S.cosine_sql('a.embedding', 'b.embedding', _DIM)} >= {_COS_T}
+        SELECT c.id_a, c.id_b
+        FROM emb_cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE {S.cosine_sql('ea.embedding', 'eb.embedding', _DIM)} >= {_COS_T}
     )
     SELECT id_a, id_b,
            MAX(src_text) AS by_text, MAX(src_emb) AS by_embedding
@@ -683,9 +724,11 @@ def dedup_multimodal_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=_N, threshold=_JT) \
         .select("id_a", "id_b", F.lit(True).alias("src_text"),
                 F.lit(False).alias("src_emb"))
-    emb_pairs = S.embedding_near_dup_pairs(e, "vec_id", "embedding", _DIM, _COS_T) \
-        .select("id_a", "id_b", F.lit(False).alias("src_text"),
-                F.lit(True).alias("src_emb"))
+    emb_pairs = S.embedding_near_dup_pairs_lsh(
+        e, "vec_id", "embedding", _DIM, _COS_T,
+        n_planes=_SRP_PLANES, n_tables=_SRP_TABLES,
+    ).select("id_a", "id_b", F.lit(False).alias("src_text"),
+             F.lit(True).alias("src_emb"))
     both = text_pairs.unionByName(emb_pairs)
     return both.groupBy("id_a", "id_b").agg(
         F.max("src_text").alias("by_text"),

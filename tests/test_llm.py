@@ -78,6 +78,24 @@ def test_srp_lsh_recall(emb):
     assert recall >= 0.3, f"srp-lsh recall {recall:.2f}"
 
 
+def test_embedding_lsh_vs_exact(emb):
+    """SRP-LSH near-dup: precision 1.0 vs the quadratic baseline (every
+    emitted pair is exact-verified); recall floor modest because the random
+    fixture threshold (0.4) sits barely above random cosine — on true
+    near-dups (cos ≥ 0.9) the same defaults give ~98% per the S-curve."""
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in S.embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b): r.cos_sim
+           for r in S.embedding_near_dup_pairs_lsh(
+               emb, threshold=0.4, n_planes=6, n_tables=8).collect()}
+    assert set(lsh) <= set(exact)  # precision 1.0
+    for pair, cos in lsh.items():
+        assert abs(cos - exact[pair]) < 1e-12  # identical verify arithmetic
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.1, f"embedding-lsh recall {recall:.2f} on {len(exact)} pairs"
+
+
 def test_exact_dedup_removes_planted_dups(spark, docs):
     dups = docs.filter("doc_id % 7 = 0").withColumn("doc_id", F.col("doc_id") + 10_000)
     corpus = docs.unionByName(dups)
@@ -125,7 +143,7 @@ def test_sketch_accuracy(spark):
     for r in rows:
         assert abs(r.nd_approx - r.nd_exact) <= max(2, 0.05 * r.nd_exact)
 
-    q = {r.k: r.quartiles for r in
+    q = {r.k: (r.q25, r.q50, r.q75) for r in
          QUERIES["sketch_quantiles_approx"](spark, SF_DIR).collect()}
     from map_reduce_folds_spark.sources import load_table
     li = load_table(spark, SF_DIR, "lineitem").select("l_returnflag", "l_quantity").collect()

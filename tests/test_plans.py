@@ -58,3 +58,25 @@ def test_whole_stage_codegen(spark):
     for name in ("mr_readme_sum", "q1_pricing_summary", "text_stats"):
         df = _run(spark, name)
         assert P.uses_whole_stage_codegen(df), name
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "dedup_embedding", "dedup_multimodal_union", "sim_topk_lsh",
+])
+def test_dedup_similarity_no_cartesian(spark, name):
+    """Every production dedup/similarity path must be bucketed — a cartesian
+    or nested-loop join is an O(n²) plan that dies at corpus scale.  (The
+    explicitly-labeled brute-force baseline sim_topk_bruteforce is exempt.)"""
+    df = _run(spark, name)
+    assert P.count_cartesian_joins(df) == 0, P.executed_plan(df)
+
+
+@pytest.mark.parametrize("name", ["q7_volume_shipping", "q9_product_profit"])
+def test_tpch_multijoin_broadcasts_dims(spark, name):
+    """Q7/Q9: nation/supplier-side dims must broadcast — fact-fact shuffles
+    only on the natural keys.  Asserted on the pre-AQE physical plan: at
+    sf0.001 AQE's empty-relation propagation can erase the joins entirely."""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = P.initial_physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
