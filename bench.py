@@ -3,11 +3,18 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing methodology: each query is built and executed to completion via a
-count-style action (``df.write.format("noop")`` is not in OSS pyspark's
-default; we use ``collect`` on aggregated results, which are small, and
-``count`` for large outputs) after a single untimed warm-up of the Spark
-session (JVM + codegen init is not what we're measuring).
+Timing methodology:
+
+* Every output column is FORCED: the timed action is
+  ``agg(count(1), sum(xxhash64(*cols)))`` — a count() would let Catalyst
+  prune unreferenced projections, under-measuring per-row-expression
+  queries (text_stats etc.).
+* Two untimed warm-ups first: the engine (JVM/JIT, parquet footers), then
+  each headline query once at the smallest available SF so Janino compiles
+  each plan's whole-stage-codegen classes (the codegen source cache is
+  keyed by generated code, which depends on the expressions, not the data
+  files).  Compile cost is fixed per plan — at the target 100 TB scale it
+  is noise; the timed pass measures the data path.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ BENCH_QUERIES = [
     "asof_join_purchase_click",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding",
     "text_stats",
     "sim_topk_bruteforce",
 ]
@@ -78,6 +86,28 @@ def main():
     for df in load_tables(spark, sf_dir).values():
         df.selectExpr("count(1)").collect()
 
+    def run_to_completion(df):
+        """Materialize EVERY output column (pruning-proof): count + a hash
+        that references all columns."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns)).alias("h"),
+        ).collect()[0]
+        return row["n"]
+
+    # per-plan codegen warm-up at the smallest SF (untimed)
+    warm_dir = None
+    for cand in ("sf0.001", "sf0.01"):
+        d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), cand)
+        if d != sf_dir.rstrip("/") and os.path.isdir(d):
+            warm_dir = d
+            break
+    if warm_dir:
+        for name in BENCH_QUERIES:
+            fn = QUERIES.get(name)
+            if fn is not None:
+                run_to_completion(fn(spark, warm_dir))
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
@@ -85,7 +115,7 @@ def main():
             continue
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = run_to_completion(df)
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 

