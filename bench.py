@@ -91,7 +91,9 @@ def main():
         that references all columns."""
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*df.columns)).alias("h"),
+            # double sum: bigint would overflow under ANSI; the value is
+            # discarded — only the forced evaluation matters
+            F.sum(F.xxhash64(*df.columns).cast("double")).alias("h"),
         ).collect()[0]
         return row["n"]
 

@@ -95,6 +95,63 @@ def band_hashes(signature: Column, bands: int, rows: int) -> Column:
     return F.array(*[pack(b) for b in range(bands)])
 
 
+def minhash_band_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, sh array<bigint>, bandh array<bigint>) in ONE vectorized Arrow
+    stage — semantically identical to
+    ``distinct_shingle_hashes`` + :func:`minhash_signature` +
+    :func:`band_hashes` (equality asserted in tests/test_llm.py), but
+    without the interpreted higher-order-function tree, whose per-run cost
+    dominated the Catalyst form (~5 s at ANY data size).
+
+    Parity is exact by construction: tokenization is the same
+    single-space split, shingle hashing the same md5[:15hex] integer, and
+    the permutation/band arithmetic is pure int64 — no floats anywhere.
+    Docs with fewer than ``n`` tokens are dropped (empty shingle set)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = k // bands
+    assert rows == 2, "band packing supports rows == 2 (see band_hashes)"
+    ab = np.array([_mh_coeffs(i) for i in range(k)], dtype=np.int64)
+    a_col = ab[:, 0:1]  # (k,1) — broadcast against the shingle axis
+    b_col = ab[:, 1:2]
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, sh array<bigint>, bandh array<bigint>"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                if len(toks) < n:
+                    continue
+                shs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shs),
+                    dtype=np.int64, count=len(shs),
+                )
+                hs = np.unique(hs)
+                # (a·(h mod 2³¹) + b) mod (2³¹−1), min over shingles — all
+                # int64 (a,h < 2³¹ so a·h < 2⁶², no overflow)
+                sig = ((a_col * (hs % 2147483648) + b_col) % _MH_P).min(axis=1)
+                bandh = sig[0::2] * 2147483648 + sig[1::2]
+                out.append((doc_id, hs, bandh))
+            if out:
+                yield pd.DataFrame(out, columns=[id_col, "sh", "bandh"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, band_col: str, bands: int,
     materialize: bool = True,
@@ -152,22 +209,12 @@ def minhash_near_dup_pairs(
 
     Output: (id_a, id_b, jaccard).  Probabilistic recall (bands/rows tune
     the S-curve); precision is exact because candidates are verified."""
-    rows = k // bands
     # ONE persisted projection carries both the shingle sets (for verify)
     # and the band digests (for candidate generation): a single cache fill,
     # reused by the bucket self-join's two sides and the verify join's two
-    # sides (five consumers, one evaluation of the md5 pipeline)
-    base = (
-        docs.select(F.col(id_col), distinct_shingle_hashes(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        # second projection: sig/bands reference the "sh" COLUMN, so the md5
-        # pipeline is evaluated once per row, not once per permutation
-        .select(
-            F.col(id_col), F.col("sh"),
-            band_hashes(minhash_signature(F.col("sh"), k), bands, rows).alias("bandh"),
-        )
-        .persist()
-    )
+    # sides (five consumers, one evaluation of the signature stage).  The
+    # stage itself is the vectorized Arrow form — see minhash_band_rows.
+    base = minhash_band_rows(docs, id_col, text_col, n=n, k=k, bands=bands).persist()
     cand = lsh_candidate_pairs(base, id_col, "bandh", bands, materialize=False,
                                distinct=False)
 

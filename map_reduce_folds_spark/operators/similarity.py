@@ -162,6 +162,55 @@ def srp_lsh_topk(
     )
 
 
+def srp_bucket_rows(
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    n_planes: int, n_tables: int,
+) -> DataFrame:
+    """(id, tbl, bucket) rows for ALL tables in ONE vectorized Arrow stage.
+
+    Semantically identical to exploding :func:`srp_signature` per table, but
+    the Catalyst form is an ~8000-node literal expression tree whose
+    per-run analysis alone costs seconds (measured ~6 s at ANY data size);
+    this pandas stage computes the same projections in a single numpy pass.
+
+    Bitwise parity with the SQL oracle is preserved: the accumulator adds
+    the per-dimension terms in index order (``acc += v[i]·c[i]``), which is
+    exactly the left-associated chain ``t1 + t2 + …`` the oracle evaluates
+    — same doubles, same signs, same buckets."""
+    import numpy as np
+
+    # C[i-1, t*n_planes + p] = hyperplane coefficient (±1, md5-parity)
+    C = np.array(
+        [[_srp_coeff(t, p, i) for t in range(n_tables) for p in range(n_planes)]
+         for i in range(1, dim + 1)],
+        dtype=np.float64,
+    )
+    pw = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"__id {id_type}, tbl int, bucket bigint"
+    nt, npl = n_tables, n_planes
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            acc = np.zeros((len(pdf), nt * npl), dtype=np.float64)
+            for i in range(x.shape[1]):  # left fold over dims: oracle-exact
+                acc += x[:, i : i + 1] * C[i]
+            buckets = ((acc >= 0).reshape(len(pdf), nt, npl) * pw).sum(axis=2)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                "__id": np.repeat(ids, nt),
+                "tbl": np.tile(np.arange(nt, dtype=np.int32), len(pdf)),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
 def srp_signature_sql(vec: str, dim: int, n_planes: int, table: int) -> str:
     """DuckDB SQL mirroring :func:`srp_signature` bit-for-bit (oracle
     generator): each plane's projection is the same left-associated ±term
@@ -198,20 +247,15 @@ def embedding_near_dup_pairs_lsh(
     a SQL oracle can reproduce the bucketing — including which pairs
     surface — exactly (see queries/llm.py).
 
-    ``materialize`` persists the (id, vec, table, bucket) rows before the
-    self-join: same lesson as dedup.lsh_candidate_pairs — without it the
-    6·dim-term signature expression is re-derived on both join sides and
-    codegen doubles.  Cluster-scale analog: write signatures to a table."""
-    buckets = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                srp_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ])).alias("s"),
-    ).select("__id", "__v", "s.tbl", "s.bucket")
+    The candidate stream carries IDS ONLY — the bucket self-join and the
+    pair-dedup shuffle move 16-byte rows, not 2·dim-double vectors; vectors
+    (with their norms, computed once per row) join back only for the verify
+    scoring.  Signatures come from the vectorized :func:`srp_bucket_rows`
+    stage (the equivalent Catalyst expression tree costs seconds of
+    analysis per run).  ``materialize`` persists the (id, table, bucket)
+    rows before the self-join so the signature stage runs once, not on both
+    join sides.  Cluster-scale analog: write signatures to a table."""
+    buckets = srp_bucket_rows(df, id_col, vec_col, dim, n_planes, n_tables)
     if materialize:
         buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -222,11 +266,26 @@ def embedding_near_dup_pairs_lsh(
         & (F.col("a.__id") < F.col("b.__id")),
     ).select(
         F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-        F.col("a.__v").alias("va"), F.col("b.__v").alias("vb"),
-    ).dropDuplicates(["id_a", "id_b"])
-    out = cand.select(
-        "id_a", "id_b",
-        cosine(F.col("va"), F.col("vb"), dim).alias("cos_sim"),
+    ).distinct()
+    # verify stays JVM-side: per-pair norms + left-fold dot (an Arrow-batch
+    # numpy verify was measured SLOWER here — shipping 2·dim doubles per
+    # candidate through Arrow costs more than the interpreted fold saves)
+    vecs = df.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col), dim).alias("__n"),
+    )
+    out = (
+        cand.join(vecs.select(F.col("__vid").alias("id_a"),
+                              F.col("__vec").alias("va"),
+                              F.col("__n").alias("na")), "id_a")
+        .join(vecs.select(F.col("__vid").alias("id_b"),
+                          F.col("__vec").alias("vb"),
+                          F.col("__n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb"), dim)
+             / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
     )
     return out.filter(F.col("cos_sim") >= threshold)
 

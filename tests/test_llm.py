@@ -42,6 +42,26 @@ def test_minhash_recall_vs_exact(docs):
         assert recall >= 0.8, f"minhash recall {recall:.2f} on {len(exact)} pairs"
 
 
+def test_minhash_band_rows_matches_catalyst(docs):
+    """The vectorized Arrow signature stage must be value-identical to the
+    Catalyst expression form (shingle hashes AND band digests) — pure
+    integer arithmetic, so exact set/array equality."""
+    from map_reduce_folds_spark.operators.text import distinct_shingle_hashes
+
+    arrow = {r[0]: (set(r[1]), list(r[2]))
+             for r in D.minhash_band_rows(docs).collect()}
+    cat = {
+        r[0]: (set(r[1]), list(r[2]))
+        for r in docs.select(
+            "doc_id", distinct_shingle_hashes("text", 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh",
+                D.band_hashes(D.minhash_signature(F.col("sh"), 16), 8, 2).alias("bandh"))
+        .collect()
+    }
+    assert arrow == cat
+
+
 def test_simhash_pigeonhole_complete(docs):
     """Blocking must find EVERY pair with hamming <= max_hamming (pigeonhole
     guarantees it); cross-check against brute-force over signatures."""
