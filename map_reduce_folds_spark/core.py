@@ -328,13 +328,30 @@ class GroupReduce(Reduce):
 
     ``fn(key_tuple, pdf) -> pd.DataFrame`` runs per group via
     ``applyInPandas``; ``schema`` is the output DDL (must include any key
-    columns you emit)."""
+    columns you emit).
+
+    ``order_by`` opts into the reference's group-internal encounter order
+    (``Seq c``, Engines/List.hs:70-79): the group's rows are sorted by the
+    named column(s) before ``fn`` sees them.  A shuffled engine cannot
+    preserve arrival order implicitly, so order-sensitive folds must name
+    their order explicitly — same contract as folds.collect_list_by."""
 
     fn: Callable[[tuple, pd.DataFrame], pd.DataFrame]
     schema: str
+    order_by: Sequence[str] = ()
 
     def apply(self, df: DataFrame, key_names: Sequence[str]) -> DataFrame:
-        return df.groupBy(*key_names).applyInPandas(self.fn, schema=self.schema)
+        fn = self.fn
+        if self.order_by:
+            order = list(self.order_by)
+
+            def ordered_fn(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                return fn(keys, pdf.sort_values(by=order, kind="mergesort"))
+
+            run = ordered_fn
+        else:
+            run = fn
+        return df.groupBy(*key_names).applyInPandas(run, schema=self.schema)
 
 
 # ---------------------------------------------------------------------------

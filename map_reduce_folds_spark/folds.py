@@ -365,3 +365,24 @@ def last_by(value: str | Column, order: str | Column, dtype="double") -> Fold:
     ordering column (max_by)."""
     return _Expr(lambda: F.max_by(_to_col(value), _to_col(order)),
                  lambda p: p.loc[p[p.columns[1]].idxmax(), p.columns[0]], dtype)
+
+
+def collect_list_by(value: str | Column, order: str | Column,
+                    dtype="array<double>") -> Fold:
+    """ORDERED collect: the group's values sorted by an explicit order
+    column — the opt-in replacement for the reference's group-internal
+    encounter order (``Seq c``, reference Engines/List.hs:70-79), which a
+    shuffled engine cannot preserve implicitly.  Implemented as
+    array_sort(collect_list(struct(order, value))) → project the value
+    field; ties fall through to the value itself, so the result is
+    deterministic even under order-key ties."""
+    def agg() -> Column:
+        packed = F.collect_list(F.struct(_to_col(order).alias("o"),
+                                         _to_col(value).alias("v")))
+        return F.transform(F.array_sort(packed), lambda s: s["v"])
+
+    return _Expr(
+        agg,
+        lambda p: list(p.sort_values(by=[p.columns[1], p.columns[0]])[p.columns[0]]),
+        dtype,
+    )

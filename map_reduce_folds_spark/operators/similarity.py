@@ -314,6 +314,75 @@ def embedding_near_dup_pairs(
     return out.filter(F.col("cos_sim") >= threshold)
 
 
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-group embedding centroids as (group, pos, mean_val, n) rows —
+    deterministic under ANY partitioning via a two-level tree fold:
+
+    1. bucket = id % n_buckets; within (group, pos, bucket) the values fold
+       left in id order;
+    2. per (group, pos) the bucket sums fold left in bucket order.
+
+    Both levels are explicit ordered folds, so the result is bitwise
+    reproducible (and SQL-mirrorable) — unlike a bare SUM(double), whose
+    addition order Spark does not define.  The same two-level shape is the
+    100 TB answer: per-bucket collects stay bounded (corpus/n_buckets per
+    group), and n_buckets scales with the data."""
+    ex = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "val"),
+    ).select(
+        "g", "__id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "val",
+        (F.col("__id") % n_buckets).alias("bkt"),
+    )
+    fold = lambda packed: F.aggregate(  # noqa: E731 — ordered left fold
+        F.array_sort(packed), F.lit(0.0), lambda acc, s: acc + s["v"]
+    )
+    lvl1 = ex.groupBy("g", "pos", "bkt").agg(
+        fold(F.collect_list(F.struct(F.col("__id").alias("o"),
+                                     F.col("val").alias("v")))).alias("bsum"),
+        F.count(F.lit(1)).alias("bn"),
+    )
+    return lvl1.groupBy("g", "pos").agg(
+        (fold(F.collect_list(F.struct(F.col("bkt").alias("o"),
+                                      F.col("bsum").alias("v"))))
+         / F.sum("bn")).alias("mean_val"),
+        F.sum("bn").alias("n"),
+    ).select(F.col("g").alias(group_col), "pos", "mean_val", "n")
+
+
+def group_centroids_sql(
+    table_expr: str, group_col: str, id_col: str, vec_col: str,
+    n_buckets: int = 32,
+) -> str:
+    """DuckDB SQL mirroring :func:`group_centroids` fold-for-fold."""
+    return f"""
+    WITH ex AS (
+        SELECT {group_col} AS g, {id_col} AS id,
+               unnest(range(1, len({vec_col}) + 1)) AS pos,
+               unnest(CAST({vec_col} AS DOUBLE[])) AS val,
+               {id_col} % {n_buckets} AS bkt
+        FROM {table_expr}
+    ),
+    lvl1 AS (
+        SELECT g, pos, bkt,
+               0.0 + list_reduce(list(val ORDER BY id), (a, b) -> a + b) AS bsum,
+               COUNT(*) AS bn
+        FROM ex GROUP BY 1, 2, 3
+    )
+    SELECT g AS {group_col}, pos,
+           (0.0 + list_reduce(list(bsum ORDER BY bkt), (a, b) -> a + b))
+               / CAST(SUM(bn) AS DOUBLE) AS mean_val,
+           CAST(SUM(bn) AS BIGINT) AS n
+    FROM lvl1 GROUP BY 1, 2
+    """
+
+
 def _train_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, dim: int,
     n_centroids: int, sample_limit: int = 8192, iters: int = 8,

@@ -40,11 +40,16 @@ _PRIORITY = [
     "mr_group_reduce_keyed", "mr_custom_fold_merge", "mr_concat_fold",
     "mr_unpack_only", "mr_filter_mapinpandas", "mr_first_last_by",
     "mr_product_median", "mr_shared_scan", "mr_simple_unpack",
+    "mr_ordered_collect", "mr_group_reduce_ordered",
     # LLM-pipeline block (dedup / similarity / text / multimodal / quality)
-    "text_stats", "lang_id_confusion", "token_count_bpe", "doc_fingerprints",
+    # (lang_id_confusion and doc_fingerprints sit just past the window:
+    # their operators ride other entries — hash60 via dedup_exact digests,
+    # tokenization via text_stats)
+    "text_stats", "token_count_bpe",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding", "sim_topk_bruteforce",
-    "sim_topk_lsh", "sim_topk_ivf", "multimodal_features", "multimodal_frames",
+    "sim_topk_lsh", "sim_topk_ivf", "multimodal_features",
+    "contamination_check",
     "tfidf_top_terms", "deterministic_sample", "pipeline_clean_corpus",
     "data_quality_profile", "data_quality_expectations",
     "dedup_multimodal_union",

@@ -286,6 +286,82 @@ def mr_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ORD_SQL = "(l_orderkey * 10 + l_linenumber) * 64 + CAST(l_quantity AS BIGINT)"
+
+
+@query(
+    "mr_ordered_collect",
+    oracle=f"""
+    SELECT l_returnflag AS k1, l_orderkey % 100 AS k2,
+           array_to_string(list(CAST(l_quantity AS BIGINT)
+                                ORDER BY {_ORD_SQL}), ',') AS qs
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def mr_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-internal ENCOUNTER ORDER, opt-in (reference Engines/List.hs:
+    70-79 ``Seq c``): collect the group's values sorted by an explicit
+    order key (folds.collect_list_by).  The order key packs the value into
+    its low bits, so order-key ties imply equal output — deterministic in
+    both engines.  Emitted as a joined string (driver canonicalizer cannot
+    hash arrays)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ordc = (
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 64
+        + F.col("l_quantity").cast("bigint")
+    )
+    ordered = folds.collect_list_by("v", "ord", dtype="array<bigint>").map(
+        lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+    )
+    mr = MapReduce(
+        assign=Assign(
+            keys={"k1": "l_returnflag", "k2": F.col("l_orderkey") % 100},
+            values={"v": F.col("l_quantity").cast("bigint"), "ord": ordc},
+        ),
+        reduce=FoldReduce({"qs": ordered}),
+    )
+    return mr.run(li)
+
+
+@query(
+    "mr_group_reduce_ordered",
+    oracle=f"""
+    SELECT l_returnflag AS k1, l_orderkey % 100 AS k2,
+           array_to_string(list(CAST(l_quantity AS BIGINT)
+                                ORDER BY {_ORD_SQL})[1:3], ',') AS first3,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def mr_group_reduce_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupReduce with ``order_by``: the whole-group Python fn sees rows
+    in explicit encounter order (the ordered Reduce.Reduce variant) —
+    here, the first 3 values per group in that order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ordc = (
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 64
+        + F.col("l_quantity").cast("bigint")
+    )
+
+    def per_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "k1": key[0], "k2": key[1],
+            "first3": ",".join(str(v) for v in pdf.v.head(3)),
+            "n": len(pdf),
+        }])
+
+    mr = MapReduce(
+        assign=Assign(
+            keys={"k1": "l_returnflag", "k2": F.col("l_orderkey") % 100},
+            values={"v": F.col("l_quantity").cast("bigint"), "ord": ordc},
+        ),
+        reduce=GroupReduce(per_group,
+                           schema="k1 string, k2 bigint, first3 string, n bigint",
+                           order_by=["ord"]),
+    )
+    return mr.run(li)
+
+
 @query(
     "mr_simple_unpack",
     oracle="""

@@ -606,6 +606,108 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH {_SH_CTE},
+    ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+    cu AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 != 0),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS c FROM ev
+        WHERE h IN (SELECT h FROM cu) GROUP BY 1
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ev GROUP BY 1)
+    SELECT s.doc_id, s.sz AS n_shingles,
+           CAST(COALESCE(hits.c, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(hits.c, 0) AS DOUBLE) / s.sz AS contamination
+    FROM sizes s LEFT JOIN hits USING (doc_id)
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: for each eval-set document (doc_id%50==0,
+    a deterministic held-out slice), the fraction of its distinct 3-gram
+    shingles that appear anywhere in the training slice — the overlap scan
+    run before training on any corpus.  Shuffles only shingle hashes; the
+    universe side is a distinct-hash semi-join, linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", T.distinct_shingle_hashes("text", _N).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ev = base.filter(F.col("doc_id") % 50 == 0)
+    corpus_hashes = (
+        base.filter(F.col("doc_id") % 50 != 0)
+        .select(F.explode("sh").alias("h")).distinct()
+    )
+    ev_sh = ev.select("doc_id", F.explode("sh").alias("h"))
+    hits = ev_sh.join(corpus_hashes, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    sizes = ev.select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id", "n_shingles",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double")
+         / F.col("n_shingles")).alias("contamination"),
+    )
+
+
+@query(
+    "repetition_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, tk,
+               CASE WHEN len(tk) >= 2 THEN
+                   list_transform(range(1, len(tk)),
+                                  i -> array_to_string(tk[i:i+1], ' '))
+               ELSE [] END AS g2
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS rep1,
+           1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS rep2
+    FROM grams WHERE len(tk) >= 2
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style dedup-within-doc rules):
+    duplicate fraction of unigrams and bigrams per document — pure
+    Catalyst array expressions, zero shuffles before the scan's output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokenize("text")
+    g2 = T.shingles(toks, 2)
+    rep = lambda arr: (  # noqa: E731
+        F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        rep(toks).alias("rep1"),
+        rep(g2).alias("rep2"),
+    ).filter(F.size(toks) >= 2)
+
+
+@query(
+    "embedding_centroids_by_lang",
+    oracle=S.group_centroids_sql(
+        "(SELECT d.lang, e.vec_id, e.embedding FROM embeddings e "
+        "JOIN documents d ON e.vec_id = d.doc_id) je",
+        "lang", "vec_id", "embedding",
+    ),
+)
+def embedding_centroids_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroids (group, dimension, mean) — the
+    class-prototype computation (cluster seeds, per-domain anchors).
+    Deterministic under any partitioning via the two-level ordered tree
+    fold in operators/similarity.group_centroids (a bare SUM(double) is
+    addition-order-nondeterministic and could never hash-match)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = e.join(F.broadcast(d), e.vec_id == d.doc_id).select(
+        "lang", "vec_id", "embedding")
+    return S.group_centroids(j, "lang", "vec_id", "embedding")
+
+
 @query("sketch_distinct_approx")
 def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch (approx_count_distinct, rsd=2%) next to the

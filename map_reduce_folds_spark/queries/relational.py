@@ -1469,3 +1469,138 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_revenue()).cast("double").alias("profit"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_sales AS (
+        SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+               {_REV_SQL} AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n
+    FROM all_sales GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table star join where
+    nation plays two roles (customer-region gate, supplier label), then a
+    conditional-over-total ratio per year.  Both sums are exact decimals;
+    the share is one double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = _revenue()
+    return j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
+        (F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)).cast("double")
+         / F.sum(vol).cast("double")).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q16_supplier_part_types",
+    oracle="""
+    SELECT p.p_type AS p_type, p.p_size AS p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PRO%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%'
+      )
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem standing in for partsupp): distinct
+    supplier counts per (type, size) with brand/type/size gates and a
+    NOT-IN exclusion list — the exclusion compiles to an anti join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PRO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7%")
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    j = (
+        li.join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    return j.groupBy("p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s.s_name AS s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_8')
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_name LIKE '%red%'
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 30
+      )
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (lineitem standing in for partsupp availability):
+    suppliers who moved > 30 units of any red part in 1997, gated to two
+    nations — a per-(supplier, part) aggregate feeding an IN (semi join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8"))
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+        .filter(F.col("q") > 30)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        s.join(heavy, "s_suppkey", "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
