@@ -383,6 +383,75 @@ def group_centroids_sql(
     """
 
 
+def blocked_matmul_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """EXACT top-k neighbors via broadcast-model block scoring — the
+    |Q| ≫ broadcast-join-threshold form of :func:`brute_force_topk`.
+
+    The query block (≤ ``max_queries`` vectors) is collected once and
+    shipped to every task as a numpy matrix; each corpus Arrow batch scores
+    all queries in one vectorized pass and emits only its BATCH-LOCAL top-k
+    per query, so the shuffle carries ≈ #batches·|Q|·k candidate rows —
+    never the full |Q|×N score matrix.  A global per-query top-k finishes.
+
+    Bitwise parity with the SQL oracle: scores accumulate per-dimension in
+    index order (left fold), identical to :func:`cosine_sql`'s chains."""
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).limit(max_queries).collect()
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    nq = np.zeros(len(qrows))
+    for i in range(q_mat.shape[1]):  # left-fold norms (oracle-exact)
+        nq += q_mat[:, i] * q_mat[:, i]
+    nq = np.sqrt(nq)
+
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d = np.zeros((len(pdf), len(q_ids)))
+            nc = np.zeros(len(pdf))
+            for i in range(c.shape[1]):  # left fold over dims
+                d += c[:, i : i + 1] * q_mat[:, i]
+                nc += c[:, i] * c[:, i]
+            cos = d / (np.sqrt(nc)[:, None] * nq)
+            cids = pdf[id_col].to_numpy()
+            self_mask = cids[:, None] == q_ids  # exclude query==neighbor
+            cos_m = np.where(self_mask, -np.inf, cos)
+            kk = min(k, len(pdf))
+            rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for qi in range(len(q_ids)):
+                # batch-local top-k with the SAME tie-break as the global
+                # window (cos desc, neighbor_id asc) — ties at the batch
+                # boundary otherwise break exactness
+                sel = np.lexsort((cids, -cos_m[:, qi]))[:kk]
+                keep = np.isfinite(cos_m[sel, qi])
+                sel = sel[keep]
+                rows["query_id"].extend([q_ids[qi]] * len(sel))
+                rows["neighbor_id"].extend(cids[sel])
+                rows["cos_sim"].extend(cos_m[sel, qi])
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    return topk_per_group(
+        partial, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id")], k
+    )
+
+
 def _train_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, dim: int,
     n_centroids: int, sample_limit: int = 8192, iters: int = 8,

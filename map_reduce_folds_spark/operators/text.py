@@ -123,6 +123,31 @@ def lang_id(text: Column | str) -> Column:
     return best_lang
 
 
+# Scrub patterns chosen for dialect portability (Java regex == RE2/DuckDB):
+# plain character classes, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._]+@[a-z0-9.-]+",
+    "url": r"https?://[^ ]+",
+    "phone": r"\+[0-9]{7,15}",
+}
+
+
+def scrub_pii(text: Column | str, kinds: tuple[str, ...] = ("email", "url", "phone")) -> Column:
+    """Replace each PII kind with a ``<KIND>`` placeholder — the corpus
+    scrubbing pass.  Pure regexp_replace chain (JVM, codegen'd)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (regexp_count) for scrub auditing."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {kind: F.regexp_count(c, F.lit(pat)).cast("bigint")
+            for kind, pat in PII_PATTERNS.items()}
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Whole-document fingerprint: 60-bit hash of the exact text (the exact
     dedup key).  For near-dup-tolerant fingerprints use

@@ -708,6 +708,101 @@ def embedding_centroids_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.group_centroids(j, "lang", "vec_id", "embedding")
 
 
+@query(
+    "scrub_pii",
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               concat(text, ' reach me: user', doc_id,
+                      '@example.com or https://site.test/p/', doc_id,
+                      ' tel +1555', lpad(CAST(doc_id AS VARCHAR), 7, '0'))
+                   AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+           CAST(length(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g'),
+                   '\+[0-9]{7,15}', '<PHONE>', 'g')
+           ) AS BIGINT) AS clean_len
+    FROM dirty
+    """,
+)
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / URLs / phone numbers → placeholders) with
+    per-kind audit counts.  The fixture text is synthetic words, so each
+    doc gets a deterministic planted contact line; patterns are
+    dialect-portable (plain classes, no lookaround), so the oracle
+    replicates the scrub byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach me: user"), F.col("doc_id"),
+            F.lit("@example.com or https://site.test/p/"), F.col("doc_id"),
+            F.lit(" tel +1555"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    counts = T.pii_counts("text")
+    return dirty.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["phone"].alias("n_phone"),
+        F.length(T.scrub_pii("text")).cast("bigint").alias("clean_len"),
+    )
+
+
+@query("sketch_union_hll")
+def sketch_union_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL): each
+    corpus slice builds its own per-lang sketch (the per-dataset /
+    per-partition artifact a 100 TB pipeline would persist), then sketches
+    union per lang WITHOUT rescanning the slices — next to the exact count.
+    Rows-only (sketch binaries are implementation-specific); the estimate
+    error bound is asserted in tests/test_llm.py."""
+    d = load_table(spark, sf_dir, "documents")
+    slice_sketches = (
+        d.withColumn("slice", F.col("doc_id") % 4)
+        .groupBy("lang", "slice")
+        .agg(F.hll_sketch_agg(F.col("text"), 12).alias("sk"))
+    )
+    merged = slice_sketches.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd_est"))
+    exact = d.groupBy("lang").agg(F.countDistinct("text").alias("nd_exact"))
+    return merged.join(exact, "lang")
+
+
+@query(
+    "sim_topk_blocked",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {S.cosine_sql('q.embedding', 'c.embedding', _DIM)} AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 64
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {_TOPK}
+    """,
+)
+def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-10 for a 64-query block via broadcast-model block scoring
+    (operators/similarity.blocked_matmul_topk): the form brute-force takes
+    when |Q| outgrows a broadcast join — per-batch vectorized scoring emits
+    only batch-local top-k, never the |Q|×N score matrix.  Same oracle
+    shape as sim_topk_bruteforce; left-fold scoring keeps it hash-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 64")
+    return S.blocked_matmul_topk(q, e, "vec_id", "embedding", _DIM, _TOPK)
+
+
 @query("sketch_distinct_approx")
 def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch (approx_count_distinct, rsd=2%) next to the

@@ -155,6 +155,29 @@ def test_ivf_topk_recall(emb):
     assert recall >= 0.3, f"ivf recall {recall:.2f}"
 
 
+def test_sketch_union_hll_bounds(spark):
+    """Merged per-slice HLL sketches must estimate within HLL(lgk=12)
+    error of the exact distinct count (union-merge loses no accuracy)."""
+    from map_reduce_folds_spark.queries import QUERIES
+
+    rows = QUERIES["sketch_union_hll"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.nd_est - r.nd_exact) <= max(2, 0.05 * r.nd_exact), r
+
+
+def test_blocked_matmul_equals_bruteforce(emb):
+    """Broadcast-model block scoring is EXACT: same (pairs, cosines) as the
+    broadcast-join brute force, bitwise."""
+    q = emb.filter("vec_id < 16")
+    bf = {(r.query_id, r.neighbor_id): r.cos_sim
+          for r in S.brute_force_topk(q, emb, k=10).collect()}
+    bl = {(r.query_id, r.neighbor_id): r.cos_sim
+          for r in S.blocked_matmul_topk(q, emb, k=10).collect()}
+    assert set(bf) == set(bl)
+    assert all(bf[p] == bl[p] for p in bf)
+
+
 def test_sketch_accuracy(spark):
     from map_reduce_folds_spark.queries import QUERIES
 
