@@ -59,3 +59,30 @@ def salted_aggregate(
         stage2_aggs.append(merge_fn(F.col(f"__p_{name}")).alias(name))
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*stage1_aggs)
     return partial.groupBy(*keys).agg(*stage2_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join by salt-and-replicate.
+
+    The LEFT (big, skew-prone) side gets a deterministic salt from a hash
+    of all its non-key columns, spreading a hot key's rows over
+    ``salt_buckets`` reducers; the RIGHT (small) side is replicated once
+    per bucket via an explode, so every (key, salt) pair still meets its
+    match.  Join semantics are exactly the plain inner equi-join — only
+    the shuffle layout changes.  Shuffle volume: left unchanged, right
+    × salt_buckets (cheap by the small-side assumption; for genuinely
+    large right sides prefer AQE's skew-join splitting, on by default).
+    """
+    value_cols = [c for c in left.columns if c != on]
+    salt = F.pmod(F.hash(*[F.col(c) for c in value_cols]), F.lit(salt_buckets))
+    l_salted = left.withColumn("__salt", salt)
+    r_replicated = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return l_salted.join(r_replicated, [on, "__salt"]).drop("__salt")

@@ -687,6 +687,38 @@ def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_hot_keys",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type, concat('T_', event_type) AS label
+        FROM events
+    )
+    SELECT d.label, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def salted_join_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salt-and-replicate join (operators/skew.salted_join):
+    the big side salts its hot join key over 16 buckets, the small dim
+    replicates per bucket — results must be identical to the plain join
+    (the oracle IS the plain form).  A 5-value join key is exactly the
+    shape that pins one reducer per key in a naive shuffle join."""
+    from map_reduce_folds_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = e.select("event_type").distinct().withColumn(
+        "label", F.concat(F.lit("T_"), F.col("event_type")))
+    j = salted_join(e.select("event_type", "value"), dim, "event_type",
+                    salt_buckets=16)
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_v"),
+    )
+
+
+@query(
     "grouping_sets_explicit",
     oracle="""
     SELECT l_returnflag AS flag, l_linestatus AS status,

@@ -321,3 +321,35 @@ def test_stateful_fold_tws(spark, events_batch, events_stream_path):
     exp = {r.event_type: float(r.cnt) for r in
            events_batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert dict(final) == exp
+
+
+def test_incremental_dedup_across_runs(spark, events_batch, tmp_path_factory):
+    """Digest-table dedup survives across SEPARATE streaming runs (not just
+    within one query's checkpoint): a second run replaying overlapping data
+    adds only the genuinely-new rows."""
+    import os
+
+    from map_reduce_folds_spark.streaming import incremental_dedup
+
+    base = str(tmp_path_factory.mktemp("incdedup"))
+    in1, in2 = os.path.join(base, "in1"), os.path.join(base, "in2")
+    seen, out = os.path.join(base, "seen"), os.path.join(base, "out")
+    sample = events_batch.limit(300)
+    sample.limit(200).coalesce(1).write.parquet(os.path.join(in1, "f0"))
+    # second run: 100 redelivered + 100 new
+    sample.filter("event_id IS NOT NULL").exceptAll(sample.limit(100)) \
+        .coalesce(1).write.parquet(os.path.join(in2, "f0"))
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+    for i, src in enumerate((in1, in2)):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src + "/f*"))
+        q = incremental_dedup(stream, ["event_id"], seen, out,
+                              os.path.join(base, f"ckpt{i}"))
+        q.awaitTermination(120)
+        q.stop()
+
+    got = [r.event_id for r in spark.read.parquet(out).collect()]
+    assert len(got) == len(set(got)) == 300
+    assert spark.read.parquet(seen).count() == 300
