@@ -72,6 +72,32 @@ def test_dedup_similarity_no_cartesian(spark, name):
     assert P.count_cartesian_joins(df) == 0, P.executed_plan(df)
 
 
+@pytest.mark.parametrize("name", ["repetition_ratio", "scrub_pii"])
+def test_text_ops_are_scan_local(spark, name):
+    """Per-row text ops must cost ZERO shuffles — pure scan-side Catalyst
+    expressions (the 100 TB corpus pass is IO-bound, nothing else)."""
+    df = _run(spark, name)
+    assert P.count_exchanges(df) == 0, P.executed_plan(df)
+    assert P.uses_whole_stage_codegen(df)
+
+
+def test_q8_star_join_broadcasts_all_dims(spark):
+    """Q8: seven dimension joins broadcast; the only shuffle is the final
+    aggregation."""
+    df = QUERIES["q8_market_share"](spark, SF_DIR)
+    plan = P.initial_physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    df.collect()
+    assert P.count_exchanges(df) <= 1, P.executed_plan(df)
+
+
+def test_centroids_two_level_fold_two_shuffles(spark):
+    """group_centroids: exactly the two tree-level shuffles, no more."""
+    df = _run(spark, "embedding_centroids_by_lang")
+    assert P.count_exchanges(df) == 2, P.executed_plan(df)
+    assert P.count_cartesian_joins(df) == 0
+
+
 @pytest.mark.parametrize("name", ["q7_volume_shipping", "q9_product_profit"])
 def test_tpch_multijoin_broadcasts_dims(spark, name):
     """Q7/Q9: nation/supplier-side dims must broadcast — fact-fact shuffles
