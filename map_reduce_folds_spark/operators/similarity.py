@@ -129,33 +129,38 @@ def srp_lsh_topk(
     """Approximate top-k: candidates share an SRP bucket in ≥1 of
     ``n_tables`` tables; exact cosine is computed only for candidates.
 
-    At 100 TB the corpus signature pass is one narrow scan; the bucket join
-    shuffles on (table, bucket) — linear, no cross join.  Recall rises with
-    n_tables; verify-and-rank keeps precision exact within candidates."""
-    def sigs(df: DataFrame, idname: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"),
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    srp_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ])).alias("s"),
-        ).select(idname, f"{idname}_v", "s.tbl", "s.bucket")
-
-    qs = sigs(queries, "query_id")
-    cs = sigs(corpus, "neighbor_id")
+    At 100 TB the corpus signature pass is one narrow scan (the vectorized
+    :func:`srp_bucket_rows` stage); the bucket join shuffles on (table,
+    bucket) — linear, no cross join; candidates carry ids only, vectors
+    join back for verify.  Recall rises with n_tables; verify-and-rank
+    keeps precision exact within candidates.  Fully deterministic, so a
+    SQL oracle reproduces the candidate set — and therefore the returned
+    top-k — exactly (queries/llm.py sim_topk_lsh)."""
+    qb = srp_bucket_rows(queries, id_col, vec_col, dim, n_planes, n_tables) \
+        .withColumnRenamed("__id", "query_id")
+    cb = srp_bucket_rows(corpus, id_col, vec_col, dim, n_planes, n_tables) \
+        .withColumnRenamed("__id", "neighbor_id")
     cand = (
-        cs.join(F.broadcast(qs),
-                (qs.tbl == cs.tbl) & (qs.bucket == cs.bucket)
+        cb.join(F.broadcast(qb),
+                (qb.tbl == cb.tbl) & (qb.bucket == cb.bucket)
                 & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("query_id_v"), F.col("neighbor_id_v"), dim).alias("cos_sim"),
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"),
+                        norm(F.col(vec_col), dim).alias("qn"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"),
+                       norm(F.col(vec_col), dim).alias("cn"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qv"), F.col("cv"), dim)
+             / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
     )
     return topk_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id")], k

@@ -407,11 +407,46 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(q, e, "vec_id", "embedding", _DIM, _TOPK)
 
 
-@query("sim_topk_lsh")
+def _srp_topk_oracle() -> str:
+    def branches(where: str) -> str:
+        return "\n        UNION ALL\n".join(
+            f"        SELECT vec_id, {t} AS tbl, "
+            f"{S.srp_signature_sql('embedding', _DIM, 6, t)} AS bucket "
+            f"FROM embeddings{where}"
+            for t in range(8)
+        )
+
+    return f"""
+    WITH qb AS (
+{branches(' WHERE vec_id < 5')}
+    ),
+    cb AS (
+{branches('')}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM cb c JOIN qb q
+          ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               {S.cosine_sql('qe.embedding', 'ce.embedding', _DIM)} AS cos_sim
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {_TOPK}
+    """
+
+
+@query("sim_topk_lsh", oracle=_srp_topk_oracle())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-random-projection LSH (6 planes × 8
-    tables).  Rows-only by design (probabilistic recall); recall vs the
-    brute-force baseline is asserted in tests/test_llm.py."""
+    tables).  Recall is probabilistic by design (asserted vs brute force in
+    tests/test_llm.py), but the PIPELINE is deterministic — md5-parity
+    hyperplanes — so the oracle reproduces the candidate generation and
+    therefore the exact returned top-k (upgraded from rows-only)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter("vec_id < 5")
     return S.srp_lsh_topk(q, e, "vec_id", "embedding", _DIM, _TOPK,

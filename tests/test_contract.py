@@ -61,7 +61,9 @@ def test_driver_window_covers_every_family():
     ]:
         assert must_have in window, f"{must_have} fell outside the driver window"
     no_oracle = [n for n in window if n not in ORACLES]
-    assert set(no_oracle) <= {"sim_topk_lsh", "sim_topk_ivf"}, no_oracle
+    # IVF's driver-side kmeans cannot be mirrored in SQL; everything else
+    # in the window is oracle-backed (LSH got its exact oracle in round 2)
+    assert set(no_oracle) <= {"sim_topk_ivf"}, no_oracle
 
 
 def test_entry_smoke(spark):
