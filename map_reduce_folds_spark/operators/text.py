@@ -148,6 +148,17 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
             for kind, pat in PII_PATTERNS.items()}
 
 
+def chunk_starts(tokens: Column, size: int, stride: int) -> Column:
+    """1-based start offsets of fixed-size token chunks (last may be
+    short): sequence(1, n_tokens, stride)."""
+    return F.sequence(F.lit(1), F.size(tokens), F.lit(stride))
+
+
+def chunk_text(tokens: Column, start: Column, size: int) -> Column:
+    """The chunk's text: tokens[start : start+size) re-joined."""
+    return F.array_join(F.slice(tokens, start, size), " ")
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Whole-document fingerprint: 60-bit hash of the exact text (the exact
     dedup key).  For near-dup-tolerant fingerprints use

@@ -838,6 +838,90 @@ def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.blocked_matmul_topk(q, e, "vec_id", "embedding", _DIM, _TOPK)
 
 
+_CHUNK, _STRIDE = 50, 40  # 10-token overlap
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    ex AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk), {_STRIDE})) AS start,
+               unnest(range(len(generate_series(1, len(tk), {_STRIDE})))) AS i
+        FROM toks
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK}, len(tk) - start + 1) AS BIGINT) AS n_chunk_tokens,
+           {_h60(f"array_to_string(tk[start:start + {_CHUNK - 1}], ' ')")} AS chunk_hash
+    FROM ex
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (size 50, stride 40) — the
+    pre-tokenization shaping pass of a training pipeline.  One explode per
+    doc over the chunk-start sequence; chunk text re-joined and hashed so
+    the output stays narrow.  Pure Catalyst; scales as a scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokenize("text")
+    rows = d.select(
+        "doc_id", toks.alias("tk"),
+        F.posexplode(T.chunk_starts(toks, _CHUNK, _STRIDE)).alias("i", "start"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.size("tk") - F.col("start") + 1)
+            .cast("bigint").alias("n_chunk_tokens"),
+        T.hash60(T.chunk_text(F.col("tk"), F.col("start"), _CHUNK)).alias("chunk_hash"),
+    )
+
+
+_CTX = 512  # pack capacity (tokens)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cum_before
+        FROM documents
+    )
+    SELECT CAST(floor(cum_before / {_CTX}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM sized GROUP BY 1
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: documents are concatenated in
+    doc_id order and split into fixed context windows; a doc's pack is
+    floor(preceding-token-offset / capacity).  One running-sum window +
+    one aggregation — deterministic, and the exact concat-then-split
+    assignment used by streaming tokenizers (docs may straddle windows;
+    the pack holds the doc's START offset)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(T.tokenize("text")).alias("n_tokens"))
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = sized.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return packed.groupBy(
+        F.floor(F.col("cum_before") / _CTX).cast("bigint").alias("pack_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 @query("sketch_distinct_approx")
 def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch (approx_count_distinct, rsd=2%) next to the
