@@ -67,6 +67,20 @@ def main():
     emb = load_table(spark, sf_dir, "embeddings")
     similarity.brute_force_topk(emb.filter("vec_id < 2"), emb, k=3).show()
 
+    print("-- SRP-LSH embedding near-dup pairs (bucketed, no cross join) --")
+    similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.4).show(5)
+
+    print("-- corpus cleaning: quality filter -> PII scrub -> chunk counts --")
+    from map_reduce_folds_spark.operators import text as T
+    cleaned = (
+        docs.filter(T.quality_score("text") >= 0.5)
+        .select("doc_id", T.scrub_pii("text").alias("text"))
+        .select("doc_id",
+                F.size(T.chunk_starts(T.tokenize("text"), 50, 40)).alias("n_chunks"))
+    )
+    cleaned.groupBy().agg(F.count("*").alias("docs_kept"),
+                          F.sum("n_chunks").alias("chunks")).show()
+
     spark.stop()
 
 

@@ -293,3 +293,58 @@ def test_first_by_last_by(spark):
     )
     got = {r["k"]: (r["f"], r["l"]) for r in mr.run(df).collect()}
     assert got == {"a": ("x1", "x3"), "b": ("y9", "y9")}
+
+
+def test_collect_list_by_ordered(spark):
+    df = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, 20.0), ("b", 5, 50.0)],
+        "k string, ord bigint, v double",
+    ).repartition(4)
+    mr = MapReduce(
+        assign=Assign(keys={"k": "k"}, values={"v": "v", "ord": "ord"}),
+        reduce=FoldReduce({"vs": folds.collect_list_by("v", "ord")}),
+    )
+    got = {r["k"]: list(r["vs"]) for r in mr.run(df).collect()}
+    assert got == {"a": [10.0, 20.0, 30.0], "b": [50.0]}
+
+
+def test_group_reduce_order_by(spark):
+    import pandas as pd
+
+    from map_reduce_folds_spark.core import GroupReduce
+
+    df = spark.createDataFrame(
+        [("a", 3, "z"), ("a", 1, "x"), ("a", 2, "y")],
+        "k string, ord bigint, v string",
+    ).repartition(3)
+
+    def fn(key, pdf):
+        return pd.DataFrame([{"k": key[0], "joined": "".join(pdf.v)}])
+
+    mr = MapReduce(
+        assign=Assign(keys={"k": "k"}, values={"v": "v", "ord": "ord"}),
+        reduce=GroupReduce(fn, schema="k string, joined string",
+                           order_by=["ord"]),
+    )
+    assert mr.run(df).collect()[0]["joined"] == "xyz"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be value-identical to the plain inner join."""
+    import random
+
+    from map_reduce_folds_spark.operators.skew import salted_join
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [("k%d" % rng.randint(0, 2), i, rng.random()) for i in range(2000)],
+        "key string, i bigint, x double",
+    ).repartition(8)
+    right = spark.createDataFrame(
+        [("k0", "L0"), ("k1", "L1"), ("k2", "L2"), ("k3", "unmatched")],
+        "key string, label string",
+    )
+    plain = {(r.key, r.i, r.label) for r in left.join(right, "key").collect()}
+    salted = {(r.key, r.i, r.label)
+              for r in salted_join(left, right, "key", salt_buckets=8).collect()}
+    assert salted == plain
