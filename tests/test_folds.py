@@ -143,3 +143,52 @@ def test_premap_routes_builtin_to_pandas_path(spark):
         reduce=FoldReduce({"s": pre}),
     )
     assert mr.run(df).collect()[0]["s"] == 2
+
+
+def test_fold_functor_and_applicative_laws(pairs):
+    """Algebra laws the reference gets from Haskell's type classes, pinned
+    here behaviorally: fmap identity/composition on folds, and zip
+    projection (zip(a, b) then take the first == a alone)."""
+    base = folds.sum_("v", dtype="bigint")
+
+    mr = lambda **fs: MapReduce(  # noqa: E731
+        assign=Assign(keys={"k": "label"}, values={"v": "v"}),
+        reduce=FoldReduce(fs),
+    )
+
+    rows = mr(
+        plain=base,
+        fmap_id=folds.sum_("v", dtype="bigint").map(lambda c: c),
+        fmap_comp=folds.sum_("v", dtype="bigint").map(
+            lambda c: (c + 1) * 2),                       # g∘f in one map
+        fmap_nested=folds.sum_("v", dtype="bigint")
+            .map(lambda c: c + 1).map(lambda c: c * 2),   # f then g
+        zip_fst=folds.Fold.zip(folds.sum_("v", dtype="bigint"),
+                               folds.count_(),
+                               combine=lambda s, n: s),
+    ).run(pairs).collect()
+    for r in rows:
+        assert r["fmap_id"] == r["plain"]
+        assert r["fmap_nested"] == r["fmap_comp"] == (r["plain"] + 1) * 2
+        assert r["zip_fst"] == r["plain"]
+
+
+def test_filtered_fold_equals_prefiltered_pipeline(pairs):
+    """filtered(fold, cond) over the full stream == the same fold over the
+    pre-filtered stream (the FILTER-clause law)."""
+    cond = F.col("v") > 3
+    fused = MapReduce(
+        assign=Assign(keys={"k": "label"}, values={"v": "v"}),
+        reduce=FoldReduce({"s": folds.filtered(
+            folds.sum_("v", dtype="bigint"), cond)}),
+    ).run(pairs)
+    prefiltered = MapReduce(
+        unpack=Filter(F.col("v") > 3),
+        assign=Assign(keys={"k": "label"}, values={"v": "v"}),
+        reduce=FoldReduce({"s": folds.sum_("v", dtype="bigint")}),
+    ).run(pairs)
+    a = {r["k"]: r["s"] for r in fused.collect()}
+    b = {r["k"]: r["s"] for r in prefiltered.collect()}
+    # fused keeps keys whose every row fails cond (sum NULL); prefiltered
+    # drops them — equal on the surviving keys, the law modulo key presence
+    assert {k: v for k, v in a.items() if v is not None} == b

@@ -81,6 +81,14 @@ def test_text_ops_are_scan_local(spark, name):
     assert P.uses_whole_stage_codegen(df)
 
 
+def test_salted_join_no_sortmerge(spark):
+    """The replicated small side must broadcast — the whole point is
+    avoiding a shuffled join pinned on the hot key."""
+    df = _run(spark, "salted_join_hot_keys")
+    assert P.count_sortmerge_joins(df) == 0, P.executed_plan(df)
+    assert P.count_cartesian_joins(df) == 0
+
+
 def test_q8_star_join_broadcasts_all_dims(spark):
     """Q8: seven dimension joins broadcast; the only shuffle is the final
     aggregation."""

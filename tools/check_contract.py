@@ -92,6 +92,7 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -101,28 +102,44 @@ def main():
             spark_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e!r}")
+            results[name] = {"status": "fail", "err": f"spark: {e!r}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK  {name}: rows={len(spark_pdf)} (no oracle; rows-only check)")
+            results[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             n_weak += 1
             continue
         try:
             duck_pdf = con.sql(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e!r}")
+            results[name] = {"status": "fail", "err": f"duckdb: {e!r}"}
             n_fail += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         dt = time.time() - t0
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
+            results[name] = {"status": "fail", "err": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS  {name} ({dt:.1f}s, rows={len(spark_pdf)})")
+            results[name] = {"status": "pass", "rows": len(spark_pdf),
+                             "sec": round(dt, 2)}
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    # full-registry evidence artifact (the driver's own gate reads only the
+    # first 50 queries; this records the rest)
+    if not only:
+        import json
+
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "LOCAL_CORRECTNESS.json"), "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "pass": n_pass, "fail": n_fail, "rows_only": n_weak,
+                       "queries": results}, f, indent=1)
     sys.exit(1 if n_fail else 0)
 
 
