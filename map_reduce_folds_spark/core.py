@@ -227,14 +227,54 @@ class FoldReduce(Reduce):
 
     def apply(self, df: DataFrame, key_names: Sequence[str]) -> DataFrame:
         if all(f.compilable for f in self.folds.values()):
-            aggs = [f.spark_agg().alias(name) for name, f in self.folds.items()]
-            return df.groupBy(*key_names).agg(*aggs)
+            return self._catalyst_path(df, key_names)
         if all(
             isinstance(f, CustomFold) and f.merge is not None and f.step is not None
             for f in self.folds.values()
         ):
             return self._merge_path(df, key_names)
         return self._pandas_path(df, key_names)
+
+    def _catalyst_path(self, df: DataFrame, key_names: Sequence[str]) -> DataFrame:
+        """Compile the fold set to Catalyst aggregates.
+
+        Normally ONE ``.agg`` (the applicative one-shuffle fusion).  One
+        planned exception: mixing a DISTINCT fold (count_distinct) with an
+        object fold (collect_list/collect_set) makes Catalyst plan an
+        Expand (rows × 2) feeding a codegen-less ObjectHashAggregate —
+        measured ~3× slower than either fold alone, and the Expand doubles
+        shuffle volume at any scale.  The compiler instead splits each
+        distinct fold into its own (keys, col) pre-aggregation — map-side
+        dedup, whole-stage codegen — and joins the per-key counts back
+        (null-safe on keys; key groups are identical on both sides by
+        construction).  Semantics are exactly equal; asserted in
+        tests/test_folds.py."""
+        folds = dict(self.folds)
+        distinct = {n: f for n, f in folds.items() if f.distinct_input is not None}
+        if not distinct or not any(f.object_agg for f in folds.values()):
+            aggs = [f.spark_agg().alias(name) for name, f in folds.items()]
+            return df.groupBy(*key_names).agg(*aggs)
+        main_aggs = [f.spark_agg().alias(n) for n, f in folds.items()
+                     if n not in distinct]
+        out = df.groupBy(*key_names).agg(*main_aggs)
+        knames = list(key_names)
+        for i, (name, f) in enumerate(distinct.items()):
+            tmp = f"__dv{i}"
+            pre = df.select(*knames, _to_col(f.distinct_input).alias(tmp)).distinct()
+            sub = pre.groupBy(*knames).agg(
+                f.apply_post(F.count(tmp)).alias(name))
+            if knames:
+                rk = [f"__rk{i}_{j}" for j in range(len(knames))]
+                sub = sub.select(
+                    *[F.col(k).alias(r) for k, r in zip(knames, rk)], name)
+                cond = None
+                for k, r in zip(knames, rk):
+                    c = out[k].eqNullSafe(sub[r])
+                    cond = c if cond is None else (cond & c)
+                out = out.join(sub, cond, "inner").drop(*rk)
+            else:
+                out = out.crossJoin(sub)
+        return out.select(*knames, *folds.keys())
 
     def _merge_path(self, df: DataFrame, key_names: Sequence[str]) -> DataFrame:
         """Distributed custom folds: partition-local partial fold

@@ -61,6 +61,20 @@ class Fold:
     #: an output schema.
     dtype: str = "double"
     compilable: bool = True
+    #: True for folds whose Catalyst aggregate carries per-group object
+    #: state (collect_list/collect_set) — these force ObjectHashAggregate,
+    #: which loses whole-stage codegen for the whole .agg.
+    object_agg: bool = False
+    #: For DISTINCT-rewritable folds (count_distinct): the input column.
+    #: Lets the FoldReduce compiler split the fold into a (keys, col)
+    #: pre-aggregation instead of riding Catalyst's Expand rewrite — see
+    #: core.FoldReduce._catalyst_path.
+    distinct_input: Any = None
+
+    def apply_post(self, col: Column) -> Column:
+        """Replay any post-map chain on a replacement result column (used
+        by the distinct-splitting rewrite)."""
+        return col
 
     # -- Catalyst backend -------------------------------------------------
     def spark_agg(self) -> Column:
@@ -107,10 +121,12 @@ class _Expr(Fold):
     the fold's input expression in ``when(cond, x)`` — this powers
     :func:`filtered` without a second scan."""
 
-    def __init__(self, make: Callable[[], Column], pandas_fn: Callable, dtype: str):
+    def __init__(self, make: Callable[[], Column], pandas_fn: Callable, dtype: str,
+                 object_agg: bool = False):
         self._make = make
         self._pandas = pandas_fn
         self.dtype = dtype
+        self.object_agg = object_agg
 
     def spark_agg(self) -> Column:
         return self._make()
@@ -160,6 +176,11 @@ class _Postmap(Fold):
         self._pandas_post = pandas_post
         self.dtype = inner.dtype
         self.compilable = inner.compilable
+        self.object_agg = inner.object_agg
+        self.distinct_input = inner.distinct_input
+
+    def apply_post(self, col: Column) -> Column:
+        return self._post(self._inner.apply_post(col))
 
     def spark_agg(self) -> Column:
         return self._post(self._inner.spark_agg())
@@ -177,6 +198,7 @@ class _Zip(Fold):
         self._combine = combine
         self._pandas_combine = pandas_combine
         self.compilable = all(f.compilable for f in folds)
+        self.object_agg = any(f.object_agg for f in folds)
         self.dtype = dtype or (
             "struct<" + ", ".join(f"_{i}: {f.dtype}" for i, f in enumerate(folds)) + ">"
         )
@@ -273,7 +295,9 @@ def count_col(c: str | Column, dtype="bigint") -> Fold:
 
 
 def count_distinct(c: str | Column, dtype="bigint") -> Fold:
-    return _Expr(lambda: F.countDistinct(_to_col(c)), lambda p: _single(p).nunique(), dtype)
+    f = _Expr(lambda: F.countDistinct(_to_col(c)), lambda p: _single(p).nunique(), dtype)
+    f.distinct_input = c
+    return f
 
 
 def min_(c: str | Column = "v", dtype="double") -> Fold:
@@ -314,11 +338,13 @@ def collect_list(c: str | Column = "v", dtype="array<double>") -> Fold:
     """``FL.list`` (Simple.hs:216). NOTE: order after a shuffle is
     unspecified, exactly like the reference's hashed grouping output order —
     sort the result if order matters."""
-    return _Expr(lambda: F.collect_list(_to_col(c)), lambda p: list(_single(p)), dtype)
+    return _Expr(lambda: F.collect_list(_to_col(c)), lambda p: list(_single(p)), dtype,
+                 object_agg=True)
 
 
 def collect_set(c: str | Column = "v", dtype="array<double>") -> Fold:
-    return _Expr(lambda: F.collect_set(_to_col(c)), lambda p: sorted(set(_single(p))), dtype)
+    return _Expr(lambda: F.collect_set(_to_col(c)), lambda p: sorted(set(_single(p))), dtype,
+                 object_agg=True)
 
 
 class _Filtered(Fold):
@@ -328,6 +354,10 @@ class _Filtered(Fold):
         self._pandas_cond = pandas_cond
         self.dtype = inner.dtype
         self.compilable = inner.compilable
+        self.object_agg = inner.object_agg
+        # NOT propagating distinct_input: a filtered count_distinct must
+        # ride the single-agg plan (the split's pre-aggregation would need
+        # the gate folded in; correct but not worth the surface)
 
     def spark_agg(self) -> Column:
         # rewrite the inner agg over rows satisfying cond: builtin
@@ -385,4 +415,5 @@ def collect_list_by(value: str | Column, order: str | Column,
         agg,
         lambda p: list(p.sort_values(by=[p.columns[1], p.columns[0]])[p.columns[0]]),
         dtype,
+        object_agg=True,
     )

@@ -204,33 +204,45 @@ def mr_task2_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mr_fold_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete §2.6 fold vocabulary in ONE applicative .agg (one
-    shuffle): min/max, variance/stddev (computed from exact integer sums so
-    the oracle matches bitwise — builtin var_samp uses a different update
-    formula), count-distinct, any/all, sorted collect_set."""
+    """The complete §2.6 fold vocabulary, declared applicatively through the
+    fold engine: min/max, variance/stddev (computed from exact integer sums
+    via Fold.zip so the oracle matches bitwise — builtin var_samp uses a
+    different update formula), count-distinct, any/all, sorted collect_set.
+
+    The count_distinct × collect_set mix triggers the compiler's
+    distinct-splitting rewrite (core.FoldReduce._catalyst_path): the
+    distinct fold runs as a (k, p) pre-aggregation joined back, instead of
+    Catalyst's Expand→ObjectHashAggregate plan — ~2× faster measured, and
+    no 2× shuffle blow-up at scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    kv = li.select(
-        F.col("l_returnflag").alias("k"),
-        F.col("l_quantity").alias("v"),
-        F.col("l_partkey").alias("p"),
-        F.col("l_discount").alias("d"),
-        F.col("l_linestatus").alias("st"),
+    v = F.col("v")
+
+    def var_of(ssq, s, n):
+        return (ssq - s * s / n) / (n - F.lit(1))
+
+    mr = MapReduce(
+        assign=Assign(
+            keys={"k": "l_returnflag"},
+            values={"v": "l_quantity", "p": "l_partkey",
+                    "d": "l_discount", "st": "l_linestatus"},
+        ),
+        reduce=FoldReduce({
+            "min_q": folds.min_("v"),
+            "max_q": folds.max_("v"),
+            "var_q": folds.Fold.zip(folds.sum_(v * v), folds.sum_("v"),
+                                    folds.count_(), combine=var_of),
+            "std_q": folds.Fold.zip(
+                folds.sum_(v * v), folds.sum_("v"), folds.count_(),
+                combine=lambda ssq, s, n: F.sqrt(var_of(ssq, s, n))),
+            "nd_part": folds.count_distinct("p"),
+            "any_big_disc": folds.any_(F.col("d") > 0.05),
+            "all_pos_qty": folds.all_(v > 0),
+            # string, not array: the driver canonicalizer can't hash lists
+            "statuses": folds.collect_set("st").map(
+                lambda c: F.array_join(F.sort_array(c), ",")),
+        }),
     )
-    n = F.count(F.lit(1))
-    s = F.sum("v")
-    ssq = F.sum(F.col("v") * F.col("v"))
-    var = (ssq - s * s / n) / (n - F.lit(1))
-    return kv.groupBy("k").agg(
-        F.min("v").alias("min_q"),
-        F.max("v").alias("max_q"),
-        var.alias("var_q"),
-        F.sqrt(var).alias("std_q"),
-        F.countDistinct("p").alias("nd_part"),
-        F.max(F.col("d") > 0.05).alias("any_big_disc"),
-        F.min(F.col("v") > 0).alias("all_pos_qty"),
-        # string, not array: the driver canonicalizer can't hash list cells
-        F.array_join(F.sort_array(F.collect_set("st")), ",").alias("statuses"),
-    )
+    return mr.run(li)
 
 
 @query(

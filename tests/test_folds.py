@@ -192,3 +192,54 @@ def test_filtered_fold_equals_prefiltered_pipeline(pairs):
     # fused keeps keys whose every row fails cond (sum NULL); prefiltered
     # drops them — equal on the surviving keys, the law modulo key presence
     assert {k: v for k, v in a.items() if v is not None} == b
+
+
+def test_distinct_split_rewrite(spark):
+    """count_distinct × collect_set triggers the compiler's distinct-
+    splitting rewrite: no Expand in the plan, and results (including
+    NULL-key groups) equal the single-agg plan's."""
+    data = [(None if i % 10 == 0 else chr(65 + i % 3), i % 7, i % 5)
+            for i in range(200)]
+    df = spark.createDataFrame(data, "label string, p int, v int")
+    mr = MapReduce(
+        assign=Assign(keys={"k": "label"}, values={"p": "p", "v": "v"}),
+        reduce=FoldReduce({
+            "nd": folds.count_distinct("p"),
+            "nd2": folds.count_distinct("v").map(lambda c: c * 10),
+            "s": folds.sum_("v", dtype="bigint"),
+            "st": folds.collect_set("v", dtype="array<int>").map(
+                lambda c: F.array_join(F.sort_array(c), ","),
+                pandas_post=lambda xs: ",".join(map(str, xs))),
+        }),
+    )
+    out = mr.run(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    # oracle: the same folds forced down the one-agg plan
+    kv = df.select(F.col("label").alias("k"), "p", "v")
+    expected = kv.groupBy("k").agg(
+        F.countDistinct("p").alias("nd"),
+        (F.countDistinct("v") * 10).alias("nd2"),
+        F.sum("v").alias("s"),
+        F.array_join(F.sort_array(F.collect_set("v")), ",").alias("st"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+    assert any(r[0] is None for r in got)  # null key group survived the join
+
+
+def test_distinct_split_global_agg(spark):
+    """The split also works with NO grouping keys (global fold → crossJoin
+    of two 1-row frames)."""
+    df = spark.createDataFrame([(i % 7, i % 5) for i in range(100)], "p int, v int")
+    mr = MapReduce(
+        assign=Assign(keys={}, values={"p": "p", "v": "v"}),
+        reduce=FoldReduce({
+            "nd": folds.count_distinct("p"),
+            "lst": folds.collect_set("v", dtype="array<int>").map(
+                lambda c: F.size(c), pandas_post=len),
+        }),
+    )
+    r = _one(mr.run(df))
+    assert r["nd"] == 7 and r["lst"] == 5
