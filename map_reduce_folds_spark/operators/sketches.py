@@ -1,0 +1,116 @@
+"""Portable, ORACLE-EXACT mergeable sketches.
+
+Spark ships DataSketches HLL (``hll_sketch_agg``) and Greenwald-Khanna
+quantiles (``percentile_approx``) — both great at scale but their estimates
+are implementation-specific, so a differential oracle can only check rows.
+This module implements the classic HyperLogLog (Flajolet et al. 2007)
+directly on the relational layer with every source of nondeterminism
+removed, so DuckDB reproduces the ESTIMATES bit-for-bit:
+
+* item hash = the repo's portable 60-bit md5 hash (``text.hash60``);
+* a sketch IS a relation ``(group, register, max_rank)`` — the natural
+  distributed representation: building is one groupBy-max (map-side
+  combinable), merging sketches is another max — the monoid the reference's
+  fold algebra wants (cf. reference Core.hs:211-218 applicative merge);
+* the harmonic sum Σ 2^(-M_j) is computed in SCALED INTEGERS
+  (Σ 2^(49-M_j), max 4096·2^49 < 2^63): exact, order-independent — no
+  float-accumulation-order divergence between engines;
+* the only floating math is one literal·1/division (+ one ln in the
+  small-range regime), rounded to 9 decimals per the repo numeric policy.
+
+Register count m = 2^p; standard error ≈ 1.04/√m.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators.text import hash60, hash60_sql
+
+#: scaled-integer unit: ranks are ≤ 49 bits for a 60-bit hash with p=12,
+#: and Σ 2^(49-rank) over 4096 registers stays under 2^61.
+_RANK_BITS = 49
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_register(col: Column | str, p: int = 12) -> tuple[Column, Column]:
+    """(register, rank) of one item: register = low ``p`` hash bits, rank =
+    1 + leading zeros of the remaining ``60-p`` bits.
+
+    rank = 50-p - length(bin(w)) for w>0 (bin() drops leading zeros in both
+    Spark and DuckDB), with the all-zeros convention rank = 61-p.
+    """
+    h = hash60(col)
+    m = 1 << p
+    w_bits = 60 - p
+    reg = (h % F.lit(m)).alias("reg")
+    w = F.shiftrightunsigned(h, p)
+    rank = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    ).alias("rank")
+    return reg, rank
+
+
+def hll_register_sql(expr: str, p: int = 12) -> tuple[str, str]:
+    """DuckDB SQL mirroring :func:`hll_register` bit-for-bit."""
+    h = hash60_sql(expr)
+    m = 1 << p
+    w_bits = 60 - p
+    reg = f"(({h}) % {m})"
+    w = f"(({h}) >> {p})"
+    rank = (f"(CASE WHEN {w} = 0 THEN {w_bits + 1} "
+            f"ELSE {w_bits + 1} - length(bin({w})) END)")
+    return reg, rank
+
+
+def hll_estimate(p: int = 12, rank_col: str = "rank") -> Column:
+    """Aggregate expression turning grouped ``(reg, max_rank)`` rows into
+    the HLL estimate.  Apply AFTER reducing to one row per (group, reg):
+    ``reg_rank.groupBy(*group_cols).agg(hll_estimate(...))``.
+
+    The scaled harmonic sum is integer-exact; the estimate is one double
+    division; the small-range (linear-counting) branch uses one ln.  Both
+    branches round to 9 decimals (cross-libm ulp policy)."""
+    m = 1 << p
+    # Σ_present 2^(49-rank)  (+ absent registers at rank 0 → 2^49 each);
+    # expr() because F.shiftleft only takes a literal bit count
+    s_present = F.sum(F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_RANK_BITS} - {rank_col})"))
+    n_present = F.count(F.lit(1))
+    v_zero = (F.lit(m) - n_present).cast("bigint")
+    s_total = s_present + v_zero * F.lit(1 << _RANK_BITS).cast("bigint")
+    raw = F.lit(_alpha(m) * m * m * float(1 << _RANK_BITS)) / s_total.cast("double")
+    small = F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")), 9)
+    return F.when((raw <= 2.5 * m) & (v_zero > 0), small).otherwise(F.round(raw, 9))
+
+
+def hll_estimate_sql(p: int = 12, rank_col: str = "rank") -> str:
+    """DuckDB aggregate-SQL mirror of :func:`hll_estimate`."""
+    m = 1 << p
+    s_total = (
+        f"(SUM(CAST(1 AS BIGINT) << ({_RANK_BITS} - {rank_col}))"
+        f" + CAST({m} - COUNT(*) AS BIGINT) * {1 << _RANK_BITS})"
+    )
+    v_zero = f"CAST({m} - COUNT(*) AS BIGINT)"
+    raw = f"({_alpha(m) * m * m * float(1 << _RANK_BITS)!r} / CAST({s_total} AS DOUBLE))"
+    small = f"round({float(m)!r} * ln({float(m)!r} / CAST({v_zero} AS DOUBLE)), 9)"
+    return (f"(CASE WHEN {raw} <= {2.5 * m!r} AND {v_zero} > 0 "
+            f"THEN {small} ELSE round({raw}, 9) END)")
+
+
+def hll_sketch(df: DataFrame, item: str | Column, group_cols: list[str],
+               p: int = 12) -> DataFrame:
+    """Build the relational HLL sketch: one row per (group, register) with
+    the max rank.  groupBy-max → map-side combinable, shuffle bounded by
+    #groups × m regardless of input size.  Sketches for different slices
+    UNION + re-max to merge (see queries/llm.py sketch_union_hll)."""
+    reg, rank = hll_register(item, p)
+    return (df.select(*group_cols, reg, rank)
+              .groupBy(*group_cols, "reg")
+              .agg(F.max("rank").alias("rank")))

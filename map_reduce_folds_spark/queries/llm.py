@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_folds_spark.operators import dedup as D
 from map_reduce_folds_spark.operators import similarity as S
+from map_reduce_folds_spark.operators import sketches as K
 from map_reduce_folds_spark.operators import text as T
 from map_reduce_folds_spark.queries.registry import query
 from map_reduce_folds_spark.sources import load_table
@@ -794,24 +795,45 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_union_hll")
+def _hll_union_oracle() -> str:
+    reg, rank = K.hll_register_sql("text", p=12)
+    return f"""
+    WITH rr AS (
+        SELECT lang, {reg} AS reg, {rank} AS rank FROM documents
+    ),
+    regs AS (SELECT lang, reg, MAX(rank) AS rank FROM rr GROUP BY 1, 2),
+    est AS (SELECT lang, {K.hll_estimate_sql(p=12)} AS nd_est
+            FROM regs GROUP BY lang),
+    exact AS (SELECT lang, COUNT(DISTINCT text) AS nd_exact
+              FROM documents GROUP BY lang)
+    SELECT lang, nd_est, nd_exact FROM est JOIN exact USING (lang)
+    """
+
+
+@query("sketch_union_hll", oracle=_hll_union_oracle())
 def sketch_union_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches (Apache DataSketches HLL): each
-    corpus slice builds its own per-lang sketch (the per-dataset /
-    per-partition artifact a 100 TB pipeline would persist), then sketches
-    union per lang WITHOUT rescanning the slices — next to the exact count.
-    Rows-only (sketch binaries are implementation-specific); the estimate
-    error bound is asserted in tests/test_llm.py."""
+    """MERGEABLE distinct-count sketches: each corpus slice builds its own
+    per-lang HLL sketch (the per-dataset artifact a 100 TB pipeline would
+    persist), then sketches union per lang WITHOUT rescanning the slices —
+    next to the exact count.
+
+    Uses the repo's portable HLL (operators/sketches.py): a sketch is a
+    (group, register, max_rank) relation, merge is MAX — so unlike the
+    binary DataSketches form (F.hll_sketch_agg, demonstrated in
+    tests/test_llm.py), the ESTIMATE itself is oracle-exact: md5-derived
+    item hashes and an integer-scaled harmonic sum leave no float-order or
+    implementation freedom.  Build and merge are both map-side-combinable
+    groupBy-MAX — shuffle bounded by #groups × 4096 rows at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    slice_sketches = (
-        d.withColumn("slice", F.col("doc_id") % 4)
-        .groupBy("lang", "slice")
-        .agg(F.hll_sketch_agg(F.col("text"), 12).alias("sk"))
+    slice_sketches = K.hll_sketch(
+        d.withColumn("slice", F.col("doc_id") % 4), "text",
+        ["lang", "slice"], p=12,
     )
-    merged = slice_sketches.groupBy("lang").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd_est"))
+    merged = (slice_sketches.groupBy("lang", "reg")
+              .agg(F.max("rank").alias("rank")))
+    est = merged.groupBy("lang").agg(K.hll_estimate(p=12).alias("nd_est"))
     exact = d.groupBy("lang").agg(F.countDistinct("text").alias("nd_exact"))
-    return merged.join(exact, "lang")
+    return est.join(exact, "lang")
 
 
 @query(
@@ -922,17 +944,36 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_distinct_approx")
+def _hll_distinct_oracle() -> str:
+    reg, rank = K.hll_register_sql("CAST(l_partkey AS VARCHAR)", p=12)
+    return f"""
+    WITH regs AS (
+        SELECT l_returnflag AS k, {reg} AS reg, MAX({rank}) AS rank
+        FROM lineitem GROUP BY 1, 2
+    ),
+    est AS (SELECT k, {K.hll_estimate_sql(p=12)} AS nd_approx
+            FROM regs GROUP BY k),
+    exact AS (SELECT l_returnflag AS k, COUNT(DISTINCT l_partkey) AS nd_exact
+              FROM lineitem GROUP BY 1)
+    SELECT k, nd_approx, nd_exact FROM est JOIN exact USING (k)
+    """
+
+
+@query("sketch_distinct_approx", oracle=_hll_distinct_oracle())
 def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch (approx_count_distinct, rsd=2%) next to the
-    exact count per returnflag.  Rows-only by nature (sketch estimates are
-    implementation-specific); tests assert the estimate lands within 5% of
-    exact."""
+    """Portable HLL(p=12) distinct estimate next to the exact count per
+    returnflag — the estimate itself hash-matches the DuckDB oracle (see
+    operators/sketches.py; Spark's own approx_count_distinct is
+    implementation-specific and demonstrated in tests/test_llm.py
+    instead).  Accuracy (≈1.6% σ at p=12) is asserted in tests."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("k")).agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_approx"),
-        F.countDistinct("l_partkey").alias("nd_exact"),
-    )
+    sk = K.hll_sketch(li, F.col("l_partkey").cast("string"),
+                      ["l_returnflag"], p=12)
+    est = (sk.groupBy(F.col("l_returnflag").alias("k"))
+           .agg(K.hll_estimate(p=12).alias("nd_approx")))
+    exact = li.groupBy(F.col("l_returnflag").alias("k")).agg(
+        F.countDistinct("l_partkey").alias("nd_exact"))
+    return est.join(exact, "k")
 
 
 @query("sketch_quantiles_approx")

@@ -204,3 +204,37 @@ def test_sketch_accuracy(spark):
             hi = bisect.bisect_right(vals, est)
             target = frac * n
             assert lo - 0.02 * n - 1 <= target <= hi + 0.02 * n + 1, (k, frac, est)
+
+
+def test_hll_native_datasketches(spark, docs):
+    """Spark's binary DataSketches HLL path (hll_sketch_agg / union / 
+    estimate) — kept as the interop demonstration; the registered queries
+    use the portable relational HLL (operators/sketches.py) whose estimate
+    is oracle-exact."""
+    import pyspark.sql.functions as F
+
+    sk = (docs.withColumn("slice", F.col("doc_id") % 4)
+          .groupBy("lang", "slice").agg(F.hll_sketch_agg("text", 12).alias("sk")))
+    est = {r.lang: r.nd for r in
+           sk.groupBy("lang").agg(
+               F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd")).collect()}
+    exact = {r.lang: r.nd for r in
+             docs.groupBy("lang").agg(F.countDistinct("text").alias("nd")).collect()}
+    for lang, nd in exact.items():
+        assert abs(est[lang] - nd) <= max(2, 0.05 * nd)
+
+
+def test_hll_merge_is_max(spark, docs):
+    """Portable HLL sketches merge by register MAX: merging 4 slice
+    sketches equals building one sketch over the whole corpus — the
+    monoid property that makes the sketch a mergeable per-dataset
+    artifact."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_folds_spark.operators import sketches as K
+
+    sliced = K.hll_sketch(docs.withColumn("slice", F.col("doc_id") % 4),
+                          "text", ["lang", "slice"], p=12)
+    merged = sliced.groupBy("lang", "reg").agg(F.max("rank").alias("rank"))
+    direct = K.hll_sketch(docs, "text", ["lang"], p=12)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
