@@ -114,3 +114,76 @@ def hll_sketch(df: DataFrame, item: str | Column, group_cols: list[str],
     return (df.select(*group_cols, reg, rank)
               .groupBy(*group_cols, "reg")
               .agg(F.max("rank").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantile sketch: fixed equi-width histogram
+# ---------------------------------------------------------------------------
+#
+# Spark's percentile_approx (Greenwald-Khanna) is implementation-specific,
+# so its estimates can only be rows-checked.  A fixed-range equi-width
+# histogram is the deterministic mergeable alternative: the sketch is a
+# (group, bucket, count) relation (merge = SUM), size B per group at any
+# input size, and the quantile estimate — the midpoint of the first bucket
+# whose cumulative count reaches ceil(q·n) — is pure integer+literal
+# arithmetic both engines compute identically.  Value error ≤ one bucket
+# width; rank error bounded by the heaviest bucket's mass.
+
+
+def hist_bucket(col: Column | str, lo: float, hi: float, nbuckets: int) -> Column:
+    """Clamped equi-width bucket index (0..nbuckets-1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = (hi - lo) / nbuckets
+    b = F.floor((c.cast("double") - F.lit(lo)) / F.lit(w)).cast("bigint")
+    return F.greatest(F.lit(0).cast("bigint"),
+                      F.least(F.lit(nbuckets - 1).cast("bigint"), b))
+
+
+def hist_bucket_sql(expr: str, lo: float, hi: float, nbuckets: int) -> str:
+    w = (hi - lo) / nbuckets
+    b = f"CAST(floor((CAST({expr} AS DOUBLE) - {lo!r}) / {w!r}) AS BIGINT)"
+    return (f"greatest(CAST(0 AS BIGINT), "
+            f"least(CAST({nbuckets - 1} AS BIGINT), {b}))")
+
+
+def hist_quantile(frac: float, lo: float, hi: float, nbuckets: int,
+                  bucket_col: str = "bucket", cnt_col: str = "cnt") -> Column:
+    """Aggregate expr over (bucket, cnt) rows: midpoint of the first bucket
+    where the cumulative count reaches ceil(frac·n).
+
+    Implemented without a window: min(bucket) over buckets whose SUFFIX sum
+    ≥ n − target + cnt … equivalently via a sorted struct-array fold so the
+    whole thing stays one aggregate (and one SQL expression).  B is small
+    (≤ 64) by construction, so the array stays tiny."""
+    pairs = F.array_sort(F.collect_list(
+        F.struct(F.col(bucket_col).alias("b"), F.col(cnt_col).alias("c"))))
+    n = F.sum(F.col(cnt_col))
+    target = F.ceil(F.lit(frac) * n.cast("double"))
+    # running scan over ≤ B sorted buckets: state = (remaining, answer)
+    picked = F.aggregate(
+        pairs,
+        F.struct(target.alias("rem"), F.lit(-1).cast("bigint").alias("ans")),
+        lambda acc, s: F.struct(
+            (acc["rem"] - s["c"]).alias("rem"),
+            F.when((acc["ans"] < 0) & (acc["rem"] <= s["c"]), s["b"])
+             .otherwise(acc["ans"]).alias("ans"),
+        ),
+    )["ans"]
+    w = (hi - lo) / nbuckets
+    return F.lit(lo) + (picked.cast("double") + F.lit(0.5)) * F.lit(w)
+
+
+def hist_quantile_sql(frac: float, lo: float, hi: float, nbuckets: int,
+                      bucket_col: str = "bucket", cnt_col: str = "cnt") -> str:
+    """DuckDB mirror of :func:`hist_quantile` (list_reduce over the sorted
+    (bucket, cnt) pairs, same fold, same literals)."""
+    w = (hi - lo) / nbuckets
+    pairs = (f"list_sort(list({{'b': {bucket_col}, 'c': {cnt_col}}}))")
+    target = f"CAST(ceil({frac!r} * CAST(SUM({cnt_col}) AS DOUBLE)) AS BIGINT)"
+    fold = (
+        f"list_reduce(list_prepend({{'b': CAST(-1 AS BIGINT), 'c': {target}}},"
+        f" {pairs}), "
+        "(acc, s) -> {'b': CASE WHEN acc.b < 0 AND acc.c <= s.c "
+        "THEN s.b ELSE acc.b END, 'c': acc.c - s.c})"
+    )
+    return f"({lo!r} + (CAST(({fold}).b AS DOUBLE) + 0.5) * {w!r})"

@@ -976,18 +976,41 @@ def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "k")
 
 
-@query("sketch_quantiles_approx")
-def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna quantile sketch (percentile_approx) per group —
-    rows-only (sketch-specific values); tests bound the rank error."""
-    li = load_table(spark, sf_dir, "lineitem")
-    # scalar columns, not one array column: the driver canonicalizer
-    # cannot hash list cells (same trap as mr_fold_vocab round 1)
-    return li.groupBy(F.col("l_returnflag").alias("k")).agg(
-        F.percentile_approx("l_quantity", 0.25, 10000).alias("q25"),
-        F.percentile_approx("l_quantity", 0.50, 10000).alias("q50"),
-        F.percentile_approx("l_quantity", 0.75, 10000).alias("q75"),
+_HLO, _HHI, _HB = 0.0, 64.0, 32  # histogram sketch params (width 2.0, exact
+                                 # in binary: no rounding in bucket math)
+
+
+def _hist_quantiles_oracle() -> str:
+    b = K.hist_bucket_sql("l_quantity", _HLO, _HHI, _HB)
+    qs = {f"q{int(f * 100)}": K.hist_quantile_sql(f, _HLO, _HHI, _HB)
+          for f in (0.25, 0.50, 0.75)}
+    sel = ", ".join(f"{e} AS {n}" for n, e in qs.items())
+    return f"""
+    WITH hist AS (
+        SELECT l_returnflag AS k, {b} AS bucket, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
     )
+    SELECT k, {sel} FROM hist GROUP BY k
+    """
+
+
+@query("sketch_quantiles_approx", oracle=_hist_quantiles_oracle())
+def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch per group: a fixed equi-width
+    histogram relation (bucket, cnt — merge = SUM, size ≤ 32 rows per group
+    at any scale), with the quantile estimate read off the cumulative scan.
+    Unlike percentile_approx/Greenwald-Khanna (demonstrated in
+    tests/test_llm.py), the ESTIMATES hash-match the DuckDB oracle —
+    operators/sketches.py.  Value error ≤ one bucket width (2.0); tests
+    bound it against exact quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (li.select(F.col("l_returnflag").alias("k"),
+                      K.hist_bucket("l_quantity", _HLO, _HHI, _HB).alias("bucket"))
+            .groupBy("k", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+    return hist.groupBy("k").agg(*[
+        K.hist_quantile(f, _HLO, _HHI, _HB).alias(f"q{int(f * 100)}")
+        for f in (0.25, 0.50, 0.75)
+    ])
 
 
 @query(

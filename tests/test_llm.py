@@ -194,16 +194,38 @@ def test_sketch_accuracy(spark):
     by_k = collections.defaultdict(list)
     for r in li:
         by_k[r.l_returnflag].append(r.l_quantity)
+    import math
+
     for k, (q1, q2, q3) in ((k, v) for k, v in q.items()):
         vals = sorted(by_k[k])
         n = len(vals)
         for frac, est in [(0.25, q1), (0.5, q2), (0.75, q3)]:
-            # rank error bound: estimate must sit within ±2% of the target rank
-            import bisect
-            lo = bisect.bisect_left(vals, est)
-            hi = bisect.bisect_right(vals, est)
-            target = frac * n
-            assert lo - 0.02 * n - 1 <= target <= hi + 0.02 * n + 1, (k, frac, est)
+            # histogram sketch: value error <= one bucket width (2.0)
+            # around the exact ceil(frac*n)-th value
+            exact = vals[min(n - 1, math.ceil(frac * n) - 1)]
+            assert abs(est - exact) <= 2.0, (k, frac, est, exact)
+
+
+def test_percentile_approx_native(spark):
+    """Spark's Greenwald-Khanna percentile_approx — interop demonstration
+    (the registered query uses the oracle-exact histogram sketch); GK's
+    rank-error contract is +-1/accuracy."""
+    from map_reduce_folds_spark.sources import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("q50")).collect()
+    import collections
+    by_k = collections.defaultdict(list)
+    for r in li.select("l_returnflag", "l_quantity").collect():
+        by_k[r.l_returnflag].append(r.l_quantity)
+    for r in rows:
+        vals = sorted(by_k[r.l_returnflag])
+        n = len(vals)
+        import bisect
+        lo = bisect.bisect_left(vals, r.q50)
+        hi = bisect.bisect_right(vals, r.q50)
+        assert lo - 0.02 * n - 1 <= 0.5 * n <= hi + 0.02 * n + 1
 
 
 def test_hll_native_datasketches(spark, docs):
