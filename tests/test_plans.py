@@ -114,3 +114,12 @@ def test_tpch_multijoin_broadcasts_dims(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     plan = P.initial_physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_fold_vocab_distinct_split_no_expand(spark):
+    """mr_fold_vocab mixes count_distinct with collect_set: the fold
+    compiler's distinct-splitting rewrite must keep Expand (2x-rows
+    distinct rewrite) out of the plan."""
+    df = _run(spark, "mr_fold_vocab")
+    plan = P.initial_physical_plan(df)
+    assert "Expand" not in plan, plan
