@@ -122,16 +122,75 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    strategy: str = "merge",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` (backward) or earliest with ``>=`` (forward),
-    per ``on`` key.  Composition of existing ops (SURVEY custom-operator
-    tier a): range join + window dedup.
+    per ``on`` key.  Output = left columns + ``__rt`` (the matched right
+    time) + the right payload columns (null when no row qualifies).
 
-    Scale note: the conditional join can explode for wide time ranges; for
-    production use, bucket both sides by (key, time-bucket) first.  Spark's
-    range-join hint applies when both sides are large.
+    Two physical strategies, same semantics:
+
+    - ``merge`` (default) — the scale path.  Tag both sides, union, and run
+      ``last(payload, ignorenulls=True)`` over a running window partitioned
+      by the key and ordered by (time, side).  ONE shuffle on the key, a
+      sort, zero fan-out: cost is O(n log n) per key regardless of how wide
+      the time range is.  This is the sort-merge as-of of kdb/pandas
+      ``merge_asof``, expressed as Catalyst window aggregation.  Caveat: a
+      pathologically hot key serializes into one partition's sort (same
+      skew profile as any per-key window; pre-split by a coarse time bucket
+      if a single key exceeds a partition).
+    - ``range`` — conditional join + per-left-row dedup.  Fan-out is
+      unbounded for wide time ranges (every left row pairs with EVERY
+      earlier right row before dedup), so use it only when one side is
+      broadcast-small or the join is tolerance-bounded upstream.
     """
+    if strategy == "range":
+        return _asof_range(left, right, on, left_time, right_time, direction)
+    payload = [c for c in right.columns if c not in (on, right_time)]
+    # the match travels as ONE struct so a single running `last` fills the
+    # matched time and every payload column together (a right row whose
+    # payload columns are legitimately null is still a non-null struct)
+    match = F.struct(F.col(right_time).alias("__rt"),
+                     *[F.col(c) for c in payload])
+    r = (
+        right.filter(F.col(right_time).isNotNull())
+        .select(F.col(on), F.col(right_time).alias("__t"),
+                F.lit(0).alias("__side"), match.alias("__m"))
+    )
+    l = left.withColumns({"__t": F.col(left_time), "__side": F.lit(1)})
+    u = l.unionByName(r, allowMissingColumns=True)  # missing cols -> null
+    if direction == "backward":
+        order = [F.col("__t").asc_nulls_first(), F.col("__side").asc()]
+    else:
+        order = [F.col("__t").desc_nulls_first(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(on).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # side ordering puts the right row FIRST at equal times, making the
+    # comparison inclusive (<= / >=) exactly like the range form
+    filled = F.when(
+        F.col(on).isNotNull() & F.col("__t").isNotNull(),
+        F.last("__m", ignorenulls=True).over(w),
+    )
+    return (
+        u.withColumn("__m", filled)
+        .filter(F.col("__side") == 1)
+        .select(*left.columns, F.col("__m.__rt").alias("__rt"),
+                *[F.col(f"__m.{c}").alias(c) for c in payload])
+    )
+
+
+def _asof_range(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str,
+) -> DataFrame:
+    """Conditional-join as-of (see :func:`asof_join` ``strategy="range"``)."""
     # a generated row id is the dedup identity: partitioning the window by
     # *left.columns would (a) shuffle on the whole row — fragile for wide
     # rows — and (b) silently merge fully-identical left rows, dropping one

@@ -98,6 +98,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_files: int | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned sorted parquet write — the data-skipping layout.
+
+    ``repartitionByRange`` gives each output file one contiguous slice of
+    the ``range_cols`` key space (sampled range boundaries, equal keys
+    co-located), and ``sortWithinPartitions`` orders rows inside the file.
+    Every parquet footer then carries TIGHT, NON-OVERLAPPING min/max stats
+    on the key, so any reader — Spark, DuckDB, Trino — skips whole files
+    and row groups for selective predicates: the zone-map effect, paid
+    once at write time, free on every subsequent read.  On 100 TB of
+    time-keyed data this is the difference between scanning a day and
+    scanning the corpus.
+
+    Unsorted writes scatter each key across all files (min≈global min,
+    max≈global max in every footer) and skip nothing.
+
+    ``n_files`` controls output file count (default: current shuffle
+    parallelism); size it so files land near the rolled parquet block
+    size (~128 MB–1 GB at scale).
+    """
+    part = (
+        df.repartitionByRange(n_files, *range_cols)
+        if n_files
+        else df.repartitionByRange(*range_cols)
+    )
+    part.sortWithinPartitions(*(sort_cols or range_cols)).write.mode(mode).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

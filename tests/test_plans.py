@@ -116,6 +116,16 @@ def test_tpch_multijoin_broadcasts_dims(spark, name):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_asof_merge_one_shuffle_no_join(spark):
+    """The default (merge) as-of strategy is union + running window: ONE
+    hash-partition shuffle on the key and NO join operator at all — fan-out
+    cannot exist in this plan shape regardless of time-range width."""
+    df = _run(spark, "asof_join_purchase_click")
+    plan = P.executed_plan(df)
+    assert P.count_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_fold_vocab_distinct_split_no_expand(spark):
     """mr_fold_vocab mixes count_distinct with collect_set: the fold
     compiler's distinct-splitting rewrite must keep Expand (2x-rows

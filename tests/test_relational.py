@@ -65,7 +65,8 @@ def test_set_ops(left, right):
     assert [r.id for r in R.except_(a, b).collect()] == [1]
 
 
-def test_asof_backward_and_forward(spark):
+@pytest.mark.parametrize("strategy", ["merge", "range"])
+def test_asof_backward_and_forward(spark, strategy):
     quotes = spark.createDataFrame(
         [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)],
         "sym string, t bigint, px double",
@@ -75,17 +76,40 @@ def test_asof_backward_and_forward(spark):
         "sym string, t bigint, trade_id bigint",
     )
     back = R.asof_join(trades, quotes.withColumnRenamed("t", "qt"),
-                       on="sym", left_time="t", right_time="qt")
+                       on="sym", left_time="t", right_time="qt",
+                       strategy=strategy)
     got = {r.trade_id: r.px for r in back.collect()}
     # trade A@4 -> quote A@1; A@6 -> A@5; B@2 -> none; C -> none
     assert got == {1: 10.0, 2: 11.0, 3: None, 4: None}
 
     fwd = R.asof_join(trades, quotes.withColumnRenamed("t", "qt"),
                       on="sym", left_time="t", right_time="qt",
-                      direction="forward")
+                      direction="forward", strategy=strategy)
     got = {r.trade_id: r.px for r in fwd.collect()}
     # A@4 -> A@5 (next); A@6 -> none; B@2 -> B@3; C -> none
     assert got == {1: 11.0, 2: None, 3: 20.0, 4: None}
+
+
+def test_asof_merge_edge_semantics(spark):
+    """Inclusive equal-time match, null keys/times never match, duplicate
+    left rows each survive — same contract as the range form."""
+    quotes = spark.createDataFrame(
+        [("A", 4, 1.0), ("A", None, 9.0), (None, 1, 8.0)],
+        "sym string, qt bigint, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 4, 1), ("A", 4, 1), ("A", None, 2), (None, 2, 3)],
+        "sym string, t bigint, trade_id bigint",
+    )
+    out = R.asof_join(trades, quotes, on="sym",
+                      left_time="t", right_time="qt").collect()
+    assert len(out) == 4  # both duplicate left rows kept
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.trade_id, []).append(r.px)
+    assert by_id[1] == [1.0, 1.0]   # equal time matches (inclusive)
+    assert by_id[2] == [None]       # null left time -> no match
+    assert by_id[3] == [None]       # null key -> no match
 
 
 def test_sessionize_gap_boundary(spark):

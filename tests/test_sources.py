@@ -59,6 +59,43 @@ def test_register_views(spark):
     assert n == 25
 
 
+def test_write_sorted_zone_maps(spark, tmp_path_factory):
+    """write_sorted's whole point: every output file's parquet footer holds
+    a tight, non-overlapping [min, max] on the range key — the property any
+    engine's zone-map skipping needs.  Checked directly on the footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = sources.load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity")
+    p = str(tmp_path_factory.mktemp("sorted")) + "/li"
+    sources.write_sorted(li, p, range_cols=["l_shipdate"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(p + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(md.row_group(rg).column(i)
+                       for i in range(md.num_columns)
+                       if md.row_group(rg).column(i).path_in_schema == "l_shipdate")
+            assert col.statistics is not None and col.statistics.has_min_max
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # non-overlapping file ranges
+
+    # round-trip correctness under a selective predicate
+    back = sources.read_parquet(spark, p)
+    cut = ranges[1][0]
+    assert back.filter(F.col("l_shipdate") < cut).count() == \
+        li.filter(F.col("l_shipdate") < cut).count()
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
     """Co-located bucketed join: both sides bucketed on the key → the join
     plan contains zero shuffle Exchanges."""
