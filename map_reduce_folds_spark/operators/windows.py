@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..timeutil import epoch_seconds
+
 
 def running(
     df: DataFrame,
@@ -74,7 +76,8 @@ def sessionize(
     One shuffle on ``key``.  (Streaming equivalent: F.session_window —
     streaming/ module.)"""
     w = Window.partitionBy(key).orderBy(ts)
-    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    # epoch_seconds tolerates TIMESTAMP and TIMESTAMP_NTZ alike (timeutil)
+    gap = epoch_seconds(ts) - F.lag(epoch_seconds(ts)).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         session_col,

@@ -16,6 +16,7 @@ from map_reduce_folds_spark.operators import relational as R
 from map_reduce_folds_spark.operators import windows as W
 from map_reduce_folds_spark.queries.registry import query
 from map_reduce_folds_spark.sources import load_table
+from map_reduce_folds_spark.timeutil import epoch_us
 
 
 def _dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
@@ -567,7 +568,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
-    ).select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+    ).select(epoch_us(F.col("w.start")).alias("win_start_us"),
              "event_type", "n", "sum_value")
 
 
@@ -595,12 +596,12 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = R.asof_join(purchases, clicks, on="user_id",
                       left_time="ts", right_time="c_ts")
-    # emit epoch-micros (bigint) rather than a timestamp: events.ts is
-    # nanos in parquet; Spark reads it floor-truncated to micros while
-    # DuckDB keeps nanos — integer micros compare identically everywhere
+    # emit epoch-micros (bigint) rather than a timestamp: integer micros
+    # compare identically in Spark and DuckDB regardless of the fixture's
+    # physical timestamp flavor (epoch_us tolerates TIMESTAMP / NTZ)
     return out.select(
         "purchase_id", "user_id",
-        F.unix_micros(F.col("__rt")).alias("click_us"), "click_value",
+        epoch_us(F.col("__rt")).alias("click_us"), "click_value",
     )
 
 

@@ -64,22 +64,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which the parquet reader
-        # rejects unless nanos are read as long.  This is a runtime-settable
-        # SQL conf — set it here so the loader works on ANY session (the
-        # driver harness builds its own), not just ours.
+        # Historically events.parquet carried TIMESTAMP(NANOS), which the
+        # parquet reader rejects unless nanos are read as long.  This is a
+        # runtime-settable SQL conf — set it here so the loader works on ANY
+        # session (the driver harness builds its own), not just ours.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanoseconds —
-    # convert to a microsecond timestamp (matching DuckDB's TIMESTAMP_NS →
-    # TIMESTAMP truncation). Integer division: ns magnitudes overflow double.
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = _normalize_events_ts(df)
     return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Fixture contract: coerce ``events.ts`` to one canonical dtype
+    (TIMESTAMP, UTC session) no matter how the driver wrote it.
+
+    The driver regenerates the fixtures between rounds and has already
+    shipped two physical shapes; accept all three known variants and fail
+    loudly on anything new so the breakage is one obvious message, not N
+    downstream AnalysisExceptions:
+
+    - TIMESTAMP(NANOS) → with ``nanosAsLong`` arrives as bigint
+      nanoseconds → ``timestamp_micros(ns div 1000)`` (integer division:
+      ns magnitudes overflow double; truncation matches DuckDB's
+      TIMESTAMP_NS → TIMESTAMP).
+    - plain ``timestamp[us]`` (no tz) → Spark reads TIMESTAMP_NTZ →
+      ``cast("timestamp")`` — instant-preserving because the session
+      timezone is pinned UTC (session.py), identical to DuckDB reading
+      the same naive column.
+    - ``timestamp[us, tz=UTC]`` → already TimestampType → no-op.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(dt, TimestampType):
+        return df
+    raise TypeError(
+        f"events.ts arrived as unsupported dtype {dt!r}; expected parquet "
+        "TIMESTAMP(NANOS) (read as long), TIMESTAMP_NTZ, or TIMESTAMP. "
+        f"Observed schema: {df.schema.simpleString()}"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -88,7 +117,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            out[t] = spark.read.parquet(p)
+            out[t] = load_table(spark, sf_dir, t)
     return out
 
 
