@@ -104,31 +104,47 @@ def main():
         if d != sf_dir.rstrip("/") and os.path.isdir(d):
             warm_dir = d
             break
+    # Failure isolation: one broken query must cost one row of the report,
+    # never the whole run — the JSON line is ALWAYS emitted (rc 0) with an
+    # ``errors`` map naming any query that raised (warm-up or timed pass).
+    errors: dict[str, str] = {}
     if warm_dir:
         for name in BENCH_QUERIES:
             fn = QUERIES.get(name)
             if fn is not None:
-                run_to_completion(fn(spark, warm_dir))
+                try:
+                    run_to_completion(fn(spark, warm_dir))
+                except Exception as exc:  # noqa: BLE001 — isolate per query
+                    errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:500]
+                    print(f"# {name}: WARMUP ERROR {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
-        if fn is None:
+        if fn is None or name in errors:
             continue
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = run_to_completion(df)
+        try:
+            df = fn(spark, sf_dir)
+            n = run_to_completion(df)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {exc}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
