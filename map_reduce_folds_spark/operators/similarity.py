@@ -538,3 +538,108 @@ def ivf_topk(
     return topk_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id")], k
     )
+
+
+def _probe_masks(n_bits: int, n_probe: int) -> list[int]:
+    """Deterministic multi-probe order: own cell, then Hamming-distance-1
+    cells in plane order (0, 1, 2, 4, …).  n_probe ≤ n_bits + 1."""
+    if n_probe > n_bits + 1:
+        raise ValueError(f"n_probe={n_probe} > n_bits+1={n_bits + 1}")
+    return ([0] + [1 << b for b in range(n_bits)])[:n_probe]
+
+
+def ivf_srp_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_bits: int = 3,
+    n_probe: int = 4,
+    table: int = 9,
+) -> DataFrame:
+    """IVF approximate top-k with a **data-independent SRP coarse
+    quantizer**: the 2^``n_bits`` cells are the sign patterns of ``n_bits``
+    md5-parity hyperplanes (:func:`srp_signature`), so — unlike the
+    trained-kmeans :func:`ivf_topk` — the quantizer needs no training pass,
+    no stored model, and has an exact SQL mirror
+    (:func:`srp_signature_sql`).
+
+    Same inverted-file structure as classic IVF: every corpus vector is
+    assigned to exactly ONE cell (cells are disjoint — no dedup needed,
+    unlike multi-table LSH); each query probes its own cell plus the
+    ``n_probe - 1`` nearest cells in Hamming order (flip one sign bit per
+    plane) and scores exact cosine only within them.
+
+    Scale shape: the assignment pass is one narrow scan, no shuffle; the
+    candidate join keys on cell id, so per-query work is
+    |corpus|·(n_probe/2^n_bits).  ``table`` picks a hyperplane family
+    disjoint from :func:`srp_lsh_topk`'s tables 0..n_tables-1.
+    """
+    masks = _probe_masks(n_bits, n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col), dim).alias("cn"),
+        srp_signature(F.col(vec_col), dim, n_bits, table).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col), dim).alias("qn"),
+        srp_signature(F.col(vec_col), dim, n_bits, table).alias("sig"),
+    ).select(
+        "query_id", "qv", "qn",
+        F.explode(F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks]))
+        .alias("cell"),
+    )
+    cand = c.join(
+        F.broadcast(q),
+        (q.cell == c.cell) & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id")], k
+    )
+
+
+def ivf_srp_topk_sql(
+    queries_where: str,
+    dim: int = 64,
+    k: int = 10,
+    n_bits: int = 3,
+    n_probe: int = 4,
+    table: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src: str = "embeddings",
+) -> str:
+    """DuckDB oracle mirroring :func:`ivf_srp_topk` exactly — same
+    hyperplanes (md5-parity literals), same left-fold projection chains,
+    same probe masks, same tie-break."""
+    masks = ", ".join(f"({m})" for m in _probe_masks(n_bits, n_probe))
+    sig = srp_signature_sql(vec_col, dim, n_bits, table)
+    return f"""
+    WITH cs AS (
+        SELECT {id_col} AS neighbor_id, {vec_col}, {sig} AS cell
+        FROM {src}
+    ),
+    qs AS (
+        SELECT {id_col} AS query_id, {vec_col}, {sig} AS sig
+        FROM {src} {queries_where}
+    ),
+    probes AS (
+        SELECT query_id, {vec_col}, xor(sig, CAST(m AS BIGINT)) AS cell
+        FROM qs, (VALUES {masks}) AS masks(m)
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT p.query_id, c.neighbor_id,
+               {cosine_sql(f'p.{vec_col}', f'c.{vec_col}', dim)} AS cos_sim
+        FROM probes p JOIN cs c
+          ON c.cell = p.cell AND p.query_id != c.neighbor_id
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {k}
+    """

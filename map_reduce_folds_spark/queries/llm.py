@@ -507,15 +507,25 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ivf")
+@query(
+    "sim_topk_ivf",
+    oracle=S.ivf_srp_topk_sql("WHERE vec_id < 5", dim=_DIM, k=_TOPK,
+                              n_bits=3, n_probe=4),
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF (driver-trained deterministic mini-kmeans
-    quantizer, 8 cells, probe 4).  Rows-only (probabilistic recall);
-    tests/test_llm.py asserts recall + exact scoring vs brute force."""
+    """Approximate top-10 via IVF with an SRP coarse quantizer (8 disjoint
+    cells = 3 hyperplane sign bits, Hamming-1 multi-probe of 4).  The
+    quantizer is data-independent (md5-parity hyperplanes), so the full
+    pipeline — cell assignment, probe set, exact cosine verify, tie-break —
+    has an exact DuckDB mirror (previously rows-only under the driver-
+    trained kmeans quantizer, whose centroids are data-dependent and can't
+    live in one static oracle string).  The trained-kmeans variant remains
+    as operators/similarity.ivf_topk with recall unit tests
+    (tests/test_llm.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter("vec_id < 5")
-    return S.ivf_topk(q, e, "vec_id", "embedding", _DIM, _TOPK,
-                      n_centroids=8, n_probe=4)
+    return S.ivf_srp_topk(q, e, "vec_id", "embedding", _DIM, _TOPK,
+                          n_bits=3, n_probe=4)
 
 
 # ---------------------------------------------------------------------------

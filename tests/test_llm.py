@@ -155,6 +155,27 @@ def test_ivf_topk_recall(emb):
     assert recall >= 0.3, f"ivf recall {recall:.2f}"
 
 
+def test_ivf_srp_topk_recall_and_exact_scores(emb):
+    """SRP-cell IVF (the oracle-checked sim_topk_ivf path): exact cosine on
+    every returned pair, recall floor ~ n_probe/2^n_bits on unclustered
+    data, and ≤ k rows per query from disjoint cells (no dedup needed)."""
+    q = emb.filter("vec_id < 5")
+    truth = S.brute_force_topk(q, emb, k=10).collect()
+    approx = S.ivf_srp_topk(q, emb, k=10, n_bits=3, n_probe=4).collect()
+    truth_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in truth}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in truth_cos:
+            assert abs(r.cos_sim - truth_cos[(r.query_id, r.neighbor_id)]) < 1e-12
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in approx)
+    assert all(n <= 10 for n in per_q.values())
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth_set & approx_set) / len(truth_set)
+    assert recall >= 0.3, f"srp-ivf recall {recall:.2f}"
+
+
 def test_sketch_union_hll_bounds(spark):
     """Merged per-slice HLL sketches must estimate within HLL(lgk=12)
     error of the exact distinct count (union-merge loses no accuracy)."""
