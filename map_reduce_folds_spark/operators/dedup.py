@@ -241,35 +241,73 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ALL pairs with Jaccard ≥ threshold, exactly — via the inverted index:
     explode shingles, self-join on shingle hash, count common shingles per
     pair, then jaccard = common / (|A| + |B| - common).
 
     Cost ∝ Σ_shingle bucket², not n² — frequency-skewed shingles are the
-    scale risk; drop ultra-common shingles (stopword n-grams) upstream if
-    bucket skew appears."""
+    scale risk.  ``max_shingle_df`` is the skew guard for 100 TB corpora:
+    shingles appearing in more than that many documents (stopword n-grams,
+    boilerplate) are excluded from CANDIDATE GENERATION only, capping every
+    index bucket at ``max_shingle_df²`` join rows.  Surviving candidate
+    pairs are then re-scored against the FULL shingle sets
+    (array_intersect), so every emitted (pair, jaccard) is bitwise
+    identical to the uncapped computation — the only semantic change is
+    recall: a pair whose overlap consists ENTIRELY of hot shingles is
+    missed (such pairs share only boilerplate, which is exactly what the
+    cap is meant to discount)."""
     sh = docs.select(
         F.col(id_col), distinct_shingle_hashes(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("sz"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("h"))
+
+    if max_shingle_df is not None:
+        # document frequency per shingle; keep only cool shingles in the
+        # index (one extra agg on the already-exploded rows — map-side
+        # combine keeps it a partial-agg pass, no second scan of docs)
+        cool = (
+            inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("h")
+        )
+        inv = inv.join(cool, "h")
+
     a = inv.alias("a")
     b = inv.alias("b")
-    common = (
+    cand = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    out = (
-        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .select(
-            "id_a", "id_b",
-            (F.col("common").cast("double")
-             / (F.col("sz_a") + F.col("sz_b") - F.col("common"))).alias("jaccard"),
+
+    if max_shingle_df is not None:
+        # verify-after: recompute the TRUE intersection size from the full
+        # shingle arrays so hot-shingle exclusion never skews the score
+        sets_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        sets_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        out = (
+            cand.select("id_a", "id_b")
+            .join(sets_a, "id_a").join(sets_b, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+                F.size("sh_a").alias("sz_a"), F.size("sh_b").alias("sz_b"),
+            )
         )
+    else:
+        out = (
+            cand
+            .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        )
+    out = out.select(
+        "id_a", "id_b",
+        (F.col("common").cast("double")
+         / (F.col("sz_a") + F.col("sz_b") - F.col("common"))).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)
 

@@ -62,6 +62,41 @@ def test_minhash_band_rows_matches_catalyst(docs):
     assert arrow == cat
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark, docs):
+    """max_shingle_df (the 100 TB skew guard): capped output must be a
+    SUBSET of the uncapped pairs with BITWISE-identical jaccard scores
+    (verify-after rescores against full shingle sets); a pair whose
+    overlap is entirely hot shingles is dropped; on the real fixture a
+    generous cap changes nothing."""
+    boiler = "the quick brown fox jumps over the dog"  # hot: in every doc
+    rows = [
+        (1, boiler + " alpha beta gamma delta one two"),
+        (2, boiler + " alpha beta gamma delta one three"),  # near-dup of 1
+        (3, boiler + " epsilon zeta eta theta four five"),
+        (4, boiler + " iota kappa lambda mu six seven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in D.ngram_jaccard_pairs(df, threshold=0.0,
+                                             max_shingle_df=3).collect()}
+    assert set(capped) <= set(full)
+    for pair, j in capped.items():
+        assert j == full[pair], pair  # bitwise: same arithmetic either path
+    # (1,2) share cool shingles -> survives; boilerplate-only pairs like
+    # (3,4) share ONLY df=4 shingles -> dropped by candidate generation
+    assert (1, 2) in capped
+    assert (3, 4) in full and (3, 4) not in capped
+    # fixture sanity: cap far above any real df is a no-op
+    base = {(r.id_a, r.id_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    wide = {(r.id_a, r.id_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.5,
+                                           max_shingle_df=10**6).collect()}
+    assert base == wide
+
+
 def test_simhash_pigeonhole_complete(docs):
     """Blocking must find EVERY pair with hamming <= max_hamming (pigeonhole
     guarantees it); cross-check against brute-force over signatures."""
