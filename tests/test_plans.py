@@ -63,6 +63,7 @@ def test_whole_stage_codegen(spark):
 @pytest.mark.parametrize("name", [
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "dedup_embedding", "dedup_multimodal_union", "sim_topk_lsh",
+    "sim_topk_ivf",
 ])
 def test_dedup_similarity_no_cartesian(spark, name):
     """Every production dedup/similarity path must be bucketed — a cartesian
