@@ -339,3 +339,128 @@ def stateful_fold_tws(
             timeMode="None",
         )
     )
+
+
+def _fold_session_times(times, state, gap_us):
+    """Pure session state machine shared by :func:`sessionize_tws` (and its
+    unit tests — the TWS runtime needs protobuf, absent in this container,
+    so the logic is verified here and only the plumbing is runtime-gated).
+
+    ``times``: ascending event times (µs); ``state``: open (start, end, n)
+    or None.  Returns (closed_sessions, new_open_state): sessions closed by
+    the gap rule within this batch, plus the still-open trailing session.
+    """
+    closed = []
+    start, end, n = state if state is not None else (None, None, 0)
+    for t in times:
+        t = int(t)
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end <= gap_us:
+            end, n = max(end, t), n + 1
+        else:
+            closed.append((start, end, n))
+            start, end, n = t, t, 1
+    return closed, (start, end, n)
+
+
+def sessionize_tws(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Timer-based session emission on transformWithStateInPandas — the
+    streaming analog of operators/windows.sessionize that emits ONE row per
+    CLOSED session: (keys…, session_start_us, session_end_us, n_events).
+
+    Two close paths, both exact w.r.t. the gap rule:
+
+    * **in-batch close** — a later event more than ``gap_seconds`` after
+      the open session's end closes it immediately (emitted from
+      ``handleInputRows``);
+    * **timer close** — an EVENT-TIME timer registered at
+      ``session_end + gap`` fires once the watermark passes it
+      (``handleExpiredTimer``), closing sessions that simply stopped
+      receiving events.  This is the piece ``F.session_window`` gives you
+      only implicitly: here the state machine is explicit and extensible
+      (per-session custom folds, early emission policies).
+
+    The caller must set a watermark on ``ts_col`` (timeMode="EventTime"
+    requires it); state per key is ONE open session struct — O(keys), not
+    O(events).  At 100 TB/day the state store (RocksDB in cluster deploys)
+    holds one 24-byte row per active key.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields if f.name in keys
+    )
+    out_schema = (
+        f"{key_fields}, session_start_us bigint, session_end_us bigint, "
+        "n_events bigint"
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(key, start_us, end_us, n):
+        import pandas as pd
+
+        out = dict(zip(keys, key))
+        out.update(session_start_us=int(start_us), session_end_us=int(end_us),
+                   n_events=int(n))
+        return pd.DataFrame([out])
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._state = handle.getValueState(
+                "sess", "start_us bigint, end_us bigint, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            ts_us = []
+            for pdf in rows:
+                t = pd.to_datetime(pdf[ts_col])
+                if getattr(t.dt, "tz", None) is not None:
+                    t = t.dt.tz_convert("UTC").dt.tz_localize(None)
+                ts_us.append(t.to_numpy().astype("int64") // 1000)
+            if not ts_us:
+                return
+            times = np.sort(np.concatenate(ts_us))
+            prev = self._state.get() if self._state.exists() else None
+            closed, (start, end, n) = _fold_session_times(times, prev, gap_us)
+            for s in closed:
+                yield _emit(key, *s)  # closed in-batch by a later event
+            self._state.update((start, end, n))
+            # one live timer per key: re-arm at the (possibly extended) end
+            for old in self._h.listTimers():
+                self._h.deleteTimer(old)
+            self._h.registerTimer((end + gap_us) // 1000)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._state.exists():
+                return
+            start, end, n = self._state.get()
+            # stale-timer guard: only close if the session really aged out
+            if expiredTimerInfo.getExpiryTimeInMs() >= (end + gap_us) // 1000:
+                yield _emit(key, start, end, n)
+                self._state.clear()
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.groupBy(*keys)
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

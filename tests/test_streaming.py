@@ -323,6 +323,75 @@ def test_stateful_fold_tws(spark, events_batch, events_stream_path):
     assert dict(final) == exp
 
 
+def test_fold_session_times_state_machine():
+    """The pure session fold behind sessionize_tws (runtime-independent):
+    batch splits, cross-batch continuation, and the open-state carry."""
+    from map_reduce_folds_spark.streaming import _fold_session_times
+
+    gap = 60_000_000  # 60 s in µs
+    s = lambda sec: sec * 1_000_000
+    # one batch, two sessions
+    closed, open_ = _fold_session_times(
+        [s(0), s(10), s(20), s(2000), s(2010)], None, gap)
+    assert closed == [(s(0), s(20), 3)]
+    assert open_ == (s(2000), s(2010), 2)
+    # continuation: next batch extends the open session
+    closed, open_ = _fold_session_times([s(2050)], open_, gap)
+    assert closed == [] and open_ == (s(2000), s(2050), 3)
+    # next batch past the gap closes it
+    closed, open_ = _fold_session_times([s(9000)], open_, gap)
+    assert closed == [(s(2000), s(2050), 3)] and open_ == (s(9000), s(9000), 1)
+    # empty batch is the identity
+    assert _fold_session_times([], open_, gap) == ([], open_)
+
+
+def test_sessionize_tws_timer_close(spark, tmp_path_factory):
+    """Timer-based session emission: synthetic two-batch replay where batch
+    1 carries two sessions per key (one closed in-batch by the gap rule,
+    one left open) and batch 2 is a single far-future event that advances
+    the watermark past every batch-1 timer — so the open sessions close by
+    TIMER.  Expected sessions come from the batch sessionizer on the same
+    data (streaming analog of the engine-vs-oracle differential)."""
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="TWS needs protobuf; not in this container")
+    import datetime as dt
+
+    from map_reduce_folds_spark.streaming import sessionize_tws
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, sec):
+        return (uid, base + dt.timedelta(seconds=sec))
+
+    # user 1: events 0,10,20 | gap | 2000,2010  →  2 sessions
+    # user 2: events 5,25    →  1 session
+    batch1 = [ev(1, 0), ev(1, 10), ev(1, 20), ev(1, 2000), ev(1, 2010),
+              ev(2, 5), ev(2, 25)]
+    batch2 = [ev(99, 10**6)]  # watermark mover only
+    schema = "user_id bigint, ts timestamp"
+    p = str(tmp_path_factory.mktemp("sess_tws"))
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(p)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(p)
+
+    stream = (
+        read_parquet_stream(spark, p, schema, max_files_per_trigger=1)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = sessionize_tws(stream, ["user_id"], "ts", gap_seconds=60)
+    got = run_to_memory(out, "sess_tws", timeout_s=120, output_mode="append")
+    rows = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in got.collect() if r.user_id != 99}
+
+    us = lambda sec: int((base + dt.timedelta(seconds=sec)).replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    expected = {
+        (1, us(0), us(20), 3),
+        (1, us(2000), us(2010), 2),
+        (2, us(5), us(25), 2),
+    }
+    assert rows == expected
+
+
 def test_incremental_dedup_across_runs(spark, events_batch, tmp_path_factory):
     """Digest-table dedup survives across SEPARATE streaming runs (not just
     within one query's checkpoint): a second run replaying overlapping data
