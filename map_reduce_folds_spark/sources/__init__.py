@@ -72,7 +72,36 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events_ts(df)
+    _check_temporal_contract(name, df)
     return df
+
+
+def _check_temporal_contract(name: str, df: DataFrame) -> None:
+    """Fail LOUDLY (one clear message, not N downstream AnalysisExceptions)
+    if the driver regenerates a fixture with a temporal dtype outside the
+    accepted set.  TIMESTAMP and TIMESTAMP_NTZ are both fine for the date
+    columns (every consumer uses year/month extraction, date-string
+    comparison, or an explicit cast — all legal on either); DATE would also
+    analyze everywhere, so it is accepted pre-emptively.  events.ts is
+    stricter: it must already be canonical TIMESTAMP here because
+    :func:`_normalize_events_ts` ran first."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    contract = {
+        "events": {"ts": (TimestampType,)},
+        "orders": {"o_orderdate": (TimestampType, TimestampNTZType, DateType)},
+        "lineitem": {"l_shipdate": (TimestampType, TimestampNTZType, DateType)},
+    }
+    for col, accepted in contract.get(name, {}).items():
+        dt = df.schema[col].dataType
+        if not isinstance(dt, accepted):
+            raise TypeError(
+                f"{name}.{col} arrived as unsupported dtype {dt!r} "
+                f"(accepted: {[t.__name__ for t in accepted]}). The driver "
+                "regenerated the fixtures with a new physical shape — extend "
+                "the loader contract deliberately rather than letting every "
+                f"consumer fail. Observed schema: {df.schema.simpleString()}"
+            )
 
 
 def _normalize_events_ts(df: DataFrame) -> DataFrame:

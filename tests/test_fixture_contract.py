@@ -87,6 +87,23 @@ _EVENTS_QUERIES = [
 ]
 
 
+def test_temporal_contract_accepts_current_fixtures(spark):
+    from map_reduce_folds_spark.sources import load_table
+
+    for t in ("events", "orders", "lineitem"):
+        load_table(spark, SF_DIR, t)  # raises TypeError on contract breach
+
+
+def test_temporal_contract_rejects_string_date(spark):
+    from map_reduce_folds_spark.sources import _check_temporal_contract
+
+    bad = spark.createDataFrame(
+        [(1, "1995-01-01")], "o_orderkey bigint, o_orderdate string"
+    )
+    with pytest.raises(TypeError, match="o_orderdate arrived as unsupported"):
+        _check_temporal_contract("orders", bad)
+
+
 @pytest.mark.parametrize("name", _EVENTS_QUERIES)
 def test_events_query_analyzes(spark, name):
     from map_reduce_folds_spark.queries import QUERIES
