@@ -35,6 +35,18 @@ def test_parquet_partitioned_write_prunes(spark, nation, tmp_path_factory):
     assert back.count() == nation.filter("n_regionkey = 2").count()
 
 
+def test_orc_roundtrip_and_pushdown(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("orc")) + "/nation"
+    sources.write_orc(nation, p)
+    back = sources.read_orc(spark, p)
+    assert sorted(back.collect()) == sorted(nation.collect())
+    from map_reduce_folds_spark.plans import executed_plan
+
+    filtered = back.filter("n_regionkey = 2")
+    filtered.collect()
+    assert "PushedFilters: [" in executed_plan(filtered)
+
+
 def test_csv_roundtrip(spark, nation, tmp_path_factory):
     p = str(tmp_path_factory.mktemp("csv")) + "/nation"
     nation.write.mode("overwrite").option("header", "true").csv(p)
