@@ -1,0 +1,157 @@
+"""Deterministic sampling / splitting / mixing (north-star GAP ops).
+
+The reference has no sampling surface (its rows are in-memory Foldables,
+reference Readme.md:8); these are the training-data-pipeline primitives a
+100 TB corpus job needs.  Everything here is HASH-based, never RNG-based:
+
+* reproducible across engines (the portable ``hash60`` has an exact
+  DuckDB mirror, so every operator below is oracle-checkable),
+* reproducible across runs, partitionings, and cluster sizes (unlike
+  ``df.sample``, whose output depends on partition layout and seed
+  plumbing),
+* stable under data growth — a document keeps its split assignment when
+  the corpus around it changes, which is what makes incremental
+  training-set builds and leakage audits possible.
+
+All pure Catalyst column expressions: scan-bounded, whole-stage
+codegen'd, zero shuffles beyond what the caller adds.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators.text import hash60, hash60_sql
+
+#: denominator for split bucketing — 1e6 buckets keeps threshold rounding
+#: exact for weights with ≤6 decimal places
+_BUCKETS = 1_000_000
+
+
+def _bucket(col: Column | str, salt: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return hash60(c.cast("string"), salt) % _BUCKETS
+
+
+def _bucket_sql(expr: str, salt: str) -> str:
+    return f"({hash60_sql(f'CAST({expr} AS VARCHAR)', salt)} % {_BUCKETS})"
+
+
+def _thresholds(weights: Mapping[str, float]) -> list[tuple[str, int, int]]:
+    """(name, lo, hi) half-open bucket ranges from cumulative weights."""
+    total = sum(weights.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    out, acc = [], 0.0
+    names = list(weights)
+    for i, name in enumerate(names):
+        lo = round(acc * _BUCKETS)
+        acc += weights[name]
+        # last range closes at exactly _BUCKETS so the parts are a partition
+        hi = _BUCKETS if i == len(names) - 1 else round(acc * _BUCKETS)
+        out.append((name, lo, hi))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) from
+    the hash of its id — deterministic, partition-independent, exhaustive
+    and disjoint by construction (half-open bucket ranges covering
+    [0, 1e6)).  ``salt`` namespaces the split so re-splitting with a new
+    salt is uncorrelated with the old assignment."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = _bucket(id_col, salt)
+    expr = None
+    for name, lo, hi in _thresholds(weights):
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(id_expr: str, weights: Mapping[str, float] | None = None,
+                   salt: str = "split") -> str:
+    """DuckDB CASE expression mirroring :func:`hash_split` exactly."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = _bucket_sql(id_expr, salt)
+    arms = " ".join(
+        f"WHEN {b} >= {lo} AND {b} < {hi} THEN '{name}'"
+        for name, lo, hi in _thresholds(weights)
+    )
+    return f"(CASE {arms} END)"
+
+
+def split_part(
+    df: DataFrame,
+    id_col: str,
+    part: str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Filter to one split — the scan-time form (the CASE never
+    materializes; the predicate pushes into the scan)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = _bucket(id_col, salt)
+    for name, lo, hi in _thresholds(weights):
+        if name == part:
+            return df.filter((b >= lo) & (b < hi))
+    raise KeyError(f"unknown split {part!r}; have {list(weights)}")
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted source mixing: keep each row with its source's sampling
+    rate, decided by the row-id hash — the deterministic form of the
+    "N% of web, all of books" corpus-mixing step.  A source absent from
+    ``rates`` gets ``default_rate`` (0 = drop).  Per-row decision, no
+    shuffle, exact SQL mirror (:func:`mix_sources_sql`)."""
+    b = _bucket(id_col, salt)
+    thr = None
+    for src, r in rates.items():
+        # integer thresholds computed HERE (not in the engine): double→int
+        # conversion rounds in DuckDB but truncates in Spark, so a literal
+        # is the only way both sides agree at the boundary
+        t = _rate_threshold(src, r)
+        cond = F.col(source_col) == src
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    dflt = _rate_threshold("default", default_rate)
+    thr = thr.otherwise(dflt) if thr is not None else F.lit(dflt)
+    return df.filter(b < thr)
+
+
+def _rate_threshold(name: str, rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate for {name!r} must be in [0,1], got {rate}")
+    return round(rate * _BUCKETS)
+
+
+def mix_sources_sql(
+    source_expr: str,
+    rates: Mapping[str, float],
+    id_expr: str,
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB WHERE predicate mirroring :func:`mix_sources` exactly (same
+    integer literal thresholds — see the boundary note in the impl)."""
+    b = _bucket_sql(id_expr, salt)
+    arms = " ".join(
+        f"WHEN {source_expr} = '{s}' THEN {_rate_threshold(s, r)}"
+        for s, r in rates.items()
+    )
+    thr = f"(CASE {arms} ELSE {_rate_threshold('default', default_rate)} END)"
+    return f"({b} < {thr})"

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_folds_spark.operators import dedup as D
+from map_reduce_folds_spark.operators import sampling as SM
 from map_reduce_folds_spark.operators import similarity as S
 from map_reduce_folds_spark.operators import sketches as K
 from map_reduce_folds_spark.operators import text as T
@@ -598,6 +599,50 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src3": 0.0}
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT {SM.hash_split_sql('doc_id')} AS split, lang,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (98/1/1) —
+    partition- and run-independent, stable as the corpus grows (a doc keeps
+    its split), exhaustive+disjoint by construction.  Per-(split, lang)
+    counts as the check.  GAP op: the training-set splitting primitive
+    (reference has no sampling surface, Readme.md:8)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.hash_split(d, "doc_id").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@query(
+    "mix_sources_weighted",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n
+    FROM documents
+    WHERE {SM.mix_sources_sql('source', _MIX_RATES, 'doc_id')}
+    GROUP BY 1
+    """,
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing ("all of src0, half of src1, 20% of src2,
+    none of src3, drop the rest"): per-row hash decision, no shuffle,
+    deterministic across engines/runs/partitionings.  Per-source surviving
+    counts as the check."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.mix_sources(d, "source", _MIX_RATES, "doc_id").groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(

@@ -211,6 +211,58 @@ def test_ivf_srp_topk_recall_and_exact_scores(emb):
     assert recall >= 0.3, f"srp-ivf recall {recall:.2f}"
 
 
+def test_hash_split_invariants(spark, docs):
+    """Deterministic split: exhaustive+disjoint, partition-independent,
+    filter form agrees with the labeling form, and re-salting decorrelates."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    labeled = SM.hash_split(docs, "doc_id")
+    rows = labeled.select("doc_id", "split").collect()
+    assert all(r.split in ("train", "val", "test") for r in rows)  # exhaustive
+    assert len(rows) == docs.count()
+    # partition layout must not change assignments
+    re = {r.doc_id: r.split
+          for r in SM.hash_split(docs.repartition(17), "doc_id")
+          .select("doc_id", "split").collect()}
+    assert re == {r.doc_id: r.split for r in rows}
+    # the filter form selects exactly the labeled subset
+    val_ids = {r.doc_id for r in rows if r.split == "val"}
+    got = {r.doc_id for r in SM.split_part(docs, "doc_id", "val").collect()}
+    assert got == val_ids
+    # a different salt gives a (near-certainly) different assignment
+    other = {r.doc_id: r.split
+             for r in SM.hash_split(docs, "doc_id", salt="v2")
+             .select("doc_id", "split").collect()}
+    assert other != {r.doc_id: r.split for r in rows}
+
+
+def test_hash_split_rejects_bad_weights():
+    from map_reduce_folds_spark.operators.sampling import _thresholds
+
+    with pytest.raises(ValueError, match="must sum to 1"):
+        _thresholds({"a": 0.5, "b": 0.4})
+
+
+def test_mix_sources_rates(spark, docs):
+    """Rate-0 sources vanish, rate-1 sources survive whole, absent sources
+    get the default; every kept row's decision is reproducible."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    rates = {"src0": 1.0, "src1": 0.0}
+    kept = SM.mix_sources(docs, "source", rates, "doc_id").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += 1
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert by_src.get("src0") == n_src0      # rate 1.0: all rows
+    assert "src1" not in by_src              # rate 0.0: none
+    assert set(by_src) == {"src0"}           # default_rate 0: others dropped
+    # default_rate keeps unlisted sources at the given rate, deterministically
+    kept2 = SM.mix_sources(docs, "source", rates, "doc_id", default_rate=1.0)
+    assert kept2.count() == docs.count() - docs.filter("source = 'src1'").count()
+
+
 def test_sketch_union_hll_bounds(spark):
     """Merged per-slice HLL sketches must estimate within HLL(lgk=12)
     error of the exact distinct count (union-merge loses no accuracy)."""
