@@ -345,6 +345,43 @@ def test_fold_session_times_state_machine():
     assert _fold_session_times([], open_, gap) == ([], open_)
 
 
+def test_fold_session_times_batch_split_invariance():
+    """Property: however the (sorted) event stream is chopped into
+    micro-batches, threading the open-session state through
+    _fold_session_times yields EXACTLY the sessions of the one-shot batch
+    computation — the correctness core of sessionize_tws, checked without
+    the TWS runtime."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_folds_spark.streaming import _fold_session_times
+
+    gap = 100
+
+    def oneshot(times):
+        closed, open_ = _fold_session_times(sorted(times), None, gap)
+        return closed + ([open_] if open_[0] is not None else [])
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        times=st.lists(st.integers(min_value=0, max_value=5000), min_size=0,
+                       max_size=60),
+        cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=5),
+    )
+    def check(times, cuts):
+        ts = sorted(times)
+        bounds = sorted({min(c, len(ts)) for c in cuts} | {0, len(ts)})
+        state, closed = None, []
+        for lo, hi in zip(bounds, bounds[1:]):
+            c, state = _fold_session_times(ts[lo:hi], state, gap)
+            closed.extend(c)
+        if state is not None and state[0] is not None:
+            closed.append(state)
+        assert closed == oneshot(ts)
+
+    check()
+
+
 def test_sessionize_tws_timer_close(spark, tmp_path_factory):
     """Timer-based session emission: synthetic two-batch replay where batch
     1 carries two sessions per key (one closed in-batch by the gap rule,
