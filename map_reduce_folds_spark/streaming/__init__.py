@@ -180,6 +180,80 @@ def stateful_fold(
     )
 
 
+def sessionize_stateful(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Timer-based session emission on ``applyInPandasWithState`` — the
+    same semantics as :func:`sessionize_tws` (one row per CLOSED session:
+    in-batch close by the gap rule, or event-time TIMEOUT close once the
+    watermark passes ``session_end + gap``) on the GroupState API, which
+    runs without the TWS protobuf channel.  Both delegate the session
+    arithmetic to :func:`_fold_session_times`.
+
+    The caller must set a watermark on ``ts_col`` (EventTimeTimeout
+    requires one); state per key is one open-session triple — O(keys).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields if f.name in keys
+    )
+    out_schema = (
+        f"{key_fields}, session_start_us bigint, session_end_us bigint, "
+        "n_events bigint"
+    )
+    state_schema = "start_us bigint, end_us bigint, n bigint"
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        def emit(start, end, n):
+            row = dict(zip(keys, key))
+            row.update(session_start_us=int(start), session_end_us=int(end),
+                       n_events=int(n))
+            return pd.DataFrame([row])
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield emit(start, end, n)
+            return
+
+        ts_us = []
+        for pdf in pdf_iter:
+            t = pd.to_datetime(pdf[ts_col])
+            if getattr(t.dt, "tz", None) is not None:
+                t = t.dt.tz_convert("UTC").dt.tz_localize(None)
+            ts_us.append(t.to_numpy().astype("int64") // 1000)
+        if not ts_us:
+            return
+        times = np.sort(np.concatenate(ts_us))
+        prev = tuple(state.get) if state.exists else None
+        closed, open_ = _fold_session_times(times, prev, gap_us)
+        state.update(open_)
+        # close once the WATERMARK (not processing time) passes end + gap
+        state.setTimeoutTimestamp((open_[1] + gap_us) // 1000)
+        for s in closed:
+            yield emit(*s)
+
+    return (
+        stream.groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -429,6 +429,48 @@ def test_sessionize_tws_timer_close(spark, tmp_path_factory):
     assert rows == expected
 
 
+def test_sessionize_stateful_timer_close(spark, tmp_path_factory):
+    """End-to-end timer-based session close ON THE RUNNABLE GroupState API
+    (sessionize_tws's twin — same _fold_session_times core, same two-batch
+    replay shape as the TWS test, but executable in this container):
+    batch 1 sessions close in-batch (gap rule) or by event-time TIMEOUT
+    once batch 2's far-future event advances the watermark."""
+    import datetime as dt
+
+    from map_reduce_folds_spark.streaming import sessionize_stateful
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, sec):
+        return (uid, base + dt.timedelta(seconds=sec))
+
+    batch1 = [ev(1, 0), ev(1, 10), ev(1, 20), ev(1, 2000), ev(1, 2010),
+              ev(2, 5), ev(2, 25)]
+    batch2 = [ev(99, 10**6)]  # watermark mover only
+    schema = "user_id bigint, ts timestamp"
+    p = str(tmp_path_factory.mktemp("sess_gs"))
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(p)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(p)
+
+    stream = (
+        read_parquet_stream(spark, p, schema, max_files_per_trigger=1)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = sessionize_stateful(stream, ["user_id"], "ts", gap_seconds=60)
+    got = run_to_memory(out, "sess_gs", timeout_s=120, output_mode="append")
+    rows = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in got.collect() if r.user_id != 99}
+
+    us = lambda sec: int((base + dt.timedelta(seconds=sec)).replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    expected = {
+        (1, us(0), us(20), 3),      # closed in-batch by the 2000s event
+        (1, us(2000), us(2010), 2),  # closed by timeout
+        (2, us(5), us(25), 2),       # closed by timeout
+    }
+    assert rows == expected
+
+
 def test_incremental_dedup_across_runs(spark, events_batch, tmp_path_factory):
     """Digest-table dedup survives across SEPARATE streaming runs (not just
     within one query's checkpoint): a second run replaying overlapping data
