@@ -69,6 +69,12 @@ def test_register_views(spark):
     sources.register_views(spark, SF_DIR)
     n = spark.sql("select count(*) as n from nation").collect()[0].n
     assert n == 25
+    # views must expose the NORMALIZED schema — a raw read here would leak
+    # whatever timestamp flavor the regenerated fixture happens to carry
+    from pyspark.sql.types import TimestampType
+
+    ts_dt = spark.table("events").schema["ts"].dataType
+    assert isinstance(ts_dt, TimestampType), ts_dt
 
 
 def test_write_sorted_zone_maps(spark, tmp_path_factory):
