@@ -139,6 +139,36 @@ def _rate_threshold(name: str, rate: float) -> int:
     return round(rate * _BUCKETS)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global shuffle: every row gets a stable position from
+    the hash order of its id (ties broken by the id itself, so the order
+    is total).  The training-data "shuffle the corpus" step without RNG
+    state — same order on every engine, run, and cluster size; re-salt for
+    a fresh epoch permutation.
+
+    Scale shape: ONE global sort — Spark executes it as a sampled
+    range-partition sort (no single-task bottleneck), the same plan a
+    100 TB ORDER BY write uses.  Prefer writing the sorted output once
+    (``sources.write_sorted``) over re-sorting per consumer."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(_bucket(id_col, salt), F.col(id_col))
+    return df.withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+
+
+def deterministic_shuffle_sql(id_expr: str, salt: str = "shuffle") -> str:
+    """DuckDB window expression mirroring :func:`deterministic_shuffle`."""
+    return (
+        f"CAST(ROW_NUMBER() OVER (ORDER BY {_bucket_sql(id_expr, salt)}, "
+        f"{id_expr}) AS BIGINT)"
+    )
+
+
 def mix_sources_sql(
     source_expr: str,
     rates: Mapping[str, float],

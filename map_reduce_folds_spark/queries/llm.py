@@ -646,6 +646,21 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "deterministic_shuffle_positions",
+    oracle=f"""
+    SELECT doc_id, {SM.deterministic_shuffle_sql('doc_id')} AS pos
+    FROM documents
+    """,
+)
+def deterministic_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle: stable hash-order position per doc —
+    the RNG-free "shuffle the training data" step (re-salt per epoch).
+    Exact oracle because the order is total (hash, then id tiebreak)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.deterministic_shuffle(d, "doc_id").select("doc_id", "pos")
+
+
+@query(
     "pipeline_clean_corpus",
     oracle=f"""
     WITH scored AS (

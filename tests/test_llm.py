@@ -263,6 +263,23 @@ def test_mix_sources_rates(spark, docs):
     assert kept2.count() == docs.count() - docs.filter("source = 'src1'").count()
 
 
+def test_deterministic_shuffle_total_order(spark, docs):
+    """Positions are a permutation of 1..n, stable under repartitioning,
+    and a different salt yields a different permutation."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    out = {r.doc_id: r.pos
+           for r in SM.deterministic_shuffle(docs, "doc_id").collect()}
+    n = docs.count()
+    assert sorted(out.values()) == list(range(1, n + 1))
+    re = {r.doc_id: r.pos
+          for r in SM.deterministic_shuffle(docs.repartition(13), "doc_id").collect()}
+    assert re == out
+    epoch2 = {r.doc_id: r.pos
+              for r in SM.deterministic_shuffle(docs, "doc_id", salt="e2").collect()}
+    assert epoch2 != out
+
+
 def test_sketch_union_hll_bounds(spark):
     """Merged per-slice HLL sketches must estimate within HLL(lgk=12)
     error of the exact distinct count (union-merge loses no accuracy)."""
