@@ -63,6 +63,58 @@ def ranked(
     return df.withColumn(out, fns[method]().over(w))
 
 
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` over the total order of
+    ``order_col`` (which must be unique) — WITHOUT the single-task
+    ``ORDER BY``-only window that a naive global running sum compiles to.
+
+    Distributed prefix-sum decomposition:
+
+    1. bucket rows by order-preserving ranges of ``order_col`` (range
+       width from one cheap min/max agg — buckets are a pure function of
+       the value, so recomputation is deterministic; uniform when ids are
+       dense, the common case for generated ids);
+    2. exclusive running sum WITHIN each bucket (windows partitioned by
+       bucket — parallel);
+    3. per-bucket totals → driver-side exclusive prefix sum over
+       ≤ ``n_buckets`` rows → broadcast-joined offsets (the bounded-
+       metadata pattern);
+    4. global prefix = bucket offset + local prefix.
+
+    Same result as ``SUM() OVER (ORDER BY order_col ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``, n_buckets-way parallel."""
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+    b = ((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("bigint")
+    tagged = df.withColumn("__b", b)
+    w = (
+        Window.partitionBy("__b").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn(
+        "__local", F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint")
+    )
+    totals = tagged.groupBy("__b").agg(F.sum(value_col).alias("__t")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["__b"]):
+        offsets.append((int(row["__b"]), acc))
+        acc += int(row["__t"])
+    off_df = df.sparkSession.createDataFrame(offsets, "__b bigint, __off bigint")
+    return (
+        local.join(F.broadcast(off_df), "__b")
+        .withColumn(out_col, F.col("__off") + F.col("__local"))
+        .drop("__b", "__local", "__off")
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -992,19 +992,18 @@ _CTX = 512  # pack capacity (tokens)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LM training: documents are concatenated in
     doc_id order and split into fixed context windows; a doc's pack is
-    floor(preceding-token-offset / capacity).  One running-sum window +
-    one aggregation — deterministic, and the exact concat-then-split
-    assignment used by streaming tokenizers (docs may straddle windows;
-    the pack holds the doc's START offset)."""
-    from pyspark.sql.window import Window
+    floor(preceding-token-offset / capacity).  The preceding-offset is the
+    distributed prefix sum (operators/windows.ordered_prefix_sum — bucketed
+    parallel ranks + broadcast offsets, NOT a single-task global window),
+    and the pack assignment is the exact concat-then-split rule used by
+    streaming tokenizers (docs may straddle windows; the pack holds the
+    doc's START offset)."""
+    from map_reduce_folds_spark.operators.windows import ordered_prefix_sum
 
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id", F.size(T.tokenize("text")).alias("n_tokens"))
-    w = (Window.orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    packed = sized.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    packed = ordered_prefix_sum(sized, "doc_id", "n_tokens", "cum_before")
     return packed.groupBy(
         F.floor(F.col("cum_before") / _CTX).cast("bigint").alias("pack_id")
     ).agg(

@@ -160,3 +160,25 @@ def test_salted_aggregate_skewed_data(spark):
     )
     got = {(r.k): (r.n, r.s, r.mn, r.mx) for r in salted.collect()}
     assert got == direct
+
+
+def test_ordered_prefix_sum_matches_global_window(spark):
+    """The distributed prefix sum (bucketed ranks + broadcast offsets)
+    must equal the naive single-task ORDER BY window bit-for-bit,
+    including with sparse/negative ids and at bucket boundaries."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7 - 5000).alias("k"),  # sparse, negative, ordered
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.withColumn(
+        "c", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("bigint"))
+    fast = W.ordered_prefix_sum(df, "k", "v", "c", n_buckets=32)
+    assert naive.select("k", "c").exceptAll(fast.select("k", "c")).count() == 0
+    assert fast.select("k", "c").exceptAll(naive.select("k", "c")).count() == 0
+    # empty input: no crash, bigint zero column
+    empty = df.filter("k > 1e9")
+    out = W.ordered_prefix_sum(empty, "k", "v", "c")
+    assert out.count() == 0
