@@ -3,7 +3,9 @@ from map_reduce_folds_spark.operators import (  # noqa: F401
     multimodal,
     quality,
     relational,
+    sampling,
     similarity,
+    sketches,
     skew,
     text,
     windows,
