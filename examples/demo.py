@@ -81,6 +81,16 @@ def main():
     cleaned.groupBy().agg(F.count("*").alias("docs_kept"),
                           F.sum("n_chunks").alias("chunks")).show()
 
+    print("-- deterministic train/val/test split + weighted source mix --")
+    from map_reduce_folds_spark.operators import sampling as SM
+    SM.hash_split(docs, "doc_id").groupBy("split").count().show()
+    SM.mix_sources(docs, "source", {"src0": 1.0, "src1": 0.5}, "doc_id") \
+        .groupBy("source").count().show()
+
+    print("-- reproducible corpus shuffle (first 5 positions) --")
+    SM.deterministic_shuffle(docs.select("doc_id"), "doc_id") \
+        .orderBy("pos").show(5)
+
     spark.stop()
 
 
