@@ -216,7 +216,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate")
     ).agg(F.sum(_revenue()).cast("double").alias("revenue"))
     return R.topk(agg, [F.col("revenue").desc(), F.col("orderkey")], 10).select(
-        "orderkey", "revenue", F.unix_micros(F.col("orderdate").cast("timestamp")).alias("orderdate_us")
+        "orderkey", "revenue", epoch_us(F.col("orderdate")).alias("orderdate_us")
     )
 
 
