@@ -86,35 +86,52 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events_ts(df)
-    _check_temporal_contract(name, df)
+    _check_fixture_contract(name, df)
     return df
 
 
-def _check_temporal_contract(name: str, df: DataFrame) -> None:
+def _check_fixture_contract(name: str, df: DataFrame) -> None:
     """Fail LOUDLY (one clear message, not N downstream AnalysisExceptions)
-    if the driver regenerates a fixture with a temporal dtype outside the
-    accepted set.  TIMESTAMP and TIMESTAMP_NTZ are both fine for the date
-    columns (every consumer uses year/month extraction, date-string
-    comparison, or an explicit cast — all legal on either); DATE would also
-    analyze everywhere, so it is accepted pre-emptively.  events.ts is
-    stricter: it must already be canonical TIMESTAMP here because
-    :func:`_normalize_events_ts` ran first."""
-    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+    if the driver regenerates a fixture with a load-bearing column outside
+    its accepted dtype set.  For the date columns TIMESTAMP and
+    TIMESTAMP_NTZ are both fine (every consumer uses year/month
+    extraction, date-string comparison, or an explicit cast — all legal on
+    either); DATE would also analyze everywhere, so it is accepted
+    pre-emptively.  events.ts is stricter: it must already be canonical
+    TIMESTAMP here because :func:`_normalize_events_ts` ran first."""
+    from pyspark.sql.types import (
+        ArrayType, DateType, DoubleType, FloatType, StringType,
+        TimestampNTZType, TimestampType,
+    )
+
+    def _is_float_array(dt):
+        return isinstance(dt, ArrayType) and isinstance(
+            dt.elementType, (FloatType, DoubleType))
 
     contract = {
         "events": {"ts": (TimestampType,)},
         "orders": {"o_orderdate": (TimestampType, TimestampNTZType, DateType)},
         "lineitem": {"l_shipdate": (TimestampType, TimestampNTZType, DateType)},
+        # the LLM-pipeline load-bearing columns: every similarity op casts
+        # elements to double (so float OR double arrays are fine), every
+        # text op assumes a string column
+        "embeddings": {"embedding": _is_float_array},
+        "documents": {"text": (StringType,)},
     }
     for col, accepted in contract.get(name, {}).items():
         dt = df.schema[col].dataType
-        if not isinstance(dt, accepted):
+        ok = accepted(dt) if callable(accepted) and not isinstance(
+            accepted, tuple) else isinstance(dt, accepted)
+        if not ok:
+            names = (getattr(accepted, "__name__", str(accepted))
+                     if not isinstance(accepted, tuple)
+                     else [t.__name__ for t in accepted])
             raise TypeError(
                 f"{name}.{col} arrived as unsupported dtype {dt!r} "
-                f"(accepted: {[t.__name__ for t in accepted]}). The driver "
-                "regenerated the fixtures with a new physical shape — extend "
-                "the loader contract deliberately rather than letting every "
-                f"consumer fail. Observed schema: {df.schema.simpleString()}"
+                f"(accepted: {names}). The driver regenerated the fixtures "
+                "with a new physical shape — extend the loader contract "
+                "deliberately rather than letting every consumer fail. "
+                f"Observed schema: {df.schema.simpleString()}"
             )
 
 

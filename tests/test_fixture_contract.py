@@ -90,18 +90,28 @@ _EVENTS_QUERIES = [
 def test_temporal_contract_accepts_current_fixtures(spark):
     from map_reduce_folds_spark.sources import load_table
 
-    for t in ("events", "orders", "lineitem"):
+    for t in ("events", "orders", "lineitem", "documents", "embeddings"):
         load_table(spark, SF_DIR, t)  # raises TypeError on contract breach
 
 
+def test_contract_rejects_non_array_embedding(spark):
+    from map_reduce_folds_spark.sources import _check_fixture_contract
+
+    bad = spark.createDataFrame(
+        [(1, "0.5,0.25")], "vec_id bigint, embedding string"
+    )
+    with pytest.raises(TypeError, match="embedding arrived as unsupported"):
+        _check_fixture_contract("embeddings", bad)
+
+
 def test_temporal_contract_rejects_string_date(spark):
-    from map_reduce_folds_spark.sources import _check_temporal_contract
+    from map_reduce_folds_spark.sources import _check_fixture_contract
 
     bad = spark.createDataFrame(
         [(1, "1995-01-01")], "o_orderkey bigint, o_orderdate string"
     )
     with pytest.raises(TypeError, match="o_orderdate arrived as unsupported"):
-        _check_temporal_contract("orders", bad)
+        _check_fixture_contract("orders", bad)
 
 
 @pytest.mark.parametrize("name", _EVENTS_QUERIES)
