@@ -60,6 +60,20 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     w.orc(path)
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True, **options) -> None:
+    """Interchange sink (no stats/pushdown on re-read — columnar formats
+    are the pipeline-internal choice; this is for handoff)."""
+    df.write.mode(mode).options(header=str(header).lower(), **options).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite",
+               **options) -> None:
+    """JSON-lines sink — one object per line, the interchange format most
+    ingestion tooling consumes."""
+    df.write.mode(mode).options(**options).json(path)
+
+
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 

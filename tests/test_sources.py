@@ -49,7 +49,7 @@ def test_orc_roundtrip_and_pushdown(spark, nation, tmp_path_factory):
 
 def test_csv_roundtrip(spark, nation, tmp_path_factory):
     p = str(tmp_path_factory.mktemp("csv")) + "/nation"
-    nation.write.mode("overwrite").option("header", "true").csv(p)
+    sources.write_csv(nation, p)
     back = sources.read_csv(
         spark, p, schema="n_nationkey int, n_name string, n_regionkey int"
     )
@@ -58,7 +58,7 @@ def test_csv_roundtrip(spark, nation, tmp_path_factory):
 
 def test_json_roundtrip(spark, nation, tmp_path_factory):
     p = str(tmp_path_factory.mktemp("json")) + "/nation"
-    nation.write.mode("overwrite").json(p)
+    sources.write_json(nation, p)
     back = sources.read_json(
         spark, p, schema="n_nationkey int, n_name string, n_regionkey int"
     )
