@@ -106,7 +106,10 @@ def main():
             break
     # Failure isolation: one broken query must cost one row of the report,
     # never the whole run — the JSON line is ALWAYS emitted (rc 0) with an
-    # ``errors`` map naming any query that raised (warm-up or timed pass).
+    # ``errors`` map naming any query that raised.  A warm-up failure (a
+    # DIFFERENT scale factor) does not skip the timed pass; a timed-pass
+    # failure nulls the headline total so a shrunken sum can never read as
+    # a speedup.
     errors: dict[str, str] = {}
     if warm_dir:
         for name in BENCH_QUERIES:
@@ -121,7 +124,8 @@ def main():
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
-        if fn is None or name in errors:
+        if fn is None:
+            errors[name] = "unregistered: query missing from QUERIES"
             continue
         # best of 2 timed passes: single-machine timings carry ±10-15%
         # noise from page cache / JIT / GC state; the minimum is the
@@ -145,8 +149,13 @@ def main():
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+        # a warm-up error at another SF is superseded by a good timed run
+        if errors.get(name, "").startswith("warmup:"):
+            del errors[name]
 
-    total = round(sum(timings.values()), 3)
+    # value is null whenever any headline query is missing from the sum —
+    # a partial total must never be comparable to a full one
+    total = round(sum(timings.values()), 3) if not errors else None
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -156,6 +165,7 @@ def main():
     }
     if errors:
         out["errors"] = errors
+        out["partial_total_sec"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
 
 

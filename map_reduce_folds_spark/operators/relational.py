@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..timeutil import epoch_seconds
+
 
 def join(
     left: DataFrame,
@@ -123,6 +125,7 @@ def asof_join(
     right_time: str,
     direction: str = "backward",
     strategy: str = "merge",
+    hot_key_bucket: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` (backward) or earliest with ``>=`` (forward),
@@ -137,15 +140,28 @@ def asof_join(
       sort, zero fan-out: cost is O(n log n) per key regardless of how wide
       the time range is.  This is the sort-merge as-of of kdb/pandas
       ``merge_asof``, expressed as Catalyst window aggregation.  Caveat: a
-      pathologically hot key serializes into one partition's sort (same
-      skew profile as any per-key window; pre-split by a coarse time bucket
-      if a single key exceeds a partition).
+      pathologically hot key serializes into one partition's sort — pass
+      ``hot_key_bucket`` to pre-split it (below).
     - ``range`` — conditional join + per-left-row dedup.  Fan-out is
       unbounded for wide time ranges (every left row pairs with EVERY
       earlier right row before dedup), so use it only when one side is
       broadcast-small or the join is tolerance-bounded upstream.
+
+    ``hot_key_bucket`` (merge only) — the skew escape hatch.  A width in
+    the time column's own units (seconds for timestamps, plain numbers for
+    numeric times): rows are additionally partitioned by
+    ``floor(time / width)``, the running ``last`` runs per (key, bucket) —
+    so a key holding 50% of all rows spreads over time-range/width window
+    partitions instead of serializing into one — and the cross-bucket
+    carry is stitched with a per-(key, bucket) summary table that is
+    smaller than the data by the average bucket occupancy.  Exact same
+    results as the unsplit form (property-tested on skewed data).  Cost:
+    one extra shuffle of the summary table; use only when a key is hot
+    enough to overflow a partition.
     """
     if strategy == "range":
+        if hot_key_bucket is not None:
+            raise ValueError("hot_key_bucket applies to strategy='merge' only")
         return _asof_range(left, right, on, left_time, right_time, direction)
     payload = [c for c in right.columns if c not in (on, right_time)]
     # the match travels as ONE struct so a single running `last` fills the
@@ -164,6 +180,9 @@ def asof_join(
         order = [F.col("__t").asc_nulls_first(), F.col("__side").asc()]
     else:
         order = [F.col("__t").desc_nulls_first(), F.col("__side").asc()]
+    if hot_key_bucket is not None:
+        return _asof_merge_split(u, on, order, payload, left.columns,
+                                 direction, hot_key_bucket)
     w = (
         Window.partitionBy(on).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -178,6 +197,83 @@ def asof_join(
         u.withColumn("__m", filled)
         .filter(F.col("__side") == 1)
         .select(*left.columns, F.col("__m.__rt").alias("__rt"),
+                *[F.col(f"__m.{c}").alias(c) for c in payload])
+    )
+
+
+def _asof_merge_split(
+    u: DataFrame,
+    on: str,
+    order: list[Column],
+    payload: list[str],
+    left_columns: list[str],
+    direction: str,
+    hot_key_bucket: float,
+) -> DataFrame:
+    """Hot-key pre-split body of the merge as-of (``hot_key_bucket=``).
+
+    Decomposition (backward; forward is the time-mirrored dual):
+
+    1. bucket every unioned row by ``floor(time / width)`` — any
+       deterministic monotonic bucketing preserves correctness, so float
+       rounding at bucket edges is harmless;
+    2. the running ``last(match)`` window runs per (key, bucket) — the
+       hot key's sort is now parallel across its time range;
+    3. per (key, bucket), the carry-out is simply the bucket's latest
+       right row (``max_by(match, time)``; earliest/``min_by`` forward) —
+       computed by aggregation, no window;
+    4. an exclusive running ``last`` over the per-(key, bucket) summary
+       rows — bounded by #distinct (key, bucket), orders of magnitude
+       smaller than the data — gives each bucket its carry-in;
+    5. a row's match = its local running last, else the bucket carry-in.
+
+    The left-row fill condition and the (time, side) intra-bucket order
+    are byte-identical to the unsplit form, so results match exactly.
+    """
+    if hot_key_bucket <= 0:
+        raise ValueError("hot_key_bucket must be positive")
+    backward = direction == "backward"
+    # unit-generic time: timestamps bucket by epoch seconds, numerics as-is
+    dt = dict(u.dtypes)["__t"]
+    tnum = (epoch_seconds("__t") if dt.startswith("timestamp")
+            else F.col("__t").cast("double"))
+    u2 = u.withColumn("__bk", F.floor(tnum / F.lit(float(hot_key_bucket))))
+    w_local = (
+        Window.partitionBy(on, "__bk").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # carry-out of each bucket: its last right row in scan order (right
+    # rows are the only non-null __m, so max_by/min_by over them is the
+    # bucket-final value the unsplit running `last` would hold)
+    pick = F.max_by if backward else F.min_by
+    summ = (
+        u2.filter(F.col("__side") == 0)
+        .groupBy(on, "__bk")
+        .agg(pick("__m", F.col("__t")).alias("__mb"))
+    )
+    # carry-in per (key, bucket) actually present: exclusive running last
+    # over the summary rows in bucket-scan order (≤ one row per bucket)
+    bk_order = F.col("__bk").asc() if backward else F.col("__bk").desc()
+    w_carry = (
+        Window.partitionBy(on).orderBy(bk_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        u2.select(on, "__bk").distinct()
+        .join(summ, [on, "__bk"], "left")
+        .withColumn("__carry", F.last("__mb", ignorenulls=True).over(w_carry))
+        .select(on, "__bk", "__carry")
+    )
+    filled = F.when(
+        F.col(on).isNotNull() & F.col("__t").isNotNull(),
+        F.coalesce(F.last("__m", ignorenulls=True).over(w_local),
+                   F.col("__carry")),
+    )
+    return (
+        u2.join(carry, [on, "__bk"], "left")
+        .withColumn("__m", filled)
+        .filter(F.col("__side") == 1)
+        .select(*left_columns, F.col("__m.__rt").alias("__rt"),
                 *[F.col(f"__m.{c}").alias(c) for c in payload])
     )
 

@@ -163,8 +163,10 @@ def deterministic_shuffle(
     2. rank within each bucket in parallel (windows partitioned by
        bucket);
     3. global position = rank + the bucket's offset (exclusive prefix sum
-       of the ≤ ``n_buckets`` bucket counts — computed driver-side and
-       broadcast-joined back: the standard bounded-metadata pattern).
+       of the ≤ ``n_buckets`` bucket counts — computed LAZILY by
+       ``windows.exclusive_bucket_offsets`` and broadcast-joined back:
+       bounded metadata, and nothing executes at plan-construction time,
+       so ranks and offsets always come from the same data snapshot).
 
     Two shuffles (window + count agg) and n_buckets-way parallelism in
     place of the single-task sort; measured 15.5 s → 3 s on 10M rows
@@ -173,6 +175,8 @@ def deterministic_shuffle(
     if n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     from pyspark.sql.window import Window
+
+    from .windows import exclusive_bucket_offsets
 
     shift = 60 - n_buckets.bit_length() + 1
     h = hash60(F.col(id_col).cast("string"), salt)
@@ -184,15 +188,9 @@ def deterministic_shuffle(
     w = Window.partitionBy("__b").orderBy(F.col("__h"), F.col(id_col))
     ranked = tagged.withColumn("__r", F.row_number().over(w).cast("bigint"))
 
-    counts = tagged.groupBy("__b").count().collect()  # ≤ n_buckets rows
-    offsets, acc = {}, 0
-    for row in sorted(counts, key=lambda r: r["__b"]):
-        offsets[row["__b"]] = acc
-        acc += row["count"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "__b bigint, __off bigint"
-    )
+    counts = tagged.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"))
+    off_df = exclusive_bucket_offsets(counts)
     return (
         ranked.join(F.broadcast(off_df), "__b")
         .withColumn(pos_col, (F.col("__off") + F.col("__r")))

@@ -63,6 +63,45 @@ def ranked(
     return df.withColumn(out, fns[method]().over(w))
 
 
+def exclusive_bucket_offsets(
+    totals: DataFrame,
+    bucket_col: str = "__b",
+    total_col: str = "__t",
+    out_col: str = "__off",
+) -> DataFrame:
+    """LAZY exclusive prefix sum over per-bucket totals (≤ ~thousands of
+    rows): collect_list to ONE row (bounded metadata — an aggregation, not
+    a driver collect), running sums via higher-order array functions
+    (transform + aggregate over prefixes: O(n_buckets²) element adds,
+    trivial at this cardinality), explode back to (bucket, offset) rows.
+
+    No driver-side job, no global-ORDER-BY window: a plan embedding this
+    stays PURE — nothing executes at construction time, and re-executing
+    the returned DataFrame recomputes offsets from the then-current data,
+    so ranks and offsets can never disagree across executions (the
+    snapshot hazard of the old collect()-at-build-time form)."""
+    arr = totals.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(bucket_col), F.col(total_col)))
+        ).alias("__a")
+    )
+    pref = F.transform(
+        F.col("__a"),
+        lambda x, i: F.struct(
+            x[bucket_col].alias(bucket_col),
+            F.aggregate(
+                F.slice("__a", F.lit(1), i), F.lit(0).cast("bigint"),
+                lambda acc, y: acc + F.coalesce(y[total_col], F.lit(0)),
+            ).alias(out_col),
+        ),
+    )
+    return (
+        arr.select(F.explode(pref).alias("__s"))
+        .select(F.col(f"__s.{bucket_col}").alias(bucket_col),
+                F.col(f"__s.{out_col}").alias(out_col))
+    )
+
+
 def ordered_prefix_sum(
     df: DataFrame,
     order_col: str,
@@ -74,27 +113,38 @@ def ordered_prefix_sum(
     ``order_col`` (which must be unique) — WITHOUT the single-task
     ``ORDER BY``-only window that a naive global running sum compiles to.
 
-    Distributed prefix-sum decomposition:
+    Distributed prefix-sum decomposition, fully LAZY (construction runs no
+    job; every execution re-derives ranges, ranks, and offsets from the
+    same data snapshot):
 
     1. bucket rows by order-preserving ranges of ``order_col`` (range
-       width from one cheap min/max agg — buckets are a pure function of
-       the value, so recomputation is deterministic; uniform when ids are
-       dense, the common case for generated ids);
+       width from a one-row min/max aggregate, broadcast back — uniform
+       when ids are dense, the common case for generated ids; skewed
+       domains degrade bucket balance, not correctness);
     2. exclusive running sum WITHIN each bucket (windows partitioned by
        bucket — parallel);
-    3. per-bucket totals → driver-side exclusive prefix sum over
-       ≤ ``n_buckets`` rows → broadcast-joined offsets (the bounded-
-       metadata pattern);
+    3. per-bucket totals → :func:`exclusive_bucket_offsets` (lazy
+       bounded-metadata prefix over ≤ ``n_buckets`` rows) → broadcast-
+       joined back;
     4. global prefix = bucket offset + local prefix.
 
     Same result as ``SUM() OVER (ORDER BY order_col ROWS UNBOUNDED
     PRECEDING AND 1 PRECEDING)``, n_buckets-way parallel."""
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
-    if lo is None:
-        return df.withColumn(out_col, F.lit(0).cast("bigint"))
-    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
-    b = ((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("bigint")
-    tagged = df.withColumn("__b", b)
+    stats = df.agg(
+        F.min(order_col).cast("bigint").alias("__lo"),
+        F.max(order_col).cast("bigint").alias("__hi"),
+    ).withColumn(
+        "__w",
+        F.greatest(F.lit(1).cast("bigint"),
+                   ((F.col("__hi") - F.col("__lo")) / F.lit(n_buckets))
+                   .cast("bigint") + F.lit(1)),
+    )
+    tagged = (
+        df.crossJoin(F.broadcast(stats))  # one-row stats — broadcast idiom
+        .withColumn("__b", ((F.col(order_col) - F.col("__lo")) / F.col("__w"))
+                    .cast("bigint"))
+        .drop("__lo", "__hi", "__w")
+    )
     w = (
         Window.partitionBy("__b").orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -102,15 +152,11 @@ def ordered_prefix_sum(
     local = tagged.withColumn(
         "__local", F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint")
     )
-    totals = tagged.groupBy("__b").agg(F.sum(value_col).alias("__t")).collect()
-    offsets, acc = [], 0
-    for row in sorted(totals, key=lambda r: r["__b"]):
-        offsets.append((int(row["__b"]), acc))
-        acc += int(row["__t"])
-    off_df = df.sparkSession.createDataFrame(offsets, "__b bigint, __off bigint")
+    totals = tagged.groupBy("__b").agg(F.sum(value_col).alias("__t"))
+    off_df = exclusive_bucket_offsets(totals)
     return (
-        local.join(F.broadcast(off_df), "__b")
-        .withColumn(out_col, F.col("__off") + F.col("__local"))
+        local.join(F.broadcast(off_df), "__b", "left")
+        .withColumn(out_col, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__local"))
         .drop("__b", "__local", "__off")
     )
 
@@ -121,12 +167,35 @@ def sessionize(
     ts: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    hot_key_bucket: float | None = None,
 ) -> DataFrame:
     """Batch sessionization: a new session starts when the gap to the
     previous event (per key) exceeds ``gap_seconds``.  Classic two-window
     composition: lag → gap flag → running sum of flags = session index.
     One shuffle on ``key``.  (Streaming equivalent: F.session_window —
-    streaming/ module.)"""
+    streaming/ module.)
+
+    ``hot_key_bucket`` — skew escape hatch for a pathologically hot key
+    (a bot user holding half the events): a bucket width in SECONDS.  Rows
+    are additionally windowed per (key, floor(epoch/width)); the cross-
+    bucket session arithmetic is stitched through a per-(key, bucket)
+    summary table (≤ one row per non-empty bucket):
+
+    - a bucket's first event starts a new session iff the gap to the
+      PREVIOUS bucket's last event exceeds the threshold (``first_flag``,
+      computed with one lag over the summary rows);
+    - a row's session id = exclusive running sum of earlier buckets'
+      session starts + its bucket's first_flag + the running count of
+      intra-bucket starts at or before it (excluding the first row, whose
+      start decision lives in first_flag).
+
+    Exact same ids as the unsplit form (property-tested on skewed data);
+    requires non-null ``ts``.  Cost: one extra shuffle of the summary
+    table — use only when one key overflows a partition.
+    """
+    if hot_key_bucket is not None:
+        return _sessionize_split(df, key, ts, gap_seconds, session_col,
+                                 hot_key_bucket)
     w = Window.partitionBy(key).orderBy(ts)
     # epoch_seconds tolerates TIMESTAMP and TIMESTAMP_NTZ alike (timeutil)
     gap = epoch_seconds(ts) - F.lag(epoch_seconds(ts)).over(w)
@@ -134,4 +203,59 @@ def sessionize(
     return df.withColumn(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def _sessionize_split(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    session_col: str,
+    hot_key_bucket: float,
+) -> DataFrame:
+    """Hot-key pre-split body of :func:`sessionize` (``hot_key_bucket=``)."""
+    if hot_key_bucket <= 0:
+        raise ValueError("hot_key_bucket must be positive")
+    es = epoch_seconds(ts)
+    t = df.withColumn("__es", es).withColumn(
+        "__bk", F.floor(F.col("__es") / F.lit(float(hot_key_bucket))))
+    w_loc = Window.partitionBy(key, "__bk").orderBy("__es")
+    # intra-bucket starts; a bucket's FIRST row contributes 0 here — its
+    # start decision needs the previous bucket's last event (first_flag)
+    lag_local = F.lag("__es").over(w_loc)
+    is_new_rest = F.when(
+        lag_local.isNotNull() & (F.col("__es") - lag_local > gap_seconds), 1
+    ).otherwise(0)
+    loc = t.withColumn("__new_rest", is_new_rest).withColumn(
+        "__cum_rest",
+        F.sum(is_new_rest).over(
+            w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    summ = loc.groupBy(key, "__bk").agg(
+        F.min("__es").alias("__first"),
+        F.max("__es").alias("__last"),
+        F.sum("__new_rest").alias("__rest_total"),
+    )
+    # summary rows exist only for non-empty buckets, so lag(__last) IS the
+    # key's previous event time — no empty-bucket gaps to skip over
+    w_s = Window.partitionBy(key).orderBy("__bk")
+    prev_last = F.lag("__last").over(w_s)
+    first_flag = F.when(
+        prev_last.isNull() | (F.col("__first") - prev_last > gap_seconds), 1
+    ).otherwise(0)
+    summ2 = summ.withColumn("__ff", first_flag).withColumn(
+        "__off",
+        F.coalesce(
+            F.sum(F.col("__ff") + F.col("__rest_total")).over(
+                w_s.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return (
+        loc.join(summ2.select(key, "__bk", "__ff", "__off"), [key, "__bk"])
+        .withColumn(session_col,
+                    (F.col("__off") + F.col("__ff") + F.col("__cum_rest"))
+                    .cast("bigint"))
+        .select(*df.columns, session_col)
     )

@@ -133,6 +133,16 @@ def _check_fixture_contract(name: str, df: DataFrame) -> None:
         "documents": {"text": (StringType,)},
     }
     for col, accepted in contract.get(name, {}).items():
+        # a dropped/renamed column is the same breakage class as a dtype
+        # change — same single clear message, not a bare KeyError
+        if col not in df.schema.fieldNames():
+            raise TypeError(
+                f"{name}.{col} is MISSING from the regenerated fixture. "
+                "The driver dropped or renamed a load-bearing column — "
+                "extend the loader contract deliberately rather than "
+                "letting every consumer fail. "
+                f"Observed schema: {df.schema.simpleString()}"
+            )
         dt = df.schema[col].dataType
         ok = accepted(dt) if callable(accepted) and not isinstance(
             accepted, tuple) else isinstance(dt, accepted)

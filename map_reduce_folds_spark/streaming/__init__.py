@@ -231,9 +231,12 @@ def sessionize_stateful(
             if getattr(t.dt, "tz", None) is not None:
                 t = t.dt.tz_convert("UTC").dt.tz_localize(None)
             ts_us.append(t.to_numpy().astype("int64") // 1000)
-        if not ts_us:
+        # guard on the CONCATENATED array: pdf_iter can yield chunks that
+        # are all zero-row, which `if not ts_us` would miss
+        times = (np.sort(np.concatenate(ts_us)) if ts_us
+                 else np.array([], dtype="int64"))
+        if times.size == 0:
             return
-        times = np.sort(np.concatenate(ts_us))
         prev = tuple(state.get) if state.exists else None
         closed, open_ = _fold_session_times(times, prev, gap_us)
         state.update(open_)
@@ -504,9 +507,12 @@ def sessionize_tws(
                 if getattr(t.dt, "tz", None) is not None:
                     t = t.dt.tz_convert("UTC").dt.tz_localize(None)
                 ts_us.append(t.to_numpy().astype("int64") // 1000)
-            if not ts_us:
+            # guard on the CONCATENATED array (all-zero-row chunks would
+            # slip past `if not ts_us`)
+            times = (np.sort(np.concatenate(ts_us)) if ts_us
+                     else np.array([], dtype="int64"))
+            if times.size == 0:
                 return
-            times = np.sort(np.concatenate(ts_us))
             prev = self._state.get() if self._state.exists() else None
             closed, (start, end, n) = _fold_session_times(times, prev, gap_us)
             for s in closed:

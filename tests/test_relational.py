@@ -125,6 +125,141 @@ def test_sessionize_gap_boundary(spark):
     assert sessions[(2, 0)] == 1
 
 
+def test_asof_hot_key_bucket_equals_unsplit_on_skew(spark):
+    """The hot-key pre-split (hot_key_bucket=) must return exactly the
+    unsplit merge as-of results on pathologically skewed data: one key
+    holds 50% of all rows on both sides."""
+    n = 20_000
+    trades = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 211).cast("string")))
+        .alias("sym"),
+        (F.col("id") * 7 % 100_000).alias("t"),
+        F.col("id").alias("trade_id"),
+    )
+    quotes = spark.range(n // 2).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 211).cast("string")))
+        .alias("sym"),
+        (F.col("id") * 13 % 100_000).alias("qt"),
+        (F.col("id") % 997).cast("double").alias("px"),
+    )
+    for direction in ("backward", "forward"):
+        base = R.asof_join(trades, quotes, on="sym", left_time="t",
+                           right_time="qt", direction=direction)
+        split = R.asof_join(trades, quotes, on="sym", left_time="t",
+                            right_time="qt", direction=direction,
+                            hot_key_bucket=5_000)
+        assert base.exceptAll(split).count() == 0
+        assert split.exceptAll(base).count() == 0
+        assert split.count() == n
+
+
+def test_asof_hot_key_bucket_plan_splits_hot_key(spark):
+    """Plan pin: with hot_key_bucket the running-last window partitions by
+    (key, bucket) — so the hot key's sort is spread over >1 window group —
+    while the unsplit form partitions by the key alone."""
+    from map_reduce_folds_spark.plans import executed_plan
+
+    trades = spark.range(1000).select(
+        F.lit("HOT").alias("sym"), F.col("id").alias("t"),
+        F.col("id").alias("trade_id"))
+    quotes = spark.range(500).select(
+        F.lit("HOT").alias("sym"), (F.col("id") * 2).alias("qt"),
+        F.col("id").cast("double").alias("px"))
+    split = R.asof_join(trades, quotes, on="sym", left_time="t",
+                        right_time="qt", hot_key_bucket=100)
+    split.collect()
+    plan = executed_plan(split)
+    assert "__bk" in plan  # bucket column reaches the physical plan
+    # the row-level window spec partitions by (sym, __bk), not sym alone
+    assert any("windowspecdefinition" in ln and "sym" in ln and "__bk" in ln
+               for ln in plan.splitlines())
+    # the single hot key genuinely spans many buckets on this data
+    n_buckets = trades.select(
+        F.floor(F.col("t").cast("double") / 100).alias("b")
+    ).distinct().count()
+    assert n_buckets == 10
+    base = R.asof_join(trades, quotes, on="sym", left_time="t",
+                       right_time="qt")
+    base.collect()
+    assert "__bk" not in executed_plan(base)
+
+
+def test_asof_hot_key_bucket_edge_semantics(spark):
+    """Null keys/times, inclusive equal-time match, and duplicate left
+    rows behave identically to the unsplit merge form under the split."""
+    quotes = spark.createDataFrame(
+        [("A", 4, 1.0), ("A", None, 9.0), (None, 1, 8.0)],
+        "sym string, qt bigint, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 4, 1), ("A", 4, 1), ("A", None, 2), (None, 2, 3)],
+        "sym string, t bigint, trade_id bigint",
+    )
+    out = R.asof_join(trades, quotes, on="sym", left_time="t",
+                      right_time="qt", hot_key_bucket=2).collect()
+    assert len(out) == 4
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.trade_id, []).append(r.px)
+    assert by_id[1] == [1.0, 1.0]   # equal time matches (inclusive)
+    assert by_id[2] == [None]       # null left time -> no match
+    assert by_id[3] == [None]       # null key -> no match
+    with pytest.raises(ValueError):
+        R.asof_join(trades, quotes, on="sym", left_time="t",
+                    right_time="qt", strategy="range", hot_key_bucket=2)
+
+
+def test_sessionize_hot_key_bucket_equals_unsplit_on_skew(spark):
+    """Split sessionization must assign exactly the same session ids as
+    the unsplit form when one user holds 50% of all events, including
+    sessions that span bucket boundaries."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 97 + 1).alias("user_id"),
+        # ~38s hot-user spacing with jitter, plus a 2000s dead gap every
+        # 1000 ids — so sessions genuinely close, and session interiors
+        # span many 1800s buckets
+        F.timestamp_seconds(
+            F.col("id") * 19
+            + F.floor(F.col("id") / 1000) * 2000
+            + (F.col("id") * 37 % 89) * (F.col("id") % 7 + 1)
+        ).alias("ts"),
+    )
+    base = W.sessionize(df, "user_id", "ts", gap_seconds=600)
+    split = W.sessionize(df, "user_id", "ts", gap_seconds=600,
+                         hot_key_bucket=1800)
+    assert base.exceptAll(split).count() == 0
+    assert split.exceptAll(base).count() == 0
+    assert split.count() == n
+    # sanity: the data really does cross buckets inside sessions
+    hot = split.filter("user_id = 0")
+    assert hot.count() == n // 2
+    assert hot.select(F.max("session_id")).first()[0] > 1
+
+
+def test_sessionize_hot_key_bucket_plan_splits_hot_key(spark):
+    from map_reduce_folds_spark.plans import executed_plan
+
+    # key must come from data (a literal would be constant-folded out of
+    # the window partition spec); 99.95% of rows share user 0
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 1999 == 1, 1).otherwise(0).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 10).alias("ts"))
+    split = W.sessionize(df, "user_id", "ts", gap_seconds=30,
+                         hot_key_bucket=1000)
+    split.collect()
+    plan = executed_plan(split)
+    assert any("windowspecdefinition" in ln and "user_id" in ln
+               and "__bk" in ln for ln in plan.splitlines())
+    # 2000 events * 10s / 1000s bucket = 20 window groups for one key
+    assert df.select(
+        F.floor(F.col("ts").cast("double") / 1000).alias("b")
+    ).distinct().count() == 20
+
+
 def test_rollup_cube_row_counts(spark):
     df = spark.createDataFrame(
         [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "p string, q string, v bigint"
