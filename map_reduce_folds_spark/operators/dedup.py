@@ -46,6 +46,22 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
     )
 
 
+def materialize_stage(df: DataFrame, path: str) -> DataFrame:
+    """Pipeline stage boundary as a TABLE WRITE: write ``df`` to parquet at
+    ``path`` (overwrite) and return a fresh scan of it.
+
+    This is the cluster-scale analog of ``.persist()`` between expensive
+    stages (e.g. LSH signatures feeding both sides of a bucket self-join):
+    the stage is computed exactly once, downstream consumers re-read the
+    materialized table instead of re-deriving the lineage (which would also
+    compile a doubled whole-stage-codegen tree), and — unlike a cache — the
+    boundary survives executor loss, frees no-longer-needed memory, and can
+    be inspected or reused across jobs.  The write is EAGER (runs a job at
+    call time) — inherent to a stage boundary."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -102,6 +118,7 @@ def minhash_band_rows(
     n: int = 3,
     k: int = 16,
     bands: int = 8,
+    token_pattern: str | None = None,
 ) -> DataFrame:
     """(id, sh array<bigint>, bandh array<bigint>) in ONE vectorized Arrow
     stage — semantically identical to
@@ -113,8 +130,14 @@ def minhash_band_rows(
     Parity is exact by construction: tokenization is the same
     single-space split, shingle hashing the same md5[:15hex] integer, and
     the permutation/band arithmetic is pure int64 — no floats anywhere.
-    Docs with fewer than ``n`` tokens are dropped (empty shingle set)."""
+    Docs with fewer than ``n`` tokens are dropped (empty shingle set).
+
+    ``token_pattern`` (opt-in, real corpora): tokenize with this regex
+    instead of the space split.  Compiled with ``re.ASCII`` so ``\\w``/
+    ``\\s`` match Java regex and RE2/DuckDB exactly (the portable-dialect
+    contract of text.DEFAULT_TOKEN_PATTERN)."""
     import hashlib
+    import re as _re
 
     import numpy as np
 
@@ -125,6 +148,7 @@ def minhash_band_rows(
     b_col = ab[:, 1:2]
     id_type = dict(docs.dtypes)[id_col]
     schema = f"{id_col} {id_type}, sh array<bigint>, bandh array<bigint>"
+    pat = _re.compile(token_pattern, _re.ASCII) if token_pattern else None
 
     def gen(batches):
         import pandas as pd
@@ -132,7 +156,7 @@ def minhash_band_rows(
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = text.split(" ")
+                toks = pat.findall(text) if pat else text.split(" ")
                 if len(toks) < n:
                     continue
                 shs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -156,6 +180,7 @@ def lsh_candidate_pairs(
     df: DataFrame, id_col: str, band_col: str, bands: int,
     materialize: bool = True,
     distinct: bool = True,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """Candidate pairs = ids sharing any band bucket.
 
@@ -168,13 +193,17 @@ def lsh_candidate_pairs(
     self-join.  This matters twice over: it stops Spark re-deriving the md5
     signature pipeline on both join sides, and it keeps the join's codegen
     tree small (self-joining the raw expression lineage compiles a huge
-    whole-stage method — observed 30× slower).  The cluster-scale analog is
-    writing signatures to a table between the two stages."""
+    whole-stage method — observed 30× slower).  ``materialize_path`` is the
+    cluster-scale form of the same boundary: write the exploded rows to a
+    parquet table at that path and self-join the SCAN (see
+    :func:`materialize_stage`) — identical results, table-backed."""
     e = df.select(
         F.col(id_col),
         F.posexplode(F.col(band_col)).alias("band_idx", "digest"),
     )
-    if materialize:
+    if materialize_path is not None:
+        e = materialize_stage(e, materialize_path)
+    elif materialize:
         e = e.persist()
     a = e.alias("a")
     b = e.alias("b")
@@ -203,18 +232,27 @@ def minhash_near_dup_pairs(
     k: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    token_pattern: str | None = None,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → sign → band → bucket-join
     → exact-Jaccard verify ≥ threshold.
 
     Output: (id_a, id_b, jaccard).  Probabilistic recall (bands/rows tune
-    the S-curve); precision is exact because candidates are verified."""
-    # ONE persisted projection carries both the shingle sets (for verify)
-    # and the band digests (for candidate generation): a single cache fill,
-    # reused by the bucket self-join's two sides and the verify join's two
-    # sides (five consumers, one evaluation of the signature stage).  The
-    # stage itself is the vectorized Arrow form — see minhash_band_rows.
-    base = minhash_band_rows(docs, id_col, text_col, n=n, k=k, bands=bands).persist()
+    the S-curve); precision is exact because candidates are verified.
+
+    ``materialize_path``: back the signature-stage boundary with a parquet
+    table at this path instead of ``.persist()`` — the cluster-scale form
+    (see :func:`materialize_stage`); results are identical."""
+    # ONE materialized projection carries both the shingle sets (for verify)
+    # and the band digests (for candidate generation): a single evaluation
+    # of the signature stage, reused by the bucket self-join's two sides
+    # and the verify join's two sides (five consumers).  The stage itself
+    # is the vectorized Arrow form — see minhash_band_rows.
+    base = minhash_band_rows(docs, id_col, text_col, n=n, k=k, bands=bands,
+                             token_pattern=token_pattern)
+    base = (materialize_stage(base, materialize_path)
+            if materialize_path is not None else base.persist())
     cand = lsh_candidate_pairs(base, id_col, "bandh", bands, materialize=False,
                                distinct=False)
 
@@ -242,6 +280,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    token_pattern: str | None = None,
 ) -> DataFrame:
     """ALL pairs with Jaccard ≥ threshold, exactly — via the inverted index:
     explode shingles, self-join on shingle hash, count common shingles per
@@ -259,7 +298,9 @@ def ngram_jaccard_pairs(
     missed (such pairs share only boilerplate, which is exactly what the
     cap is meant to discount)."""
     sh = docs.select(
-        F.col(id_col), distinct_shingle_hashes(text_col, n).alias("sh")
+        F.col(id_col),
+        distinct_shingle_hashes(text_col, n,
+                                token_pattern=token_pattern).alias("sh"),
     ).filter(F.size("sh") > 0)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("sz"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("h"))

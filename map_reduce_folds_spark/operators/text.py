@@ -33,9 +33,26 @@ def hash60_sql(expr: str, salt: str = "") -> str:
 
 def tokenize(col: Column | str) -> Column:
     """Canonical tokenization: split on single spaces (fixture documents are
-    space-separated).  Swap for a regexp split for real corpora."""
+    space-separated).  For real corpora use :func:`tokenize_regex` — every
+    shingle/minhash consumer takes a ``token_pattern=`` opt-in."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, " ")
+
+
+#: Default regex tokenizer pattern — word runs or single punctuation marks.
+#: Deliberately dialect-portable: identical matches in Java regex (Spark),
+#: RE2 (DuckDB), and Python ``re`` compiled with ``re.ASCII`` (the Arrow
+#: minhash stage) — no lookaround, no unicode classes.
+DEFAULT_TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+
+def tokenize_regex(col: Column | str,
+                   pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
+    """Regex tokenization for real (non-space-normalized) corpora:
+    array of all matches of ``pattern``.  Same shape as
+    :func:`token_count_regex` but keeps the tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
 
 
 def token_count_regex(col: Column | str, pattern: str = r"\w+|[^\w\s]") -> Column:
@@ -61,11 +78,19 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def distinct_shingle_hashes(text: Column | str, n: int = 3, salt: str = "") -> Column:
+def distinct_shingle_hashes(
+    text: Column | str,
+    n: int = 3,
+    salt: str = "",
+    token_pattern: str | None = None,
+) -> Column:
     """array<bigint> of distinct hashed n-gram shingles — the unit record for
     MinHash / Jaccard work.  array_distinct before hashing keeps set
-    semantics."""
-    sh = F.array_distinct(shingles(tokenize(text), n))
+    semantics.  ``token_pattern`` switches the space-split tokenizer to
+    :func:`tokenize_regex` (opt-in for real corpora)."""
+    toks = (tokenize(text) if token_pattern is None
+            else tokenize_regex(text, token_pattern))
+    sh = F.array_distinct(shingles(toks, n))
     return F.array_distinct(F.transform(sh, lambda s: hash60(s, salt)))
 
 

@@ -229,7 +229,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=_N, threshold=_JT)
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(sh_cte: str | None = None) -> str:
     from map_reduce_folds_spark.operators.dedup import _mh_coeffs
 
     rows = _K // _BANDS
@@ -252,7 +252,7 @@ def _minhash_oracle() -> str:
         for b in range(_BANDS)
     )
     return f"""
-    WITH {_SH_CTE},
+    WITH {sh_cte if sh_cte is not None else _SH_CTE},
     sig AS (
         SELECT doc_id,
            {mins}
@@ -1182,4 +1182,67 @@ def dedup_multimodal_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.groupBy("id_a", "id_b").agg(
         F.max("src_text").alias("by_text"),
         F.max("src_emb").alias("by_embedding"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex-tokenizer variants (real-corpus opt-in; registered past the driver's
+# 50-entry window — the space-split twins inside the window stay
+# authoritative).  The pattern is text.DEFAULT_TOKEN_PATTERN, chosen for
+# dialect portability: Java regex (Spark), RE2 (DuckDB), Python re.ASCII
+# (the Arrow minhash stage) all produce identical matches.
+# ---------------------------------------------------------------------------
+
+_RE_TOKS = r"regexp_extract_all(text, '\w+|[^\w\s]')"
+
+_SH_CTE_RE = f"""
+toks AS (SELECT doc_id, {_RE_TOKS} AS tk FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           {_h60(f"array_to_string(tk[g.gs:g.gs+{_N - 1}], ' ')")} AS h
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - {_N - 1})) AS gs) g
+    WHERE len(tk) >= {_N}
+)"""
+
+
+@query(
+    "text_stats_regex",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                      {_RE_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+           CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr
+    FROM t
+    """,
+)
+def text_stats_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_stats on the regex tokenizer (tokenize_regex): token count,
+    char count, distinct-token count, type-token ratio — punctuation now
+    tokenizes separately, unlike the space split."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokenize_regex("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("ttr"),
+    )
+
+
+@query("dedup_minhash_regex", oracle=_minhash_oracle(_SH_CTE_RE))
+def dedup_minhash_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash-LSH near-dup pipeline with the regex tokenizer
+    threaded end-to-end (token_pattern= on minhash_near_dup_pairs → the
+    Arrow signature stage tokenizes with re.ASCII findall).  The oracle
+    reproduces the entire pipeline in SQL on DuckDB's RE2 — a hash-exact
+    match proves the three regex dialects agree on the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(
+        d, "doc_id", "text", n=_N, k=_K, bands=_BANDS, threshold=_JT,
+        token_pattern=T.DEFAULT_TOKEN_PATTERN,
     )
