@@ -61,14 +61,31 @@ def topk_per_group(
     k: int,
     rank_col: str = "rn",
     keep_rank: bool = False,
+    pre_split: int | None = None,
 ) -> DataFrame:
     """Per-group top-k via row_number window (SURVEY §2.7 'sorts/limits').
 
-    One shuffle on ``keys``; skewed groups are bounded because row_number
-    short-circuits nothing — for heavily skewed keys prefer pre-aggregation
-    or AQE skew handling.  Tie-break responsibility is the caller's, as in
-    :func:`topk`.
+    One shuffle on ``keys``; a pathologically hot key serializes its whole
+    group into one partition's sort.  ``pre_split=s`` is the skew escape
+    hatch (two-level tournament): rows are first ranked within
+    (key, hash(row)%s) — the hot key's sort spreads over ``s``
+    partitions — and only each sub-group's top-k (≤ s·k rows per key)
+    advances to the final per-key ranking.  Requires ``order_by`` to be a
+    TOTAL order (a non-deterministic tie-break could otherwise select a
+    different-but-equally-ranked row set than the single-pass form; with a
+    total order the result is identical — property-tested on 50%-skew
+    data).  Tie-break responsibility is the caller's, as in :func:`topk`.
     """
+    if pre_split is not None and pre_split > 1:
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(pre_split))
+        w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+        survivors = (
+            df.withColumn("__salt", salt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .drop("__salt", "__r1")
+        )
+        df = survivors
     w = Window.partitionBy(*keys).orderBy(*order_by)
     out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)

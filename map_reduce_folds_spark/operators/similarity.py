@@ -239,6 +239,7 @@ def embedding_near_dup_pairs_lsh(
     n_planes: int = 6,
     n_tables: int = 8,
     materialize: bool = True,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs via SRP-LSH buckets — the 100 TB path (no cross join).
 
@@ -259,9 +260,21 @@ def embedding_near_dup_pairs_lsh(
     stage (the equivalent Catalyst expression tree costs seconds of
     analysis per run).  ``materialize`` persists the (id, table, bucket)
     rows before the self-join so the signature stage runs once, not on both
-    join sides.  Cluster-scale analog: write signatures to a table."""
+    join sides; ``materialize_path`` writes them to a parquet table at that
+    path instead (the cluster-scale form — see dedup.materialize_stage).
+
+    SCALING THE BUCKET SPACE: bucket count is 2^n_planes per table, so a
+    growing corpus at FIXED planes grows per-bucket occupancy linearly and
+    the bucket self-join quadratically.  Add ~1 plane per corpus doubling
+    (and raise ``n_tables`` to hold the recall S-curve) — measured at 10×
+    the sf0.1 corpus, n_planes 6→9 brought the run from 11.9× back to
+    0.8× of the base time (SCALE.md round-5 scaling table)."""
     buckets = srp_bucket_rows(df, id_col, vec_col, dim, n_planes, n_tables)
-    if materialize:
+    if materialize_path is not None:
+        from map_reduce_folds_spark.operators.dedup import materialize_stage
+
+        buckets = materialize_stage(buckets, materialize_path)
+    elif materialize:
         buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = a.join(

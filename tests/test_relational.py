@@ -211,6 +211,31 @@ def test_asof_hot_key_bucket_edge_semantics(spark):
                     right_time="qt", strategy="range", hot_key_bucket=2)
 
 
+def test_topk_per_group_pre_split_equals_unsplit_on_skew(spark):
+    """The two-level tournament (pre_split=) must return exactly the
+    single-window per-group top-k when order_by is a total order, on data
+    where one group holds 50% of all rows."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 127).cast("string")))
+        .alias("g"),
+        (F.col("id") * 37 % 9973).alias("v"),
+        F.col("id").alias("uid"),
+    )
+    order = [F.col("v").desc(), F.col("uid")]  # total order (uid unique)
+    base = R.topk_per_group(df, ["g"], order, 5, keep_rank=True)
+    split = R.topk_per_group(df, ["g"], order, 5, keep_rank=True, pre_split=8)
+    assert base.exceptAll(split).count() == 0
+    assert split.exceptAll(base).count() == 0
+    # both window levels appear in the split plan: (g, __salt) then (g)
+    from map_reduce_folds_spark.plans import executed_plan
+    split.collect()
+    plan = executed_plan(split)
+    assert any("windowspecdefinition" in ln and "__salt" in ln
+               for ln in plan.splitlines())
+
+
 def test_sessionize_hot_key_bucket_equals_unsplit_on_skew(spark):
     """Split sessionization must assign exactly the same session ids as
     the unsplit form when one user holds 50% of all events, including

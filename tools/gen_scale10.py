@@ -1,0 +1,127 @@
+"""Generate a 10x-sf0.1 synthetic dataset for scaling measurement.
+
+Facts (orders, lineitem, events, documents, embeddings) are replicated
+10x with key offsets so every join stays valid; dimensions (region,
+nation, customer, supplier, part) stay fixed — the realistic shape of a
+growing warehouse (fact growth >> dim growth), and it means per-key group
+sizes genuinely grow 10x (the right stress for per-key windows,
+sessionization, and aggregations).
+
+Copy transforms keep the WORKLOAD shape linear rather than quadratic:
+
+- documents: every token in copy c>0 gets a ``_c{c}`` suffix, so shingle
+  sets are disjoint ACROSS copies — near-dup pair counts scale 10x, not
+  45x-cross-copy-quadratic (10 identical copies of each doc would make
+  every dedup query measure pair-explosion, not data scaling).
+- embeddings: copy c rolls the vector by c positions — norm and
+  distribution preserved, copies decorrelated (random vectors rolled are
+  ~orthogonal), so candidate volumes scale linearly.
+- events: ts shifted by 7c seconds per copy so per-user streams
+  interleave instead of stacking 10 duplicates on each instant.
+
+Usage: python tools/gen_scale10.py [out_dir]   (default scale_data/sf1.0)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from map_reduce_folds_spark.session import get_spark  # noqa: E402
+
+COPIES = 10
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def main() -> None:
+    src = "/root/testdata/sf0.1"
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scale_data", "sf1.0")
+    os.makedirs(out, exist_ok=True)
+    spark = get_spark(app_name="gen-scale10")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for t in DIMS:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+            "overwrite").parquet(f"{out}/{t}.parquet")
+        print(f"# {t}: copied")
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    ok_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    parts = [orders] + [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(c * ok_off))
+        for c in range(1, COPIES)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    print(f"# orders: x{COPIES} (orderkey offset {ok_off})")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    parts = [li] + [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(c * ok_off))
+        for c in range(1, COPIES)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    print(f"# lineitem: x{COPIES} (same orderkey offset)")
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ev_off = ev.agg(F.max("event_id")).first()[0] + 1
+    parts = [ev] + [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(c * ev_off))
+          .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {7 * c} SECONDS"))
+        for c in range(1, COPIES)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    print(f"# events: x{COPIES} (ts interleaved, user_id shared)")
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    d_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    parts = [docs]
+    for c in range(1, COPIES):
+        suffixed = F.array_join(
+            F.transform(F.split("text", " "),
+                        lambda tok: F.concat(tok, F.lit(f"_c{c}"))), " ")
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * d_off))
+                .withColumn("text", suffixed)
+                .withColumn("n_chars", F.length(suffixed)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print(f"# documents: x{COPIES} (per-copy token suffix)")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    v_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = emb.select(F.size("embedding")).first()[0]
+    parts = [emb]
+    for c in range(1, COPIES):
+        rolled = F.expr(
+            f"concat(slice(embedding, {c + 1}, {dim - c}), "
+            f"slice(embedding, 1, {c}))")
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * v_off))
+               .withColumn("embedding", rolled))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    print(f"# embeddings: x{COPIES} (rolled by copy index, dim={dim})")
+    print(f"# done -> {out}")
+
+
+if __name__ == "__main__":
+    main()
