@@ -137,17 +137,28 @@ def grouping_sets_agg(
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | Sequence[str],
     left_time: str,
     right_time: str,
     direction: str = "backward",
     strategy: str = "merge",
     hot_key_bucket: float | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` (backward) or earliest with ``>=`` (forward),
-    per ``on`` key.  Output = left columns + ``__rt`` (the matched right
-    time) + the right payload columns (null when no row qualifies).
+    ``right_time <= left_time`` (backward), earliest with ``>=`` (forward),
+    or smallest absolute distance with backward tie-break (nearest — the
+    full pandas ``merge_asof`` direction set), per ``on`` key (a column
+    name or a list — multi-key as-of, ``merge_asof(by=[...])`` parity).
+    Output = left columns + ``__rt`` (the matched right time) + the right
+    payload columns (null when no row qualifies).
+
+    ``tolerance`` — maximum allowed time distance (pandas merge_asof
+    parity): a match farther than this from the left time (in the time
+    column's own units; SECONDS for timestamps) comes back null.  In the
+    ``range`` strategy the bound ALSO prunes the conditional join's
+    fan-out; in ``merge`` it nulls out-of-range matches post-fill (same
+    results, property-tested).
 
     Two physical strategies, same semantics:
 
@@ -176,11 +187,16 @@ def asof_join(
     one extra shuffle of the summary table; use only when a key is hot
     enough to overflow a partition.
     """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction == "nearest":
+        return _asof_nearest(left, right, keys, left_time, right_time,
+                             strategy, hot_key_bucket, tolerance)
     if strategy == "range":
         if hot_key_bucket is not None:
             raise ValueError("hot_key_bucket applies to strategy='merge' only")
-        return _asof_range(left, right, on, left_time, right_time, direction)
-    payload = [c for c in right.columns if c not in (on, right_time)]
+        return _asof_range(left, right, keys, left_time, right_time,
+                           direction, tolerance)
+    payload = [c for c in right.columns if c not in (*keys, right_time)]
     # the match travels as ONE struct so a single running `last` fills the
     # matched time and every payload column together (a right row whose
     # payload columns are legitimately null is still a non-null struct)
@@ -188,7 +204,7 @@ def asof_join(
                      *[F.col(c) for c in payload])
     r = (
         right.filter(F.col(right_time).isNotNull())
-        .select(F.col(on), F.col(right_time).alias("__t"),
+        .select(*[F.col(k) for k in keys], F.col(right_time).alias("__t"),
                 F.lit(0).alias("__side"), match.alias("__m"))
     )
     l = left.withColumns({"__t": F.col(left_time), "__side": F.lit(1)})
@@ -198,34 +214,106 @@ def asof_join(
     else:
         order = [F.col("__t").desc_nulls_first(), F.col("__side").asc()]
     if hot_key_bucket is not None:
-        return _asof_merge_split(u, on, order, payload, left.columns,
-                                 direction, hot_key_bucket)
+        return _asof_merge_split(u, keys, order, payload, left.columns,
+                                 direction, hot_key_bucket, tolerance)
     w = (
-        Window.partitionBy(on).orderBy(*order)
+        Window.partitionBy(*keys).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # side ordering puts the right row FIRST at equal times, making the
     # comparison inclusive (<= / >=) exactly like the range form
+    keys_ok = _all_not_null(keys)
     filled = F.when(
-        F.col(on).isNotNull() & F.col("__t").isNotNull(),
+        keys_ok & F.col("__t").isNotNull(),
         F.last("__m", ignorenulls=True).over(w),
     )
-    return (
-        u.withColumn("__m", filled)
-        .filter(F.col("__side") == 1)
-        .select(*left.columns, F.col("__m.__rt").alias("__rt"),
-                *[F.col(f"__m.{c}").alias(c) for c in payload])
+    out = u.withColumn("__m", filled).filter(F.col("__side") == 1)
+    out = _apply_tolerance(out, direction, tolerance)
+    return out.select(*left.columns, F.col("__m.__rt").alias("__rt"),
+                      *[F.col(f"__m.{c}").alias(c) for c in payload])
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    strategy: str,
+    hot_key_bucket: float | None,
+    tolerance: float | None,
+) -> DataFrame:
+    """direction="nearest" (pandas merge_asof parity): the right row with
+    the SMALLEST absolute time distance; equal distance breaks BACKWARD
+    (the earlier row), matching pandas.  Composition: run the backward and
+    forward as-ofs (each one shuffle) keyed by a generated left-row id,
+    then pick per row — 2× the merge cost, same asymptotics."""
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    back = asof_join(lid, right, list(keys), left_time, right_time,
+                     "backward", strategy, hot_key_bucket, tolerance)
+    fwd = asof_join(lid, right, list(keys), left_time, right_time,
+                    "forward", strategy, hot_key_bucket, tolerance)
+    payload = [c for c in right.columns if c not in (*keys, right_time)]
+    dt = dict(right.dtypes)[right_time]
+    bsel = fwd.select(
+        "__lid", F.col("__rt").alias("__frt"),
+        *[F.col(c).alias(f"__f_{c}") for c in payload])
+    j = back.join(bsel, "__lid")
+    lt = _tnum(F.col(left_time), dict(lid.dtypes)[left_time])
+    bdelta = lt - _tnum(F.col("__rt"), dt)
+    fdelta = _tnum(F.col("__frt"), dt) - lt
+    # backward wins when it exists and is at least as close (tie → backward)
+    take_back = F.col("__rt").isNotNull() & (
+        F.col("__frt").isNull() | (bdelta <= fdelta))
+    out = j.select(
+        *left.columns,
+        F.when(take_back, F.col("__rt")).otherwise(F.col("__frt")).alias("__rt"),
+        *[F.when(take_back, F.col(c)).otherwise(F.col(f"__f_{c}")).alias(c)
+          for c in payload],
     )
+    return out
+
+
+def _all_not_null(keys: Sequence[str]) -> Column:
+    cond = F.col(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return cond
+
+
+def _tnum(col: Column, dtype: str) -> Column:
+    """Numeric view of a time value: epoch seconds for timestamps, the
+    value itself (as double) otherwise — makes tolerance/bucket arithmetic
+    unit-generic."""
+    return (epoch_seconds(col) if dtype.startswith("timestamp")
+            else col.cast("double"))
+
+
+def _apply_tolerance(out: DataFrame, direction: str,
+                     tolerance: float | None) -> DataFrame:
+    """Null out matches farther than ``tolerance`` from the left time.
+    Operates on the internal frame (``__t`` + matched struct ``__m``)."""
+    if tolerance is None:
+        return out
+    if tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
+    dt = dict(out.dtypes)["__t"]
+    lt = _tnum(F.col("__t"), dt)
+    rt = _tnum(F.col("__m.__rt"), dt)
+    delta = (lt - rt) if direction == "backward" else (rt - lt)
+    return out.withColumn(
+        "__m", F.when(delta <= F.lit(float(tolerance)), F.col("__m")))
 
 
 def _asof_merge_split(
     u: DataFrame,
-    on: str,
+    keys: Sequence[str],
     order: list[Column],
     payload: list[str],
     left_columns: list[str],
     direction: str,
     hot_key_bucket: float,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Hot-key pre-split body of the merge as-of (``hot_key_bucket=``).
 
@@ -252,11 +340,10 @@ def _asof_merge_split(
     backward = direction == "backward"
     # unit-generic time: timestamps bucket by epoch seconds, numerics as-is
     dt = dict(u.dtypes)["__t"]
-    tnum = (epoch_seconds("__t") if dt.startswith("timestamp")
-            else F.col("__t").cast("double"))
+    tnum = _tnum(F.col("__t"), dt)
     u2 = u.withColumn("__bk", F.floor(tnum / F.lit(float(hot_key_bucket))))
     w_local = (
-        Window.partitionBy(on, "__bk").orderBy(*order)
+        Window.partitionBy(*keys, "__bk").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # carry-out of each bucket: its last right row in scan order (right
@@ -265,63 +352,80 @@ def _asof_merge_split(
     pick = F.max_by if backward else F.min_by
     summ = (
         u2.filter(F.col("__side") == 0)
-        .groupBy(on, "__bk")
+        .groupBy(*keys, "__bk")
         .agg(pick("__m", F.col("__t")).alias("__mb"))
     )
     # carry-in per (key, bucket) actually present: exclusive running last
     # over the summary rows in bucket-scan order (≤ one row per bucket)
     bk_order = F.col("__bk").asc() if backward else F.col("__bk").desc()
     w_carry = (
-        Window.partitionBy(on).orderBy(bk_order)
+        Window.partitionBy(*keys).orderBy(bk_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        u2.select(on, "__bk").distinct()
-        .join(summ, [on, "__bk"], "left")
+        u2.select(*keys, "__bk").distinct()
+        .join(summ, [*keys, "__bk"], "left")
         .withColumn("__carry", F.last("__mb", ignorenulls=True).over(w_carry))
-        .select(on, "__bk", "__carry")
+        .select(*keys, "__bk", "__carry")
     )
     filled = F.when(
-        F.col(on).isNotNull() & F.col("__t").isNotNull(),
+        _all_not_null(keys) & F.col("__t").isNotNull(),
         F.coalesce(F.last("__m", ignorenulls=True).over(w_local),
                    F.col("__carry")),
     )
-    return (
-        u2.join(carry, [on, "__bk"], "left")
+    out = (
+        u2.join(carry, [*keys, "__bk"], "left")
         .withColumn("__m", filled)
         .filter(F.col("__side") == 1)
-        .select(*left_columns, F.col("__m.__rt").alias("__rt"),
-                *[F.col(f"__m.{c}").alias(c) for c in payload])
     )
+    out = _apply_tolerance(out, direction, tolerance)
+    return out.select(*left_columns, F.col("__m.__rt").alias("__rt"),
+                      *[F.col(f"__m.{c}").alias(c) for c in payload])
 
 
 def _asof_range(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    keys: Sequence[str],
     left_time: str,
     right_time: str,
     direction: str,
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Conditional-join as-of (see :func:`asof_join` ``strategy="range"``)."""
+    """Conditional-join as-of (see :func:`asof_join` ``strategy="range"``).
+    A ``tolerance`` bound is pushed INTO the join condition — it prunes
+    fan-out, not just the result."""
     # a generated row id is the dedup identity: partitioning the window by
     # *left.columns would (a) shuffle on the whole row — fragile for wide
     # rows — and (b) silently merge fully-identical left rows, dropping one
-    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    # "__asof_rid", not "__lid": the nearest-direction composition passes a
+    # left side that already carries its own row id
+    lid = left.withColumn("__asof_rid", F.monotonically_increasing_id())
     r = right.select(
-        F.col(on).alias("__k"), F.col(right_time).alias("__rt"),
-        *[c for c in right.columns if c not in (on, right_time)],
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        F.col(right_time).alias("__rt"),
+        *[c for c in right.columns if c not in (*keys, right_time)],
     )
+    keys_eq = F.lit(True)
+    for i, k in enumerate(keys):
+        keys_eq = keys_eq & (F.col(k) == F.col(f"__k{i}"))
     if direction == "backward":
-        cond = (F.col(on) == F.col("__k")) & (F.col("__rt") <= F.col(left_time))
+        cond = keys_eq & (F.col("__rt") <= F.col(left_time))
         order = F.col("__rt").desc()
     else:
-        cond = (F.col(on) == F.col("__k")) & (F.col("__rt") >= F.col(left_time))
+        cond = keys_eq & (F.col("__rt") >= F.col(left_time))
         order = F.col("__rt").asc()
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError("tolerance must be non-negative")
+        dt = dict(right.dtypes)[right_time]
+        lt, rt = _tnum(F.col(left_time), dt), _tnum(F.col("__rt"), dt)
+        delta = (lt - rt) if direction == "backward" else (rt - lt)
+        cond = cond & (delta <= F.lit(float(tolerance)))
     joined = lid.join(r, cond, "left")
-    w = Window.partitionBy("__lid").orderBy(order)
+    w = Window.partitionBy("__asof_rid").orderBy(order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__k", "__lid")
+        .drop("__rn", *[f"__k{i}" for i in range(len(keys))], "__asof_rid")
     )

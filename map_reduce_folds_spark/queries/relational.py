@@ -1730,3 +1730,37 @@ def sessionize_events_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = W.sessionize(e, key="user_id", ts="ts", gap_seconds=1800,
                      hot_key_bucket=7200)
     return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           epoch_us(c.mts) AS click_us, c.mval AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT ts AS mts, value AS mval
+        FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts <= p.ts AND epoch(p.ts) - epoch(c.ts) <= 3600
+        ORDER BY c.ts DESC LIMIT 1
+    ) c ON true
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of (pandas merge_asof parity): the latest prior
+    click within ONE HOUR of each purchase; older matches come back null.
+    The oracle is a LATERAL top-1 subquery with the same bound."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("click_value")
+    )
+    out = R.asof_join(purchases, clicks, on="user_id",
+                      left_time="ts", right_time="c_ts", tolerance=3600)
+    return out.select(
+        "purchase_id", "user_id",
+        epoch_us(F.col("__rt")).alias("click_us"), "click_value",
+    )

@@ -104,6 +104,17 @@ def test_contract_rejects_non_array_embedding(spark):
         _check_fixture_contract("embeddings", bad)
 
 
+def test_contract_rejects_missing_column(spark):
+    """A dropped/renamed load-bearing column is the same breakage class as
+    a dtype change: one descriptive TypeError naming the column and the
+    observed schema, not a bare KeyError."""
+    from map_reduce_folds_spark.sources import _check_fixture_contract
+
+    bad = spark.createDataFrame([(1, "x")], "doc_id bigint, body string")
+    with pytest.raises(TypeError, match="documents.text is MISSING"):
+        _check_fixture_contract("documents", bad)
+
+
 def test_temporal_contract_rejects_string_date(spark):
     from map_reduce_folds_spark.sources import _check_fixture_contract
 

@@ -211,6 +211,107 @@ def test_asof_hot_key_bucket_edge_semantics(spark):
                     right_time="qt", strategy="range", hot_key_bucket=2)
 
 
+def test_asof_tolerance_and_multikey(spark):
+    """tolerance= nulls matches farther than the bound (pandas merge_asof
+    parity) and on= accepts a key LIST; merge and range strategies agree
+    on both, and merge+tolerance equals range+tolerance on random data."""
+    quotes = spark.createDataFrame(
+        [("A", "x", 1, 10.0), ("A", "x", 5, 11.0), ("A", "y", 2, 30.0),
+         ("B", "x", 3, 20.0)],
+        "sym string, venue string, qt bigint, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", "x", 6, 1), ("A", "y", 9, 2), ("B", "x", 2, 3),
+         ("A", "z", 4, 4)],
+        "sym string, venue string, t bigint, trade_id bigint",
+    )
+    for strategy in ("merge", "range"):
+        out = {r.trade_id: (r.px, r["__rt"]) for r in R.asof_join(
+            trades, quotes, on=["sym", "venue"], left_time="t",
+            right_time="qt", strategy=strategy, tolerance=3).collect()}
+        # trade 1: (A,x)@6 -> quote@5 (delta 1 <= 3) -> 11.0
+        # trade 2: (A,y)@9 -> quote@2 is 7 away -> OUT of tolerance -> null
+        # trade 3: (B,x)@2 -> no earlier quote -> null
+        # trade 4: (A,z) -> no such key pair -> null
+        assert out == {1: (11.0, 5), 2: (None, None), 3: (None, None),
+                       4: (None, None)}, strategy
+    # merge+tolerance == range+tolerance on denser random data, both ways
+    n = 4_000
+    t2 = spark.range(n).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        ((F.col("id") * 13) % 500).alias("t"), F.col("id").alias("tid"))
+    q2 = spark.range(n // 2).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        ((F.col("id") * 29) % 500).alias("qt"),
+        (F.col("id") % 97).cast("double").alias("px"))
+    for direction in ("backward", "forward"):
+        m = R.asof_join(t2, q2, on="k", left_time="t", right_time="qt",
+                        direction=direction, tolerance=10)
+        g = R.asof_join(t2, q2, on="k", left_time="t", right_time="qt",
+                        direction=direction, tolerance=10, strategy="range")
+        # compare on (tid -> matched time): the px tie among equal qt rows
+        # is nondeterministic in BOTH strategies, the time is not
+        assert {r.tid: r["__rt"] for r in m.collect()} == \
+               {r.tid: r["__rt"] for r in g.collect()}, direction
+    # tolerance composes with the hot-key pre-split
+    s = R.asof_join(t2, q2, on="k", left_time="t", right_time="qt",
+                    tolerance=10, hot_key_bucket=50)
+    m = R.asof_join(t2, q2, on="k", left_time="t", right_time="qt",
+                    tolerance=10)
+    assert {r.tid: r["__rt"] for r in s.collect()} == \
+           {r.tid: r["__rt"] for r in m.collect()}
+
+
+def test_asof_nearest(spark):
+    """direction='nearest': smallest absolute distance wins, equal
+    distance breaks backward (pandas merge_asof semantics); verified
+    against a pandas merge_asof brute-force on random data."""
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 8, 20.0)],
+        "sym string, qt bigint, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 2, 1),   # back@1 (d=1) vs fwd@5 (d=3) -> 10.0
+         ("A", 3, 2),   # back@1 (d=2) vs fwd@5 (d=2) -> TIE -> backward 10.0
+         ("A", 7, 3),   # back@5 only -> 11.0
+         ("B", 2, 4),   # fwd@8 only -> 20.0
+         ("C", 1, 5)],  # no key -> null
+        "sym string, t bigint, trade_id bigint",
+    )
+    for strategy in ("merge", "range"):
+        got = {r.trade_id: r.px for r in R.asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="qt",
+            direction="nearest", strategy=strategy).collect()}
+        assert got == {1: 10.0, 2: 10.0, 3: 11.0, 4: 20.0, 5: None}, strategy
+    # tolerance composes: B@2 -> fwd@8 is 6 away -> null at tolerance 5
+    got = {r.trade_id: r.px for r in R.asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        direction="nearest", tolerance=5).collect()}
+    assert got[4] is None and got[1] == 10.0
+
+    # brute-force parity vs pandas merge_asof on random data
+    import pandas as pd
+
+    t2 = spark.range(2_000).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        ((F.col("id") * 13) % 997).alias("t"), F.col("id").alias("tid"))
+    q2 = spark.range(700).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        ((F.col("id") * 31) % 997).alias("qt"),
+        (F.col("id") % 89).cast("double").alias("px"))
+    got = {r.tid: r["__rt"] for r in R.asof_join(
+        t2, q2, on="k", left_time="t", right_time="qt",
+        direction="nearest").collect()}
+    tp = t2.toPandas().sort_values("t").reset_index(drop=True)
+    qp = (q2.toPandas().sort_values("qt").reset_index(drop=True)
+          .drop_duplicates())
+    m = pd.merge_asof(tp, qp, left_on="t", right_on="qt", by="k",
+                      direction="nearest")
+    want = {int(r.tid): (None if pd.isna(r.qt) else int(r.qt))
+            for r in m.itertuples()}
+    assert got == want
+
+
 def test_topk_per_group_pre_split_equals_unsplit_on_skew(spark):
     """The two-level tournament (pre_split=) must return exactly the
     single-window per-group top-k when order_by is a total order, on data
