@@ -245,33 +245,118 @@ def _asof_nearest(
 ) -> DataFrame:
     """direction="nearest" (pandas merge_asof parity): the right row with
     the SMALLEST absolute time distance; equal distance breaks BACKWARD
-    (the earlier row), matching pandas.  Composition: run the backward and
-    forward as-ofs (each one shuffle) keyed by a generated left-row id,
-    then pick per row — 2× the merge cost, same asymptotics."""
-    lid = left.withColumn("__lid", F.monotonically_increasing_id())
-    back = asof_join(lid, right, list(keys), left_time, right_time,
-                     "backward", strategy, hot_key_bucket, tolerance)
-    fwd = asof_join(lid, right, list(keys), left_time, right_time,
-                    "forward", strategy, hot_key_bucket, tolerance)
+    (the earlier row), matching pandas.
+
+    ``merge``: ONE pass over the tagged union — the backward candidate is
+    the usual running ``last`` and the forward candidate a mirrored
+    ``first`` over (currentRow, unboundedFollowing) with the side order
+    flipped so equal-time right rows stay inclusive; the row then keeps
+    whichever candidate is closer.  Same single shuffle as directional
+    merge (two window sorts over one partitioning), and — deliberately —
+    no generated-row-id self-join: joining two separately executed
+    branches on ``monotonically_increasing_id`` can misalign if upstream
+    row order is unstable between executions.
+
+    ``range``: the per-left-row window dedup with order =
+    (|Δt| asc, backward-first) over a keys-equality join; unbounded
+    fan-out without ``tolerance`` (which prunes it in the join
+    condition), exactly like the directional range form."""
+    if hot_key_bucket is not None:
+        raise ValueError(
+            "hot_key_bucket is not supported with direction='nearest' "
+            "(use tolerance + strategy='range', or pre-filter the hot key)")
+    if strategy == "range":
+        return _asof_range_nearest(left, right, keys, left_time, right_time,
+                                   tolerance)
     payload = [c for c in right.columns if c not in (*keys, right_time)]
-    dt = dict(right.dtypes)[right_time]
-    bsel = fwd.select(
-        "__lid", F.col("__rt").alias("__frt"),
-        *[F.col(c).alias(f"__f_{c}") for c in payload])
-    j = back.join(bsel, "__lid")
-    lt = _tnum(F.col(left_time), dict(lid.dtypes)[left_time])
-    bdelta = lt - _tnum(F.col("__rt"), dt)
-    fdelta = _tnum(F.col("__frt"), dt) - lt
-    # backward wins when it exists and is at least as close (tie → backward)
-    take_back = F.col("__rt").isNotNull() & (
-        F.col("__frt").isNull() | (bdelta <= fdelta))
-    out = j.select(
-        *left.columns,
-        F.when(take_back, F.col("__rt")).otherwise(F.col("__frt")).alias("__rt"),
-        *[F.when(take_back, F.col(c)).otherwise(F.col(f"__f_{c}")).alias(c)
-          for c in payload],
+    match = F.struct(F.col(right_time).alias("__rt"),
+                     *[F.col(c) for c in payload])
+    r = (
+        right.filter(F.col(right_time).isNotNull())
+        .select(*[F.col(k) for k in keys], F.col(right_time).alias("__t"),
+                F.lit(0).alias("__side"), match.alias("__m"))
     )
-    return out
+    l = left.withColumns({"__t": F.col(left_time), "__side": F.lit(1)})
+    u = l.unionByName(r, allowMissingColumns=True)
+    keys_ok = _all_not_null(keys)
+    # backward: right rows sort BEFORE the left row at equal time (side 0
+    # first) → running last is inclusive, as in the directional merge
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc_nulls_first(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: flip the side order so equal-time right rows sort AFTER the
+    # left row and land inside the (current, following) frame → inclusive
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc_nulls_first(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    fill_ok = keys_ok & F.col("__t").isNotNull()
+    mb = F.when(fill_ok, F.last("__m", ignorenulls=True).over(w_back))
+    mf = F.when(fill_ok, F.first("__m", ignorenulls=True).over(w_fwd))
+    dt = dict(u.dtypes)["__t"]
+    lt = _tnum(F.col("__t"), dt)
+    out = (
+        u.withColumn("__mb", mb).withColumn("__mf", mf)
+        .filter(F.col("__side") == 1)
+    )
+    bdelta = lt - _tnum(F.col("__mb.__rt"), dt)
+    fdelta = _tnum(F.col("__mf.__rt"), dt) - lt
+    take_back = F.col("__mb").isNotNull() & (
+        F.col("__mf").isNull() | (bdelta <= fdelta))
+    out = out.withColumn(
+        "__m", F.when(take_back, F.col("__mb")).otherwise(F.col("__mf")))
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError("tolerance must be non-negative")
+        chosen_delta = F.abs(lt - _tnum(F.col("__m.__rt"), dt))
+        out = out.withColumn(
+            "__m",
+            F.when(chosen_delta <= F.lit(float(tolerance)), F.col("__m")))
+    return out.select(*left.columns, F.col("__m.__rt").alias("__rt"),
+                      *[F.col(f"__m.{c}").alias(c) for c in payload])
+
+
+def _asof_range_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    tolerance: float | None,
+) -> DataFrame:
+    """range-strategy nearest: keys-equality join (tolerance-pruned when
+    given), keep the row with min |Δt| per left row, backward on ties."""
+    lid = left.withColumn("__asof_rid", F.monotonically_increasing_id())
+    r = right.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        F.col(right_time).alias("__rt"),
+        *[c for c in right.columns if c not in (*keys, right_time)],
+    )
+    keys_eq = F.lit(True)
+    for i, k in enumerate(keys):
+        keys_eq = keys_eq & (F.col(k) == F.col(f"__k{i}"))
+    dt = dict(right.dtypes)[right_time]
+    delta = _tnum(F.col("__rt"), dt) - _tnum(F.col(left_time), dt)
+    # a null left time must match nothing (the directional forms get this
+    # for free from their time-comparison join predicate)
+    cond = keys_eq & F.col(left_time).isNotNull()
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError("tolerance must be non-negative")
+        cond = cond & (F.abs(delta) <= F.lit(float(tolerance)))
+    joined = lid.join(r, cond, "left")
+    # min |Δ|, ties to the backward (Δ ≤ 0) side — pandas tie rule
+    order = [F.abs(delta).asc(),
+             F.when(delta <= 0, F.lit(0)).otherwise(F.lit(1)).asc()]
+    w = Window.partitionBy("__asof_rid").orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[f"__k{i}" for i in range(len(keys))], "__asof_rid")
+    )
 
 
 def _all_not_null(keys: Sequence[str]) -> Column:

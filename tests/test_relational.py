@@ -289,6 +289,18 @@ def test_asof_nearest(spark):
         direction="nearest", tolerance=5).collect()}
     assert got[4] is None and got[1] == 10.0
 
+    # null left time / null key match nothing in BOTH strategies
+    nt = spark.createDataFrame(
+        [("A", None, 9), (None, 3, 10)], "sym string, t bigint, trade_id bigint")
+    for strategy in ("merge", "range"):
+        got = {r.trade_id: r.px for r in R.asof_join(
+            nt, quotes, on="sym", left_time="t", right_time="qt",
+            direction="nearest", strategy=strategy).collect()}
+        assert got == {9: None, 10: None}, strategy
+    with pytest.raises(ValueError):
+        R.asof_join(trades, quotes, on="sym", left_time="t", right_time="qt",
+                    direction="nearest", hot_key_bucket=10)
+
     # brute-force parity vs pandas merge_asof on random data
     import pandas as pd
 
