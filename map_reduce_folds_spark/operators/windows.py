@@ -37,6 +37,85 @@ def running(
     return out
 
 
+def running_keyed(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    aggs: dict[str, tuple[str, str | None]],
+    hot_key_bucket: float | None = None,
+) -> DataFrame:
+    """Running (inclusive, unbounded-preceding → current) ALGEBRAIC
+    aggregates per key: ``aggs`` maps output name → (fn, col) with fn in
+    {sum, count, min, max} (count with col=None counts rows).  The spec
+    form (vs :func:`running`'s arbitrary Columns) is what makes the
+    hot-key pre-split possible: algebraic carries compose across buckets.
+
+    ``hot_key_bucket`` (same escape hatch as sessionize/asof): windows run
+    per (key, floor(time/width)); each bucket's carry-in is the exclusive
+    running aggregate over per-(key, bucket) summary rows (≤ one per
+    non-empty bucket); a row's value = combine(local running, carry) —
+    sum/count add, min/max take least/greatest (null-correct: a value is
+    null only where the unsplit form's is).  Property-tested equal to the
+    unsplit form on 50%-skew data."""
+    fns = {"sum": F.sum, "count": None, "min": F.min, "max": F.max}
+    for name, (fn, _c) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"{name}: fn must be one of {sorted(fns)}")
+
+    def agg_expr(fn: str, col: str | None) -> Column:
+        if fn == "count":
+            return F.count(F.lit(1) if col is None else F.col(col))
+        return fns[fn](col)
+
+    if hot_key_bucket is None:
+        w = (
+            Window.partitionBy(key).orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df
+        for name, (fn, col) in aggs.items():
+            out = out.withColumn(name, agg_expr(fn, col).over(w))
+        return out
+    if hot_key_bucket <= 0:
+        raise ValueError("hot_key_bucket must be positive")
+    dt = dict(df.dtypes)[order_col]
+    tnum = (epoch_seconds(order_col) if dt.startswith("timestamp")
+            else F.col(order_col).cast("double"))
+    t = df.withColumn("__bk", F.floor(tnum / F.lit(float(hot_key_bucket))))
+    w_loc = (
+        Window.partitionBy(key, "__bk").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = t
+    for name, (fn, col) in aggs.items():
+        loc = loc.withColumn(f"__l_{name}", agg_expr(fn, col).over(w_loc))
+    summ = t.groupBy(key, "__bk").agg(
+        *[agg_expr(fn, col).alias(f"__t_{name}")
+          for name, (fn, col) in aggs.items()])
+    w_carry = (
+        Window.partitionBy(key).orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    carries = summ.select(
+        key, "__bk",
+        *[carry_fn[fn](f"__t_{name}").over(w_carry).alias(f"__c_{name}")
+          for name, (fn, _c) in aggs.items()])
+    out = loc.join(carries, [key, "__bk"])
+    for name, (fn, _c) in aggs.items():
+        lcl, cry = F.col(f"__l_{name}"), F.col(f"__c_{name}")
+        if fn in ("sum", "count"):
+            combined = F.when(
+                lcl.isNull() & cry.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(lcl, F.lit(0)) + F.coalesce(cry, F.lit(0)))
+        elif fn == "min":
+            combined = F.least(lcl, cry)
+        else:
+            combined = F.greatest(lcl, cry)
+        out = out.withColumn(name, combined)
+    return out.select(*df.columns, *aggs.keys())
+
+
 def lag_lead(
     df: DataFrame,
     keys: Sequence[str],

@@ -1764,3 +1764,35 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id", "user_id",
         epoch_us(F.col("__rt")).alias("click_us"), "click_value",
     )
+
+
+@query(
+    "running_sum_hotkey",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             OVER w AS running_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def running_sum_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates per customer through windows.running_keyed with
+    the hot-key pre-split engaged: per-(key, orderkey-range-bucket) local
+    windows + algebraic carries must reproduce the single-window running
+    sum/count exactly.  Integer cents keep the sum order-free (float
+    addition order would differ between the split and unsplit forms)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__cents", (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+    out = W.running_keyed(
+        o, key="o_custkey", order_col="o_orderkey",
+        aggs={"running_cents": ("sum", "__cents"), "n_so_far": ("count", None)},
+        hot_key_bucket=50_000,
+    )
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        "running_cents", "n_so_far",
+    )

@@ -398,6 +398,31 @@ def test_sessionize_hot_key_bucket_plan_splits_hot_key(spark):
     ).distinct().count() == 20
 
 
+def test_running_keyed_hot_key_bucket_equals_unsplit(spark):
+    """Split running aggregates (sum/count/min/max carries across buckets)
+    must equal the single-window form on 50%-skew data, including nulls."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 97 + 1).alias("k"),
+        F.col("id").alias("o"),  # unique total order
+        F.when(F.col("id") % 11 == 3, F.lit(None))
+        .otherwise((F.col("id") * 37 % 1009) - 500).alias("v"),
+    )
+    aggs = {"s": ("sum", "v"), "n": ("count", None), "nv": ("count", "v"),
+            "mn": ("min", "v"), "mx": ("max", "v")}
+    base = W.running_keyed(df, "k", "o", aggs)
+    split = W.running_keyed(df, "k", "o", aggs, hot_key_bucket=1500)
+    assert base.exceptAll(split).count() == 0
+    assert split.exceptAll(base).count() == 0
+    assert split.count() == n
+    # all-null prefix stays null in both forms: check the first rows of a
+    # key whose first values are null
+    row0 = split.filter("k = 0").orderBy("o").first()
+    base0 = base.filter("k = 0").orderBy("o").first()
+    assert (row0.s, row0.mn, row0.mx) == (base0.s, base0.mn, base0.mx)
+
+
 def test_rollup_cube_row_counts(spark):
     df = spark.createDataFrame(
         [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "p string, q string, v bigint"
