@@ -127,6 +127,18 @@ def test_asof_merge_one_shuffle_no_join(spark):
     assert "Join" not in plan, plan
 
 
+def test_asof_hotkey_split_bounded_shuffles(spark):
+    """The hot-key pre-split costs a BOUNDED number of extra shuffles over
+    the unsplit merge (summary agg + distinct + carry join + carry window
+    — all on (key, bucket)-sized data), and still contains no cartesian
+    and no row-fan-out join on the event stream itself."""
+    df = _run(spark, "asof_join_hotkey")
+    plan = P.executed_plan(df)
+    n = P.count_exchanges(df)
+    assert 1 <= n <= 6, f"{n} exchanges\n{plan}"
+    assert P.count_cartesian_joins(df) == 0, plan
+
+
 def test_fold_vocab_distinct_split_no_expand(spark):
     """mr_fold_vocab mixes count_distinct with collect_set: the fold
     compiler's distinct-splitting rewrite must keep Expand (2x-rows
