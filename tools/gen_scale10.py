@@ -19,7 +19,8 @@ Copy transforms keep the WORKLOAD shape linear rather than quadratic:
 - events: ts shifted by 7c seconds per copy so per-user streams
   interleave instead of stacking 10 duplicates on each instant.
 
-Usage: python tools/gen_scale10.py [out_dir]   (default scale_data/sf1.0)
+Usage: python tools/gen_scale10.py [out_dir] [copies]
+       (defaults: scale_data/sf1.0, 10 copies)
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from map_reduce_folds_spark.session import get_spark  # noqa: E402
 
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
