@@ -25,7 +25,11 @@ def running(
     aggs: dict[str, Column],
 ) -> DataFrame:
     """Running (cumulative) aggregates per key: rows unbounded-preceding →
-    current.  One shuffle on ``keys``; frames evaluate incrementally."""
+    current.  One shuffle on ``keys``; frames evaluate incrementally.
+    Arbitrary agg Columns — for a pathologically hot key use
+    :func:`running_keyed` (spec-form algebraic aggs), whose
+    ``hot_key_bucket=`` pre-split needs to compose carries across
+    buckets and therefore cannot accept opaque expressions."""
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order_by)

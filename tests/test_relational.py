@@ -421,6 +421,13 @@ def test_running_keyed_hot_key_bucket_equals_unsplit(spark):
     row0 = split.filter("k = 0").orderBy("o").first()
     base0 = base.filter("k = 0").orderBy("o").first()
     assert (row0.s, row0.mn, row0.mx) == (base0.s, base0.mn, base0.mx)
+    # timestamp order column takes the epoch-seconds bucket path
+    ts_df = df.select("k", F.timestamp_seconds(F.col("o") * 7).alias("ts"), "v")
+    b2 = W.running_keyed(ts_df, "k", "ts", {"s": ("sum", "v")})
+    s2 = W.running_keyed(ts_df, "k", "ts", {"s": ("sum", "v")},
+                         hot_key_bucket=9_000)
+    assert b2.exceptAll(s2).count() == 0
+    assert s2.exceptAll(b2).count() == 0
 
 
 def test_rollup_cube_row_counts(spark):
