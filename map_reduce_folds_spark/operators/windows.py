@@ -41,6 +41,21 @@ def running(
     return out
 
 
+def _join_null_safe(
+    left: DataFrame, right: DataFrame, cols: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Equi-join on ``cols`` with NULL-SAFE equality (null keys match null
+    keys) — a plain column-list join silently DROPS null-key rows, which
+    the single-window forms keep as their own group."""
+    rr = right
+    for c in cols:
+        rr = rr.withColumnRenamed(c, f"__ns_{c}")
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__ns_{c}"))
+    return left.join(rr, cond, how).drop(*[f"__ns_{c}" for c in cols])
+
+
 def running_keyed(
     df: DataFrame,
     key: str,
@@ -105,7 +120,9 @@ def running_keyed(
         key, "__bk",
         *[carry_fn[fn](f"__t_{name}").over(w_carry).alias(f"__c_{name}")
           for name, (fn, _c) in aggs.items()])
-    out = loc.join(carries, [key, "__bk"])
+    # null-safe: a null key (or null-order bucket) is a group of its own in
+    # the unsplit window form and must survive the join back
+    out = _join_null_safe(loc, carries, [key, "__bk"])
     for name, (fn, _c) in aggs.items():
         lcl, cry = F.col(f"__l_{name}"), F.col(f"__c_{name}")
         if fn in ("sum", "count"):
@@ -336,7 +353,8 @@ def _sessionize_split(
         ),
     )
     return (
-        loc.join(summ2.select(key, "__bk", "__ff", "__off"), [key, "__bk"])
+        _join_null_safe(loc, summ2.select(key, "__bk", "__ff", "__off"),
+                        [key, "__bk"])
         .withColumn(session_col,
                     (F.col("__off") + F.col("__ff") + F.col("__cum_rest"))
                     .cast("bigint"))

@@ -356,6 +356,7 @@ def test_sessionize_hot_key_bucket_equals_unsplit_on_skew(spark):
     n = 20_000
     df = spark.range(n).select(
         F.when(F.col("id") % 2 == 0, F.lit(0))
+        .when(F.col("id") % 13 == 5, F.lit(None))  # null key kept as a group
         .otherwise(F.col("id") % 97 + 1).alias("user_id"),
         # ~38s hot-user spacing with jitter, plus a 2000s dead gap every
         # 1000 ids — so sessions genuinely close, and session interiors
@@ -404,6 +405,7 @@ def test_running_keyed_hot_key_bucket_equals_unsplit(spark):
     n = 20_000
     df = spark.range(n).select(
         F.when(F.col("id") % 2 == 0, F.lit(0))
+        .when(F.col("id") % 13 == 5, F.lit(None))  # null key = its own group
         .otherwise(F.col("id") % 97 + 1).alias("k"),
         F.col("id").alias("o"),  # unique total order
         F.when(F.col("id") % 11 == 3, F.lit(None))
