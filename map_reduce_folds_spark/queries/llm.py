@@ -334,6 +334,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     max_hamming=3, blocks=4)
 
 
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sig AS (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based near-dup dedup: SimHash pairs (hamming ≤ 3) →
+    distributed connected components (hash-to-min) → (doc_id, canonical
+    component = min doc id in the cluster).  The transitive closure is the
+    point: A~B and B~C collapse into one cluster even when A~C never
+    surfaced as a pair.  The oracle computes the same closure with a
+    recursive CTE over the same (SQL-mirrored) pair graph."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
+                                     max_hamming=3, blocks=4)
+    comp = G.components_of_pairs(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 _SRP_PLANES = 6   # SRP-LSH hyperplanes per table
 _SRP_TABLES = 8   # SRP-LSH tables
 

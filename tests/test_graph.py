@@ -1,0 +1,100 @@
+"""Connected components: property-tested against a pure-Python union-find,
+plus the cluster-dedup semantics that pairwise rules get wrong."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from map_reduce_folds_spark.operators import graph as G
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id per component
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: root for root, ns in comp.items() for n in ns}
+
+
+def _cc_spark(spark, edges: list[tuple[int, int]], **kw) -> dict[int, int]:
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+    )
+    out = G.connected_components(df, "src", "dst", **kw).collect()
+    return {r["node"]: r["component"] for r in out}
+
+
+def test_cc_two_chains_and_triangle(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    got = _cc_spark(spark, edges)
+    assert got == _union_find_components(edges)
+    assert got[4] == 1 and got[12] == 10 and got[21] == 20
+
+
+def test_cc_transitive_not_pairwise(spark):
+    # A~B, B~C but never A~C: one cluster, canonical = A
+    got = _cc_spark(spark, [(1, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_self_loops_and_duplicates(spark):
+    got = _cc_spark(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    # 5 only appears as a self-loop: dropped entirely (no edge information)
+    assert got == {1: 1, 2: 1}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 80)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]]
+        got = _cc_spark(spark, edges)
+        assert got == _union_find_components(edges), f"trial {trial}"
+
+
+def test_cc_long_chain_converges_with_checkpointing(spark):
+    # diameter 12 chain exercises >1 checkpoint interval
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc_spark(spark, edges, checkpoint_every=3)
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_cc_non_convergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc_spark(spark, [(i, i + 1) for i in range(12)], max_iter=2)
+
+
+def test_dedup_by_components_keeps_canonical_and_singletons(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6)],
+        "id_a long, id_b long",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in G.dedup_by_components(df, pairs, "doc_id").collect()
+    )
+    # cluster {1,2,3} → keep 1; cluster {5,6} → keep 5; 0,4,7 untouched
+    assert kept == [0, 1, 4, 5, 7]
