@@ -1,5 +1,6 @@
 from map_reduce_folds_spark.operators import (  # noqa: F401
     dedup,
+    graph,
     multimodal,
     quality,
     relational,

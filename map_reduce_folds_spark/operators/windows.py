@@ -163,6 +163,30 @@ def ranked(
     return df.withColumn(out, fns[method]().over(w))
 
 
+def rank_vocab(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    ntile_n: int = 4,
+) -> DataFrame:
+    """The full SQL rank vocabulary in ONE window pass: row_number, rank,
+    dense_rank, percent_rank, cume_dist, ntile(n) — one sort per
+    partition, every function rides the same sorted run (Catalyst fuses
+    same-window functions into a single Window operator; pinned in
+    test_plans).  Ties must be broken by ``order_by`` for row_number /
+    ntile determinism — pass a unique tiebreaker column."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.select(
+        *df.columns,
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(ntile_n).over(w).alias(f"ntile{ntile_n}"),
+    )
+
+
 def exclusive_bucket_offsets(
     totals: DataFrame,
     bucket_col: str = "__b",

@@ -370,6 +370,16 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+@query("embedding_quantize_int8", oracle=S.quantize_int8_sql())
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    (vec_id, scale, qvec tinyint[]) — the 4× storage-compression step of
+    an ANN index build.  Pure Catalyst transform/aggregate; the oracle
+    mirrors scale and rounding bitwise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(e, "vec_id", "embedding")
+
+
 _SRP_PLANES = 6   # SRP-LSH hyperplanes per table
 _SRP_TABLES = 8   # SRP-LSH tables
 

@@ -383,6 +383,37 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rank_vocab",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           rnk, dense_rnk, pct_rank, cume
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS dense_rnk,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    )
+    """,
+)
+def window_rank_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass rank vocabulary (rank / dense_rank / percent_rank /
+    cume_dist) per customer ordered by order date.  Only the tie-stable
+    functions are exposed to the oracle — row_number/ntile under ties are
+    engine-order-dependent; their deterministic (unique-tiebreaker) path
+    is unit-tested in test_relational."""
+    o = load_table(spark, sf_dir, "orders")
+    out = W.rank_vocab(o, ["o_custkey"], [F.col("o_orderdate")])
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        "rnk", "dense_rnk", "pct_rank", F.col("cume").alias("cume"),
+    )
+
+
+@query(
     "sessionize_events",
     oracle="""
     WITH flagged AS (

@@ -98,3 +98,52 @@ def test_dedup_by_components_keeps_canonical_and_singletons(spark):
     )
     # cluster {1,2,3} → keep 1; cluster {5,6} → keep 5; 0,4,7 untouched
     assert kept == [0, 1, 4, 5, 7]
+
+
+# ---------------------------------------------------------------------------
+# rank_vocab / quantize_int8 (co-located here to avoid re-running the large
+# relational/llm suites for two small operators)
+# ---------------------------------------------------------------------------
+
+def test_rank_vocab_single_window_pass(spark):
+    from map_reduce_folds_spark.operators import windows as W
+    from map_reduce_folds_spark.plans import executed_plan
+
+    df = spark.createDataFrame(
+        [Row(k=i % 3, v=i % 5, tb=i) for i in range(30)],
+        "k int, v int, tb int",
+    )
+    out = W.rank_vocab(df, ["k"], [F.col("v"), F.col("tb")])
+    plan = executed_plan(out)
+    assert plan.count("Window") == 1, plan  # all six functions, one sort
+    rows = [r.asDict() for r in out.where("k = 0").orderBy("rn").collect()]
+    n = len(rows)
+    # unique tiebreaker: row_number == rank, ntile buckets balanced
+    assert [r["rn"] for r in rows] == [r["rnk"] for r in rows]
+    assert rows[-1]["cume"] == 1.0 and rows[0]["pct_rank"] == 0.0
+    sizes = [sum(1 for r in rows if r["ntile4"] == b) for b in (1, 2, 3, 4)]
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == n
+
+
+def test_quantize_int8_round_trip_and_zero_vector(spark):
+    from map_reduce_folds_spark.operators import similarity as S
+
+    vecs = [
+        Row(vec_id=0, embedding=[0.5, -1.0, 0.25, 127.0]),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),   # zero vector
+        Row(vec_id=2, embedding=[-0.003, 0.001, 0.002, -0.001]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = S.quantize_int8(df, "vec_id", "embedding")
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert got[1]["scale"] == 0.0 and list(got[1]["qvec"]) == [0, 0, 0, 0]
+    assert got[0]["scale"] == 1.0 and list(got[0]["qvec"]) == [1, -1, 0, 127]
+    # round trip error bounded by scale/2 per element
+    back = {r["vec_id"]: r["vec"]
+            for r in S.dequantize_int8(q).collect()}
+    for v in vecs:
+        if v.vec_id == 1:
+            continue
+        s = got[v.vec_id]["scale"]
+        for orig, rec in zip(v.embedding, back[v.vec_id]):
+            assert abs(orig - rec) <= s / 2 + 1e-12
