@@ -19,7 +19,7 @@ codegen'd, zero shuffles beyond what the caller adds.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -224,3 +224,44 @@ def mix_sources_sql(
     )
     thr = f"(CASE {arms} ELSE {_rate_threshold('default', default_rate)} END)"
     return f"({b} < {thr})"
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-count sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    id_col: str,
+    salt: str = "strat",
+    pre_split: int | None = None,
+) -> DataFrame:
+    """EXACTLY ``n`` rows per group (fewer only when the group is smaller),
+    chosen deterministically: rows rank by (portable hash(id, salt), id) —
+    a total order — and the first ``n`` win.  Same-seed runs, re-runs, and
+    other engines pick the SAME rows (the SQL mirror below), unlike
+    ``df.sampleBy`` which is fraction-based, rng-seeded, and only
+    approximate in count.
+
+    Rides :func:`relational.topk_per_group`: one shuffle on the group
+    keys; a pathologically hot group (50%+ of the corpus in one stratum
+    is common — e.g. sampling per-language with English dominant) uses
+    ``pre_split`` for the two-level tournament instead of one partition's
+    sort.  Re-salt via ``salt`` for independent replicate samples."""
+    from map_reduce_folds_spark.operators.relational import topk_per_group
+
+    order = [_bucket(id_col, salt), F.col(id_col)]
+    return topk_per_group(df, list(group_cols), order, n, pre_split=pre_split)
+
+
+def stratified_sample_sql(
+    group_expr: str, n: int, id_expr: str, salt: str = "strat"
+) -> str:
+    """Oracle fragment mirroring :func:`stratified_sample_exact`: a QUALIFY
+    predicate over the same hash order (append to a SELECT)."""
+    return (
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY {_bucket_sql(id_expr, salt)}, {id_expr}) <= {n}"
+    )

@@ -729,3 +729,67 @@ def quantize_int8_sql(
            END AS qvec
     FROM s
     """
+
+
+def int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by QUANTIZED dot product: score = (Σ qaᵢ·qbᵢ)·s_a·s_b over
+    the int8 codes from :func:`quantize_int8` — the read path of a
+    compressed ANN index (4× less scan I/O than float32; integer
+    multiply-accumulate).  The integer sum is order-insensitive, so the
+    score — and therefore the returned top-k — is exactly reproducible
+    (SQL mirror :func:`int8_topk_sql`); it approximates the float dot to
+    ~1/127 relative error.  Broadcast query side, scan-shaped corpus side
+    — same plan family as :func:`brute_force_topk`."""
+    qq = quantize_int8(queries, id_col, vec_col).withColumnsRenamed(
+        {id_col: "query_id", "scale": "qs", "qvec": "qa"})
+    cq = quantize_int8(corpus, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id", "scale": "cs", "qvec": "qb"})
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"),
+                   lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    scored = (
+        cq.join(F.broadcast(qq), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (idot.cast("double") * F.col("qs") * F.col("cs"))
+                .alias("qdot"))
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("qdot").desc(), F.col("neighbor_id")], k
+    )
+
+
+def int8_topk_sql(
+    queries_where: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`int8_topk` — same quantization, same
+    integer dot (exact in any summation order), same tie-break."""
+    quant = quantize_int8_sql(id_col, vec_col, src)
+    iprod = " + ".join(
+        f"CAST(a.qvec[{i}] AS BIGINT) * CAST(b.qvec[{i}] AS BIGINT)"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+    WITH q8 AS ({quant})
+    SELECT query_id, neighbor_id, qdot FROM (
+        SELECT a.{id_col} AS query_id, b.{id_col} AS neighbor_id,
+               CAST(({iprod}) AS DOUBLE) * a.scale * b.scale AS qdot
+        FROM q8 a JOIN q8 b ON a.{id_col} != b.{id_col}
+        WHERE a.{id_col} IN (SELECT {id_col} FROM {src} {queries_where})
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, neighbor_id) <= {k}
+    """

@@ -1292,3 +1292,32 @@ def dedup_minhash_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=_N, k=_K, bands=_BANDS, threshold=_JT,
         token_pattern=T.DEFAULT_TOKEN_PATTERN,
     )
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    {SM.stratified_sample_sql('lang', 3, 'doc_id')}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 documents per language, deterministically chosen by
+    portable hash order — reproducible stratified eval-set construction
+    (same rows on any engine / re-run; the oracle shares the hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.stratified_sample_exact(d, ["lang"], 3, "doc_id") \
+        .select("doc_id", "lang")
+
+
+@query(
+    "sim_topk_int8",
+    oracle=S.int8_topk_sql("WHERE vec_id < 5", dim=_DIM, k=_TOPK),
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors for 5 queries scored on int8-QUANTIZED codes
+    (integer dot × scales) — the compressed-index read path; exactly
+    reproducible because the integer sum has no float-order freedom."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    return S.int8_topk(q, e, "vec_id", "embedding", _DIM, _TOPK)

@@ -147,3 +147,28 @@ def test_quantize_int8_round_trip_and_zero_vector(spark):
         s = got[v.vec_id]["scale"]
         for orig, rec in zip(v.embedding, back[v.vec_id]):
             assert abs(orig - rec) <= s / 2 + 1e-12
+
+
+def test_stratified_sample_exact_counts_determinism_presplit(spark):
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    # skewed strata: group 0 holds ~70% of rows
+    rows = [Row(id=i, g=0 if i % 10 < 7 else i % 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g int")
+    out = SM.stratified_sample_exact(df, ["g"], 5, "id")
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {g: min(5, n) for g, n in sizes.items()}
+    # deterministic across runs; different salt draws a different sample
+    a = {(r["g"], r["id"]) for r in out.collect()}
+    b = {(r["g"], r["id"]) for r in
+         SM.stratified_sample_exact(df, ["g"], 5, "id").collect()}
+    c = {(r["g"], r["id"]) for r in
+         SM.stratified_sample_exact(df, ["g"], 5, "id", salt="other").collect()}
+    assert a == b and a != c
+    # hot-group pre-split tournament returns the identical sample
+    d = {(r["g"], r["id"]) for r in
+         SM.stratified_sample_exact(df, ["g"], 5, "id", pre_split=8).collect()}
+    assert a == d
