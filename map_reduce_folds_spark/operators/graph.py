@@ -70,6 +70,14 @@ def connected_components(
         .groupBy("u").agg(F.min("label").alias("label"))
         .persist()
     )
+    def label_sum(lb: DataFrame):
+        # labels are per-node monotone non-increasing, so the exact total
+        # (decimal(38) — no overflow at any node count) is a fixpoint
+        # detector: sum unchanged ⇔ no label changed.  One tiny aggregate
+        # per round instead of a new-vs-old join.
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = label_sum(labels)
     try:
         for it in range(max_iter):
             # propagate: every neighbor of u may inherit u's label
@@ -83,16 +91,13 @@ def connected_components(
                 # truncate lineage so plan depth stays O(checkpoint_every)
                 prop = prop.localCheckpoint(eager=False)
             prop = prop.persist()
-            changed = (
-                prop.join(labels.withColumnRenamed("label", "old"), "u")
-                .where(F.col("label") != F.col("old"))
-                .count()
-            )
+            cur_sum = label_sum(prop)
             labels.unpersist()
             labels = prop
-            if changed == 0:
+            if cur_sum == prev_sum:
                 return labels.select(F.col("u").alias("node"), "label") \
                     .withColumnRenamed("label", "component")
+            prev_sum = cur_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "graph diameter exceeds max_iter; raise max_iter or use the "
