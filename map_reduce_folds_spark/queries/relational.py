@@ -414,6 +414,74 @@ def window_rank_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(tk, t -> length(t) > 4)) AS INT) AS n_long,
+           array_to_string(list_slice(list_sort(list_distinct(tk)), 1, 3), '|')
+               AS first3,
+           len(list_filter(tk, t -> t SIMILAR TO '[0-9]+')) > 0 AS has_num
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function vocabulary (filter / exists / sort /
+    distinct / slice / join) — all Catalyst HOFs, no Python; the DuckDB
+    list_* mirrors pin cross-engine semantics (first-occurrence distinct
+    is order-insensitive here because both sides sort after)."""
+    from map_reduce_folds_spark.operators.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokenize("text")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(tk, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(tk)), 1, 3), "|")
+        .alias("first3"),
+        F.exists(tk, lambda t: t.rlike("^[0-9]+$")).alias("has_num"),
+    )
+
+
+@query(
+    "window_time_range",
+    oracle="""
+    SELECT event_id, user_id, n_1h, sum_1h FROM (
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               SUM(cents) OVER w AS sum_1h
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS tus,
+                     CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME range frame: per user, count and sum of activity in the
+    trailing hour of each event — a true time-window (RANGE on epoch
+    micros), not a row-count frame; frames are value-defined so the
+    result is order-deterministic even under timestamp ties.  Integer
+    cents keep the windowed sum exact."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("tus"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("sum_1h"),
+    )
+
+
+@query(
     "sessionize_events",
     oracle="""
     WITH flagged AS (

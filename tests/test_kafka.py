@@ -86,3 +86,36 @@ def test_kafka_reader_fails_loudly_or_returns_wire_schema(spark):
     else:  # connector present in this environment: check the wire schema
         assert set(c.split()[0] for c in KF.KAFKA_WIRE_SCHEMA.split(", ")) \
             <= set(df.columns)
+
+
+def test_kafka_parse_drives_streaming_aggregation(spark, tmp_path_factory):
+    """End-to-end: a file-replay stream of Kafka WIRE frames (binary
+    key/value) through parse_kafka_json → windowless streaming agg —
+    the parse stage composes with streaming exactly as with batch, so a
+    real Kafka topic is a source swap, not a pipeline rewrite."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_folds_spark.streaming import run_to_memory
+
+    wire_dir = str(tmp_path_factory.mktemp("kafka_wire"))
+    payloads = [{"user_id": i % 3, "amount": float(i)} for i in range(60)]
+    _wire_rows(spark, payloads).repartition(3).write.mode("overwrite") \
+        .parquet(wire_dir)
+
+    raw_stream = (
+        spark.readStream.schema(KF.KAFKA_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(wire_dir)
+    )
+    parsed = KF.parse_kafka_json(raw_stream, "user_id long, amount double",
+                                 include_meta=False)
+    agg = parsed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+    got = {r["user_id"]: (r["n"], r["total"])
+           for r in run_to_memory(agg, "kafka_parse_agg",
+                                  output_mode="complete").collect()}
+    want = {
+        u: (sum(1 for p in payloads if p["user_id"] == u),
+            sum(p["amount"] for p in payloads if p["user_id"] == u))
+        for u in (0, 1, 2)
+    }
+    assert got == want
