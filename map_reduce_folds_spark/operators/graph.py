@@ -156,3 +156,39 @@ def dedup_by_components(
     losers = comp.where(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def incremental_components(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold a batch of NEW edges into previously computed components
+    without re-walking the old graph.
+
+    ``prev`` is a prior ``(node, component)`` table (e.g. read back from
+    the table the last run wrote).  Each old component is equivalent to a
+    star of edges (node → its component id), so the union of that star
+    set with the new batch has exactly the components of old ∪ new — and
+    the stars are depth-1, so converged regions cost one round regardless
+    of how many batches ago they merged.  This is the ingest-time analog
+    of ``streaming.incremental_dedup``'s digest table: per batch, work is
+    proportional to the NEW edges plus the affected stars, not the
+    lifetime graph.  Output: ``(node, component)`` over every node ever
+    seen; min-id canonicals are stable unless a new edge merges two old
+    components (then the smaller min wins, as a full recompute would).
+    """
+    star = prev.where(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(src), F.col("component").alias(dst))
+    singletons = prev.select("node")
+    merged = connected_components(
+        star.union(new_edges.select(F.col(src), F.col(dst))),
+        src, dst, max_iter=max_iter,
+    )
+    # components that stayed untouched by new edges keep their rows; old
+    # singletons absent from any edge re-enter as themselves
+    missing = singletons.join(merged.select("node"), "node", "left_anti") \
+        .select("node", F.col("node").alias("component"))
+    return merged.union(missing)

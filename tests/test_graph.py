@@ -185,3 +185,26 @@ def test_cc_long_path_log_rounds(spark):
     out = G.connected_components(edges, "src", "dst", max_iter=13)
     got = {r["node"]: r["component"] for r in out.collect()}
     assert len(got) == 512 and set(got.values()) == {0}
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    from map_reduce_folds_spark.operators import graph as G
+
+    batch1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    batch2 = [(3, 10), (40, 41)]   # merges {1,2,3} with {10,11}; new comp
+    e1 = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in batch1], "src long, dst long")
+    e2 = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in batch2], "src long, dst long")
+
+    # prev = last run's components plus a carried-forward singleton (30),
+    # e.g. a doc that was in no pair — incremental must keep it
+    prev = G.connected_components(e1, "src", "dst").union(
+        spark.createDataFrame([Row(node=30, component=30)],
+                              "node long, component long"))
+    inc = {(r["node"], r["component"])
+           for r in G.incremental_components(prev, e2).collect()}
+    full = {(r["node"], r["component"])
+            for r in G.connected_components(e1.union(e2), "src", "dst")
+            .collect()}
+    assert inc == full | {(30, 30)}
