@@ -91,6 +91,21 @@ def main():
     SM.deterministic_shuffle(docs.select("doc_id"), "doc_id") \
         .orderBy("pos").show(5)
 
+    print("-- cluster dedup: SimHash pairs -> connected components -> "
+          "canonical doc per cluster --")
+    from map_reduce_folds_spark.operators import graph as G
+    pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text")
+    kept = G.dedup_by_components(docs, pairs.select("id_a", "id_b"), "doc_id")
+    print(f"   corpus {docs.count()} docs -> {kept.count()} after "
+          "cluster dedup (transitive closure, min-id canonical)")
+
+    print("-- int8 quantized index: 4x smaller, top-3 on integer dot --")
+    similarity.int8_topk(emb.filter("vec_id < 2"), emb, k=3).show()
+
+    print("-- stratified sample: exactly 2 docs per language --")
+    SM.stratified_sample_exact(docs, ["lang"], 2, "doc_id") \
+        .select("doc_id", "lang").orderBy("lang", "doc_id").show()
+
     spark.stop()
 
 

@@ -61,6 +61,10 @@ def connected_components(
     Iterative hash-to-min (module docstring); raises ``RuntimeError`` if
     the fixpoint is not reached within ``max_iter`` rounds rather than
     returning silently-wrong partial labels.
+
+    Node ids must be NUMERIC (the fixpoint detector sums labels; doc/vec
+    ids in this engine are) — hash string keys to int64 first
+    (``text.hash60``) or add a dense-rank id.
     """
     sym = symmetric_edges(edges, src, dst).persist()
     # seed: each node's label = min(self, direct neighbors) — this folds

@@ -208,3 +208,25 @@ def test_incremental_components_matches_full_recompute(spark):
             for r in G.connected_components(e1.union(e2), "src", "dst")
             .collect()}
     assert inc == full | {(30, 30)}
+
+
+def test_int8_topk_recall_vs_float(spark):
+    from map_reduce_folds_spark.operators import similarity as S
+
+    rng = random.Random(3)
+    dim = 16
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 4")
+    flo = S.brute_force_topk(q, df, "vec_id", "embedding", dim, 10)
+    i8 = S.int8_topk(q, df, "vec_id", "embedding", dim, 10)
+    f_sets = {}
+    for r in flo.collect():
+        f_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in i8.collect():
+        total += 1
+        hits += r["neighbor_id"] in f_sets[r["query_id"]]
+    # ~1/127 per-element quantization noise: top-10 overlap stays high
+    assert total == 40 and hits / total >= 0.8, (hits, total)
