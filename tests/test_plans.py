@@ -167,3 +167,41 @@ def test_no_global_order_windows_in_package():
         for m in re.finditer(r"Window\s*\.\s*orderBy", src)
     ]
     assert not offenders, f"global ORDER BY windows found: {offenders}"
+
+
+def test_quantize_int8_scan_shaped_no_shuffle(spark):
+    """Quantization is a narrow per-row map: ZERO exchanges and the scan
+    reads only (vec_id, embedding)."""
+    df = _run(spark, "embedding_quantize_int8")
+    assert P.count_exchanges(df) == 0, P.executed_plan(df)
+    assert set(P.scan_columns(df)) == {"vec_id", "embedding"}
+
+
+def test_stratified_sample_single_shuffle(spark):
+    """Per-stratum hash-order top-n = one shuffle on the stratum key."""
+    df = _run(spark, "stratified_sample_docs")
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_window_time_range_single_shuffle_pruned(spark):
+    """RANGE-frame window: one shuffle on user_id; scan pruned to the four
+    referenced event columns."""
+    df = _run(spark, "window_time_range")
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+    assert set(P.scan_columns(df)) == {"event_id", "user_id", "ts", "value"}
+
+
+def test_cc_round_no_cartesian(spark):
+    """One CC round (edge join + doubling self-join + min-agg) must stay
+    hash-join-shaped — no cartesian/nested-loop anywhere."""
+    from pyspark.sql import Row
+
+    from map_reduce_folds_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [Row(src=i % 7, dst=(i * 3) % 11) for i in range(40)],
+        "src long, dst long",
+    )
+    out = G.connected_components(edges, "src", "dst")
+    out.collect()
+    assert P.count_cartesian_joins(out) == 0
