@@ -46,8 +46,15 @@ _PRIORITY = [
     # their operators ride other entries — hash60 via dedup_exact digests,
     # tokenization via text_stats)
     "text_stats", "token_count_bpe",
+    # round-5 window swaps, per the r4 verdict's displacement rule (a NEW
+    # family may displace a green row whose family stays represented):
+    # dedup_simhash_pairs → dedup_cc_clusters (graph/connected-components
+    # family; SimHash keeps dedup_simhash), q7_volume_shipping →
+    # embedding_quantize_int8 (int8 quantization family; TPC-H keeps
+    # q1/q9/q17).  The displaced rows re-register immediately after the
+    # window and stay in LOCAL_CORRECTNESS.
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_embedding", "sim_topk_bruteforce",
+    "dedup_cc_clusters", "dedup_embedding", "sim_topk_bruteforce",
     "sim_topk_lsh", "sim_topk_ivf", "multimodal_features",
     "contamination_check",
     "tfidf_top_terms", "deterministic_sample", "pipeline_clean_corpus",
@@ -58,7 +65,9 @@ _PRIORITY = [
     "sessionize_events", "rollup_region_nation", "salted_aggregation",
     "events_tumbling_window", "q1_pricing_summary", "q9_product_profit",
     # TPC-H shapes that registered past round 1's window
-    "q7_volume_shipping", "q17_small_quantity_revenue",
+    "embedding_quantize_int8", "q17_small_quantity_revenue",
+    # first entries PAST the 50-window: the two displaced green rows
+    "dedup_simhash_pairs", "q7_volume_shipping",
 ]
 
 
