@@ -172,6 +172,10 @@ def test_no_global_order_windows_in_package():
 def test_quantize_int8_scan_shaped_no_shuffle(spark):
     """Quantization is a narrow per-row map: ZERO exchanges and the scan
     reads only (vec_id, embedding)."""
+    # another test's persisted frame can be cache-substituted into this
+    # plan (CacheManager matches logical subtrees), hiding the parquet
+    # scan's ReadSchema — pin the uncached plan
+    spark.catalog.clearCache()
     df = _run(spark, "embedding_quantize_int8")
     assert P.count_exchanges(df) == 0, P.executed_plan(df)
     assert set(P.scan_columns(df)) == {"vec_id", "embedding"}
