@@ -34,7 +34,7 @@ round (bounded driver traffic, inherent to an iterative fixpoint).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def symmetric_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
