@@ -77,11 +77,14 @@ def connected_components(
     # graph with persist() alone (persist caches data, not plan size).
     # The checkpoint job replaces the materialization label_sum forced
     # anyway, so it costs nothing extra.
+    # lazy checkpoint: the label_sum aggregate below is the first action,
+    # so it materializes the checkpoint in the SAME job — one job per
+    # round instead of two (the checkpoint still caches + cuts lineage)
     labels = (
         sym.select("u", F.col("v").alias("label"))
         .union(sym.select("u", F.col("u").alias("label")))
         .groupBy("u").agg(F.min("label").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     def label_sum(lb: DataFrame):
         # labels are per-node monotone non-increasing, so the exact total
@@ -113,7 +116,9 @@ def connected_components(
                 .union(labels)
                 .union(jumped)
                 .groupBy("u").agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)  # hard lineage cut (above)
+                # hard lineage cut (see seed comment); lazy — label_sum
+                # materializes it in the same job
+                .localCheckpoint(eager=False)
             )
             cur_sum = label_sum(prop)
             labels = prop
