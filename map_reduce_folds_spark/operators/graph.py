@@ -50,6 +50,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of the undirected graph given by ``edges``.
 
@@ -65,26 +66,43 @@ def connected_components(
     Node ids must be NUMERIC (the fixpoint detector sums labels; doc/vec
     ids in this engine are) — hash string keys to int64 first
     (``text.hash60``) or add a dense-rank id.
-    """
+
+    ``checkpoint_dir``: back each round's label table with a parquet
+    write (two alternating slots — disk bounded at 2×|labels|, heap at
+    ~zero) instead of ``localCheckpoint``.  The in-memory default is
+    fastest for label sets that fit the executor storage pool, but
+    checkpoint RDDs from finished rounds are freed only lazily (JVM
+    ContextCleaner), so many-round runs on big label sets can exhaust
+    the heap — measured OOM at 60M nodes × ~5 rounds on an 8 GiB
+    local[32] heap, table-backed runs fine at the same size.  On a
+    cluster the table form is also executor-loss-safe; use it whenever
+    |nodes| × rounds threatens the storage pool."""
     sym = symmetric_edges(edges, src, dst).persist()
     # seed: each node's label = min(self, direct neighbors) — this folds
     # the first propagation round into the seed aggregation for free.
-    # EVERY round's labels are eagerly localCheckpoint'd: the round body
-    # references labels three times (edge join, union, doubling
-    # self-join), so without a hard lineage cut the LOGICAL plan triples
-    # per round and driver-side analysis time grows exponentially —
-    # measured 2.6 s → 8.8 s → 48 s → 140 s per round on a 21k-edge
-    # graph with persist() alone (persist caches data, not plan size).
-    # The checkpoint job replaces the materialization label_sum forced
-    # anyway, so it costs nothing extra.
-    # lazy checkpoint: the label_sum aggregate below is the first action,
-    # so it materializes the checkpoint in the SAME job — one job per
-    # round instead of two (the checkpoint still caches + cuts lineage)
-    labels = (
+    # EVERY round's labels pass through cut(): the round body references
+    # labels three times (edge join, union, doubling self-join), so
+    # without a hard lineage cut the LOGICAL plan triples per round and
+    # driver-side analysis time grows exponentially — measured
+    # 2.6 s → 8.8 s → 48 s → 140 s per round on a 21k-edge graph with
+    # persist() alone (persist caches data, not plan size).
+    def cut(df: DataFrame, rnd: int) -> DataFrame:
+        """Lineage/plan hard cut per round (see below).  In-memory: lazy
+        localCheckpoint — the label_sum aggregate is its first action, so
+        one job computes, caches, and measures.  Table-backed: write to
+        one of two alternating slots (the executing job only reads the
+        OTHER slot, so the overwrite is safe) and scan it back."""
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=False)
+        path = f"{checkpoint_dir}/labels_slot{rnd % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    labels = cut(
         sym.select("u", F.col("v").alias("label"))
         .union(sym.select("u", F.col("u").alias("label")))
-        .groupBy("u").agg(F.min("label").alias("label"))
-        .localCheckpoint(eager=False)
+        .groupBy("u").agg(F.min("label").alias("label")),
+        0,
     )
     def label_sum(lb: DataFrame):
         # labels are per-node monotone non-increasing, so the exact total
@@ -110,15 +128,13 @@ def connected_components(
                         F.col("l2.label").alias("label"))
             )
             # propagate: every neighbor of u may inherit u's label
-            prop = (
+            prop = cut(
                 sym.join(labels, "u")
                 .select(F.col("v").alias("u"), "label")
                 .union(labels)
                 .union(jumped)
-                .groupBy("u").agg(F.min("label").alias("label"))
-                # hard lineage cut (see seed comment); lazy — label_sum
-                # materializes it in the same job
-                .localCheckpoint(eager=False)
+                .groupBy("u").agg(F.min("label").alias("label")),
+                it + 1,
             )
             cur_sum = label_sum(prop)
             labels = prop

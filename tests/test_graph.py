@@ -230,3 +230,18 @@ def test_int8_topk_recall_vs_float(spark):
         hits += r["neighbor_id"] in f_sets[r["query_id"]]
     # ~1/127 per-element quantization noise: top-10 overlap stays high
     assert total == 40 and hits / total >= 0.8, (hits, total)
+
+
+def test_cc_table_backed_checkpoint_matches(spark, tmp_path_factory):
+    from map_reduce_folds_spark.operators import graph as G
+
+    ckpt = str(tmp_path_factory.mktemp("cc_ckpt"))
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges], "src long, dst long")
+    mem = {(r["node"], r["component"])
+           for r in G.connected_components(df, "src", "dst").collect()}
+    tbl = {(r["node"], r["component"])
+           for r in G.connected_components(df, "src", "dst",
+                                           checkpoint_dir=ckpt).collect()}
+    assert mem == tbl
