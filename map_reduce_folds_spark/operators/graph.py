@@ -166,6 +166,7 @@ def dedup_by_components(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    **cc_kw,
 ) -> DataFrame:
     """Cluster-based near-dup dedup: keep ONE canonical row (min id) per
     connected component of the pair graph, plus every row in no pair.
@@ -177,7 +178,7 @@ def dedup_by_components(
     through B.  Anti-join + broadcastable component table (components are
     at most |nodes-in-pairs| rows, typically a tiny fraction of the
     corpus)."""
-    comp = components_of_pairs(pairs, id_a, id_b)
+    comp = components_of_pairs(pairs, id_a, id_b, **cc_kw)
     losers = comp.where(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
