@@ -39,7 +39,7 @@ _PRIORITY = [
     # core operators driver-verified from round 2 (VERDICT r1 item 5)
     "mr_group_reduce_keyed", "mr_custom_fold_merge", "mr_concat_fold",
     "mr_unpack_only", "mr_filter_mapinpandas", "mr_first_last_by",
-    "mr_product_median", "mr_shared_scan", "mr_simple_unpack",
+    "mr_product_median", "mr_shared_scan",
     "mr_ordered_collect", "mr_group_reduce_ordered",
     # LLM-pipeline block (dedup / similarity / text / multimodal / quality)
     # (lang_id_confusion and doc_fingerprints sit just past the window:
@@ -64,10 +64,16 @@ _PRIORITY = [
     "join_broadcast_dims", "asof_join_purchase_click", "window_topk_per_group",
     "sessionize_events", "rollup_region_nation", "salted_aggregation",
     "events_tumbling_window", "q1_pricing_summary", "q9_product_profit",
-    # TPC-H shapes that registered past round 1's window
-    "embedding_quantize_int8", "q17_small_quantity_revenue",
-    # first entries PAST the 50-window: the two displaced green rows
-    "dedup_simhash_pairs", "q7_volume_shipping",
+    # TPC-H shapes that registered past round 1's window.  Round 6:
+    # q7_volume_shipping restored (r5 verdict item 4) by displacing
+    # mr_simple_unpack — the core fold family keeps 19 in-window rows and
+    # mr_simple_unpack stays hash-exact in LOCAL_CORRECTNESS; the window
+    # now driver-verifies TPC-H q1/q7/q9/q17.  embedding_quantize_int8's
+    # registration was re-shaped to scalar rows (r5's only red row).
+    "embedding_quantize_int8", "q7_volume_shipping",
+    "q17_small_quantity_revenue",
+    # first entries PAST the 50-window: the displaced green rows
+    "mr_simple_unpack", "dedup_simhash_pairs",
 ]
 
 

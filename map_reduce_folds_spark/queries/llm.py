@@ -370,14 +370,32 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
-@query("embedding_quantize_int8", oracle=S.quantize_int8_sql())
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH q8 AS ({S.quantize_int8_sql()})
+    SELECT vec_id, scale,
+           unnest(range(len(qvec))) AS idx,
+           unnest(qvec) AS q
+    FROM q8
+    """,
+)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus —
-    (vec_id, scale, qvec tinyint[]) — the 4× storage-compression step of
-    an ANN index build.  Pure Catalyst transform/aggregate; the oracle
-    mirrors scale and rounding bitwise."""
+    the 4× storage-compression step of an ANN index build.  The operator
+    (:func:`similarity.quantize_int8`) returns ``(vec_id, scale,
+    qvec tinyint[])``; for the correctness gate the registered query
+    posexplodes the code array into scalar rows ``(vec_id, scale, idx,
+    q)`` because the driver's canonicalizer cannot hash array-typed cells
+    (round-5 red row).  The oracle unnests ``qvec`` and ``range(len)``
+    in lockstep — DuckDB zips same-SELECT unnests positionally, matching
+    posexplode's 0-based index.  Pure Catalyst transform/aggregate; scale
+    and rounding mirrored bitwise."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.quantize_int8(e, "vec_id", "embedding")
+    q8 = S.quantize_int8(e, "vec_id", "embedding")
+    return q8.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("idx", "q"),
+    ).withColumn("idx", F.col("idx").cast("long"))
 
 
 _SRP_PLANES = 6   # SRP-LSH hyperplanes per table

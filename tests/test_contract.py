@@ -31,8 +31,16 @@ def test_query_matches_oracle(spark, duck, name):
 
     from tools.check_contract import compare
 
+    from tools.check_contract import nonscalar_columns
+
     fn = entrymod.queries()[name]
-    spark_pdf = fn(spark, SF_DIR).toPandas()
+    sdf = fn(spark, SF_DIR)
+    bad = nonscalar_columns(sdf)
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver's "
+        f"canonicalizer cannot hash array/map/struct cells (round-5 red "
+        f"row); explode or encode to scalars in the query registration")
+    spark_pdf = sdf.toPandas()
     if name not in ORACLES:
         pytest.skip(f"{name}: rows-only (no oracle) — covered by recall tests")
     duck_pdf = duck.sql(ORACLES[name]).fetchdf()

@@ -24,6 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from map_reduce_folds_spark.sources import TABLES
 
 
+def nonscalar_columns(sdf) -> list[str]:
+    """Column names whose Spark type the driver's canonicalizer cannot
+    hash (pandas ``sort_values`` raises ``unhashable type: 'list'`` on
+    array/map/struct cells).  Registered queries must be scalar-typed;
+    array-returning OPERATORS stay as-is — their query registrations
+    explode/encode to scalars (e.g. embedding_quantize_int8)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [f.name for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
@@ -99,6 +111,18 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            bad = nonscalar_columns(sdf)
+            if bad:
+                # the driver's canonicalizer (pandas sort_values) throws
+                # `unhashable type` on array/map/struct cells (round-5 red
+                # row embedding_quantize_int8) — fail loudly BEFORE any
+                # curation can move such a query into the driver window
+                print(f"FAIL  {name}: non-scalar output columns {bad} "
+                      f"(driver canonicalizer cannot hash these)")
+                results[name] = {"status": "fail",
+                                 "err": f"non-scalar columns: {bad}"}
+                n_fail += 1
+                continue
             spark_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e!r}")
