@@ -68,15 +68,27 @@ def connected_components(
     (``text.hash60``) or add a dense-rank id.
 
     ``checkpoint_dir``: back each round's label table with a parquet
-    write (two alternating slots — disk bounded at 2×|labels|, heap at
-    ~zero) instead of ``localCheckpoint``.  The in-memory default is
-    fastest for label sets that fit the executor storage pool, but
-    checkpoint RDDs from finished rounds are freed only lazily (JVM
-    ContextCleaner), so many-round runs on big label sets can exhaust
-    the heap — measured OOM at 60M nodes × ~5 rounds on an 8 GiB
+    write (two alternating slots — disk bounded at 2×|labels| per
+    invocation, heap at ~zero) instead of ``localCheckpoint``.  The
+    in-memory default is fastest for label sets that fit the executor
+    storage pool, but checkpoint RDDs from finished rounds are freed only
+    lazily (JVM ContextCleaner), so many-round runs on big label sets can
+    exhaust the heap — measured OOM at 60M nodes × ~5 rounds on an 8 GiB
     local[32] heap, table-backed runs fine at the same size.  On a
     cluster the table form is also executor-loss-safe; use it whenever
-    |nodes| × rounds threatens the storage pool."""
+    |nodes| × rounds threatens the storage pool.  Slots are namespaced
+    under a fresh per-invocation subdirectory, so the returned (lazy)
+    DataFrame stays valid when later calls reuse the same
+    ``checkpoint_dir``; the caller owns deleting the directory when all
+    results are consumed."""
+    run_ns = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        # unique per invocation: a second components run sharing the
+        # checkpoint_dir must not overwrite slots that back an earlier,
+        # not-yet-consumed lazy result
+        run_ns = f"{checkpoint_dir}/cc_{uuid.uuid4().hex[:12]}"
     sym = symmetric_edges(edges, src, dst).persist()
     # seed: each node's label = min(self, direct neighbors) — this folds
     # the first propagation round into the seed aggregation for free.
@@ -92,9 +104,9 @@ def connected_components(
         one job computes, caches, and measures.  Table-backed: write to
         one of two alternating slots (the executing job only reads the
         OTHER slot, so the overwrite is safe) and scan it back."""
-        if checkpoint_dir is None:
+        if run_ns is None:
             return df.localCheckpoint(eager=False)
-        path = f"{checkpoint_dir}/labels_slot{rnd % 2}"
+        path = f"{run_ns}/labels_slot{rnd % 2}"
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 

@@ -123,11 +123,20 @@ def srp_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int | str = "auto",
+    n_tables: int | str = "auto",
+    corpus_count: int | None = None,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket in ≥1 of
     ``n_tables`` tables; exact cosine is computed only for candidates.
+
+    ``materialize_path``: write the corpus (id, table, bucket) signature
+    rows to a parquet table at that path and scan it back — the
+    signature stage (the one full-corpus pass) becomes a durable stage
+    boundary instead of lineage recomputed per downstream job; at
+    cluster scale this IS the ANN index build, reusable across query
+    batches (same knob as dedup.minhash_near_dup_pairs).
 
     At 100 TB the corpus signature pass is one narrow scan (the vectorized
     :func:`srp_bucket_rows` stage); the bucket join shuffles on (table,
@@ -135,11 +144,30 @@ def srp_lsh_topk(
     join back for verify.  Recall rises with n_tables; verify-and-rank
     keeps precision exact within candidates.  Fully deterministic, so a
     SQL oracle reproduces the candidate set — and therefore the returned
-    top-k — exactly (queries/llm.py sim_topk_lsh)."""
+    top-k — exactly (queries/llm.py sim_topk_lsh).
+
+    Default ``n_planes="auto"`` sizes the bucket space from the corpus
+    cardinality via :func:`auto_srp_params` (base 8 planes / 4 tables,
+    +1 plane per corpus doubling past 2^8·64 rows, tables compensated to
+    hold the recall S-curve at cos≈0.9 — the regime a top-k search must
+    not miss).  Pass ``corpus_count`` to skip the sizing count scan, or
+    explicit ints to pin the geometry (as the oracle-backed registered
+    query does)."""
+    if n_planes == "auto" or n_tables == "auto":
+        n = corpus_count if corpus_count is not None else corpus.count()
+        pinned = None if n_planes == "auto" else n_planes
+        auto_p, auto_t = auto_srp_params(
+            n, threshold=0.9, base_planes=8, base_tables=4, planes=pinned)
+        n_planes = auto_p
+        n_tables = auto_t if n_tables == "auto" else n_tables
     qb = srp_bucket_rows(queries, id_col, vec_col, dim, n_planes, n_tables) \
         .withColumnRenamed("__id", "query_id")
-    cb = srp_bucket_rows(corpus, id_col, vec_col, dim, n_planes, n_tables) \
-        .withColumnRenamed("__id", "neighbor_id")
+    cb = srp_bucket_rows(corpus, id_col, vec_col, dim, n_planes, n_tables)
+    if materialize_path is not None:
+        from map_reduce_folds_spark.operators.dedup import materialize_stage
+
+        cb = materialize_stage(cb, materialize_path)
+    cb = cb.withColumnRenamed("__id", "neighbor_id")
     cand = (
         cb.join(F.broadcast(qb),
                 (qb.tbl == cb.tbl) & (qb.bucket == cb.bucket)
@@ -230,14 +258,54 @@ def srp_signature_sql(vec: str, dim: int, n_planes: int, table: int) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def auto_srp_params(
+    n_rows: int,
+    threshold: float = 0.95,
+    base_planes: int = 6,
+    base_tables: int = 8,
+    target_bucket: int = 64,
+    planes: int | None = None,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) from corpus cardinality so the bucket
+    self-join stays linear as the corpus grows.
+
+    Bucket count per table is ``2^n_planes``; with planes FIXED, per-bucket
+    occupancy grows linearly with the corpus and the self-join quadratically
+    (the one superlinear row in round-5's 10× measurement: 11.9×, restored
+    to sublinear at planes=9).  The rule here is that measurement made the
+    default: ``n_planes = max(base, ceil(log2(n / target_bucket)))`` holds
+    expected bucket occupancy at ~``target_bucket`` rows — +1 plane per
+    corpus doubling.
+
+    Each extra plane lowers per-table recall by the S-curve factor ``p1 =
+    1 - acos(threshold)/pi`` (the probability one hyperplane agrees on a
+    pair at the detection threshold), so ``n_tables`` scales by
+    ``(1/p1)^extra_planes`` to hold pair recall ≈ ``1-(1-p1^planes)^tables``
+    constant.  At threshold 0.95 that is ~1.11× tables per plane — table
+    count grows like n^0.16, far cheaper than the n² it prevents."""
+    import math
+
+    if planes is None:
+        planes = base_planes
+        if n_rows > target_bucket:
+            planes = max(base_planes,
+                         math.ceil(math.log2(n_rows / target_bucket)))
+    theta = math.acos(min(max(threshold, -1.0), 1.0))
+    p1 = 1.0 - theta / math.pi
+    n_tables = max(base_tables, math.ceil(
+        base_tables * (1.0 / p1) ** (planes - base_planes)))
+    return planes, n_tables
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.95,
-    n_planes: int = 6,
-    n_tables: int = 8,
+    n_planes: int | str = "auto",
+    n_tables: int | str = "auto",
+    corpus_count: int | None = None,
     materialize: bool = True,
     materialize_path: str | None = None,
 ) -> DataFrame:
@@ -265,10 +333,20 @@ def embedding_near_dup_pairs_lsh(
 
     SCALING THE BUCKET SPACE: bucket count is 2^n_planes per table, so a
     growing corpus at FIXED planes grows per-bucket occupancy linearly and
-    the bucket self-join quadratically.  Add ~1 plane per corpus doubling
-    (and raise ``n_tables`` to hold the recall S-curve) — measured at 10×
-    the sf0.1 corpus, n_planes 6→9 brought the run from 11.9× back to
-    0.8× of the base time (SCALE.md round-5 scaling table)."""
+    the bucket self-join quadratically.  The DEFAULT is therefore
+    ``n_planes="auto"``: :func:`auto_srp_params` derives planes (+1 per
+    corpus doubling past 2^6·target_bucket rows) and compensating tables
+    from the corpus cardinality — supplied via ``corpus_count`` when the
+    caller already knows it (a catalog rowcount at 100 TB), else one
+    narrow ``df.count()`` scan.  Explicit ints keep working and skip the
+    count.  Measured at 10× the sf0.1 corpus, planes 6→9 brought the run
+    from 11.9× back to 0.8× of the base time (SCALE.md scaling table)."""
+    if n_planes == "auto" or n_tables == "auto":
+        n = corpus_count if corpus_count is not None else df.count()
+        pinned = None if n_planes == "auto" else n_planes
+        auto_p, auto_t = auto_srp_params(n, threshold, planes=pinned)
+        n_planes = auto_p
+        n_tables = auto_t if n_tables == "auto" else n_tables
     buckets = srp_bucket_rows(df, id_col, vec_col, dim, n_planes, n_tables)
     if materialize_path is not None:
         from map_reduce_folds_spark.operators.dedup import materialize_stage
@@ -571,6 +649,7 @@ def ivf_srp_topk(
     n_bits: int = 3,
     n_probe: int = 4,
     table: int = 9,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k with a **data-independent SRP coarse
     quantizer**: the 2^``n_bits`` cells are the sign patterns of ``n_bits``
@@ -578,6 +657,11 @@ def ivf_srp_topk(
     trained-kmeans :func:`ivf_topk` — the quantizer needs no training pass,
     no stored model, and has an exact SQL mirror
     (:func:`srp_signature_sql`).
+
+    ``materialize_path``: write the cell-assigned corpus (id, vector,
+    norm, cell) to a parquet table there and scan it back — this IS the
+    inverted file: built once, the per-query-batch cost is a cell-keyed
+    join against the stored table, not a re-assignment of the corpus.
 
     Same inverted-file structure as classic IVF: every corpus vector is
     assigned to exactly ONE cell (cells are disjoint — no dedup needed,
@@ -596,6 +680,10 @@ def ivf_srp_topk(
         norm(F.col(vec_col), dim).alias("cn"),
         srp_signature(F.col(vec_col), dim, n_bits, table).alias("cell"),
     )
+    if materialize_path is not None:
+        from map_reduce_folds_spark.operators.dedup import materialize_stage
+
+        c = materialize_stage(c, materialize_path)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         norm(F.col(vec_col), dim).alias("qn"),
@@ -776,7 +864,10 @@ def int8_topk_sql(
     src: str = "embeddings",
 ) -> str:
     """DuckDB mirror of :func:`int8_topk` — same quantization, same
-    integer dot (exact in any summation order), same tie-break."""
+    integer dot (exact in any summation order), same tie-break.  The dot
+    unrolls ``qvec[1..dim]``; out-of-range list indexing in DuckDB yields
+    NULL silently, so a guard ``error()``s when any vector's length
+    differs from ``dim`` instead of emitting NULL scores."""
     quant = quantize_int8_sql(id_col, vec_col, src)
     iprod = " + ".join(
         f"CAST(a.qvec[{i}] AS BIGINT) * CAST(b.qvec[{i}] AS BIGINT)"
@@ -786,7 +877,10 @@ def int8_topk_sql(
     WITH q8 AS ({quant})
     SELECT query_id, neighbor_id, qdot FROM (
         SELECT a.{id_col} AS query_id, b.{id_col} AS neighbor_id,
-               CAST(({iprod}) AS DOUBLE) * a.scale * b.scale AS qdot
+               CASE WHEN len(a.qvec) != {dim} OR len(b.qvec) != {dim}
+                    THEN error('int8_topk_sql: qvec length != dim={dim}')
+                    ELSE CAST(({iprod}) AS DOUBLE) * a.scale * b.scale
+               END AS qdot
         FROM q8 a JOIN q8 b ON a.{id_col} != b.{id_col}
         WHERE a.{id_col} IN (SELECT {id_col} FROM {src} {queries_where})
     )

@@ -79,6 +79,7 @@ def parse_kafka_json(
     raw: DataFrame,
     value_schema: str,
     include_meta: bool = True,
+    corrupt_col: str | None = "_corrupt",
 ) -> DataFrame:
     """Decode a Kafka wire frame whose values are JSON documents.
 
@@ -86,15 +87,37 @@ def parse_kafka_json(
     user_id long"``).  Output: one column per schema field, plus (when
     ``include_meta``) the log coordinates ``_topic/_partition/_offset`` —
     the exactly-once bookkeeping columns — and Kafka's ``_kafka_ts``.
-    Malformed JSON yields null fields (PERMISSIVE), never a crashed batch;
-    count ``_corrupt`` downstream if a dead-letter split is needed.  Pure
-    Catalyst; identical on batch frames (tests) and streams."""
+    Malformed JSON yields null fields (PERMISSIVE), never a crashed batch.
+    ``from_json`` alone makes malformed rows indistinguishable from rows
+    whose fields are legitimately null (PERMISSIVE returns an all-null
+    struct, not a null struct), so ``corrupt_col`` (default ``_corrupt``)
+    routes ``columnNameOfCorruptRecord`` through the parse and emits a
+    boolean flag: true exactly when the document failed to parse — filter
+    on it for a dead-letter split, or count it as a data-quality metric.
+    A null payload is NOT flagged (nothing to parse).  Pass
+    ``corrupt_col=None`` to drop the flag.  Pure Catalyst; identical on
+    batch frames (tests) and streams."""
+    from pyspark.sql.types import StructType
+
+    field_names = StructType.fromDDL(value_schema).fieldNames()
+    if corrupt_col is None:
+        vexpr = F.from_json(F.col("value").cast("string"), value_schema)
+    else:
+        raw_field = "__corrupt_raw"
+        assert raw_field not in field_names, (
+            f"value_schema may not contain the reserved field {raw_field}")
+        vexpr = F.from_json(
+            F.col("value").cast("string"),
+            f"{value_schema}, {raw_field} string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": raw_field},
+        )
     parsed = raw.select(
-        F.col("key").cast("string").alias("_key"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("key").cast("string").alias("_key"), vexpr.alias("v"),
         "topic", "partition", "offset", "timestamp",
     )
-    cols: list[Column] = [F.col("v.*")]
+    cols: list[Column] = [F.col(f"v.{f}").alias(f) for f in field_names]
+    if corrupt_col is not None:
+        cols.append(F.col(f"v.{raw_field}").isNotNull().alias(corrupt_col))
     if include_meta:
         cols += [
             F.col("_key"),

@@ -245,3 +245,23 @@ def test_cc_table_backed_checkpoint_matches(spark, tmp_path_factory):
            for r in G.connected_components(df, "src", "dst",
                                            checkpoint_dir=ckpt).collect()}
     assert mem == tbl
+
+
+def test_cc_checkpoint_dir_reuse_keeps_lazy_result(spark, tmp_path_factory):
+    """Slots are namespaced per invocation: a second run reusing the same
+    checkpoint_dir must NOT overwrite the table backing an earlier, not
+    yet consumed lazy result (round-5 advisor finding)."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    ckpt = str(tmp_path_factory.mktemp("cc_ckpt_reuse"))
+    g1 = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3)], "src long, dst long")
+    g2 = spark.createDataFrame(
+        [Row(src=100, dst=200)], "src long, dst long")
+    first = G.connected_components(g1, "src", "dst", checkpoint_dir=ckpt)
+    # second invocation on DIFFERENT data, same dir, before consuming first
+    second = G.connected_components(g2, "src", "dst", checkpoint_dir=ckpt)
+    assert {(r["node"], r["component"]) for r in first.collect()} == {
+        (1, 1), (2, 1), (3, 1)}
+    assert {(r["node"], r["component"]) for r in second.collect()} == {
+        (100, 100), (200, 100)}

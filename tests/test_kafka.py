@@ -33,8 +33,9 @@ def test_parse_kafka_json_fields_and_meta(spark):
         {"event_id": 2, "user_id": 9, "value": -1.0},
     ])
     out = KF.parse_kafka_json(raw, "event_id long, user_id long, value double")
-    assert out.columns == ["event_id", "user_id", "value", "_key", "_topic",
-                           "_partition", "_offset", "_kafka_ts"]
+    assert out.columns == ["event_id", "user_id", "value", "_corrupt",
+                           "_key", "_topic", "_partition", "_offset",
+                           "_kafka_ts"]
     got = {r["event_id"]: r for r in out.collect()}
     assert got[1]["user_id"] == 7 and got[1]["_topic"] == "events"
     assert got[2]["value"] == -1.0 and got[2]["_offset"] == 1
@@ -49,6 +50,27 @@ def test_parse_kafka_json_malformed_yields_nulls(spark):
     out = KF.parse_kafka_json(raw.union(bad), "event_id long", include_meta=False)
     vals = sorted([r["event_id"] for r in out.collect()], key=lambda v: (v is None, v))
     assert vals == [1, None]
+
+
+def test_parse_kafka_json_corrupt_flag_separates_bad_from_null(spark):
+    """_corrupt is true exactly for unparseable payloads — rows whose
+    fields are LEGITIMATELY null (parseable JSON missing the field, or
+    explicit null) are not flagged (round-5 advisor finding)."""
+    import pyspark.sql.functions as F
+
+    good = _wire_rows(spark, [{"event_id": 1}, {"other": 9}])  # 2nd: null field
+    bad = _wire_rows(spark, [{"event_id": 2}]) \
+        .withColumn("value", F.lit(b"{{not json"))
+    null_payload = _wire_rows(spark, [{"event_id": 3}]) \
+        .withColumn("value", F.lit(None).cast("binary"))
+    out = KF.parse_kafka_json(good.union(bad).union(null_payload),
+                              "event_id long", include_meta=False)
+    rows = [(r["event_id"], r["_corrupt"]) for r in out.collect()]
+    assert sorted(rows, key=str) == sorted(
+        [(1, False), (None, False), (None, True), (None, False)], key=str)
+    # corrupt_col=None drops the flag (pre-round-6 shape)
+    assert KF.parse_kafka_json(good, "event_id long", include_meta=False,
+                               corrupt_col=None).columns == ["event_id"]
 
 
 def test_kafka_json_round_trip(spark):

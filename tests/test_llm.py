@@ -4,6 +4,8 @@ rows-only queries (probabilistic LSH paths) can't prove via the SQL oracle.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -84,6 +86,41 @@ def test_minhash_materialize_path_roundtrip(docs, tmp_path_factory):
     stage = docs.sparkSession.read.parquet(sig_path)
     assert set(stage.columns) == {"doc_id", "sh", "bandh"}
     assert stage.count() > 0
+
+
+def test_ann_topk_materialize_path_roundtrip(emb, tmp_path_factory):
+    """materialize_path= on the ANN top-k paths (round-5 verdict item 5):
+    the table-backed signature/index boundary must return hash-identical
+    top-k to the in-lineage form, and the written table must be the real
+    stage (SRP bucket rows / IVF cell assignment) so a later query batch
+    can reuse it."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("ann_stage"))
+    q = emb.filter("vec_id < 5")
+
+    srp_kw = dict(k=10, n_planes=6, n_tables=8)
+    base = {(r.query_id, r.neighbor_id, r.cos_sim)
+            for r in S.srp_lsh_topk(q, emb, **srp_kw).collect()}
+    srp_path = os.path.join(root, "srp_index.parquet")
+    via = {(r.query_id, r.neighbor_id, r.cos_sim)
+           for r in S.srp_lsh_topk(q, emb, materialize_path=srp_path,
+                                   **srp_kw).collect()}
+    assert via == base
+    srp_tbl = emb.sparkSession.read.parquet(srp_path)
+    assert set(srp_tbl.columns) == {"__id", "tbl", "bucket"}
+    assert srp_tbl.count() == emb.count() * 8  # one row per (vec, table)
+
+    ivf_base = {(r.query_id, r.neighbor_id, r.cos_sim)
+                for r in S.ivf_srp_topk(q, emb, k=10).collect()}
+    ivf_path = os.path.join(root, "ivf_index.parquet")
+    ivf_via = {(r.query_id, r.neighbor_id, r.cos_sim)
+               for r in S.ivf_srp_topk(q, emb, k=10,
+                                       materialize_path=ivf_path).collect()}
+    assert ivf_via == ivf_base
+    ivf_tbl = emb.sparkSession.read.parquet(ivf_path)
+    assert set(ivf_tbl.columns) == {"neighbor_id", "cv", "cn", "cell"}
+    assert ivf_tbl.count() == emb.count()  # disjoint cells: one row per vec
 
 
 def test_regex_tokenizer_threading(spark):
@@ -197,6 +234,58 @@ def test_embedding_lsh_vs_exact(emb):
     if exact:
         recall = len(lsh) / len(exact)
         assert recall >= 0.1, f"embedding-lsh recall {recall:.2f} on {len(exact)} pairs"
+
+
+def test_auto_srp_params():
+    """Auto bucket-space sizing: +1 plane per corpus doubling past the
+    base knee, tables compensated to hold the recall S-curve, explicit
+    planes pinned but tables still derived (the round-5 scale-trap fix)."""
+    base = S.auto_srp_params(1_000)
+    assert base == (6, 8)  # under the knee: base geometry
+    p10, t10 = S.auto_srp_params(64 * 64 * 10)       # 10x past the knee
+    p100, t100 = S.auto_srp_params(64 * 64 * 100)    # 100x past the knee
+    assert p10 == 10 and p100 == 13  # ceil(log2(n/64)): +1 per doubling
+    assert t100 >= t10 >= 8          # monotone recall compensation
+    # expected occupancy n / 2^planes stays bounded near target_bucket
+    for n in (10**4, 10**5, 10**6, 10**8):
+        planes, _ = S.auto_srp_params(n)
+        assert n / 2 ** planes <= 64
+    # pinned planes: tables still compensated for the pinned geometry
+    pp, pt = S.auto_srp_params(64 * 64 * 100, planes=9)
+    assert pp == 9 and pt == math.ceil(8 * (1 / (1 - math.acos(0.95) / math.pi)) ** 3)
+
+
+@pytest.mark.parametrize("n_vecs", [2_000, 16_000])
+def test_lsh_auto_recall_planted_dups(spark, n_vecs):
+    """Pair recall with DEFAULT (auto) parameters at two corpus sizes —
+    the round-5 verdict's acceptance test for the auto-sizing fix.  50
+    planted near-dup pairs (cos ≈ 0.99) in a random corpus; auto planes
+    differ between the sizes (6 vs 8) yet recall must hold at both,
+    because tables are compensated along the S-curve."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((n_vecs, 64))
+    # plant 50 near-dups: ids n_vecs..n_vecs+49 are noisy copies of 0..49
+    noisy = base[:50] + 0.05 * rng.standard_normal((50, 64))
+    vecs = np.vstack([base, noisy])
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [row.astype("float64").tolist() for row in vecs],
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+    planes_expected, _ = S.auto_srp_params(len(vecs), threshold=0.95)
+    assert (planes_expected > 6) == (n_vecs == 16_000)
+    found = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs_lsh(
+            df, threshold=0.95, corpus_count=len(vecs)).collect()
+    }
+    planted = {(i, n_vecs + i) for i in range(50)}
+    hits = {(a, b) for a, b in found if (a, b) in planted}
+    recall = len(hits) / len(planted)
+    assert recall >= 0.9, f"auto-LSH recall {recall:.2f} at n={n_vecs}"
 
 
 def test_exact_dedup_removes_planted_dups(spark, docs):
