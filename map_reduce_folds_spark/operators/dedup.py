@@ -380,6 +380,55 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     return _reduce(lambda x, y: x + y, terms)
 
 
+def simhash_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, sig) in ONE vectorized Arrow stage — value-identical to
+    ``select(id, simhash(text))`` (equality asserted in tests/test_llm.py),
+    but without the interpreted HOF tree: the Catalyst :func:`simhash`
+    builds ``bits`` × ``filter(...)`` array expressions per row, all
+    interpreted, which dominates the SimHash pipeline's cost the same way
+    the MinHash/SRP expression trees did before their Arrow stages
+    (:func:`minhash_band_rows`, similarity.srp_bucket_rows).
+
+    Parity is exact by construction: same single-space split, same
+    distinct-token set, same md5[:15hex] token hash, same
+    majority-per-bit rule — pure integer arithmetic, no floats."""
+    import hashlib
+
+    import numpy as np
+
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, sig bigint"
+    powers = 1 << np.arange(bits, dtype=np.int64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    out.append((doc_id, None))
+                    continue
+                toks = set(text.split(" "))
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                     for t in toks),
+                    dtype=np.int64, count=len(toks),
+                )
+                ones = ((hs[:, None] & powers) != 0).sum(axis=0)
+                sig = int(powers[ones * 2 > len(hs)].sum())
+                out.append((doc_id, sig))
+            if out:
+                yield pd.DataFrame(out, columns=[id_col, "sig"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def simhash_sql(text_expr: str, bits: int = 32) -> str:
     """DuckDB SQL mirroring :func:`simhash` bit-for-bit (oracle generator)."""
     h = ("CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)")
@@ -399,17 +448,32 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     blocks: int = 4,
+    materialize: bool = True,
+    materialize_path: str | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Pigeonhole blocking: split the signature into ``blocks`` bit-blocks;
     any pair within distance < blocks shares at least one exact block →
     join per block, then verify true hamming distance.  Linear candidate
-    generation, no cross join."""
+    generation, no cross join.
+
+    ``arrow`` (default) computes signatures in the vectorized
+    :func:`simhash_rows` stage; ``arrow=False`` keeps the pure-Catalyst
+    :func:`simhash` expression (the differential-check / oracle form —
+    both value-identical, asserted in tests).  ``materialize`` persists
+    the blocked-signature projection so the signature stage runs ONCE,
+    not on both sides of the block self-join (same boundary discipline
+    as the MinHash path); ``materialize_path`` writes it to a parquet
+    table instead — the cluster-scale form."""
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
     width = bits // blocks
     mask = (1 << width) - 1
-    s = docs.select(F.col(id_col), simhash(text_col, bits).alias("sig"))
+    if arrow:
+        s = simhash_rows(docs, id_col, text_col, bits)
+    else:
+        s = docs.select(F.col(id_col), simhash(text_col, bits).alias("sig"))
     blocked = s.select(
         id_col, "sig",
         F.explode(F.array(*[
@@ -420,6 +484,10 @@ def simhash_near_dup_pairs(
             for i in range(blocks)
         ])).alias("b"),
     ).select(id_col, "sig", "b.blk", "b.bh")
+    if materialize_path is not None:
+        blocked = materialize_stage(blocked, materialize_path)
+    elif materialize:
+        blocked = blocked.persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = a.join(
         b,

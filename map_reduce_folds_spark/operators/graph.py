@@ -39,10 +39,19 @@ from pyspark.sql import DataFrame, functions as F
 
 def symmetric_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected view of an edge list: both directions, deduplicated,
-    self-loops dropped (they never change a component)."""
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    return fwd.union(rev).where(F.col("u") != F.col("v")).distinct()
+    self-loops dropped (they never change a component).
+
+    Built with a per-row explode rather than ``fwd.union(rev)``: a union
+    scans the upstream lineage TWICE, and CC's edge input is typically an
+    expensive candidate-pair pipeline (LSH / SimHash) — with explode it
+    is computed once and each row fans out to its two directions."""
+    both = edges.select(
+        F.explode(F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )).alias("e")
+    ).select("e.u", "e.v")
+    return both.where(F.col("u") != F.col("v")).distinct()
 
 
 def connected_components(

@@ -64,6 +64,17 @@ def test_minhash_band_rows_matches_catalyst(docs):
     assert arrow == cat
 
 
+def test_simhash_arrow_stage_matches_catalyst(docs):
+    """simhash_rows (vectorized Arrow stage) must equal the Catalyst
+    simhash() expression value-for-value — same split, same distinct set,
+    same md5 token hash, same majority rule."""
+    cat = {(r[0], r[1]) for r in
+           docs.select("doc_id", D.simhash("text", 32).alias("sig")).collect()}
+    arrow = {(r[0], r[1])
+             for r in D.simhash_rows(docs, "doc_id", "text", 32).collect()}
+    assert arrow == cat
+
+
 def test_minhash_materialize_path_roundtrip(docs, tmp_path_factory):
     """The table-backed stage boundary (materialize_path=) must produce
     exactly the persist-backed results: same pairs, bitwise-same jaccard.
