@@ -355,18 +355,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-based near-dup dedup: SimHash pairs (hamming ≤ 3) →
-    distributed connected components (hash-to-min) → (doc_id, canonical
+    """Cluster-based near-dup dedup: SimHash near-dup graph (hamming ≤ 3)
+    → distributed connected components (hash-to-min) → (doc_id, canonical
     component = min doc id in the cluster).  The transitive closure is the
     point: A~B and B~C collapse into one cluster even when A~C never
-    surfaced as a pair.  The oracle computes the same closure with a
-    recursive CTE over the same (SQL-mirrored) pair graph."""
-    from map_reduce_folds_spark.operators import graph as G
-
+    surfaced as a pair.  Uses the distinct-signature factoring
+    (operators/dedup.simhash_components): identical-sig docs connect by
+    star to their rep, pigeonhole pair-gen runs over distinct sigs only
+    (37× fewer edges at sf0.1, identical components — property-tested).
+    The oracle computes the same closure with a recursive CTE over the
+    doc-level pair graph — same components by the factoring argument,
+    verified by hash."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
-                                     max_hamming=3, blocks=4)
-    comp = G.components_of_pairs(pairs.select("id_a", "id_b"))
+    comp = D.simhash_components(d, "doc_id", "text", bits=32,
+                                max_hamming=3, blocks=4)
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 

@@ -75,6 +75,26 @@ def test_simhash_arrow_stage_matches_catalyst(docs):
     assert arrow == cat
 
 
+def test_simhash_components_equals_doc_level_pairs(docs):
+    """The distinct-signature factoring (star to sig-rep + pigeonhole over
+    reps) must yield EXACTLY the components of the doc-level pair graph —
+    same node set, same min-id labels."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    doc_level = {
+        (r["node"], r["component"])
+        for r in G.components_of_pairs(
+            D.simhash_near_dup_pairs(docs, bits=32, max_hamming=3, blocks=4)
+            .select("id_a", "id_b")).collect()
+    }
+    factored = {
+        (r["node"], r["component"])
+        for r in D.simhash_components(docs, bits=32, max_hamming=3,
+                                      blocks=4).collect()
+    }
+    assert factored == doc_level
+
+
 def test_minhash_materialize_path_roundtrip(docs, tmp_path_factory):
     """The table-backed stage boundary (materialize_path=) must produce
     exactly the persist-backed results: same pairs, bitwise-same jaccard.
