@@ -514,3 +514,92 @@ def _asof_range(
         .filter(F.col("__rn") == 1)
         .drop("__rn", *[f"__k{i}" for i in range(len(keys))], "__asof_rid")
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: str | Sequence[str] | None = None,
+    how: str = "inner",
+    bucket_width: float | None = None,
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Point-in-interval join: each point row pairs with every interval
+    row whose ``[start_col, end_col]`` (inclusive) contains its
+    ``point_col`` — with equal values on the optional equi-keys ``on``.
+    The companion of :func:`asof_join` in the temporal-join family
+    (reference analog: none — SURVEY §2.7 GAP rows): attribution windows,
+    maintenance/outage periods, validity ranges.
+
+    Strategies (same split as ``asof_join``'s merge/range):
+
+    * ``bucket_width=w`` — the 100 TB path.  Every interval EXPLODES to
+      the ⌈len/w⌉+1 width-``w`` buckets it overlaps; each point belongs
+      to exactly ONE bucket, so the bucket equi-join meets every matching
+      pair exactly once (no dedup step) and never builds the cartesian
+      product a raw theta-join would.  Shuffle is on (keys…, bucket) —
+      a hot key spreads over its time range.  Pick ``w`` near the median
+      interval length: too small multiplies interval rows (len/w
+      replicas), too large piles unrelated points into each bucket's
+      verify.  For timestamp columns ``w`` is in SECONDS; for numeric
+      columns it is in the column's own units.
+    * ``broadcast_intervals=True`` — dimension-sized interval tables:
+      broadcast hash join on the equi-keys (or nested-loop when no keys),
+      range predicate evaluated stream-side.  No shuffle at all.
+    * neither — plain join with the range predicate; Catalyst extracts
+      the equi-keys into a shuffle hash join.  Fine when per-key fan-out
+      is modest; prefer ``bucket_width`` at scale.
+
+    Timestamp columns of either flavor (TIMESTAMP / TIMESTAMP_NTZ) are
+    compared on exact ``epoch_us`` bigints (timeutil contract).
+    ``how`` ∈ inner/left — left keeps unmatched points with null interval
+    columns.  Column names must be disjoint apart from the ``on`` keys
+    (asserted), and key columns are emitted once.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    clash = [
+        c for c in intervals.columns if c in points.columns and c not in keys
+    ]
+    if clash:
+        raise ValueError(
+            f"interval_join: column collision {clash} — rename before joining")
+
+    def _num(df: DataFrame, col: str) -> Column:
+        from ..timeutil import epoch_us
+
+        return (epoch_us(F.col(col))
+                if "timestamp" in dict(df.dtypes)[col] else F.col(col))
+
+    p, i = points, intervals
+    pnum = _num(p, point_col)
+    snum, enum = _num(i, start_col), _num(i, end_col)
+    if bucket_width is not None:
+        w = bucket_width
+        if "timestamp" in dict(p.dtypes)[point_col]:
+            w = w * 1_000_000  # seconds → the epoch_us bucket axis
+        p = p.withColumn("__pb", F.floor(pnum / F.lit(w)))
+        i = i.withColumn(
+            "__ib",
+            F.explode(F.sequence(F.floor(snum / F.lit(w)),
+                                 F.floor(enum / F.lit(w)))),
+        )
+        cond = F.col("__pb") == F.col("__ib")
+    else:
+        cond = F.lit(True)
+        if broadcast_intervals:
+            i = F.broadcast(i)
+    for k in keys:
+        cond = cond & (p[k] == i[k])  # SQL join semantics: nulls don't match
+    # the containment check re-derives the numeric forms against the
+    # (possibly bucket-augmented) frames so it resolves unambiguously
+    cond = cond & _num(p, point_col).between(_num(i, start_col),
+                                             _num(i, end_col))
+    out = p.join(i, cond, how)
+    drop = [c for c in ("__pb", "__ib") if c in out.columns]
+    # emit each equi-key once (the points side; identical by the condition)
+    return out.drop(*[i[k] for k in keys]).drop(*drop)

@@ -229,3 +229,94 @@ def hist_quantile_sql(frac: float, lo: float, hi: float, nbuckets: int,
         "THEN s.b ELSE acc.b END, 'c': acc.c - s.c})"
     )
     return f"({lo!r} + (CAST(({fold}).b AS DOUBLE) + 0.5) * {w!r})"
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — frequency estimation /
+# heavy hitters, same oracle-exact relational discipline as the HLL above.
+# ---------------------------------------------------------------------------
+
+def _cms_rc(item: Column, d: int, w: int) -> Column:
+    """array<struct<r,c>> of the item's ``d`` (row, column) cells; row
+    ``r``'s hash is the portable hash60 salted with ``cms{r}`` — fully
+    deterministic, so DuckDB lands every item in the same cells."""
+    return F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (hash60(item, salt=f"cms{r}") % F.lit(w)).alias("c"))
+        for r in range(d)
+    ])
+
+
+def cms_cells(
+    df: DataFrame,
+    item: str | Column,
+    group_cols: list[str] | None = None,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Build a count-min sketch as a RELATION ``(group…, r, c, cnt)`` —
+    the distributed-native form, exactly like :func:`hll_sketch`'s
+    register relation: building is explode-``d``-cells → one
+    map-side-combinable count aggregation; MERGING two sketches is
+    ``union → groupBy(r, c) → sum`` (the counter monoid — cells are
+    additive, so sketch(A ∪ B) = sketch(A) ⊕ sketch(B) cell-wise,
+    property-tested).  Sparse: untouched cells are absent (= 0).
+
+    Point estimates OVERCOUNT only (each cell adds colliding items'
+    counts; the min over ``d`` rows takes the least-collided) — est ≥
+    true always, and P[est > true + εN] ≤ (1/2)^d at w = e/ε.  At 100 TB
+    the sketch is ≤ d·w rows per group regardless of key cardinality —
+    the point: heavy-hitter detection without a full groupBy over a
+    billion-key column (the hot-key PRE-detection step feeding
+    skew.salted_aggregate / topk_per_group(pre_split=))."""
+    it = F.col(item) if isinstance(item, str) else item
+    gc = list(group_cols or [])
+    e = df.select(*gc, F.explode(_cms_rc(it, d, w)).alias("rc")) \
+        .select(*gc, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    return e.groupBy(*gc, "r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """⊕ of two cell relations (same d, w): cell-wise count sum."""
+    gc = list(group_cols or [])
+    return a.unionByName(b).groupBy(*gc, "r", "c") \
+        .agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """``(key, est)`` point estimates for every row of ``keys``: min over
+    the key's ``d`` cells (absent cell = 0).  One broadcastable-sized
+    join against the sketch — the sketch, not the data, is the operand."""
+    ke = keys.select(
+        F.col(key_col), F.explode(_cms_rc(F.col(key_col), d, w)).alias("rc"),
+    ).select(key_col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    j = ke.join(cells, ["r", "c"], "left")
+    return j.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+
+
+def cms_cells_sql(item_expr: str, src: str, d: int = 4, w: int = 1024) -> str:
+    """DuckDB mirror of :func:`cms_cells` (no groups): ``d`` UNION ALL
+    branches, same salted hash60, same modulus."""
+    branches = "\n        UNION ALL\n".join(
+        f"        SELECT {r} AS r, "
+        f"{hash60_sql(item_expr, salt=f'cms{r}')} % {w} AS c FROM {src}"
+        for r in range(d)
+    )
+    return f"SELECT r, c, count(*) AS cnt FROM (\n{branches}\n    ) GROUP BY r, c"
+
+
+def cms_key_cells_sql(key_expr: str, src: str, d: int = 4, w: int = 1024) -> str:
+    """DuckDB mirror of the key-side cell expansion in :func:`cms_estimate`."""
+    return "\n        UNION ALL\n".join(
+        f"        SELECT {key_expr} AS key, {r} AS r, "
+        f"{hash60_sql(key_expr, salt=f'cms{r}')} % {w} AS c FROM {src}"
+        for r in range(d)
+    )

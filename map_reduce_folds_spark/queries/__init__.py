@@ -40,7 +40,7 @@ _PRIORITY = [
     "mr_group_reduce_keyed", "mr_custom_fold_merge", "mr_concat_fold",
     "mr_unpack_only", "mr_filter_mapinpandas", "mr_first_last_by",
     "mr_product_median", "mr_shared_scan",
-    "mr_ordered_collect", "mr_group_reduce_ordered",
+    "mr_group_reduce_ordered",
     # LLM-pipeline block (dedup / similarity / text / multimodal / quality)
     # (lang_id_confusion and doc_fingerprints sit just past the window:
     # their operators ride other entries — hash60 via dedup_exact digests,
@@ -60,8 +60,13 @@ _PRIORITY = [
     "tfidf_top_terms", "deterministic_sample", "pipeline_clean_corpus",
     "data_quality_profile", "data_quality_expectations",
     "dedup_multimodal_union",
-    # one representative per relational/streaming family
-    "join_broadcast_dims", "asof_join_purchase_click", "window_topk_per_group",
+    # one representative per relational/streaming family.  Round 6:
+    # interval_join_attribution (NEW point-in-interval temporal-join
+    # family) displaces mr_ordered_collect — encounter-order keeps
+    # mr_group_reduce_ordered in-window, mr_ordered_collect re-registers
+    # just past it.
+    "join_broadcast_dims", "asof_join_purchase_click",
+    "interval_join_attribution", "window_topk_per_group",
     "sessionize_events", "rollup_region_nation", "salted_aggregation",
     "events_tumbling_window", "q1_pricing_summary", "q9_product_profit",
     # TPC-H shapes that registered past round 1's window.  Round 6:
@@ -73,7 +78,7 @@ _PRIORITY = [
     "embedding_quantize_int8", "q7_volume_shipping",
     "q17_small_quantity_revenue",
     # first entries PAST the 50-window: the displaced green rows
-    "mr_simple_unpack", "dedup_simhash_pairs",
+    "mr_simple_unpack", "mr_ordered_collect", "dedup_simhash_pairs",
 ]
 
 

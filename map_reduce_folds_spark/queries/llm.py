@@ -972,6 +972,47 @@ def sketch_union_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "lang")
 
 
+_CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    cells AS ({K.cms_cells_sql('tok', 'toks', _CMS_D, _CMS_W)}),
+    keys AS (SELECT DISTINCT tok FROM toks),
+    kc AS (
+{K.cms_key_cells_sql('tok', 'keys', _CMS_D, _CMS_W)}
+    ),
+    est AS (
+        SELECT kc.key AS tok, MIN(COALESCE(cells.cnt, 0)) AS est
+        FROM kc LEFT JOIN cells ON kc.r = cells.r AND kc.c = cells.c
+        GROUP BY 1
+    )
+    SELECT tok, est FROM est
+    QUALIFY ROW_NUMBER() OVER (ORDER BY est DESC, tok) <= {_CMS_TOP}
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (operators/sketches.cms_cells —
+    Cormode & Muthukrishnan 2005): top-20 corpus tokens by CMS-estimated
+    frequency.  The sketch is a fixed d×w cell relation no matter the
+    vocabulary size — at 100 TB this finds the hot keys WITHOUT a full
+    per-token groupBy, which is exactly the pre-detection step that
+    decides where skew.salted_aggregate / pre_split tournaments are
+    needed.  Deterministic salted-hash60 cells make the ESTIMATES (not
+    just the rows) oracle-exact; est ≥ true count is property-tested in
+    tests/test_llm.py."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokenize("text")).alias("tok"))
+    cells = K.cms_cells(toks, "tok", d=_CMS_D, w=_CMS_W)
+    est = K.cms_estimate(cells, toks.distinct(), "tok", d=_CMS_D, w=_CMS_W)
+    from map_reduce_folds_spark.operators.relational import topk
+
+    return topk(est, [F.col("est").desc(), F.col("tok")], _CMS_TOP)
+
+
 @query(
     "sim_topk_blocked",
     oracle=f"""

@@ -16,7 +16,7 @@ from map_reduce_folds_spark.operators import relational as R
 from map_reduce_folds_spark.operators import windows as W
 from map_reduce_folds_spark.queries.registry import query
 from map_reduce_folds_spark.sources import load_table
-from map_reduce_folds_spark.timeutil import epoch_us
+from map_reduce_folds_spark.timeutil import epoch_us, to_utc_timestamp
 
 
 def _dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
@@ -726,6 +726,49 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "purchase_id", "user_id",
         epoch_us(F.col("__rt")).alias("click_us"), "click_value",
+    )
+
+
+@query(
+    "interval_join_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           count(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts)
+     AND epoch_us(c.ts) <= epoch_us(p.ts + INTERVAL 30 MINUTE)
+    GROUP BY 1
+    """,
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/relational.interval_join —
+    reference analog: none, §2.7 temporal-join family): every click
+    landing inside a purchase's 30-minute follow-up window, same user,
+    aggregated to per-purchase click count + exact decimal value sum.
+    The Spark side runs the BUCKETIZED strategy (bucket_width = the
+    window length) — interval explode + one-bucket-per-point equi-join,
+    the form that never builds a per-key cartesian at scale; the oracle
+    is the plain BETWEEN theta-join, so the hash match also re-proves
+    the bucket decomposition exact on real data."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        to_utc_timestamp("ts").alias("w_start"),
+        (to_utc_timestamp("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    clicks = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"), F.col("value").alias("cv"),
+    )
+    j = R.interval_join(clicks, purchases, "c_ts", "w_start", "w_end",
+                        on="user_id", bucket_width=1800.0)
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("cv").cast("decimal(18,2)")).cast("double")
+        .alias("click_value"),
     )
 
 

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -264,3 +265,74 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def zorder_key(scaled_cols: list[Column], bits: int = 16) -> Column:
+    """Bit-interleaved Z-value (Morton code) of ``len(scaled_cols)``
+    already-scaled non-negative integer columns (each < 2^``bits``):
+    bit ``i`` of column ``j`` lands at position ``i·N + j``.  Pure
+    shift/and/or Catalyst arithmetic — whole-stage-codegen'd, no UDF."""
+    n = len(scaled_cols)
+    parts = []
+    for j, c in enumerate(scaled_cols):
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftrightunsigned(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p  # disjoint bit positions: + == |
+    return out.cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ORDER clustered parquet write — multi-dimensional data skipping.
+
+    :func:`write_sorted` gives tight footer min/max on ONE leading key;
+    a second predicate column stays scattered.  Z-ordering interleaves
+    the bits of ``cols`` (each rescaled to a ``bits``-wide integer via
+    its global min/max — one tiny aggregate) and range-partitions + sorts
+    on the Morton code, so every file covers a small HYPER-RECTANGLE of
+    the key space: footer min/max stay tight on EVERY z-ordered column
+    at once, and selective predicates on any of them skip files.  The
+    standard lakehouse layout trick (Delta/Iceberg `OPTIMIZE ZORDER BY`),
+    done here with plain Catalyst bit arithmetic.  At 100 TB: pay one
+    extra shuffle at write, skip most of the corpus on every multi-column
+    point/box query after.
+
+    Timestamp columns z-order on their epoch_us value.  NULLs scale to
+    bucket 0 (they sort first, as in a plain sort layout)."""
+    from ..timeutil import epoch_us
+
+    def _numf(c: str) -> Column:
+        return (epoch_us(F.col(c))
+                if "timestamp" in dict(df.dtypes)[c] else F.col(c)) \
+            .cast("double")
+
+    stats = df.agg(*[f(_numf(c)).alias(f"{t}_{c}")
+                     for c in cols
+                     for t, f in (("min", F.min), ("max", F.max))]).first()
+    lim = float((1 << bits) - 1)
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        if lo is None or hi is None or hi == lo:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        frac = (_numf(c) - F.lit(float(lo))) / F.lit(float(hi - lo))
+        scaled.append(
+            F.coalesce(F.round(frac * F.lit(lim)).cast("long"), F.lit(0)))
+    z = df.withColumn("__z", zorder_key(scaled, bits))
+    part = (z.repartitionByRange(n_files, "__z") if n_files
+            else z.repartitionByRange("__z"))
+    part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

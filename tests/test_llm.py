@@ -448,6 +448,94 @@ def test_deterministic_shuffle_total_order(spark, docs):
     assert epoch2 != out
 
 
+def test_cms_overcount_only_and_heavy_hitter_accuracy(spark, docs):
+    """Count-min guarantees: every point estimate ≥ the true count, and
+    the heavy hitters (whose counts dwarf the εN collision noise) are
+    estimated exactly or near-exactly at d=4, w=1024."""
+    from map_reduce_folds_spark.operators import sketches as K
+
+    toks = docs.select(F.explode(T.tokenize("text")).alias("tok"))
+    cells = K.cms_cells(toks, "tok", d=4, w=1024)
+    est = {r["tok"]: r["est"]
+           for r in K.cms_estimate(cells, toks.distinct(), "tok",
+                                   d=4, w=1024).collect()}
+    true = {r["tok"]: r["n"]
+            for r in toks.groupBy("tok").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(true)
+    assert all(est[t] >= n for t, n in true.items())  # never undercounts
+    top_true = sorted(true, key=lambda t: (-true[t], t))[:10]
+    for t in top_true:
+        assert est[t] <= true[t] * 1.05 + 50, (t, true[t], est[t])
+
+
+def test_cms_merge_equals_whole(spark, docs):
+    """Sketch additivity: cms(A) ⊕ cms(B) must equal cms(A ∪ B) cell for
+    cell — the mergeable-artifact property a per-slice 100 TB build needs."""
+    from map_reduce_folds_spark.operators import sketches as K
+
+    toks = docs.select("doc_id", F.explode(T.tokenize("text")).alias("tok"))
+    a = K.cms_cells(toks.filter("doc_id % 2 = 0"), "tok", d=4, w=256)
+    b = K.cms_cells(toks.filter("doc_id % 2 = 1"), "tok", d=4, w=256)
+    merged = {(r["r"], r["c"]): r["cnt"]
+              for r in K.cms_merge(a, b).collect()}
+    whole = {(r["r"], r["c"]): r["cnt"]
+             for r in K.cms_cells(toks, "tok", d=4, w=256).collect()}
+    assert merged == whole
+
+
+def test_pca_fit_project_matches_numpy(spark, emb):
+    """pca_fit on the deterministic sample must reproduce numpy PCA on
+    the same rows (components up to the canonical sign), and pca_project
+    must equal the batch matmul — plus the models of two runs are
+    identical (sign canonicalization removes eigh's sign freedom)."""
+    import numpy as np
+
+    mu, comps, var = S.pca_fit(emb, dim=64, k=8)
+    mu2, comps2, var2 = S.pca_fit(emb, dim=64, k=8)
+    assert (mu, comps, var) == (mu2, comps2, var2)  # reproducible model
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r["vec_id"])[:8192]
+    x = np.array([list(r["embedding"]) for r in rows])
+    np.testing.assert_allclose(np.asarray(mu), x.mean(axis=0), rtol=1e-12)
+    xc = x - x.mean(axis=0)
+    vals, vecs = np.linalg.eigh(xc.T @ xc / (len(x) - 1))
+    order = np.argsort(vals)[::-1][:8]
+    np.testing.assert_allclose(np.asarray(var), vals[order], rtol=1e-9)
+    C = np.asarray(comps)
+    ref = vecs[:, order].T
+    for got, want in zip(C, ref):
+        # same axis up to sign; fit canonicalizes the sign
+        assert (np.allclose(got, want, atol=1e-9)
+                or np.allclose(got, -want, atol=1e-9))
+    # orthonormal components
+    np.testing.assert_allclose(C @ C.T, np.eye(8), atol=1e-9)
+
+    proj = {r["vec_id"]: np.asarray(r["pvec"])
+            for r in S.pca_project(emb, mu, comps).collect()}
+    want = (x - np.asarray(mu)) @ C.T
+    for r, w in zip(rows, want):
+        np.testing.assert_allclose(proj[r["vec_id"]], w, atol=1e-12)
+    assert all(len(v) == 8 for v in proj.values())
+
+
+def test_pca_projection_preserves_topk_neighbors(spark, emb):
+    """Compression sanity: top-k cosine in the 32-dim PCA space keeps a
+    healthy overlap with full-space top-k on the fixture corpus (random
+    data = hardest case; the assertion is about machinery + variance
+    capture, not embedding quality)."""
+    mu, comps, var = S.pca_fit(emb, dim=64, k=32)
+    p = S.pca_project(emb, mu, comps).withColumnRenamed("pvec", "embedding")
+    q_full = emb.filter("vec_id < 5")
+    q_proj = p.filter("vec_id < 5")
+    full = S.brute_force_topk(q_full, emb, k=10).collect()
+    red = S.brute_force_topk(q_proj, p, dim=32, k=10).collect()
+    f = {(r["query_id"], r["neighbor_id"]) for r in full}
+    g = {(r["query_id"], r["neighbor_id"]) for r in red}
+    assert len(f & g) / len(f) >= 0.3, len(f & g) / len(f)
+
+
 def test_sketch_union_hll_bounds(spark):
     """Merged per-slice HLL sketches must estimate within HLL(lgk=12)
     error of the exact distinct count (union-merge loses no accuracy)."""

@@ -489,3 +489,85 @@ def test_ordered_prefix_sum_matches_global_window(spark):
     empty = df.filter("k > 1e9")
     out = W.ordered_prefix_sum(empty, "k", "v", "c")
     assert out.count() == 0
+
+
+def _ij_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    points = spark.createDataFrame(
+        [(i, rng.randrange(5), float(rng.randrange(1000))) for i in range(400)],
+        "pid long, k long, t double",
+    )
+    ivals = spark.createDataFrame(
+        [(j, rng.randrange(5), float(s := rng.randrange(950)),
+          s + float(rng.randrange(1, 120)))
+         for j in range(60)],
+        "iid long, k long, lo double, hi double",
+    )
+    return points, ivals.withColumnRenamed("k", "k2") \
+        .withColumnRenamed("k2", "k")  # keep name 'k' (shared equi-key)
+
+
+def test_interval_join_strategies_agree(spark):
+    """bucketized (several widths), broadcast, and plain forms must return
+    the same pair set — the bucket explode meets each containment exactly
+    once because a point has exactly one bucket."""
+    points, ivals = _ij_fixture(spark)
+
+    def pairs(**kw):
+        out = R.interval_join(points, ivals, "t", "lo", "hi", on="k", **kw)
+        return {(r["pid"], r["iid"]) for r in out.collect()}
+
+    plain = pairs()
+    assert plain  # fixture produces matches
+    assert pairs(broadcast_intervals=True) == plain
+    for w in (7.0, 64.0, 500.0):
+        assert pairs(bucket_width=w) == plain, f"bucket_width={w}"
+    # brute-force truth
+    pts = points.collect()
+    ivs = ivals.collect()
+    truth = {(p["pid"], v["iid"]) for p in pts for v in ivs
+             if p["k"] == v["k"] and v["lo"] <= p["t"] <= v["hi"]}
+    assert plain == truth
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    points, ivals = _ij_fixture(spark)
+    inner = R.interval_join(points, ivals, "t", "lo", "hi", on="k",
+                            bucket_width=50.0)
+    left = R.interval_join(points, ivals, "t", "lo", "hi", on="k",
+                           how="left", bucket_width=50.0)
+    matched_pids = {r["pid"] for r in inner.collect()}
+    left_rows = left.collect()
+    # every point appears; unmatched ones exactly once with null interval
+    assert {r["pid"] for r in left_rows} == {r["pid"] for r in points.collect()}
+    unmatched = [r for r in left_rows if r["iid"] is None]
+    assert {r["pid"] for r in unmatched} == (
+        {r["pid"] for r in points.collect()} - matched_pids)
+    assert {(r["pid"], r["iid"]) for r in left_rows if r["iid"] is not None} \
+        == {(r["pid"], r["iid"]) for r in inner.collect()}
+
+
+def test_interval_join_timestamps_and_collision_guard(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + timedelta(minutes=i)) for i in range(120)],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(j, base + timedelta(minutes=30 * j),
+          base + timedelta(minutes=30 * j + 10)) for j in range(4)],
+        "iid long, t0 timestamp, t1 timestamp",
+    )
+    got = {(r["pid"], r["iid"])
+           for r in R.interval_join(pts, ivs, "ts", "t0", "t1",
+                                    bucket_width=600.0).collect()}
+    want = {(p["pid"], v["iid"]) for p in pts.collect() for v in ivs.collect()
+            if v["t0"] <= p["ts"] <= v["t1"]}
+    assert got == want and got
+    with pytest.raises(ValueError, match="collision"):
+        R.interval_join(pts, pts.withColumnRenamed("pid", "qid"),
+                        "ts", "ts", "ts")
