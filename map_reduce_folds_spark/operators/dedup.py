@@ -176,11 +176,35 @@ def minhash_band_rows(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
+def materialize_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stage boundary as a BUCKETED managed table: like
+    :func:`materialize_stage` but the write hash-buckets on
+    ``bucket_cols`` (``saveAsTable`` — bucketing metadata lives in the
+    catalog), so any downstream join/self-join ON THOSE COLUMNS reads
+    both sides pre-co-located and compiles with ZERO Exchange — the LSH
+    bucket self-join's shuffle moves into the one-time write.  At 100 TB
+    that converts the candidate join from reshuffling the signature table
+    per query batch into a metadata lookup (asserted Exchange-free in
+    tests/test_llm.py)."""
+    from map_reduce_folds_spark.sources import write_bucketed
+
+    write_bucketed(df, table, bucket_cols, n_buckets, sort_cols)
+    return df.sparkSession.table(table)
+
+
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, band_col: str, bands: int,
     materialize: bool = True,
     distinct: bool = True,
     materialize_path: str | None = None,
+    materialize_table: str | None = None,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Candidate pairs = ids sharing any band bucket.
 
@@ -196,18 +220,32 @@ def lsh_candidate_pairs(
     whole-stage method — observed 30× slower).  ``materialize_path`` is the
     cluster-scale form of the same boundary: write the exploded rows to a
     parquet table at that path and self-join the SCAN (see
-    :func:`materialize_stage`) — identical results, table-backed."""
+    :func:`materialize_stage`) — identical results, table-backed.
+    ``materialize_table`` goes one further: a catalog table BUCKETED on
+    (digest, band_idx), so the self-join itself is Exchange-free
+    (:func:`materialize_bucketed`)."""
     e = df.select(
         F.col(id_col),
         F.posexplode(F.col(band_col)).alias("band_idx", "digest"),
     )
-    if materialize_path is not None:
+    if materialize_table is not None:
+        e = materialize_bucketed(e, materialize_table,
+                                 ["digest", "band_idx"], n_buckets)
+    elif materialize_path is not None:
         e = materialize_stage(e, materialize_path)
     elif materialize:
         e = e.persist()
+    pairs = band_bucket_self_join(e, id_col)
+    return pairs.distinct() if distinct else pairs
+
+
+def band_bucket_self_join(e: DataFrame, id_col: str) -> DataFrame:
+    """The bucket pairing itself, over an already-exploded
+    ``(id, band_idx, digest)`` stage (in-lineage, parquet-backed, or a
+    bucketed catalog table — on the latter this compiles Exchange-free)."""
     a = e.alias("a")
     b = e.alias("b")
-    pairs = a.join(
+    return a.join(
         b,
         (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.digest") == F.col("b.digest"))
@@ -215,7 +253,6 @@ def lsh_candidate_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
-    return pairs.distinct() if distinct else pairs
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -603,3 +603,81 @@ def interval_join(
     drop = [c for c in ("__pb", "__ib") if c in out.columns]
     # emit each equi-key once (the points side; identical by the condition)
     return out.drop(*[i[k] for k in keys]).drop(*drop)
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | Sequence[str] | None = None,
+    how: str = "inner",
+    bucket_width: float | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval-overlap join: pairs whose CLOSED ranges intersect
+    (``l.start ≤ r.end AND r.start ≤ l.end``), optionally per equi-key.
+    Completes the temporal-join family (asof = nearest event,
+    interval_join = point containment, this = range intersection):
+    sessions × outages, validity-range reconciliation, conflict detection.
+
+    ``bucket_width=w`` is the scale path: BOTH sides explode to the
+    width-``w`` buckets they cover, and a pair is emitted only from its
+    FIRST shared bucket — the one holding ``max(l.start, r.start)``,
+    expressed as ``bucket == greatest(floor(ls/w), floor(rs/w))`` (floor
+    commutes with max) — so every overlapping pair is met EXACTLY once
+    and no dedup shuffle is needed.  Same width guidance as
+    :func:`interval_join`; timestamps bucket and compare on exact
+    epoch_us (``w`` in seconds).
+
+    ``how="left"`` (keep unmatched left intervals) is supported on the
+    plain/broadcast strategies only: under bucketing BOTH sides explode,
+    so a left replica in a non-matching bucket would surface as a
+    spurious null row — to keep unmatched intervals at scale, run the
+    bucketized inner form and anti-join on your interval id."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    if how == "left" and bucket_width is not None:
+        raise ValueError(
+            "overlap_join: how='left' is unsound with bucket_width (left "
+            "side explodes into per-bucket replicas) — use the plain/"
+            "broadcast strategy, or bucketized inner + anti-join on an id")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    clash = [c for c in right.columns if c in left.columns and c not in keys]
+    if clash:
+        raise ValueError(
+            f"overlap_join: column collision {clash} — rename before joining")
+
+    def _num(df: DataFrame, col: str) -> Column:
+        from ..timeutil import epoch_us
+
+        return (epoch_us(F.col(col))
+                if "timestamp" in dict(df.dtypes)[col] else F.col(col))
+
+    lf, rt = left, right
+    if bucket_width is not None:
+        w = bucket_width
+        if "timestamp" in dict(lf.dtypes)[left_start]:
+            w = w * 1_000_000
+        lf = lf.withColumn("__lsb", F.floor(_num(lf, left_start) / F.lit(w))) \
+               .withColumn("__lb", F.explode(F.sequence(
+                   F.col("__lsb"), F.floor(_num(lf, left_end) / F.lit(w)))))
+        rt = rt.withColumn("__rsb", F.floor(_num(rt, right_start) / F.lit(w))) \
+               .withColumn("__rb", F.explode(F.sequence(
+                   F.col("__rsb"), F.floor(_num(rt, right_end) / F.lit(w)))))
+        cond = (F.col("__lb") == F.col("__rb")) & (
+            F.col("__lb") == F.greatest(F.col("__lsb"), F.col("__rsb")))
+    else:
+        cond = F.lit(True)
+        if broadcast_right:
+            rt = F.broadcast(rt)
+    for k in keys:
+        cond = cond & (lf[k] == rt[k])
+    cond = cond & (_num(lf, left_start) <= _num(rt, right_end)) \
+        & (_num(rt, right_start) <= _num(lf, left_end))
+    out = lf.join(rt, cond, how)
+    drop = [c for c in ("__lsb", "__lb", "__rsb", "__rb")
+            if c in out.columns]
+    return out.drop(*[rt[k] for k in keys]).drop(*drop)

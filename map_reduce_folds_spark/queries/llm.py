@@ -972,6 +972,36 @@ def sketch_union_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "lang")
 
 
+@query(
+    "ngram_lm_counts",
+    oracle="""
+    SELECT bigram, n FROM (
+        SELECT array_to_string(tk[g.gs:g.gs+1], ' ') AS bigram,
+               count(*) AS n
+        FROM (SELECT string_split(text, ' ') AS tk FROM documents) t,
+             LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS gs) g
+        WHERE len(tk) >= 2
+        GROUP BY 1
+    )
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, bigram) <= 30
+    """,
+)
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram language-model statistics: top-30 word bigrams by
+    raw count (deterministic tie-break) — the vocabulary/count table a
+    KenLM-style n-gram LM build starts from.  Explode JVM-built shingles
+    → one map-side-combinable count → TakeOrderedAndProject; no Python
+    anywhere.  Scale shape: shuffle carries (bigram, partial count) pairs
+    only — the classic word-count plan at any corpus size."""
+    from map_reduce_folds_spark.operators.relational import topk
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(T.shingles(T.tokenize("text"), 2)).alias("bigram"))
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return topk(counts, [F.col("n").desc(), F.col("bigram")], 30)
+
+
 _CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
 
 

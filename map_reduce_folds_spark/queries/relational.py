@@ -773,6 +773,43 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "overlap_join_incidents",
+    oracle="""
+    SELECT p.event_id AS purchase_id, count(*) AS n_error_overlaps
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') er
+      ON er.user_id = p.user_id
+     AND epoch_us(p.ts) <= epoch_us(er.ts + INTERVAL 10 MINUTE)
+     AND epoch_us(er.ts) <= epoch_us(p.ts + INTERVAL 30 MINUTE)
+    GROUP BY 1
+    """,
+)
+def overlap_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/relational.overlap_join): each
+    purchase's 30-minute follow-up window against the same user's
+    10-minute error-incident windows, counted per purchase.  The Spark
+    side runs the BUCKETIZED first-shared-bucket strategy (each
+    overlapping pair met exactly once, dedup-free); the oracle is the
+    plain overlap theta-join — the hash match proves the bucket
+    decomposition on real data, as with interval_join_attribution."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        to_utc_timestamp("ts").alias("p_s"),
+        (to_utc_timestamp("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_e"),
+    )
+    er = e.filter("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        to_utc_timestamp("ts").alias("e_s"),
+        (to_utc_timestamp("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e_e"),
+    )
+    j = R.overlap_join(p, er, "p_s", "p_e", "e_s", "e_e",
+                       on="user_id", bucket_width=1800.0)
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_error_overlaps"))
+
+
+@query(
     "json_props_extract",
     oracle="""
     SELECT event_type,

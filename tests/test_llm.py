@@ -154,6 +154,36 @@ def test_ann_topk_materialize_path_roundtrip(emb, tmp_path_factory):
     assert ivf_tbl.count() == emb.count()  # disjoint cells: one row per vec
 
 
+def test_lsh_bucketed_table_boundary_zero_exchange(spark, docs):
+    """materialize_table=: the LSH signature stage written as a catalog
+    table BUCKETED on the join key must (a) return the identical pair
+    set and (b) compile the bucket self-join with ZERO Exchange — the
+    shuffle paid once at write time, not per candidate query."""
+    from map_reduce_folds_spark.plans import count_exchanges
+
+    base = D.minhash_band_rows(docs, "doc_id", "text")
+    via_persist = {(r.id_a, r.id_b)
+                   for r in D.lsh_candidate_pairs(
+                       base, "doc_id", "bandh", 8).collect()}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        via_table = D.lsh_candidate_pairs(
+            base, "doc_id", "bandh", 8,
+            materialize_table="t_lsh_sig_stage", n_buckets=8)
+        got = {(r.id_a, r.id_b) for r in via_table.collect()}
+        assert got == via_persist
+        # the JOIN is Exchange-free on the bucketed table; the only
+        # remaining Exchange in the distinct form is the pair-dedup agg
+        raw = D.band_bucket_self_join(spark.table("t_lsh_sig_stage"),
+                                      "doc_id")
+        assert count_exchanges(raw) == 0
+        assert count_exchanges(via_table) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_lsh_sig_stage")
+
+
 def test_regex_tokenizer_threading(spark):
     """token_pattern= threads the regex tokenizer through shingles and the
     Arrow minhash stage; the two stages must agree with each other (same

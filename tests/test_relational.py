@@ -571,3 +571,49 @@ def test_interval_join_timestamps_and_collision_guard(spark):
     with pytest.raises(ValueError, match="collision"):
         R.interval_join(pts, pts.withColumnRenamed("pid", "qid"),
                         "ts", "ts", "ts")
+
+
+def test_overlap_join_strategies_agree(spark):
+    """Bucketized (first-shared-bucket, dedup-free), broadcast, and plain
+    forms of the interval-overlap join must all return the brute-force
+    pair set."""
+    import random
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [(i, rng.randrange(4), float(s := rng.randrange(900)),
+          s + float(rng.randrange(1, 80))) for i in range(150)],
+        "lid long, k long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(j, rng.randrange(4), float(s := rng.randrange(900)),
+          s + float(rng.randrange(1, 80))) for j in range(150)],
+        "rid long, k long, rs double, re double",
+    )
+
+    def pairs(**kw):
+        out = R.overlap_join(left, right, "ls", "le", "rs", "re",
+                             on="k", **kw)
+        return sorted((r["lid"], r["rid"]) for r in out.collect())
+
+    truth = sorted(
+        (a["lid"], b["rid"])
+        for a in left.collect() for b in right.collect()
+        if a["k"] == b["k"] and a["ls"] <= b["re"] and b["rs"] <= a["le"])
+    plain = pairs()
+    assert plain == truth and truth
+    assert pairs(broadcast_right=True) == truth
+    for w in (13.0, 100.0, 2000.0):
+        got = pairs(bucket_width=w)
+        assert got == truth, f"bucket_width={w}"  # ALSO proves no dup rows
+    # left join keeps unmatched left intervals once (plain strategy);
+    # bucketized left is rejected loudly (replica-null unsoundness)
+    lo = R.overlap_join(left, right, "ls", "le", "rs", "re", on="k",
+                        how="left")
+    rows = lo.collect()
+    matched = {p for p, _ in truth}
+    assert {r["lid"] for r in rows if r["rid"] is None} == (
+        {r["lid"] for r in left.collect()} - matched)
+    with pytest.raises(ValueError, match="unsound"):
+        R.overlap_join(left, right, "ls", "le", "rs", "re", on="k",
+                       how="left", bucket_width=50.0)
