@@ -209,3 +209,45 @@ def test_cc_round_no_cartesian(spark):
     out = G.connected_components(edges, "src", "dst")
     out.collect()
     assert P.count_cartesian_joins(out) == 0
+
+
+def test_interval_join_bucketized_no_cartesian(spark):
+    """The bucketized interval join must compile as an equi-join on
+    (key, bucket) — no BroadcastNestedLoop/cartesian, which is what the
+    raw theta form degenerates to without keys."""
+    df = _run(spark, "interval_join_attribution")
+    assert P.count_cartesian_joins(df) == 0, P.executed_plan(df)
+    plan = P.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_overlap_join_bucketized_no_cartesian(spark):
+    df = _run(spark, "overlap_join_incidents")
+    assert P.count_cartesian_joins(df) == 0, P.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in P.executed_plan(df)
+
+
+def test_cms_build_single_shuffle(spark):
+    """Count-min build: explode d cells → ONE map-side-combinable count
+    aggregation (one Exchange), like any word count."""
+    from map_reduce_folds_spark.operators import sketches as K
+    from map_reduce_folds_spark.operators import text as T
+    from map_reduce_folds_spark.sources import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    toks = d.select(F.explode(T.tokenize("text")).alias("tok"))
+    cells = K.cms_cells(toks, "tok", d=4, w=256)
+    cells.collect()
+    assert P.count_exchanges(cells) == 1, P.executed_plan(cells)
+
+
+def test_pca_projection_scan_shaped(spark):
+    """pca_project is a zero-shuffle Arrow scan."""
+    from map_reduce_folds_spark.operators import similarity as S
+    from map_reduce_folds_spark.sources import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    mu, comps, _ = S.pca_fit(e, k=8)
+    p = S.pca_project(e, mu, comps)
+    p.collect()
+    assert P.count_exchanges(p) == 0, P.executed_plan(p)
