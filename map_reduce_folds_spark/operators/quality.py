@@ -43,3 +43,91 @@ def gate(df: DataFrame, expectations: Mapping[str, Column]) -> None:
     bad = {k: v for k, v in row.asDict().items() if v}
     if bad:
         raise ValueError(f"data-quality gate failed: {bad}")
+
+
+def drift_psi(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbuckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots on one
+    numeric column: ``PSI = Σ_i (p_i − q_i)·ln(p_i/q_i)`` over
+    ``nbuckets`` clamped equi-width buckets (``sketches.hist_bucket``),
+    zero shares floored at ``eps`` per the standard convention.  The
+    drift gate a recurring training-data ingest wants: PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 broken upstream.
+
+    One aggregation pass per snapshot (bucket counts), a ≤ nbuckets-row
+    join, and a SORTED-array fold for the final sum, so the result is
+    deterministic under any partitioning (same discipline as
+    ``sketches.hist_quantile``); the scalar totals ride one-row
+    broadcast joins.  Output: one row ``(psi, n_a, n_b)`` with psi
+    rounded to 9 decimals (the repo numeric policy for
+    transcendental-bearing results — ln differs in the last ulp across
+    libms)."""
+    from map_reduce_folds_spark.operators.sketches import hist_bucket
+
+    ca = a.groupBy(hist_bucket(col, lo, hi, nbuckets).alias("bucket")) \
+        .agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy(hist_bucket(col, lo, hi, nbuckets).alias("bucket")) \
+        .agg(F.count(F.lit(1)).alias("nb"))
+    j = ca.join(cb, "bucket", "full") \
+        .select("bucket",
+                F.coalesce("na", F.lit(0)).alias("na"),
+                F.coalesce("nb", F.lit(0)).alias("nb"))
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    jt = j.crossJoin(F.broadcast(tot))  # one-row scalar idiom
+    p = F.greatest(F.col("na").cast("double") / F.col("ta").cast("double"),
+                   F.lit(eps))
+    q = F.greatest(F.col("nb").cast("double") / F.col("tb").cast("double"),
+                   F.lit(eps))
+    terms = jt.select(
+        "bucket", "ta", "tb",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    pairs = F.array_sort(F.collect_list(
+        F.struct(F.col("bucket"), F.col("term"))))
+    psi = F.aggregate(pairs, F.lit(0.0), lambda acc, s: acc + s["term"])
+    return terms.groupBy("ta", "tb").agg(F.round(psi, 9).alias("psi")) \
+        .select(F.col("psi"), F.col("ta").alias("n_a"), F.col("tb").alias("n_b"))
+
+
+def drift_psi_sql(
+    a_src: str, b_src: str, expr: str,
+    lo: float, hi: float, nbuckets: int = 10, eps: float = 1e-6,
+) -> str:
+    """DuckDB mirror of :func:`drift_psi` (same buckets, same eps floor,
+    same sorted-list fold, same 9-decimal round)."""
+    from map_reduce_folds_spark.operators.sketches import hist_bucket_sql
+
+    hb_a = hist_bucket_sql(expr, lo, hi, nbuckets)
+    hb_b = hist_bucket_sql(expr, lo, hi, nbuckets)
+    return f"""
+    WITH ca AS (SELECT {hb_a} AS bucket, count(*) AS na FROM {a_src} GROUP BY 1),
+    cb AS (SELECT {hb_b} AS bucket, count(*) AS nb FROM {b_src} GROUP BY 1),
+    j AS (
+        SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+               COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        FROM ca FULL JOIN cb ON ca.bucket = cb.bucket
+    ),
+    t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j),
+    terms AS (
+        SELECT bucket, ta, tb,
+               (greatest(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), {eps!r})
+                - greatest(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE), {eps!r}))
+               * ln(greatest(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), {eps!r})
+                    / greatest(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE), {eps!r}))
+               AS term
+        FROM j, t
+    )
+    SELECT round(list_reduce(
+               list_prepend(0.0, list_sort(list({{'b': bucket, 't': term}}))
+                            .apply(s -> s.t)),
+               (acc, x) -> acc + x), 9) AS psi,
+           ta AS n_a, tb AS n_b
+    FROM terms GROUP BY ta, tb
+    """

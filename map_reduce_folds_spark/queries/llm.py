@@ -1266,6 +1266,32 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def _psi_oracle() -> str:
+    from map_reduce_folds_spark.operators.quality import drift_psi_sql
+
+    return drift_psi_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "n_chars", 0.0, 600.0, nbuckets=12,
+    )
+
+
+@query("drift_psi_docs", oracle=_psi_oracle())
+def drift_psi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (operators/quality.drift_psi): PSI between
+    two corpus slices on the n_chars distribution — the check a recurring
+    ingest runs between yesterday's and today's snapshot before training.
+    One bucket-count pass per snapshot + a ≤ nbuckets join; the final sum
+    rides a sorted-array fold so the score is partitioning-independent,
+    and the ln-bearing result rounds to 9 decimals for cross-engine
+    parity."""
+    from map_reduce_folds_spark.operators.quality import drift_psi
+
+    d = load_table(spark, sf_dir, "documents")
+    return drift_psi(d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"),
+                     "n_chars", 0.0, 600.0, nbuckets=12)
+
+
 @query(
     "dedup_multimodal_union",
     oracle=f"""

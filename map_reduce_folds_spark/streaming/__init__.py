@@ -544,3 +544,29 @@ def sessionize_tws(
             timeMode="EventTime",
         )
     )
+
+
+def stream_cms_cells(
+    stream: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Streaming count-min sketch: maintain the d×w cell counts of
+    ``operators/sketches.cms_cells`` incrementally over an unbounded
+    stream (complete/update output modes).
+
+    Cell counts are ADDITIVE (the sketch monoid), so the batch groupBy
+    IS the streaming aggregation — no custom state machine: state is the
+    ≤ d·w non-empty cells regardless of key cardinality, which is the
+    whole point on a stream whose distinct-key space would make an exact
+    per-key count's state unbounded.  Downstream, point-estimate hot keys
+    with ``sketches.cms_estimate`` against any snapshot of the cells —
+    batch-vs-stream cell equality is property-tested
+    (tests/test_streaming.py)."""
+    from map_reduce_folds_spark.operators.sketches import _cms_rc
+
+    e = stream.select(
+        F.explode(_cms_rc(F.col(item_col), d, w)).alias("rc")
+    ).select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    return e.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))

@@ -692,3 +692,18 @@ def test_hll_merge_is_max(spark, docs):
     merged = sliced.groupBy("lang", "reg").agg(F.max("rank").alias("rank"))
     direct = K.hll_sketch(docs, "text", ["lang"], p=12)
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_drift_psi_semantics(spark, docs):
+    """PSI properties: identical snapshots score ~0; a location-shifted
+    snapshot scores clearly higher; symmetry PSI(a,b) == PSI(b,a) (the
+    formula is symmetric under p<->q sign flips)."""
+    from map_reduce_folds_spark.operators.quality import drift_psi
+
+    same = drift_psi(docs, docs, "n_chars", 0.0, 600.0, 12).first()
+    assert same["psi"] == 0.0 and same["n_a"] == same["n_b"]
+    shifted = docs.withColumn("n_chars", F.col("n_chars") + F.lit(200))
+    drift = drift_psi(docs, shifted, "n_chars", 0.0, 600.0, 12).first()
+    assert drift["psi"] > 0.25, drift["psi"]  # "broken upstream" band
+    rev = drift_psi(shifted, docs, "n_chars", 0.0, 600.0, 12).first()
+    assert abs(rev["psi"] - drift["psi"]) < 1e-9

@@ -501,3 +501,35 @@ def test_incremental_dedup_across_runs(spark, events_batch, tmp_path_factory):
     got = [r.event_id for r in spark.read.parquet(out).collect()]
     assert len(got) == len(set(got)) == 300
     assert spark.read.parquet(seen).count() == 300
+
+
+def test_stream_cms_matches_batch_sketch(spark, events_batch, events_stream_path):
+    """Streaming CMS cells after draining the stream must equal the batch
+    sketch over the same rows (sketch additivity = batch-split
+    invariance), and the resulting hot-key estimates must match."""
+    from map_reduce_folds_spark.operators import sketches as K
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, run_to_memory, stream_cms_cells,
+    )
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = read_parquet_stream(spark, events_stream_path, schema)
+    cells_stream = stream_cms_cells(stream.select(
+        F.col("user_id").cast("string").alias("item")), "item", d=4, w=256)
+    got = {(r["r"], r["c"]): r["cnt"]
+           for r in run_to_memory(cells_stream, "cms_cells",
+                                  timeout_s=120).collect()}
+    items = events_batch.select(
+        F.col("user_id").cast("string").alias("item"))
+    want = {(r["r"], r["c"]): r["cnt"]
+            for r in K.cms_cells(items, "item", d=4, w=256).collect()}
+    assert got == want
+    # estimates off the streamed cells: overcount-only vs exact counts
+    cells_df = spark.table("cms_cells")
+    est = {r["item"]: r["est"]
+           for r in K.cms_estimate(cells_df, items.distinct(), "item",
+                                   d=4, w=256).collect()}
+    true = {r["item"]: r["n"] for r in items.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= n for k, n in true.items())
