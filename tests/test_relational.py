@@ -617,3 +617,28 @@ def test_overlap_join_strategies_agree(spark):
     with pytest.raises(ValueError, match="unsound"):
         R.overlap_join(left, right, "ls", "le", "rs", "re", on="k",
                        how="left", bucket_width=50.0)
+
+
+def test_interval_join_inclusive_bounds_and_bucket_edges(spark):
+    """Edge semantics: [start, end] is CLOSED on both ends, and points
+    landing exactly on a bucket boundary (t == k·w) or equal to an
+    interval endpoint match identically across strategies."""
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 10.0, 20.0, 25.0, 30.0,
+                                              40.0, 50.0, -10.0])],
+        "pid long, t double",
+    )
+    ivs = spark.createDataFrame(
+        [(0, 10.0, 30.0), (1, 30.0, 30.0), (2, -20.0, 0.0)],
+        "iid long, lo double, hi double",
+    )
+    want = {(p["pid"], v["iid"]) for p in pts.collect() for v in ivs.collect()
+            if v["lo"] <= p["t"] <= v["hi"]}
+    for kw in ({}, {"bucket_width": 10.0}, {"bucket_width": 3.0},
+               {"broadcast_intervals": True}):
+        got = {(r["pid"], r["iid"])
+               for r in R.interval_join(pts, ivs, "t", "lo", "hi",
+                                        **kw).collect()}
+        assert got == want, kw
+    # degenerate interval [30, 30] matched the boundary point
+    assert (4, 1) in want

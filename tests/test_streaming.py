@@ -533,3 +533,43 @@ def test_stream_cms_matches_batch_sketch(spark, events_batch, events_stream_path
     true = {r["item"]: r["n"] for r in items.groupBy("item")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(est[k] >= n for k, n in true.items())
+
+
+def test_stream_static_interval_join_attribution(spark, events_batch,
+                                                 events_stream_path):
+    """interval_join's bucketized form composes with Structured Streaming
+    unchanged: a CLICK STREAM attributed against static purchase windows
+    (stream-static equi-join on (user, bucket) + containment) must equal
+    the batch interval join over the same rows."""
+    from map_reduce_folds_spark.operators.relational import interval_join
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, run_to_memory,
+    )
+    from map_reduce_folds_spark.timeutil import to_utc_timestamp
+
+    purchases = events_batch.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        to_utc_timestamp("ts").alias("w_s"),
+        (to_utc_timestamp("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_e"),
+    ).cache()
+
+    def clicks_of(df):
+        return df.filter("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("c_ts"))
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = read_parquet_stream(spark, events_stream_path, schema)
+    j = interval_join(clicks_of(stream), purchases, "c_ts", "w_s", "w_e",
+                      on="user_id", bucket_width=1800.0) \
+        .select("click_id", "purchase_id")
+    got = {(r["click_id"], r["purchase_id"])
+           for r in run_to_memory(j, "stream_ij",
+                                  output_mode="append").collect()}
+    want = {(r["click_id"], r["purchase_id"])
+            for r in interval_join(clicks_of(events_batch), purchases,
+                                   "c_ts", "w_s", "w_e", on="user_id",
+                                   bucket_width=1800.0)
+            .select("click_id", "purchase_id").collect()}
+    assert got == want and got
