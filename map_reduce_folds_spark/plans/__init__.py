@@ -77,3 +77,69 @@ def uses_whole_stage_codegen(df: DataFrame) -> bool:
     # codegen'd operators render as "*(n) Op" in the plan string
     p = executed_plan(df)
     return "WholeStageCodegen" in p or "*(" in p
+
+
+def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
+    """Lint a plan for the smells that kill a 100× scale-up.  Returns a
+    list of human-readable findings (empty = clean); each names the smell
+    and the fix this package provides.  Run it on any composed pipeline
+    before promoting it to a big cluster — the same checks the test suite
+    pins per-operator (test_plans), packaged as a user-facing audit:
+
+    * cartesian / broadcast-nested-loop joins — O(n²): add an equi-key,
+      bucketize (interval_join/overlap_join), or broadcast a small side;
+    * global-order Window (empty PARTITION BY) — the whole dataset sorts
+      in ONE task: use windows.ordered_prefix_sum / rank buckets;
+    * row-at-a-time Python UDF (BatchEvalPython) — interpreter in the
+      per-row path: use built-ins or an Arrow stage (mapInPandas);
+    * no whole-stage codegen anywhere — interpreted expressions;
+    * more shuffles than ``max_shuffles`` (when given).
+    """
+    p = executed_plan(df)
+    findings: list[str] = []
+    n_cart = p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin")
+    if n_cart:
+        findings.append(
+            f"{n_cart} cartesian/nested-loop join(s): O(n^2) pair "
+            "generation — add an equi-key, bucketize the range condition "
+            "(relational.interval_join/overlap_join), or broadcast an "
+            "actually-small side")
+    for ln in p.splitlines():
+        if "Window [" not in ln:
+            continue
+        # a Window operator renders its top-level argument lists as
+        # `Window [fns], [partitionExprs], [orderExprs]` — the partition
+        # group is OMITTED entirely when empty, leaving only 2 groups
+        depth = 0
+        groups = 0
+        for ch in ln[ln.index("Window ["):]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            findings.append(
+                "global-order Window (no PARTITION BY): the whole "
+                "dataset sorts in one task — use "
+                "windows.ordered_prefix_sum / bucketed ranks")
+            break
+    if "BatchEvalPython" in p:
+        findings.append(
+            "row-at-a-time Python UDF (BatchEvalPython): ~10-100x slower "
+            "than Arrow — use pyspark.sql.functions or mapInPandas")
+    if not ("WholeStageCodegen" in p or "*(" in p):
+        findings.append(
+            "no whole-stage codegen in the plan: expressions run "
+            "interpreted — prefer built-in functions over HOF-heavy or "
+            "UDF expressions in the hot path")
+    if max_shuffles is not None:
+        n = count_exchanges(df)
+        if n > max_shuffles:
+            findings.append(
+                f"{n} shuffle Exchanges (budget {max_shuffles}): look for "
+                "a missing broadcast hint, a re-derived lineage that a "
+                "materialize boundary would cut, or bucketed tables for "
+                "repeated co-located joins")
+    return findings

@@ -1044,6 +1044,52 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_cms_union",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    cells AS ({K.cms_cells_sql('tok', 'toks', _CMS_D, _CMS_W)}),
+    keys AS (SELECT DISTINCT tok FROM toks),
+    kc AS (
+{K.cms_key_cells_sql('tok', 'keys', _CMS_D, _CMS_W)}
+    ),
+    est AS (
+        SELECT kc.key AS tok, MIN(COALESCE(cells.cnt, 0)) AS est
+        FROM kc LEFT JOIN cells ON kc.r = cells.r AND kc.c = cells.c
+        GROUP BY 1
+    )
+    SELECT tok, est FROM est
+    QUALIFY ROW_NUMBER() OVER (ORDER BY est DESC, tok) <= {_CMS_TOP}
+    """,
+)
+def sketch_cms_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE count-min sketches: each corpus slice builds its own
+    cell relation (the per-dataset artifact a 100 TB pipeline persists),
+    slices merge by cell-wise sum WITHOUT rescanning, and heavy hitters
+    come off the merged sketch.  The ORACLE builds one sketch over the
+    whole corpus — so the hash match is itself the proof that
+    sketch(⊕ slices) == sketch(whole) on real data (the counter-monoid
+    law, also property-tested in tests/test_llm.py).  Same pattern as
+    sketch_union_hll for the max-monoid."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.col("doc_id"),
+                    F.explode(T.tokenize("text")).alias("tok"))
+    slices = [
+        K.cms_cells(toks.filter(f"doc_id % 4 = {s}"), "tok",
+                    d=_CMS_D, w=_CMS_W)
+        for s in range(4)
+    ]
+    merged = slices[0]
+    for s in slices[1:]:
+        merged = K.cms_merge(merged, s)
+    est = K.cms_estimate(merged, toks.select("tok").distinct(), "tok",
+                         d=_CMS_D, w=_CMS_W)
+    from map_reduce_folds_spark.operators.relational import topk
+
+    return topk(est, [F.col("est").desc(), F.col("tok")], _CMS_TOP)
+
+
+@query(
     "sim_topk_blocked",
     oracle=f"""
     SELECT query_id, neighbor_id, cos_sim FROM (

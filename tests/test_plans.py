@@ -251,3 +251,42 @@ def test_pca_projection_scan_shaped(spark):
     p = S.pca_project(e, mu, comps)
     p.collect()
     assert P.count_exchanges(p) == 0, P.executed_plan(p)
+
+
+def test_scale_audit_flags_each_smell(spark):
+    """scale_audit must flag cartesian joins, global-order windows,
+    row-at-a-time UDFs, and shuffle-budget overruns — and return [] on a
+    clean plan."""
+    from pyspark.sql.types import LongType
+    from pyspark.sql.window import Window
+
+    a = spark.range(50)
+    b = spark.range(50).withColumnRenamed("id", "id2")
+
+    cart = a.crossJoin(b)
+    cart.collect()
+    assert any("cartesian" in s for s in P.scale_audit(cart))
+
+    gw = a.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    gw.collect()
+    assert any("global-order Window" in s for s in P.scale_audit(gw))
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    udfp = a.select(slow("id").alias("y"))
+    udfp.collect()
+    assert any("BatchEvalPython" in s for s in P.scale_audit(udfp))
+
+    shuffly = a.groupBy((F.col("id") % 3).alias("k")).count() \
+        .groupBy("k").count()
+    shuffly.collect()
+    assert any("budget" in s for s in P.scale_audit(shuffly, max_shuffles=0))
+
+    clean = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    clean.collect()
+    assert P.scale_audit(clean, max_shuffles=3) == []
+
+    # keyed windows are NOT flagged as global-order
+    kw = a.withColumn("rn", F.row_number().over(
+        Window.partitionBy((F.col("id") % 5)).orderBy("id")))
+    kw.collect()
+    assert not any("global-order" in s for s in P.scale_audit(kw))
