@@ -106,6 +106,41 @@ def main():
     SM.stratified_sample_exact(docs, ["lang"], 2, "doc_id") \
         .select("doc_id", "lang").orderBy("lang", "doc_id").show()
 
+    print("-- interval join: clicks inside purchase follow-up windows --")
+    from map_reduce_folds_spark.timeutil import to_utc_timestamp
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        to_utc_timestamp("ts").alias("w_s"),
+        (to_utc_timestamp("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_e"))
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"))
+    relational.interval_join(clicks, purchases, "c_ts", "w_s", "w_e",
+                             on="user_id", bucket_width=1800.0) \
+        .groupBy("purchase_id").count().show(5)
+
+    print("-- count-min heavy hitters: top tokens, fixed-size sketch --")
+    from map_reduce_folds_spark.operators import sketches as K
+    from map_reduce_folds_spark.operators import text as T2
+    toks = docs.select(F.explode(T2.tokenize("text")).alias("tok"))
+    cells = K.cms_cells(toks, "tok", d=4, w=1024)
+    relational.topk(K.cms_estimate(cells, toks.distinct(), "tok", 4, 1024),
+                    [F.col("est").desc(), F.col("tok")], 5).show()
+
+    print("-- PSI drift gate between two corpus slices --")
+    from map_reduce_folds_spark.operators.quality import drift_psi
+    drift_psi(docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+              "n_chars", 0.0, 600.0, 12).show()
+
+    print("-- scale_audit: lint a pipeline plan for 100 TB smells --")
+    from map_reduce_folds_spark.plans import scale_audit
+    bad = docs.crossJoin(docs.select(F.col("doc_id").alias("d2")))
+    print("   cross join ->", scale_audit(bad)[:1])
+    clean = docs.groupBy("lang").count()
+    clean.collect()
+    print("   grouped count ->", scale_audit(clean) or "clean")
+
     spark.stop()
 
 

@@ -74,6 +74,17 @@ def test_driver_window_covers_every_family():
     assert set(no_oracle) <= {"sim_topk_ivf"}, no_oracle
 
 
+def test_priority_window_invariants():
+    """Curation discipline: the priority list has no duplicate names (a
+    dup would silently shrink the verified window) and at least 50
+    entries so the driver window is fully curated, never
+    registration-order filler."""
+    from map_reduce_folds_spark.queries import _PRIORITY
+
+    assert len(set(_PRIORITY)) == len(_PRIORITY)
+    assert len(_PRIORITY) >= 50
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
