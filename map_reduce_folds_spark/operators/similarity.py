@@ -592,8 +592,9 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | str = "auto",
     n_probe: int = 4,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned
     to their nearest centroid cell once; each query probes its ``n_probe``
@@ -602,7 +603,17 @@ def ivf_topk(
     Scale shape: the assignment pass is one narrow scan (no shuffle); the
     search joins on cell id — per-query work is |corpus|·(n_probe/K) instead
     of |corpus|.  Recall depends on cluster structure; on unclustered data
-    prefer srp_lsh_topk."""
+    prefer srp_lsh_topk.
+
+    ``n_centroids="auto"`` (default) uses the standard ``≈√n`` rule
+    (clamped to [16, 1024] — the model must stay a broadcastable k×dim
+    and trainable on the bounded driver sample), so per-cell occupancy
+    grows as √n instead of linearly at a fixed K."""
+    if n_centroids == "auto":
+        import math
+
+        n = corpus_count if corpus_count is not None else corpus.count()
+        n_centroids = max(16, min(1024, math.ceil(math.sqrt(max(n, 1)))))
     centroids = _train_centroids(corpus, id_col, vec_col, dim, n_centroids)
 
     c_assigned = corpus.select(
@@ -646,9 +657,10 @@ def ivf_srp_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 10,
-    n_bits: int = 3,
-    n_probe: int = 4,
+    n_bits: int | str = "auto",
+    n_probe: int | str = "auto",
     table: int = 9,
+    corpus_count: int | None = None,
     materialize_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k with a **data-independent SRP coarse
@@ -657,6 +669,16 @@ def ivf_srp_topk(
     trained-kmeans :func:`ivf_topk` — the quantizer needs no training pass,
     no stored model, and has an exact SQL mirror
     (:func:`srp_signature_sql`).
+
+    Default ``n_bits="auto"`` sizes the cell space from corpus
+    cardinality — the same occupancy rule as :func:`auto_srp_params`
+    (per-cell work is |corpus|·n_probe/2^n_bits, so FIXED bits make each
+    probe's verify set grow linearly with the corpus): ``n_bits =
+    max(3, ceil(log2(n / 2048)))`` holds expected cell occupancy ≈ 2048;
+    ``n_probe="auto"`` compensates the finer cells by probing
+    ``min(n_bits + 1, 4)`` Hamming-neighbor cells.  Supply
+    ``corpus_count`` to skip the sizing scan; explicit ints pin the
+    geometry (the oracle-backed registered query does).
 
     ``materialize_path``: write the cell-assigned corpus (id, vector,
     norm, cell) to a parquet table there and scan it back — this IS the
@@ -674,6 +696,14 @@ def ivf_srp_topk(
     |corpus|·(n_probe/2^n_bits).  ``table`` picks a hyperplane family
     disjoint from :func:`srp_lsh_topk`'s tables 0..n_tables-1.
     """
+    if n_bits == "auto" or n_probe == "auto":
+        import math
+
+        n = corpus_count if corpus_count is not None else corpus.count()
+        auto_bits = max(3, math.ceil(math.log2(max(n, 1) / 2048))) \
+            if n > 2048 else 3
+        n_bits = auto_bits if n_bits == "auto" else n_bits
+        n_probe = min(n_bits + 1, 4) if n_probe == "auto" else n_probe
     masks = _probe_masks(n_bits, n_probe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),

@@ -707,3 +707,35 @@ def test_drift_psi_semantics(spark, docs):
     assert drift["psi"] > 0.25, drift["psi"]  # "broken upstream" band
     rev = drift_psi(shifted, docs, "n_chars", 0.0, 600.0, 12).first()
     assert abs(rev["psi"] - drift["psi"]) < 1e-9
+
+
+@pytest.mark.parametrize("n_clusters,per", [(16, 256), (64, 1024)])
+def test_ivf_auto_bits_recall_two_sizes(spark, n_clusters, per):
+    """Auto-sized IVF cell geometry (round 6): n_bits grows with corpus
+    cardinality (3 bits at 4k vecs, 5 bits at 64k — occupancy ≈ 2048
+    either way) while recall on clustered data holds at both sizes."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((n_clusters, 64))
+    pts = (centers[:, None, :]
+           + 0.15 * rng.standard_normal((n_clusters, per, 64))).reshape(-1, 64)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(pts), dtype=np.int64),
+        "embedding": [r.tolist() for r in pts],
+    })
+    df = spark.createDataFrame(pdf).repartition(16)
+    n = len(pts)
+    bits = max(3, math.ceil(math.log2(n / 2048))) if n > 2048 else 3
+    assert (bits > 3) == (n_clusters == 64)  # the sizes span the bit step
+    q = df.filter("vec_id % 4096 = 0").limit(5)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(q, df, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.ivf_srp_topk(q, df, k=10,
+                                      corpus_count=n).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"auto-IVF recall {recall:.2f} at n={n}"
