@@ -602,3 +602,137 @@ def simhash_components(
         blocks,
     ).select("id_a", "id_b")
     return components_of_pairs(star.unionByName(rep_pairs))
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------------
+#
+# Reference analog: none (north-star LLM-pipeline surface).  The classic
+# C4 cleaning rule: a line that occurs more than once ANYWHERE in the
+# corpus is boilerplate (headers, footers, cookie banners) — keep only its
+# globally-first occurrence and drop every other copy, then re-join each
+# document from its surviving lines.  Unlike doc-level dedup (exact /
+# MinHash / SimHash above) this REWRITES documents instead of dropping
+# them.
+#
+# 100 TB shape: one shuffle on the 60-bit line digest (min-struct
+# aggregation, map-side combinable), one digest-co-partitioned join back,
+# one per-document regroup bounded by document size.  No Python, no
+# collects, no cross joins; boilerplate "hot lines" concentrate on single
+# digests but carry only a (doc_id, line_no) pair per row into the
+# min-aggregation, which partial-aggregates them away map-side.
+
+
+def split_lines(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Explode documents into ``(id, line_no, line)`` rows on a literal
+    separator.  ``line_no`` is the 0-based position within the document
+    (the encounter order the keep-first rule uses)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("line_no", "line"),
+    ).withColumn("line_no", F.col("line_no").cast("bigint"))
+
+
+def pseudo_lines(
+    df: DataFrame, id_col: str, text_col: str, size: int = 10
+) -> DataFrame:
+    """``(id, line_no, line)`` rows from NON-overlapping fixed-size token
+    windows — the line unit for corpora whose documents carry no literal
+    line breaks (e.g. the space-normalized test fixtures).  Same output
+    contract as :func:`split_lines`, so every downstream step is shared."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col), toks.alias("__tk"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(size))
+        ).alias("line_no", "__start"),
+    ).select(
+        id_col,
+        F.col("line_no").cast("bigint").alias("line_no"),
+        F.array_join(F.slice("__tk", F.col("__start"), size), " ").alias("line"),
+    )
+
+
+def line_dedup_keep_first(
+    lines: DataFrame,
+    id_col: str,
+    order_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """Keep only the corpus-globally FIRST occurrence of every distinct
+    line, first = minimal ``(id, order)`` pair (deterministic; also removes
+    within-document repeats).  Grouping key is the portable 60-bit line
+    digest: the min-struct aggregation partial-aggregates hot boilerplate
+    lines map-side, and the join back is digest-co-partitioned (one
+    shuffle each)."""
+    with_h = lines.withColumn("__lh", hash60(line_col))
+    first = with_h.groupBy("__lh").agg(
+        F.min(F.struct(
+            F.col(id_col).alias("i"), F.col(order_col).alias("o")
+        )).alias("__first")
+    )
+    return (
+        with_h.join(first, "__lh")
+        .where((F.col(id_col) == F.col("__first.i"))
+               & (F.col(order_col) == F.col("__first.o")))
+        .drop("__lh", "__first")
+    )
+
+
+def reassemble_lines(
+    kept: DataFrame,
+    id_col: str,
+    order_col: str = "line_no",
+    line_col: str = "line",
+    sep: str = "\n",
+    text_col: str = "new_text",
+) -> DataFrame:
+    """Re-join each document's surviving lines in original order:
+    ``(id, n_kept, <text_col>)``.  Per-document collect_list is bounded by
+    document size (the same bound the chunking pass already holds)."""
+    pair = F.struct(F.col(order_col).alias("o"), F.col(line_col).alias("l"))
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["l"]),
+            sep,
+        ).alias(text_col),
+    )
+
+
+def dedup_lines_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    pseudo_line_tokens: int | None = None,
+) -> DataFrame:
+    """End-to-end line-level corpus dedup: split (literal ``sep``, or
+    fixed-token pseudo-lines when ``pseudo_line_tokens`` is set) →
+    keep-first → reassemble.  Returns every input document as
+    ``(id, n_lines, n_kept, new_text)`` — documents whose every line was
+    seen earlier survive with ``n_kept = 0`` and an empty rewrite (the
+    caller decides whether to drop empties)."""
+    if pseudo_line_tokens is not None:
+        lines = pseudo_lines(df, id_col, text_col, pseudo_line_tokens)
+        n_lines = F.size(F.sequence(
+            F.lit(1), F.size(F.split(F.col(text_col), " ")),
+            F.lit(pseudo_line_tokens)))
+    else:
+        lines = split_lines(df, id_col, text_col, sep)
+        n_lines = F.size(F.split(F.col(text_col), sep, -1))
+    kept = line_dedup_keep_first(lines, id_col)
+    joined = sep if pseudo_line_tokens is None else " "
+    re = reassemble_lines(kept, id_col, sep=joined)
+    return (
+        df.select(id_col, n_lines.cast("bigint").alias("n_lines"))
+        .join(re, id_col, "left")
+        .select(
+            id_col, "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

@@ -1484,3 +1484,56 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter("vec_id < 5")
     return S.int8_topk(q, e, "vec_id", "embedding", _DIM, _TOPK)
+
+
+_LINE = 10  # pseudo-line size (tokens) for the line-dedup query
+
+
+@query(
+    "dedup_lines",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    lines AS (
+        SELECT doc_id, g.i AS line_no,
+               array_to_string(tk[g.s:g.s + {_LINE - 1}], ' ') AS line
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(tk), {_LINE})) AS s,
+                   unnest(range(len(generate_series(1, len(tk), {_LINE})))) AS i
+        ) g
+    ),
+    kept AS (
+        SELECT doc_id, line_no, line FROM (
+            SELECT doc_id, line_no, line,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_no) AS rn
+            FROM lines) WHERE rn = 1
+    ),
+    re AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(line, ' ' ORDER BY line_no) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(generate_series(1, len(t.tk), {_LINE})) AS BIGINT) AS n_lines,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           {_h60("COALESCE(r.new_text, '')")} AS new_text_hash
+    FROM toks t LEFT JOIN re r USING (doc_id)
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup (operators/dedup.dedup_lines_corpus):
+    any line occurring more than once anywhere in the corpus keeps only its
+    globally-first occurrence (min (doc_id, line_no)), then every document
+    is rewritten from its surviving lines in order.  The fixture corpus has
+    no literal line breaks, so lines are non-overlapping {_LINE}-token
+    pseudo-lines — the operator's fallback unit for line-break-free text.
+    Output stays narrow (the rewritten text is reported as its 60-bit
+    hash): ``(doc_id, n_lines, n_kept, new_text_hash)``.  One digest
+    shuffle + one co-partitioned join + one per-doc regroup; the oracle
+    mirrors the keep-first rule with a window over the raw line."""
+    d = load_table(spark, sf_dir, "documents")
+    out = D.dedup_lines_corpus(d, "doc_id", "text", pseudo_line_tokens=_LINE)
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        T.hash60("new_text").alias("new_text_hash"),
+    )

@@ -739,3 +739,63 @@ def test_ivf_auto_bits_recall_two_sizes(spark, n_clusters, per):
                                       corpus_count=n).collect()}
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.8, f"auto-IVF recall {recall:.2f} at n={n}"
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_keep_first_semantics(spark):
+    """Global keep-first: later copies of a line vanish (across AND within
+    documents); first occurrence = minimal (doc_id, line_no)."""
+    from map_reduce_folds_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nbeta"), (2, "beta\ngamma"), (3, "alpha\ngamma"),
+         (4, "delta\ndelta")],
+        ["doc_id", "text"],
+    )
+    out = D.dedup_lines_corpus(docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["new_text"] == "alpha\nbeta"   # both first occurrences
+    assert by_id[2]["new_text"] == "gamma"         # beta already seen in doc 1
+    assert by_id[3]["new_text"] == ""              # every line seen earlier
+    assert by_id[3]["n_kept"] == 0 and by_id[3]["n_lines"] == 2
+    assert by_id[4]["new_text"] == "delta"         # within-doc repeat removed
+    assert by_id[4]["n_kept"] == 1 and by_id[4]["n_lines"] == 2
+
+
+def test_line_dedup_preserves_order(spark):
+    """Surviving lines re-join in original document order even when the
+    kept set is non-contiguous."""
+    from map_reduce_folds_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "a\nx\nb\nx\nc")], ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["new_text"]
+           for r in D.dedup_lines_corpus(docs, "doc_id", "text").collect()}
+    assert out[2] == "a\nb\nc"
+
+
+def test_pseudo_lines_cover_text_exactly(spark):
+    """Pseudo-lines partition the token sequence: non-overlapping, in
+    order, re-joining them reproduces the document."""
+    from map_reduce_folds_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(23))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    lines = D.pseudo_lines(docs, "doc_id", "text", size=10)
+    re = D.reassemble_lines(lines, "doc_id", sep=" ")
+    back = {r["doc_id"]: r for r in re.collect()}
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert back[1]["new_text"] == orig[1] and back[1]["n_kept"] == 3
+    assert back[2]["new_text"] == orig[2] and back[2]["n_kept"] == 1
+    # line sizes: full chunks of 10, last chunk short
+    sizes = [r["n"] for r in lines.where("doc_id = 1")
+             .select(F.size(F.split("line", " ")).alias("n"))
+             .orderBy("line").collect()]
+    assert sorted(sizes) == [3, 10, 10]
