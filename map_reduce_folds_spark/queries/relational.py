@@ -697,6 +697,34 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_window",
+    oracle="""
+    SELECT (epoch_us(ts) // 900000000 - o.k) * 900000000 AS win_start_us,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events, LATERAL (SELECT unnest(range(4)) AS k) o
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes — each event lands in
+    exactly 4 overlapping windows (the hopping-window shape of streaming
+    trend monitors; ``streaming.stream_mapreduce(slide=)`` runs the same
+    plan on readStream).  Spark aligns slide-grid window starts to the
+    epoch, so the oracle enumerates each event's 4 windows arithmetically:
+    start = (floor(us / slide) - k) · slide for k in 0..3 — every one
+    satisfies start ≤ ts < start + 1h by construction."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    ).select(epoch_us(F.col("w.start")).alias("win_start_us"),
+             "event_type", "n", "sum_value")
+
+
+@query(
     "asof_join_purchase_click",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id AS user_id,

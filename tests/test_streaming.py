@@ -573,3 +573,28 @@ def test_stream_static_interval_join_attribution(spark, events_batch,
                                    bucket_width=1800.0)
             .select("click_id", "purchase_id").collect()}
     assert got == want and got
+
+
+def test_sliding_window_stream_matches_batch(spark, events_batch, events_stream_path):
+    """Hopping windows (slide < width) through the SAME MapReduce spec:
+    streaming result equals the batch sliding-window aggregation — every
+    event counted once per overlapping window."""
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema,
+                                 max_files_per_trigger=2)
+    out = stream_mapreduce(stream, _spec(), ts_col="ts", window="1 hour",
+                           slide="15 minutes", watermark="30 days")
+    got = run_to_memory(out, "slide_agg", timeout_s=120)
+
+    batch = (
+        events_batch.filter("value > 1")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("window"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_v"))
+    )
+    g = {(r.window.start, r.event_type): (r.n, r.sum_v) for r in got.collect()}
+    b = {(r.window.start, r.event_type): (r.n, r.sum_v) for r in batch.collect()}
+    assert g == b
+    # 4 overlapping windows per tumbling bucket: strictly more window rows
+    assert len(g) > 3 * len({k for k in b if k[0].minute == 0})
