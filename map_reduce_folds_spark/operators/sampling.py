@@ -265,3 +265,77 @@ def stratified_sample_sql(
         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {group_expr} "
         f"ORDER BY {_bucket_sql(id_expr, salt)}, {id_expr}) <= {n}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+#: 2^60 — the hash60 value space; (h+1)/2^60 maps the hash into (0, 1].
+_H60_SPACE = 1 << 60
+
+
+def _es_key(weight: Column, id_col: str, salt: str) -> Column:
+    """The Efraimidis–Spirakis sort key ln(u)/w with the deterministic
+    uniform u = (hash60(id)+1)/2^60 ∈ (0,1].  Ranking by u^(1/w)
+    descending is exactly ranking by ln(u)/w descending (ln is monotone,
+    ln(u) ≤ 0, w > 0) — the ln form avoids pow's extreme dynamic range
+    for large weights."""
+    u = (hash60(F.col(id_col).cast("string"), salt) + F.lit(1)) \
+        / F.lit(float(_H60_SPACE))
+    return F.ln(u) / weight
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    group_cols: Sequence[str] | None = None,
+    salt: str = "wsample",
+    pre_split: int | None = None,
+) -> DataFrame:
+    """EXACTLY ``n`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis & Spirakis (IPL 2006,
+    public literature): each row gets key u^(1/w) with u uniform in
+    (0,1], the n largest keys win.  u comes from the portable id hash,
+    so the sample is deterministic, partition-independent, engine-exact
+    (SQL mirror :func:`weighted_sample_sql`), and re-saltable for
+    independent replicates.
+
+    Rows with weight ≤ 0 or NULL are excluded (zero mass).  Global form
+    (``group_cols=None``) compiles to TakeOrderedAndProject — per-partition
+    top-n, driver merge, no full sort; per-group form rides
+    :func:`relational.topk_per_group` (one shuffle; ``pre_split`` is the
+    hot-group escape hatch).  100 TB shape: a scan plus a top-n — the
+    classic one-pass distributed weighted reservoir.
+
+    Float caveat: the key uses ln(), whose last-ulp rounding is not
+    pinned by IEEE across engines; selection only flips if the nth and
+    (n+1)th keys collide within ~1 ulp, which hash-spread keys make
+    astronomically unlikely (the oracle gate would catch it loudly)."""
+    from map_reduce_folds_spark.operators.relational import topk, topk_per_group
+
+    w = F.col(weight_col).cast("double")
+    eligible = df.where(w.isNotNull() & (w > 0))
+    order = [_es_key(w, id_col, salt).desc(), F.col(id_col)]
+    if group_cols:
+        return topk_per_group(eligible, list(group_cols), order, n,
+                              pre_split=pre_split)
+    return topk(eligible, order, n)
+
+
+def weighted_sample_sql(
+    weight_expr: str, n: int, id_expr: str,
+    group_expr: str | None = None, salt: str = "wsample",
+) -> str:
+    """Oracle fragment mirroring :func:`weighted_sample_exact`: a QUALIFY
+    predicate over the same ES key (append to a SELECT; add the same
+    weight filter in the WHERE clause)."""
+    h = hash60_sql(f"CAST({id_expr} AS VARCHAR)", salt)
+    key = f"ln(({h} + 1) / {float(_H60_SPACE)!r}) / CAST({weight_expr} AS DOUBLE)"
+    part = f"PARTITION BY {group_expr} " if group_expr else ""
+    return (
+        f"QUALIFY ROW_NUMBER() OVER ({part}"
+        f"ORDER BY {key} DESC, {id_expr}) <= {n}"
+    )

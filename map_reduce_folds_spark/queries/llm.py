@@ -1537,3 +1537,22 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "n_kept",
         T.hash60("new_text").alias("new_text_hash"),
     )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    {SM.weighted_sample_sql('n_chars', 20, 'doc_id')}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 documents sampled without replacement with probability
+    proportional to length (Efraimidis–Spirakis over the portable id
+    hash, operators/sampling.weighted_sample_exact) — the deterministic
+    form of length-weighted corpus subsampling.  Same rows on any
+    engine/run; the oracle shares the hash and the ES key."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.weighted_sample_exact(d, "n_chars", 20, "doc_id") \
+        .select("doc_id", "n_chars")

@@ -799,3 +799,52 @@ def test_pseudo_lines_cover_text_exactly(spark):
              .select(F.size(F.split("line", " ")).alias("n"))
              .orderBy("line").collect()]
     assert sorted(sizes) == [3, 10, 10]
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_proportionality(spark):
+    """Items with 9x the weight should dominate the sample across
+    independent salts (fixed salts — deterministic, no flake)."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    rows = [(i, 9.0 if i < 250 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "w"]).cache()
+    heavy_total = total = 0
+    for salt in ("s0", "s1", "s2", "s3", "s4"):
+        got = SM.weighted_sample_exact(df, "w", 50, "id", salt=salt).collect()
+        assert len(got) == 50
+        heavy = sum(1 for r in got if r["id"] < 250)
+        assert heavy > 50 - heavy, f"salt {salt}: heavy={heavy}/50"
+        heavy_total += heavy
+        total += 50
+    # E[heavy fraction] ≈ 0.9 for w-ratio 9:1 at small n/N; allow slack
+    assert 0.7 < heavy_total / total <= 1.0
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)], ["id", "w"])
+    got = {r["id"] for r in SM.weighted_sample_exact(df, "w", 10, "id").collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_grouped_and_presplit_equal(spark):
+    """Per-group form returns exactly n per group; the pre_split tournament
+    selects the identical rows (the ES key is a total order)."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    rows = [(i, f"g{i % 3}", float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "g", "w"]).cache()
+    plain = SM.weighted_sample_exact(df, "w", 5, "id", group_cols=["g"])
+    split = SM.weighted_sample_exact(df, "w", 5, "id", group_cols=["g"],
+                                     pre_split=4)
+    p = {(r["g"], r["id"]) for r in plain.collect()}
+    s = {(r["g"], r["id"]) for r in split.collect()}
+    assert p == s
+    from collections import Counter
+    assert all(v == 5 for v in Counter(g for g, _ in p).values())
