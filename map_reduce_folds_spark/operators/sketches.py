@@ -320,3 +320,114 @@ def cms_key_cells_sql(key_expr: str, src: str, d: int = 4, w: int = 1024) -> str
         f"{hash60_sql(key_expr, salt=f'cms{r}')} % {w} AS c FROM {src}"
         for r in range(d)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — semi-join reduction for big joins.
+# ---------------------------------------------------------------------------
+#
+# The 100 TB join pattern this enables: a selective dimension (e.g. "the
+# 0.1% of orders over the price threshold") reduced to a kilobytes-sized
+# bitmask that filters the FACT side at scan time, BEFORE the shuffle —
+# the fact rows that cannot possibly join never leave their input
+# partition.  Spark's AQE can inject runtime bloom filters itself
+# (spark.sql.optimizer.runtime.bloomFilter.enabled), but only under a
+# shuffle-join with fresh stats; the explicit operator makes the
+# reduction deterministic, composable mid-pipeline, and storable.
+#
+# Same relational-sketch discipline as the HLL registers and CMS cells
+# above: the filter is a ``(word, bits)`` relation — building is one
+# explode + one map-side-combinable BIT_OR aggregation, merging two
+# filters (same geometry) is BIT_OR again, and membership is a pure
+# Catalyst expression over the packed literal mask.  False positives only
+# (removed by the exact join that follows); false negatives impossible —
+# property-tested, and any pruning bug surfaces as a result mismatch
+# against the plain-join oracle.
+
+
+def _bloom_positions(item: Column, n_bits: int, k: int) -> list[Column]:
+    """The item's k bit positions: portable hash60 salted per probe —
+    deterministic across engines, runs, and partitionings."""
+    return [hash60(item, salt=f"bf{i}") % F.lit(n_bits) for i in range(k)]
+
+
+def bloom_bits(
+    df: DataFrame,
+    item: str | Column,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Build a bloom filter as a ``(word, bits)`` relation: word = bit
+    position // 64, bits = OR of the member bits in that word.  One
+    narrow aggregation (≤ n_bits/64 output rows); merge two filters of
+    the same (n_bits, k) geometry with ``bloom_merge``."""
+    if n_bits & (n_bits - 1) or n_bits < 64:
+        raise ValueError(f"n_bits must be a power of two >= 64, got {n_bits}")
+    c = F.col(item) if isinstance(item, str) else item
+    pos = F.explode(F.array(*_bloom_positions(c, n_bits, k))).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+             .alias("b"),
+        )
+        .groupBy("word").agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two bloom filters with identical geometry: BIT_OR the
+    word relations (the monoid merge, exactly like CMS cnt-SUM)."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_mask(bits_df: DataFrame, n_bits: int) -> list[int]:
+    """Densify the ``(word, bits)`` relation into a Python word list of
+    length n_bits/64 — a BOUNDED driver collect (n_bits = 2^20 → 16k
+    longs ≈ 128 KiB), the same bounded-metadata class as
+    ``blocked_matmul_topk``'s query block."""
+    words = [0] * (n_bits >> 6)
+    for r in bits_df.collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_might_contain(
+    item: str | Column, mask: list[int], n_bits: int, k: int = 4
+) -> Column:
+    """Membership predicate over the packed mask as a literal array —
+    pure Catalyst (getbit on the selected word, ANDed over the k probes),
+    so it pushes to the fact scan and codegens."""
+    c = F.col(item) if isinstance(item, str) else item
+    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in mask])
+    cond = None
+    for pos in _bloom_positions(c, n_bits, k):
+        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+        term = F.getbit(word, (pos % 64).cast("int")) == 1
+        cond = term if cond is None else cond & term
+    return cond
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact ``fact ⋈ dim`` with the fact side bloom-pruned first: build
+    the filter from the dim keys (one tiny job), broadcast it as a
+    literal mask, filter the fact scan, then run the real join.  The
+    result is IDENTICAL to the plain join (``how`` ∈ inner/left_semi —
+    the joins for which dropping never-matching fact rows is sound);
+    the bloom only shrinks the shuffle.  Eager mask build at call time —
+    inherent to a runtime filter."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(f"bloom pruning is sound for inner/semi joins, got {how!r}")
+    mask = bloom_mask(bloom_bits(dim, dim_key, n_bits, k), n_bits)
+    pruned = fact.where(bloom_might_contain(fact_key, mask, n_bits, k))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key],
+                       "left_semi" if how == "semi" else how)

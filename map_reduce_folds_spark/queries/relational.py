@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from map_reduce_folds_spark import folds
 from map_reduce_folds_spark.core import Assign, FoldReduce, MapReduce, Melt
 from map_reduce_folds_spark.operators import relational as R
+from map_reduce_folds_spark.operators import sketches as K
 from map_reduce_folds_spark.operators import windows as W
 from map_reduce_folds_spark.queries.registry import query
 from map_reduce_folds_spark.sources import load_table
@@ -2002,4 +2003,31 @@ def running_sum_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
         "running_cents", "n_so_far",
+    )
+
+
+@query(
+    "bloom_pruned_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 450000
+    GROUP BY 1
+    """,
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side bloom semi-join reduction (operators/sketches.
+    bloom_prune_join): the ~10%-selective order set becomes a 64 KiB
+    bitmask that filters the lineitem SCAN before the join shuffle — the
+    rows that cannot match never leave their partition.  The result is
+    exactly the plain join (false positives die in the real join; false
+    negatives are impossible), which is what the oracle checks."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where("o_totalprice > 450000")
+    j = K.bloom_prune_join(l, o, "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
     )

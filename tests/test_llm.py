@@ -848,3 +848,50 @@ def test_weighted_sample_grouped_and_presplit_equal(spark):
     assert p == s
     from collections import Counter
     assert all(v == 5 for v in Counter(g for g, _ in p).values())
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from map_reduce_folds_spark.operators import sketches as K
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 20000, 137).select(F.col("id").alias("dk"))  # 147 keys
+    mask = K.bloom_mask(K.bloom_bits(dim, "dk", n_bits=1 << 14), 1 << 14)
+    pruned = fact.where(K.bloom_might_contain("k", mask, 1 << 14))
+    kept = {r["k"] for r in pruned.collect()}
+    members = {r["dk"] for r in dim.collect()}
+    assert members <= kept, "false negative: a member key was pruned"
+    # 147 keys × 4 probes in 16k bits → fp rate ~0.1%; require real pruning
+    assert len(kept) < 20000 * 0.05
+
+
+def test_bloom_merge_is_union(spark):
+    from map_reduce_folds_spark.operators import sketches as K
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(50, 180).select(F.col("id").alias("k"))
+    merged = K.bloom_merge(K.bloom_bits(a, "k"), K.bloom_bits(b, "k"))
+    direct = K.bloom_bits(a.union(b), "k")
+    m = {(r["word"], r["bits"]) for r in merged.collect()}
+    d = {(r["word"], r["bits"]) for r in direct.collect()}
+    assert m == d
+
+
+def test_bloom_prune_join_equals_plain_join(spark):
+    from map_reduce_folds_spark.operators import sketches as K
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    dim = spark.range(0, 5000, 61).select(F.col("id").alias("dk"))
+    got = K.bloom_prune_join(fact, dim, "k", "dk", n_bits=1 << 12)
+    plain = fact.join(dim, fact["k"] == dim["dk"], "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    semi = K.bloom_prune_join(fact, dim, "k", "dk", how="semi")
+    plain_semi = fact.join(dim, fact["k"] == dim["dk"], "left_semi")
+    assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, plain_semi.collect()))
