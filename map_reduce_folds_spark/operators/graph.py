@@ -239,3 +239,121 @@ def incremental_components(
     missing = singletons.join(merged.select("node"), "node", "left_anti") \
         .select("node", F.col("node").alias("component"))
     return merged.union(missing)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point integer arithmetic)
+# ---------------------------------------------------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10 ** 12,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list by power iteration —
+    ``(node, rank_scaled, rank)`` after exactly ``n_iter`` rounds.
+
+    All arithmetic is FIXED-POINT INTEGER: ranks live as bigints scaled
+    by ``scale`` and every step is integer multiply/divide (``div``), so
+    the result is bit-identical on any engine, partitioning, or run —
+    float summation order never enters (the same trick as q1's
+    long-backed sums).  With damping d = num/den:
+
+        r₀(u)   = scale // N
+        rₜ₊₁(v) = base + (num · Σ_{u→v} (rₜ(u) div outdeg(u))) div den
+        base    = ((den − num) · (scale // N)) // den      (driver literal)
+
+    Truncation loses < outdeg ulp per node per round (ulp = 1/scale =
+    1e-12) — far below any ranking use — and mass lost to truncation and
+    to dangling nodes (no out-edges; no redistribution, the common
+    simplified variant) only shrinks ranks uniformly.  Parallel edges
+    are multigraph weights: each contributes separately and outdeg
+    counts multiplicity.
+
+    100 TB shape: per round one src-keyed join (rank+degree into edges),
+    one dst-keyed sum aggregation (map-side combinable), one left join
+    back to nodes — all linear in |E|; per-round ``localCheckpoint``
+    keeps the logical plan O(1) like :func:`connected_components`.  The
+    node count N is one driver count (needed for the teleport literal;
+    bounded metadata, inherent to the formula)."""
+    num, den = damping
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    nodes = (
+        e.select(F.col("s").alias("u"))
+        .union(e.select(F.col("t").alias("u")))
+        .distinct().persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list")
+    r0 = scale // n
+    base = ((den - num) * r0) // den
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d")).persist()
+    try:
+        r = nodes.withColumn("r", F.lit(r0).cast("bigint"))
+        for _ in range(n_iter):
+            contrib = (
+                e.join(r.withColumnRenamed("u", "s"), "s")
+                .join(deg, "s")
+                .select(F.col("t").alias("u"), F.expr("r div d").alias("c"))
+                .groupBy("u").agg(F.sum("c").alias("csum"))
+            )
+            r = (
+                nodes.join(contrib, "u", "left")
+                .selectExpr(
+                    "u",
+                    f"CAST({base} + ({num} * coalesce(csum, CAST(0 AS BIGINT)))"
+                    f" div {den} AS BIGINT) AS r",
+                )
+                .localCheckpoint(eager=False)
+            )
+        return r.select(
+            F.col("u").alias("node"),
+            F.col("r").alias("rank_scaled"),
+            (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+        )
+    finally:
+        nodes.unpersist()
+        deg.unpersist()
+
+
+def pagerank_sql(
+    edges_sql: str,
+    n_iter: int = 10,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10 ** 12,
+) -> str:
+    """DuckDB mirror of :func:`pagerank` as UNROLLED chained CTEs (one
+    per iteration — standard SQL forbids aggregation in a recursive CTE
+    term, and unrolling keeps every step plain).  ``edges_sql`` must
+    yield columns ``(s, t)``.  N is computed in-SQL, and both ``//``
+    (DuckDB) and ``div`` (Spark) floor nonnegative quotients, so every
+    intermediate matches the Spark bigints exactly."""
+    num, den = damping
+    cte = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT u FROM "
+        "(SELECT s AS u FROM e UNION ALL SELECT t FROM e))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"b AS (SELECT CAST({scale} AS BIGINT) // n AS r0, "
+        f"(({den - num}) * (CAST({scale} AS BIGINT) // n)) // {den} AS base "
+        "FROM nn)",
+        "deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY 1)",
+        "r0 AS (SELECT u, b.r0 AS r FROM nodes, b)",
+    ]
+    for i in range(n_iter):
+        cte.append(
+            f"r{i + 1} AS (SELECT n.u, "
+            f"CAST(b.base + ({num} * COALESCE(s.c, 0)) // {den} AS BIGINT) AS r "
+            "FROM nodes n CROSS JOIN b LEFT JOIN "
+            f"(SELECT e.t AS u, SUM(r.r // deg.d) AS c "
+            f"FROM e JOIN r{i} r ON e.s = r.u JOIN deg ON e.s = deg.s "
+            "GROUP BY 1) s ON n.u = s.u)"
+        )
+    return (
+        "WITH " + ",\n".join(cte) + f"\nSELECT u AS node, r AS rank_scaled, "
+        f"CAST(r AS DOUBLE) / {float(scale)!r} AS rank FROM r{n_iter}"
+    )

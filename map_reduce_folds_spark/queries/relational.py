@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_folds_spark import folds
 from map_reduce_folds_spark.core import Assign, FoldReduce, MapReduce, Melt
+from map_reduce_folds_spark.operators import graph as G
 from map_reduce_folds_spark.operators import relational as R
 from map_reduce_folds_spark.operators import sketches as K
 from map_reduce_folds_spark.operators import windows as W
@@ -2031,3 +2032,33 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
     )
+
+
+_PR_EDGES_SQL = """
+    SELECT event_type AS s, nxt AS t FROM (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events) WHERE nxt IS NOT NULL
+"""
+
+
+@query("pagerank_event_types",
+       oracle=G.pagerank_sql(_PR_EDGES_SQL, n_iter=10))
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (per-user journeys
+    ordered by (ts, event_id); each consecutive pair is a directed
+    multigraph edge) — 'which event types do journeys flow into'.  Ten
+    power-iteration rounds in fixed-point integer arithmetic
+    (operators/graph.pagerank), so the bigint ranks are bit-exact against
+    the oracle's unrolled-CTE mirror — an iterative-algorithm result the
+    driver gate can hash, not just row-count."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+    )
+    return G.pagerank(trans, "event_type", "nxt", n_iter=10)

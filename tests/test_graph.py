@@ -265,3 +265,78 @@ def test_cc_checkpoint_dir_reuse_keeps_lazy_result(spark, tmp_path_factory):
         (1, 1), (2, 1), (3, 1)}
     assert {(r["node"], r["component"]) for r in second.collect()} == {
         (100, 100), (200, 100)}
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _pagerank_py(edges, n_iter=10, num=85, den=100, scale=10 ** 12):
+    """Pure-Python mirror of graph.pagerank's EXACT integer arithmetic —
+    the hand oracle for the differential test."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    r0 = scale // n
+    base = ((den - num) * r0) // den
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {u: r0 for u in nodes}
+    for _ in range(n_iter):
+        csum = {u: 0 for u in nodes}
+        for s, t in edges:
+            csum[t] += r[s] // deg[s]
+        r = {u: base + (num * csum[u]) // den for u in nodes}
+    return r
+
+
+def test_pagerank_matches_python_integer_oracle_exactly(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(4, 12)
+        edges = [(rng.randint(0, n - 1), rng.randint(0, n - 1))
+                 for _ in range(rng.randint(n, 4 * n))]
+        df = spark.createDataFrame(
+            [Row(src=s, dst=t) for s, t in edges], "src long, dst long")
+        got = {r["node"]: r["rank_scaled"]
+               for r in G.pagerank(df, n_iter=6).collect()}
+        assert got == _pagerank_py(edges, n_iter=6), f"trial {trial}"
+
+
+def test_pagerank_approximates_float_power_iteration(spark):
+    """The fixed-point truncation must stay far below ranking relevance:
+    compare against the float power iteration (same no-redistribution
+    dangling variant)."""
+    import numpy as np
+
+    rng = random.Random(11)
+    n = 20
+    edges = list({(rng.randint(0, n - 1), rng.randint(0, n - 1))
+                  for _ in range(80)})
+    df = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in edges], "src long, dst long")
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    deg = np.zeros(len(nodes))
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(10):
+        c = np.zeros(len(nodes))
+        for s, t in edges:
+            c[idx[t]] += r[idx[s]] / deg[idx[s]]
+        r = 0.15 / len(nodes) + 0.85 * c
+    got = {row["node"]: row["rank"] for row in G.pagerank(df).collect()}
+    for u in nodes:
+        assert abs(got[u] - r[idx[u]]) < 1e-6, u
+
+
+def test_pagerank_sink_gains_mass(spark):
+    """A node every walk flows into must outrank its feeders; total mass
+    stays ≤ 1 (truncation/dangling only leak, never create)."""
+    df = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in [(1, 4), (2, 4), (3, 4), (4, 4)]],
+        "src long, dst long")
+    got = {r["node"]: r["rank"] for r in G.pagerank(df).collect()}
+    assert got[4] > 3 * got[1]
+    assert sum(got.values()) <= 1.0 + 1e-12
