@@ -131,3 +131,50 @@ def drift_psi_sql(
            ta AS n_a, tb AS n_b
     FROM terms GROUP BY ta, tb
     """
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's OWN
+    unigram distribution — the classic perplexity-proxy quality filter
+    (very negative ⇒ rare-token-heavy gibberish / wrong-language /
+    binary-ish docs; near zero ⇒ boilerplate of only stopwords).  Output:
+    ``(id, n_tokens, mean_logprob)`` with
+
+        mean_logprob = round( Σ_t ln(count(t)/total) / n_tokens , 9 )
+
+    Shape: token explode → vocabulary count (one map-side-combinable
+    aggregation — the word-count plan) → token-keyed join back → per-doc
+    sum.  Hot stopword tokens skew the join input, but each joined row
+    carries only (doc, pos, cnt) and AQE splits oversized partitions; the
+    per-doc sum runs over a SORTED (pos, term) array fold so float
+    addition order is pinned under any partitioning, and the 9-decimal
+    round absorbs ln's cross-libm last-ulp (the PSI discipline,
+    :func:`drift_psi`).  The corpus total rides a one-row broadcast."""
+    from map_reduce_folds_spark.operators.text import tokenize
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(text_col)).alias("pos", "tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("tot"))
+    terms = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))  # one-row scalar idiom
+        .select(
+            id_col, "pos",
+            F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+             .alias("term"),
+        )
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("pos", "term")))
+    s = F.aggregate(pairs, F.lit(0.0),
+                    lambda acc, x: acc + x["term"])
+    return terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(s / F.count(F.lit(1)).cast("double"), 9).alias("mean_logprob"),
+    )

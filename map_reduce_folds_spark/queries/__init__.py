@@ -33,8 +33,17 @@ from map_reduce_folds_spark.queries.core_mr import flagship  # noqa: E402,F401
 #: least one entry here.  Grouped by family; see SURVEY §2 / COVERAGE.md.
 _PRIORITY = [
     # core map-reduce fold algebra (§2.1-§2.6)
+    # Round 6 swaps, per the same displacement rule: three NEW families
+    # enter — dedup_lines (C4-style corpus-rewrite dedup), bloom_pruned_join
+    # (bloom semi-join reduction), pagerank_event_types (iterative graph
+    # analytics; CC stays via dedup_cc_clusters) — displacing
+    # mr_task2_sparse (melt family keeps mr_melt), sim_topk_lsh and
+    # sim_topk_ivf (ANN family keeps sim_topk_bruteforce + the SRP-LSH
+    # dedup_embedding; both displaced rows re-register right past the
+    # window).  Side effect: the window is now 100% oracle-backed (IVF was
+    # its only rows-only row).
     "mr_readme_sum", "mr_task1_mean", "mr_applicative", "mr_melt",
-    "mr_task2_sparse", "mr_fold_vocab", "mr_assign_udf", "mr_null_key_group",
+    "dedup_lines", "mr_fold_vocab", "mr_assign_udf", "mr_null_key_group",
     "mr_filtered_folds",
     # core operators driver-verified from round 2 (VERDICT r1 item 5)
     "mr_group_reduce_keyed", "mr_custom_fold_merge", "mr_concat_fold",
@@ -55,7 +64,7 @@ _PRIORITY = [
     # window and stay in LOCAL_CORRECTNESS.
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_cc_clusters", "dedup_embedding", "sim_topk_bruteforce",
-    "sim_topk_lsh", "sim_topk_ivf", "multimodal_features",
+    "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
     "contamination_check",
     "tfidf_top_terms", "deterministic_sample", "pipeline_clean_corpus",
     "data_quality_profile", "data_quality_expectations",
@@ -79,6 +88,7 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     # first entries PAST the 50-window: the displaced green rows
     "mr_simple_unpack", "mr_ordered_collect", "dedup_simhash_pairs",
+    "mr_task2_sparse", "sim_topk_lsh", "sim_topk_ivf",
 ]
 
 

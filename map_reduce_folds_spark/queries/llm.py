@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_folds_spark.operators import dedup as D
+from map_reduce_folds_spark.operators import quality as Q
 from map_reduce_folds_spark.operators import sampling as SM
 from map_reduce_folds_spark.operators import similarity as S
 from map_reduce_folds_spark.operators import sketches as K
@@ -1556,3 +1557,39 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return SM.weighted_sample_exact(d, "n_chars", 20, "doc_id") \
         .select("doc_id", "n_chars")
+
+
+@query(
+    "unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, g.pos, g.tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             LATERAL (SELECT unnest(tk) AS tok,
+                             unnest(range(len(tk))) AS pos) g
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS tot FROM vocab),
+    terms AS (
+        SELECT doc_id, pos,
+               ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS term
+        FROM toks JOIN vocab USING (tok), t
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(list_reduce(
+                     list_prepend(0.0,
+                         list_sort(list({'p': pos, 't': term}))
+                             .apply(s -> s.t)),
+                     (acc, x) -> acc + x)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS mean_logprob
+    FROM terms GROUP BY doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal (operators/quality.unigram_logprob):
+    each document's mean token log-probability under the corpus unigram
+    LM — the filter that drops rare-token gibberish without a trained
+    model.  Word-count join-back plan; the sorted-fold + 9-decimal-round
+    discipline makes the ln-bearing score hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return Q.unigram_logprob(d, "doc_id", "text")

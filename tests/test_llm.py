@@ -895,3 +895,38 @@ def test_bloom_prune_join_equals_plain_join(spark):
     semi = K.bloom_prune_join(fact, dim, "k", "dk", how="semi")
     plain_semi = fact.join(dim, fact["k"] == dim["dk"], "left_semi")
     assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, plain_semi.collect()))
+
+
+def test_unigram_logprob_semantics(spark):
+    """Hand-computed check: rare-token docs score lower; values match the
+    closed-form mean of ln(count/total)."""
+    import math
+
+    from map_reduce_folds_spark.operators import quality as Q
+
+    # corpus: 'a' appears 4x, 'b' 2x, 'z' 1x; total 7 tokens
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b"), (3, "z")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           Q.unigram_logprob(docs, "doc_id", "text").collect()}
+    exp_common = (2 * math.log(4 / 7) + math.log(2 / 7)) / 3
+    exp_rare = math.log(1 / 7)
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["mean_logprob"] - exp_common) < 1e-8
+    assert abs(got[3]["mean_logprob"] - exp_rare) < 1e-8
+    assert got[3]["mean_logprob"] < got[1]["mean_logprob"]
+
+
+def test_unigram_logprob_partitioning_invariant(spark):
+    """The sorted-fold sum must give the identical 9-decimal score under
+    different partitionings (float addition order pinned)."""
+    from map_reduce_folds_spark.operators import quality as Q
+    from map_reduce_folds_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    a = {(r["doc_id"], r["mean_logprob"])
+         for r in Q.unigram_logprob(d).collect()}
+    b = {(r["doc_id"], r["mean_logprob"])
+         for r in Q.unigram_logprob(d.repartition(13)).collect()}
+    assert a == b

@@ -290,3 +290,37 @@ def test_scale_audit_flags_each_smell(spark):
         Window.partitionBy((F.col("id") % 5)).orderBy("id")))
     kw.collect()
     assert not any("global-order" in s for s in P.scale_audit(kw))
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("dedup_lines", 6),            # digest agg+join, per-doc regroup, doc join
+    ("events_sliding_window", 1),  # one shuffle: the windowed aggregation
+    ("weighted_sample_docs", None),
+    ("bloom_pruned_join", None),
+    ("pagerank_event_types", None),
+])
+def test_new_round6_ops_pass_scale_audit(spark, name, max_shuffles):
+    """Every operator added this round must come out of the scale linter
+    clean: no cartesian joins, no global-order windows, no row-at-a-time
+    Python, codegen present, shuffle count within its budget."""
+    df = _run(spark, name)
+    assert P.scale_audit(df, max_shuffles=max_shuffles) == [], \
+        P.executed_plan(df)
+
+
+def test_weighted_sample_no_global_sort(spark):
+    """Global weighted top-n must compile to TakeOrderedAndProject
+    (per-partition heads + driver merge), never a full sort."""
+    df = _run(spark, "weighted_sample_docs")
+    p = P.executed_plan(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_bloom_prune_filters_fact_scan(spark):
+    """The bloom membership predicate must sit on the fact side BEFORE the
+    join (the whole point: never-matching rows stay in their partitions) —
+    visible as getbit() inside a Filter in the physical plan."""
+    df = _run(spark, "bloom_pruned_join")
+    p = P.executed_plan(df)
+    assert "getbit" in p, p
+    assert P.count_cartesian_joins(df) == 0
