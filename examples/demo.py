@@ -133,6 +133,33 @@ def main():
     drift_psi(docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
               "n_chars", 0.0, 600.0, 12).show()
 
+    print("-- C4-style line dedup: rewrite docs, drop repeated lines --")
+    ld = dedup.dedup_lines_corpus(docs, "doc_id", "text",
+                                  pseudo_line_tokens=10)
+    ld.selectExpr("sum(n_lines) AS lines", "sum(n_kept) AS kept").show()
+
+    print("-- weighted sample: 5 docs, probability ~ length --")
+    SM.weighted_sample_exact(docs, "n_chars", 5, "doc_id") \
+        .select("doc_id", "n_chars").show()
+
+    print("-- bloom semi-join reduction: prune facts before the shuffle --")
+    hot = docs.filter("n_chars > 500").select("doc_id")
+    pruned = K.bloom_prune_join(docs, hot, "doc_id", "doc_id")
+    print(f"   exact join rows via bloom-pruned fact scan: {pruned.count()}")
+
+    print("-- PageRank over event-type transitions (bit-exact integer) --")
+    from pyspark.sql.window import Window
+    trans = ev.select(
+        "event_type",
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("nxt")).where("nxt IS NOT NULL")
+    G.pagerank(trans, "event_type", "nxt").orderBy(F.desc("rank")).show()
+
+    print("-- unigram log-prob quality score (perplexity proxy) --")
+    from map_reduce_folds_spark.operators.quality import unigram_logprob
+    unigram_logprob(docs).orderBy("mean_logprob").show(3)
+
     print("-- scale_audit: lint a pipeline plan for 100 TB smells --")
     from map_reduce_folds_spark.plans import scale_audit
     bad = docs.crossJoin(docs.select(F.col("doc_id").alias("d2")))
