@@ -345,10 +345,29 @@ def cms_key_cells_sql(key_expr: str, src: str, d: int = 4, w: int = 1024) -> str
 # against the plain-join oracle.
 
 
-def _bloom_positions(item: Column, n_bits: int, k: int) -> list[Column]:
-    """The item's k bit positions: portable hash60 salted per probe —
-    deterministic across engines, runs, and partitionings."""
-    return [hash60(item, salt=f"bf{i}") % F.lit(n_bits) for i in range(k)]
+def _bloom_positions(
+    item: Column, n_bits: int, k: int, portable: bool = False
+) -> list[Column]:
+    """The item's k bit positions by Kirsch–Mitzenmacher double hashing
+    (pos_i = (h1 + i·h2) mod m) from ONE base hash — same asymptotic
+    false-positive rate as k independent hashes.  h2 is forced odd so it
+    is coprime with the power-of-two m and the k probes are distinct.
+
+    The base hash defaults to Spark-native ``xxhash64`` — pruning
+    correctness NEVER depends on the hash (any deterministic function
+    gives zero false negatives, and false positives die in the exact
+    join), so the scan predicate gets the cheap JVM hash; the md5-based
+    ``hash60`` (``portable=True``) is the opt-in for workflows that need
+    the MASK itself reproducible outside Spark, at k× the probe cost
+    (Catalyst re-evaluates the hash subexpression per probe)."""
+    if portable:
+        h = hash60(item, salt="bf")
+    else:
+        h = F.xxhash64(item, F.lit("bf"))
+    h1 = F.pmod(h, F.lit(1 << 30))
+    h2 = F.pmod(F.shiftright(h, 30), F.lit(1 << 30)) \
+        .bitwiseOR(F.lit(1).cast("bigint"))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(k)]
 
 
 def bloom_bits(
@@ -356,6 +375,7 @@ def bloom_bits(
     item: str | Column,
     n_bits: int = 1 << 16,
     k: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Build a bloom filter as a ``(word, bits)`` relation: word = bit
     position // 64, bits = OR of the member bits in that word.  One
@@ -364,7 +384,8 @@ def bloom_bits(
     if n_bits & (n_bits - 1) or n_bits < 64:
         raise ValueError(f"n_bits must be a power of two >= 64, got {n_bits}")
     c = F.col(item) if isinstance(item, str) else item
-    pos = F.explode(F.array(*_bloom_positions(c, n_bits, k))).alias("pos")
+    pos = F.explode(
+        F.array(*_bloom_positions(c, n_bits, k, portable))).alias("pos")
     return (
         df.select(pos)
         .select(
@@ -394,15 +415,19 @@ def bloom_mask(bits_df: DataFrame, n_bits: int) -> list[int]:
 
 
 def bloom_might_contain(
-    item: str | Column, mask: list[int], n_bits: int, k: int = 4
+    item: str | Column, mask: list[int], n_bits: int, k: int = 4,
+    portable: bool = False,
 ) -> Column:
     """Membership predicate over the packed mask as a literal array —
     pure Catalyst (getbit on the selected word, ANDed over the k probes),
     so it pushes to the fact scan and codegens."""
     c = F.col(item) if isinstance(item, str) else item
-    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in mask])
+    # ONE ArrayType literal (constant in the plan, no per-row array
+    # construction and no per-element py4j calls — measured 4.6 s → 0.9 s
+    # for the sf0.1 prune with the element-wise F.array form)
+    arr = F.lit([int(w) for w in mask])
     cond = None
-    for pos in _bloom_positions(c, n_bits, k):
+    for pos in _bloom_positions(c, n_bits, k, portable):
         word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
         term = F.getbit(word, (pos % 64).cast("int")) == 1
         cond = term if cond is None else cond & term
@@ -417,6 +442,7 @@ def bloom_prune_join(
     n_bits: int = 1 << 16,
     k: int = 4,
     how: str = "inner",
+    portable: bool = False,
 ) -> DataFrame:
     """Exact ``fact ⋈ dim`` with the fact side bloom-pruned first: build
     the filter from the dim keys (one tiny job), broadcast it as a
@@ -427,7 +453,8 @@ def bloom_prune_join(
     inherent to a runtime filter."""
     if how not in ("inner", "left_semi", "semi"):
         raise ValueError(f"bloom pruning is sound for inner/semi joins, got {how!r}")
-    mask = bloom_mask(bloom_bits(dim, dim_key, n_bits, k), n_bits)
-    pruned = fact.where(bloom_might_contain(fact_key, mask, n_bits, k))
+    mask = bloom_mask(bloom_bits(dim, dim_key, n_bits, k, portable), n_bits)
+    pruned = fact.where(
+        bloom_might_contain(fact_key, mask, n_bits, k, portable))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key],
                        "left_semi" if how == "semi" else how)
