@@ -280,7 +280,9 @@ def pagerank(
     node count N is one driver count (needed for the teleport literal;
     bounded metadata, inherent to the formula)."""
     num, den = damping
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    # persist: the edge relation is re-read every round, and the caller's
+    # lineage may be an expensive pipeline (same reason CC persists sym)
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).persist()
     nodes = (
         e.select(F.col("s").alias("u"))
         .union(e.select(F.col("t").alias("u")))
@@ -308,7 +310,11 @@ def pagerank(
                     f"CAST({base} + ({num} * coalesce(csum, CAST(0 AS BIGINT)))"
                     f" div {den} AS BIGINT) AS r",
                 )
-                .localCheckpoint(eager=False)
+                # EAGER: pagerank runs no per-round action of its own
+                # (unlike CC's fixpoint aggregate), so a lazy checkpoint
+                # would defer all 10 rounds past the finally-unpersist and
+                # recompute the edge/degree caches from scratch per round
+                .localCheckpoint(eager=True)
             )
         return r.select(
             F.col("u").alias("node"),
@@ -318,6 +324,7 @@ def pagerank(
     finally:
         nodes.unpersist()
         deg.unpersist()
+        e.unpersist()
 
 
 def pagerank_sql(
