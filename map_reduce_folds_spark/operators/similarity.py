@@ -1004,3 +1004,35 @@ def pca_project(
             })
 
     return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int | str = "auto",
+    n_tables: int | str = "auto",
+    corpus_count: int | None = None,
+    **cc_kw,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    literature): keep ONE canonical row per embedding near-dup CLUSTER —
+    the transitive closure of the cosine-similarity pair graph, not a
+    pairwise rule (A≈B and B≈C collapse to one cluster even when A·C
+    fell below threshold).  The embedding analog of the SimHash
+    ``dedup.simhash_components`` → ``graph.dedup_by_components`` pipeline:
+    SRP-LSH candidate pairs (linear, bucketed, auto-sized geometry) →
+    distributed connected components → drop every non-min-id cluster
+    member.  ``cc_kw`` passes through to
+    :func:`graph.connected_components` (``checkpoint_dir=``,
+    ``max_iter=``)."""
+    from map_reduce_folds_spark.operators.graph import dedup_by_components
+
+    pairs = embedding_near_dup_pairs_lsh(
+        df, id_col, vec_col, dim, threshold,
+        n_planes=n_planes, n_tables=n_tables, corpus_count=corpus_count,
+    )
+    return dedup_by_components(df, pairs.select("id_a", "id_b"), id_col,
+                               **cc_kw)

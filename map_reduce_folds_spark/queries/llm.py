@@ -1593,3 +1593,45 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline makes the ln-bearing score hash-exact."""
     d = load_table(spark, sf_dir, "documents")
     return Q.unigram_logprob(d, "doc_id", "text")
+
+
+@query(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_emb_lsh_cand_sql().lstrip()},
+    vpairs AS (
+        SELECT c.id_a, c.id_b
+        FROM emb_cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE {S.cosine_sql('ea.embedding', 'eb.embedding', _DIM)} >= {_COS_T}
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM vpairs
+              UNION SELECT id_b, id_a FROM vpairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup clusters: SRP-LSH near-dup pairs
+    (cosine ≥ 0.4; explicit plane/table geometry so the oracle mirrors the
+    bucketing) → distributed connected components → ``(vec_id, canonical
+    component)``.  The embedding analog of dedup_cc_clusters — transitive
+    closure, not a pairwise rule.  The operator form
+    (:func:`similarity.semantic_dedup`) additionally anti-joins the losers
+    off the corpus; the registered query returns the cluster labels so the
+    closure itself is what the oracle hashes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs_lsh(
+        e, "vec_id", "embedding", _DIM, _COS_T,
+        n_planes=_SRP_PLANES, n_tables=_SRP_TABLES,
+    )
+    from map_reduce_folds_spark.operators.graph import components_of_pairs
+
+    comp = components_of_pairs(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("node").alias("vec_id"), "component")

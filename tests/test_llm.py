@@ -930,3 +930,24 @@ def test_unigram_logprob_partitioning_invariant(spark):
     b = {(r["doc_id"], r["mean_logprob"])
          for r in Q.unigram_logprob(d.repartition(13)).collect()}
     assert a == b
+
+
+def test_semantic_dedup_transitive_and_keeps_singletons(spark):
+    """SemDeDup clusters are the transitive closure: a chain A≈B≈C keeps
+    only A even when A·C is below threshold; vectors in no pair survive."""
+    import math
+
+    from map_reduce_folds_spark.operators import similarity as S
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+    # chain: 0 ~ 1 ~ 2 at ~25° steps (cos 25° ≈ 0.906 > 0.9) but
+    # cos(50°) ≈ 0.64 < 0.9 — pairwise rules would keep 2; closure drops it
+    rows = [(0, unit(0.0)), (1, unit(0.44)), (2, unit(0.88)),
+            (9, [0.0] * 7 + [1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = {r["vec_id"] for r in
+            S.semantic_dedup(df, dim=8, threshold=0.9, n_planes=4,
+                             n_tables=24).collect()}
+    assert kept == {0, 9}
