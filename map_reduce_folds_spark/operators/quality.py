@@ -178,3 +178,27 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(s / F.count(F.lit(1)).cast("double"), 9).alias("mean_logprob"),
     )
+
+
+def observe(df: DataFrame, name: str, metrics: Mapping[str, Column]):
+    """Attach free-riding pipeline metrics to a DataFrame: returns
+    ``(df, observation)`` where the named aggregate expressions are
+    computed DURING the next action on ``df`` — no second scan, which at
+    100 TB is the difference between observability and a doubled bill.
+    Read ``observation.get`` (dict) after the action completes.
+
+    The standard use: count rows surviving each filter stage of a
+    cleaning pipeline in the same job that writes the output.
+
+        df, obs = observe(filtered, "gate", {"n": F.count(F.lit(1)),
+                                             "bad": F.sum(F.expr("flag"))})
+        df.write.parquet(out)
+        stats = obs.get          # {'n': ..., 'bad': ...}
+
+    Thin, typed wrapper over ``pyspark.sql.Observation`` so pipelines in
+    this package get one idiom (and tests can pin it); aggregate
+    expressions must be the observe-compatible kind (no distinct)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs

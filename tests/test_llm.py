@@ -951,3 +951,21 @@ def test_semantic_dedup_transitive_and_keeps_singletons(spark):
             S.semantic_dedup(df, dim=8, threshold=0.9, n_planes=4,
                              n_tables=24).collect()}
     assert kept == {0, 9}
+
+
+def test_observe_metrics_ride_the_action(spark):
+    """quality.observe computes stage metrics during the SAME action —
+    values match a direct aggregation."""
+    from map_reduce_folds_spark.operators import quality as Q
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 10)
+    filtered = df.where("v > 2")
+    out, obs = Q.observe(filtered, "gate", {
+        "n": F.count(F.lit(1)),
+        "sum_v": F.sum("v"),
+    })
+    n_rows = out.count()  # the action the metrics ride on
+    got = obs.get
+    assert got["n"] == n_rows == 700
+    assert got["sum_v"] == sum(v for v in range(10) if v > 2) * 100

@@ -598,3 +598,28 @@ def test_sliding_window_stream_matches_batch(spark, events_batch, events_stream_
     assert g == b
     # 4 overlapping windows per tumbling bucket: strictly more window rows
     assert len(g) > 3 * len({k for k in b if k[0].minute == 0})
+
+
+def test_bloom_prune_applies_to_streams(spark, events_batch, events_stream_path):
+    """The bloom membership predicate is a pure scan filter, so it prunes
+    a readStream source exactly like a batch scan — the stream-static
+    semi-join reduction (the dim mask rides the closure; no stateful op)."""
+    from map_reduce_folds_spark.operators import sketches as K
+
+    dim = events_batch.filter("user_id < 5").select("user_id").distinct()
+    mask = K.bloom_mask(K.bloom_bits(dim, "user_id", n_bits=1 << 14), 1 << 14)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema)
+    pruned = stream.where(
+        K.bloom_might_contain("user_id", mask, 1 << 14))
+    got = run_to_memory(pruned.groupBy("user_id").count(),
+                        "bloom_stream", timeout_s=120)
+
+    members = {r["user_id"] for r in dim.collect()}
+    streamed = {r["user_id"] for r in got.collect()}
+    # no false negatives: every member user's events survive the prune
+    assert members <= streamed
+    # and the prune actually prunes (false positives only)
+    all_users = events_batch.select("user_id").distinct().count()
+    assert len(streamed) < all_users
