@@ -252,6 +252,7 @@ def pagerank(
     n_iter: int = 10,
     damping: tuple[int, int] = (85, 100),
     scale: int = 10 ** 12,
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list by power iteration —
     ``(node, rank_scaled, rank)`` after exactly ``n_iter`` rounds.
@@ -291,11 +292,26 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge list")
-    r0 = scale // n
-    base = ((den - num) * r0) // den
+    if seeds is not None:
+        # personalized (topic-sensitive) PageRank: all teleport mass goes
+        # to the seed set — ranks become proximity-to-seeds scores.  The
+        # seed list is a driver-side literal (bounded metadata; an IN
+        # predicate over ≤ thousands of ids — for larger seed sets join a
+        # seed table instead)
+        seeds = sorted(set(seeds))
+        if not seeds:
+            raise ValueError("pagerank: empty seeds list")
+        r0_amt = scale // len(seeds)
+        base_amt = ((den - num) * r0_amt) // den
+        is_seed = F.col("u").isin(seeds)
+        r0_col = F.when(is_seed, F.lit(r0_amt)).otherwise(F.lit(0))
+        base_col = F.when(is_seed, F.lit(base_amt)).otherwise(F.lit(0))
+    else:
+        r0_col = F.lit(scale // n)
+        base_col = F.lit(((den - num) * (scale // n)) // den)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d")).persist()
     try:
-        r = nodes.withColumn("r", F.lit(r0).cast("bigint"))
+        r = nodes.withColumn("r", r0_col.cast("bigint"))
         for _ in range(n_iter):
             contrib = (
                 e.join(r.withColumnRenamed("u", "s"), "s")
@@ -305,10 +321,11 @@ def pagerank(
             )
             r = (
                 nodes.join(contrib, "u", "left")
-                .selectExpr(
+                .select(
                     "u",
-                    f"CAST({base} + ({num} * coalesce(csum, CAST(0 AS BIGINT)))"
-                    f" div {den} AS BIGINT) AS r",
+                    (base_col.cast("bigint") + F.expr(
+                        f"({num} * coalesce(csum, CAST(0 AS BIGINT)))"
+                        f" div {den}")).cast("bigint").alias("r"),
                 )
                 # EAGER: pagerank runs no per-round action of its own
                 # (unlike CC's fixpoint aggregate), so a lazy checkpoint
@@ -332,6 +349,7 @@ def pagerank_sql(
     n_iter: int = 10,
     damping: tuple[int, int] = (85, 100),
     scale: int = 10 ** 12,
+    seeds: list | None = None,
 ) -> str:
     """DuckDB mirror of :func:`pagerank` as UNROLLED chained CTEs (one
     per iteration — standard SQL forbids aggregation in a recursive CTE
@@ -340,22 +358,38 @@ def pagerank_sql(
     (DuckDB) and ``div`` (Spark) floor nonnegative quotients, so every
     intermediate matches the Spark bigints exactly."""
     num, den = damping
+
+    def lit(v) -> str:
+        return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) \
+            else str(v)
+
+    if seeds is not None:
+        sd = sorted(set(seeds))
+        in_list = ", ".join(lit(v) for v in sd)
+        r0_amt = scale // len(sd)
+        base_amt = ((den - num) * r0_amt) // den
+        r0_expr = (f"CASE WHEN u IN ({in_list}) "
+                   f"THEN CAST({r0_amt} AS BIGINT) ELSE 0 END")
+        base_expr = (f"CASE WHEN n.u IN ({in_list}) "
+                     f"THEN CAST({base_amt} AS BIGINT) ELSE 0 END")
+    else:
+        r0_expr = "(SELECT CAST({s} AS BIGINT) // n FROM nn)".format(s=scale)
+        base_expr = ("(SELECT (({dn}) * (CAST({s} AS BIGINT) // n)) // {d} "
+                     "FROM nn)").format(dn=den - num, s=scale, d=den)
     cte = [
         f"e AS ({edges_sql})",
         "nodes AS (SELECT DISTINCT u FROM "
         "(SELECT s AS u FROM e UNION ALL SELECT t FROM e))",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        f"b AS (SELECT CAST({scale} AS BIGINT) // n AS r0, "
-        f"(({den - num}) * (CAST({scale} AS BIGINT) // n)) // {den} AS base "
-        "FROM nn)",
         "deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY 1)",
-        "r0 AS (SELECT u, b.r0 AS r FROM nodes, b)",
+        f"r0 AS (SELECT u, {r0_expr} AS r FROM nodes)",
     ]
     for i in range(n_iter):
         cte.append(
             f"r{i + 1} AS (SELECT n.u, "
-            f"CAST(b.base + ({num} * COALESCE(s.c, 0)) // {den} AS BIGINT) AS r "
-            "FROM nodes n CROSS JOIN b LEFT JOIN "
+            f"CAST({base_expr} + ({num} * COALESCE(s.c, 0)) // {den} "
+            "AS BIGINT) AS r "
+            "FROM nodes n LEFT JOIN "
             f"(SELECT e.t AS u, SUM(r.r // deg.d) AS c "
             f"FROM e JOIN r{i} r ON e.s = r.u JOIN deg ON e.s = deg.s "
             "GROUP BY 1) s ON n.u = s.u)"

@@ -2062,3 +2062,23 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nxt").isNotNull())
     )
     return G.pagerank(trans, "event_type", "nxt", n_iter=10)
+
+
+@query("pagerank_personalized",
+       oracle=G.pagerank_sql(_PR_EDGES_SQL, n_iter=10, seeds=["purchase"]))
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at 'purchase': ranks measure
+    random-walk proximity to purchase events in the journey graph (the
+    'what leads to conversion' query).  Same fixed-point integer rounds,
+    teleport mass restricted to the seed — hash-exact against the seeded
+    unrolled-CTE mirror."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+    )
+    return G.pagerank(trans, "event_type", "nxt", n_iter=10,
+                      seeds=["purchase"])

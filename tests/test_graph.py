@@ -340,3 +340,47 @@ def test_pagerank_sink_gains_mass(spark):
     got = {r["node"]: r["rank"] for r in G.pagerank(df).collect()}
     assert got[4] > 3 * got[1]
     assert sum(got.values()) <= 1.0 + 1e-12
+
+
+def _pagerank_py_seeded(edges, seeds, n_iter=10, num=85, den=100,
+                        scale=10 ** 12):
+    nodes = sorted({u for e in edges for u in e})
+    sd = sorted(set(seeds))
+    r0_amt = scale // len(sd)
+    base_amt = ((den - num) * r0_amt) // den
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {u: (r0_amt if u in sd else 0) for u in nodes}
+    for _ in range(n_iter):
+        csum = {u: 0 for u in nodes}
+        for s, t in edges:
+            csum[t] += r[s] // deg[s]
+        r = {u: (base_amt if u in sd else 0) + (num * csum[u]) // den
+             for u in nodes}
+    return r
+
+
+def test_personalized_pagerank_matches_python_oracle(spark):
+    rng = random.Random(23)
+    n = 10
+    edges = [(rng.randint(0, n - 1), rng.randint(0, n - 1))
+             for _ in range(30)]
+    seeds = [0, 3]
+    df = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in edges], "src long, dst long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in G.pagerank(df, n_iter=6, seeds=seeds).collect()}
+    assert got == _pagerank_py_seeded(edges, seeds, n_iter=6)
+
+
+def test_personalized_pagerank_unreachable_scores_zero(spark):
+    """Mass teleports only to seeds: a component the seed cannot reach
+    scores exactly 0 (integer arithmetic — no epsilon residue)."""
+    df = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in [(1, 2), (2, 1), (8, 9)]],
+        "src long, dst long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in G.pagerank(df, seeds=[1]).collect()}
+    assert got[8] == 0 and got[9] == 0
+    assert got[1] > 0 and got[2] > 0
