@@ -398,3 +398,56 @@ def pagerank_sql(
         "WITH " + ",\n".join(cte) + f"\nSELECT u AS node, r AS rank_scaled, "
         f"CAST(r AS DOUBLE) / {float(scale)!r} AS rank FROM r{n_iter}"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count of the UNDIRECTED simple graph —
+    one row ``(n_triangles)``.
+
+    Canonical-orientation join (the standard distributed formulation):
+    direct every edge low→high id, then count paths u<v<w with edges
+    (u,v), (v,w) and close them against (u,w).  Each triangle is counted
+    exactly once (its vertices admit one sorted order), self-loops and
+    duplicate/reverse edges are removed by the canonical dedup.  Two
+    equi-joins over the oriented edge list — no cartesian; at scale the
+    classic skew caveat applies (high-degree hubs fan out in the first
+    join: pre-filter hubs or use degree-ordered orientation if the
+    degree distribution is pathological)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+        .persist()
+    )
+    paths = (
+        canon.alias("e1")
+        .join(canon.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"))
+    )
+    tri = paths.join(
+        canon.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`triangle_count` (``edges_sql`` yields
+    ``(s, t)``)."""
+    return f"""
+    WITH e AS ({edges_sql}),
+    canon AS (
+        SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        FROM e WHERE least(s, t) < greatest(s, t)
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM canon e1
+    JOIN canon e2 ON e1.v = e2.u
+    JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+    """

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_folds_spark.operators import dedup as D
+from map_reduce_folds_spark.operators import graph as G2
 from map_reduce_folds_spark.operators import quality as Q
 from map_reduce_folds_spark.operators import sampling as SM
 from map_reduce_folds_spark.operators import similarity as S
@@ -1635,3 +1636,27 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     comp = components_of_pairs(pairs.select("id_a", "id_b"))
     return comp.select(F.col("node").alias("vec_id"), "component")
+
+
+@query(
+    "neardup_triangles",
+    oracle=G2.triangle_count_sql(f"""
+        SELECT a.doc_id AS s, b.doc_id AS t
+        FROM (SELECT doc_id, {D.simhash_sql('text', 32)} AS sg FROM documents) a
+        JOIN (SELECT doc_id, {D.simhash_sql('text', 32)} AS sg FROM documents) b
+          ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sg, b.sg)) <= 3
+    """),
+)
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the SimHash near-dup pair graph — a cliquishness
+    measure of duplicate clusters (near-dup graphs on duplicate-heavy
+    corpora are near-cliques; a LOW triangle density on a high pair count
+    flags chains of borderline matches instead of true dup clusters).
+    Canonical-orientation two-join counting (operators/graph.
+    triangle_count), no cartesian; the oracle brute-forces the same pair
+    graph."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
+                                     max_hamming=3, blocks=4)
+    return G2.triangle_count(pairs, "id_a", "id_b")

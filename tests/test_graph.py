@@ -384,3 +384,28 @@ def test_personalized_pagerank_unreachable_scores_zero(spark):
            for r in G.pagerank(df, seeds=[1]).collect()}
     assert got[8] == 0 and got[9] == 0
     assert got[1] > 0 and got[2] > 0
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; adding a pendant edge or duplicate/reverse/self
+    edges changes nothing."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(2, 1), (3, 3), (0, 9), (1, 0)]  # reverse, self, pendant, dup
+    df = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in noisy], "src long, dst long")
+    assert G.triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    from itertools import combinations
+
+    rng = random.Random(31)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randint(0, 14), rng.randint(0, 14))
+                               for _ in range(60)) if a != b})
+    adj = set(edges)
+    expected = sum(1 for x, y, z in combinations(range(15), 3)
+                   if (x, y) in adj and (y, z) in adj and (x, z) in adj)
+    df = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in edges], "src long, dst long")
+    assert G.triangle_count(df).collect()[0]["n_triangles"] == expected
