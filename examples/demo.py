@@ -156,6 +156,13 @@ def main():
         ).alias("nxt")).where("nxt IS NOT NULL")
     G.pagerank(trans, "event_type", "nxt").orderBy(F.desc("rank")).show()
 
+    print("-- personalized PageRank: journey proximity to purchase --")
+    G.pagerank(trans, "event_type", "nxt", seeds=["purchase"]) \
+        .orderBy(F.desc("rank")).show(3)
+
+    print("-- triangle count of the near-dup pair graph (cliquishness) --")
+    G.triangle_count(pairs, "id_a", "id_b").show()
+
     print("-- unigram log-prob quality score (perplexity proxy) --")
     from map_reduce_folds_spark.operators.quality import unigram_logprob
     unigram_logprob(docs).orderBy("mean_logprob").show(3)
