@@ -384,3 +384,44 @@ def _sessionize_split(
                     .cast("bigint"))
         .select(*df.columns, session_col)
     )
+
+
+def funnel_depth(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-user funnel depth: how many of ``steps`` each user completed
+    IN ORDER (greedy subsequence match over the user's time-ordered
+    events) — the product-analytics conversion funnel, e.g.
+    ``["view", "click", "purchase"]`` → depth 0..3.
+
+    One shuffle (group by user); within each user the events fold in a
+    SORTED (ts, tiebreak) array — deterministic under any partitioning,
+    the same discipline as the PSI/log-prob sorted folds.  Events are
+    pre-mapped to their 1-based step index (0 = not a step), so the fold
+    state is a single int and the whole match is one Catalyst
+    ``aggregate`` over ints — exactly SQL-mirrorable (see
+    queries: funnel_conversion).  Greedy matching: an event advances the
+    funnel iff it is exactly the next needed step; repeats and
+    out-of-order steps are ignored, which is the standard strict-order
+    funnel semantics."""
+    from map_reduce_folds_spark.timeutil import epoch_us
+
+    idx = F.lit(0)
+    for i, step in reversed(list(enumerate(steps))):
+        idx = F.when(F.col(event_col) == step, F.lit(i + 1)).otherwise(idx)
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    ev = F.struct(
+        epoch_us(F.col(ts_col)).alias("t"), tb.alias("b"),
+        idx.cast("int").alias("i"),
+    )
+    seq = F.transform(F.array_sort(F.collect_list(ev)), lambda s: s["i"])
+    depth = F.aggregate(
+        seq, F.lit(0),
+        lambda acc, i: F.when(i == acc + 1, acc + 1).otherwise(acc),
+    )
+    return df.groupBy(user_col).agg(depth.cast("int").alias("depth"))

@@ -2082,3 +2082,36 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return G.pagerank(trans, "event_type", "nxt", n_iter=10,
                       seeds=["purchase"])
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(0, list_sort(list(
+                       {'t': epoch_us(ts), 'b': event_id,
+                        'i': CASE WHEN event_type = 'view' THEN 1
+                                  WHEN event_type = 'click' THEN 2
+                                  WHEN event_type = 'purchase' THEN 3
+                                  ELSE 0 END}
+                   )).apply(s -> s.i)),
+                   (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1
+                               ELSE acc END) AS depth
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(depth AS INT) AS depth, COUNT(*) AS n_users
+    FROM pu GROUP BY 1
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view → click → purchase: users by greedy
+    in-order depth (operators/windows.funnel_depth).  The per-user fold
+    runs over a sorted (ts, event_id) array of step INDICES, so the match
+    is integer-deterministic and the oracle's list_reduce mirrors it
+    term-for-term."""
+    e = load_table(spark, sf_dir, "events")
+    d = W.funnel_depth(e, "user_id", "ts", "event_type",
+                       ["view", "click", "purchase"], tiebreak_col="event_id")
+    return d.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))

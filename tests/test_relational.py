@@ -642,3 +642,54 @@ def test_interval_join_inclusive_bounds_and_bucket_edges(spark):
         assert got == want, kw
     # degenerate interval [30, 30] matched the boundary point
     assert (4, 1) in want
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis
+# ---------------------------------------------------------------------------
+
+def test_funnel_depth_greedy_in_order(spark):
+    """Strict-order greedy semantics: repeats ignored, out-of-order steps
+    don't count, later completion still advances."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators import windows as W
+
+    def ev(uid, sec, et, eid):
+        return (uid, datetime(2025, 1, 1, 0, 0, sec), et, eid)
+
+    rows = [
+        # user 1: full funnel with noise and repeats -> 3
+        ev(1, 1, "view", 1), ev(1, 2, "view", 2), ev(1, 3, "error", 3),
+        ev(1, 4, "click", 4), ev(1, 5, "purchase", 5),
+        # user 2: purchase BEFORE view/click -> only view+click count -> 2
+        ev(2, 1, "purchase", 6), ev(2, 2, "view", 7), ev(2, 3, "click", 8),
+        # user 3: no funnel events -> 0
+        ev(3, 1, "error", 9),
+        # user 4: view then purchase (skipped click) -> 1
+        ev(4, 1, "view", 10), ev(4, 2, "purchase", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    got = {r["user_id"]: r["depth"] for r in W.funnel_depth(
+        df, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], "event_id").collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1}
+
+
+def test_funnel_depth_partitioning_invariant(spark):
+    """The sorted-array fold gives identical depths regardless of input
+    partitioning (arrival order never matters)."""
+    from map_reduce_folds_spark.operators import windows as W
+    from map_reduce_folds_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events")
+    steps = ["view", "click", "purchase"]
+    a = {(r["user_id"], r["depth"]) for r in
+         W.funnel_depth(e, "user_id", "ts", "event_type", steps,
+                        "event_id").collect()}
+    b = {(r["user_id"], r["depth"]) for r in
+         W.funnel_depth(e.repartition(17), "user_id", "ts", "event_type",
+                        steps, "event_id").collect()}
+    assert a == b
