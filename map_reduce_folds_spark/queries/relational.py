@@ -2115,3 +2115,40 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = W.funnel_depth(e, "user_id", "ts", "event_type",
                        ["view", "click", "purchase"], tiebreak_col="event_id")
     return d.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH wk AS (
+        SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1),
+    activity AS (SELECT DISTINCT user_id, week FROM wk)
+    SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention table: users grouped by first-seen week,
+    counted in every later week they were active — the standard retention
+    triangle.  A pure composition of engine primitives (two
+    map-side-combinable aggregations + one join on user); weeks are
+    integer epoch-week indices so the result is arithmetic-exact."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select("user_id",
+                  (epoch_us(F.col("ts")) / F.lit(_WEEK_US))
+                  .cast("bigint").alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = wk.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week",
+                 (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

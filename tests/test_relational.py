@@ -693,3 +693,20 @@ def test_funnel_depth_partitioning_invariant(spark):
          W.funnel_depth(e.repartition(17), "user_id", "ts", "event_type",
                         steps, "event_id").collect()}
     assert a == b
+
+
+def test_cohort_retention_offset_zero_counts_everyone(spark):
+    """Every user is active in their own first week, so each cohort's
+    offset-0 count equals the cohort's size, and offsets are never
+    negative."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    out = entrymod.queries()["cohort_retention"](spark, SF_DIR).collect()
+    assert all(r["week_offset"] >= 0 for r in out)
+    zero = {r["cohort_week"]: r["n_users"] for r in out
+            if r["week_offset"] == 0}
+    from map_reduce_folds_spark.sources import load_table
+    n_users = load_table(spark, SF_DIR, "events") \
+        .select("user_id").distinct().count()
+    assert sum(zero.values()) == n_users
