@@ -336,3 +336,45 @@ def write_zordered(
     part = (z.repartitionByRange(n_files, "__z") if n_files
             else z.repartitionByRange("__z"))
     part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ``ceil(total_bytes / target_file_bytes)`` files at ``dst_path``.
+    Returns the output file count.
+
+    The operational 100 TB concern this answers: streaming sinks and
+    per-micro-batch writes leave thousands of KB-sized files whose
+    per-file open/footer/listing overhead dominates subsequent scans
+    (and crushes the driver's listing).  Compaction is a rewrite to a
+    NEW path — never in place (readers of ``src_path`` stay correct;
+    atomic promotion is a metastore/rename concern above this layer).
+    Sizing reads the source files' actual on-disk bytes via the Hadoop
+    FS API (works for any supported filesystem, no local-path
+    assumption).  ``sort_within_by`` optionally sorts rows within each
+    output file (better row-group stats without a global sort);
+    repartition count scales the parallelism either way."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(hconf)
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path).repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst_path)
+    return n_files

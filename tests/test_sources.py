@@ -210,3 +210,29 @@ def test_zorder_timestamp_and_degenerate_columns(spark, tmp_path_factory):
     sources.write_zordered(e.withColumn("k", F.lit(1.0)),
                            os.path.join(root, "c"), ["k", "user_id"],
                            n_files=2)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """64 tiny files compact to the computed file count with identical
+    data; sort_within_by orders rows inside each output file."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_folds_spark.sources import compact_parquet
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    spark.range(10_000).withColumn("v", F.col("id") % 97) \
+        .repartition(64).write.parquet(src)
+    import glob
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src == 64
+
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30,
+                            sort_within_by=["id"])
+    assert n_out == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    a = spark.read.parquet(src).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()
+    b = spark.read.parquet(dst).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()
+    assert a == b
