@@ -406,15 +406,24 @@ def triangle_count(
     """Exact global triangle count of the UNDIRECTED simple graph —
     one row ``(n_triangles)``.
 
-    Canonical-orientation join (the standard distributed formulation):
-    direct every edge low→high id, then count paths u<v<w with edges
-    (u,v), (v,w) and close them against (u,w).  Each triangle is counted
-    exactly once (its vertices admit one sorted order), self-loops and
-    duplicate/reverse edges are removed by the canonical dedup.  Two
-    equi-joins over the oriented edge list — no cartesian; at scale the
-    classic skew caveat applies (high-degree hubs fan out in the first
-    join: pre-filter hubs or use degree-ordered orientation if the
-    degree distribution is pathological)."""
+    DEGREE-ORDERED orientation (the standard skew-proof distributed
+    formulation): canonicalize to simple undirected edges, orient every
+    edge from its lower-(degree, id) endpoint to the higher, generate
+    wedges only at each vertex's ORIENTED out-neighbors, and close them
+    against the canonical edge set.  Every triangle has exactly one
+    vertex that is (degree, id)-minimal among its three, so it is
+    counted exactly once; out-degrees in the oriented graph are bounded
+    by O(√m), so the wedge volume is O(m^1.5) REGARDLESS of hub skew —
+    a plain low→high-id orientation instead puts a celebrity hub's full
+    deg² wedge set in one place.  Self-loops and duplicate/reverse edges
+    are removed by the canonical dedup; no cartesian anywhere.
+
+    Honest cost note: on near-CLIQUE graphs (e.g. duplicate-heavy
+    near-dup pair graphs) the triangle COUNT itself is Σ s³/6 per
+    clique — the output, not the algorithm, is cubic, and no counting
+    strategy avoids materializing those wedges; count on the
+    distinct-signature factored graph (dedup.simhash_components' rep
+    graph) when clusters are large."""
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -424,15 +433,35 @@ def triangle_count(
         .distinct()
         .persist()
     )
-    paths = (
-        canon.alias("e1")
-        .join(canon.alias("e2"), F.col("e1.v") == F.col("e2.u"))
-        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
-                F.col("e2.v").alias("c"))
+    deg = (
+        canon.select(F.col("u").alias("x"))
+        .union(canon.select(F.col("v").alias("x")))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
     )
-    tri = paths.join(
+    # orient: (u,v) becomes lo→hi by (degree, id); ties broken by id so
+    # the order is total
+    withd = (
+        canon.join(deg.withColumnRenamed("x", "u")
+                      .withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v")
+                 .withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) |         ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = withd.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"),
+              (F.col("e1.a") == F.col("e2.a"))
+              & (F.col("e1.b") < F.col("e2.b")))
+        .select(F.col("e1.b").alias("p"), F.col("e2.b").alias("q"))
+    )
+    tri = wedges.join(
         canon.alias("e3"),
-        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        (F.least(F.col("p"), F.col("q")) == F.col("e3.u"))
+        & (F.greatest(F.col("p"), F.col("q")) == F.col("e3.v")),
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
