@@ -253,6 +253,7 @@ def pagerank(
     damping: tuple[int, int] = (85, 100),
     scale: int = 10 ** 12,
     seeds: list | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list by power iteration —
     ``(node, rank_scaled, rank)`` after exactly ``n_iter`` rounds.
@@ -283,7 +284,11 @@ def pagerank(
     num, den = damping
     # persist: the edge relation is re-read every round, and the caller's
     # lineage may be an expensive pipeline (same reason CC persists sym)
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).persist()
+    if weight_col is not None:
+        e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"),
+                         F.col(weight_col).cast("bigint").alias("w")).persist()
+    else:
+        e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).persist()
     nodes = (
         e.select(F.col("s").alias("u"))
         .union(e.select(F.col("t").alias("u")))
@@ -309,14 +314,20 @@ def pagerank(
     else:
         r0_col = F.lit(scale // n)
         base_col = F.lit(((den - num) * (scale // n)) // den)
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d")).persist()
+    if weight_col is not None:
+        deg = e.groupBy("s").agg(F.sum("w").alias("d")).persist()
+        contrib_expr = "(r * w) div d"
+    else:
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d")).persist()
+        contrib_expr = "r div d"
     try:
         r = nodes.withColumn("r", r0_col.cast("bigint"))
         for _ in range(n_iter):
             contrib = (
                 e.join(r.withColumnRenamed("u", "s"), "s")
                 .join(deg, "s")
-                .select(F.col("t").alias("u"), F.expr("r div d").alias("c"))
+                .select(F.col("t").alias("u"),
+                        F.expr(contrib_expr).alias("c"))
                 .groupBy("u").agg(F.sum("c").alias("csum"))
             )
             r = (
@@ -350,13 +361,16 @@ def pagerank_sql(
     damping: tuple[int, int] = (85, 100),
     scale: int = 10 ** 12,
     seeds: list | None = None,
+    weighted: bool = False,
 ) -> str:
     """DuckDB mirror of :func:`pagerank` as UNROLLED chained CTEs (one
     per iteration — standard SQL forbids aggregation in a recursive CTE
     term, and unrolling keeps every step plain).  ``edges_sql`` must
-    yield columns ``(s, t)``.  N is computed in-SQL, and both ``//``
-    (DuckDB) and ``div`` (Spark) floor nonnegative quotients, so every
-    intermediate matches the Spark bigints exactly."""
+    yield columns ``(s, t)`` — or ``(s, t, w)`` with ``weighted=True``
+    (mirroring ``pagerank(weight_col=)``).  N is computed in-SQL, and
+    both ``//`` (DuckDB) and ``div`` (Spark) floor nonnegative
+    quotients, so every intermediate matches the Spark bigints
+    exactly."""
     num, den = damping
 
     def lit(v) -> str:
@@ -381,16 +395,18 @@ def pagerank_sql(
         "nodes AS (SELECT DISTINCT u FROM "
         "(SELECT s AS u FROM e UNION ALL SELECT t FROM e))",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY 1)",
+        ("deg AS (SELECT s, SUM(w) AS d FROM e GROUP BY 1)" if weighted
+         else "deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY 1)"),
         f"r0 AS (SELECT u, {r0_expr} AS r FROM nodes)",
     ]
+    c_expr = "SUM((r.r * e.w) // deg.d)" if weighted else "SUM(r.r // deg.d)"
     for i in range(n_iter):
         cte.append(
             f"r{i + 1} AS (SELECT n.u, "
             f"CAST({base_expr} + ({num} * COALESCE(s.c, 0)) // {den} "
             "AS BIGINT) AS r "
             "FROM nodes n LEFT JOIN "
-            f"(SELECT e.t AS u, SUM(r.r // deg.d) AS c "
+            f"(SELECT e.t AS u, {c_expr} AS c "
             f"FROM e JOIN r{i} r ON e.s = r.u JOIN deg ON e.s = deg.s "
             "GROUP BY 1) s ON n.u = s.u)"
         )

@@ -2152,3 +2152,31 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_PR_WEDGES_SQL = f"""
+    SELECT s, t, COUNT(*) AS w FROM ({_PR_EDGES_SQL}) GROUP BY 1, 2
+"""
+
+
+@query("pagerank_weighted",
+       oracle=G.pagerank_sql(_PR_WEDGES_SQL, n_iter=10, weighted=True))
+def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the PRE-AGGREGATED transition graph: the ~100k parallel
+    journey edges collapse into one weighted edge per (from, to) pair
+    BEFORE the iteration, so every round joins the distinct-edge relation
+    (dozens of rows) instead of the event-scale multigraph — the 100 TB
+    shape (one count aggregation buys 10 rounds of small joins).  Integer
+    (r·w) div W contributions stay bit-exact against the weighted
+    unrolled-CTE mirror."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return G.pagerank(trans, "event_type", "nxt", n_iter=10, weight_col="w")
