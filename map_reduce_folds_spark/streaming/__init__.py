@@ -570,3 +570,27 @@ def stream_cms_cells(
         F.explode(_cms_rc(F.col(item_col), d, w)).alias("rc")
     ).select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
     return e.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def stream_hll_registers(
+    stream: DataFrame,
+    item_col,
+    p: int = 12,
+) -> DataFrame:
+    """Streaming HyperLogLog: maintain the ``(reg, rank)`` register
+    relation of ``operators/sketches.hll_sketch`` incrementally over an
+    unbounded stream (complete/update output modes).
+
+    Register max-rank is MONOTONE (the HLL merge is MAX), so — exactly
+    like :func:`stream_cms_cells` — the batch groupBy-max IS the
+    streaming aggregation: state is ≤ 2^p register rows no matter how
+    many distinct items flow past, which is the point when an exact
+    streaming count-distinct's state would be unbounded.  Estimate any
+    snapshot with ``sketches.hll_estimate`` (one aggregate over the
+    register rows); batch-vs-stream register equality is property-tested
+    (tests/test_streaming.py)."""
+    from map_reduce_folds_spark.operators.sketches import hll_register
+
+    reg, rank = hll_register(item_col, p)
+    return stream.select(reg, rank).groupBy("reg").agg(
+        F.max("rank").alias("rank"))

@@ -623,3 +623,28 @@ def test_bloom_prune_applies_to_streams(spark, events_batch, events_stream_path)
     # and the prune actually prunes (false positives only)
     all_users = events_batch.select("user_id").distinct().count()
     assert len(streamed) < all_users
+
+
+def test_stream_hll_registers_match_batch(spark, events_batch, events_stream_path):
+    """Streaming HLL registers equal the batch sketch cell-for-cell, so
+    any snapshot estimate equals the batch estimate."""
+    from map_reduce_folds_spark.operators.sketches import (
+        hll_estimate, hll_sketch,
+    )
+    from map_reduce_folds_spark.streaming import stream_hll_registers
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, events_stream_path, schema,
+                                 max_files_per_trigger=2)
+    item = F.col("event_id").cast("string")
+    got = run_to_memory(stream_hll_registers(stream, item),
+                        "hll_stream", timeout_s=120)
+    batch = hll_sketch(events_batch, item, [])
+    g = {(r["reg"], r["rank"]) for r in got.collect()}
+    b = {(r["reg"], r["rank"]) for r in batch.collect()}
+    assert g == b
+    est_s = got.agg(hll_estimate().alias("e")).collect()[0]["e"]
+    est_b = batch.agg(hll_estimate().alias("e")).collect()[0]["e"]
+    n = events_batch.select("event_id").distinct().count()
+    assert est_s == est_b
+    assert abs(est_s - n) / n < 0.1
