@@ -378,3 +378,41 @@ def compact_parquet(
         df = df.sortWithinPartitions(*sort_within_by)
     df.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    dst_path: str,
+    delete_col: str | None = None,
+) -> dict[str, int]:
+    """Batch upsert (CDC apply) without a table format: write a NEW
+    version of the target at ``dst_path`` where rows whose key appears in
+    ``updates`` are replaced, unseen keys are inserted, and — when
+    ``delete_col`` names a boolean column — flagged keys are dropped.
+    Returns ``{"updated_or_deleted": ..., "inserted": ..., "kept": ...}``.
+
+    The plan is one anti-join (target keys vs the update key set, which
+    a broadcast covers for typical CDC batch sizes) plus a union — the
+    target is SCANNED once and never rewritten in place, so readers of
+    ``target_path`` stay correct and promotion (rename / metastore
+    pointer swap) stays a layer above, exactly like
+    :func:`compact_parquet`.  If ``updates`` carries several rows per
+    key, deduplicate upstream (e.g. ``relational.topk_per_group`` by a
+    version column) — this function applies the batch as given."""
+    tgt = spark.read.parquet(target_path)
+    upd_keys = updates.select(*key_cols).distinct()
+    kept = tgt.join(F.broadcast(upd_keys), key_cols, "left_anti")
+    apply_rows = updates
+    if delete_col is not None:
+        apply_rows = updates.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    out = kept.unionByName(apply_rows)
+    out.write.mode("overwrite").parquet(dst_path)
+    n_tgt = tgt.count()
+    n_kept = kept.count()
+    n_ins = spark.read.parquet(dst_path).count() - n_kept
+    return {"updated_or_deleted": n_tgt - n_kept, "inserted": n_ins,
+            "kept": n_kept}

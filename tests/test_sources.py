@@ -236,3 +236,27 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     b = spark.read.parquet(dst).agg(
         F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()
     assert a == b
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """Updates replace matching keys, inserts append, soft-deletes drop,
+    untouched rows survive, and the source version is never modified."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_folds_spark.sources import merge_upsert
+
+    tgt = str(tmp_path / "v1")
+    dst = str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]).write.parquet(tgt)
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        ["k", "v", "is_delete"])
+    stats = merge_upsert(spark, tgt, updates, ["k"], dst,
+                         delete_col="is_delete")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    assert stats == {"updated_or_deleted": 2, "inserted": 2, "kept": 1}
+    # source version untouched
+    v1 = {(r["k"], r["v"]) for r in spark.read.parquet(tgt).collect()}
+    assert v1 == {(1, "a"), (2, "b"), (3, "c")}
