@@ -339,3 +339,81 @@ def weighted_sample_sql(
         f"QUALIFY ROW_NUMBER() OVER ({part}"
         f"ORDER BY {key} DESC, {id_expr}) <= {n}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training pairs)
+# ---------------------------------------------------------------------------
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "neg",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """``k`` deterministic uniform negatives per row: ``(id, neg_idx,
+    neg_id)`` with ``neg_id ≠ id`` guaranteed — the negative-sampling
+    step of contrastive embedding training, reproducible across engines,
+    runs, and partitionings (no RNG state to shard).
+
+    Construction: rows get dense positions from the deterministic corpus
+    shuffle (:func:`deterministic_shuffle` — parallel bucketed ranks, no
+    single-task sort); negative ``i`` of a row is the row at position
+    ``(pos + offᵢ) mod N`` where ``offᵢ = 1 + hash(id, salt·i) mod
+    (N−1)`` — offsets never ≡ 0 (mod N), so a row can never draw itself,
+    and each row's negatives are uniform over the other N−1 rows.  One
+    explode (k rows each) + one position-keyed join back to ids; N is a
+    driver count (``corpus_count`` skips it when the caller knows the
+    cardinality)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = deterministic_shuffle(df.select(id_col), id_col, salt=f"{salt}_pos") \
+        .persist()
+    n = corpus_count if corpus_count is not None else pos.count()
+    if n < 2:
+        raise ValueError("negative sampling needs at least 2 rows")
+    offs = F.array(*[
+        (hash60(F.col(id_col).cast("string"), f"{salt}{i}") % F.lit(n - 1))
+        + F.lit(1)
+        for i in range(k)
+    ])
+    wanted = pos.select(
+        F.col(id_col), F.col("pos"),
+        F.posexplode(offs).alias("neg_idx", "__off"),
+    ).select(
+        id_col, "neg_idx",
+        # pos is 1-based: map to 0-based, offset, wrap, back to 1-based
+        ((F.col("pos") - 1 + F.col("__off")) % F.lit(n) + 1).alias("__np"),
+    )
+    neg = pos.select(F.col("pos").alias("__np"),
+                     F.col(id_col).alias("neg_id"))
+    out = wanted.join(neg, "__np").select(id_col, "neg_idx", "neg_id")
+    return out
+
+
+def negative_samples_sql(id_expr: str, src: str, k: int,
+                         salt: str = "neg") -> str:
+    """DuckDB mirror of :func:`negative_samples` (same shuffle order,
+    same offsets)."""
+    order = deterministic_shuffle_sql(id_expr, salt=f"{salt}_pos")
+    offs = ", ".join(
+        "((" + hash60_sql("CAST(p.id AS VARCHAR)", f"{salt}{i}")
+        + ") % (nn.n - 1)) + 1"
+        for i in range(k)
+    )
+    return f"""
+    WITH pos AS (SELECT {id_expr} AS id, {order} AS pos FROM {src}),
+    nn AS (SELECT COUNT(*) AS n FROM pos),
+    wanted AS (
+        SELECT p.id, g.i AS neg_idx,
+               ((p.pos - 1 + g.off) % nn.n) + 1 AS np
+        FROM pos p, nn, LATERAL (
+            SELECT unnest([{offs}]) AS off,
+                   unnest(range({k})) AS i
+        ) g
+    )
+    SELECT w.id AS {id_expr}, CAST(w.neg_idx AS INT) AS neg_idx,
+           n2.id AS neg_id
+    FROM wanted w JOIN pos n2 ON n2.pos = w.np
+    """

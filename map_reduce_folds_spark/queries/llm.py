@@ -1660,3 +1660,19 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
                                      max_hamming=3, blocks=4)
     return G2.triangle_count(pairs, "id_a", "id_b")
+
+
+@query(
+    "negative_samples_docs",
+    oracle=SM.negative_samples_sql("doc_id", "documents", 2),
+)
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic uniform negatives per document
+    (operators/sampling.negative_samples) — the contrastive-training
+    negative-sampling step without RNG state: positions from the
+    deterministic corpus shuffle, per-row hash offsets that can never
+    wrap to the row itself, one position-keyed join back.  Same
+    (id, neg_idx, neg_id) triples on any engine — the oracle shares the
+    shuffle order and the offsets."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.negative_samples(d, "doc_id", 2)

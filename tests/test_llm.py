@@ -969,3 +969,25 @@ def test_observe_metrics_ride_the_action(spark):
     got = obs.get
     assert got["n"] == n_rows == 700
     assert got["sum_v"] == sum(v for v in range(10) if v > 2) * 100
+
+
+def test_negative_samples_never_self_and_complete(spark):
+    """Every row draws exactly k negatives, never itself; negatives are
+    valid corpus ids; re-salting changes the draw."""
+    from map_reduce_folds_spark.operators import sampling as SM
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id").alias("doc"))
+    out = SM.negative_samples(df, "doc", 3).collect()
+    assert len(out) == 300
+    ids = set(range(100))
+    for r in out:
+        assert r["neg_id"] in ids
+        assert r["neg_id"] != r["doc"], "self-negative"
+    a = {(r["doc"], r["neg_idx"], r["neg_id"]) for r in out}
+    b = {(r["doc"], r["neg_idx"], r["neg_id"])
+         for r in SM.negative_samples(df, "doc", 3, salt="other").collect()}
+    assert a != b  # fresh draw under a new salt
+    c = {(r["doc"], r["neg_idx"], r["neg_id"])
+         for r in SM.negative_samples(df.repartition(7), "doc", 3).collect()}
+    assert a == c  # partitioning-invariant
