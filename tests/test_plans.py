@@ -298,6 +298,10 @@ def test_scale_audit_flags_each_smell(spark):
     ("weighted_sample_docs", None),
     ("bloom_pruned_join", None),
     ("pagerank_event_types", None),
+    ("pagerank_weighted", None),
+    ("funnel_conversion", 2),      # per-user fold + depth histogram
+    ("cohort_retention", None),
+    ("negative_samples_docs", None),
 ])
 def test_new_round6_ops_pass_scale_audit(spark, name, max_shuffles):
     """Every operator added this round must come out of the scale linter
@@ -324,3 +328,15 @@ def test_bloom_prune_filters_fact_scan(spark):
     p = P.executed_plan(df)
     assert "getbit" in p, p
     assert P.count_cartesian_joins(df) == 0
+
+
+def test_unigram_logprob_only_scalar_idiom_flagged(spark):
+    """unigram_logprob carries exactly ONE audit finding: the one-row
+    broadcast scalar crossJoin (the corpus-total idiom, cardinality 1 by
+    construction — same accepted pattern as drift_psi).  Anything beyond
+    that single known finding is a regression."""
+    df = _run(spark, "unigram_logprob")
+    findings = P.scale_audit(df)
+    assert len(findings) <= 1, findings
+    if findings:
+        assert "cartesian" in findings[0]
