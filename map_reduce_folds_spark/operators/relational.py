@@ -681,3 +681,30 @@ def overlap_join(
     drop = [c for c in ("__lsb", "__lb", "__rsb", "__rb")
             if c in out.columns]
     return out.drop(*[rt[k] for k in keys]).drop(*drop)
+
+
+def mode_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    val_col: str,
+    out_col: str = "mode",
+) -> DataFrame:
+    """DETERMINISTIC most-frequent value per group: ties break to the
+    smallest value, unlike Spark's ``F.mode`` (and DuckDB's ``mode()``),
+    whose tie winner is implementation/partitioning-dependent — which is
+    exactly what a differential gate cannot accept.  Output:
+    ``(keys…, <out_col>, mode_count)``.
+
+    Two map-side-combinable aggregations, no window: value counts, then
+    a min over the ``(-count, value)`` struct (lexicographic struct
+    ordering = count desc, value asc) — the same argmax-by-struct trick
+    as ``exact_dedup_keep_first``.  Hot groups cost one combiner row per
+    distinct value, never a sort."""
+    counts = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias("__n"))
+    pick = F.min(F.struct(
+        (-F.col("__n")).alias("nn"), F.col(val_col).alias("v"),
+    )).alias("__m")
+    return counts.groupBy(*keys).agg(pick).select(
+        *keys, F.col("__m.v").alias(out_col),
+        (-F.col("__m.nn")).cast("bigint").alias("mode_count"),
+    )

@@ -2180,3 +2180,23 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return G.pagerank(trans, "event_type", "nxt", n_iter=10, weight_col="w")
+
+
+@query(
+    "mode_per_user",
+    oracle="""
+    SELECT user_id, event_type AS mode, n AS mode_count FROM (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) = 1
+    """,
+)
+def mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most-frequent event type with DETERMINISTIC tie-break
+    (smallest value wins) — operators/relational.mode_per_group.  Two
+    combiner-friendly aggregations instead of a window sort; the builtin
+    mode()/F.mode are tie-nondeterministic and therefore un-oracle-able."""
+    e = load_table(spark, sf_dir, "events")
+    return R.mode_per_group(e, ["user_id"], "event_type")

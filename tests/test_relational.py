@@ -710,3 +710,23 @@ def test_cohort_retention_offset_zero_counts_everyone(spark):
     n_users = load_table(spark, SF_DIR, "events") \
         .select("user_id").distinct().count()
     assert sum(zero.values()) == n_users
+
+
+def test_mode_per_group_deterministic_ties(spark):
+    """Ties break to the smallest value; counts are exact; numeric and
+    string values both order correctly."""
+    from map_reduce_folds_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"),  # tie a/b -> a
+         ("g2", "z"), ("g2", "z"), ("g2", "y")],
+        ["g", "v"])
+    got = {r["g"]: (r["mode"], r["mode_count"])
+           for r in R.mode_per_group(df, ["g"], "v").collect()}
+    assert got == {"g1": ("a", 2), "g2": ("z", 2)}
+
+    nums = spark.createDataFrame(
+        [(1, 7), (1, 7), (1, 3), (1, 3), (2, 5)], ["g", "v"])
+    got2 = {r["g"]: (r["mode"], r["mode_count"])
+            for r in R.mode_per_group(nums, ["g"], "v").collect()}
+    assert got2 == {1: (3, 2), 2: (5, 1)}
