@@ -624,15 +624,28 @@ def simhash_components(
 # min-aggregation, which partial-aggregates them away map-side.
 
 
+def _quote_sep(sep: str) -> str:
+    """Regex-quote a literal separator for F.split (which takes a Java
+    regex): wrap in \\Q…\\E so ``sep="."`` splits on dots, not on
+    every character.  Separators containing the literal sequence
+    ``\\E`` are rejected rather than mis-quoted."""
+    if "\\E" in sep:
+        raise ValueError(r"separator may not contain the sequence \E")
+    return "\\Q" + sep + "\\E"
+
+
 def split_lines(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
 ) -> DataFrame:
-    """Explode documents into ``(id, line_no, line)`` rows on a literal
-    separator.  ``line_no`` is the 0-based position within the document
-    (the encounter order the keep-first rule uses)."""
+    """Explode documents into ``(id, line_no, line)`` rows on a LITERAL
+    separator (regex-quoted internally — ``sep="."`` means a dot).
+    ``line_no`` is the 0-based position within the document (the
+    encounter order the keep-first rule uses)."""
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _quote_sep(sep), -1)
+        ).alias("line_no", "line"),
     ).withColumn("line_no", F.col("line_no").cast("bigint"))
 
 
@@ -667,17 +680,30 @@ def line_dedup_keep_first(
     within-document repeats).  Grouping key is the portable 60-bit line
     digest: the min-struct aggregation partial-aggregates hot boilerplate
     lines map-side, and the join back is digest-co-partitioned (one
-    shuffle each)."""
+    shuffle each).
+
+    Digest COLLISIONS are verified away (the verify-after discipline of
+    ``ngram_jaccard_pairs``): the first-occurrence row carries its line
+    text, and a row whose digest matches but whose LINE differs survives
+    — a distinct line is never deleted by a 60-bit collision.  (Three-plus
+    distinct lines on one digest would keep every copy of the later ones —
+    at ~n²/2⁶¹ expected collisions the residual is negligible and errs
+    toward keeping data.)"""
     with_h = lines.withColumn("__lh", hash60(line_col))
+    # (id, order) is unique per row, so the (i, o)-prefixed struct min
+    # also carries the first occurrence's LINE for the equality verify
     first = with_h.groupBy("__lh").agg(
         F.min(F.struct(
-            F.col(id_col).alias("i"), F.col(order_col).alias("o")
+            F.col(id_col).alias("i"), F.col(order_col).alias("o"),
+            F.col(line_col).alias("l"),
         )).alias("__first")
     )
+    is_first = (F.col(id_col) == F.col("__first.i")) \
+        & (F.col(order_col) == F.col("__first.o"))
+    collision_survivor = F.col(line_col) != F.col("__first.l")
     return (
         with_h.join(first, "__lh")
-        .where((F.col(id_col) == F.col("__first.i"))
-               & (F.col(order_col) == F.col("__first.o")))
+        .where(is_first | collision_survivor)
         .drop("__lh", "__first")
     )
 
@@ -723,7 +749,7 @@ def dedup_lines_corpus(
             F.lit(pseudo_line_tokens)))
     else:
         lines = split_lines(df, id_col, text_col, sep)
-        n_lines = F.size(F.split(F.col(text_col), sep, -1))
+        n_lines = F.size(F.split(F.col(text_col), _quote_sep(sep), -1))
     kept = line_dedup_keep_first(lines, id_col)
     joined = sep if pseudo_line_tokens is None else " "
     re = reassemble_lines(kept, id_col, sep=joined)

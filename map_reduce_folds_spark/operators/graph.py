@@ -306,6 +306,13 @@ def pagerank(
         seeds = sorted(set(seeds))
         if not seeds:
             raise ValueError("pagerank: empty seeds list")
+        n_present = nodes.where(F.col("u").isin(seeds)).count()
+        if n_present != len(seeds):
+            raise ValueError(
+                f"pagerank: {len(seeds) - n_present} of {len(seeds)} seeds "
+                "do not appear in the edge list — their teleport mass would "
+                "silently vanish (all-absent seeds would zero every rank); "
+                "fix the seed ids or drop the absent ones explicitly")
         r0_amt = scale // len(seeds)
         base_amt = ((den - num) * r0_amt) // den
         is_seed = F.col("u").isin(seeds)
@@ -316,6 +323,19 @@ def pagerank(
         base_col = F.lit(((den - num) * (scale // n)) // den)
     if weight_col is not None:
         deg = e.groupBy("s").agg(F.sum("w").alias("d")).persist()
+        # overflow guard: contributions compute r·w with r ≤ scale, so a
+        # single edge weight beyond (2^63-1)/scale wraps the bigint
+        # product silently (ANSI off) or errors in the oracle — refuse
+        # loudly; pre-scale weights (divide the batch by a constant) to
+        # stay exact under the cap
+        w_cap = (2 ** 63 - 1) // scale
+        w_max = e.agg(F.max("w")).first()[0]
+        if w_max is not None and w_max > w_cap:
+            raise ValueError(
+                f"pagerank: max edge weight {w_max} exceeds {w_cap} "
+                f"(= (2^63-1)/scale at scale={scale}); r*w would overflow "
+                "int64 — divide the weights by a common factor first "
+                "(ranks are invariant to uniform weight scaling)")
         contrib_expr = "(r * w) div d"
     else:
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d")).persist()

@@ -411,6 +411,11 @@ def funnel_depth(
     funnel semantics."""
     from map_reduce_folds_spark.timeutil import epoch_us
 
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            f"funnel steps must be distinct, got {steps}: the step-index "
+            "pre-mapping assigns each event type ONE index, so a repeated "
+            "step type could never match its second occurrence")
     idx = F.lit(0)
     for i, step in reversed(list(enumerate(steps))):
         idx = F.when(F.col(event_col) == step, F.lit(i + 1)).otherwise(idx)

@@ -1006,10 +1006,12 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
 
-
-@query(
-    "sketch_heavy_hitters",
-    oracle=f"""
+#: shared oracle for the two CMS registrations: cell build + min-cell
+#: estimate + top-k over corpus tokens.  sketch_cms_union's Spark side
+#: builds per-slice sketches and MERGES them; merged cells equal the
+#: whole-corpus cells (the monoid), so both queries check against this
+#: one SQL — a single constant so they can never silently diverge.
+_CMS_TOPK_ORACLE = f"""
     WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
                   FROM documents),
     cells AS ({K.cms_cells_sql('tok', 'toks', _CMS_D, _CMS_W)}),
@@ -1024,7 +1026,12 @@ _CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
     )
     SELECT tok, est FROM est
     QUALIFY ROW_NUMBER() OVER (ORDER BY est DESC, tok) <= {_CMS_TOP}
-    """,
+    """
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=_CMS_TOPK_ORACLE,
 )
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch (operators/sketches.cms_cells —
@@ -1047,22 +1054,7 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_cms_union",
-    oracle=f"""
-    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
-                  FROM documents),
-    cells AS ({K.cms_cells_sql('tok', 'toks', _CMS_D, _CMS_W)}),
-    keys AS (SELECT DISTINCT tok FROM toks),
-    kc AS (
-{K.cms_key_cells_sql('tok', 'keys', _CMS_D, _CMS_W)}
-    ),
-    est AS (
-        SELECT kc.key AS tok, MIN(COALESCE(cells.cnt, 0)) AS est
-        FROM kc LEFT JOIN cells ON kc.r = cells.r AND kc.c = cells.c
-        GROUP BY 1
-    )
-    SELECT tok, est FROM est
-    QUALIFY ROW_NUMBER() OVER (ORDER BY est DESC, tok) <= {_CMS_TOP}
-    """,
+    oracle=_CMS_TOPK_ORACLE,
 )
 def sketch_cms_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE count-min sketches: each corpus slice builds its own

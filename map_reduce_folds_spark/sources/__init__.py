@@ -272,6 +272,14 @@ def zorder_key(scaled_cols: list[Column], bits: int = 16) -> Column:
     already-scaled non-negative integer columns (each < 2^``bits``):
     bit ``i`` of column ``j`` lands at position ``i·N + j``.  Pure
     shift/and/or Catalyst arithmetic — whole-stage-codegen'd, no UDF."""
+    if len(scaled_cols) * bits > 63:
+        raise ValueError(
+            f"zorder_key: {len(scaled_cols)} cols x {bits} bits = "
+            f"{len(scaled_cols) * bits} interleaved bit positions; only 63 "
+            "fit a signed bigint (position 63 is the sign bit and the JVM "
+            "masks shifts mod 64, silently corrupting the code) — lower "
+            "bits or drop columns")
+
     n = len(scaled_cols)
     parts = []
     for j, c in enumerate(scaled_cols):
@@ -392,27 +400,38 @@ def merge_upsert(
     version of the target at ``dst_path`` where rows whose key appears in
     ``updates`` are replaced, unseen keys are inserted, and — when
     ``delete_col`` names a boolean column — flagged keys are dropped.
-    Returns ``{"updated_or_deleted": ..., "inserted": ..., "kept": ...}``.
+    Returns ``{"kept": ..., "removed_from_target": ...,
+    "written_from_batch": ...}`` — precisely: target rows surviving
+    untouched, target rows replaced or deleted by the batch, and batch
+    rows written (replacements + true inserts; split them upstream if a
+    monitor needs the distinction — telling an update from an insert
+    requires one more target-scan join this function refuses to pay).
 
     The plan is one anti-join (target keys vs the update key set, which
     a broadcast covers for typical CDC batch sizes) plus a union — the
-    target is SCANNED once and never rewritten in place, so readers of
-    ``target_path`` stay correct and promotion (rename / metastore
-    pointer swap) stays a layer above, exactly like
-    :func:`compact_parquet`.  If ``updates`` carries several rows per
-    key, deduplicate upstream (e.g. ``relational.topk_per_group`` by a
-    version column) — this function applies the batch as given."""
+    target is SCANNED once for the write and never rewritten in place,
+    so readers of ``target_path`` stay correct and promotion (rename /
+    metastore pointer swap) stays a layer above, exactly like
+    :func:`compact_parquet`.  Stats ride the write job itself
+    (``quality.observe`` — no dst re-read, no anti-join re-run); the one
+    extra job is the tiny batch count.  If ``updates`` carries several
+    rows per key, deduplicate upstream (e.g.
+    ``relational.topk_per_group`` by a version column) — this function
+    applies the batch as given."""
+    from map_reduce_folds_spark.operators.quality import observe
+
     tgt = spark.read.parquet(target_path)
+    n_tgt = tgt.count()
     upd_keys = updates.select(*key_cols).distinct()
     kept = tgt.join(F.broadcast(upd_keys), key_cols, "left_anti")
     apply_rows = updates
     if delete_col is not None:
         apply_rows = updates.where(
             ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
-    out = kept.unionByName(apply_rows)
+    n_batch = apply_rows.count()
+    out, obs = observe(kept.unionByName(apply_rows), "merge_upsert",
+                       {"n_written": F.count(F.lit(1))})
     out.write.mode("overwrite").parquet(dst_path)
-    n_tgt = tgt.count()
-    n_kept = kept.count()
-    n_ins = spark.read.parquet(dst_path).count() - n_kept
-    return {"updated_or_deleted": n_tgt - n_kept, "inserted": n_ins,
-            "kept": n_kept}
+    n_kept = int(obs.get["n_written"]) - n_batch
+    return {"kept": n_kept, "removed_from_target": n_tgt - n_kept,
+            "written_from_batch": n_batch}

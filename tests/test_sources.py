@@ -256,7 +256,9 @@ def test_merge_upsert_semantics(spark, tmp_path):
                          delete_col="is_delete")
     got = {(r["k"], r["v"]) for r in spark.read.parquet(dst).collect()}
     assert got == {(1, "a"), (2, "B"), (4, "d")}
-    assert stats == {"updated_or_deleted": 2, "inserted": 2, "kept": 1}
+    # k2 replaced + k3 deleted = 2 removed; batch wrote k2-update + k4-insert
+    assert stats == {"kept": 1, "removed_from_target": 2,
+                     "written_from_batch": 2}
     # source version untouched
     v1 = {(r["k"], r["v"]) for r in spark.read.parquet(tgt).collect()}
     assert v1 == {(1, "a"), (2, "b"), (3, "c")}
