@@ -189,3 +189,64 @@ def doc_fingerprint(text: Column | str) -> Column:
     dedup key).  For near-dup-tolerant fingerprints use
     min-shingle-hash (minhash k=1) from dedup.py."""
     return hash60(text)
+
+
+def eval_overlap(
+    train: "DataFrame",
+    eval_df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    token_pattern: str | None = None,
+) -> "DataFrame":
+    """Per-TRAINING-document overlap with an eval set's n-gram universe:
+    ``(id, n_shingles, n_hit, overlap)`` — the scoring half of
+    decontamination (``contamination_check`` measures the opposite
+    direction: eval docs vs the training universe).
+
+    The eval shingle universe is the SMALL side (eval sets are thousands
+    of docs), so the membership test is a broadcastable semi-join against
+    the distinct eval hashes and the training pass stays scan-shaped —
+    linear in the corpus, no training-side self-structures.  Documents
+    with zero shingles score overlap 0 (no evidence)."""
+    from pyspark.sql import functions as F
+
+    sh = distinct_shingle_hashes(text_col, n, token_pattern=token_pattern)
+    tr = train.select(F.col(id_col), sh.alias("__sh"))
+    ev_hashes = (
+        eval_df.select(F.explode(
+            distinct_shingle_hashes(text_col, n, token_pattern=token_pattern)
+        ).alias("h")).distinct()
+    )
+    tr_sh = tr.select(id_col, F.explode("__sh").alias("h"))
+    hits = tr_sh.join(F.broadcast(ev_hashes), "h", "left_semi") \
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("__c"))
+    sizes = tr.select(id_col, F.size("__sh").cast("bigint").alias("n_shingles"))
+    return sizes.join(hits, id_col, "left").select(
+        id_col, "n_shingles",
+        F.coalesce("__c", F.lit(0)).cast("bigint").alias("n_hit"),
+        F.when(F.col("n_shingles") > 0,
+               F.coalesce("__c", F.lit(0)).cast("double")
+               / F.col("n_shingles")).otherwise(F.lit(0.0)).alias("overlap"),
+    )
+
+
+def decontaminate(
+    train: "DataFrame",
+    eval_df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_overlap: float = 0.1,
+    token_pattern: str | None = None,
+) -> "DataFrame":
+    """Drop training documents whose n-gram overlap with the eval set
+    exceeds ``max_overlap`` — the REMOVE step of eval decontamination
+    (run it before training; ``contamination_check``-style scoring is
+    the audit).  Anti-join of the over-threshold ids back onto the full
+    training rows, so every surviving row keeps all its columns."""
+    from pyspark.sql import functions as F
+
+    scores = eval_overlap(train, eval_df, id_col, text_col, n, token_pattern)
+    dirty = scores.where(F.col("overlap") > max_overlap).select(id_col)
+    return train.join(dirty, id_col, "left_anti")

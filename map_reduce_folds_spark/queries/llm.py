@@ -1668,3 +1668,39 @@ def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle order and the offsets."""
     d = load_table(spark, sf_dir, "documents")
     return SM.negative_samples(d, "doc_id", 2)
+
+
+@query(
+    "decontaminate_corpus",
+    oracle=f"""
+    WITH {_SH_CTE},
+    evu AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 50 != 0),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS c FROM tr
+        WHERE h IN (SELECT h FROM evu) GROUP BY 1
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tr GROUP BY 1),
+    scored AS (
+        SELECT s.doc_id,
+               CAST(COALESCE(hits.c, 0) AS DOUBLE) / s.sz AS overlap
+        FROM sizes s LEFT JOIN hits USING (doc_id)
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id % 50 != 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM scored WHERE overlap > 0.5)
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination as a REMOVE step (operators/text.decontaminate):
+    training docs (doc_id%50!=0) sharing more than half their 3-gram
+    shingles with the held-out eval slice are dropped before training.
+    The eval shingle universe broadcasts (it is the small side), so the
+    training pass stays scan-shaped.  Complements contamination_check,
+    which only audits the opposite direction."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 50 != 0)
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    out = T.decontaminate(train, ev, "doc_id", "text", _N, max_overlap=0.5)
+    return out.select("doc_id", "lang", F.col("n_chars").cast("bigint"))

@@ -991,3 +991,28 @@ def test_negative_samples_never_self_and_complete(spark):
     c = {(r["doc"], r["neg_idx"], r["neg_id"])
          for r in SM.negative_samples(df.repartition(7), "doc", 3).collect()}
     assert a == c  # partitioning-invariant
+
+
+def test_decontaminate_drops_eval_copies_keeps_rest(spark):
+    from map_reduce_folds_spark.operators import text as T
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),   # full copy
+         (2, "completely different words about database engines here"),
+         (3, "xy"),                                            # no shingles
+         (4, "the quick brown fox and then something else entirely new")],
+        ["doc_id", "text"])
+    kept = {r["doc_id"] for r in
+            T.decontaminate(train, ev, max_overlap=0.5).collect()}
+    assert 1 not in kept          # verbatim eval copy dropped
+    assert {2, 3}.issubset(kept)  # disjoint + unmeasurable kept
+    scores = {r["doc_id"]: r["overlap"] for r in
+              T.eval_overlap(train, ev).collect()}
+    assert scores[1] == 1.0 and scores[2] == 0.0 and scores[3] == 0.0
+    assert 0.0 < scores[4] < 1.0  # partial prefix overlap
+    # surviving rows keep all original columns
+    cols = T.decontaminate(train, ev).columns
+    assert cols == ["doc_id", "text"]
