@@ -458,3 +458,108 @@ def bloom_prune_join(
         bloom_might_contain(fact_key, mask, n_bits, k, portable))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key],
                        "left_semi" if how == "semi" else how)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (k minimum values; Bar-Yossef et al. 2002) —
+# distinct counting WITH set-operation estimates (intersection/Jaccard),
+# which the HLL registers above cannot express.
+# ---------------------------------------------------------------------------
+#
+# Same oracle-exact discipline: the sketch is the k SMALLEST distinct
+# portable-hash values of the item set — a pure function of the set, so
+# Spark and the SQL mirror hold bit-identical sketches, and every
+# estimate below is exact arithmetic over them.
+#
+#   distinct:      D̂ = (k-1) · 2^60 / h_(k)      (exact count when |set| < k)
+#   union:         k smallest of the concatenated sketches (re-min)
+#   intersection:  ρ = |union-sketch values present in BOTH sides| / k,
+#                  Î = round(ρ · D̂_union)  — the standard theta estimator.
+#
+# Relation form: (group…, h) rows, ≤ k per group; merge = union + re-min,
+# the same monoid shape as the HLL/CMS/bloom relations.
+
+
+def kmv_sketch(
+    df: DataFrame,
+    item: str | Column,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Build the KMV sketch relation: the ``k`` smallest distinct hash60
+    values per group, as ``(group…, h)`` rows.
+
+    One distinct (map-side combinable) + one per-group top-k — the
+    window partitions by group over ≤ |distinct| rows; a group's sketch
+    never exceeds ``k`` rows regardless of input size."""
+    from map_reduce_folds_spark.operators.relational import topk_per_group
+
+    c = F.col(item) if isinstance(item, str) else item
+    g = list(group_cols or [])
+    hashes = df.select(*g, hash60(c).alias("h")).distinct()
+    if g:
+        return topk_per_group(hashes, g, [F.col("h")], k)
+    # global form: distinct hashes are already unique, take k smallest via
+    # orderBy+limit (TakeOrderedAndProject — no full sort)
+    return hashes.orderBy("h").limit(k)
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Union of two KMV sketches (same k): concatenate, dedup, re-min —
+    the sketch monoid (distinct hashes of A∪B's k smallest)."""
+    from map_reduce_folds_spark.operators.relational import topk_per_group
+
+    both = a.unionByName(b).distinct()
+    g = list(group_cols or [])
+    if g:
+        return topk_per_group(both, g, [F.col("h")], k)
+    return both.orderBy("h").limit(k)
+
+
+#: hash60 value space (the D̂ normalizer)
+_H60_M = float(1 << 60)
+
+
+def kmv_distinct_estimate(k: int = 256) -> Column:
+    """Aggregate expression over a (possibly short) sketch's ``h`` rows:
+    (k-1)·2^60 / h_(k) when the sketch is full, else the EXACT row count
+    (a short sketch holds every distinct hash).  Rounded to 9 decimals
+    (one double division; the repo ulp policy)."""
+    n = F.count(F.lit(1))
+    kth = F.max("h")  # the sketch holds the k smallest, so max = h_(k)
+    est = F.round(F.lit((k - 1) * _H60_M) / kth.cast("double"), 9)
+    return F.when(n < k, n.cast("double")).otherwise(est)
+
+
+def kmv_distinct_estimate_sql(k: int = 256) -> str:
+    """DuckDB mirror of :func:`kmv_distinct_estimate`."""
+    return (f"(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE) "
+            f"ELSE round({(k - 1) * _H60_M!r} / CAST(MAX(h) AS DOUBLE), 9) "
+            "END)")
+
+
+def kmv_intersection_estimate(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """One-row ``(est_a, est_b, est_union, jaccard, est_intersection)``
+    from two GLOBAL KMV sketches: the union sketch's values present in
+    both sides estimate the Jaccard similarity, scaled by the union
+    estimate — sets too large to intersect exactly get an estimated
+    overlap from two k-row artifacts.  Pure arithmetic over the
+    deterministic sketches → oracle-exact."""
+    u = kmv_merge(a, b, k).persist()
+    n_u = u.count()
+    both = u.join(a, "h", "left_semi").join(b, "h", "left_semi").count()
+    est_a = a.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
+    est_b = b.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
+    est_u = u.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
+    u.unpersist()
+    jac = both / n_u if n_u else 0.0
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(float(est_a), float(est_b), float(est_u), round(jac, 9),
+          round(jac * est_u, 9))],
+        "est_a double, est_b double, est_union double, jaccard double, "
+        "est_intersection double",
+    )

@@ -1704,3 +1704,38 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.where(F.col("doc_id") % 50 == 0)
     out = T.decontaminate(train, ev, "doc_id", "text", _N, max_overlap=0.5)
     return out.select("doc_id", "lang", F.col("n_chars").cast("bigint"))
+
+
+_KMV_K = 256
+
+
+@query(
+    "sketch_kmv_sources",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (SELECT DISTINCT source, {_h60('tok')} AS h FROM toks),
+    sk AS (
+        SELECT source, h FROM h
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) <= {_KMV_K}
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS sketch_rows,
+           {K.kmv_distinct_estimate_sql(_KMV_K)} AS est_distinct
+    FROM sk GROUP BY source
+    """,
+)
+def sketch_kmv_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-vocabulary estimates from KMV/theta sketches
+    (operators/sketches.kmv_sketch) — the k-smallest-hash sketch whose
+    estimates are EXACT arithmetic over a deterministic artifact, and
+    which (unlike HLL) also supports intersection estimation between
+    slices (kmv_intersection_estimate, error-bound tested).  Sketch ≤ k
+    rows per source at any corpus size; merge = union + re-min."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(T.tokenize("text")).alias("tok"))
+    sk = K.kmv_sketch(toks, "tok", group_cols=["source"], k=_KMV_K)
+    return sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sketch_rows"),
+        K.kmv_distinct_estimate(_KMV_K).alias("est_distinct"),
+    )

@@ -1016,3 +1016,41 @@ def test_decontaminate_drops_eval_copies_keeps_rest(spark):
     # surviving rows keep all original columns
     cols = T.decontaminate(train, ev).columns
     assert cols == ["doc_id", "text"]
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches
+# ---------------------------------------------------------------------------
+
+def test_kmv_distinct_and_intersection_estimates(spark):
+    """Distinct estimates within the KMV error bound (~1/sqrt(k)); the
+    intersection estimate recovers a planted 50% overlap; merge = sketch
+    of the union exactly."""
+    from map_reduce_folds_spark.operators import sketches as K
+    from pyspark.sql import functions as F
+
+    k = 256
+    a_items = spark.range(0, 4000).select(F.col("id").cast("string").alias("x"))
+    b_items = spark.range(2000, 6000).select(F.col("id").cast("string").alias("x"))
+    sa = K.kmv_sketch(a_items, "x", k=k).persist()
+    sb = K.kmv_sketch(b_items, "x", k=k).persist()
+    est_a = sa.agg(K.kmv_distinct_estimate(k).alias("e")).first()["e"]
+    assert abs(est_a - 4000) / 4000 < 3 / (k ** 0.5)
+    merged = {r["h"] for r in K.kmv_merge(sa, sb, k).collect()}
+    direct = {r["h"] for r in
+              K.kmv_sketch(a_items.union(b_items), "x", k=k).collect()}
+    assert merged == direct
+    row = K.kmv_intersection_estimate(sa, sb, k).first()
+    true_inter = 2000
+    assert abs(row["est_intersection"] - true_inter) / true_inter < 0.35
+    assert abs(row["est_union"] - 6000) / 6000 < 3 / (k ** 0.5)
+
+
+def test_kmv_short_sketch_is_exact(spark):
+    from map_reduce_folds_spark.operators import sketches as K
+    from pyspark.sql import functions as F
+
+    small = spark.range(0, 50).select(F.col("id").cast("string").alias("x"))
+    s = K.kmv_sketch(small, "x", k=256)
+    est = s.agg(K.kmv_distinct_estimate(256).alias("e")).first()["e"]
+    assert est == 50.0
