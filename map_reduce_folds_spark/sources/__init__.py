@@ -435,3 +435,45 @@ def merge_upsert(
     n_kept = int(obs.get["n_written"]) - n_batch
     return {"kept": n_kept, "removed_from_target": n_tgt - n_kept,
             "written_from_batch": n_batch}
+
+
+def diff_tables(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    detail: bool = False,
+) -> DataFrame:
+    """Snapshot diff between two versions of a table (the post-upsert /
+    post-backfill audit): classify keys as added / removed / changed /
+    unchanged by comparing a row hash of the non-key columns across one
+    full-outer key join.
+
+    Summary form (default): ONE row of the four counts.  ``detail=True``
+    returns the per-key classification ``(keys…, diff)`` instead (filter
+    to the class you want — the predicate pushes into the join output).
+    Columns must match; the row hash is ``xxhash64`` over the non-key
+    columns in a-column order (JVM-side, no Python)."""
+    if sorted(a.columns) != sorted(b.columns):
+        raise ValueError(
+            f"diff_tables: schemas differ: {sorted(a.columns)} vs "
+            f"{sorted(b.columns)} — align columns first")
+    val_cols = [c for c in a.columns if c not in key_cols]
+    def hashed(df, tag):
+        h = F.xxhash64(*[F.col(c) for c in val_cols]) if val_cols \
+            else F.lit(0).cast("bigint")
+        return df.select(*key_cols, h.alias(f"__h_{tag}"),
+                         F.lit(1).alias(f"__in_{tag}"))
+    j = hashed(a, "a").join(hashed(b, "b"), key_cols, "full_outer")
+    cls = (
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(F.col("__h_a") == F.col("__h_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    classified = j.select(*key_cols, cls.alias("diff"))
+    if detail:
+        return classified
+    counts = classified.groupBy("diff").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy().pivot(
+        "diff", ["added", "removed", "changed", "unchanged"]
+    ).sum("n").na.fill(0)

@@ -262,3 +262,21 @@ def test_merge_upsert_semantics(spark, tmp_path):
     # source version untouched
     v1 = {(r["k"], r["v"]) for r in spark.read.parquet(tgt).collect()}
     assert v1 == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_diff_tables_classification(spark):
+    from map_reduce_folds_spark.sources import diff_tables
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], ["k", "v"])
+    b = spark.createDataFrame(
+        [(2, "y"), (3, "Z"), (4, "w")], ["k", "v"])
+    row = diff_tables(a, b, ["k"]).first()
+    assert (row["added"], row["removed"], row["changed"],
+            row["unchanged"]) == (1, 1, 1, 1)
+    detail = {r["k"]: r["diff"]
+              for r in diff_tables(a, b, ["k"], detail=True).collect()}
+    assert detail == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        diff_tables(a, b.withColumnRenamed("v", "w"), ["k"])
