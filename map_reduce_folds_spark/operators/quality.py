@@ -202,3 +202,38 @@ def observe(df: DataFrame, name: str, metrics: Mapping[str, Column]):
 
     obs = Observation(name)
     return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lo_frac: float = 0.01,
+    hi_frac: float = 0.99,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    nbuckets: int = 64,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp a numeric column to its [lo_frac, hi_frac] quantile band —
+    the robust-normalization pass that stops a handful of outliers from
+    dominating scaled features.  Quantiles come from the deterministic
+    equi-width histogram sketch (``sketches.hist_bucket`` /
+    ``hist_quantile`` over the fixed [lo, hi] range — engine-exact, so
+    the clamped values have an exact SQL mirror); they are collected as
+    ONE driver row (the bounded-scalar idiom of ``gate``) and applied as
+    literals, keeping the clamp itself a pure scan expression."""
+    from map_reduce_folds_spark.operators.sketches import (
+        hist_bucket, hist_quantile,
+    )
+
+    counts = df.groupBy(
+        hist_bucket(col, lo, hi, nbuckets).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    row = counts.agg(
+        hist_quantile(lo_frac, lo, hi, nbuckets).alias("ql"),
+        hist_quantile(hi_frac, lo, hi, nbuckets).alias("qh"),
+    ).first()
+    ql, qh = float(row["ql"]), float(row["qh"])
+    clamped = F.greatest(F.least(F.col(col).cast("double"), F.lit(qh)),
+                         F.lit(ql))
+    return df.withColumn(out_col or f"{col}_winsorized", clamped)

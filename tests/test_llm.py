@@ -1054,3 +1054,23 @@ def test_kmv_short_sketch_is_exact(spark):
     s = K.kmv_sketch(small, "x", k=256)
     est = s.agg(K.kmv_distinct_estimate(256).alias("e")).first()["e"]
     assert est == 50.0
+
+
+def test_winsorize_clamps_outliers_only(spark):
+    from map_reduce_folds_spark.operators import quality as Q
+    from pyspark.sql import functions as F
+
+    # 1000 values in [100, 200] plus extreme outliers on both ends
+    base = spark.range(1000).select(
+        (F.lit(100.0) + (F.col("id") % 101)).alias("v"))
+    out_rows = spark.createDataFrame(
+        [(0.001,), (99999.0,)], ["v"])
+    df = base.union(out_rows)
+    w = Q.winsorize(df, "v", 0.01, 0.99, lo=0.0, hi=1000.0, nbuckets=100)
+    got = w.agg(F.min("v_winsorized"), F.max("v_winsorized"),
+                F.avg("v_winsorized")).first()
+    # outliers pulled into the band; the bulk untouched within bucket width
+    assert 90 <= got[0] <= 110
+    assert 195 <= got[1] <= 1000.0 / 100 + 205
+    mid = w.where("v = 150").select("v_winsorized").first()[0]
+    assert mid == 150.0
