@@ -68,7 +68,12 @@ _PRIORITY = [
     "contamination_check",
     "tfidf_top_terms", "deterministic_sample", "pipeline_clean_corpus",
     "data_quality_profile", "data_quality_expectations",
-    "dedup_multimodal_union",
+    # Round-6 late swap: funnel_conversion (NEW ordered-event-analytics
+    # family; greedy in-order step matching) displaces
+    # dedup_multimodal_union — multimodal keeps multimodal_features
+    # in-window, dedup keeps six rows, and the union composition
+    # re-registers just past the window.  Schema pre-flight green.
+    "funnel_conversion",
     # one representative per relational/streaming family.  Round 6:
     # interval_join_attribution (NEW point-in-interval temporal-join
     # family) displaces mr_ordered_collect — encounter-order keeps
@@ -89,6 +94,7 @@ _PRIORITY = [
     # first entries PAST the 50-window: the displaced green rows
     "mr_simple_unpack", "mr_ordered_collect", "dedup_simhash_pairs",
     "mr_task2_sparse", "sim_topk_lsh", "sim_topk_ivf",
+    "dedup_multimodal_union",
 ]
 
 
