@@ -1739,3 +1739,81 @@ def sketch_kmv_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("sketch_rows"),
         K.kmv_distinct_estimate(_KMV_K).alias("est_distinct"),
     )
+
+
+@query(
+    "pipeline_curation_v2",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    lines AS (
+        SELECT doc_id, g.i AS line_no,
+               array_to_string(tk[g.s:g.s + {_LINE - 1}], ' ') AS line
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(tk), {_LINE})) AS s,
+                   unnest(range(len(generate_series(1, len(tk), {_LINE})))) AS i
+        ) g
+    ),
+    kept AS (
+        SELECT doc_id, line_no, line FROM (
+            SELECT doc_id, line_no, line,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_no) AS rn
+            FROM lines) WHERE rn = 1
+    ),
+    rewritten AS (
+        SELECT t.doc_id, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM toks t LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY 1) r
+        USING (doc_id)
+    ),
+    sh2 AS (
+        SELECT DISTINCT doc_id,
+               {_h60(f"array_to_string(tk[g.gs:g.gs+{_N - 1}], ' ')")} AS h
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - {_N - 1})) AS gs) g
+        WHERE len(tk) >= {_N}
+    ),
+    evu AS (SELECT DISTINCT h FROM sh2 WHERE doc_id % 50 = 0),
+    trh AS (SELECT * FROM sh2 WHERE doc_id % 50 != 0),
+    hits AS (SELECT doc_id, COUNT(*) AS c FROM trh
+             WHERE h IN (SELECT h FROM evu) GROUP BY 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM trh GROUP BY 1),
+    dirty AS (
+        SELECT s.doc_id FROM sizes s LEFT JOIN hits USING (doc_id)
+        WHERE CAST(COALESCE(hits.c, 0) AS DOUBLE) / s.sz > 0.5
+    ),
+    surv AS (
+        SELECT doc_id, n_kept FROM rewritten
+        WHERE doc_id % 50 != 0
+          AND n_kept >= 3
+          AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    )
+    SELECT doc_id, n_kept FROM surv
+    {SM.weighted_sample_sql('n_kept', 10, 'doc_id', salt='cur2')}
+    """,
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 operator surface composed into ONE curation pipeline:
+    C4-style line-level dedup (corpus keep-first, document rewrite) →
+    eval decontamination (drop training docs overlapping the held-out
+    slice) → a minimum-surviving-content gate (≥ 3 kept pseudo-lines) →
+    deterministic weighted sampling of 10 docs by surviving length.
+    Every stage is an existing operator; the whole chain is one Catalyst
+    plan and the oracle chains the stages' SQL mirrors — composition is
+    the engine's thesis, verified by hash."""
+    d = load_table(spark, sf_dir, "documents")
+    rewritten = D.dedup_lines_corpus(d, "doc_id", "text",
+                                     pseudo_line_tokens=_LINE)
+    train = rewritten.where(F.col("doc_id") % 50 != 0)
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    # decontaminate on the ORIGINAL text (overlap is a property of the
+    # source doc); join the scores onto the rewritten rows by id
+    clean_ids = T.decontaminate(
+        d.where(F.col("doc_id") % 50 != 0), ev, "doc_id", "text", _N,
+        max_overlap=0.5,
+    ).select("doc_id")
+    gated = (
+        train.join(clean_ids, "doc_id", "left_semi")
+        .where(F.col("n_kept") >= 3)
+    )
+    return SM.weighted_sample_exact(gated, "n_kept", 10, "doc_id",
+                                    salt="cur2").select("doc_id", "n_kept")
