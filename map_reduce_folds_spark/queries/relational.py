@@ -2200,3 +2200,53 @@ def mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode()/F.mode are tie-nondeterministic and therefore un-oracle-able."""
     e = load_table(spark, sf_dir, "events")
     return R.mode_per_group(e, ["user_id"], "event_type")
+
+
+@query(
+    "funnel_step_rates",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(0, list_sort(list(
+                       {'t': epoch_us(ts), 'b': event_id,
+                        'i': CASE WHEN event_type = 'view' THEN 1
+                                  WHEN event_type = 'click' THEN 2
+                                  WHEN event_type = 'purchase' THEN 3
+                                  ELSE 0 END}
+                   )).apply(s -> s.i)),
+                   (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1
+                               ELSE acc END) AS depth
+        FROM events GROUP BY user_id
+    ),
+    reached AS (
+        SELECT g.step, COUNT(*) AS n_reached
+        FROM pu, LATERAL (SELECT unnest(generate_series(1, pu.depth)) AS step) g
+        WHERE pu.depth >= 1 GROUP BY 1
+    )
+    SELECT a.step AS step, a.n_reached,
+           CAST(a.n_reached AS DOUBLE) / b.n_reached AS rate_from_prev
+    FROM reached a LEFT JOIN reached b ON a.step = b.step + 1
+    """,
+)
+def funnel_step_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-step conversion rates of the view → click → purchase
+    funnel — the table analysts actually read.  Per-user depths
+    (windows.funnel_depth) explode into reached-step rows (no
+    global-order window over the histogram), and each step's rate is one
+    division by the previous step's count via a 3-row self-join."""
+    e = load_table(spark, sf_dir, "events")
+    d = W.funnel_depth(e, "user_id", "ts", "event_type",
+                       ["view", "click", "purchase"], tiebreak_col="event_id")
+    reached = (
+        d.where(F.col("depth") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("step"))
+        .groupBy("step").agg(F.count(F.lit(1)).alias("n_reached"))
+    )
+    a, b = reached.alias("a"), reached.alias("b")
+    return a.join(b, F.col("a.step") == F.col("b.step") + 1, "left").select(
+        F.col("a.step").cast("bigint").alias("step"),
+        F.col("a.n_reached").alias("n_reached"),
+        (F.col("a.n_reached").cast("double") / F.col("b.n_reached"))
+            .alias("rate_from_prev"),
+    )
