@@ -730,3 +730,19 @@ def test_mode_per_group_deterministic_ties(spark):
     got2 = {r["g"]: (r["mode"], r["mode_count"])
             for r in R.mode_per_group(nums, ["g"], "v").collect()}
     assert got2 == {1: (3, 2), 2: (5, 1)}
+
+
+def test_funnel_step_rates_monotone(spark):
+    """Reached counts never increase with depth; every rate is in (0, 1];
+    step 1 has no previous step."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        entrymod.queries()["funnel_step_rates"](spark, SF_DIR).collect(),
+        key=lambda r: r["step"])
+    counts = [r["n_reached"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["rate_from_prev"] is None
+    for r in rows[1:]:
+        assert 0.0 < r["rate_from_prev"] <= 1.0
