@@ -563,3 +563,57 @@ def kmv_intersection_estimate(
         "est_a double, est_b double, est_union double, jaccard double, "
         "est_intersection double",
     )
+
+
+def kmv_pairwise_jaccard(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """RELATIONAL pairwise intersection estimates from grouped KMV
+    sketches: for every unordered group pair (a < b), the union sketch's
+    both-members fraction (the theta Jaccard estimator) and the scaled
+    intersection estimate — one plan, no driver arithmetic (the
+    driver-side :func:`kmv_intersection_estimate` is the two-set
+    convenience form).
+
+    Input: a ``(group, h)`` sketch relation (:func:`kmv_sketch` with
+    ``group_cols=[group_col]``).  Shape: pair union sketches are ≤ k rows
+    per pair and pairs are |groups|²/2 — sized for slice-level
+    comparisons (sources, snapshots, languages), not per-document ones
+    (use MinHash banding for those).  Output: ``(group_a, group_b,
+    jaccard, est_union, est_intersection)``, all exact arithmetic over
+    the deterministic sketches."""
+    from map_reduce_folds_spark.operators.relational import topk_per_group
+
+    a = sketches.select(F.col(group_col).alias("ga"), F.col("h"))
+    b = sketches.select(F.col(group_col).alias("gb"), F.col("h"))
+    # candidate pair universe = ordered group pairs; carry each side's
+    # sketch rows under the pair key, dedup shared hashes, re-min to k
+    ga = sketches.select(F.col(group_col).alias("ga")).distinct()
+    gb = sketches.select(F.col(group_col).alias("gb")).distinct()
+    pairs = ga.join(gb, F.col("ga") < F.col("gb"))
+    pooled = (
+        pairs.join(a, "ga")
+        .unionByName(pairs.join(b, "gb").select("ga", "gb", "h"))
+        .select("ga", "gb", "h").distinct()
+    )
+    union_sk = topk_per_group(pooled, ["ga", "gb"], [F.col("h")], k)
+    # membership flags via marker joins (left join on the composite key;
+    # a left-semi can't carry per-pair flags for BOTH sides at once)
+    ma = a.select("ga", F.col("h").alias("h"), F.lit(1).alias("__in_a")) \
+        .dropDuplicates(["ga", "h"])
+    mb = b.select("gb", F.col("h").alias("h"), F.lit(1).alias("__in_b")) \
+        .dropDuplicates(["gb", "h"])
+    u = union_sk.join(ma, ["ga", "h"], "left").join(mb, ["gb", "h"], "left")
+    est_u = kmv_distinct_estimate(k)
+    both = F.sum((F.coalesce("__in_a", F.lit(0))
+                  * F.coalesce("__in_b", F.lit(0))).cast("bigint"))
+    n_u = F.count(F.lit(1))
+    jac = F.round(both.cast("double") / n_u.cast("double"), 9)
+    return u.groupBy("ga", "gb").agg(
+        jac.alias("jaccard"),
+        est_u.alias("est_union"),
+        F.round((both.cast("double") / n_u.cast("double")) * est_u, 9)
+            .alias("est_intersection"),
+    ).withColumnsRenamed({"ga": "group_a", "gb": "group_b"})

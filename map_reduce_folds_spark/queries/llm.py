@@ -1817,3 +1817,59 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return SM.weighted_sample_exact(gated, "n_kept", 10, "doc_id",
                                     salt="cur2").select("doc_id", "n_kept")
+
+
+@query(
+    "sketch_kmv_jaccard_sources",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hh AS (SELECT DISTINCT source, {_h60('tok')} AS h FROM toks),
+    sk AS (
+        SELECT source, h FROM hh
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) <= {_KMV_K}
+    ),
+    pr AS (
+        SELECT a.source AS ga, b.source AS gb
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ),
+    pooled AS (
+        SELECT DISTINCT pr.ga, pr.gb, s.h
+        FROM pr JOIN sk s ON s.source = pr.ga OR s.source = pr.gb
+    ),
+    u AS (
+        SELECT ga, gb, h FROM pooled
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) <= {_KMV_K}
+    ),
+    flags AS (
+        SELECT u.ga, u.gb, u.h AS h,
+               CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                    THEN 1 ELSE 0 END AS in_both
+        FROM u
+        LEFT JOIN sk sa ON sa.source = u.ga AND sa.h = u.h
+        LEFT JOIN sk sb ON sb.source = u.gb AND sb.h = u.h
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           round(CAST(SUM(in_both) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS jaccard,
+           {K.kmv_distinct_estimate_sql(_KMV_K)} AS est_union,
+           round((CAST(SUM(in_both) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 * {K.kmv_distinct_estimate_sql(_KMV_K)}, 9)
+               AS est_intersection
+    FROM flags
+    GROUP BY 1, 2
+    """,
+)
+def sketch_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources from KMV
+    sketches (operators/sketches.kmv_pairwise_jaccard) — the RELATIONAL
+    form of the theta intersection estimator: every source pair's union
+    sketch, Jaccard, and scaled intersection estimate in ONE plan with no
+    driver arithmetic.  Exact arithmetic over deterministic sketches ⇒
+    the ESTIMATES hash-match the SQL mirror."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(T.tokenize("text")).alias("tok"))
+    sk = K.kmv_sketch(toks, "tok", group_cols=["source"], k=_KMV_K)
+    return K.kmv_pairwise_jaccard(sk, "source", k=_KMV_K)

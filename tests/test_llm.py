@@ -1074,3 +1074,25 @@ def test_winsorize_clamps_outliers_only(spark):
     assert 195 <= got[1] <= 1000.0 / 100 + 205
     mid = w.where("v = 150").select("v_winsorized").first()[0]
     assert mid == 150.0
+
+
+def test_kmv_pairwise_jaccard_relational(spark):
+    """The one-plan pairwise estimator recovers a planted 50% overlap and
+    reports exactly 0 for disjoint pairs."""
+    from map_reduce_folds_spark.operators import sketches as K
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 4000).select(
+        F.lit("A").alias("g"), F.col("id").cast("string").alias("x"))
+    b = spark.range(2000, 6000).select(
+        F.lit("B").alias("g"), F.col("id").cast("string").alias("x"))
+    c = spark.range(9000, 9500).select(
+        F.lit("C").alias("g"), F.col("id").cast("string").alias("x"))
+    sk = K.kmv_sketch(a.union(b).union(c), "x", group_cols=["g"], k=256)
+    rows = {(r["group_a"], r["group_b"]): r
+            for r in K.kmv_pairwise_jaccard(sk, "g").collect()}
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = rows[("A", "B")]
+    assert abs(ab["est_intersection"] - 2000) / 2000 < 0.35
+    assert rows[("A", "C")]["jaccard"] == 0.0
+    assert rows[("B", "C")]["est_intersection"] == 0.0
