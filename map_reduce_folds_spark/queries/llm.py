@@ -1873,3 +1873,22 @@ def sketch_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("source", F.explode(T.tokenize("text")).alias("tok"))
     sk = K.kmv_sketch(toks, "tok", group_cols=["source"], k=_KMV_K)
     return K.kmv_pairwise_jaccard(sk, "source", k=_KMV_K)
+
+
+@query(
+    "weighted_sample_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    {SM.weighted_sample_sql('n_chars', 4, 'doc_id', group_expr='lang')}
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 4 docs per language, probability ∝ length within each
+    stratum — stratified PPS sampling (the grouped Efraimidis–Spirakis
+    form riding topk_per_group; hot strata take the pre_split
+    tournament).  Deterministic: same rows on any engine or run."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.weighted_sample_exact(
+        d, "n_chars", 4, "doc_id", group_cols=["lang"],
+    ).select("doc_id", "lang", F.col("n_chars").cast("bigint"))
