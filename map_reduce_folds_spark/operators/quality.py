@@ -209,8 +209,8 @@ def winsorize(
     col: str,
     lo_frac: float = 0.01,
     hi_frac: float = 0.99,
-    lo: float = 0.0,
-    hi: float = 1000.0,
+    lo: float | None = None,
+    hi: float | None = None,
     nbuckets: int = 64,
     out_col: str | None = None,
 ) -> DataFrame:
@@ -218,14 +218,39 @@ def winsorize(
     the robust-normalization pass that stops a handful of outliers from
     dominating scaled features.  Quantiles come from the deterministic
     equi-width histogram sketch (``sketches.hist_bucket`` /
-    ``hist_quantile`` over the fixed [lo, hi] range — engine-exact, so
-    the clamped values have an exact SQL mirror); they are collected as
-    ONE driver row (the bounded-scalar idiom of ``gate``) and applied as
-    literals, keeping the clamp itself a pure scan expression."""
+    ``hist_quantile`` over the [lo, hi] range — engine-exact, so the
+    clamped values have an exact SQL mirror); they are collected as ONE
+    driver row (the bounded-scalar idiom of ``gate``) and applied as
+    literals, keeping the clamp itself a pure scan expression.
+
+    Range discipline: ``lo``/``hi`` default to the column's EXACT
+    min/max (one cheap map-side-combinable aggregate).  When passed
+    explicitly they are VALIDATED against the data — out-of-range values
+    would be clamped into the histogram's edge buckets and the quantile
+    bounds silently wrong, so that raises instead (the same refuse-loudly
+    discipline as the pagerank weight cap and the zorder bits guard)."""
     from map_reduce_folds_spark.operators.sketches import (
         hist_bucket, hist_quantile,
     )
 
+    mn, mx = df.agg(
+        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double")),
+    ).first()
+    if mn is None:
+        raise ValueError(f"winsorize: column {col!r} has no non-null values")
+    if lo is None:
+        lo = float(mn)
+    if hi is None:
+        hi = float(mx)
+    if mn < lo or mx > hi:
+        raise ValueError(
+            f"winsorize: data range [{mn}, {mx}] exceeds the declared "
+            f"histogram range [{lo}, {hi}] — out-of-range values clamp "
+            "into edge buckets and corrupt the quantile bounds; widen "
+            "lo/hi or omit them to derive the range from min/max")
+    if hi <= lo:  # constant column: clamp is the identity
+        return df.withColumn(out_col or f"{col}_winsorized",
+                             F.col(col).cast("double"))
     counts = df.groupBy(
         hist_bucket(col, lo, hi, nbuckets).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"))

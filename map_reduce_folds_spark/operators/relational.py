@@ -699,8 +699,15 @@ def mode_per_group(
     a min over the ``(-count, value)`` struct (lexicographic struct
     ordering = count desc, value asc) — the same argmax-by-struct trick
     as ``exact_dedup_keep_first``.  Hot groups cost one combiner row per
-    distinct value, never a sort."""
-    counts = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias("__n"))
+    distinct value, never a sort.
+
+    NULL values are EXCLUDED from mode candidacy (standard SQL ``mode()``
+    semantics, and required for determinism: Spark's struct-min sorts a
+    NULL field smallest while the DuckDB mirror's ``ORDER BY n DESC,
+    value`` sorts NULLs last, so a NULL winning a tie would diverge
+    between engines).  A group whose values are all NULL emits no row."""
+    counts = (df.where(F.col(val_col).isNotNull())
+              .groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias("__n")))
     pick = F.min(F.struct(
         (-F.col("__n")).alias("nn"), F.col(val_col).alias("v"),
     )).alias("__m")

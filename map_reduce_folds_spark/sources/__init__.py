@@ -452,15 +452,23 @@ def diff_tables(
     returns the per-key classification ``(keys…, diff)`` instead (filter
     to the class you want — the predicate pushes into the join output).
     Columns must match; the row hash is ``xxhash64`` over the non-key
-    columns in a-column order (JVM-side, no Python)."""
+    columns in a-column order (JVM-side, no Python).
+
+    NULL discipline: ``xxhash64`` SKIPS null arguments in its fold, so a
+    bare value hash would classify ``(x=5, y=NULL) → (x=NULL, y=5)`` as
+    unchanged.  Each value column therefore contributes an explicit
+    ``isnull`` flag interleaved before it — the flag sequence encodes the
+    null mask at fixed positions, so any two rows with different null
+    masks (or different non-null values) hash differently."""
     if sorted(a.columns) != sorted(b.columns):
         raise ValueError(
             f"diff_tables: schemas differ: {sorted(a.columns)} vs "
             f"{sorted(b.columns)} — align columns first")
     val_cols = [c for c in a.columns if c not in key_cols]
     def hashed(df, tag):
-        h = F.xxhash64(*[F.col(c) for c in val_cols]) if val_cols \
-            else F.lit(0).cast("bigint")
+        h = F.xxhash64(*[part for c in val_cols for part in
+                         (F.isnull(F.col(c)).cast("int"), F.col(c))]) \
+            if val_cols else F.lit(0).cast("bigint")
         return df.select(*key_cols, h.alias(f"__h_{tag}"),
                          F.lit(1).alias(f"__in_{tag}"))
     j = hashed(a, "a").join(hashed(b, "b"), key_cols, "full_outer")

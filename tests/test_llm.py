@@ -1066,14 +1066,37 @@ def test_winsorize_clamps_outliers_only(spark):
     out_rows = spark.createDataFrame(
         [(0.001,), (99999.0,)], ["v"])
     df = base.union(out_rows)
-    w = Q.winsorize(df, "v", 0.01, 0.99, lo=0.0, hi=1000.0, nbuckets=100)
+    w = Q.winsorize(df, "v", 0.01, 0.99, lo=0.0, hi=100000.0, nbuckets=10000)
     got = w.agg(F.min("v_winsorized"), F.max("v_winsorized"),
                 F.avg("v_winsorized")).first()
     # outliers pulled into the band; the bulk untouched within bucket width
     assert 90 <= got[0] <= 110
-    assert 195 <= got[1] <= 1000.0 / 100 + 205
+    assert 195 <= got[1] <= 215
     mid = w.where("v = 150").select("v_winsorized").first()[0]
     assert mid == 150.0
+
+
+def test_winsorize_range_discipline(spark):
+    """Declared [lo, hi] that does not cover the data RAISES (edge-bucket
+    clamping silently corrupts the quantile bounds — r6 ADVICE); omitted
+    lo/hi derive the exact min/max; a constant column is the identity."""
+    import pytest
+    from map_reduce_folds_spark.operators import quality as Q
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select((F.col("id") + 2000.0).alias("v"))
+    with pytest.raises(ValueError, match="exceeds the declared"):
+        Q.winsorize(df, "v", lo=0.0, hi=1000.0)  # data entirely above hi
+
+    # auto-derived range: clamp band sits inside [min, max]
+    w = Q.winsorize(df, "v", 0.05, 0.95, nbuckets=100)
+    got = w.agg(F.min("v_winsorized"), F.max("v_winsorized")).first()
+    assert 2000.0 <= got[0] <= 2010.0 and 2090.0 <= got[1] <= 2099.0
+
+    const = spark.range(10).select(F.lit(7.0).alias("v"))
+    vals = {r[0] for r in
+            Q.winsorize(const, "v").select("v_winsorized").collect()}
+    assert vals == {7.0}
 
 
 def test_kmv_pairwise_jaccard_relational(spark):

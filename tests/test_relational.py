@@ -732,6 +732,22 @@ def test_mode_per_group_deterministic_ties(spark):
     assert got2 == {1: (3, 2), 2: (5, 1)}
 
 
+def test_mode_per_group_excludes_nulls(spark):
+    """NULL values never win (even on ties — Spark struct-min would sort
+    NULL smallest while the SQL mirror sorts NULLs last, r6 ADVICE); a
+    group whose values are all NULL emits no row."""
+    from map_reduce_folds_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("g1", None), ("g1", None), ("g1", "a"), ("g1", "a"),
+         ("g2", None), ("g2", "z"),
+         ("g3", None)],
+        "g string, v string")
+    got = {r["g"]: (r["mode"], r["mode_count"])
+           for r in R.mode_per_group(df, ["g"], "v").collect()}
+    assert got == {"g1": ("a", 2), "g2": ("z", 1)}  # g3 dropped
+
+
 def test_funnel_step_rates_monotone(spark):
     """Reached counts never increase with depth; every rate is in (0, 1];
     step 1 has no previous step."""

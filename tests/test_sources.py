@@ -280,3 +280,18 @@ def test_diff_tables_classification(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         diff_tables(a, b.withColumnRenamed("v", "w"), ["k"])
+
+
+def test_diff_tables_null_position_swap(spark):
+    """xxhash64 skips NULL args, so without the interleaved isnull flags
+    (x=5, y=NULL) → (x=NULL, y=5) hashed identically and was classified
+    'unchanged' — the r6 ADVICE bug.  Must be 'changed'."""
+    from map_reduce_folds_spark.sources import diff_tables
+
+    a = spark.createDataFrame([(1, 5, None), (2, None, None)],
+                              "k int, x int, y int")
+    b = spark.createDataFrame([(1, None, 5), (2, None, None)],
+                              "k int, x int, y int")
+    detail = {r["k"]: r["diff"]
+              for r in diff_tables(a, b, ["k"], detail=True).collect()}
+    assert detail == {1: "changed", 2: "unchanged"}
