@@ -393,22 +393,39 @@ def funnel_depth(
     event_col: str,
     steps: list[str],
     tiebreak_col: str | None = None,
+    within: int | None = None,
 ) -> DataFrame:
     """Per-user funnel depth: how many of ``steps`` each user completed
     IN ORDER (greedy subsequence match over the user's time-ordered
     events) — the product-analytics conversion funnel, e.g.
     ``["view", "click", "purchase"]`` → depth 0..3.
 
-    One shuffle (group by user); within each user the events fold in a
-    SORTED (ts, tiebreak) array — deterministic under any partitioning,
-    the same discipline as the PSI/log-prob sorted folds.  Events are
-    pre-mapped to their 1-based step index (0 = not a step), so the fold
-    state is a single int and the whole match is one Catalyst
-    ``aggregate`` over ints — exactly SQL-mirrorable (see
+    Only FUNNEL-STEP events are collected: the ``isin(steps)`` filter
+    sits before the groupBy (and pushes into the parquet scan), so the
+    per-user array is bounded by the user's STEP events, never their
+    whole stream — a bot with 10⁷ pageloads but 3 step events costs a
+    3-element array, not a 10⁷-element row (the same unbounded-group
+    discipline as ``sessionize(hot_key_bucket=)``).  Non-step events
+    map to index 0 in the fold and can never advance it, so the result
+    is provably invariant under the filter; users with ZERO step events
+    are restored as depth 0 from the distinct-user set (null-safe join,
+    both sides hash-partitioned on the user key).
+
+    Within each user the step events fold in a SORTED (ts, tiebreak)
+    array — deterministic under any partitioning, the same discipline as
+    the PSI/log-prob sorted folds.  Events are pre-mapped to their
+    1-based step index, so the fold state is integers and the whole
+    match is one Catalyst ``aggregate`` — exactly SQL-mirrorable (see
     queries: funnel_conversion).  Greedy matching: an event advances the
     funnel iff it is exactly the next needed step; repeats and
-    out-of-order steps are ignored, which is the standard strict-order
-    funnel semantics."""
+    out-of-order steps are ignored (standard strict-order semantics).
+
+    ``within``: optional horizon in MICROSECONDS — step k counts only if
+    it occurs ≤ ``within`` µs after the matched step k−1 (the first step
+    is unconstrained).  Greedy with a time window: a too-late step k is
+    skipped and the funnel waits at k−1 for a later in-horizon
+    occurrence.  The fold state becomes (depth, last-step time) — still
+    all-integer, still one ``aggregate``."""
     from map_reduce_folds_spark.timeutil import epoch_us
 
     if len(set(steps)) != len(steps):
@@ -424,9 +441,26 @@ def funnel_depth(
         epoch_us(F.col(ts_col)).alias("t"), tb.alias("b"),
         idx.cast("int").alias("i"),
     )
-    seq = F.transform(F.array_sort(F.collect_list(ev)), lambda s: s["i"])
-    depth = F.aggregate(
-        seq, F.lit(0),
-        lambda acc, i: F.when(i == acc + 1, acc + 1).otherwise(acc),
+    arr = F.array_sort(F.collect_list(ev))
+    if within is None:
+        depth = F.aggregate(
+            F.transform(arr, lambda s: s["i"]), F.lit(0),
+            lambda acc, i: F.when(i == acc + 1, acc + 1).otherwise(acc),
+        )
+    else:
+        zero = F.struct(F.lit(0).cast("int").alias("d"),
+                        F.lit(0).cast("bigint").alias("t"))
+        advance = lambda acc, s: F.when(  # noqa: E731
+            (s["i"] == acc["d"] + 1)
+            & ((acc["d"] == 0) | (s["t"] - acc["t"] <= F.lit(int(within)))),
+            F.struct((acc["d"] + 1).alias("d"), s["t"].alias("t")),
+        ).otherwise(acc)
+        depth = F.aggregate(arr, zero, advance)["d"]
+    depths = (
+        df.where(F.col(event_col).isin(steps))
+        .groupBy(user_col).agg(depth.cast("int").alias("depth"))
     )
-    return df.groupBy(user_col).agg(depth.cast("int").alias("depth"))
+    users = df.select(user_col).distinct()
+    return _join_null_safe(users, depths, [user_col], "left").select(
+        user_col, F.coalesce(F.col("depth"), F.lit(0)).cast("int")
+        .alias("depth"))

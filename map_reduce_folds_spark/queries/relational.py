@@ -2117,6 +2117,55 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "funnel_conversion_within",
+    oracle=f"""
+    WITH se AS (
+        SELECT user_id,
+               {{'t': epoch_us(ts), 'b': event_id,
+                 'i': CASE WHEN event_type = 'view' THEN 1
+                           WHEN event_type = 'click' THEN 2
+                           ELSE 3 END}} AS s
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    pu AS (
+        SELECT user_id,
+               (list_reduce(
+                   list_prepend({{'d': 0, 't': CAST(0 AS BIGINT)}},
+                       list_transform(list_sort(list(s)),
+                                      x -> {{'d': x.i, 't': x.t}})),
+                   (acc, x) -> CASE WHEN x.d = acc.d + 1
+                                    AND (acc.d = 0
+                                         OR x.t - acc.t <= {_DAY_US})
+                               THEN {{'d': acc.d + 1, 't': x.t}}
+                               ELSE acc END)).d AS depth
+        FROM se GROUP BY user_id
+    ),
+    allu AS (SELECT DISTINCT user_id FROM events)
+    SELECT CAST(COALESCE(pu.depth, 0) AS INT) AS depth,
+           COUNT(*) AS n_users
+    FROM allu LEFT JOIN pu USING (user_id)
+    GROUP BY 1
+    """,
+)
+def funnel_conversion_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel (the standard product-analytics
+    ask): view → click → purchase where each step must land within 24
+    HOURS of the matched previous step (first step unconstrained) —
+    operators/windows.funnel_depth(within=).  The fold state is a
+    (depth, last-step-time) integer pair over the steps-only sorted
+    array; the oracle's list_reduce mirrors it term-for-term, including
+    the distinct-user depth-0 restore."""
+    e = load_table(spark, sf_dir, "events")
+    d = W.funnel_depth(e, "user_id", "ts", "event_type",
+                       ["view", "click", "purchase"],
+                       tiebreak_col="event_id", within=_DAY_US)
+    return d.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 

@@ -299,7 +299,10 @@ def test_scale_audit_flags_each_smell(spark):
     ("bloom_pruned_join", None),
     ("pagerank_event_types", None),
     ("pagerank_weighted", None),
-    ("funnel_conversion", 2),      # per-user fold + depth histogram
+    ("funnel_conversion", 3),      # steps-only fold + distinct-user
+                                   # restore + depth histogram (r7: the
+                                   # hot-user fix trades one extra
+                                   # user-key shuffle for a bounded array)
     ("cohort_retention", None),
     ("negative_samples_docs", None),
 ])

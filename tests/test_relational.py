@@ -677,6 +677,79 @@ def test_funnel_depth_greedy_in_order(spark):
     assert got == {1: 3, 2: 2, 3: 0, 4: 1}
 
 
+def test_funnel_depth_collects_step_events_only(spark):
+    """Hot-user discipline (r6 verdict #1): the per-user array is built
+    from FUNNEL-STEP events only — a user whose stream is >50% non-step
+    spam gets the same depth as without the spam (i=0 entries never
+    advance the fold), and the isin(steps) filter reaches the parquet
+    scan (plan pin)."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators import windows as W
+    from map_reduce_folds_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    steps = ["view", "click", "purchase"]
+    base = [(1, datetime(2025, 1, 1, 0, 0, s), et, s)
+            for s, et in [(1, "view"), (3, "click"), (5, "purchase")]]
+    spam = [(1, datetime(2025, 1, 1, 0, 1, s % 60), "heartbeat", 100 + s)
+            for s in range(200)]  # 200 spam vs 3 step events
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    clean = spark.createDataFrame(base, schema)
+    noisy = spark.createDataFrame(base + spam, schema)
+    d_clean = {r["user_id"]: r["depth"] for r in W.funnel_depth(
+        clean, "user_id", "ts", "event_type", steps, "event_id").collect()}
+    d_noisy = {r["user_id"]: r["depth"] for r in W.funnel_depth(
+        noisy, "user_id", "ts", "event_type", steps, "event_id").collect()}
+    assert d_clean == d_noisy == {1: 3}
+
+    e = load_table(spark, SF_DIR, "events")
+    plan = W.funnel_depth(
+        e, "user_id", "ts", "event_type", steps, "event_id",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_funnel_depth_within_horizon(spark):
+    """Time-bounded funnel: step k counts only within `within` µs of the
+    matched step k-1; the first step is unconstrained; a too-late step is
+    skipped and a later in-horizon occurrence still advances."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators import windows as W
+
+    def ev(uid, sec, et, eid):
+        return (uid, datetime(2025, 1, 1, sec // 3600, (sec // 60) % 60,
+                              sec % 60), et, eid)
+
+    rows = [
+        # user 1: click 100s after view -> skipped at within=10s -> depth 1
+        ev(1, 0, "view", 1), ev(1, 100, "click", 2), ev(1, 101, "purchase", 3),
+        # user 2: fully inside the horizon -> 3
+        ev(2, 0, "view", 4), ev(2, 5, "click", 5), ev(2, 8, "purchase", 6),
+        # user 3: first step arbitrarily late (unconstrained) -> 1
+        ev(3, 3000, "view", 7),
+        # user 4: late click skipped, later click in-horizon of nothing...
+        # purchase 9s after matched click -> 3 at within=20s (tested below)
+        ev(4, 0, "view", 8), ev(4, 15, "click", 9), ev(4, 24, "purchase", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    steps = ["view", "click", "purchase"]
+    got10 = {r["user_id"]: r["depth"] for r in W.funnel_depth(
+        df, "user_id", "ts", "event_type", steps, "event_id",
+        within=10_000_000).collect()}
+    assert got10 == {1: 1, 2: 3, 3: 1, 4: 1}
+    got20 = {r["user_id"]: r["depth"] for r in W.funnel_depth(
+        df, "user_id", "ts", "event_type", steps, "event_id",
+        within=20_000_000).collect()}
+    assert got20 == {1: 1, 2: 3, 3: 1, 4: 3}
+    # no horizon == within=infinity
+    got_inf = {r["user_id"]: r["depth"] for r in W.funnel_depth(
+        df, "user_id", "ts", "event_type", steps, "event_id").collect()}
+    assert got_inf == {1: 3, 2: 3, 3: 1, 4: 3}
+
+
 def test_funnel_depth_partitioning_invariant(spark):
     """The sorted-array fold gives identical depths regardless of input
     partitioning (arrival order never matters)."""
