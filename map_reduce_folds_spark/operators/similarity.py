@@ -497,11 +497,25 @@ def blocked_matmul_topk(
     per query, so the shuffle carries ≈ #batches·|Q|·k candidate rows —
     never the full |Q|×N score matrix.  A global per-query top-k finishes.
 
+    A query side LARGER than ``max_queries`` RAISES (no-silent-caps
+    discipline, SCALE.md): the broadcast block is the operator's whole
+    scale contract, so answering only the first 4,096 of 5,000 queries
+    would be a silently partial result.  For large query sets use
+    :func:`srp_lsh_topk` / :func:`ivf_topk` (bucketed, no driver block)
+    or raise ``max_queries`` to what driver/executor memory affords.
+
     Bitwise parity with the SQL oracle: scores accumulate per-dimension in
     index order (left fold), identical to :func:`cosine_sql`'s chains."""
     import numpy as np
 
-    qrows = queries.select(id_col, vec_col).orderBy(id_col).limit(max_queries).collect()
+    qrows = (queries.select(id_col, vec_col)
+             .orderBy(id_col).limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"blocked_matmul_topk: query side exceeds max_queries="
+            f"{max_queries} — a truncated broadcast block would silently "
+            "answer only a prefix of the queries; use srp_lsh_topk/"
+            "ivf_topk for large query sets or raise max_queries")
     q_ids = np.array([r[0] for r in qrows])
     q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     nq = np.zeros(len(qrows))

@@ -610,6 +610,20 @@ def test_blocked_matmul_equals_bruteforce(emb):
     assert all(bf[p] == bl[p] for p in bf)
 
 
+def test_blocked_matmul_rejects_oversized_query_set(emb):
+    """No silent caps (r6 verdict #2): a query side larger than
+    max_queries raises instead of answering only the first block."""
+    import pytest
+
+    with pytest.raises(ValueError, match="max_queries"):
+        S.blocked_matmul_topk(emb.filter("vec_id < 8"), emb, k=3,
+                              max_queries=4)
+    # exactly max_queries is fine
+    out = S.blocked_matmul_topk(emb.filter("vec_id < 4"), emb, k=3,
+                                max_queries=4)
+    assert out.select("query_id").distinct().count() == 4
+
+
 def test_sketch_accuracy(spark):
     from map_reduce_folds_spark.queries import QUERIES
 
