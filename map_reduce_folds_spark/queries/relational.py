@@ -2147,7 +2147,8 @@ _DAY_US = 24 * 3600 * 1_000_000
     allu AS (SELECT DISTINCT user_id FROM events)
     SELECT CAST(COALESCE(pu.depth, 0) AS INT) AS depth,
            COUNT(*) AS n_users
-    FROM allu LEFT JOIN pu USING (user_id)
+    FROM allu LEFT JOIN pu
+      ON allu.user_id IS NOT DISTINCT FROM pu.user_id
     GROUP BY 1
     """,
 )
@@ -2236,7 +2237,7 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_type AS mode, n AS mode_count FROM (
         SELECT user_id, event_type, COUNT(*) AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
     )
     QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY n DESC, event_type) = 1

@@ -1099,8 +1099,11 @@ def test_winsorize_range_discipline(spark):
     from pyspark.sql import functions as F
 
     df = spark.range(100).select((F.col("id") + 2000.0).alias("v"))
-    with pytest.raises(ValueError, match="exceeds the declared"):
+    with pytest.raises(ValueError, match="outside the declared"):
         Q.winsorize(df, "v", lo=0.0, hi=1000.0)  # data entirely above hi
+
+    with pytest.raises(ValueError, match="BOTH lo and hi"):
+        Q.winsorize(df, "v", lo=0.0)  # half-declared range
 
     # auto-derived range: clamp band sits inside [min, max]
     w = Q.winsorize(df, "v", 0.05, 0.95, nbuckets=100)
@@ -1111,6 +1114,49 @@ def test_winsorize_range_discipline(spark):
     vals = {r[0] for r in
             Q.winsorize(const, "v").select("v_winsorized").collect()}
     assert vals == {7.0}
+
+
+def test_winsorize_outlier_refinement(spark):
+    """A single extreme outlier used to stretch the default min/max range
+    so every histogram bucket was 15 625 wide and the quantile bounds
+    landed at bucket-0's midpoint (~7 813) — clamping the ENTIRE bulk
+    upward (r7 ADVICE).  Refinement re-histograms the picked band, so
+    the bounds now land within a few units of the true quantiles."""
+    from map_reduce_folds_spark.operators import quality as Q
+    from pyspark.sql import functions as F
+
+    bulk = spark.range(1001).select(F.col("id").cast("double").alias("v"))
+    df = bulk.union(spark.createDataFrame([(1_000_000.0,)], ["v"]))
+    w = Q.winsorize(df, "v", 0.01, 0.99)  # default range + nbuckets=64
+    got = w.agg(F.min("v_winsorized").alias("lo"),
+                F.max("v_winsorized").alias("hi")).first()
+    # true q01 ~ 10, true q99 ~ 991; refined bucket width ~ 19
+    assert 0.0 <= got["lo"] <= 30.0
+    assert 960.0 <= got["hi"] <= 1010.0
+    mid = w.where("v = 500").select("v_winsorized").first()[0]
+    assert mid == 500.0
+
+
+def test_winsorize_clamp_escape_hatch(spark):
+    """An explicitly narrow range with out_of_range='clamp' keeps tight
+    quantiles over the bulk, folds the outlier into the edge bucket
+    (counted, warned), and the final clamp still bounds it."""
+    import warnings as _w
+
+    from map_reduce_folds_spark.operators import quality as Q
+    from pyspark.sql import functions as F
+
+    bulk = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    df = bulk.union(spark.createDataFrame([(1_000_000.0,)], ["v"]))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        w = Q.winsorize(df, "v", 0.01, 0.99, lo=0.0, hi=1000.0,
+                        nbuckets=100, out_of_range="clamp")
+        got = w.agg(F.min("v_winsorized").alias("lo"),
+                    F.max("v_winsorized").alias("hi")).first()
+    assert any("1 out-of-range" in str(r.message) for r in rec)
+    assert 0.0 <= got["lo"] <= 20.0
+    assert 975.0 <= got["hi"] <= 1000.0
 
 
 def test_kmv_pairwise_jaccard_relational(spark):
