@@ -119,10 +119,14 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 
+    # single-scan seed: min(self, neighbors) = least(u, min(v)) — NOT a
+    # two-branch union over sym.  A union's branches are separate stages
+    # that race to populate sym's cache on first materialization, so the
+    # expensive upstream pair lineage (LSH candidate + verify) could
+    # compute TWICE in the seed job; one groupBy scans it exactly once.
     labels = cut(
-        sym.select("u", F.col("v").alias("label"))
-        .union(sym.select("u", F.col("u").alias("label")))
-        .groupBy("u").agg(F.min("label").alias("label")),
+        sym.groupBy("u").agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("label")),
         0,
     )
     def label_sum(lb: DataFrame):
