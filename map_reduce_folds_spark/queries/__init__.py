@@ -62,12 +62,22 @@ _PRIORITY = [
     # embedding_quantize_int8 (int8 quantization family; TPC-H keeps
     # q1/q9/q17).  The displaced rows re-register immediately after the
     # window and stay in LOCAL_CORRECTNESS.
+    # Round 8 swaps, per the same displacement rule (r6 verdict Next #4 +
+    # the new table-ops family): sketch_union_hll enters (the
+    # HLL/CMS/KMV/quantiles sketch family's first in-window row) displacing
+    # data_quality_expectations (quality keeps data_quality_profile), and
+    # diff_orders_snapshots enters (NEW table-maintenance family: snapshot
+    # diff with an exact value-comparison oracle) displacing
+    # contamination_check (decontamination stays represented by
+    # tfidf_top_terms/pipeline_clean_corpus in-window and
+    # contamination_check/decontaminate_corpus hash-exact locally).  Both
+    # displaced rows re-register immediately past the window.
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_cc_clusters", "dedup_embedding", "sim_topk_bruteforce",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
-    "contamination_check",
+    "diff_orders_snapshots",
     "tfidf_top_terms", "deterministic_sample", "pipeline_clean_corpus",
-    "data_quality_profile", "data_quality_expectations",
+    "data_quality_profile", "sketch_union_hll",
     # Round-6 late swap: funnel_conversion (NEW ordered-event-analytics
     # family; greedy in-order step matching) displaces
     # dedup_multimodal_union — multimodal keeps multimodal_features
@@ -92,6 +102,7 @@ _PRIORITY = [
     "embedding_quantize_int8", "q7_volume_shipping",
     "q17_small_quantity_revenue",
     # first entries PAST the 50-window: the displaced green rows
+    "contamination_check", "data_quality_expectations",
     "mr_simple_unpack", "mr_ordered_collect", "dedup_simhash_pairs",
     "mr_task2_sparse", "sim_topk_lsh", "sim_topk_ivf",
     "dedup_multimodal_union",

@@ -2300,3 +2300,115 @@ def funnel_step_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.n_reached").cast("double") / F.col("b.n_reached"))
             .alias("rate_from_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-maintenance ops with exact oracles (r6 verdict Next #7): the snapshot
+# diff and the CDC upsert are relational at heart — only compaction/Z-order
+# stay unit-tested (pure filesystem-layout effects no SQL mirror can see).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "diff_orders_snapshots",
+    oracle="""
+    WITH a AS (SELECT * FROM orders WHERE o_orderkey % 101 != 0),
+    b AS (
+        SELECT * REPLACE (CASE WHEN o_orderkey % 89 = 0
+                               THEN o_totalprice + 1.0
+                               ELSE o_totalprice END AS o_totalprice)
+        FROM orders WHERE o_orderkey % 97 != 0
+    ),
+    cls AS (
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS diff
+        FROM a FULL OUTER JOIN b USING (o_orderkey)
+    )
+    SELECT COALESCE(SUM(CASE WHEN diff = 'added' THEN 1 END), 0) AS added,
+           COALESCE(SUM(CASE WHEN diff = 'removed' THEN 1 END), 0) AS removed,
+           COALESCE(SUM(CASE WHEN diff = 'changed' THEN 1 END), 0) AS changed,
+           COALESCE(SUM(CASE WHEN diff = 'unchanged' THEN 1 END), 0)
+               AS unchanged
+    FROM cls
+    """,
+)
+def diff_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two deterministic versions of ``orders``
+    (sources.diff_tables): version A drops keys ≡0 mod 101, version B
+    drops keys ≡0 mod 97 and bumps o_totalprice on keys ≡0 mod 89 — so
+    the diff has all four classes.  One full-outer key join over
+    interleaved null-flag xxhash64 row hashes; the oracle classifies by
+    direct value comparison (only o_totalprice differs by construction),
+    which agrees with the hash classification absent an xxhash64
+    collision — and the fixture is fixed, so a pass is stable."""
+    from map_reduce_folds_spark.sources import diff_tables
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderkey") % 101 != 0)
+    b = o.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")))
+    return diff_tables(a, b, ["o_orderkey"])
+
+
+@query(
+    "cdc_upsert_orders",
+    oracle="""
+    WITH upd_keys AS (
+        SELECT o_orderkey FROM orders
+        WHERE (o_orderkey % 50 = 0 AND o_orderkey % 101 != 0)
+           OR o_orderkey % 101 = 0
+    ),
+    kept AS (
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd_keys)
+    ),
+    applied AS (
+        SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) FROM orders
+        WHERE o_orderkey % 50 = 0 AND o_orderkey % 101 != 0
+        UNION ALL
+        SELECT * REPLACE (o_orderkey + 20000000 AS o_orderkey) FROM orders
+        WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (SELECT * FROM kept UNION ALL SELECT * FROM applied)
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY 1
+    """,
+)
+def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC apply (sources.merge_upsert): a deterministic batch
+    of replacements (keys ≡0 mod 50: price doubled), inserts (keys ≡0
+    mod 97 shifted past the key space), and deletes (keys ≡0 mod 101)
+    against the ``orders`` parquet, written to a fresh temp snapshot and
+    READ BACK for the aggregate — so the oracle checks the whole
+    write/read round trip, not just the merge plan.  The oracle mirrors
+    the merge relationally (anti-join + union).  Decimal-cast sum per
+    the numeric-stability policy."""
+    import tempfile
+
+    from map_reduce_folds_spark.sources import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    repl = o.where((k % 50 == 0) & (k % 101 != 0)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2)
+    ins = o.where(k % 97 == 0).withColumn("o_orderkey", k + 20000000)
+    dels = o.where(k % 101 == 0)
+    updates = (
+        repl.withColumn("_del", F.lit(False))
+        .unionByName(ins.withColumn("_del", F.lit(False)))
+        .unionByName(dels.withColumn("_del", F.lit(True)))
+    )
+    dst = tempfile.mkdtemp(prefix="cdc_upsert_orders_")
+    merge_upsert(spark, f"{sf_dir}/orders.parquet", updates,
+                 ["o_orderkey"], dst, delete_col="_del")
+    merged = spark.read.parquet(dst)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
