@@ -1,0 +1,190 @@
+"""Distributed BPE merge learning — tokenizer training as a Spark plan.
+
+Byte-Pair Encoding vocabulary induction (Sennrich, Haddow & Birch, "Neural
+Machine Translation of Rare Words with Subword Units", ACL 2016 — public
+literature): repeatedly count adjacent symbol pairs over the word
+vocabulary (weighted by word frequency) and merge the most frequent pair,
+producing the ordered merge list a tokenizer replays at encode time.
+
+Reference analog: none (the reference's fold algebra has no iterative
+vocabulary induction); this is north-star training-data surface — the
+"train the tokenizer on the corpus" step that precedes token counting.
+
+100 TB shape: the CORPUS is scanned exactly once (the word-count
+aggregation — map-side-combinable); every merge round then operates on
+the distinct-word VOCABULARY (millions of rows at web scale, not
+billions), with one map-side-combinable pair count + a ONE-ROW argmax
+collect per round (the bounded-scalar idiom) + a scan-shaped symbol-array
+rewrite.  Per-round ``localCheckpoint`` cuts keep the plan flat across
+iterations, exactly like ``graph.connected_components``.
+
+Determinism: the argmax pair tie-breaks (count DESC, left ASC, right ASC)
+and the merge fold is greedy left-to-right — so the merge list is a pure
+function of the corpus, identical on any engine, partitioning, or cluster
+size, and the whole induction carries an exact unrolled SQL mirror
+(:func:`bpe_merges_sql`), the same discipline as ``graph.pagerank_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars(col: Column) -> Column:
+    """Character array of a string — explicit substring transform (NOT
+    ``split(col, '')``, whose empty-pattern behavior differs across
+    engines); character-indexed, so unicode-safe in both Spark and
+    DuckDB."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.substring(col, i, 1),
+    )
+
+
+def _merge_pair(syms: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right merge of every non-overlapping (left, right)
+    adjacency in a symbol array — one Catalyst ``aggregate`` fold with a
+    (emitted, pending) state: ``a a a`` under pair (a, a) becomes
+    ``[aa, a]``, and a freshly merged symbol never re-pairs within the
+    same round (classic BPE single-pass semantics)."""
+    merged = F.concat(left, right)
+    zero = F.struct(
+        F.array().cast("array<string>").alias("o"),
+        F.lit(None).cast("string").alias("p"),
+    )
+    step = lambda acc, x: (  # noqa: E731
+        F.when(acc["p"].isNull(),
+               F.struct(acc["o"].alias("o"), x.alias("p")))
+        .when((acc["p"] == left) & (x == right),
+              F.struct(F.concat(acc["o"], F.array(merged)).alias("o"),
+                       F.lit(None).cast("string").alias("p")))
+        .otherwise(F.struct(F.concat(acc["o"], F.array(acc["p"])).alias("o"),
+                            x.alias("p")))
+    )
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["p"].isNull(), acc["o"]
+    ).otherwise(F.concat(acc["o"], F.array(acc["p"])))
+    return F.aggregate(syms, zero, step, fin)
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    token_split: str = " ",
+) -> list[tuple[str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges from a corpus: returns the
+    ordered list ``[(left, right, pair_count), …]`` (rank = position).
+    Stops early if no adjacent pair remains (fully merged vocabulary).
+
+    ``token_split``: the word delimiter (single-space for this engine's
+    canonical tokenization, ``text.tokenize``).  Words shorter than two
+    characters never contribute pairs but stay in the vocabulary.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"bpe_learn_merges: n_merges must be > 0, "
+                         f"got {n_merges}")
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), token_split))
+                  .alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .select(_chars(F.col("w")).alias("syms"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                F.explode(F.arrays_zip(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("l"),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("r"),
+                )).alias("pr"),
+                "freq",
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        if not best:
+            break
+        bl, br, bn = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((bl, br, bn))
+        words = words.select(
+            _merge_pair(F.col("syms"), F.lit(bl), F.lit(br)).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_merges_sql(n_merges: int, src: str = "documents",
+                   text_col: str = "text") -> str:
+    """Unrolled DuckDB mirror of :func:`bpe_learn_merges`: ``n_merges``
+    chained CTE rounds, each with the same pair count, the same
+    (count DESC, left, right) argmax scalar, and the same greedy
+    left-to-right list_reduce merge fold — emitting one row per merge
+    ``(rank, left, right, n)``.  The list_reduce state rides the element
+    type (each symbol pre-wrapped as ``{'o': [], 'p': sym}``, zero
+    prepended), DuckDB's init-less fold convention."""
+    def pairs_cte(w: str) -> str:
+        return f"""(
+        SELECT pr[1] AS l, pr[2] AS r, SUM(freq) AS n
+        FROM (SELECT unnest(list_zip(syms[1:len(syms)-1],
+                                     syms[2:len(syms)])) AS pr, freq
+              FROM {w} WHERE len(syms) >= 2)
+        GROUP BY 1, 2)"""
+
+    def best_cte(p: str) -> str:
+        return f"""(
+        SELECT l, r, n FROM {p} ORDER BY n DESC, l, r LIMIT 1)"""
+
+    def merge_cte(w: str, b: str) -> str:
+        # the argmax pair rides a one-row cross join (bl/br/bm columns):
+        # DuckDB forbids subqueries INSIDE lambdas, but lambdas may
+        # capture the current row's columns.  The accumulator's emitted
+        # side is a chr(2)-joined STRING, not a list — DuckDB's
+        # list_reduce mangles list-typed fields inside struct
+        # accumulators (observed: the carried list collapses each step),
+        # while scalar-struct state folds correctly (the funnel-oracle
+        # discipline).  chr(2) therefore must not occur inside a symbol —
+        # true for any text corpus this mirror oracle-checks.
+        fold = """list_reduce(
+            list_prepend({'o': '', 'p': CAST(NULL AS VARCHAR)},
+                         list_transform(syms, x -> {'o': '', 'p': x})),
+            (acc, e) -> CASE
+                WHEN acc.p IS NULL THEN {'o': acc.o, 'p': e.p}
+                WHEN acc.p = bl AND e.p = br
+                THEN {'o': CASE WHEN acc.o = '' THEN bm
+                                ELSE acc.o || chr(2) || bm END,
+                      'p': CAST(NULL AS VARCHAR)}
+                ELSE {'o': CASE WHEN acc.o = '' THEN acc.p
+                                ELSE acc.o || chr(2) || acc.p END,
+                      'p': e.p} END)"""
+        return f"""(
+        SELECT string_split(
+                   CASE WHEN ww.p IS NULL THEN ww.o
+                        WHEN ww.o = '' THEN ww.p
+                        ELSE ww.o || chr(2) || ww.p END, chr(2)) AS syms,
+               freq
+        FROM (SELECT {fold} AS ww, freq
+              FROM {w} CROSS JOIN (SELECT l AS bl, r AS br, l || r AS bm
+                                   FROM {b})))"""
+
+    ctes = [f"""w0 AS (
+        SELECT list_transform(generate_series(1, length(w)),
+                              i -> w[i:i]) AS syms,
+               COUNT(*) AS freq
+        FROM (SELECT unnest(string_split({text_col}, ' ')) AS w FROM {src})
+        WHERE length(w) > 0
+        GROUP BY w)"""]
+    sel = []
+    for i in range(1, n_merges + 1):
+        ctes.append(f"p{i} AS {pairs_cte(f'w{i - 1}')}")
+        ctes.append(f"b{i} AS {best_cte(f'p{i}')}")
+        if i < n_merges:
+            ctes.append(f"w{i} AS {merge_cte(f'w{i - 1}', f'b{i}')}")
+        sel.append(f"SELECT {i} AS rank, l AS lhs, r AS rhs, "
+                   f"CAST(n AS BIGINT) AS n FROM b{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)

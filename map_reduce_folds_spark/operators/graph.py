@@ -520,3 +520,54 @@ def triangle_count_sql(edges_sql: str) -> str:
     JOIN canon e2 ON e1.v = e2.u
     JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
     """
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Minimum hop distance from any of ``seeds`` to every node reachable
+    within ``max_hops`` over the UNDIRECTED graph of ``edges`` — the
+    k-hop neighborhood / shortest-path-length query (contamination blast
+    radius, link-spam neighborhoods, "how close is this doc to a known
+    cluster").
+
+    Level-synchronous BFS: the frontier (nodes first reached at hop h)
+    joins the symmetrized edge relation once per level, anti-joined
+    against the visited set — each round shuffles |frontier ⋈ edges|
+    rows, never the whole graph; converged components stop contributing
+    as soon as their frontier empties (the loop exits early on an empty
+    frontier — one tiny count per level, the same bounded driver traffic
+    as ``connected_components``' fixpoint aggregate).  Per-level
+    ``localCheckpoint`` cuts keep the plan flat, as in CC.
+
+    Output: ``(node, hops)`` with ``hops`` 0 for the seeds themselves.
+    Deterministic: hop distance is a well-defined graph property — no
+    tie-break needed."""
+    spark = edges.sparkSession
+    sym = symmetric_edges(edges, src, dst).persist()
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seeds], [src]
+    ).select(F.col(src).cast("bigint").alias("node")).distinct()
+    visited = seed_df.withColumn("hops", F.lit(0).cast("int")) \
+        .localCheckpoint(eager=True)
+    frontier = visited
+    try:
+        for h in range(1, max_hops + 1):
+            nxt = (
+                sym.join(frontier.select(F.col("node").alias("u")), "u")
+                .select(F.col("v").alias("node")).distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(h).cast("int"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited
+    finally:
+        sym.unpersist()

@@ -417,3 +417,43 @@ def negative_samples_sql(id_expr: str, src: str, k: int,
            n2.id AS neg_id
     FROM wanted w JOIN pos n2 ON n2.pos = w.np
     """
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    salt: str = "pack",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign every row to a training SHARD by packing the deterministic
+    corpus shuffle into fixed token budgets: rows are laid out in
+    :func:`deterministic_shuffle` order and row r lands in shard
+    ``floor(tokens_before_r / budget)`` — the "pack documents into ~N-token
+    training files" step of a pretraining data pipeline, with no RNG
+    state and the same assignment on every engine and cluster size.
+
+    Start-offset packing: a row whose tokens straddle a budget boundary
+    belongs to the shard where its FIRST token falls, so shards overflow
+    by at most one document (the standard approximation; exact bin
+    packing is NP-hard and order-destroying).  ``token_col`` must be
+    integral and non-negative.
+
+    Plan shape: the running total is :func:`windows.ordered_prefix_sum`
+    — the bucketed distributed prefix decomposition, never a single-task
+    global ``ORDER BY`` window; the shuffle positions come from the same
+    hash-order machinery as :func:`deterministic_shuffle`.  Output: the
+    input rows plus ``(pos, shard_col)``."""
+    from map_reduce_folds_spark.operators.windows import ordered_prefix_sum
+
+    if budget <= 0:
+        raise ValueError(f"pack_by_token_budget: budget must be > 0, "
+                         f"got {budget}")
+    shuffled = deterministic_shuffle(df, id_col, salt=salt)
+    packed = ordered_prefix_sum(shuffled, "pos", token_col,
+                                out_col="__cum_before")
+    return packed.withColumn(
+        shard_col,
+        (F.col("__cum_before") / F.lit(int(budget))).cast("bigint"),
+    ).drop("__cum_before")

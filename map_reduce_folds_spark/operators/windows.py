@@ -464,3 +464,108 @@ def funnel_depth(
     return _join_null_safe(users, depths, [user_col], "left").select(
         user_col, F.coalesce(F.col("depth"), F.lit(0)).cast("int")
         .alias("depth"))
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change log: collapse
+    each key's time-ordered stream into RUNS of equal ``value_col`` and
+    emit one row per run with its validity range — the standard
+    dimension-history table (``valid_to`` is NULL for the current run).
+
+    Reference analog: none (the reference's fold algebra has no temporal
+    dimension ops); this is north-star warehouse surface.
+
+    Plan shape: change detection is one ``lag`` + running ``sum`` over
+    the per-key (ts, tiebreak) window — a single shuffle on ``key``,
+    never a global order (the ``sessionize`` discipline); runs then
+    aggregate map-side-combinably and ``valid_to`` is a per-key ``lead``
+    over the run table (tiny: one row per CHANGE, not per event).  At
+    100 TB the run table is bounded by the number of value changes — the
+    compression IS the operator.
+
+    NULL values participate: a run of NULLs is a run (null-safe change
+    compare), matching warehouse semantics where "attribute unknown" is
+    itself a tracked state.  Output: ``(key, version, value, valid_from,
+    valid_to, n_events)`` with ``version`` numbered 1.. per key in time
+    order."""
+    tb = [F.col(tiebreak_col)] if tiebreak_col else []
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), *tb)
+    prev = F.lag(F.col(value_col)).over(w)
+    first = F.row_number().over(w) == 1
+    chg = (first | ~prev.eqNullSafe(F.col(value_col))).cast("int")
+    runs = (
+        df.withColumn("__v", F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(key, F.col("__v").alias("version"))
+        .agg(F.min(F.struct(F.col(ts_col), *tb)).getField(ts_col)
+             .alias("valid_from"),
+             # value is CONSTANT within a run by construction; min() is the
+             # deterministic (and SQL-mirrorable) way to read it out
+             F.min(value_col).alias(value_col),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    wv = Window.partitionBy(key).orderBy("version")
+    return runs.select(
+        key, F.col("version").cast("bigint").alias("version"), value_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )
+
+
+def resample_fill_forward(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int = 3_600_000_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-series resampling with forward fill: bucket events
+    into fixed ``bucket_us``-microsecond intervals, emit EVERY bucket
+    from the key's first to its last event, and carry the last observed
+    ``value_col`` across gap buckets — the gap-filling step before any
+    per-interval aggregation or as-of feature join.
+
+    Plan shape: one per-(key, bucket) aggregation picks the bucket's
+    LAST observation deterministically (max over (ts, tiebreak) structs
+    — the ``last_by`` fold); the dense grid is a per-key
+    ``sequence``/``explode`` (bounded by the key's time span over the
+    resolution — the inherent output size of resampling, NOT a join
+    explosion); the fill is ``last(ignorenulls)`` over the per-key
+    bucket window.  Two shuffles on ``key``, no global order.  Output:
+    ``(key, bucket, value, n_obs)`` where ``n_obs=0`` marks filled gap
+    rows and ``bucket`` is the epoch-microsecond bucket index."""
+    from ..timeutil import epoch_us
+
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    b = (epoch_us(F.col(ts_col)) / F.lit(int(bucket_us))).cast("bigint")
+    obs = (
+        df.groupBy(F.col(key).alias(key), b.alias("bucket"))
+        .agg(F.max(F.struct(epoch_us(F.col(ts_col)).alias("t"),
+                            tb.alias("b"),
+                            F.col(value_col).alias("v")))
+             .getField("v").alias("__obs"),
+             F.count(F.lit(1)).alias("n_obs"))
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select(key, F.explode(F.sequence(F.col("__lo"), F.col("__hi")))
+                .alias("bucket"))
+    )
+    wf = Window.partitionBy(key).orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(obs, [key, "bucket"], "left")
+        .select(key, "bucket",
+                F.last("__obs", ignorenulls=True).over(wf).alias(value_col),
+                F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+                .alias("n_obs"))
+    )

@@ -1892,3 +1892,201 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.weighted_sample_exact(
         d, "n_chars", 4, "doc_id", group_cols=["lang"],
     ).select("doc_id", "lang", F.col("n_chars").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: training-data packing, relative quality gating, and graph
+# neighborhood families.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_QUALITY_SQL = """
+    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) * 0.4
+      + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                    t -> length(t) <= 2)) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.2
+"""
+
+
+@query(
+    "pack_training_shards",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               {SM.deterministic_shuffle_sql('doc_id', 'pack')} AS pos
+        FROM d
+    ),
+    c AS (
+        SELECT n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) // {_PACK_BUDGET}
+                   AS shard_id
+        FROM s
+    )
+    SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the deterministically shuffled corpus into ~2048-token
+    training shards (operators/sampling.pack_by_token_budget):
+    start-offset packing over the distributed prefix sum — no RNG state,
+    no single-task global window (windows.ordered_prefix_sum's bucketed
+    decomposition), same shard assignment on every engine and cluster
+    size.  Returned as the per-shard manifest (n_docs, total_tokens) a
+    writer would consume."""
+    d = load_table(spark, sf_dir, "documents")
+    dd = d.select(
+        "doc_id", F.size(T.tokenize("text")).cast("bigint").alias("n_tokens"))
+    p = SM.pack_by_token_budget(dd, "doc_id", "n_tokens",
+                                budget=_PACK_BUDGET, salt="pack")
+    return p.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"))
+
+
+@query(
+    "quality_filter_relative",
+    oracle=f"""
+    WITH sc AS (
+        SELECT doc_id, lang, {_QUALITY_SQL} AS q FROM documents
+    ),
+    ranked AS (
+        SELECT lang, q,
+               COUNT(*) OVER (PARTITION BY lang) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id)
+                   AS rn
+        FROM sc
+    ),
+    med AS (
+        SELECT lang, q AS med_q FROM ranked
+        WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    )
+    SELECT sc.lang AS lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN sc.q >= med.med_q THEN 1 ELSE 0 END) AS n_kept,
+           MIN(med.med_q) AS med_q
+    FROM sc JOIN med ON sc.lang = med.lang
+    GROUP BY 1
+    """,
+)
+def quality_filter_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style RELATIVE quality gate: keep documents at or above
+    their language's median quality score — per-group percentile
+    filtering, not a global constant (a threshold tuned on English
+    silently guts low-resource languages).  The median is the exact
+    LOWER median via rank selection (the median_exact discipline —
+    deterministic under the (q, doc_id) total order, no interpolation
+    arithmetic to drift across engines); scores are the composite
+    text.quality_score expression.  Output: per-language doc count,
+    kept count, and the median threshold applied."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.select("doc_id", "lang", T.quality_score("text").alias("q"))
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = sc.select(
+        "lang", "q",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(w).alias("rn"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint")
+    ).select("lang", F.col("q").alias("med_q"))
+    return (
+        sc.join(med, "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum((F.col("q") >= F.col("med_q")).cast("bigint"))
+             .alias("n_kept"),
+             F.min("med_q").alias("med_q"))
+    )
+
+
+@query(
+    "khop_doc_neighborhood",
+    oracle=f"""
+    WITH RECURSIVE sg AS (
+        SELECT doc_id, {D.simhash_sql('text', 32)} AS sg FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sg, b.sg)) <= 3
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    seed AS (SELECT MIN(u) AS s FROM edges),
+    reach(node, d) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.d < 4
+    )
+    SELECT node AS doc_id, CAST(MIN(d) AS INT) AS hops
+    FROM reach GROUP BY 1
+    """,
+)
+def khop_doc_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hop BFS neighborhood of the lowest-id node in the SimHash
+    near-dup pair graph (operators/graph.bfs_hops) — the "contamination
+    blast radius" query: every document within k dedup-graph hops of a
+    flagged one, with its hop distance.  Level-synchronous frontier BFS
+    (per-level frontier ⋈ edges join + visited anti-join, early exit on
+    an empty frontier); the banded SimHash pair generation is
+    pigeonhole-exact for hamming ≤ 3 at 4 blocks, so the oracle's
+    brute-force pair graph is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
+                                     max_hamming=3, blocks=4)
+    seed = pairs.agg(
+        F.min(F.least(F.col("id_a"), F.col("id_b")))).first()[0]
+    hops = G2.bfs_hops(pairs, [int(seed)], "id_a", "id_b", max_hops=4)
+    return hops.select(F.col("node").alias("doc_id"),
+                       F.col("hops").cast("int").alias("hops"))
+
+
+_BPE_MERGES = 8
+
+
+@query(
+    "bpe_vocab_merges",
+    oracle=None,  # set below: generated unrolled-CTE mirror
+)
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus
+    (operators/bpe.bpe_learn_merges — Sennrich et al. 2016): the ordered
+    merge list a subword tokenizer replays at encode time.  The corpus
+    is scanned ONCE (word counts); each round is a map-side-combinable
+    pair count over the distinct-word vocabulary + a one-row argmax
+    collect + a scan-shaped greedy merge fold, per-round checkpoint
+    cuts — the pagerank-style iterative shape with a bounded driver
+    result.  The oracle is the same induction unrolled into chained
+    CTEs (operators/bpe.bpe_merges_sql), argmax tie-break and merge
+    fold mirrored term-for-term."""
+    from map_reduce_folds_spark.operators import bpe as BP
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = BP.bpe_learn_merges(d, "text", _BPE_MERGES)
+    rows = [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, n bigint")
+
+
+def _set_bpe_oracle():
+    from map_reduce_folds_spark.operators import bpe as BP
+    from map_reduce_folds_spark.queries.registry import ORACLES
+
+    ORACLES["bpe_vocab_merges"] = BP.bpe_merges_sql(_BPE_MERGES)
+
+
+_set_bpe_oracle()

@@ -2412,3 +2412,129 @@ def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(_dec("o_totalprice")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: temporal-dimension and entity-resolution families — SCD Type 2
+# history build, per-key time-series resampling with forward fill, blocked
+# record linkage.  Reference analog: none (no temporal/string-similarity ops
+# in Core.hs/Simple.hs); north-star warehouse + curation surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_user_event_history",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                    WHEN LAG(event_type) OVER w
+                         IS NOT DISTINCT FROM event_type THEN 0
+                    ELSE 1 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, ts, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM base
+    ),
+    g AS (
+        SELECT user_id, version, MIN(ts) AS valid_from,
+               MIN(event_type) AS event_type, COUNT(*) AS n_events
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           n_events
+    FROM g
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history from the event change log
+    (operators/windows.scd2_history): each user's stream collapses into
+    runs of equal event_type with [valid_from, valid_to) validity ranges
+    (NULL valid_to = current run).  Change detection and run numbering
+    are per-user windows (one shuffle, no global order); the run table —
+    one row per CHANGE — is what lead() walks for valid_to."""
+    e = load_table(spark, sf_dir, "events")
+    return W.scd2_history(e, "user_id", "ts", "event_type",
+                          tiebreak_col="event_id")
+
+
+@query(
+    "resample_user_hourly",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+               (max({'t': epoch_us(ts), 'b': event_id, 'v': event_type})).v
+                   AS obs_v,
+               COUNT(*) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+             FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+             FROM span),
+    j AS (
+        SELECT g.user_id, g.bucket, o.obs_v,
+               COALESCE(o.n_obs, 0) AS n_obs
+        FROM grid g LEFT JOIN obs o
+          ON o.user_id = g.user_id AND o.bucket = g.bucket
+    )
+    SELECT user_id, bucket,
+           last_value(obs_v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS event_type,
+           CAST(n_obs AS BIGINT) AS n_obs
+    FROM j
+    """,
+)
+def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user resampling with forward fill
+    (operators/windows.resample_fill_forward): every hour bucket from
+    each user's first to last event, the bucket's LAST event_type
+    carried across gap hours (n_obs=0 marks filled rows).  Bucket
+    last-pick is a deterministic max-by-(ts, event_id) struct fold; the
+    dense grid is a per-user sequence explode bounded by the user's
+    span; the fill is last(ignorenulls) over the per-user bucket
+    window."""
+    e = load_table(spark, sf_dir, "events")
+    return W.resample_fill_forward(e, "user_id", "ts", "event_type",
+                                   bucket_us=3_600_000_000,
+                                   tiebreak_col="event_id")
+
+
+@query(
+    "record_linkage_customers",
+    oracle="""
+    SELECT a.c_nationkey,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+           COUNT(*) AS n_pairs
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY 1, 2
+    """,
+)
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage over customer names
+    (operators/linkage.blocked_levenshtein_pairs): candidate pairs form
+    only WITHIN nation blocks (equi-join on the block key — never an
+    all-pairs cartesian, and oversized blocks refuse loudly via
+    block_cap), scored with exact Levenshtein distance ≤ 2.  Both
+    engines implement the standard unit-cost edit distance, so the
+    match histogram (nation, dist, n_pairs) is engine-exact."""
+    from map_reduce_folds_spark.operators import linkage as LK
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = LK.blocked_levenshtein_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey"], max_dist=2,
+        block_cap=100_000)
+    return pairs.groupBy("c_nationkey", "dist").agg(
+        F.count(F.lit(1)).alias("n_pairs"))

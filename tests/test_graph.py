@@ -467,3 +467,30 @@ def test_weighted_pagerank_close_to_multigraph(spark):
     assert m.keys() == w.keys()
     for u in m:
         assert abs(m[u] - w[u]) < 1e-8, u
+
+
+def test_bfs_hops_distances(spark):
+    """Hand graph: path 1-2-3-4-5 plus branch 2-6; seed at 1."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (8, 9)], ["src", "dst"])
+    got = {r["node"]: r["hops"]
+           for r in G.bfs_hops(edges, [1], max_hops=6).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 2}  # 8,9 unreachable
+
+    # max_hops truncates the frontier, not the closer nodes
+    got3 = {r["node"]: r["hops"]
+            for r in G.bfs_hops(edges, [1], max_hops=3).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 3, 6: 2}
+
+
+def test_bfs_hops_multi_seed(spark):
+    """Multiple seeds: distance is min over seeds; undirected edges."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"])
+    got = {r["node"]: r["hops"]
+           for r in G.bfs_hops(edges, [1, 5], max_hops=6).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}

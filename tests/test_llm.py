@@ -1179,3 +1179,116 @@ def test_kmv_pairwise_jaccard_relational(spark):
     assert abs(ab["est_intersection"] - 2000) / 2000 < 0.35
     assert rows[("A", "C")]["jaccard"] == 0.0
     assert rows[("B", "C")]["est_intersection"] == 0.0
+
+
+def test_pack_by_token_budget_invariants(spark):
+    """Shard ids are contiguous from 0; each shard's token total except
+    possibly the last exceeds budget only via its final straddling doc;
+    assignment is partitioning-invariant; budget must be positive."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).cast("bigint").alias("n_tok"))
+    p = SM.pack_by_token_budget(df, "doc_id", "n_tok", budget=100)
+    shards = (p.groupBy("shard_id")
+              .agg(F.sum("n_tok").alias("tot"), F.max("n_tok").alias("mx"))
+              .collect())
+    ids = sorted(r["shard_id"] for r in shards)
+    assert ids == list(range(len(ids)))
+    for r in shards:
+        if r["shard_id"] != ids[-1]:
+            # start-offset packing: a straddling doc's overflow counts
+            # toward its OWN shard, eating into the next one's budget —
+            # so totals sit within one max-doc of the budget either way
+            assert r["tot"] >= 100 - 37
+        assert r["tot"] < 100 + 37
+
+    # deterministic under repartition
+    a = {(r["doc_id"], r["shard_id"]) for r in p.collect()}
+    b = {(r["doc_id"], r["shard_id"])
+         for r in SM.pack_by_token_budget(
+             df.repartition(13), "doc_id", "n_tok", budget=100).collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="budget"):
+        SM.pack_by_token_budget(df, "doc_id", "n_tok", budget=0)
+
+
+def _py_bpe(texts, n_merges):
+    """Pure-Python BPE reference (Sennrich et al. 2016 greedy induction)."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, n))
+        for w, syms in words.items():
+            out, prev = [], None
+            for x in syms:
+                if prev is None:
+                    prev = x
+                elif prev == l and x == r:
+                    out.append(l + r)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            words[w] = out
+    return merges
+
+
+def test_bpe_matches_python_reference(spark):
+    """The distributed induction must equal the classic sequential
+    algorithm merge-for-merge — including the repeat-symbol greedy case
+    ('aaaa' under (a,a) → [aa, aa]) and count tie-breaks."""
+    from map_reduce_folds_spark.operators import bpe as B
+
+    texts = ["low lower lowest low low", "new newer newest new",
+             "wide wider widest", "low newer low",
+             "aaaa aaa banana bandana"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    assert B.bpe_learn_merges(df, "text", 10) == _py_bpe(texts, 10)
+
+
+def test_bpe_merges_sql_mirrors_spark(spark):
+    """The unrolled-CTE DuckDB mirror reproduces the Spark induction
+    exactly (rank, pair, count) on an ad-hoc corpus."""
+    import duckdb
+
+    from map_reduce_folds_spark.operators import bpe as B
+
+    texts = ["sing singing ringing ring", "bring bringing sing",
+             "aaa aa baa"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = B.bpe_learn_merges(df, "text", 5)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                ",".join(f"('{t}')" for t in texts) + ") t(text)")
+    duck = con.execute(B.bpe_merges_sql(5)).fetchall()
+    assert duck == [(i + 1, l, r, n) for i, (l, r, n) in enumerate(got)]
+
+
+def test_bpe_early_stop_and_guard(spark):
+    import pytest
+
+    from map_reduce_folds_spark.operators import bpe as B
+
+    df = spark.createDataFrame([("ab ab",)], ["text"])
+    # one possible merge, then the vocab is fully merged → early stop
+    assert B.bpe_learn_merges(df, "text", 5) == [("a", "b", 2)]
+    with pytest.raises(ValueError, match="n_merges"):
+        B.bpe_learn_merges(df, "text", 0)

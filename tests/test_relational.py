@@ -835,3 +835,86 @@ def test_funnel_step_rates_monotone(spark):
     assert rows[0]["rate_from_prev"] is None
     for r in rows[1:]:
         assert 0.0 < r["rate_from_prev"] <= 1.0
+
+
+def test_scd2_history_runs_and_ranges(spark):
+    """Runs collapse, validity ranges chain, NULL runs are tracked."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators import windows as W
+
+    def t(s):
+        return datetime(2024, 1, s)
+
+    rows = [
+        (1, t(1), 1, "a"), (1, t(2), 2, "a"), (1, t(3), 3, "b"),
+        (1, t(4), 4, None), (1, t(5), 5, None), (1, t(6), 6, "a"),
+        (2, t(1), 7, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+    out = W.scd2_history(df, "k", "ts", "v", tiebreak_col="eid")
+    got = {(r["k"], r["version"]): (r["v"], r["valid_from"], r["valid_to"],
+                                    r["n_events"])
+           for r in out.collect()}
+    assert got[(1, 1)] == ("a", t(1), t(3), 2)
+    assert got[(1, 2)] == ("b", t(3), t(4), 1)
+    assert got[(1, 3)] == (None, t(4), t(6), 2)   # NULL run is a run
+    assert got[(1, 4)] == ("a", t(6), None, 1)    # current run open-ended
+    assert got[(2, 1)] == ("x", t(1), None, 1)
+    # valid_to always equals the NEXT version's valid_from
+    for (k, ver), (_, _, vt, _) in got.items():
+        nxt = got.get((k, ver + 1))
+        assert (vt is None) == (nxt is None)
+        if nxt is not None:
+            assert vt == nxt[1]
+
+
+def test_resample_fill_forward_grid_and_fill(spark):
+    """Every bucket between first and last appears; gaps carry the last
+    observed value; within-bucket last is the (ts, tiebreak) max."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators import windows as W
+
+    H = datetime(2024, 1, 1, 0)
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 1, "a"),
+        (1, datetime(2024, 1, 1, 0, 50), 2, "b"),   # same hour, later → wins
+        (1, datetime(2024, 1, 1, 3, 10), 3, "c"),   # hours 1,2 are gaps
+        (2, datetime(2024, 1, 1, 5, 0), 4, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+    out = W.resample_fill_forward(df, "k", "ts", "v", tiebreak_col="eid")
+    got = {(r["k"], r["bucket"]): (r["v"], r["n_obs"]) for r in out.collect()}
+    base = int(H.timestamp() // 3600)
+    assert got[(1, base)] == ("b", 2)        # in-bucket last by (ts, eid)
+    assert got[(1, base + 1)] == ("b", 0)    # filled gap
+    assert got[(1, base + 2)] == ("b", 0)
+    assert got[(1, base + 3)] == ("c", 1)
+    assert (1, base + 4) not in got          # grid stops at last event
+    assert got[(2, base + 5)] == ("z", 1)
+    assert len(got) == 5
+
+
+def test_blocked_levenshtein_pairs_semantics(spark):
+    import pytest
+
+    from map_reduce_folds_spark.operators import linkage as LK
+
+    rows = [
+        (1, "smith", "b1"), (2, "smyth", "b1"), (3, "jones", "b1"),
+        (4, "smith", "b2"),           # other block: never pairs with 1/2
+        (5, None, "b1"),              # NULL string excluded
+        (6, "smithe", None),          # NULL block key excluded
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "blk"])
+    out = LK.blocked_levenshtein_pairs(df, "id", "name", ["blk"], max_dist=2,
+                                       block_cap=None)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 2): 1}    # smith~smyth within b1; jones is dist 4
+
+    with pytest.raises(ValueError, match="block_cols must be non-empty"):
+        LK.blocked_levenshtein_pairs(df, "id", "name", [], 2)
+    with pytest.raises(ValueError, match="block_cap"):
+        LK.blocked_levenshtein_pairs(df, "id", "name", ["blk"], 2,
+                                     block_cap=2)
