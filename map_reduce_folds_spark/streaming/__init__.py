@@ -594,3 +594,85 @@ def stream_hll_registers(
     reg, rank = hll_register(item_col, p)
     return stream.select(reg, rank).groupBy("reg").agg(
         F.max("rank").alias("rank"))
+
+
+def stream_funnel_depth(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+    within: int | None = None,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming conversion funnel: incrementally-maintained per-user
+    greedy in-order depth (the streaming twin of
+    ``windows.funnel_depth``, same strict-order semantics and the same
+    optional ``within=`` µs horizon).
+
+    State per user is TWO integers — (depth, last-matched-step time) —
+    regardless of how many events the user ever produces: the greedy
+    fold is associative-enough to run incrementally because a prefix's
+    result is exactly the fold state.  Non-step events are filtered
+    BEFORE the stateful operator (pushes into the source scan), the
+    steps-only discipline of the batch twin.
+
+    Events are folded in EVENT-TIME order within each micro-batch (the
+    batch's rows are sorted before stepping); late events that arrive in
+    a later micro-batch than a successor step are ignored by the greedy
+    state — the documented arrival-order caveat shared by
+    ``incremental_dedup`` (exactly-once per key, first-writer-wins).
+    For time-ordered replay (the property tests' shape) the result
+    equals the batch operator on the union of all batches."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..timeutil import epoch_us
+
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    idx = {s: i + 1 for i, s in enumerate(steps)}
+    key_field = next(f for f in stream.schema.fields
+                     if f.name == user_col)
+    out_schema = f"{key_field.name} {key_field.dataType.simpleString()}, " \
+                 "depth int"
+    horizon = None if within is None else int(within)
+
+    filtered = stream.where(F.col(event_col).isin(steps)).select(
+        F.col(user_col),
+        epoch_us(F.col(ts_col)).alias("__t"),
+        F.col(event_col).alias("__e"),
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd  # local import: runs on executors
+
+        if state.exists:
+            (st_json,) = state.get
+            depth, last_t = json.loads(st_json)
+        else:
+            depth, last_t = 0, 0
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["__t"], pdf["__e"]))
+        rows.sort()
+        for t, e in rows:
+            i = idx.get(e, 0)
+            if i == depth + 1 and (
+                horizon is None or depth == 0 or t - last_t <= horizon
+            ):
+                depth, last_t = depth + 1, int(t)
+        state.update((json.dumps([depth, last_t]),))
+        yield pd.DataFrame([{user_col: key[0], "depth": depth}])
+
+    return (
+        filtered.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="acc string",
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -648,3 +648,104 @@ def test_stream_hll_registers_match_batch(spark, events_batch, events_stream_pat
     n = events_batch.select("event_id").distinct().count()
     assert est_s == est_b
     assert abs(est_s - n) / n < 0.1
+
+
+def test_stream_funnel_matches_batch(spark, events_batch, tmp_path_factory):
+    """Update-mode streaming funnel: the LAST emitted depth per user over
+    a time-ordered replay equals the batch funnel — state is two ints
+    per user, arrival order within each micro-batch is handled by the
+    in-batch event-time sort."""
+    from map_reduce_folds_spark.operators import windows as W
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_funnel_depth,
+    )
+
+    p = str(tmp_path_factory.mktemp("events_funnel_stream"))
+    events_batch.write.mode("overwrite").parquet(p)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = read_parquet_stream(spark, p, schema)
+    out = stream_funnel_depth(stream, "user_id", "ts", "event_type",
+                              ["view", "click", "purchase"])
+    got_tbl = run_to_memory(out, "funnel_stream", timeout_s=120,
+                            output_mode="update")
+    got = {r["user_id"]: r["depth"] for r in got_tbl.collect()}
+
+    batch = W.funnel_depth(events_batch, "user_id", "ts", "event_type",
+                           ["view", "click", "purchase"],
+                           tiebreak_col="event_id")
+    # the streaming op only sees users WITH step events (steps-only
+    # filter); depth-0 restores are a batch-side join concern
+    want = {r["user_id"]: r["depth"] for r in batch.collect()
+            if r["depth"] > 0 or got.get(r["user_id"]) is not None}
+    for u, d in got.items():
+        assert want[u] == d
+
+
+def test_stream_funnel_state_carries_across_batches(spark, tmp_path_factory):
+    """Cross-batch state: early events in batch 1, the completing steps
+    in batch 2 — the final depth must reflect BOTH."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_funnel_depth,
+    )
+
+    p = str(tmp_path_factory.mktemp("funnel_two_phase"))
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    early = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0), 1, "view"),
+         (2, datetime(2024, 1, 1, 1), 1, "click"),
+         (3, datetime(2024, 1, 1, 0), 2, "view")], cols)
+    late = spark.createDataFrame(
+        [(4, datetime(2024, 1, 2, 0), 1, "purchase"),
+         (5, datetime(2024, 1, 2, 1), 2, "click")], cols)
+    # one file per phase: each phase is exactly one time-ordered
+    # micro-batch (multi-file phases replay in arbitrary file order)
+    early.coalesce(1).write.mode("overwrite").parquet(p)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    stream = read_parquet_stream(spark, p, schema)
+    out = stream_funnel_depth(stream, "user_id", "ts", "event_type",
+                              ["view", "click", "purchase"])
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("funnel_two_phase").start())
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("funnel_two_phase").collect()
+    last = {}
+    for r in rows:  # update mode: keep the LAST emission per user
+        last[r["user_id"]] = r["depth"]
+    assert last == {1: 3, 2: 2}
+
+
+def test_stream_funnel_within_horizon(spark, tmp_path_factory):
+    """within=: a step landing after the horizon does not advance the
+    streaming state (parity with the batch within= semantics)."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_funnel_depth,
+    )
+
+    p = str(tmp_path_factory.mktemp("funnel_within"))
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0), 1, "view"),
+         (2, datetime(2024, 1, 3, 0), 1, "click"),      # 48h later: too late
+         (3, datetime(2024, 1, 1, 0), 2, "view"),
+         (4, datetime(2024, 1, 1, 12), 2, "click")],    # 12h: in horizon
+        cols).write.mode("overwrite").parquet(p)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    stream = read_parquet_stream(spark, p, schema)
+    out = stream_funnel_depth(stream, "user_id", "ts", "event_type",
+                              ["view", "click", "purchase"],
+                              within=24 * 3600 * 1_000_000)
+    got_tbl = run_to_memory(out, "funnel_within", timeout_s=120,
+                            output_mode="update")
+    got = {r["user_id"]: r["depth"] for r in got_tbl.collect()}
+    assert got == {1: 1, 2: 2}
