@@ -2090,3 +2090,71 @@ def _set_bpe_oracle():
 
 
 _set_bpe_oracle()
+
+
+@query(
+    "bigram_pmi",
+    oracle="""
+    WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS c_ab
+        FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+              FROM tk WHERE len(t) >= 2)
+        GROUP BY 1, 2
+    ),
+    uni AS (SELECT u AS w, COUNT(*) AS c
+            FROM (SELECT unnest(t) AS u FROM tk) GROUP BY 1),
+    tot AS (SELECT SUM(len(t)) AS T, SUM(len(t) - 1) AS B FROM tk)
+    SELECT bg.a AS a, bg.b AS b, bg.c_ab AS c_ab,
+           round(ln(((CAST(bg.c_ab AS DOUBLE) * CAST(tot.T AS DOUBLE))
+                     * CAST(tot.T AS DOUBLE))
+                    / ((CAST(tot.B AS DOUBLE) * CAST(ua.c AS DOUBLE))
+                       * CAST(ub.c AS DOUBLE))), 9) AS pmi
+    FROM bg
+    JOIN uni ua ON ua.w = bg.a
+    JOIN uni ub ON ub.w = bg.b
+    CROSS JOIN tot
+    WHERE bg.c_ab >= 5
+    """,
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (Church &
+    Hanks 1990) — the classic word-association / collocation-mining
+    signal: PMI = ln(p(a,b) / (p(a)·p(b))) under the bigram and unigram
+    corpus distributions, support-thresholded at 5 occurrences.  One
+    token scan feeds both count relations (bigrams via the
+    slice-and-zip adjacency, no self-join on positions); corpus totals
+    ride a one-row broadcast cross join; the ln is over a single
+    fixed-parenthesization double ratio of exact integer counts,
+    9-decimal rounded — the unigram_logprob hash-exactness
+    discipline."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(F.split("text", " ").alias("t"))
+    bg = (
+        tk.where(F.size("t") >= 2)
+        .select(F.explode(F.arrays_zip(
+            F.slice(F.col("t"), 1, F.size("t") - 1).alias("a"),
+            F.slice(F.col("t"), 2, F.size("t") - 1).alias("b"),
+        )).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (tk.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    tot = tk.agg(F.sum(F.size("t")).alias("tot_t"),
+                 F.sum(F.size("t") - 1).alias("tot_b"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        bg.where(F.col("c_ab") >= 5)
+        .join(ua, "a").join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", "c_ab",
+            F.round(
+                F.log(((d_("c_ab") * d_("tot_t")) * d_("tot_t"))
+                      / ((d_("tot_b") * d_("ca")) * d_("cb"))), 9
+            ).alias("pmi"),
+        )
+    )

@@ -2538,3 +2538,68 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cap=100_000)
     return pairs.groupBy("c_nationkey", "dist").agg(
         F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "trend_per_user",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000
+                 - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)
+                   AS x,
+               CAST(round(value * 100) AS BIGINT) AS yi
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(x * x) AS sxx,
+               SUM(yi) AS sy, SUM(x * yi) AS sxy
+        FROM pts GROUP BY 1
+    )
+    SELECT user_id, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (100.0 * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 9)
+               AS slope
+    FROM s
+    WHERE n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    """,
+)
+def trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of the event value over time — the closed-form
+    least-squares slope from five map-side-combinable sums, no
+    iteration.  Times are per-user-ANCHORED epoch seconds (x − min x, a
+    partition-only window that shares the groupBy's hash partitioning —
+    no extra shuffle) so every sum stays an exact small integer
+    (value·100 is exact: the fixture carries 2-decimal values); the
+    slope is ONE double division of fixed-parenthesization products,
+    9-decimal rounded.  Degenerate users (single point, zero time
+    variance) are excluded rather than emitting NaN/Inf."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    sec = (epoch_us(F.col("ts")) / F.lit(1_000_000)).cast("bigint")
+    w = Window.partitionBy("user_id")
+    pts = e.select(
+        "user_id",
+        (sec - F.min(sec).over(w)).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yi"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("x") * F.col("yi")).alias("sxy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = d_("n") * d_("sxx") - d_("sx") * d_("sx")
+    num = d_("n") * d_("sxy") - d_("sx") * d_("sy")
+    return (
+        s.where((F.col("n") >= 2) & (den > 0))
+        .select("user_id", "n",
+                F.round(num / (F.lit(100.0) * den), 9).alias("slope"))
+    )
