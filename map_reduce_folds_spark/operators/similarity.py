@@ -1050,3 +1050,185 @@ def semantic_dedup(
     )
     return dedup_by_components(df, pairs.select("id_a", "id_b"), id_col,
                                **cc_kw)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public literature): split each
+# vector into m subvectors, k-means each subspace, store one byte-ish code
+# per subspace.  Same train-small/broadcast/scan-at-scale shape as PCA and
+# the IVF coarse quantizer; the asymmetric-distance (ADC) top-k reads ONLY
+# the m-byte codes, an 8x-32x byte cut on the scan that dominates ANN cost.
+# ---------------------------------------------------------------------------
+
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    sample_limit: int = 8192,
+    n_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on a DETERMINISTIC bounded sample (lowest ids —
+    the ``pca_fit`` convention): returns ``codebooks[m][k][dim/m]``.
+
+    Per-subspace Lloyd k-means with DETERMINISTIC seeding (the first
+    ``k`` sample vectors' subvectors — no RNG state, reproducible across
+    runs/engines) and a fixed iteration count; empty clusters keep their
+    previous centroid (standard fix, deterministic).  The model is tiny
+    (m·k·dim/m = dim·k floats); corpus-scale work is only the encode
+    scan."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim={dim} not divisible by m={m}")
+    sub = dim // m
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col)
+        .limit(sample_limit).collect()
+    )
+    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(f"pq_fit needs at least k={k} sample vectors")
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub:(s + 1) * sub]
+        cent = xs[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books.append([[float(v) for v in row] for row in cent])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-centroid subspace codes —
+    one vectorized Arrow stage (batch distance matmuls), scan-shaped,
+    zero shuffles at any corpus size.  Output: ``(id, out_col:
+    array<int>)`` — the m-byte representation ADC scoring reads."""
+    import numpy as np
+
+    B = np.asarray(codebooks, dtype=np.float64)     # (m, k, sub)
+    m, _k, sub = B.shape
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {out_col} array<int>"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+                d = -2.0 * (xs @ B[s].T) + (B[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                out_col: [list(map(int, row)) for row in codes],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    code_id: str = "vec_id",
+    code_col: str = "pq_code",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): each query
+    precomputes its m×k subspace distance table driver-side (tiny), the
+    corpus pass reads ONLY the m-int codes and sums m table lookups per
+    row — a pure scan over the compressed representation, batch-local
+    top-k per query, one final per-query reduction.  Raises when the
+    query side exceeds ``max_queries`` (the ``blocked_matmul_topk``
+    no-silent-caps discipline).  Output: ``(query_id, neighbor_id,
+    adc_dist)`` ascending by distance, deterministic (distance,
+    neighbor_id) tie-break."""
+    import numpy as np
+
+    B = np.asarray(codebooks, dtype=np.float64)     # (m, K, sub)
+    m, K, sub = B.shape
+    qrows = (queries.select(query_id, query_vec)
+             .orderBy(query_id).limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_queries={max_queries}; "
+            "loop over id-ordered blocks or raise the cap deliberately")
+    qids = np.array([r[0] for r in qrows])
+    qx = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    # distance tables: (nq, m, K)
+    tables = np.empty((len(qx), m, K), dtype=np.float64)
+    for s in range(m):
+        xs = qx[:, s * sub:(s + 1) * sub]           # (nq, sub)
+        d = ((xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+        tables[:, s, :] = d
+    id_type = dict(codes.dtypes)[code_id]
+
+    def gen(batches):
+        import heapq
+
+        import pandas as pd
+
+        best: list[list] = [[] for _ in range(len(qids))]  # max-heaps (neg)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64)
+                          for c in pdf[code_col]])          # (n, m)
+            ids = pdf[code_id].to_numpy()
+            # ADC: dist[q, n] = sum_s tables[q, s, C[n, s]] — m column
+            # gathers (m is small; the gather is the whole read path)
+            d = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for s in range(m):
+                d += tables[:, s, :][:, C[:, s]]
+            for qi in range(len(qids)):
+                h = best[qi]
+                for ni in range(len(ids)):
+                    item = (-float(d[qi, ni]), -int(ids[ni]))
+                    if len(h) < k:
+                        heapq.heappush(h, item)
+                    else:
+                        heapq.heappushpop(h, item)
+        out = []
+        for qi, h in enumerate(best):
+            for negd, negid in h:
+                out.append((qids[qi], -negid, -negd))
+        yield pd.DataFrame(out, columns=["__qid", "__nid", "adc_dist"])
+
+    # internal names: query and corpus commonly share an id column name,
+    # and a duplicate-named output schema is unresolvable downstream
+    part = codes.mapInPandas(
+        gen, schema=f"__qid {id_type}, __nid {id_type}, adc_dist double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("adc_dist"), F.col("__nid"))
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k).drop("__rn")
+        .select(F.col("__qid").alias("query_id"),
+                F.col("__nid").alias("neighbor_id"), "adc_dist")
+    )

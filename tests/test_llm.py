@@ -1292,3 +1292,63 @@ def test_bpe_early_stop_and_guard(spark):
     assert B.bpe_learn_merges(df, "text", 5) == [("a", "b", 2)]
     with pytest.raises(ValueError, match="n_merges"):
         B.bpe_learn_merges(df, "text", 0)
+
+
+def test_pq_roundtrip_and_recall(spark, emb):
+    """PQ fit/encode/ADC-top-k: codes in range, encode is deterministic,
+    and ADC top-k overlaps the exact L2 top-k well on the fixture
+    (compressed search is approximate by design)."""
+    import numpy as np
+
+    from map_reduce_folds_spark.operators import similarity as S
+
+    books = S.pq_fit(emb, dim=64, m=8, k=16)
+    assert np.asarray(books).shape == (8, 16, 8)
+
+    codes = S.pq_encode(emb, books)
+    rows = codes.collect()
+    assert all(len(r["pq_code"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["pq_code"])
+    again = {r["vec_id"]: r["pq_code"] for r in S.pq_encode(emb, books).collect()}
+    assert {r["vec_id"]: r["pq_code"] for r in rows} == again
+
+    q = emb.filter("vec_id < 5")
+    got = S.pq_topk(q, codes, books, k=10)
+    res = {}
+    for r in got.collect():
+        res.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(res) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 10 for v in res.values())
+
+    # exact L2 top-10 via numpy on the collected fixture (small here)
+    x = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in emb.collect()}
+    ids = sorted(x)
+    M = np.stack([x[i] for i in ids])
+    overlaps = []
+    for qid in range(5):
+        d = ((M - x[qid]) ** 2).sum(axis=1)
+        exact = {ids[i] for i in np.argsort(d, kind="stable")[:10]}
+        overlaps.append(len(exact & res[qid]) / 10)
+    assert sum(overlaps) / len(overlaps) >= 0.3, overlaps
+
+
+def test_pq_fit_guards(spark, emb):
+    import pytest
+
+    from map_reduce_folds_spark.operators import similarity as S
+
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_fit(emb, dim=64, m=7)
+    with pytest.raises(ValueError, match="max_queries"):
+        books = S.pq_fit(emb, dim=64, m=8, k=16, sample_limit=64)
+        codes = S.pq_encode(emb.limit(50), books)
+        S.pq_topk(emb, codes, books, k=5, max_queries=10)
+
+
+def test_pq_encode_zero_exchanges(spark, emb):
+    from map_reduce_folds_spark.operators import similarity as S
+    from map_reduce_folds_spark.plans import count_exchanges
+
+    books = S.pq_fit(emb, dim=64, m=8, k=16, sample_limit=256)
+    assert count_exchanges(S.pq_encode(emb, books)) == 0
