@@ -762,3 +762,127 @@ def dedup_lines_corpus(
             F.coalesce("new_text", F.lit("")).alias("new_text"),
         )
     )
+
+
+def simhash_near_dup_pairs_factored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """IDENTICAL pair set to :func:`simhash_near_dup_pairs` — candidate
+    generation over DISTINCT signatures instead of documents.
+
+    On duplicate-heavy / low-diversity corpora the doc-level block join
+    is quadratic in bucket occupancy: measured 110M candidate rows (OOM
+    at the default heap) on the 10× synthetic where the distinct-sig
+    join is 18.6M — docs sharing a signature land in the same buckets
+    and re-derive each other's candidates.  Hamming distance is a
+    function of the signature alone, so the doc pair set factors
+    exactly:
+
+    * SAME-SIG doc pairs are hamming-0 near-dups by definition — emitted
+      directly from one self-join on ``sig`` (their C(n,2) volume is the
+      required OUTPUT, not join overhead);
+    * CROSS-SIG doc pairs exist iff the signature pair passes the same
+      pigeonhole + verify — run over the distinct-signature relation and
+      expanded back through two sig joins.
+
+    Equality with the unfactored form is property-tested
+    (tests/test_llm.py)."""
+    s = simhash_rows(docs, id_col, text_col, bits).persist()
+    same = (
+        s.alias("a").join(s.alias("b"),
+                          (F.col("a.sig") == F.col("b.sig"))
+                          & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"))
+    )
+    dsig = s.select("sig").distinct().withColumn("__sid", F.col("sig"))
+    sig_pairs = _pigeonhole_sig_pairs(
+        dsig, "__sid", bits, max_hamming, blocks,
+    ).select(F.col("id_a").alias("sig_a"), F.col("id_b").alias("sig_b"),
+             "hamming")
+    cross = (
+        sig_pairs
+        .join(s.select(F.col("sig").alias("sig_a"),
+                       F.col(id_col).alias("__da")), "sig_a")
+        .join(s.select(F.col("sig").alias("sig_b"),
+                       F.col(id_col).alias("__db")), "sig_b")
+        .select(F.least(F.col("__da"), F.col("__db")).alias("id_a"),
+                F.greatest(F.col("__da"), F.col("__db")).alias("id_b"),
+                F.col("hamming").cast("int").alias("hamming"))
+    )
+    return same.unionByName(cross)
+
+
+def simhash_triangle_count_factored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Exact triangle count of the SimHash near-dup DOC graph computed
+    ARITHMETICALLY from the signature graph — one row
+    ``(n_triangles)``, equal to
+    ``graph.triangle_count(simhash_near_dup_pairs(...))`` but never
+    materializing the blown-up doc graph (whose near-clique wedge volume
+    is cubic in cluster size — the honest-cost note on
+    ``triangle_count``).
+
+    The doc graph is the signature graph with each signature node blown
+    up into an ``n_s``-clique (same-sig docs are hamming-0 pairs) and
+    each verified sig edge into a complete bipartite join, so its
+    triangles decompose exactly by signature multiset:
+
+    * {s,s,s}: C(n_s, 3) per signature;
+    * {s,s,t}, (s,t) a sig edge: C(n_s,2)·n_t + C(n_t,2)·n_s;
+    * {s,t,u} pairwise sig edges: n_s·n_t·n_u — sig-level triangles
+      enumerated by :func:`graph.triangle_list` over the (tiny)
+      distinct-signature graph.
+
+    Costs one sig-level pigeonhole join + one sig-level triangle
+    enumeration + three broadcast-sized group joins; the doc-level
+    C(n,2)/C(n,3) volumes become per-row arithmetic."""
+    from map_reduce_folds_spark.operators.graph import triangle_list
+
+    s = simhash_rows(docs, id_col, text_col, bits).persist()
+    grp = s.groupBy("sig").agg(F.count(F.lit(1)).alias("n")).persist()
+    # integer DIV keeps every term exact (n(n-1)(n-2) is divisible by 6;
+    # a double division would round past 2^53 and break oracle equality)
+    t1 = grp.agg(F.coalesce(F.sum(
+        F.expr("n * (n - 1) * (n - 2) DIV 6")
+    ), F.lit(0)).cast("bigint").alias("t"))
+    dsig = grp.select("sig").withColumn("__sid", F.col("sig"))
+    sig_pairs = _pigeonhole_sig_pairs(
+        dsig, "__sid", bits, max_hamming, blocks,
+    ).select(F.col("id_a").alias("sa"), F.col("id_b").alias("sb")).persist()
+    ga = grp.select(F.col("sig").alias("sa"), F.col("n").alias("na"))
+    gb = grp.select(F.col("sig").alias("sb"), F.col("n").alias("nb"))
+    t2 = (
+        sig_pairs.join(ga, "sa").join(gb, "sb")
+        .agg(F.coalesce(F.sum(
+            F.expr("(na * (na - 1) DIV 2) * nb + (nb * (nb - 1) DIV 2) * na")
+        ), F.lit(0)).cast("bigint").alias("t"))
+    )
+    tris = triangle_list(sig_pairs, "sa", "sb")
+    gx = grp.select(F.col("sig").alias("x"), F.col("n").alias("nx"))
+    gy = grp.select(F.col("sig").alias("y"), F.col("n").alias("ny"))
+    gz = grp.select(F.col("sig").alias("z"), F.col("n").alias("nz"))
+    t3 = (
+        tris.join(gx, "x").join(gy, "y").join(gz, "z")
+        .agg(F.coalesce(F.sum(F.col("nx") * F.col("ny") * F.col("nz")),
+                        F.lit(0)).cast("bigint").alias("t"))
+    )
+    total = (
+        t1.crossJoin(t2.withColumnRenamed("t", "t2"))
+        .crossJoin(t3.withColumnRenamed("t", "t3"))
+        .select((F.col("t") + F.col("t2") + F.col("t3"))
+                .cast("bigint").alias("n_triangles"))
+    )
+    return total

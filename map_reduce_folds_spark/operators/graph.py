@@ -571,3 +571,58 @@ def bfs_hops(
         return visited
     finally:
         sym.unpersist()
+
+
+def triangle_list(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Enumerate every triangle of the undirected simple graph as one row
+    ``(x, y, z)`` with ``x < y < z`` — the same degree-ordered-orientation
+    wedge machinery as :func:`triangle_count`, returning the triangles
+    themselves instead of their count (the building block
+    :func:`dedup.simhash_triangle_count_factored` weights by group
+    sizes)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("u").alias("x"))
+        .union(canon.select(F.col("v").alias("x")))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    )
+    withd = (
+        canon.join(deg.withColumnRenamed("x", "u")
+                      .withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v")
+                 .withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = withd.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"),
+              (F.col("e1.a") == F.col("e2.a"))
+              & (F.col("e1.b") < F.col("e2.b")))
+        .select(F.col("e1.a").alias("w"),
+                F.col("e1.b").alias("p"), F.col("e2.b").alias("q"))
+    )
+    tri = wedges.join(
+        canon.alias("e3"),
+        (F.least(F.col("p"), F.col("q")) == F.col("e3.u"))
+        & (F.greatest(F.col("p"), F.col("q")) == F.col("e3.v")),
+    ).select("w", "p", "q")
+    return tri.select(
+        F.least(F.col("w"), F.least(F.col("p"), F.col("q"))).alias("x"),
+        F.expr("array_sort(array(w, p, q))")[1].alias("y"),
+        F.greatest(F.col("w"), F.greatest(F.col("p"), F.col("q"))).alias("z"),
+    )

@@ -1645,13 +1645,17 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure of duplicate clusters (near-dup graphs on duplicate-heavy
     corpora are near-cliques; a LOW triangle density on a high pair count
     flags chains of borderline matches instead of true dup clusters).
-    Canonical-orientation two-join counting (operators/graph.
-    triangle_count), no cartesian; the oracle brute-forces the same pair
-    graph."""
+    Computed via the SIGNATURE-FACTORED decomposition
+    (operators/dedup.simhash_triangle_count_factored): the doc-level
+    block join was measured quadratic in bucket occupancy (110M candidate
+    rows, OOM at the default heap, on the 10× synthetic) while the
+    distinct-sig graph stays tiny and the clique volumes become per-row
+    arithmetic — property-proven equal to triangle_count over the
+    materialized doc pair graph.  The oracle brute-forces the doc-level
+    pair graph (identical count)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
-                                     max_hamming=3, blocks=4)
-    return G2.triangle_count(pairs, "id_a", "id_b")
+    return D.simhash_triangle_count_factored(d, "doc_id", "text", bits=32,
+                                             max_hamming=3, blocks=4)
 
 
 @query(

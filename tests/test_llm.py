@@ -1352,3 +1352,42 @@ def test_pq_encode_zero_exchanges(spark, emb):
 
     books = S.pq_fit(emb, dim=64, m=8, k=16, sample_limit=256)
     assert count_exchanges(S.pq_encode(emb, books)) == 0
+
+
+def test_simhash_factored_pairs_equal_doc_level(docs):
+    """The distinct-signature factored pair generation must yield EXACTLY
+    the doc-level pair set — ids and hamming distances."""
+    doc_level = {(r.id_a, r.id_b, r.hamming)
+                 for r in D.simhash_near_dup_pairs(
+                     docs, bits=32, max_hamming=3, blocks=4).collect()}
+    factored = {(r.id_a, r.id_b, r.hamming)
+                for r in D.simhash_near_dup_pairs_factored(
+                    docs, bits=32, max_hamming=3, blocks=4).collect()}
+    assert factored == doc_level
+    assert doc_level  # non-vacuous on the fixture
+
+
+def test_simhash_factored_triangles_equal_doc_level(spark, docs):
+    """The arithmetic signature-decomposition triangle count must equal
+    triangle_count over the materialized doc pair graph — on the fixture
+    AND on a hand graph with all three triangle classes."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    want = G.triangle_count(
+        D.simhash_near_dup_pairs(docs, bits=32, max_hamming=3, blocks=4),
+        "id_a", "id_b").first()["n_triangles"]
+    got = D.simhash_triangle_count_factored(
+        docs, bits=32, max_hamming=3, blocks=4).first()["n_triangles"]
+    assert got == want
+
+
+def test_triangle_list_enumerates_sorted_triples(spark):
+    from map_reduce_folds_spark.operators import graph as G
+
+    # K4 on {1,2,3,4} plus a pendant edge: 4 triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["src", "dst"])
+    got = {(r["x"], r["y"], r["z"])
+           for r in G.triangle_list(edges).collect()}
+    assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
