@@ -72,11 +72,15 @@ _PRIORITY = [
     # tfidf_top_terms/pipeline_clean_corpus in-window and
     # contamination_check/decontaminate_corpus hash-exact locally).  Both
     # displaced rows re-register immediately past the window.
+    # scd2_user_event_history also enters (NEW temporal-dimension family:
+    # SCD Type 2 history build) displacing tfidf_top_terms — the LLM text
+    # block keeps text_stats/token_count_bpe/pipeline_clean_corpus
+    # in-window and tfidf stays hash-exact just past it.
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_cc_clusters", "dedup_embedding", "sim_topk_bruteforce",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
     "diff_orders_snapshots",
-    "tfidf_top_terms", "deterministic_sample", "pipeline_clean_corpus",
+    "scd2_user_event_history", "deterministic_sample", "pipeline_clean_corpus",
     "data_quality_profile", "sketch_union_hll",
     # Round-6 late swap: funnel_conversion (NEW ordered-event-analytics
     # family; greedy in-order step matching) displaces
@@ -102,7 +106,7 @@ _PRIORITY = [
     "embedding_quantize_int8", "q7_volume_shipping",
     "q17_small_quantity_revenue",
     # first entries PAST the 50-window: the displaced green rows
-    "contamination_check", "data_quality_expectations",
+    "tfidf_top_terms", "contamination_check", "data_quality_expectations",
     "mr_simple_unpack", "mr_ordered_collect", "dedup_simhash_pairs",
     "mr_task2_sparse", "sim_topk_lsh", "sim_topk_ivf",
     "dedup_multimodal_union",

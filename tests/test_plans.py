@@ -343,3 +343,47 @@ def test_unigram_logprob_only_scalar_idiom_flagged(spark):
     assert len(findings) <= 1, findings
     if findings:
         assert "cartesian" in findings[0]
+
+
+def test_scd2_single_key_shuffle(spark):
+    """SCD2: change detection, run aggregation, and the valid_to lead all
+    partition on the same key — the whole build costs ONE Exchange."""
+    df = _run(spark, "scd2_user_event_history")
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_resample_key_shuffles_only(spark):
+    """Resample: bucket-last agg, span grid, and fill are all per-key —
+    no single-partition global window anywhere; the sequence explode is
+    the only row amplifier."""
+    df = _run(spark, "resample_user_hourly")
+    plan = P.executed_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert P.count_cartesian_joins(df) == 0
+
+
+def test_record_linkage_no_cartesian(spark):
+    """Blocked linkage: the self-join must be an equi-join on the block
+    key (a cartesian would mean the blocking silently degenerated)."""
+    df = _run(spark, "record_linkage_customers")
+    assert P.count_cartesian_joins(df) == 0, P.executed_plan(df)
+
+
+def test_pack_training_shards_no_global_sort(spark):
+    """Shard packing: the prefix sum is the bucketed decomposition — no
+    global-order window, no cartesian, no per-row Python (scale_audit
+    clean; the plan's SinglePartition exchanges are the DESIGNED
+    bounded-metadata aggregates over <= n_buckets rows)."""
+    df = _run(spark, "pack_training_shards")
+    findings = P.scale_audit(df)
+    # the only allowed findings are the one-row broadcast scalar joins
+    # (stats/offsets riding crossJoin(broadcast(one_row)) — the audit
+    # cannot distinguish them from a real nested-loop by plan text)
+    assert all("cartesian" in f for f in findings), findings
+
+
+def test_trend_window_shares_group_partitioning(spark):
+    """OLS trend: the per-user min-anchor window and the sums groupBy
+    hash-partition on the same key — one Exchange, not two."""
+    df = _run(spark, "trend_per_user")
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
