@@ -1391,3 +1391,52 @@ def test_triangle_list_enumerates_sorted_triples(spark):
     got = {(r["x"], r["y"], r["z"])
            for r in G.triangle_list(edges).collect()}
     assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_ivf_pq_topk_recall_and_jvm_path(spark, emb, tmp_path_factory):
+    """IVF-PQ: k results per query, reasonable overlap with the exact
+    L2 scan, and — with a stored codes table — ZERO Python nodes in the
+    query-time plan (the ADC fold is pure Catalyst)."""
+    import numpy as np
+
+    from map_reduce_folds_spark.operators import similarity as S
+    from map_reduce_folds_spark.plans import executed_plan
+
+    books = S.pq_fit(emb, dim=64, m=8, k=16)
+    q = emb.filter("vec_id < 5")
+    got = S.ivf_pq_topk(q, emb, books, k=10, n_bits=3, n_probe=4)
+    res = {}
+    for r in got.collect():
+        res.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(res) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 10 for v in res.values())
+
+    x = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in emb.collect()}
+    ids = sorted(x)
+    M = np.stack([x[i] for i in ids])
+    overlaps = []
+    for qid in range(5):
+        d = ((M - x[qid]) ** 2).sum(axis=1)
+        exact = [ids[i] for i in np.argsort(d, kind="stable")
+                 if ids[i] != qid][:10]
+        overlaps.append(len(set(exact) & res[qid]) / 10)
+    assert sum(overlaps) / len(overlaps) >= 0.2, overlaps
+
+    # stored index: query-time plan is Python-free
+    p = str(tmp_path_factory.mktemp("ivfpq")) + "/codes.parquet"
+    from pyspark.sql import functions as F
+
+    enc = S.pq_encode(emb, books)
+    cells = emb.select(
+        "vec_id", S.srp_signature(F.col("embedding"), 64, 3, 9).alias("cell"))
+    enc.join(cells, "vec_id").write.parquet(p)
+    codes = spark.read.parquet(p)
+    got2 = S.ivf_pq_topk(q, emb, books, k=10, n_bits=3, n_probe=4,
+                         codes=codes)
+    plan = executed_plan(got2)
+    assert "Python" not in plan and "Pandas" not in plan, plan
+    # stored-index results equal the inline-encode results
+    a = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in got2.collect()}
+    assert a == b
