@@ -329,11 +329,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 of 32 bits) via pigeonhole
-    blocking.  The oracle brute-forces all pairs — valid because blocking
-    is provably complete (tests/test_llm.py proves set equality too)."""
+    blocking over DISTINCT signatures (dedup.simhash_near_dup_pairs_
+    factored — the doc-level block join measured quadratic in bucket
+    occupancy at 10×; the factored set is property-proven identical).
+    The oracle brute-forces all pairs — valid because blocking is
+    provably complete (tests/test_llm.py proves set equality too)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
-                                    max_hamming=3, blocks=4)
+    return D.simhash_near_dup_pairs_factored(d, "doc_id", "text", bits=32,
+                                             max_hamming=3, blocks=4)
 
 
 @query(
@@ -2050,8 +2053,8 @@ def khop_doc_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole-exact for hamming ≤ 3 at 4 blocks, so the oracle's
     brute-force pair graph is identical."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", bits=32,
-                                     max_hamming=3, blocks=4)
+    pairs = D.simhash_near_dup_pairs_factored(d, "doc_id", "text", bits=32,
+                                              max_hamming=3, blocks=4)
     seed = pairs.agg(
         F.min(F.least(F.col("id_a"), F.col("id_b")))).first()[0]
     hops = G2.bfs_hops(pairs, [int(seed)], "id_a", "id_b", max_hops=4)
