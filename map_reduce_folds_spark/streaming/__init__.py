@@ -676,3 +676,87 @@ def stream_funnel_depth(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_scd2(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming SCD Type 2 build: the incremental twin of
+    ``windows.scd2_history`` — per-key run collapse with validity ranges,
+    maintained as FOUR scalars of state per key (current value, version,
+    run start, run event count) at any event volume.
+
+    Each micro-batch folds its rows in (ts, tiebreak) event-time order;
+    a value change CLOSES the open run (its row re-emits with
+    ``valid_to`` = the new run's start) and opens the next version.
+    Update-mode consumers keep the LAST emission per (key, version) —
+    closed runs are final, the open run's row grows its ``n_events`` and
+    carries ``valid_to`` NULL.  Same arrival-order caveat as
+    ``stream_funnel_depth``: cross-batch late events fold into the run
+    open at their arrival batch (time-ordered replay equals the batch
+    operator, parity-tested)."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..timeutil import epoch_us
+
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    val_t = fields[value_col]
+    out_schema = (
+        f"{key} {fields[key]}, version bigint, {value_col} {val_t}, "
+        "valid_from bigint, valid_to bigint, n_events bigint"
+    )
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    src = stream.select(
+        F.col(key),
+        epoch_us(F.col(ts_col)).alias("__t"),
+        tb.alias("__b"),
+        F.col(value_col).alias("__v"),
+    )
+
+    def update(k, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            (st_json,) = state.get
+            cur_v, version, run_from, run_n = json.loads(st_json)
+        else:
+            cur_v, version, run_from, run_n = None, 0, None, 0
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["__t"], pdf["__b"], pdf["__v"]))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out = []
+        for t, _b, v in rows:
+            v = None if pd.isna(v) else v
+            if version == 0:
+                version, cur_v, run_from, run_n = 1, v, int(t), 1
+            elif (v is None and cur_v is None) or v == cur_v:
+                run_n += 1
+            else:
+                out.append((k[0], version, cur_v, run_from, int(t), run_n))
+                version += 1
+                cur_v, run_from, run_n = v, int(t), 1
+        if version:
+            out.append((k[0], version, cur_v, run_from, None, run_n))
+        state.update((json.dumps([cur_v, version, run_from, run_n]),))
+        yield pd.DataFrame(
+            out, columns=[key, "version", value_col,
+                          "valid_from", "valid_to", "n_events"])
+
+    return (
+        src.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="acc string",
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -749,3 +749,58 @@ def test_stream_funnel_within_horizon(spark, tmp_path_factory):
                             output_mode="update")
     got = {r["user_id"]: r["depth"] for r in got_tbl.collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_stream_scd2_matches_batch_and_carries_runs(spark, tmp_path_factory):
+    """Streaming SCD2: last emission per (key, version) over a
+    time-ordered two-phase replay equals the batch scd2_history —
+    including a run that CONTINUES across the batch boundary."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators import windows as W
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_scd2,
+    )
+    from map_reduce_folds_spark.timeutil import epoch_us
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path_factory.mktemp("scd2_stream"))
+    cols = ["eid", "ts", "k", "v"]
+    early = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a"),
+         (2, datetime(2024, 1, 2), 1, "a"),
+         (3, datetime(2024, 1, 3), 1, "b"),
+         (4, datetime(2024, 1, 1), 2, "x")], cols)
+    late = spark.createDataFrame(
+        [(5, datetime(2024, 1, 4), 1, "b"),      # run 2 of key 1 continues
+         (6, datetime(2024, 1, 5), 1, "a"),      # then changes back
+         (7, datetime(2024, 1, 2), 2, "x")], cols)
+    early.coalesce(1).write.mode("overwrite").parquet(p)
+
+    schema = "eid bigint, ts timestamp, k bigint, v string"
+    stream = read_parquet_stream(spark, p, schema)
+    out = stream_scd2(stream, "k", "ts", "v", tiebreak_col="eid")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("scd2_stream").start())
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = {}
+    for r in spark.table("scd2_stream").collect():
+        last[(r["k"], r["version"])] = (
+            r["v"], r["valid_from"], r["valid_to"], r["n_events"])
+
+    batch = W.scd2_history(
+        early.union(late), "k", "ts", "v", tiebreak_col="eid"
+    ).select(
+        "k", "version", "v",
+        epoch_us(F.col("valid_from")).alias("vf"),
+        epoch_us(F.col("valid_to")).alias("vt"),
+        "n_events",
+    )
+    want = {(r["k"], r["version"]): (r["v"], r["vf"], r["vt"], r["n_events"])
+            for r in batch.collect()}
+    assert last == want
