@@ -2165,3 +2165,117 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "pipeline_curation_v3",
+    oracle=f"""
+    WITH sc AS (
+        SELECT doc_id, lang, text, {_QUALITY_SQL} AS q FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, q,
+               COUNT(*) OVER (PARTITION BY lang) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn
+        FROM sc
+    ),
+    med AS (SELECT lang, q AS med_q FROM ranked
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)),
+    kept AS (
+        SELECT sc.doc_id, sc.text FROM sc
+        JOIN med ON sc.lang = med.lang WHERE sc.q >= med.med_q
+    ),
+    dd AS (
+        SELECT doc_id, text FROM kept
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY {T.hash60_sql('text')}
+                                   ORDER BY doc_id) = 1
+    ),
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM dd),
+    s AS (SELECT doc_id, n_tokens,
+                 {SM.deterministic_shuffle_sql('doc_id', 'pack')} AS pos
+          FROM tok),
+    c AS (SELECT n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // {_PACK_BUDGET} AS shard_id
+          FROM s)
+    SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 composed curation pipeline, ONE Catalyst plan chaining
+    three round-8 operators: per-language relative quality gate (exact
+    lower median) → exact dedup keep-first (min doc per text digest) →
+    training-shard packing by token budget — returning the shard
+    manifest a writer would consume.  The oracle chains the stages' SQL
+    mirrors, so the COMPOSITION is verified by hash, not just the
+    parts."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.select("doc_id", "lang", "text",
+                  T.quality_score("text").alias("q"))
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = sc.select(
+        "lang", "q",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(w).alias("rn"))
+    med = ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint")
+    ).select("lang", F.col("q").alias("med_q"))
+    kept = (sc.join(med, "lang").where(F.col("q") >= F.col("med_q"))
+            .select("doc_id", "text"))
+    wd = Window.partitionBy(T.hash60("text")).orderBy("doc_id")
+    dd = (kept.withColumn("__rn", F.row_number().over(wd))
+          .where(F.col("__rn") == 1)
+          .select("doc_id",
+                  F.size(T.tokenize("text")).cast("bigint")
+                  .alias("n_tokens")))
+    p = SM.pack_by_token_budget(dd, "doc_id", "n_tokens",
+                                budget=_PACK_BUDGET, salt="pack")
+    return p.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"))
+
+
+_QUOTA = 80
+
+
+@query(
+    "source_quota_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, doc_id, n_chars FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY {T.hash60_sql("CAST(doc_id AS VARCHAR)", "quota")},
+                     doc_id) <= {_QUOTA}
+    )
+    SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    FROM r GROUP BY 1
+    """,
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping — the domain-balancing step that stops
+    one crawl source from dominating the training mix: keep at most N
+    documents per source, selected UNIFORMLY and deterministically
+    (lowest salted id-hash wins; re-salt for a fresh draw), via
+    relational.topk_per_group — never a global sort, hot sources ride
+    the pre-split tournament.  Returns the per-source audit
+    (n_kept, chars_kept)."""
+    from map_reduce_folds_spark.operators.relational import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    withk = d.select(
+        "source", "n_chars",
+        T.hash60(F.col("doc_id").cast("string"), salt="quota").alias("__h"),
+        "doc_id")
+    kept = topk_per_group(withk, ["source"],
+                          [F.col("__h"), F.col("doc_id")], _QUOTA)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"))
