@@ -661,7 +661,9 @@ def test_stream_funnel_matches_batch(spark, events_batch, tmp_path_factory):
     )
 
     p = str(tmp_path_factory.mktemp("events_funnel_stream"))
-    events_batch.write.mode("overwrite").parquet(p)
+    # one file: the whole replay is a single time-ordered micro-batch
+    # (multi-file replays process files in arbitrary order)
+    events_batch.coalesce(1).write.mode("overwrite").parquet(p)
     schema = ("event_id bigint, ts timestamp, user_id bigint, "
               "event_type string, value double, props string")
     stream = read_parquet_stream(spark, p, schema)
@@ -739,7 +741,7 @@ def test_stream_funnel_within_horizon(spark, tmp_path_factory):
          (2, datetime(2024, 1, 3, 0), 1, "click"),      # 48h later: too late
          (3, datetime(2024, 1, 1, 0), 2, "view"),
          (4, datetime(2024, 1, 1, 12), 2, "click")],    # 12h: in horizon
-        cols).write.mode("overwrite").parquet(p)
+        cols).coalesce(1).write.mode("overwrite").parquet(p)
     schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
     stream = read_parquet_stream(spark, p, schema)
     out = stream_funnel_depth(stream, "user_id", "ts", "event_type",
