@@ -78,15 +78,21 @@ def bpe_learn_merges(
     ordered list ``[(left, right, pair_count), …]`` (rank = position).
     Stops early if no adjacent pair remains (fully merged vocabulary).
 
-    ``token_split``: the word delimiter (single-space for this engine's
-    canonical tokenization, ``text.tokenize``).  Words shorter than two
-    characters never contribute pairs but stay in the vocabulary.
+    ``token_split``: the LITERAL word delimiter (regex-quoted before it
+    reaches ``F.split`` — a bare ``|`` or ``.`` would otherwise be a
+    regex; single-space is this engine's canonical tokenization,
+    ``text.tokenize``).  The :func:`bpe_merges_sql` mirror covers the
+    default space delimiter only.  Words shorter than two characters
+    never contribute pairs but stay in the vocabulary.
     """
+    from map_reduce_folds_spark.operators.dedup import _quote_sep
+
     if n_merges <= 0:
         raise ValueError(f"bpe_learn_merges: n_merges must be > 0, "
                          f"got {n_merges}")
     words = (
-        df.select(F.explode(F.split(F.col(text_col), token_split))
+        df.select(F.explode(F.split(F.col(text_col),
+                                    _quote_sep(token_split)))
                   .alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))

@@ -853,11 +853,15 @@ def simhash_triangle_count_factored(
 
     s = simhash_rows(docs, id_col, text_col, bits).persist()
     grp = s.groupBy("sig").agg(F.count(F.lit(1)).alias("n")).persist()
-    # integer DIV keeps every term exact (n(n-1)(n-2) is divisible by 6;
-    # a double division would round past 2^53 and break oracle equality)
+    # exact integer arithmetic, staged against int64 overflow: n(n-1) is
+    # even so DIV 2 first (exact, fits bigint to n≈3e9), then the last
+    # factor rides a DECIMAL(38,0) product — n(n-1)(n-2) wraps int64 at
+    # n≈2.1M, exactly the template-page multiplicities the factoring
+    # serves.  /3 of the decimal is exact (the staged product is a
+    # multiple of 3).  A double division would also round past 2^53.
     t1 = grp.agg(F.coalesce(F.sum(
-        F.expr("n * (n - 1) * (n - 2) DIV 6")
-    ), F.lit(0)).cast("bigint").alias("t"))
+        F.expr("CAST(n * (n - 1) DIV 2 AS DECIMAL(38,0)) * (n - 2) / 3")
+    ), F.lit(0)).cast("decimal(38,0)").alias("t"))
     dsig = grp.select("sig").withColumn("__sid", F.col("sig"))
     sig_pairs = _pigeonhole_sig_pairs(
         dsig, "__sid", bits, max_hamming, blocks,
@@ -867,8 +871,9 @@ def simhash_triangle_count_factored(
     t2 = (
         sig_pairs.join(ga, "sa").join(gb, "sb")
         .agg(F.coalesce(F.sum(
-            F.expr("(na * (na - 1) DIV 2) * nb + (nb * (nb - 1) DIV 2) * na")
-        ), F.lit(0)).cast("bigint").alias("t"))
+            F.expr("CAST(na * (na - 1) DIV 2 AS DECIMAL(38,0)) * nb"
+                   " + CAST(nb * (nb - 1) DIV 2 AS DECIMAL(38,0)) * na")
+        ), F.lit(0)).cast("decimal(38,0)").alias("t"))
     )
     tris = triangle_list(sig_pairs, "sa", "sb")
     gx = grp.select(F.col("sig").alias("x"), F.col("n").alias("nx"))
@@ -876,9 +881,13 @@ def simhash_triangle_count_factored(
     gz = grp.select(F.col("sig").alias("z"), F.col("n").alias("nz"))
     t3 = (
         tris.join(gx, "x").join(gy, "y").join(gz, "z")
-        .agg(F.coalesce(F.sum(F.col("nx") * F.col("ny") * F.col("nz")),
-                        F.lit(0)).cast("bigint").alias("t"))
+        .agg(F.coalesce(F.sum(
+            F.expr("CAST(nx AS DECIMAL(19,0)) * ny * nz")),
+            F.lit(0)).cast("decimal(38,0)").alias("t"))
     )
+    # the OUTPUT count is bigint (every engine's COUNT convention); the
+    # intermediates above are decimal so per-group clique volumes cannot
+    # wrap on the way in
     total = (
         t1.crossJoin(t2.withColumnRenamed("t", "t2"))
         .crossJoin(t3.withColumnRenamed("t", "t3"))

@@ -1166,7 +1166,8 @@ def pq_topk(
     query side exceeds ``max_queries`` (the ``blocked_matmul_topk``
     no-silent-caps discipline).  Output: ``(query_id, neighbor_id,
     adc_dist)`` ascending by distance, deterministic (distance,
-    neighbor_id) tie-break."""
+    neighbor_id) tie-break; a query drawn from the corpus never returns
+    itself (the module-wide top-k convention)."""
     import numpy as np
 
     B = np.asarray(codebooks, dtype=np.float64)     # (m, K, sub)
@@ -1188,11 +1189,17 @@ def pq_topk(
     id_type = dict(codes.dtypes)[code_id]
 
     def gen(batches):
-        import heapq
-
         import pandas as pd
 
-        best: list[list] = [[] for _ in range(len(qids))]  # max-heaps (neg)
+        # per-query candidate lists pruned to k on overflow — generic over
+        # id types (the (dist, id) sort IS the operator's tie-break), no
+        # numeric-negation trick that would crash on string ids
+        best: list[list] = [[] for _ in range(len(qids))]
+
+        def prune(h):
+            h.sort()
+            del h[k:]
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1206,16 +1213,18 @@ def pq_topk(
                 d += tables[:, s, :][:, C[:, s]]
             for qi in range(len(qids)):
                 h = best[qi]
+                qid = qids[qi]
                 for ni in range(len(ids)):
-                    item = (-float(d[qi, ni]), -int(ids[ni]))
-                    if len(h) < k:
-                        heapq.heappush(h, item)
-                    else:
-                        heapq.heappushpop(h, item)
+                    if ids[ni] == qid:   # never return the query itself
+                        continue
+                    h.append((float(d[qi, ni]), ids[ni]))
+                if len(h) > 4 * k:
+                    prune(h)
         out = []
         for qi, h in enumerate(best):
-            for negd, negid in h:
-                out.append((qids[qi], -negid, -negd))
+            prune(h)
+            for dist_, nid in h:
+                out.append((qids[qi], nid, dist_))
         yield pd.DataFrame(out, columns=["__qid", "__nid", "adc_dist"])
 
     # internal names: query and corpus commonly share an id column name,

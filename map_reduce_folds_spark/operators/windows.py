@@ -541,7 +541,14 @@ def resample_fill_forward(
     explosion); the fill is ``last(ignorenulls)`` over the per-key
     bucket window.  Two shuffles on ``key``, no global order.  Output:
     ``(key, bucket, value, n_obs)`` where ``n_obs=0`` marks filled gap
-    rows and ``bucket`` is the epoch-microsecond bucket index."""
+    rows and ``bucket`` is the epoch-microsecond bucket index.
+
+    NULL discipline (deliberate asymmetry with ``scd2_history``, which
+    tracks NULL as a state): a bucket whose last observation is NULL
+    still counts in ``n_obs`` but the forward fill carries the previous
+    NON-NULL value across it — resampling answers "what was the level
+    here", and an unknown reading does not reset the level.  Use
+    ``n_obs`` to distinguish observed-but-NULL buckets from gaps."""
     from ..timeutil import epoch_us
 
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)

@@ -1961,23 +1961,44 @@ def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"))
 
 
+
+_MED_CTES = """ranked AS (
+        SELECT doc_id, lang, q,
+               COUNT(*) OVER (PARTITION BY lang) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn
+        FROM sc
+    ),
+    med AS (SELECT lang, q AS med_q FROM ranked
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT))"""
+
+
+def _lang_median(sc: DataFrame) -> DataFrame:
+    """Per-language exact LOWER median of the quality score — rank
+    selection over the (q, doc_id) total order (the median_exact
+    discipline).  Shared by quality_filter_relative and
+    pipeline_curation_v3 so the median semantics cannot diverge between
+    the standalone gate and the composed pipeline; ``_MED_CTES`` is the
+    matching oracle fragment."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = sc.select(
+        "lang", "q",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(w).alias("rn"))
+    return ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint")
+    ).select("lang", F.col("q").alias("med_q"))
+
+
 @query(
     "quality_filter_relative",
     oracle=f"""
     WITH sc AS (
         SELECT doc_id, lang, {_QUALITY_SQL} AS q FROM documents
     ),
-    ranked AS (
-        SELECT lang, q,
-               COUNT(*) OVER (PARTITION BY lang) AS n,
-               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id)
-                   AS rn
-        FROM sc
-    ),
-    med AS (
-        SELECT lang, q AS med_q FROM ranked
-        WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
-    )
+    {_MED_CTES}
     SELECT sc.lang AS lang, COUNT(*) AS n_docs,
            SUM(CASE WHEN sc.q >= med.med_q THEN 1 ELSE 0 END) AS n_kept,
            MIN(med.med_q) AS med_q
@@ -1995,20 +2016,9 @@ def quality_filter_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic to drift across engines); scores are the composite
     text.quality_score expression.  Output: per-language doc count,
     kept count, and the median threshold applied."""
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     sc = d.select("doc_id", "lang", T.quality_score("text").alias("q"))
-    w = Window.partitionBy("lang").orderBy("q", "doc_id")
-    wn = Window.partitionBy("lang")
-    ranked = sc.select(
-        "lang", "q",
-        F.count(F.lit(1)).over(wn).alias("n"),
-        F.row_number().over(w).alias("rn"),
-    )
-    med = ranked.where(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint")
-    ).select("lang", F.col("q").alias("med_q"))
+    med = _lang_median(sc)
     return (
         sc.join(med, "lang")
         .groupBy("lang")
@@ -2053,10 +2063,16 @@ def khop_doc_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole-exact for hamming ≤ 3 at 4 blocks, so the oracle's
     brute-force pair graph is identical."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs_factored(d, "doc_id", "text", bits=32,
-                                              max_hamming=3, blocks=4)
+    # hard cut: the seed agg below is an action, and bfs_hops re-reads the
+    # pair relation every level — without this the factored pair pipeline
+    # (sig join + two expansion joins) would run once per consumer
+    pairs = D.simhash_near_dup_pairs_factored(
+        d, "doc_id", "text", bits=32, max_hamming=3, blocks=4,
+    ).localCheckpoint(eager=True)
     seed = pairs.agg(
         F.min(F.least(F.col("id_a"), F.col("id_b")))).first()[0]
+    if seed is None:   # no near-dup pairs: empty neighborhood, not a crash
+        return spark.createDataFrame([], "doc_id bigint, hops int")
     hops = G2.bfs_hops(pairs, [int(seed)], "id_a", "id_b", max_hops=4)
     return hops.select(F.col("node").alias("doc_id"),
                        F.col("hops").cast("int").alias("hops"))
@@ -2173,14 +2189,7 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sc AS (
         SELECT doc_id, lang, text, {_QUALITY_SQL} AS q FROM documents
     ),
-    ranked AS (
-        SELECT doc_id, lang, q,
-               COUNT(*) OVER (PARTITION BY lang) AS n,
-               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn
-        FROM sc
-    ),
-    med AS (SELECT lang, q AS med_q FROM ranked
-            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)),
+    {_MED_CTES},
     kept AS (
         SELECT sc.doc_id, sc.text FROM sc
         JOIN med ON sc.lang = med.lang WHERE sc.q >= med.med_q
@@ -2218,15 +2227,7 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sc = d.select("doc_id", "lang", "text",
                   T.quality_score("text").alias("q"))
-    w = Window.partitionBy("lang").orderBy("q", "doc_id")
-    wn = Window.partitionBy("lang")
-    ranked = sc.select(
-        "lang", "q",
-        F.count(F.lit(1)).over(wn).alias("n"),
-        F.row_number().over(w).alias("rn"))
-    med = ranked.where(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint")
-    ).select("lang", F.col("q").alias("med_q"))
+    med = _lang_median(sc)
     kept = (sc.join(med, "lang").where(F.col("q") >= F.col("med_q"))
             .select("doc_id", "text"))
     wd = Window.partitionBy(T.hash60("text")).orderBy("doc_id")

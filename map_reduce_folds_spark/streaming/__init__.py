@@ -603,6 +603,7 @@ def stream_funnel_depth(
     event_col: str,
     steps: list[str],
     within: int | None = None,
+    tiebreak_col: str | None = None,
     output_mode: str = "update",
 ) -> DataFrame:
     """Streaming conversion funnel: incrementally-maintained per-user
@@ -632,17 +633,26 @@ def stream_funnel_depth(
 
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
-    idx = {s: i + 1 for i, s in enumerate(steps)}
     key_field = next(f for f in stream.schema.fields
                      if f.name == user_col)
     out_schema = f"{key_field.name} {key_field.dataType.simpleString()}, " \
                  "depth int"
     horizon = None if within is None else int(within)
 
+    # pre-map events to STEP INDICES (the batch twin's discipline) so the
+    # in-batch sort key is (ts, tiebreak, index) — same-timestamp events
+    # fold in the same order as batch funnel_depth's struct sort, never
+    # by event-name lexicography
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    idx_col = F.lit(0)
+    for i_, step_ in reversed(list(enumerate(steps))):
+        idx_col = F.when(F.col(event_col) == step_,
+                         F.lit(i_ + 1)).otherwise(idx_col)
     filtered = stream.where(F.col(event_col).isin(steps)).select(
         F.col(user_col),
         epoch_us(F.col(ts_col)).alias("__t"),
-        F.col(event_col).alias("__e"),
+        tb.alias("__b"),
+        idx_col.cast("int").alias("__i"),
     )
 
     def update(key, pdf_iter, state: GroupState):
@@ -655,10 +665,9 @@ def stream_funnel_depth(
             depth, last_t = 0, 0
         rows = []
         for pdf in pdf_iter:
-            rows.extend(zip(pdf["__t"], pdf["__e"]))
+            rows.extend(zip(pdf["__t"], pdf["__b"], pdf["__i"]))
         rows.sort()
-        for t, e in rows:
-            i = idx.get(e, 0)
+        for t, _b, i in rows:
             if i == depth + 1 and (
                 horizon is None or depth == 0 or t - last_t <= horizon
             ):
@@ -699,8 +708,13 @@ def stream_scd2(
     carries ``valid_to`` NULL.  Same arrival-order caveat as
     ``stream_funnel_depth``: cross-batch late events fold into the run
     open at their arrival batch (time-ordered replay equals the batch
-    operator, parity-tested)."""
-    import json
+    operator, parity-tested).
+
+    State rides a base64-pickle (not JSON) so ``value_col`` may be ANY
+    type the batch twin accepts — timestamps, dates, decimals — not just
+    JSON-native scalars."""
+    import base64
+    import pickle
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -724,8 +738,9 @@ def stream_scd2(
         import pandas as pd
 
         if state.exists:
-            (st_json,) = state.get
-            cur_v, version, run_from, run_n = json.loads(st_json)
+            (st_b64,) = state.get
+            cur_v, version, run_from, run_n = pickle.loads(
+                base64.b64decode(st_b64))
         else:
             cur_v, version, run_from, run_n = None, 0, None, 0
         rows = []
@@ -745,7 +760,8 @@ def stream_scd2(
                 cur_v, run_from, run_n = v, int(t), 1
         if version:
             out.append((k[0], version, cur_v, run_from, None, run_n))
-        state.update((json.dumps([cur_v, version, run_from, run_n]),))
+        state.update((base64.b64encode(pickle.dumps(
+            [cur_v, version, run_from, run_n])).decode("ascii"),))
         yield pd.DataFrame(
             out, columns=[key, "version", value_col,
                           "valid_from", "valid_to", "n_events"])

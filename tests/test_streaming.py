@@ -806,3 +806,62 @@ def test_stream_scd2_matches_batch_and_carries_runs(spark, tmp_path_factory):
     want = {(r["k"], r["version"]): (r["v"], r["vf"], r["vt"], r["n_events"])
             for r in batch.collect()}
     assert last == want
+
+
+def test_stream_funnel_ts_tie_matches_batch(spark, tmp_path_factory):
+    """Same-timestamp step events fold in batch order — (ts, tiebreak,
+    step-index), never event-name lexicography ('click' < 'view' would
+    otherwise process the later step first and stall the funnel)."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators import windows as W
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_funnel_depth,
+    )
+
+    t = datetime(2024, 1, 1)
+    cols = ["eid", "ts", "uid", "et"]
+    df = spark.createDataFrame(
+        [(1, t, 1, "view"), (2, t, 1, "click")], cols)
+    p = str(tmp_path_factory.mktemp("funnel_tie"))
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(
+        spark, p, "eid bigint, ts timestamp, uid bigint, et string")
+    out = stream_funnel_depth(stream, "uid", "ts", "et",
+                              ["view", "click", "purchase"],
+                              tiebreak_col="eid")
+    got = run_to_memory(out, "funnel_tie", timeout_s=120,
+                        output_mode="update")
+    want = W.funnel_depth(df, "uid", "ts", "et",
+                          ["view", "click", "purchase"],
+                          tiebreak_col="eid")
+    assert {(r["uid"], r["depth"]) for r in got.collect()} == \
+        {(r["uid"], r["depth"]) for r in want.collect()} == {(1, 2)}
+
+
+def test_stream_scd2_timestamp_value_column(spark, tmp_path_factory):
+    """value_col may be any type the batch twin accepts — a timestamp
+    attribute (the routine SCD2 case) must round-trip through state."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_scd2,
+    )
+
+    cols = ["eid", "ts", "k", "updated_at"]
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, datetime(2020, 5, 1)),
+         (2, datetime(2024, 1, 2), 1, datetime(2020, 5, 1)),
+         (3, datetime(2024, 1, 3), 1, datetime(2021, 6, 2))], cols)
+    p = str(tmp_path_factory.mktemp("scd2_ts_val"))
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(
+        spark, p,
+        "eid bigint, ts timestamp, k bigint, updated_at timestamp")
+    out = stream_scd2(stream, "k", "ts", "updated_at", tiebreak_col="eid")
+    got = run_to_memory(out, "scd2_ts_val", timeout_s=120,
+                        output_mode="update")
+    rows = {(r["k"], r["version"]): (r["updated_at"], r["n_events"])
+            for r in got.collect()}
+    assert rows == {(1, 1): (datetime(2020, 5, 1), 2),
+                    (1, 2): (datetime(2021, 6, 2), 1)}
