@@ -127,16 +127,20 @@ def main():
         if fn is None:
             errors[name] = "unregistered: query missing from QUERIES"
             continue
-        # best of 2 timed passes: single-machine timings carry ±10-15%
-        # noise from page cache / JIT / GC state; the minimum is the
-        # standard robust estimator of steady-state cost.  clearCache()
-        # before each pass drops any .persist() the previous pass filled
-        # (Spark's CacheManager matches identical logical plans), so every
-        # pass pays the FULL pipeline including persist materialization —
-        # the min filters machine noise, not work.
+        # best of N timed passes (default 5 — raised from 2 after r8's
+        # 1.05× total "regression" landed on queries whose code had not
+        # changed; sub-second queries need more samples for stable
+        # round-over-round comparison): single-machine timings carry
+        # ±10-15% noise from page cache / JIT / GC state; the minimum is
+        # the standard robust estimator of steady-state cost.
+        # clearCache() before each pass drops any .persist() the previous
+        # pass filled (Spark's CacheManager matches identical logical
+        # plans), so every pass pays the FULL pipeline including persist
+        # materialization — the min filters machine noise, not work.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
         best = None
         try:
-            for _ in range(2):
+            for _ in range(repeats):
                 spark.catalog.clearCache()
                 t0 = time.time()
                 df = fn(spark, sf_dir)

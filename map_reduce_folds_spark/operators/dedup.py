@@ -234,7 +234,11 @@ def lsh_candidate_pairs(
     elif materialize_path is not None:
         e = materialize_stage(e, materialize_path)
     elif materialize:
-        e = e.persist()
+        # lazy localCheckpoint, not persist(): same one-evaluation reuse
+        # across the self-join's two sides, but GC-cleaned — persist()
+        # blocks on a lazily-returned frame leak in the CacheManager for
+        # the session's life unless every caller unpersists
+        e = e.localCheckpoint(eager=False)
     pairs = band_bucket_self_join(e, id_col)
     return pairs.distinct() if distinct else pairs
 
@@ -289,7 +293,8 @@ def minhash_near_dup_pairs(
     base = minhash_band_rows(docs, id_col, text_col, n=n, k=k, bands=bands,
                              token_pattern=token_pattern)
     base = (materialize_stage(base, materialize_path)
-            if materialize_path is not None else base.persist())
+            if materialize_path is not None
+            else base.localCheckpoint(eager=False))
     cand = lsh_candidate_pairs(base, id_col, "bandh", bands, materialize=False,
                                distinct=False)
 
@@ -540,7 +545,7 @@ def _pigeonhole_sig_pairs(
     if materialize_path is not None:
         blocked = materialize_stage(blocked, materialize_path)
     elif materialize:
-        blocked = blocked.persist()
+        blocked = blocked.localCheckpoint(eager=False)
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = a.join(
         b,
@@ -590,7 +595,8 @@ def simhash_components(
     (``checkpoint_dir=``, ``max_iter=``)."""
     from map_reduce_folds_spark.operators.graph import components_of_pairs
 
-    s = simhash_rows(docs, id_col, text_col, bits).persist()
+    s = simhash_rows(docs, id_col, text_col, bits) \
+        .localCheckpoint(eager=False)
     reps = s.groupBy("sig").agg(F.min(id_col).alias("rep"))
     star = (
         s.join(reps, "sig")
@@ -792,7 +798,13 @@ def simhash_near_dup_pairs_factored(
 
     Equality with the unfactored form is property-tested
     (tests/test_llm.py)."""
-    s = simhash_rows(docs, id_col, text_col, bits).persist()
+    # lazy localCheckpoint, not persist(): same one-computation reuse
+    # across the same/cross branches, but the materialized blocks are
+    # RDD-level — the ContextCleaner frees them when the frame is GC'd,
+    # where CacheManager-held persist() blocks accumulate for the life of
+    # a long session unless every caller remembers to unpersist
+    s = simhash_rows(docs, id_col, text_col, bits) \
+        .localCheckpoint(eager=False)
     same = (
         s.alias("a").join(s.alias("b"),
                           (F.col("a.sig") == F.col("b.sig"))
@@ -817,6 +829,70 @@ def simhash_near_dup_pairs_factored(
                 F.col("hamming").cast("int").alias("hamming"))
     )
     return same.unionByName(cross)
+
+
+def simhash_khop_hops(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_hops: int = 4,
+    seed=None,
+) -> DataFrame:
+    """k-hop BFS over the SimHash near-dup DOC graph, run at SIGNATURE
+    level — value-identical to
+    ``graph.bfs_hops(simhash_near_dup_pairs_factored(docs), [seed])``
+    but the frontier is bounded by |distinct signatures|, not |docs|.
+
+    The doc graph is the signature graph blown up by
+    :func:`graph.bfs_hops_factored`'s clique/biclique rule (same-sig
+    docs are hamming-0 cliques; verified sig edges are bicliques), so
+    hop distances factor exactly — the fix for the khop 10× ratio
+    (2.16×, r8 scale bench): on duplicate-heavy corpora the doc-level
+    frontier grows with planted cluster size while the sig-level
+    frontier does not, the same factoring that took the 10× triangle
+    count from OOM to seconds.
+
+    ``seed=None`` picks the minimum doc id that participates in at
+    least one near-dup pair (sig group of size ≥ 2, or sig with a
+    verified neighbor) — the khop_doc_neighborhood convention.  Returns
+    ``(id_col → "node", hops int)`` like :func:`graph.bfs_hops`; empty
+    frame (never a crash) on a pair-free corpus with ``seed=None``."""
+    from map_reduce_folds_spark.operators.graph import bfs_hops_factored
+
+    spark = docs.sparkSession
+    s = simhash_rows(docs, id_col, text_col, bits) \
+        .localCheckpoint(eager=True)
+    grp = s.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
+    dsig = grp.select("sig").withColumn("__sid", F.col("sig"))
+    sig_pairs = _pigeonhole_sig_pairs(
+        dsig, "__sid", bits, max_hamming, blocks, materialize=False,
+    ).select(F.col("id_a").alias("sa"), F.col("id_b").alias("sb")) \
+        .localCheckpoint(eager=True)
+    if seed is None:
+        # a doc participates in ≥1 pair iff its sig group has a co-member
+        # or its sig has a verified neighbor
+        edge_sigs = (
+            sig_pairs.select(F.col("sa").alias("sig"))
+            .union(sig_pairs.select(F.col("sb").alias("sig"))).distinct()
+        )
+        part = grp.where(F.col("n") >= 2).select("sig") \
+            .union(edge_sigs).distinct()
+        seed = (
+            s.join(part, "sig")
+            .agg(F.min(id_col)).first()[0]
+        )
+        if seed is None:
+            id_type = dict(docs.dtypes)[id_col]
+            return spark.createDataFrame([], f"node {id_type}, hops int")
+    membership = s.select(F.col(id_col).alias("node"),
+                          F.col("sig").alias("grp"))
+    return bfs_hops_factored(
+        membership, sig_pairs, seed,
+        node_col="node", grp_col="grp", src="sa", dst="sb",
+        max_hops=max_hops)
 
 
 def simhash_triangle_count_factored(
@@ -851,8 +927,13 @@ def simhash_triangle_count_factored(
     C(n,2)/C(n,3) volumes become per-row arithmetic."""
     from map_reduce_folds_spark.operators.graph import triangle_list
 
-    s = simhash_rows(docs, id_col, text_col, bits).persist()
-    grp = s.groupBy("sig").agg(F.count(F.lit(1)).alias("n")).persist()
+    # lazy localCheckpoints (not persist): reused across the t1/t2/t3
+    # branches within the consuming action, and the blocks are GC-cleaned
+    # instead of accumulating in the CacheManager across a long session
+    s = simhash_rows(docs, id_col, text_col, bits) \
+        .localCheckpoint(eager=False)
+    grp = s.groupBy("sig").agg(F.count(F.lit(1)).alias("n")) \
+        .localCheckpoint(eager=False)
     # exact integer arithmetic, staged against int64 overflow: n(n-1) is
     # even so DIV 2 first (exact, fits bigint to n≈3e9), then the last
     # factor rides a DECIMAL(38,0) product — n(n-1)(n-2) wraps int64 at
@@ -865,7 +946,8 @@ def simhash_triangle_count_factored(
     dsig = grp.select("sig").withColumn("__sid", F.col("sig"))
     sig_pairs = _pigeonhole_sig_pairs(
         dsig, "__sid", bits, max_hamming, blocks,
-    ).select(F.col("id_a").alias("sa"), F.col("id_b").alias("sb")).persist()
+    ).select(F.col("id_a").alias("sa"), F.col("id_b").alias("sb")) \
+        .localCheckpoint(eager=False)
     ga = grp.select(F.col("sig").alias("sa"), F.col("n").alias("na"))
     gb = grp.select(F.col("sig").alias("sb"), F.col("n").alias("nb"))
     t2 = (

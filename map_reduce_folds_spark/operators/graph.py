@@ -471,7 +471,10 @@ def triangle_count(
         )
         .where(F.col("u") < F.col("v"))
         .distinct()
-        .persist()
+        # lazy localCheckpoint: reused by the degree/wedge/closing joins
+        # within the consuming action; GC-cleaned, unlike persist()
+        # blocks which leak in the CacheManager for the session's life
+        .localCheckpoint(eager=False)
     )
     deg = (
         canon.select(F.col("u").alias("x"))
@@ -490,7 +493,7 @@ def triangle_count(
     oriented = withd.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"),
@@ -549,9 +552,19 @@ def bfs_hops(
     tie-break needed."""
     spark = edges.sparkSession
     sym = symmetric_edges(edges, src, dst).persist()
+    # Seeds adopt the EDGE column's type (string-keyed graphs included) —
+    # a hard bigint cast would NULL string ids and silently return an
+    # empty neighborhood.  Any seed the cast cannot represent raises.
+    node_type = sym.schema["u"].dataType
     seed_df = spark.createDataFrame(
         [(s,) for s in seeds], [src]
-    ).select(F.col(src).cast("bigint").alias("node")).distinct()
+    ).select(F.col(src).try_cast(node_type).alias("node")).distinct()
+    n_null = seed_df.where(F.col("node").isNull()).count()
+    if n_null:
+        sym.unpersist()
+        raise ValueError(
+            f"bfs_hops: {n_null} seed(s) not representable as the edge "
+            f"node type {node_type.simpleString()}")
     visited = seed_df.withColumn("hops", F.lit(0).cast("int")) \
         .localCheckpoint(eager=True)
     frontier = visited
@@ -573,6 +586,71 @@ def bfs_hops(
         sym.unpersist()
 
 
+def bfs_hops_factored(
+    membership: DataFrame,
+    grp_edges: DataFrame,
+    seed,
+    node_col: str = "node",
+    grp_col: str = "grp",
+    src: str = "ga",
+    dst: str = "gb",
+    max_hops: int = 6,
+) -> DataFrame:
+    """:func:`bfs_hops` over a CLIQUE-BLOWUP graph, run at GROUP level.
+
+    The node graph is defined by ``membership`` (node → group) plus
+    ``grp_edges`` (edges between distinct groups): nodes sharing a group
+    are pairwise adjacent (an n-clique per group) and every node of group
+    A is adjacent to every node of group B when (A, B) is a group edge (a
+    complete bipartite blowup).  This is exactly the SimHash/MinHash
+    near-dup doc graph factored by signature
+    (:func:`dedup.simhash_near_dup_pairs_factored`): hamming-0 same-sig
+    cliques + verified cross-sig bicliques.
+
+    Node adjacency depends only on the group, so hop distances factor
+    exactly: the minimal node path never spends a step inside a group
+    (all members of a group have identical neighborhoods; only a target
+    sharing the SEED's group costs the one intra-clique hop), hence
+
+    * seed node → 0;
+    * other members of the seed's group → 1 (hamming-0 edge to the seed);
+    * every member of group T → group-BFS distance d(S, T).
+
+    The frontier is bounded by |distinct groups|, not |nodes| — the same
+    factoring that took the 10× triangle count from OOM to seconds
+    (r8), applied to the BFS whose 10× ratio (2.16×) was frontier growth
+    over duplicate clusters.  Equality with doc-level
+    ``bfs_hops(blown-up edges)`` is property-tested in tests/test_llm.py.
+
+    Output: ``(node_col, hops)``, hops ``int`` — same shape and values
+    as :func:`bfs_hops` over the expanded pair relation."""
+    seed_row = (
+        membership.where(F.col(node_col) == F.lit(seed))
+        .select(grp_col).first()
+    )
+    if seed_row is None:
+        raise ValueError(f"bfs_hops_factored: seed {seed!r} has no group "
+                         f"in {node_col!r}→{grp_col!r} membership")
+    seed_grp = seed_row[0]
+    gd = bfs_hops(grp_edges, [seed_grp], src, dst, max_hops=max_hops)
+    node_hops = (
+        membership.join(
+            gd.select(F.col("node").alias(grp_col),
+                      F.col("hops").alias("__gh")),
+            grp_col)
+        .select(
+            node_col,
+            F.when(F.col(node_col) == F.lit(seed), F.lit(0))
+            .when(F.col("__gh") == 0, F.lit(1))
+            .otherwise(F.col("__gh")).cast("int").alias("hops"))
+    )
+    if max_hops < 1:
+        # hop-0 cap: the intra-clique hop to the seed's co-members is out
+        # of range — only the seed itself remains
+        return node_hops.where(F.col("hops") == 0)
+    return node_hops
+
+
 def triangle_list(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -589,7 +667,10 @@ def triangle_list(
         )
         .where(F.col("u") < F.col("v"))
         .distinct()
-        .persist()
+        # lazy localCheckpoint: reused by the degree/wedge/closing joins
+        # within the consuming action; GC-cleaned, unlike persist()
+        # blocks which leak in the CacheManager for the session's life
+        .localCheckpoint(eager=False)
     )
     deg = (
         canon.select(F.col("u").alias("x"))

@@ -115,7 +115,8 @@ def drift_psi_sql(
                COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
         FROM ca FULL JOIN cb ON ca.bucket = cb.bucket
     ),
-    t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j),
+    t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                 CAST(SUM(nb) AS BIGINT) AS tb FROM j),
     terms AS (
         SELECT bucket, ta, tb,
                (greatest(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), {eps!r})

@@ -369,7 +369,7 @@ def negative_samples(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     pos = deterministic_shuffle(df.select(id_col), id_col, salt=f"{salt}_pos") \
-        .persist()
+        .localCheckpoint(eager=False)
     n = corpus_count if corpus_count is not None else pos.count()
     if n < 2:
         raise ValueError("negative sampling needs at least 2 rows")

@@ -353,7 +353,10 @@ def embedding_near_dup_pairs_lsh(
 
         buckets = materialize_stage(buckets, materialize_path)
     elif materialize:
-        buckets = buckets.persist()
+        # lazy localCheckpoint: reused by the self-join's two sides,
+        # GC-cleaned (persist() on a lazily-returned frame leaks in the
+        # CacheManager unless the caller unpersists)
+        buckets = buckets.localCheckpoint(eager=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = a.join(
         b,
@@ -1200,26 +1203,36 @@ def pq_topk(
             h.sort()
             del h[k:]
 
+        # cap the dense (n_queries × rows) distance block at ~32 MB of
+        # float64 regardless of max_queries — at the 4096-query cap a
+        # default 10k-row Arrow batch would otherwise stage ~330 MB of
+        # transient memory per concurrent task
+        max_cells = 4_000_000
         for pdf in batches:
             if pdf.empty:
                 continue
-            C = np.stack([np.asarray(c, dtype=np.int64)
-                          for c in pdf[code_col]])          # (n, m)
-            ids = pdf[code_id].to_numpy()
-            # ADC: dist[q, n] = sum_s tables[q, s, C[n, s]] — m column
-            # gathers (m is small; the gather is the whole read path)
-            d = np.zeros((len(qids), len(ids)), dtype=np.float64)
-            for s in range(m):
-                d += tables[:, s, :][:, C[:, s]]
-            for qi in range(len(qids)):
-                h = best[qi]
-                qid = qids[qi]
-                for ni in range(len(ids)):
-                    if ids[ni] == qid:   # never return the query itself
-                        continue
-                    h.append((float(d[qi, ni]), ids[ni]))
-                if len(h) > 4 * k:
-                    prune(h)
+            C_all = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf[code_col]])      # (n, m)
+            ids_all = pdf[code_id].to_numpy()
+            step = max(1, max_cells // max(1, len(qids)))
+            for lo in range(0, len(ids_all), step):
+                C = C_all[lo:lo + step]
+                ids = ids_all[lo:lo + step]
+                # ADC: dist[q, n] = sum_s tables[q, s, C[n, s]] — m
+                # column gathers (m is small; the gather is the whole
+                # read path)
+                d = np.zeros((len(qids), len(ids)), dtype=np.float64)
+                for s in range(m):
+                    d += tables[:, s, :][:, C[:, s]]
+                for qi in range(len(qids)):
+                    h = best[qi]
+                    qid = qids[qi]
+                    for ni in range(len(ids)):
+                        if ids[ni] == qid:  # never return the query itself
+                            continue
+                        h.append((float(d[qi, ni]), ids[ni]))
+                    if len(h) > 4 * k:
+                        prune(h)
         out = []
         for qi, h in enumerate(best):
             prune(h)

@@ -76,7 +76,18 @@ _PRIORITY = [
     # SCD Type 2 history build) displacing tfidf_top_terms — the LLM text
     # block keeps text_stats/token_count_bpe/pipeline_clean_corpus
     # in-window and tfidf stays hash-exact just past it.
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    # Round 9 swaps, per the same displacement rule (r8 verdict Next #6):
+    # record_linkage_customers enters (NEW blocked-record-linkage /
+    # entity-resolution family: Fellegi–Sunter blocking + banded JVM
+    # levenshtein) displacing dedup_ngram_jaccard — dedup keeps six
+    # in-window rows (exact, minhash, simhash, cc_clusters, embedding,
+    # lines) and the n-gram Jaccard row stays hash-exact just past the
+    # window.  resample_user_hourly enters (NEW time-series
+    # resample + forward-fill family) displacing
+    # q17_small_quantity_revenue — TPC-H keeps q1/q7/q9 in-window and
+    # q17 re-registers immediately past it.
+    "dedup_exact", "record_linkage_customers", "dedup_minhash",
+    "dedup_simhash",
     "dedup_cc_clusters", "dedup_embedding", "sim_topk_bruteforce",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
     "diff_orders_snapshots",
@@ -104,8 +115,9 @@ _PRIORITY = [
     # now driver-verifies TPC-H q1/q7/q9/q17.  embedding_quantize_int8's
     # registration was re-shaped to scalar rows (r5's only red row).
     "embedding_quantize_int8", "q7_volume_shipping",
-    "q17_small_quantity_revenue",
+    "resample_user_hourly",
     # first entries PAST the 50-window: the displaced green rows
+    "q17_small_quantity_revenue", "dedup_ngram_jaccard",
     "tfidf_top_terms", "contamination_check", "data_quality_expectations",
     "mr_simple_unpack", "mr_ordered_collect", "dedup_simhash_pairs",
     "mr_task2_sparse", "sim_topk_lsh", "sim_topk_ivf",

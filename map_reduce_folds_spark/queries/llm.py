@@ -1933,13 +1933,14 @@ _QUALITY_SQL = """
     ),
     c AS (
         SELECT n_tokens,
-               COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND 1 PRECEDING), 0) // {_PACK_BUDGET}
-                   AS shard_id
+                   AS BIGINT) AS shard_id
         FROM s
     )
-    SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM c GROUP BY 1
     """,
 )
@@ -2000,7 +2001,8 @@ def _lang_median(sc: DataFrame) -> DataFrame:
     ),
     {_MED_CTES}
     SELECT sc.lang AS lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN sc.q >= med.med_q THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN sc.q >= med.med_q THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
            MIN(med.med_q) AS med_q
     FROM sc JOIN med ON sc.lang = med.lang
     GROUP BY 1
@@ -2044,7 +2046,11 @@ def quality_filter_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
               UNION ALL SELECT id_b, id_a FROM pairs),
     seed AS (SELECT MIN(u) AS s FROM edges),
     reach(node, d) AS (
-        SELECT s, 0 FROM seed
+        -- NULL-safe seed: on a pair-free corpus MIN(u) is one NULL row,
+        -- which would seed the recursion and emit (NULL, 0) while the
+        -- Spark side returns an empty frame — filter it out here so both
+        -- sides agree on the empty-graph case
+        SELECT s, 0 FROM seed WHERE s IS NOT NULL
         UNION
         SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.node
         WHERE r.d < 4
@@ -2058,22 +2064,19 @@ def khop_doc_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph (operators/graph.bfs_hops) — the "contamination
     blast radius" query: every document within k dedup-graph hops of a
     flagged one, with its hop distance.  Level-synchronous frontier BFS
-    (per-level frontier ⋈ edges join + visited anti-join, early exit on
-    an empty frontier); the banded SimHash pair generation is
-    pigeonhole-exact for hamming ≤ 3 at 4 blocks, so the oracle's
-    brute-force pair graph is identical."""
+    run at SIGNATURE level (operators/dedup.simhash_khop_hops →
+    graph.bfs_hops_factored): the doc graph is the distinct-signature
+    graph blown up by cliques/bicliques, so hop distances factor exactly
+    and the frontier is bounded by |signatures| instead of |docs| — the
+    fix for the doc-level frontier's superlinear growth over planted
+    duplicate clusters (2.16× at 10×, r8 scale bench).  The banded
+    SimHash pair generation is pigeonhole-exact for hamming ≤ 3 at 4
+    blocks, so the oracle's brute-force pair graph is identical;
+    equality of the factored BFS with the doc-level one is
+    property-tested in tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents")
-    # hard cut: the seed agg below is an action, and bfs_hops re-reads the
-    # pair relation every level — without this the factored pair pipeline
-    # (sig join + two expansion joins) would run once per consumer
-    pairs = D.simhash_near_dup_pairs_factored(
-        d, "doc_id", "text", bits=32, max_hamming=3, blocks=4,
-    ).localCheckpoint(eager=True)
-    seed = pairs.agg(
-        F.min(F.least(F.col("id_a"), F.col("id_b")))).first()[0]
-    if seed is None:   # no near-dup pairs: empty neighborhood, not a crash
-        return spark.createDataFrame([], "doc_id bigint, hops int")
-    hops = G2.bfs_hops(pairs, [int(seed)], "id_a", "id_b", max_hops=4)
+    hops = D.simhash_khop_hops(
+        d, "doc_id", "text", bits=32, max_hamming=3, blocks=4, max_hops=4)
     return hops.select(F.col("node").alias("doc_id"),
                        F.col("hops").cast("int").alias("hops"))
 
@@ -2206,11 +2209,12 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                  {SM.deterministic_shuffle_sql('doc_id', 'pack')} AS pos
           FROM tok),
     c AS (SELECT n_tokens,
-                 COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 // {_PACK_BUDGET} AS shard_id
+                 // {_PACK_BUDGET} AS BIGINT) AS shard_id
           FROM s)
-    SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM c GROUP BY 1
     """,
 )
@@ -2256,7 +2260,8 @@ _QUOTA = 80
             ORDER BY {T.hash60_sql("CAST(doc_id AS VARCHAR)", "quota")},
                      doc_id) <= {_QUOTA}
     )
-    SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM r GROUP BY 1
     """,
 )

@@ -450,7 +450,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, n_1h, sum_1h FROM (
         SELECT event_id, user_id,
                COUNT(*) OVER w AS n_1h,
-               SUM(cents) OVER w AS sum_1h
+               CAST(SUM(cents) OVER w AS BIGINT) AS sum_1h
         FROM (SELECT event_id, user_id, epoch_us(ts) AS tus,
                      CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
               FROM events)
@@ -1979,8 +1979,8 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_sum_hotkey",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
-             OVER w AS running_cents,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             OVER w AS BIGINT) AS running_cents,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
@@ -2327,11 +2327,14 @@ def funnel_step_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'changed' END AS diff
         FROM a FULL OUTER JOIN b USING (o_orderkey)
     )
-    SELECT COALESCE(SUM(CASE WHEN diff = 'added' THEN 1 END), 0) AS added,
-           COALESCE(SUM(CASE WHEN diff = 'removed' THEN 1 END), 0) AS removed,
-           COALESCE(SUM(CASE WHEN diff = 'changed' THEN 1 END), 0) AS changed,
-           COALESCE(SUM(CASE WHEN diff = 'unchanged' THEN 1 END), 0)
-               AS unchanged
+    SELECT CAST(COALESCE(SUM(CASE WHEN diff = 'added' THEN 1 END), 0)
+               AS BIGINT) AS added,
+           CAST(COALESCE(SUM(CASE WHEN diff = 'removed' THEN 1 END), 0)
+               AS BIGINT) AS removed,
+           CAST(COALESCE(SUM(CASE WHEN diff = 'changed' THEN 1 END), 0)
+               AS BIGINT) AS changed,
+           CAST(COALESCE(SUM(CASE WHEN diff = 'unchanged' THEN 1 END), 0)
+               AS BIGINT) AS unchanged
     FROM cls
     """,
 )
@@ -2405,13 +2408,24 @@ def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dels.withColumn("_del", F.lit(True)))
     )
     dst = tempfile.mkdtemp(prefix="cdc_upsert_orders_")
-    merge_upsert(spark, f"{sf_dir}/orders.parquet", updates,
-                 ["o_orderkey"], dst, delete_col="_del")
-    merged = spark.read.parquet(dst)
-    return merged.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
-    )
+    try:
+        merge_upsert(spark, f"{sf_dir}/orders.parquet", updates,
+                     ["o_orderkey"], dst, delete_col="_del")
+        merged = spark.read.parquet(dst)
+        # collect the (≤3-row, bounded by |o_orderstatus|) aggregate
+        # eagerly so the multi-MB merged snapshot can be deleted here —
+        # repeated invocations (scale bench best-of-N, warm-ups) were
+        # littering /tmp with one full orders copy each
+        agg = merged.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -485,6 +485,58 @@ def test_bfs_hops_distances(spark):
     assert got3 == {1: 0, 2: 1, 3: 2, 4: 3, 6: 2}
 
 
+def test_bfs_hops_string_keyed(spark):
+    """Seeds adopt the edge column's type: a string-keyed graph must work
+    (the old hard bigint cast NULLed string ids and silently returned an
+    empty neighborhood)."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"])
+    got = {r["node"]: r["hops"]
+           for r in G.bfs_hops(edges, ["a"], max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_hops_unrepresentable_seed_raises(spark):
+    """A seed the edge node type cannot represent raises instead of
+    silently searching from nothing."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    with pytest.raises(ValueError, match="not representable"):
+        G.bfs_hops(edges, ["not-a-number"], max_hops=3)
+
+
+def test_bfs_hops_factored_hand_graph(spark):
+    """Clique-blowup BFS on a hand case exercising every rule: seed's
+    co-members at 1, neighbor groups at their group distance, singleton
+    intermediate groups, unreachable groups excluded, max_hops cap."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    # groups: 10 = {1, 2, 3}; 20 = {4}; 30 = {5, 6}; 99 = {9} (isolated)
+    membership = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 30), (6, 30), (9, 99)],
+        ["node", "grp"])
+    grp_edges = spark.createDataFrame([(10, 20), (20, 30)], ["ga", "gb"])
+    got = {r["node"]: r["hops"]
+           for r in G.bfs_hops_factored(
+               membership, grp_edges, 1, max_hops=4).collect()}
+    # doc graph: clique {1,2,3}; biclique {1,2,3}×{4}; biclique {4}×{5,6};
+    # clique {5,6}; 9 isolated
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2}
+
+    capped = {r["node"]: r["hops"]
+              for r in G.bfs_hops_factored(
+                  membership, grp_edges, 1, max_hops=1).collect()}
+    assert capped == {1: 0, 2: 1, 3: 1, 4: 1}
+
+    alone = {r["node"]: r["hops"]
+             for r in G.bfs_hops_factored(
+                 membership, grp_edges, 1, max_hops=0).collect()}
+    assert alone == {1: 0}
+
+
 def test_bfs_hops_multi_seed(spark):
     """Multiple seeds: distance is min over seeds; undirected edges."""
     from map_reduce_folds_spark.operators import graph as G

@@ -1372,6 +1372,28 @@ def test_simhash_factored_pairs_equal_doc_level(docs):
     assert doc_level  # non-vacuous on the fixture
 
 
+def test_simhash_khop_factored_equals_doc_level(spark, docs):
+    """Signature-level BFS (simhash_khop_hops → bfs_hops_factored) must
+    yield EXACTLY the doc-level bfs_hops over the materialized pair
+    graph — same nodes, same hop distances, same auto-picked seed."""
+    from map_reduce_folds_spark.operators import graph as G
+    from pyspark.sql import functions as F
+
+    pairs = D.simhash_near_dup_pairs_factored(
+        docs, bits=32, max_hamming=3, blocks=4).localCheckpoint(eager=True)
+    seed = pairs.agg(F.min(F.least("id_a", "id_b"))).first()[0]
+    assert seed is not None  # non-vacuous on the fixture
+    doc_level = {(r["node"], r["hops"])
+                 for r in G.bfs_hops(pairs, [int(seed)], "id_a", "id_b",
+                                     max_hops=4).collect()}
+    factored = {(r["node"], r["hops"])
+                for r in D.simhash_khop_hops(
+                    docs, bits=32, max_hamming=3, blocks=4,
+                    max_hops=4).collect()}
+    assert factored == doc_level
+    assert len(doc_level) > 1
+
+
 def test_simhash_factored_triangles_equal_doc_level(spark, docs):
     """The arithmetic signature-decomposition triangle count must equal
     triangle_count over the materialized doc pair graph — on the fixture

@@ -808,6 +808,102 @@ def test_stream_scd2_matches_batch_and_carries_runs(spark, tmp_path_factory):
     assert last == want
 
 
+def test_stream_funnel_out_of_order_replay_ignores_late_predecessor(
+        spark, tmp_path_factory):
+    """Deliberately OUT-OF-ORDER replay pinning the documented
+    arrival-order caveat (not just single-file fixtures): a successor
+    step ('click') arrives in batch 1, its predecessor ('view', with an
+    EARLIER event time) in batch 2.  The greedy state never re-examines
+    the already-seen click — the late view advances depth to 1, NOT the
+    batch answer of 2 over the time-ordered union."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_funnel_depth,
+    )
+
+    p = str(tmp_path_factory.mktemp("funnel_out_of_order"))
+    cols = ["eid", "ts", "uid", "et"]
+    first = spark.createDataFrame(
+        [(2, datetime(2024, 1, 2), 1, "click")], cols)   # successor first
+    late = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "view")], cols)    # predecessor late
+    first.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(
+        spark, p, "eid bigint, ts timestamp, uid bigint, et string")
+    out = stream_funnel_depth(stream, "uid", "ts", "et",
+                              ["view", "click", "purchase"],
+                              tiebreak_col="eid")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("funnel_out_of_order").start())
+    try:
+        q.processAllAvailable()
+        after_b1 = {r["uid"]: r["depth"]
+                    for r in spark.table("funnel_out_of_order").collect()}
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # batch 1: the lone click cannot advance past step 1 → depth 0
+    assert after_b1 == {1: 0}
+    last = {}
+    for r in spark.table("funnel_out_of_order").collect():
+        last[r["uid"]] = r["depth"]
+    # documented semantics: late predecessors are ignored by the greedy
+    # state — depth 1 (view matched), never 2 (the batch answer)
+    assert last == {1: 1}
+
+
+def test_stream_scd2_out_of_order_replay_folds_into_open_run(
+        spark, tmp_path_factory):
+    """Deliberately OUT-OF-ORDER replay pinning stream_scd2's documented
+    caveat: a cross-batch late event folds into the run OPEN AT ITS
+    ARRIVAL batch.  Batch 1 establishes runs a→b for key 1; a late 'a'
+    with an event time between them closes the open 'b' run (valid_to =
+    the late event's earlier time) and opens version 3 — the streaming
+    answer differs from the batch answer over the time-ordered union by
+    construction, and that difference is the pinned semantics."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_scd2,
+    )
+
+    us = lambda *a: int(  # noqa: E731 — local literal helper
+        (datetime(*a) - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    p = str(tmp_path_factory.mktemp("scd2_out_of_order"))
+    cols = ["eid", "ts", "k", "v"]
+    first = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a"),
+         (3, datetime(2024, 1, 3), 1, "b")], cols)
+    late = spark.createDataFrame(
+        [(2, datetime(2024, 1, 2), 1, "a")], cols)       # late predecessor
+    first.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(
+        spark, p, "eid bigint, ts timestamp, k bigint, v string")
+    out = stream_scd2(stream, "k", "ts", "v", tiebreak_col="eid")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("scd2_out_of_order").start())
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = {}
+    for r in spark.table("scd2_out_of_order").collect():
+        last[(r["k"], r["version"])] = (
+            r["v"], r["valid_from"], r["valid_to"], r["n_events"])
+    assert last == {
+        (1, 1): ("a", us(2024, 1, 1), us(2024, 1, 3), 1),
+        # the open 'b' run closes AT THE LATE EVENT'S earlier time —
+        # valid_to < valid_from is the documented degenerate output for
+        # out-of-order arrival, not a bug to mask
+        (1, 2): ("b", us(2024, 1, 3), us(2024, 1, 2), 1),
+        (1, 3): ("a", us(2024, 1, 2), None, 1),
+    }
+
+
 def test_stream_funnel_ts_tie_matches_batch(spark, tmp_path_factory):
     """Same-timestamp step events fold in batch order — (ts, tiebreak,
     step-index), never event-name lexicography ('click' < 'view' would

@@ -36,6 +36,24 @@ def nonscalar_columns(sdf) -> list[str]:
             if isinstance(f.dataType, (ArrayType, MapType, StructType))]
 
 
+# DuckDB result types with an exact, canonicalizer-stable Spark twin.  Bare
+# SUM(int) yields HUGEINT (int128) and SUM(decimal)/AVG(decimal) yield
+# DECIMAL — both hash differently from Spark's BIGINT/DOUBLE in the driver's
+# canonicalizer even when values agree (round-8 red row
+# diff_orders_snapshots).  Oracles must CAST to a portable type.
+_PORTABLE_DUCK_TYPES = {
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
+}
+
+
+def oracle_nonportable_types(rel) -> list[str]:
+    """``col:TYPE`` strings for oracle result columns whose DuckDB type is
+    outside the portable set (HUGEINT, DECIMAL, UHUGEINT, TIME, ...)."""
+    return [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if str(t).split("(")[0] not in _PORTABLE_DUCK_TYPES]
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
@@ -135,7 +153,23 @@ def main():
             n_weak += 1
             continue
         try:
-            duck_pdf = con.sql(oracles[name]).fetchdf()
+            rel = con.sql(oracles[name])
+            bad_types = oracle_nonportable_types(rel)
+            if bad_types:
+                # dtype pre-flight (r8 verdict Next #2): DuckDB types bare
+                # SUM(int) as HUGEINT (int128), which the driver's
+                # canonicalizer hashes differently from Spark's BIGINT —
+                # the round-8 red row diff_orders_snapshots.  Fail loudly
+                # BEFORE the value compare (whose pandas coercion masks it)
+                # so non-portable oracle dtypes are structurally impossible,
+                # exactly like the r5 array/struct schema pre-flight.
+                print(f"FAIL  {name}: non-portable oracle dtypes "
+                      f"{bad_types} (cast to BIGINT/DOUBLE/... in the SQL)")
+                results[name] = {"status": "fail",
+                                 "err": f"oracle dtypes: {bad_types}"}
+                n_fail += 1
+                continue
+            duck_pdf = rel.fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e!r}")
             results[name] = {"status": "fail", "err": f"duckdb: {e!r}"}
