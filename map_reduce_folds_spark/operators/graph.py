@@ -565,11 +565,18 @@ def bfs_hops(
         raise ValueError(
             f"bfs_hops: {n_null} seed(s) not representable as the edge "
             f"node type {node_type.simpleString()}")
-    visited = seed_df.withColumn("hops", F.lit(0).cast("int")) \
+    frontier = seed_df.withColumn("hops", F.lit(0).cast("int")) \
         .localCheckpoint(eager=True)
-    frontier = visited
+    # visited = union of per-level frontiers, each already checkpointed:
+    # the union needs NO checkpoint of its own (its lineage is one flat
+    # RDD per level), which halves the eager jobs per level vs
+    # re-checkpointing the accumulated union every round
+    frontiers = [frontier]
     try:
         for h in range(1, max_hops + 1):
+            visited = frontiers[0]
+            for f_ in frontiers[1:]:
+                visited = visited.union(f_)
             nxt = (
                 sym.join(frontier.select(F.col("node").alias("u")), "u")
                 .select(F.col("v").alias("node")).distinct()
@@ -579,9 +586,12 @@ def bfs_hops(
             )
             if nxt.isEmpty():
                 break
-            visited = visited.union(nxt).localCheckpoint(eager=True)
+            frontiers.append(nxt)
             frontier = nxt
-        return visited
+        out = frontiers[0]
+        for f_ in frontiers[1:]:
+            out = out.union(f_)
+        return out
     finally:
         sym.unpersist()
 
