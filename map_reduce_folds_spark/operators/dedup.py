@@ -395,6 +395,153 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def duplicate_ngram_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """Per-document CROSS-CORPUS duplicated n-gram fraction — the
+    corpus-quality audit metric of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", public literature):
+    what fraction of a document's n-gram OCCURRENCES belong to n-grams
+    seen in at least ``min_docs`` distinct documents.  High fractions
+    flag boilerplate / template / near-dup contamination that survives
+    doc-level dedup; the per-doc score feeds quality gates the same way
+    ``text.quality_score`` does.
+
+    One token scan → n-gram occurrence explode (JVM-side
+    :func:`text.shingles`) → document-frequency agg on the 60-bit gram
+    hash (map-side-combinable; the shuffle key is a fixed-width bigint,
+    never the gram string) → one join back → per-doc counts.  Documents
+    shorter than ``n`` tokens surface with ``n_ngrams = 0`` and a NULL
+    fraction (restored by a left join, the funnel zero-step
+    discipline).  ``dup_frac`` is one division of two integers — bitwise
+    portable without rounding (the jaccard discipline).
+
+    Output: ``(id_col, n_ngrams, n_dup, dup_frac)``."""
+    from map_reduce_folds_spark.operators.text import (
+        hash60, shingles, tokenize, tokenize_regex,
+    )
+
+    toks = (tokenize(text_col) if token_pattern is None
+            else tokenize_regex(text_col, token_pattern))
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(shingles(toks, n)).alias("__g"),
+    ).select(id_col, hash60(F.col("__g")).alias("__gh"))
+    df_per_gram = (
+        occ.select(id_col, "__gh").distinct()
+        .groupBy("__gh").agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    per = (
+        occ.join(df_per_gram, "__gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_ngrams"),
+             F.sum((F.col("__nd") >= min_docs).cast("bigint"))
+             .alias("n_dup"))
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint")
+            .alias("n_ngrams"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.col("n_dup").cast("double") / F.col("n_ngrams"),
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """ALL ordered-by-id pairs where either document's shingle set is
+    ``threshold``-contained in the union — ASYMMETRIC near-duplication:
+    containment C(A→B) = |A ∩ B| / |A| catches a short document quoted
+    or embedded wholesale inside a long one, which symmetric Jaccard
+    (|∩|/|∪|) misses whenever the host is much larger (J ≈ |A|/|B| → 0).
+    The quote/subset detector a training-corpus dedup pass runs next to
+    :func:`ngram_jaccard_pairs` (Broder's containment, public
+    literature).
+
+    Same inverted-index shape and skew guard as
+    :func:`ngram_jaccard_pairs`: cost ∝ Σ_shingle bucket², and
+    ``max_shingle_df`` drops hot shingles from CANDIDATE GENERATION only
+    (surviving pairs re-score against full sets, so emitted values are
+    exact).  Output: ``(id_a, id_b, common, sz_a, sz_b, containment)``
+    with containment = max of the two directions (= common / min size),
+    one integer division — bitwise portable, no rounding needed."""
+    from map_reduce_folds_spark.operators.text import (
+        distinct_shingle_hashes,
+    )
+
+    sh = docs.select(
+        F.col(id_col),
+        distinct_shingle_hashes(text_col, n,
+                                token_pattern=token_pattern).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("sz"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("h"))
+    if max_shingle_df is not None:
+        cool = (
+            inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df).select("h")
+        )
+        inv = inv.join(cool, "h")
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if max_shingle_df is not None:
+        sets_a = sh.select(F.col(id_col).alias("id_a"),
+                           F.col("sh").alias("sh_a"))
+        sets_b = sh.select(F.col(id_col).alias("id_b"),
+                           F.col("sh").alias("sh_b"))
+        scored = (
+            cand.select("id_a", "id_b")
+            .join(sets_a, "id_a").join(sets_b, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+                F.size("sh_a").alias("sz_a"), F.size("sh_b").alias("sz_b"),
+            )
+        )
+    else:
+        scored = (
+            cand
+            .join(sizes.withColumnRenamed(id_col, "id_a")
+                       .withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed(id_col, "id_b")
+                       .withColumnRenamed("sz", "sz_b"), "id_b")
+        )
+    out = scored.select(
+        "id_a", "id_b",
+        F.col("common").cast("bigint").alias("common"),
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        (F.col("common").cast("double")
+         / F.least("sz_a", "sz_b")).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -333,3 +333,161 @@ def winsorize(
     clamped = F.greatest(F.least(F.col(col).cast("double"), F.lit(qh)),
                          F.lit(ql))
     return df.withColumn(out_col or f"{col}_winsorized", clamped)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier gate via median absolute deviation (the
+    Hampel identifier, public literature): flag rows where
+    ``|v − median(v)| > k · MAD`` within their group.  Unlike the
+    mean/stddev z-score, both center and spread are 50%-breakdown robust
+    — a batch of corrupt rows cannot drag the gate open around itself,
+    which is exactly the failure mode an ingest-quality gate exists to
+    catch.
+
+    Both medians are EXACT lower medians via rank selection over a total
+    order — ``(v, id)`` then ``(|v − med|, id)`` — the median_exact
+    discipline: deterministic on any engine, no interpolation float
+    drift.  Two window passes over the same group partitioning + two
+    broadcast-size joins of the per-group scalars; on integer values
+    every comparison is integer-exact (``k·MAD`` is the only float
+    product).
+
+    Output: one row per input row —
+    ``(id_col, group_col, value_col, med, mad, is_outlier)``."""
+    from pyspark.sql.window import Window
+
+    wn = Window.partitionBy(group_col)
+    w1 = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    base = df.select(id_col, group_col, value_col)
+    r1 = base.select(
+        id_col, group_col, value_col,
+        F.count(F.lit(1)).over(wn).alias("__n"),
+        F.row_number().over(w1).alias("__rn"))
+    med = r1.where(
+        F.col("__rn") == F.floor((F.col("__n") + 1) / 2).cast("bigint")
+    ).select(group_col, F.col(value_col).alias("med"))
+    dev = base.join(med, group_col).withColumn(
+        "__d", F.abs(F.col(value_col) - F.col("med")))
+    w2 = Window.partitionBy(group_col).orderBy("__d", id_col)
+    r2 = dev.select(
+        group_col, "__d",
+        F.count(F.lit(1)).over(wn).alias("__n"),
+        F.row_number().over(w2).alias("__rn"))
+    mad = r2.where(
+        F.col("__rn") == F.floor((F.col("__n") + 1) / 2).cast("bigint")
+    ).select(group_col, F.col("__d").alias("mad"))
+    return dev.join(mad, group_col).select(
+        id_col, group_col, value_col, "med", "mad",
+        (F.col("__d") > F.lit(k) * F.col("mad")).alias("is_outlier"))
+
+
+def mad_outliers_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> str:
+    """DuckDB mirror of :func:`mad_outliers` (same rank-selection lower
+    medians, same ``(v, id)`` / ``(d, id)`` total orders)."""
+    return f"""
+    WITH base AS (SELECT {id_col}, {group_col}, {value_col} FROM {src}),
+    r1 AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY {group_col}) AS n,
+               ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                  ORDER BY {value_col}, {id_col}) AS rn
+        FROM base
+    ),
+    med AS (SELECT {group_col}, {value_col} AS med FROM r1
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)),
+    dev AS (
+        SELECT b.*, m.med, abs(b.{value_col} - m.med) AS d
+        FROM base b JOIN med m USING ({group_col})
+    ),
+    r2 AS (
+        SELECT {group_col}, d,
+               COUNT(*) OVER (PARTITION BY {group_col}) AS n,
+               ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                  ORDER BY d, {id_col}) AS rn
+        FROM dev
+    ),
+    mad AS (SELECT {group_col}, d AS mad FROM r2
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT))
+    SELECT dev.{id_col}, dev.{group_col}, dev.{value_col},
+           dev.med AS med, mad.mad AS mad,
+           dev.d > {k!r} * mad.mad AS is_outlier
+    FROM dev JOIN mad USING ({group_col})
+    """
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-health /
+    vocabulary-coverage gate (a doc whose tokens mostly fall outside the
+    head vocabulary will shatter into rare subwords at tokenization
+    time; high OOV also flags wrong-language and binary-ish rows the
+    unigram perplexity proxy scores differently).
+
+    The vocabulary is the top V tokens by ``(count DESC, token ASC)`` —
+    a deterministic total order, computed as a distributed top-k
+    (Catalyst's TakeOrderedAndProject — per-partition heaps, never a
+    single-task global sort), then BROADCAST back as a membership join
+    (V literal rows).  One token scan + one map-side-combinable vocab
+    count; per-doc counts are one integer division — bitwise portable.
+
+    Output: ``(id_col, n_tokens, n_oov, oov_rate)``."""
+    from map_reduce_folds_spark.operators.text import tokenize
+
+    toks = df.select(F.col(id_col),
+                     F.explode(tokenize(text_col)).alias("tok"))
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok").limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_oov"))
+        .select(id_col, "n_tokens", "n_oov",
+                (F.col("n_oov").cast("double") / F.col("n_tokens"))
+                .alias("oov_rate"))
+    )
+
+
+def oov_rate_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> str:
+    """DuckDB mirror of :func:`oov_rate` (same (count DESC, token ASC)
+    vocabulary order, same occurrence counting)."""
+    return f"""
+    WITH tk AS (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok
+                FROM {src}),
+    vocab AS (
+        SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1)
+        ORDER BY cnt DESC, tok LIMIT {vocab_size}
+    )
+    SELECT tk.{id_col}, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM tk LEFT JOIN vocab v USING (tok)
+    GROUP BY 1
+    """

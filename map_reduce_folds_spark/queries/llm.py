@@ -231,6 +231,124 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=_N, threshold=_JT)
 
 
+_CONT_T = 0.8     # containment threshold (asymmetric near-dup)
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(c AS BIGINT) AS common,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(c AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / least(sa.sz, sb.sz) >= {_CONT_T}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL pairs with 3-gram shingle CONTAINMENT ≥ 0.8
+    (operators/dedup.shingle_containment_pairs): asymmetric
+    near-duplication — |A ∩ B| / min(|A|, |B|) catches a short document
+    quoted wholesale inside a long host, which symmetric Jaccard misses
+    (J ≈ |A|/|B| → 0 as the host grows).  Same inverted-index shape and
+    skew guard as dedup_ngram_jaccard; the quote/subset axis of the
+    dedup audit."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.shingle_containment_pairs(d, "doc_id", "text", n=_N,
+                                       threshold=_CONT_T)
+
+
+@query(
+    "duplicate_ngram_audit",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+    g AS (
+        SELECT doc_id,
+               {_h60(f"array_to_string(t[u.i:u.i+{_N - 1}], ' ')")} AS gh
+        FROM tk, LATERAL (SELECT unnest(generate_series(
+                              1, len(t) - {_N - 1})) AS i) u
+        WHERE len(t) >= {_N}
+    ),
+    nd AS (SELECT gh, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1),
+    per AS (
+        SELECT g.doc_id, COUNT(*) AS n_ngrams,
+               CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup
+        FROM g JOIN nd USING (gh) GROUP BY 1
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN per.n_ngrams > 0
+                THEN CAST(per.n_dup AS DOUBLE) / per.n_ngrams
+           END AS dup_frac
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+)
+def duplicate_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus duplicated 3-gram fraction
+    (operators/dedup.duplicate_ngram_stats — the Lee et al. 2022 corpus
+    audit metric): the share of each document's n-gram occurrences that
+    belong to n-grams appearing in ≥ 2 distinct documents.  One token
+    scan, document-frequency agg on fixed-width gram hashes (map-side
+    combinable), one join back; short documents restore with zero counts
+    and a NULL fraction."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicate_ngram_stats(d, "doc_id", "text", n=_N, min_docs=2)
+
+
+def _mad_oracle() -> str:
+    from map_reduce_folds_spark.operators.quality import mad_outliers_sql
+
+    return mad_outliers_sql("documents", "lang", "n_chars", "doc_id", k=3.0)
+
+
+@query("mad_outlier_docs", oracle=_mad_oracle())
+def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier gate
+    (operators/quality.mad_outliers — the Hampel identifier): flag
+    documents whose character length deviates from their language's
+    median by more than 3 MADs.  Median and MAD are both exact lower
+    medians via rank selection (the median_exact discipline), so on the
+    integer n_chars column every comparison is integer-exact; 50%-
+    breakdown robustness means a batch of corrupt rows cannot drag the
+    gate open around itself, unlike the mean/stddev z-score."""
+    from map_reduce_folds_spark.operators.quality import mad_outliers
+
+    d = load_table(spark, sf_dir, "documents")
+    return mad_outliers(d, "lang", "n_chars", "doc_id", k=3.0)
+
+
+def _oov_oracle() -> str:
+    from map_reduce_folds_spark.operators.quality import oov_rate_sql
+
+    return oov_rate_sql("documents", "doc_id", "text", vocab_size=200)
+
+
+@query("oov_rate_docs", oracle=_oov_oracle())
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-200 token vocabulary (operators/quality.oov_rate) — the
+    vocabulary-coverage / tokenizer-health gate.  The vocabulary is a
+    deterministic distributed top-k by (count DESC, token ASC)
+    (TakeOrderedAndProject, never a single-task global sort) broadcast
+    back as a membership join; per-doc counts are one integer
+    division."""
+    from map_reduce_folds_spark.operators.quality import oov_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_rate(d, "doc_id", "text", vocab_size=200)
+
+
 def _minhash_oracle(sh_cte: str | None = None) -> str:
     from map_reduce_folds_spark.operators.dedup import _mh_coeffs
 

@@ -243,6 +243,54 @@ def test_ngram_jaccard_hot_shingle_cap(spark, docs):
     assert base == wide
 
 
+def test_containment_catches_quote_jaccard_misses(spark):
+    """The asymmetric point of shingle_containment_pairs: a short doc
+    embedded wholesale in a long host has containment 1.0 but low
+    Jaccard — the containment op must surface it at a threshold where
+    the Jaccard op (correctly) does not."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = ("one two three four five six seven eight nine ten "
+            + quote +
+            " eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    df = spark.createDataFrame(
+        [(1, quote), (2, host)], "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): (r.common, r.sz_a, r.sz_b, r.containment)
+           for r in D.shingle_containment_pairs(
+               df, threshold=0.9).collect()}
+    # quote: 6 tokens -> 4 shingles, every one inside the host
+    assert got == {(1, 2): (4, 4, len(host.split()) - 2, 1.0)}
+    jac = D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the quote relation
+
+    # the skew guard preserves scores on surviving pairs (verify-after)
+    capped = {(r.id_a, r.id_b): r.containment
+              for r in D.shingle_containment_pairs(
+                  df, threshold=0.9, max_shingle_df=10).collect()}
+    assert capped == {(1, 2): 1.0}
+
+
+def test_duplicate_ngram_stats_hand_case(spark):
+    """Hand corpus pinning every rule: cross-doc duplicated occurrences
+    counted per OCCURRENCE, within-doc-only repeats not duplicated
+    (min_docs=2 is distinct docs), short docs restored with zero counts
+    and NULL fraction."""
+    rows = [
+        (1, "a b c d"),          # shingles: 'a b c', 'b c d'
+        (2, "a b c x"),          # shares 'a b c' with doc 1
+        (3, "q r s q r s"),      # 'q r s' repeats WITHIN doc 3 only
+        (4, "xy zz"),            # < 3 tokens: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_ngrams, r.n_dup, r.dup_frac)
+           for r in D.duplicate_ngram_stats(df, n=3).collect()}
+    assert got[1] == (2, 1, 0.5)        # 'a b c' is cross-doc dup
+    assert got[2] == (2, 1, 0.5)
+    # doc 3: 4 occurrences, 'q r s' appears twice but only in ONE doc —
+    # nothing cross-doc duplicated
+    assert got[3] == (4, 0, 0.0)
+    assert got[4] == (0, 0, None)
+
+
 def test_simhash_pigeonhole_complete(docs):
     """Blocking must find EVERY pair with hamming <= max_hamming (pigeonhole
     guarantees it); cross-check against brute-force over signatures."""
@@ -706,6 +754,72 @@ def test_hll_merge_is_max(spark, docs):
     merged = sliced.groupBy("lang", "reg").agg(F.max("rank").alias("rank"))
     direct = K.hll_sketch(docs, "text", ["lang"], p=12)
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_mad_outliers_robust_vs_zscore(spark):
+    """The point of the MAD gate: a BATCH of corrupt rows inflates the
+    mean/stddev enough to hide itself from a 3-sigma z-score, but cannot
+    move the median/MAD (50% breakdown) — the gate still flags it.  Also
+    pins the exact lower-median tie-break and the MAD=0 edge."""
+    import statistics
+
+    from map_reduce_folds_spark.operators.quality import mad_outliers
+
+    normal = [(i, "g", 100 + (i % 5)) for i in range(1, 21)]   # 100..104
+    corrupt = [(100 + i, "g", 10_000) for i in range(4)]        # 4 rows
+    df = spark.createDataFrame(normal + corrupt,
+                               "doc_id bigint, grp string, v bigint")
+    got = {r.doc_id: (r.med, r.mad, r.is_outlier)
+           for r in mad_outliers(df, "grp", "v", "doc_id", k=3.0).collect()}
+    # median/MAD computed from the 24 values, lower-median rank selection
+    vals = sorted([v for _, _, v in normal + corrupt])
+    med = vals[(len(vals) + 1) // 2 - 1]
+    mad = sorted(abs(v - med) for v in vals)[(len(vals) + 1) // 2 - 1]
+    assert got[1] == (med, mad, False)
+    for i in range(4):
+        assert got[100 + i][2] is True          # corrupt rows flagged
+    assert all(not got[i][2] for i, _, _ in normal)
+    # the z-score comparison the docstring claims: 4/24 rows at 10k push
+    # sigma so high that 10k sits within 3 sigma — the naive gate misses
+    xs = [v for _, _, v in normal + corrupt]
+    mu, sd = statistics.mean(xs), statistics.pstdev(xs)
+    assert abs(10_000 - mu) <= 3 * sd
+
+    # MAD = 0 (over half the group identical): any deviation is flagged
+    const = [(i, "c", 7) for i in range(1, 10)] + [(99, "c", 8)]
+    df2 = spark.createDataFrame(const, "doc_id bigint, grp string, v bigint")
+    got2 = {r.doc_id: r.is_outlier
+            for r in mad_outliers(df2, "grp", "v", "doc_id").collect()}
+    assert got2[99] is True
+    assert all(not got2[i] for i in range(1, 10))
+
+
+def test_oov_rate_hand_case_and_plan(spark):
+    """Vocabulary = top-V by (count DESC, token ASC) — deterministic
+    tie-break; OOV counted per OCCURRENCE; the vocab stage must compile
+    to a distributed top-k (TakeOrderedAndProject), never a single-task
+    global sort, and the membership join must broadcast."""
+    from map_reduce_folds_spark.operators.quality import oov_rate
+
+    rows = [
+        (1, "a a a b b c"),   # a:3 b:2 c:1 corpus-wide (+ doc 2 below)
+        (2, "a b d d"),       # d:2
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # corpus counts: a=4, b=3, d=2, c=1 -> vocab_size=2 keeps {a, b}
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in oov_rate(df, vocab_size=2).collect()}
+    assert got[1] == (6, 1, 1 / 6)   # only 'c' is OOV
+    assert got[2] == (4, 2, 0.5)     # the two 'd's
+    # tie-break: c and a-count ties resolved by token ASC — vocab_size=3
+    # admits d (2) not c (1); with a c/d tie the lexicographic token wins
+    got3 = {r.doc_id: r.n_oov
+            for r in oov_rate(df, vocab_size=3).collect()}
+    assert got3 == {1: 1, 2: 0}
+    plan = oov_rate(df, vocab_size=2)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_drift_psi_semantics(spark, docs):
