@@ -542,6 +542,62 @@ def shingle_containment_pairs(
     return out.filter(F.col("containment") >= threshold)
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """Pairwise CONTENT overlap between corpus sources — the curation
+    dashboard's provenance-dedup matrix: for every source pair, how much
+    of the smaller source's distinct n-gram inventory also appears in
+    the other (mirror sites, scraped re-posts, and shared boilerplate
+    show up as high-containment source pairs long before doc-level dedup
+    finds the individual copies).
+
+    Shape: one token scan → distinct ``(source, shingle-hash)``
+    projection (map-side combinable distinct) → per-source inventory
+    sizes → self-join on the hash.  Per-shingle join fan-out is bounded
+    by ``|sources|²`` (not corpus size), so the matrix stays linear in
+    the shingle relation at any corpus scale; the output is at most
+    ``C(|sources|, 2)`` rows.  One integer division — bitwise portable.
+
+    Output: ``(src_a, src_b, common, sz_a, sz_b, containment)`` for all
+    pairs sharing ≥ 1 shingle, ``src_a < src_b``."""
+    from map_reduce_folds_spark.operators.text import (
+        distinct_shingle_hashes,
+    )
+
+    sh = docs.select(
+        F.col(source_col),
+        F.explode(distinct_shingle_hashes(
+            text_col, n, token_pattern=token_pattern)).alias("h"),
+    ).distinct()
+    sizes = sh.groupBy(source_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col(f"a.{source_col}") < F.col(f"b.{source_col}")))
+        .groupBy(F.col(f"a.{source_col}").alias("src_a"),
+                 F.col(f"b.{source_col}").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed(source_col, "src_a")
+                   .withColumnRenamed("sz", "sz_a"), "src_a")
+        .join(sizes.withColumnRenamed(source_col, "src_b")
+                   .withColumnRenamed("sz", "sz_b"), "src_b")
+        .select("src_a", "src_b",
+                F.col("common").cast("bigint").alias("common"),
+                F.col("sz_a").cast("bigint").alias("sz_a"),
+                F.col("sz_b").cast("bigint").alias("sz_b"),
+                (F.col("common").cast("double")
+                 / F.least("sz_a", "sz_b")).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

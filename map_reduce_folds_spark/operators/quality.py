@@ -491,3 +491,89 @@ def oov_rate_sql(
     FROM tk LEFT JOIN vocab v USING (tok)
     GROUP BY 1
     """
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two corpus
+    snapshots on one column: ``KS = max_x |F_a(x) − F_b(x)|`` over the
+    empirical CDFs — the drift gate with guaranteed sensitivity to ANY
+    distributional change (PSI needs a bucket grid chosen in advance;
+    KS is grid-free and catches shifts PSI's equi-width buckets can
+    wash out).  Complements :func:`drift_psi`, same two-snapshot calling
+    shape.
+
+    One count-per-distinct-value aggregation per snapshot (map-side
+    combinable), a full outer join on value, then the running CDFs ride
+    ONE sorted-array fold (the :func:`drift_psi` determinism discipline
+    — no global-order window, no partitioning dependence): the fold
+    accumulates both cumulative counts and the max CDF gap in a struct.
+    Distinct-value cardinality bounds the fold array — suited to
+    measures with bounded support (lengths, scores, counts); for
+    unbounded continuous columns bucket first.
+
+    Pure rational arithmetic (counts divided by totals, abs, max) —
+    bitwise portable, no rounding needed.  Output: one row
+    ``(ks, n_a, n_b)``."""
+    ca = a.groupBy(F.col(col).alias("v")) \
+        .agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy(F.col(col).alias("v")) \
+        .agg(F.count(F.lit(1)).alias("nb"))
+    j = ca.join(cb, "v", "full").select(
+        "v",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"))
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    jt = j.crossJoin(F.broadcast(tot))  # one-row scalar idiom
+    rows = F.array_sort(F.collect_list(F.struct("v", "na", "nb")))
+    init = F.struct(F.lit(0).cast("bigint").alias("ca"),
+                    F.lit(0).cast("bigint").alias("cb"),
+                    F.lit(0.0).alias("m"))
+    step = lambda acc, x: F.struct(  # noqa: E731 — fold step
+        (acc["ca"] + x["na"]).alias("ca"),
+        (acc["cb"] + x["nb"]).alias("cb"),
+        F.greatest(
+            acc["m"],
+            F.abs((acc["ca"] + x["na"]).cast("double") / F.col("ta")
+                  - (acc["cb"] + x["nb"]).cast("double") / F.col("tb"))
+        ).alias("m"))
+    return (
+        jt.groupBy("ta", "tb")
+        .agg(F.aggregate(rows, init, step).alias("acc"))
+        .select(F.col("acc")["m"].alias("ks"),
+                F.col("ta").alias("n_a"), F.col("tb").alias("n_b"))
+    )
+
+
+def ks_statistic_sql(a_src: str, b_src: str, expr: str) -> str:
+    """DuckDB mirror of :func:`ks_statistic` — same per-value counts and
+    totals; the running CDFs ride a cumulative window over the distinct
+    values (a fine oracle-side idiom: the no-global-window discipline
+    constrains the SPARK plan, and DuckDB's single-node window is exact
+    over the bounded distinct-value relation).  A list_reduce mirror of
+    the Spark fold was tried first and mis-accumulated on the full
+    fixture (0.120 vs the 0.116 reference) while passing small cases —
+    the window form is verified against an independent Python fold."""
+    return f"""
+    WITH ca AS (SELECT {expr} AS v, COUNT(*) AS na FROM {a_src} GROUP BY 1),
+    cb AS (SELECT {expr} AS v, COUNT(*) AS nb FROM {b_src} GROUP BY 1),
+    j AS (
+        SELECT COALESCE(ca.v, cb.v) AS v,
+               COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        FROM ca FULL JOIN cb ON ca.v = cb.v
+    ),
+    t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                 CAST(SUM(nb) AS BIGINT) AS tb FROM j),
+    r AS (
+        SELECT CAST(SUM(na) OVER w AS DOUBLE) AS cca,
+               CAST(SUM(nb) OVER w AS DOUBLE) AS ccb, ta, tb
+        FROM j, t
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(MAX(abs(cca / ta - ccb / tb)) AS DOUBLE) AS ks,
+           MIN(ta) AS n_a, MIN(tb) AS n_b
+    FROM r
+    """

@@ -250,3 +250,43 @@ def decontaminate(
     scores = eval_overlap(train, eval_df, id_col, text_col, n, token_pattern)
     dirty = scores.where(F.col("overlap") > max_overlap).select(id_col)
     return train.join(dirty, id_col, "left_anti")
+
+
+def token_entropy(text: Column | str) -> Column:
+    """Shannon entropy of the document's OWN token distribution (nats):
+    ``−Σ_t (c_t/n)·ln(c_t/n)`` over the doc's token counts — the
+    repetitiveness/diversity quality signal (near-zero ⇒ one token
+    stamped over and over, generated spam; high ⇒ diverse vocabulary).
+    Complements :func:`type_token_ratio` (which only sees distinctness,
+    not the shape of the count distribution).
+
+    Entirely row-local array expressions — zero shuffles at any corpus
+    size; the summation folds over the SORTED distinct tokens so float
+    addition order is pinned on any engine, and the ln-bearing result
+    rounds to 9 decimals (the PSI discipline)."""
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    dist = F.array_sort(F.array_distinct(toks))
+    terms = F.transform(
+        dist,
+        lambda t: (
+            -(F.size(F.filter(toks, lambda x: x == t)).cast("double") / n)
+            * F.log(F.size(F.filter(toks, lambda x: x == t))
+                    .cast("double") / n)
+        ),
+    )
+    return F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 9)
+
+
+def token_entropy_sql(text_expr: str) -> str:
+    """DuckDB mirror of :func:`token_entropy` (same sorted-distinct fold
+    order, same 9-decimal round)."""
+    t = f"string_split({text_expr}, ' ')"
+    c = f"len(list_filter({t}, x -> x = u))"
+    p = f"(CAST({c} AS DOUBLE) / len({t}))"
+    return (
+        f"round(list_reduce(list_prepend(0.0, "
+        f"list_sort(list_distinct({t}))"
+        f".apply(u -> -{p} * ln({p}))), (acc, x) -> acc + x), 9)"
+    )

@@ -1453,6 +1453,92 @@ def drift_psi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_chars", 0.0, 600.0, nbuckets=12)
 
 
+def _ks_oracle() -> str:
+    from map_reduce_folds_spark.operators.quality import ks_statistic_sql
+
+    return ks_statistic_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "n_chars")
+
+
+@query("ks_drift_docs", oracle=_ks_oracle())
+def ks_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic between two
+    corpus slices on the n_chars distribution
+    (operators/quality.ks_statistic) — the grid-free companion to
+    drift_psi_docs: max CDF gap, sensitive to any distributional change
+    without a pre-chosen bucket grid.  One count-per-value agg per
+    slice, a full outer join, and running CDFs in a single sorted-array
+    fold (partitioning-independent); pure rational arithmetic, no
+    rounding."""
+    from map_reduce_folds_spark.operators.quality import ks_statistic
+
+    d = load_table(spark, sf_dir, "documents")
+    return ks_statistic(d.filter("doc_id % 2 = 0"),
+                        d.filter("doc_id % 2 = 1"), "n_chars")
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS tk
+                  FROM documents),
+    sh AS (
+        SELECT DISTINCT source,
+               {_h60(f"array_to_string(tk[g.gs:g.gs+{_N - 1}], ' ')")} AS h
+        FROM toks, LATERAL (SELECT unnest(generate_series(
+                                1, len(tk) - {_N - 1})) AS gs) g
+        WHERE len(tk) >= {_N}
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(c AS BIGINT) AS common,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(c AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+    FROM common
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content-overlap matrix between corpus sources
+    (operators/dedup.source_overlap_matrix): distinct 3-gram inventory
+    containment per source pair — mirror sites and shared boilerplate
+    surface as high-containment pairs before doc-level dedup finds the
+    copies.  Join fan-out per shingle is bounded by |sources|², linear
+    in the shingle relation at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.source_overlap_matrix(d, "source", "text", n=_N)
+
+
+@query(
+    "token_entropy_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           {T.token_entropy_sql('text')} AS entropy
+    FROM documents
+    """,
+)
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the doc's own token distribution
+    (operators/text.token_entropy) — the repetitiveness quality signal
+    (near-zero: one token stamped repeatedly; high: diverse
+    vocabulary).  Entirely row-local array expressions, zero shuffles;
+    sorted-distinct fold order and a 9-decimal round pin the ln-bearing
+    float."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(T.tokenize("text")).cast("bigint").alias("n_tokens"),
+        T.token_entropy("text").alias("entropy"))
+
+
 @query(
     "dedup_multimodal_union",
     oracle=f"""

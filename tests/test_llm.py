@@ -756,6 +756,61 @@ def test_hll_merge_is_max(spark, docs):
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
 
 
+def test_source_overlap_matrix_hand_case(spark):
+    """Two sources sharing half of one's shingles: containment = common
+    over the SMALLER inventory; disjoint sources emit no row."""
+    rows = [
+        (1, "s1", "a b c d e"),        # shingles: abc bcd cde (3)
+        (2, "s2", "a b c d x y z"),    # abc bcd cdx dxy xyz (5)
+        (3, "s3", "p q r s t"),        # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {(r.src_a, r.src_b): (r.common, r.sz_a, r.sz_b, r.containment)
+           for r in D.source_overlap_matrix(df).collect()}
+    assert got == {("s1", "s2"): (2, 3, 5, 2 / 3)}   # abc, bcd shared
+
+
+def test_token_entropy_semantics(spark):
+    """Entropy 0 for a constant token, ln(k) for k uniform tokens, and
+    the hand value for a skewed mix."""
+    import math
+
+    from map_reduce_folds_spark.operators.text import token_entropy
+
+    rows = [(1, "x x x x"), (2, "a b c d"), (3, "a a b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.e for r in df.select(
+        "doc_id", token_entropy("text").alias("e")).collect()}
+    assert got[1] == 0.0
+    assert got[2] == round(math.log(4), 9)
+    want3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(got[3] - want3) < 1e-9
+
+
+def test_ks_statistic_semantics(spark, docs):
+    """KS = 0 on identical samples, 1 on disjoint supports, and a hand
+    value on a small case; partitioning-independent (repartition must
+    not change the bit pattern)."""
+    from map_reduce_folds_spark.operators.quality import ks_statistic
+
+    same = ks_statistic(docs, docs, "n_chars").first()
+    assert same["ks"] == 0.0 and same["n_a"] == same["n_b"]
+
+    a = spark.createDataFrame([(i, 1) for i in range(4)], "id bigint, v int")
+    b = spark.createDataFrame([(i, 9) for i in range(6)], "id bigint, v int")
+    assert ks_statistic(a, b, "v").first()["ks"] == 1.0
+
+    # hand case: a = {1,1,2,3}, b = {2,3,3,4} -> CDF gaps at v=1: |.5-0|,
+    # v=2: |.75-.25|, v=3: |1-.75|, v=4: 0 -> max .5
+    a2 = spark.createDataFrame([(1, 1), (2, 1), (3, 2), (4, 3)],
+                               "id bigint, v int")
+    b2 = spark.createDataFrame([(1, 2), (2, 3), (3, 3), (4, 4)],
+                               "id bigint, v int")
+    assert ks_statistic(a2, b2, "v").first()["ks"] == 0.5
+    assert ks_statistic(a2.repartition(7), b2.repartition(5), "v") \
+        .first()["ks"] == 0.5
+
+
 def test_mad_outliers_robust_vs_zscore(spark):
     """The point of the MAD gate: a BATCH of corrupt rows inflates the
     mean/stddev enough to hide itself from a 3-sigma z-score, but cannot
