@@ -617,3 +617,79 @@ def kmv_pairwise_jaccard(
         F.round((both.cast("double") / n_u.cast("double")) * est_u, 9)
             .alias("est_intersection"),
     ).withColumnsRenamed({"ga": "group_a", "gb": "group_b"})
+
+
+def hll_sliding_estimate(
+    df: DataFrame,
+    ts_col: str,
+    item: str | Column,
+    bucket_us: int,
+    k: int,
+    p: int = 12,
+) -> DataFrame:
+    """Distinct-count estimate per SLIDING window of ``k`` tumbling
+    buckets — the sketch-reuse pattern that makes sliding distinct
+    counts affordable at scale: each event is hashed into its bucket's
+    HLL sketch ONCE (:func:`hll_sketch` — shuffle bounded by
+    #buckets × m), and every window estimate is a merge of its k bucket
+    sketches (register-wise max), never a rescan of the events.  A naive
+    sliding COUNT(DISTINCT) re-reads every event k times and keeps
+    per-window item sets; this keeps k × m register rows per window.
+
+    Windows advance one bucket per step (stride = bucket width); ragged
+    edge windows (fewer than k populated buckets) are emitted —
+    merging fewer sketches is still the exact same estimator.
+
+    Output: ``(win_start_us bigint, nd_est double)`` — one row per
+    window with ≥ 1 event, ``win_start_us = window-start microseconds``.
+    Deterministic: the portable hash60-based registers and the
+    9-decimal estimate discipline of :func:`hll_estimate`."""
+    from map_reduce_folds_spark.timeutil import epoch_us
+
+    eus = epoch_us(F.col(ts_col))
+    bucket = ((eus - eus % F.lit(bucket_us)) / F.lit(bucket_us)) \
+        .cast("bigint")
+    sk = hll_sketch(df.withColumn("__bkt", bucket), item, ["__bkt"], p=p)
+    # bucket b serves windows starting at b-k+1 .. b
+    per_win = sk.select(
+        F.explode(F.sequence(F.col("__bkt") - (k - 1),
+                             F.col("__bkt"))).alias("__win"),
+        "reg", "rank")
+    merged = per_win.groupBy("__win", "reg").agg(F.max("rank").alias("rank"))
+    return (
+        merged.groupBy("__win")
+        .agg(hll_estimate(p).alias("nd_est"))
+        .select((F.col("__win") * F.lit(bucket_us)).cast("bigint")
+                .alias("win_start_us"), "nd_est")
+    )
+
+
+def hll_sliding_estimate_sql(
+    src: str,
+    ts_expr: str,
+    item_expr: str,
+    bucket_us: int,
+    k: int,
+    p: int = 12,
+) -> str:
+    """DuckDB mirror of :func:`hll_sliding_estimate` (same registers,
+    same bucket arithmetic, same window fan-out)."""
+    reg, rank = hll_register_sql(item_expr, p=p)
+    return f"""
+    WITH rr AS (
+        SELECT (epoch_us({ts_expr}) - epoch_us({ts_expr}) % {bucket_us})
+               // {bucket_us} AS bkt,
+               {reg} AS reg, {rank} AS rank
+        FROM {src}
+    ),
+    sk AS (SELECT bkt, reg, MAX(rank) AS rank FROM rr GROUP BY 1, 2),
+    pw AS (
+        SELECT u.win, reg, rank
+        FROM sk, LATERAL (SELECT unnest(generate_series(
+                              bkt - {k - 1}, bkt)) AS win) u
+    ),
+    merged AS (SELECT win, reg, MAX(rank) AS rank FROM pw GROUP BY 1, 2)
+    SELECT CAST(win * {bucket_us} AS BIGINT) AS win_start_us,
+           {hll_estimate_sql(p=p)} AS nd_est
+    FROM merged GROUP BY win
+    """

@@ -1069,6 +1069,34 @@ def _hll_union_oracle() -> str:
     """
 
 
+_HLL_BUCKET_US = 1_800_000_000      # 30-minute tumbling sub-buckets
+_HLL_WIN_K = 2                      # 1 h sliding window = 2 buckets
+
+
+def _hll_sliding_oracle() -> str:
+    return K.hll_sliding_estimate_sql(
+        "events", "ts", "CAST(user_id AS VARCHAR)",
+        _HLL_BUCKET_US, _HLL_WIN_K, p=12)
+
+
+@query("sketch_sliding_hll", oracle=_hll_sliding_oracle())
+def sketch_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate per 1-hour SLIDING window (30-min stride)
+    over events (operators/sketches.hll_sliding_estimate) — the
+    sketch-reuse pattern: one HLL sketch per tumbling 30-min bucket
+    (each event hashed once), every window a register-wise merge of its
+    two bucket sketches — never a rescan, unlike a naive sliding
+    COUNT(DISTINCT) that re-reads every event per overlapping window.
+    Portable hash60 registers and the 9-decimal estimate discipline make
+    the approximation itself oracle-exact."""
+    from map_reduce_folds_spark.operators import sketches as K2
+
+    e = load_table(spark, sf_dir, "events")
+    return K2.hll_sliding_estimate(
+        e, "ts", F.col("user_id").cast("string"),
+        _HLL_BUCKET_US, _HLL_WIN_K, p=12)
+
+
 @query("sketch_union_hll", oracle=_hll_union_oracle())
 def sketch_union_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches: each corpus slice builds its own
@@ -2382,6 +2410,97 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "a", "b", "c_ab",
+            F.round(
+                F.log(((d_("c_ab") * d_("tot_t")) * d_("tot_t"))
+                      / ((d_("tot_b") * d_("ca")) * d_("cb"))), 9
+            ).alias("pmi"),
+        )
+    )
+
+
+_SG_W = 3         # skip-gram forward window (word2vec-style context)
+
+
+@query(
+    "skipgram_pmi",
+    oracle=f"""
+    WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+        SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS c_ab
+        FROM (
+            SELECT unnest(flatten([
+                CASE WHEN len(t) > k
+                     THEN list_zip(t[1:len(t)-k], t[1+k:len(t)])
+                     ELSE [] END
+                FOR k IN [{", ".join(str(k) for k in range(1, _SG_W + 1))}]
+            ])) AS pr
+            FROM tk
+        )
+        GROUP BY 1, 2
+    ),
+    uni AS (SELECT u AS w, COUNT(*) AS c
+            FROM (SELECT unnest(t) AS u FROM tk) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS T,
+                   CAST(SUM({" + ".join(
+                       f"greatest(len(t) - {k}, 0)"
+                       for k in range(1, _SG_W + 1))}) AS BIGINT) AS B
+            FROM tk)
+    SELECT pairs.a AS a, pairs.b AS b,
+           CAST(pairs.c_ab AS BIGINT) AS c_ab,
+           round(ln(((CAST(pairs.c_ab AS DOUBLE) * CAST(tot.T AS DOUBLE))
+                     * CAST(tot.T AS DOUBLE))
+                    / ((CAST(tot.B AS DOUBLE) * CAST(ua.c AS DOUBLE))
+                       * CAST(ub.c AS DOUBLE))), 9) AS pmi
+    FROM pairs
+    JOIN uni ua ON ua.w = pairs.a
+    JOIN uni ub ON ub.w = pairs.b
+    CROSS JOIN tot
+    WHERE pairs.c_ab >= 5
+    """,
+)
+def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram PMI: pointwise mutual information of token
+    pairs co-occurring within a FORWARD window of 3 positions (the
+    word2vec-style context of Mikolov et al. 2013) — word association
+    beyond strict adjacency, which bigram_pmi cannot see ("new … york"
+    split by an adjective still scores).  The pair stream is built
+    row-locally in ONE scan: the per-offset slice-and-zip arrays
+    concatenate into a single explode — no position self-join at any
+    corpus size.  Same exact-integer-count ratio, single fixed
+    parenthesization, and 9-decimal round as bigram_pmi."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(F.split("text", " ").alias("t"))
+    empty = F.array().cast("array<struct<a:string,b:string>>")
+    zips = [
+        F.when(
+            F.size("t") > k,
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - k).alias("a"),
+                F.slice(F.col("t"), 1 + k, F.size("t") - k).alias("b"),
+            ).cast("array<struct<a:string,b:string>>"),
+        ).otherwise(empty)
+        for k in range(1, _SG_W + 1)
+    ]
+    pairs = (
+        tk.select(F.explode(F.concat(*zips)).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (tk.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    tot = tk.agg(
+        F.sum(F.size("t")).alias("tot_t"),
+        F.sum(sum(F.greatest(F.size("t") - F.lit(k), F.lit(0))
+                  for k in range(1, _SG_W + 1))).alias("tot_b"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.where(F.col("c_ab") >= 5)
+        .join(ua, "a").join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", F.col("c_ab").cast("bigint").alias("c_ab"),
             F.round(
                 F.log(((d_("c_ab") * d_("tot_t")) * d_("tot_t"))
                       / ((d_("tot_b") * d_("ca")) * d_("cb"))), 9

@@ -756,6 +756,69 @@ def test_hll_merge_is_max(spark, docs):
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
 
 
+def test_hll_sliding_merge_equals_direct_window_sketch(spark):
+    """The sketch-reuse identity: merging a window's bucket sketches
+    (register-wise max) must give EXACTLY the estimate of a sketch built
+    directly on that window's events — max is associative, so bucket
+    granularity is invisible.  Also sanity: estimates near the exact
+    distinct counts."""
+    from datetime import datetime, timedelta
+
+    from map_reduce_folds_spark.operators import sketches as K2
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 4 half-hour buckets with overlapping user populations
+    for b, users in enumerate([range(0, 60), range(30, 90),
+                               range(60, 120), range(0, 15)]):
+        for u in users:
+            rows.append((eid, base + timedelta(minutes=30 * b, seconds=u),
+                         u))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, "
+                                     "user_id bigint")
+    bucket_us = 1_800_000_000
+    got = {r.win_start_us: r.nd_est
+           for r in K2.hll_sliding_estimate(
+               df, "ts", F.col("user_id").cast("string"),
+               bucket_us, 2, p=12).collect()}
+    base_us = int((base - datetime(1970, 1, 1)).total_seconds() * 1e6)
+    from map_reduce_folds_spark.timeutil import epoch_us as _eus
+
+    for win_start, est in got.items():
+        lo, hi = win_start, win_start + 2 * bucket_us
+        sub = df.where((_eus(F.col("ts")) >= lo) & (_eus(F.col("ts")) < hi))
+        direct = (K2.hll_sketch(sub, F.col("user_id").cast("string"), [])
+                  .agg(K2.hll_estimate().alias("e")).first()["e"])
+        assert est == direct, win_start
+        exact = sub.select("user_id").distinct().count()
+        assert abs(est - exact) / max(exact, 1) < 0.1
+    # the two fully-covered interior windows exist
+    assert base_us + bucket_us in got and base_us in got
+
+
+def test_skipgram_pair_generation(spark, tmp_path):
+    """The single-scan concatenated slice-and-zip must enumerate exactly
+    the forward-window pairs: for 'a b c d' and w=3 → (a,b) (b,c) (c,d)
+    at +1, (a,c) (b,d) at +2, (a,d) at +3; short docs contribute only
+    the offsets they can."""
+    import os
+
+    from map_reduce_folds_spark.queries.llm import skipgram_pmi
+
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        # 6 copies so every pair clears the c_ab >= 5 support threshold
+        [(i, "a b c d") for i in range(6)],
+        "doc_id bigint, text string",
+    ).write.parquet(p)
+    got = {(r.a, r.b): r.c_ab
+           for r in skipgram_pmi(spark, os.path.dirname(p)).collect()}
+    assert got == {("a", "b"): 6, ("b", "c"): 6, ("c", "d"): 6,
+                   ("a", "c"): 6, ("b", "d"): 6, ("a", "d"): 6}
+
+
 def test_source_overlap_matrix_hand_case(spark):
     """Two sources sharing half of one's shingles: containment = common
     over the SMALLER inventory; disjoint sources emit no row."""
