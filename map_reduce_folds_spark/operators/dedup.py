@@ -542,6 +542,95 @@ def shingle_containment_pairs(
     return out.filter(F.col("containment") >= threshold)
 
 
+def ngram_jaccard_pairs_factored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """IDENTICAL pair set to :func:`ngram_jaccard_pairs` (no df cap) —
+    the distinct-SET factoring of the shingle inverted index, the same
+    move as :func:`simhash_near_dup_pairs_factored`: on duplicate-heavy
+    corpora the index bucket join is quadratic in per-shingle document
+    frequency, but Jaccard is a function of the shingle SET alone, so
+    the pair set factors exactly:
+
+    * SAME-SET doc pairs are jaccard-1.0 by definition — emitted from
+      one self-join on the sorted shingle array (the grouping key is
+      the ARRAY itself, not a hash of it — no collision caveat);
+    * CROSS-SET pairs run the inverted index over one representative
+      per distinct set and expand back through two membership joins
+      (the score depends only on the sets, so every expanded pair
+      carries the rep pair's exact double).
+
+    Equality with the unfactored form is property-tested
+    (tests/test_llm.py).  The ``max_shingle_df`` skew guard is NOT
+    offered here: its doc-frequency semantics differ between doc-level
+    and set-level counting, and the factoring already removes the
+    duplicate-driven occupancy the cap exists to bound — for
+    boilerplate-driven (cross-set) hot shingles, use the capped
+    unfactored form."""
+    from map_reduce_folds_spark.operators.text import (
+        distinct_shingle_hashes,
+    )
+
+    sh = docs.select(
+        F.col(id_col),
+        distinct_shingle_hashes(text_col, n,
+                                token_pattern=token_pattern).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    keyed = sh.select(F.col(id_col), F.array_sort("sh").alias("__key")) \
+        .localCheckpoint(eager=False)
+    reps = keyed.groupBy("__key").agg(F.min(id_col).alias("__rep"))
+    members = keyed.join(reps, "__key") \
+        .select(F.col(id_col), "__rep").localCheckpoint(eager=False)
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    same = (
+        m1.join(m2, (F.col("m1.__rep") == F.col("m2.__rep"))
+                & (F.col(f"m1.{id_col}") < F.col(f"m2.{id_col}")))
+        .select(F.col(f"m1.{id_col}").alias("id_a"),
+                F.col(f"m2.{id_col}").alias("id_b"),
+                F.lit(1.0).alias("jaccard"))
+        .filter(F.lit(1.0) >= threshold)
+    )
+    rep_sets = (
+        keyed.join(reps, "__key")
+        .where(F.col(id_col) == F.col("__rep"))
+        .select(F.col("__rep").alias("rid"), F.col("__key").alias("rsh"))
+    )
+    sizes = rep_sets.select("rid", F.size("rsh").alias("sz"))
+    inv = rep_sets.select("rid", F.explode("rsh").alias("h"))
+    a, b = inv.alias("a"), inv.alias("b")
+    rep_pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.rid") < F.col("b.rid")))
+        .groupBy(F.col("a.rid").alias("ra"), F.col("b.rid").alias("rb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sizes.withColumnRenamed("rid", "ra")
+                   .withColumnRenamed("sz", "sz_a"), "ra")
+        .join(sizes.withColumnRenamed("rid", "rb")
+                   .withColumnRenamed("sz", "sz_b"), "rb")
+        .select("ra", "rb",
+                (F.col("common").cast("double")
+                 / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+                .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("__rep").alias("ra"),
+                             F.col(id_col).alias("__ia")), "ra")
+        .join(members.select(F.col("__rep").alias("rb"),
+                             F.col(id_col).alias("__ib")), "rb")
+        .select(F.least(F.col("__ia"), F.col("__ib")).alias("id_a"),
+                F.greatest(F.col("__ia"), F.col("__ib")).alias("id_b"),
+                "jaccard")
+    )
+    return same.unionByName(cross)
+
+
 def source_overlap_matrix(
     docs: DataFrame,
     source_col: str = "source",

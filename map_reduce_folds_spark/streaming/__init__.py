@@ -596,6 +596,38 @@ def stream_hll_registers(
         F.max("rank").alias("rank"))
 
 
+def stream_hll_windowed(
+    stream: DataFrame,
+    ts_col: str,
+    item_col,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 12,
+) -> DataFrame:
+    """WINDOWED streaming HyperLogLog: per event-time tumbling window,
+    maintain the ``(window, reg, rank)`` register relation — the
+    streaming twin of per-bucket :func:`sketches.hll_sketch` (and the
+    building block :func:`sketches.hll_sliding_estimate` merges for
+    sliding spans).  The exact streaming distinct-count's state grows
+    with item cardinality; the register relation is capped at
+    2^p rows per window, and the watermark lets Spark DROP closed
+    windows' state — bounded memory over an unbounded stream.
+
+    Register max is monotone, so the built-in windowed groupBy-max IS
+    the incremental aggregation (no custom state handler).  Estimate
+    with ``sketches.hll_estimate`` grouped by the window column;
+    batch-vs-stream register equality is property-tested
+    (tests/test_streaming.py)."""
+    from map_reduce_folds_spark.operators.sketches import hll_register
+
+    reg, rank = hll_register(item_col, p)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.window(F.col(ts_col), window).alias("win"), reg, rank)
+        .groupBy("win", "reg").agg(F.max("rank").alias("rank"))
+    )
+
+
 def stream_funnel_depth(
     stream: DataFrame,
     user_col: str,

@@ -1591,6 +1591,34 @@ def test_pq_encode_zero_exchanges(spark, emb):
     assert count_exchanges(S.pq_encode(emb, books)) == 0
 
 
+def test_ngram_jaccard_factored_equals_unfactored(spark, docs):
+    """The distinct-set factored Jaccard must yield EXACTLY the
+    unfactored pair set with bitwise-identical scores — on the fixture
+    AND on a hand corpus with planted exact duplicates (where same-set
+    groups actually exercise the clique branch)."""
+    rows = [
+        (1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e f"),
+        (4, "a b c d e z"),              # near-dup of the trio
+        (5, "p q r s t u"), (6, "p q r s t u"),
+        (7, "completely different words here now"),
+    ]
+    hand = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for corpus in (hand, docs):
+        want = {(r.id_a, r.id_b): r.jaccard
+                for r in D.ngram_jaccard_pairs(
+                    corpus, threshold=0.3).collect()}
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in D.ngram_jaccard_pairs_factored(
+                   corpus, threshold=0.3).collect()}
+        assert got == want
+    # non-vacuous: the hand corpus exercises both branches
+    hand_pairs = {(r.id_a, r.id_b): r.jaccard
+                  for r in D.ngram_jaccard_pairs_factored(
+                      hand, threshold=0.3).collect()}
+    assert hand_pairs[(1, 2)] == 1.0 and hand_pairs[(5, 6)] == 1.0
+    assert 0.3 <= hand_pairs[(1, 4)] < 1.0
+
+
 def test_simhash_factored_pairs_equal_doc_level(docs):
     """The distinct-signature factored pair generation must yield EXACTLY
     the doc-level pair set — ids and hamming distances."""

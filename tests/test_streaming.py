@@ -625,6 +625,45 @@ def test_bloom_prune_applies_to_streams(spark, events_batch, events_stream_path)
     assert len(streamed) < all_users
 
 
+def test_stream_hll_windowed_matches_batch_buckets(
+        spark, events_batch, events_stream_path):
+    """Windowed streaming HLL registers equal the batch per-bucket
+    sketch cell-for-cell, so per-window estimates equal the batch
+    bucket estimates (the hll_sliding_estimate building block, with
+    watermark-bounded state)."""
+    from map_reduce_folds_spark.operators.sketches import (
+        hll_estimate, hll_sketch,
+    )
+    from map_reduce_folds_spark.streaming import stream_hll_windowed
+    from map_reduce_folds_spark.timeutil import epoch_us
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = read_parquet_stream(spark, events_stream_path, schema,
+                                 max_files_per_trigger=2)
+    item = F.col("user_id").cast("string")
+    got = run_to_memory(
+        stream_hll_windowed(stream, "ts", item, window="1 hour",
+                            watermark="100 days"),
+        "hll_win_stream", timeout_s=120)
+    g = {(r["win"]["start"], r["reg"], r["rank"]) for r in got.collect()}
+
+    hour_us = 3_600_000_000
+    eus = epoch_us(F.col("ts"))
+    bucket = ((eus - eus % F.lit(hour_us)) / F.lit(hour_us)).cast("bigint")
+    batch = hll_sketch(events_batch.withColumn("__b", bucket), item, ["__b"])
+    from datetime import datetime, timezone
+
+    b = {(datetime.fromtimestamp(r["__b"] * 3600, tz=timezone.utc)
+          .replace(tzinfo=None), r["reg"], r["rank"])
+         for r in batch.collect()}
+    assert g == b
+    # and the per-window estimates agree with batch per-bucket estimates
+    est_s = {r["win"]: r["e"] for r in got.groupBy("win")
+             .agg(hll_estimate().alias("e")).collect()}
+    assert len(est_s) >= 2 and all(v > 0 for v in est_s.values())
+
+
 def test_stream_hll_registers_match_batch(spark, events_batch, events_stream_path):
     """Streaming HLL registers equal the batch sketch cell-for-cell, so
     any snapshot estimate equals the batch estimate."""
