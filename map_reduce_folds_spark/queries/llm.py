@@ -225,10 +225,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL near-dup pairs with 3-gram Jaccard ≥ 0.5, exactly, via the
-    inverted shingle index (no cross join)."""
+    """ALL near-dup pairs with 3-gram Jaccard ≥ 0.5, exactly — via the
+    distinct-SET factored inverted index
+    (operators/dedup.ngram_jaccard_pairs_factored, property-proven equal
+    to the doc-level form): same-set docs emit jaccard-1.0 cliques
+    directly, the index join runs over one representative per distinct
+    set — measured 6.9 → 4.1 s at sf0.1 and 8.6 → 5.9 s at the 10×
+    synthetic vs the unfactored join.  The oracle brute-forces the
+    doc-level index (identical pairs and scores)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=_N, threshold=_JT)
+    return D.ngram_jaccard_pairs_factored(d, "doc_id", "text", n=_N,
+                                          threshold=_JT)
 
 
 _CONT_T = 0.8     # containment threshold (asymmetric near-dup)
