@@ -576,3 +576,96 @@ def resample_fill_forward(
                 F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
                 .alias("n_obs"))
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    alpha_halves: int = 1,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average, CURRENT value: fold
+    each key's events in event-time order through
+    ``ewma ← α·x + (1−α)·ewma`` (seeded with the first observation) and
+    emit the final smoothed value — the state a monitoring/feature
+    pipeline carries per entity.  One row per key.
+
+    ``α = 1/2^alpha_halves`` ON PURPOSE: multiplying a double by a power
+    of two is EXACT (exponent arithmetic, no mantissa rounding), so the
+    only rounding in the fold is the addition — and the fold order is
+    pinned by the sorted ``(ts, tiebreak, value)`` array, making the
+    result bitwise-portable across engines the same way the PSI/entropy
+    sorted folds are.  An arbitrary decay like 0.9 would round at every
+    multiply and still be portable, but the power-of-two choice keeps
+    the arithmetic exact-by-construction and documents itself.
+
+    Shape: ONE groupBy(key) with a per-key sorted-array fold — the
+    per-key array is bounded by that key's event count (the
+    sessionize/funnel per-key discipline); no global order anywhere.
+
+    Output: ``(key, n_events, ewma)``."""
+    if alpha_halves < 1:
+        raise ValueError(f"alpha_halves must be >= 1, got {alpha_halves}")
+    alpha = 1.0 / (1 << alpha_halves)
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    from ..timeutil import epoch_us
+
+    rows = F.array_sort(F.collect_list(F.struct(
+        epoch_us(F.col(ts_col)).alias("t"),
+        tb.alias("b"),
+        F.col(value_col).cast("double").alias("x"))))
+    init = F.struct(F.lit(0).cast("bigint").alias("n"),
+                    F.lit(0.0).alias("e"))
+    step = lambda acc, r: F.struct(  # noqa: E731 — fold step
+        (acc["n"] + 1).alias("n"),
+        F.when(acc["n"] == 0, r["x"])
+        .otherwise(F.lit(alpha) * r["x"]
+                   + F.lit(1.0 - alpha) * acc["e"]).alias("e"))
+    return (
+        df.groupBy(key)
+        .agg(F.aggregate(rows, init, step).alias("acc"))
+        .select(key,
+                F.col("acc")["n"].alias("n_events"),
+                F.col("acc")["e"].alias("ewma"))
+    )
+
+
+def ewma_last_sql(
+    src: str,
+    key: str,
+    ts_expr: str,
+    value_expr: str,
+    tiebreak_expr: str = "0",
+    alpha_halves: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`ewma_last` (same sorted fold, same
+    power-of-two arithmetic).  ``1 − α`` is exact for any
+    ``alpha_halves`` (both are powers of two scaled sums below 1)."""
+    alpha = 1.0 / (1 << alpha_halves)
+    return f"""
+    WITH rows_ AS (
+        SELECT {key} AS k,
+               {{'t': epoch_us({ts_expr}), 'b': {tiebreak_expr},
+                 'x': CAST({value_expr} AS DOUBLE)}} AS r
+        FROM {src}
+    ),
+    folded AS (
+        SELECT k, list_reduce(
+                   list_prepend({{'n': CAST(0 AS BIGINT),
+                                  'e': CAST(0.0 AS DOUBLE)}},
+                                list_sort(list(r))
+                                .apply(s -> {{'n': CAST(1 AS BIGINT),
+                                              'e': s.x}})),
+                   (acc, x) -> {{'n': acc.n + x.n,
+                                 'e': CASE WHEN acc.n = 0 THEN x.e
+                                      ELSE {alpha!r} * x.e
+                                           + {1.0 - alpha!r} * acc.e
+                                      END}}) AS acc
+        FROM rows_ GROUP BY k
+    )
+    SELECT k AS {key}, CAST(acc.n AS BIGINT) AS n_events,
+           CAST(acc.e AS DOUBLE) AS ewma
+    FROM folded
+    """

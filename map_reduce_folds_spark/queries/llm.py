@@ -1076,6 +1076,28 @@ def _hll_union_oracle() -> str:
     """
 
 
+def _ewma_oracle() -> str:
+    from map_reduce_folds_spark.operators.windows import ewma_last_sql
+
+    return ewma_last_sql("events", "user_id", "ts", "value",
+                         tiebreak_expr="event_id", alpha_halves=1)
+
+
+@query("ewma_user_value", oracle=_ewma_oracle())
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing of the event value
+    (operators/windows.ewma_last, α = 1/2): the final EWMA state a
+    monitoring/feature pipeline carries per entity.  One groupBy with a
+    per-key sorted-array fold — no global order; the power-of-two decay
+    makes every multiply exact, so the ln-free fold is bitwise-portable
+    with only order-pinned addition rounding."""
+    from map_reduce_folds_spark.operators.windows import ewma_last
+
+    e = load_table(spark, sf_dir, "events")
+    return ewma_last(e, "user_id", "ts", "value",
+                     tiebreak_col="event_id", alpha_halves=1)
+
+
 _HLL_BUCKET_US = 1_800_000_000      # 30-minute tumbling sub-buckets
 _HLL_WIN_K = 2                      # 1 h sliding window = 2 buckets
 

@@ -756,6 +756,32 @@ def test_hll_merge_is_max(spark, docs):
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
 
 
+def test_ewma_last_semantics(spark):
+    """Hand recursion check (seeded with the first observation), α=1/2
+    exactness, same-timestamp tie-break by the tiebreak column, and
+    partitioning invariance."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators.windows import ewma_last
+
+    t = datetime(2024, 1, 1)
+    rows = [(1, t, 1, 8.0), (2, t, 1, 4.0),   # same ts: eid order
+            (3, datetime(2024, 1, 2), 1, 2.0),
+            (4, t, 2, 5.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    got = {r.user_id: (r.n_events, r.ewma)
+           for r in ewma_last(df, "user_id", "ts", "value",
+                              tiebreak_col="event_id").collect()}
+    # user 1: e=8 -> .5*4+.5*8=6 -> .5*2+.5*6=4 (all exact)
+    assert got[1] == (3, 4.0)
+    assert got[2] == (1, 5.0)
+    rep = {r.user_id: r.ewma
+           for r in ewma_last(df.repartition(7), "user_id", "ts", "value",
+                              tiebreak_col="event_id").collect()}
+    assert rep == {1: 4.0, 2: 5.0}
+
+
 def test_hll_sliding_merge_equals_direct_window_sketch(spark):
     """The sketch-reuse identity: merging a window's bucket sketches
     (register-wise max) must give EXACTLY the estimate of a sketch built
