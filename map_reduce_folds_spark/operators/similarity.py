@@ -1160,6 +1160,7 @@ def pq_topk(
     code_id: str = "vec_id",
     code_col: str = "pq_code",
     max_queries: int = 4096,
+    max_cells: int = 4_000_000,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance (ADC): each query
     precomputes its m×k subspace distance table driver-side (tiny), the
@@ -1203,11 +1204,10 @@ def pq_topk(
             h.sort()
             del h[k:]
 
-        # cap the dense (n_queries × rows) distance block at ~32 MB of
-        # float64 regardless of max_queries — at the 4096-query cap a
-        # default 10k-row Arrow batch would otherwise stage ~330 MB of
-        # transient memory per concurrent task
-        max_cells = 4_000_000
+        # max_cells caps the dense (n_queries × rows) distance block
+        # (default ~32 MB of float64) regardless of max_queries — at the
+        # 4096-query cap a default 10k-row Arrow batch would otherwise
+        # stage ~330 MB of transient memory per concurrent task
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -719,6 +719,73 @@ def stream_funnel_depth(
     )
 
 
+def stream_ewma(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    alpha_halves: int = 1,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming per-key exponential smoothing: the incremental twin of
+    ``windows.ewma_last`` — state is TWO scalars per key (count,
+    current ewma) at any event volume, the smallest possible stateful
+    footprint.  Each micro-batch folds its rows in (ts, tiebreak)
+    event-time order through the same α = 1/2^k power-of-two-exact
+    recursion, so a time-ordered replay is BITWISE equal to the batch
+    operator (parity-tested).  Same arrival-order caveat as
+    ``stream_funnel_depth``: a cross-batch late event folds into the
+    state as of its arrival batch."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..timeutil import epoch_us
+
+    if alpha_halves < 1:
+        raise ValueError(f"alpha_halves must be >= 1, got {alpha_halves}")
+    alpha = 1.0 / (1 << alpha_halves)
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = f"{key} {fields[key]}, n_events bigint, ewma double"
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    src = stream.select(
+        F.col(key),
+        epoch_us(F.col(ts_col)).alias("__t"),
+        tb.alias("__b"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+
+    def update(key_, pdf_iter, state: GroupState):
+        import pandas as pd  # local import: runs on executors
+
+        if state.exists:
+            (st_json,) = state.get
+            n, e = json.loads(st_json)
+        else:
+            n, e = 0, 0.0
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["__t"], pdf["__b"], pdf["__x"]))
+        rows.sort()
+        for _t, _b, x in rows:
+            e = float(x) if n == 0 else alpha * float(x) + (1 - alpha) * e
+            n += 1
+        state.update((json.dumps([n, e]),))
+        yield pd.DataFrame([{key: key_[0], "n_events": n, "ewma": e}])
+
+    return (
+        src.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="acc string",
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_scd2(
     stream: DataFrame,
     key: str,

@@ -1596,6 +1596,36 @@ def test_pq_roundtrip_and_recall(spark, emb):
     assert sum(overlaps) / len(overlaps) >= 0.2, overlaps
 
 
+def test_pq_topk_chunked_equals_unchunked(spark, emb):
+    """The max_cells memory cap (chunking the dense distance block along
+    the row axis) must not change a single result row — force many tiny
+    chunks and compare to the default path."""
+    from map_reduce_folds_spark.operators import similarity as S
+
+    books = S.pq_fit(emb, dim=64, m=8, k=16, sample_limit=256)
+    codes = S.pq_encode(emb, books)
+    q = emb.filter("vec_id < 5")
+    whole = {(r["query_id"], r["neighbor_id"], r["adc_dist"])
+             for r in S.pq_topk(q, codes, books, k=10).collect()}
+    tiny = {(r["query_id"], r["neighbor_id"], r["adc_dist"])
+            for r in S.pq_topk(q, codes, books, k=10,
+                               max_cells=7).collect()}
+    assert tiny == whole and len(whole) == 50
+
+
+def test_simhash_khop_empty_corpus(spark):
+    """A pair-free corpus (every doc a unique far-apart signature) must
+    yield an empty hops frame with the right schema, not a crash — the
+    oracle's NULL-seed guard has the same semantics."""
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "completely unrelated words entirely"),
+            (3, "third document nothing shared here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = D.simhash_khop_hops(df, max_hamming=0, blocks=4)
+    assert out.columns == ["node", "hops"]
+    assert out.count() == 0
+
+
 def test_pq_fit_guards(spark, emb):
     import pytest
 

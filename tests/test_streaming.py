@@ -792,6 +792,50 @@ def test_stream_funnel_within_horizon(spark, tmp_path_factory):
     assert got == {1: 1, 2: 2}
 
 
+def test_stream_ewma_matches_batch_and_carries_state(
+        spark, tmp_path_factory):
+    """Streaming EWMA over a time-ordered two-phase replay: the LAST
+    emission per key is BITWISE equal to the batch ewma_last on the
+    union (power-of-two decay, order-pinned fold) — including a key
+    whose state carries across the batch boundary."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators.windows import ewma_last
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_ewma,
+    )
+
+    p = str(tmp_path_factory.mktemp("ewma_stream"))
+    cols = ["eid", "ts", "k", "v"]
+    early = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 8.0),
+         (2, datetime(2024, 1, 2), 1, 4.0),
+         (3, datetime(2024, 1, 1), 2, 5.0)], cols)
+    late = spark.createDataFrame(
+        [(4, datetime(2024, 1, 3), 1, 2.0),
+         (5, datetime(2024, 1, 2), 2, 7.5)], cols)
+    early.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(
+        spark, p, "eid bigint, ts timestamp, k bigint, v double")
+    out = stream_ewma(stream, "k", "ts", "v", tiebreak_col="eid")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("ewma_stream").start())
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = {}
+    for r in spark.table("ewma_stream").collect():
+        last[r["k"]] = (r["n_events"], r["ewma"])
+    batch = {r["k"]: (r["n_events"], r["ewma"])
+             for r in ewma_last(early.union(late), "k", "ts", "v",
+                                tiebreak_col="eid").collect()}
+    assert last == batch
+    assert last[1] == (3, 4.0)          # 8 -> 6 -> 4, exact
+
+
 def test_stream_scd2_matches_batch_and_carries_runs(spark, tmp_path_factory):
     """Streaming SCD2: last emission per (key, version) over a
     time-ordered two-phase replay equals the batch scd2_history —
