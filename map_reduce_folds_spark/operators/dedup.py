@@ -631,6 +631,97 @@ def ngram_jaccard_pairs_factored(
     return same.unionByName(cross)
 
 
+def shingle_containment_pairs_factored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """IDENTICAL output to :func:`shingle_containment_pairs` (no df cap)
+    via the distinct-SET factoring of
+    :func:`ngram_jaccard_pairs_factored`: containment is a function of
+    the two shingle sets alone, so same-set doc pairs emit
+    ``(sz, sz, sz, 1.0)`` cliques directly and the inverted index runs
+    over one representative per distinct set, expanding scores back
+    through two membership joins.  Property-tested equal
+    (tests/test_llm.py)."""
+    from map_reduce_folds_spark.operators.text import (
+        distinct_shingle_hashes,
+    )
+
+    sh = docs.select(
+        F.col(id_col),
+        distinct_shingle_hashes(text_col, n,
+                                token_pattern=token_pattern).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    keyed = sh.select(F.col(id_col), F.array_sort("sh").alias("__key")) \
+        .localCheckpoint(eager=False)
+    reps = keyed.groupBy("__key").agg(F.min(id_col).alias("__rep"))
+    members = keyed.join(reps, "__key") \
+        .select(F.col(id_col), "__rep").localCheckpoint(eager=False)
+    grp_sz = keyed.select(F.col(id_col), F.size("__key").alias("__sz"))
+    m1 = members.join(grp_sz, id_col).alias("m1")
+    m2 = members.join(grp_sz, id_col).alias("m2")
+    same = (
+        m1.join(m2, (F.col("m1.__rep") == F.col("m2.__rep"))
+                & (F.col(f"m1.{id_col}") < F.col(f"m2.{id_col}")))
+        .select(F.col(f"m1.{id_col}").alias("id_a"),
+                F.col(f"m2.{id_col}").alias("id_b"),
+                F.col("m1.__sz").cast("bigint").alias("common"),
+                F.col("m1.__sz").cast("bigint").alias("sz_a"),
+                F.col("m2.__sz").cast("bigint").alias("sz_b"),
+                F.lit(1.0).alias("containment"))
+        .filter(F.lit(1.0) >= threshold)
+    )
+    rep_sets = (
+        keyed.join(reps, "__key")
+        .where(F.col(id_col) == F.col("__rep"))
+        .select(F.col("__rep").alias("rid"), F.col("__key").alias("rsh"))
+    )
+    sizes = rep_sets.select("rid", F.size("rsh").alias("sz"))
+    inv = rep_sets.select("rid", F.explode("rsh").alias("h"))
+    a, b = inv.alias("a"), inv.alias("b")
+    rep_pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.rid") < F.col("b.rid")))
+        .groupBy(F.col("a.rid").alias("ra"), F.col("b.rid").alias("rb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sizes.withColumnRenamed("rid", "ra")
+                   .withColumnRenamed("sz", "sz_a"), "ra")
+        .join(sizes.withColumnRenamed("rid", "rb")
+                   .withColumnRenamed("sz", "sz_b"), "rb")
+        .select("ra", "rb",
+                F.col("common").cast("bigint").alias("common"),
+                F.col("sz_a").cast("bigint").alias("sz_a"),
+                F.col("sz_b").cast("bigint").alias("sz_b"),
+                (F.col("common").cast("double")
+                 / F.least("sz_a", "sz_b")).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+    # expansion: member pairs inherit the rep pair's exact row, but
+    # (sz_a, sz_b) must follow the ID ordering of the EXPANDED pair —
+    # swap when the member ids invert the rep orientation
+    swap = F.col("__ia") > F.col("__ib")
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("__rep").alias("ra"),
+                             F.col(id_col).alias("__ia")), "ra")
+        .join(members.select(F.col("__rep").alias("rb"),
+                             F.col(id_col).alias("__ib")), "rb")
+        .select(F.least(F.col("__ia"), F.col("__ib")).alias("id_a"),
+                F.greatest(F.col("__ia"), F.col("__ib")).alias("id_b"),
+                "common",
+                F.when(swap, F.col("sz_b")).otherwise(F.col("sz_a"))
+                .alias("sz_a"),
+                F.when(swap, F.col("sz_a")).otherwise(F.col("sz_b"))
+                .alias("sz_b"),
+                "containment")
+    )
+    return same.unionByName(cross)
+
+
 def source_overlap_matrix(
     docs: DataFrame,
     source_col: str = "source",

@@ -265,12 +265,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.shingle_containment_pairs): asymmetric
     near-duplication — |A ∩ B| / min(|A|, |B|) catches a short document
     quoted wholesale inside a long host, which symmetric Jaccard misses
-    (J ≈ |A|/|B| → 0 as the host grows).  Same inverted-index shape and
-    skew guard as dedup_ngram_jaccard; the quote/subset axis of the
-    dedup audit."""
+    (J ≈ |A|/|B| → 0 as the host grows).  Runs via the distinct-SET
+    factored index (operators/dedup.shingle_containment_pairs_factored,
+    property-proven equal — the dedup_ngram_jaccard reroute applied to
+    containment); the quote/subset axis of the dedup audit."""
     d = load_table(spark, sf_dir, "documents")
-    return D.shingle_containment_pairs(d, "doc_id", "text", n=_N,
-                                       threshold=_CONT_T)
+    return D.shingle_containment_pairs_factored(d, "doc_id", "text", n=_N,
+                                                threshold=_CONT_T)
 
 
 @query(

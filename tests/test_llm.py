@@ -1675,6 +1675,32 @@ def test_ngram_jaccard_factored_equals_unfactored(spark, docs):
     assert 0.3 <= hand_pairs[(1, 4)] < 1.0
 
 
+def test_containment_factored_equals_unfactored(spark, docs):
+    """The set-factored containment must equal the unfactored form row
+    for row — including the (sz_a, sz_b) orientation when expanded
+    member ids invert the rep ordering (planted by giving the LOWER id
+    to the larger set's second member)."""
+    rows = [
+        (1, "a b c d e"), (4, "a b c d e"),          # same set, ids 1,4
+        (2, "a b c d x y z"), (3, "a b c d x y z"),  # same set, ids 2,3
+        (5, "p q r s t"),
+    ]
+    hand = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for corpus, th in ((hand, 0.5), (docs, 0.8)):
+        want = {(r.id_a, r.id_b): (r.common, r.sz_a, r.sz_b, r.containment)
+                for r in D.shingle_containment_pairs(
+                    corpus, threshold=th).collect()}
+        got = {(r.id_a, r.id_b): (r.common, r.sz_a, r.sz_b, r.containment)
+               for r in D.shingle_containment_pairs_factored(
+                   corpus, threshold=th).collect()}
+        assert got == want
+    # non-vacuous: the hand case exercises clique + both orientations
+    hand_got = {(r.id_a, r.id_b)
+                for r in D.shingle_containment_pairs_factored(
+                    hand, threshold=0.5).collect()}
+    assert {(1, 4), (2, 3), (1, 2), (3, 4)} <= hand_got
+
+
 def test_simhash_factored_pairs_equal_doc_level(docs):
     """The distinct-signature factored pair generation must yield EXACTLY
     the doc-level pair set — ids and hamming distances."""
