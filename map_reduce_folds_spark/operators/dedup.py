@@ -1360,3 +1360,52 @@ def simhash_triangle_count_factored(
                 .cast("bigint").alias("n_triangles"))
     )
     return total
+
+
+def cluster_savings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str = "n_chars",
+    group_col: str = "source",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """The dedup SAVINGS REPORT a curation run ends with: cluster the
+    corpus with :func:`simhash_components` (near-dup graph → connected
+    components), elect ONE representative per cluster — the largest doc,
+    ties to the smallest id (the keep-the-longest policy of classic web
+    curation) — and account, per ``group_col``, how many documents and
+    how much text the dedup pass removes.  Singleton docs (no near-dup
+    edge) are their own cluster and are always kept.
+
+    Rep election is a deterministic arg-min over ``(-size, id)`` structs
+    (min-struct = max size, min id — map-side combinable, no window);
+    the accounting is one aggregation over docs ⨝ cluster ⨝ rep, both
+    joins on the component key.  Output per group: ``n_docs``,
+    ``n_kept`` (elected reps homed in this group), ``n_dropped``, and
+    ``chars_dropped`` (exact bigint sum of ``size_col`` over dropped
+    docs)."""
+    comp = simhash_components(docs, id_col, text_col, bits=bits,
+                              max_hamming=max_hamming, blocks=blocks)
+    d = (
+        docs.select(id_col, group_col, size_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster",
+                    F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    rep = d.groupBy("cluster").agg(
+        F.min(F.struct((-F.col(size_col)).alias("a"),
+                       F.col(id_col).alias("b")))
+        .getField("b").alias("rep_id"))
+    kept = F.col(id_col) == F.col("rep_id")
+    return (
+        d.join(rep, "cluster")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(kept.cast("bigint")).alias("n_kept"),
+             F.sum((~kept).cast("bigint")).alias("n_dropped"),
+             F.sum(F.when(~kept, F.col(size_col)).otherwise(F.lit(0)))
+             .cast("bigint").alias("chars_dropped"))
+    )

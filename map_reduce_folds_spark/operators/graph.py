@@ -35,6 +35,7 @@ round (bounded driver traffic, inherent to an iterative fixpoint).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def symmetric_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -716,4 +717,39 @@ def triangle_list(
         F.least(F.col("w"), F.least(F.col("p"), F.col("q"))).alias("x"),
         F.expr("array_sort(array(w, p, q))")[1].alias("y"),
         F.greatest(F.col("w"), F.greatest(F.col("p"), F.col("q"))).alias("z"),
+    )
+
+
+def transition_probs(
+    df: DataFrame,
+    key: str,
+    order_by: list,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key state journeys:
+    order each key's rows by ``order_by``, pair every state with its
+    successor (``lead`` — one window pass, no self-join), and estimate
+    ``P(next | prev) = n(prev→next) / n(prev→·)`` by maximum likelihood.
+
+    The denominator rides a tiny window sum over the |states|² count
+    relation (bounded by the state vocabulary, not the event count), so
+    the whole plan is one shuffle on ``key`` for the lead, one partial
+    aggregation on (prev, next), and a broadcast-sized window — the same
+    edge relation :func:`pagerank` walks, exposed as probabilities.
+    ``prob`` is a SINGLE bigint/bigint division (exact same double in
+    any engine).  Output: (prev, nxt, n, prob) — ``nxt`` because NEXT is
+    reserved in some SQL dialects and the oracle mirrors the name.
+    """
+    w = Window.partitionBy(key).orderBy(*order_by)
+    trans = (
+        df.select(F.col(state_col).alias("prev"),
+                  F.lead(state_col).over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+    )
+    counts = trans.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("prev"))
+    return counts.select(
+        "prev", "nxt", "n",
+        (F.col("n").cast("double") / tot).alias("prob"),
     )

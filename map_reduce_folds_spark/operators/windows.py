@@ -669,3 +669,96 @@ def ewma_last_sql(
            CAST(acc.e AS DOUBLE) AS ewma
     FROM folded
     """
+
+
+def rolling_median_cents(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    range_us: int = 3_600_000_000,
+    scale: int = 100,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT rolling median of ``value_col`` over a trailing event-time
+    RANGE window per key — the robust twin of the trailing-hour moving
+    average (``window_time_range``), for monitoring feeds where a single
+    spike must not drag the smoothed level.
+
+    Numeric policy: the value is fixed-pointed to integer "cents"
+    (``CAST(value AS DECIMAL(12,2)) * scale``) BEFORE windowing, so the
+    sorted frame holds bigints and the median is pure integer selection
+    plus one terminal ``(lo + hi) / 2.0`` — exact for odd frames
+    (``lo == hi``) and a single well-defined rounding for even ones,
+    identical in any engine.  Output ``med_cents`` is in cents.
+
+    Plan shape: ONE window pass (partition by key, order by epoch
+    micros, value-defined RANGE frame — order-deterministic under ties);
+    the frame's values ride ``collect_list``/``array_sort``, bounded by
+    events-per-``range_us``-per-key, NOT by partition size.  At cluster
+    scale a hot key with millions of events per window would need a
+    pre-aggregated histogram sketch instead (``sketches.hist_quantile``)
+    — this operator is the exact-answer path.
+    """
+    from ..timeutil import epoch_us
+
+    cents = (F.col(value_col).cast("decimal(12,2)") * scale).cast("bigint")
+    w = (
+        Window.partitionBy(key).orderBy(epoch_us(F.col(ts_col)))
+        .rangeBetween(-int(range_us), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return df.select(
+        *carry, key,
+        n.cast("bigint").alias("n_win"),
+        ((lo + hi) / F.lit(2.0)).alias("med_cents"),
+    )
+
+
+def group_percentiles_nearest_rank(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[int] = (50, 95),
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group WITHOUT collecting the
+    group into one row: rank every value with ``row_number`` over the
+    (keys, value) sort, attach the group size, and keep only the rows
+    whose rank equals ``ceil(q·n/100)`` (computed in INTEGER arithmetic:
+    ``(q·n + 99) // 100`` — no float index, no interpolation).  The
+    selection is the classic distributed order-statistic plan: one sort
+    shuffle on the group key, then a same-pass filter — group size never
+    has to fit in a single array, unlike a sorted-``collect_list``
+    median.  Ties are deterministic by value: equal values are
+    interchangeable at the same rank, so the picked VALUE is unique even
+    though row_number is not.
+
+    Output: one row per group — ``n``, ``p{q}`` for each requested q,
+    and ``vmax`` (the q=100 pick).
+    """
+    assert all(0 < q <= 100 for q in qs)
+    wo = Window.partitionBy(*keys).orderBy(value_col)
+    wn = Window.partitionBy(*keys)
+    v = F.col(value_col)
+    base = df.select(
+        *keys, v.alias("__v"),
+        F.row_number().over(wo).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    # ceil(q·n/100) via `div` — INTEGER division end-to-end (a double
+    # divide-then-floor can land one below the true index when q·n+99
+    # is an exact multiple of 100)
+    idx = {q: F.expr(f"(__n * {q} + 99) div 100") for q in qs}
+    keep = F.col("__rn") == F.col("__n")
+    for q in qs:
+        keep = keep | (F.col("__rn") == idx[q])
+    picked = base.where(keep)
+    aggs = [F.max("__n").alias("n")]
+    aggs += [F.max(F.when(F.col("__rn") == idx[q], F.col("__v")))
+             .alias(f"p{q}") for q in qs]
+    aggs += [F.max(F.when(F.col("__rn") == F.col("__n"), F.col("__v")))
+             .alias("vmax")]
+    return picked.groupBy(*keys).agg(*aggs)

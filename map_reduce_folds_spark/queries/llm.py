@@ -2638,3 +2638,58 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"))
+
+
+@query(
+    "dedup_savings_by_source",
+    oracle=f"""
+    WITH RECURSIVE
+    sig AS (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component
+             FROM reach GROUP BY node),
+    d AS (
+        SELECT doc_id, source, n_chars,
+               COALESCE(component, doc_id) AS cluster
+        FROM documents LEFT JOIN comp USING (doc_id)
+    ),
+    rep AS (
+        SELECT cluster,
+               (MIN({{'a': -n_chars, 'b': doc_id}})).b AS rep_id
+        FROM d GROUP BY cluster
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN doc_id <> rep_id THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped
+    FROM d JOIN rep USING (cluster)
+    GROUP BY source
+    """,
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup savings report (operators/dedup.cluster_savings): the
+    SimHash near-dup clusters of dedup_cc_clusters, ONE representative
+    elected per cluster (largest doc, ties to smallest id — the classic
+    keep-the-longest curation policy, a map-side-combinable min-struct
+    arg-min), and the per-source accounting of what the pass removes:
+    docs kept/dropped and exact chars_dropped.  Singletons (docs with no
+    near-dup edge) are their own cluster — always kept.  The oracle
+    walks the same closure with a recursive CTE and mirrors the struct
+    arg-min."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.cluster_savings(d, "doc_id", "text", "n_chars", "source",
+                             bits=32, max_hamming=3, blocks=4)

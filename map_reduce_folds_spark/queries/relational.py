@@ -2617,3 +2617,125 @@ def trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n",
                 F.round(num / (F.lit(100.0) * den), 9).alias("slope"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: robust time-series and journey-model families — exact rolling
+# median, nearest-rank inter-arrival percentiles, Markov transition matrix.
+# Reference analog: none (Core.hs has no ordered-window surface); north-star
+# monitoring / sequence-model feature queries.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_median_user",
+    oracle="""
+    SELECT event_id, user_id, CAST(len(arr) AS BIGINT) AS n_win,
+           (arr[CAST((len(arr) + 1) // 2 AS INT)]
+            + arr[CAST(len(arr) // 2 + 1 AS INT)]) / 2.0 AS med_cents
+    FROM (
+        SELECT event_id, user_id, list_sort(list(cents) OVER w) AS arr
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS tus,
+                     CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def rolling_median_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median of the event value over each user's trailing
+    hour (operators/windows.rolling_median_cents) — the robust twin of
+    window_time_range's moving sum: one spike moves the mean, not the
+    median.  Value-defined RANGE frame (order-deterministic under ties);
+    integer-cents fixed point so the median is pure integer selection
+    plus one (lo+hi)/2.0 — bitwise-portable.  The frame array is bounded
+    by events-per-hour-per-user, not partition size; a hot key at
+    cluster scale would switch to the histogram-sketch quantile path."""
+    e = load_table(spark, sf_dir, "events")
+    return W.rolling_median_cents(e, "user_id", "ts", "value",
+                                  range_us=3_600_000_000,
+                                  carry=("event_id",))
+
+
+@query(
+    "interarrival_stats",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               tus - LAG(tus) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY tus, event_id) AS delta
+        FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+              FROM events)
+    ),
+    r AS (
+        SELECT event_type, delta,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY delta) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d WHERE delta IS NOT NULL
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN delta END) AS p50,
+           MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN delta END) AS p95,
+           MAX(CASE WHEN rn = n THEN delta END) AS vmax
+    FROM r GROUP BY event_type
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type — how often does a
+    user fire the SAME event again (operators/windows.
+    group_percentiles_nearest_rank): per-(user, type) LAG deltas in
+    epoch micros, then EXACT nearest-rank p50/p95/max per type via the
+    distributed order-statistic plan (row_number sort + integer-index
+    filter — the group never has to fit in one array, unlike the sorted
+    collect_list median).  All-integer end to end: micros deltas,
+    ceil(q·n/100) in `div` arithmetic, picked values are bigints — no
+    float anywhere."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    tus = epoch_us(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy(tus, F.col("event_id"))
+    d = (
+        e.select("event_type",
+                 (tus - F.lag(tus).over(w)).alias("delta"))
+        .where(F.col("delta").isNotNull())
+    )
+    return W.group_percentiles_nearest_rank(d, ["event_type"], "delta",
+                                            qs=(50, 95))
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH t AS (
+        SELECT event_type AS prev,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev, nxt, n,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS prob
+    FROM c
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys
+    (operators/graph.transition_probs): P(next event type | current) by
+    maximum likelihood over consecutive (ts, event_id)-ordered pairs —
+    the probability view of the SAME edge relation pagerank_event_types
+    walks.  One window shuffle on user_id, one |types|² aggregation, a
+    vocabulary-bounded window for the denominator; prob is a single
+    bigint/bigint division (identical double in both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    return G.transition_probs(e, "user_id",
+                              [F.col("ts"), F.col("event_id")],
+                              "event_type")

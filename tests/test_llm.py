@@ -1809,3 +1809,24 @@ def test_ivf_pq_topk_recall_and_jvm_path(spark, emb, tmp_path_factory):
     a = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
     b = {(r["query_id"], r["neighbor_id"]) for r in got2.collect()}
     assert a == b
+
+
+def test_cluster_savings_accounting(spark):
+    """Rep election keeps the LARGEST doc (ties → smallest id); the
+    per-source accounting balances: n_docs = n_kept + n_dropped and
+    chars_dropped sums only non-reps.  Exact-duplicate texts guarantee
+    hamming-0 clusters regardless of SimHash internals."""
+    rows = [
+        (1, "alpha beta gamma delta", "web", 100),
+        (2, "alpha beta gamma delta", "web", 300),   # same text as 1, bigger
+        (3, "alpha beta gamma delta", "books", 300),  # tie with 2 → min id 2
+        (4, "totally unrelated text here", "web", 50),  # singleton
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, n_chars bigint")
+    got = {r.source: (r.n_docs, r.n_kept, r.n_dropped, r.chars_dropped)
+           for r in D.cluster_savings(d).collect()}
+    # docs 1,2,3 share one cluster; rep = max chars (300), tie → id 2 (web)
+    assert got == {"web": (3, 2, 1, 100), "books": (1, 0, 1, 300)}
+    for n_docs, n_kept, n_dropped, _ in got.values():
+        assert n_docs == n_kept + n_dropped

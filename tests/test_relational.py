@@ -918,3 +918,64 @@ def test_blocked_levenshtein_pairs_semantics(spark):
     with pytest.raises(ValueError, match="block_cap"):
         LK.blocked_levenshtein_pairs(df, "id", "name", ["blk"], 2,
                                      block_cap=2)
+
+
+def test_rolling_median_cents_hand_case(spark):
+    """Hand-checked trailing-window medians: frame = [t-1h, t] inclusive,
+    odd frame = exact middle, even frame = avg of the two middles, and a
+    second key never leaks into the first's frame."""
+    from datetime import datetime
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10, 0), 1.00),
+        (2, 1, datetime(2024, 1, 1, 10, 30), 3.00),
+        (3, 1, datetime(2024, 1, 1, 11, 0), 2.00),   # frame {1,3,2} → 2.00
+        (4, 1, datetime(2024, 1, 1, 11, 30), 10.00),  # {3,2,10} → 3.00
+        (5, 1, datetime(2024, 1, 1, 13, 0), 7.00),   # alone → 7.00
+        (6, 2, datetime(2024, 1, 1, 10, 45), 100.00),  # other key, alone
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double")
+    got = {r.event_id: (r.n_win, r.med_cents)
+           for r in W.rolling_median_cents(
+               df, "user_id", "ts", "value",
+               carry=("event_id",)).collect()}
+    assert got == {
+        1: (1, 100.0),            # 1.00 in cents
+        2: (2, 200.0),            # (100+300)/2
+        3: (3, 200.0),
+        4: (3, 300.0),
+        5: (1, 700.0),
+        6: (1, 10000.0),
+    }
+
+
+def test_group_percentiles_nearest_rank_definition(spark):
+    """Nearest-rank picks: ceil(q·n/100) in integer arithmetic — q=50 of
+    4 values is the 2nd, q=95 of 4 is the 4th; a 100-value group hits
+    exactly the 50th/95th; duplicates pick a deterministic value."""
+    df = spark.createDataFrame(
+        [("a", v) for v in (10, 20, 30, 40)]
+        + [("b", v) for v in range(1, 101)]
+        + [("c", 5), ("c", 5), ("c", 9)],
+        "g string, v long")
+    got = {r.g: (r.n, r.p50, r.p95, r.vmax)
+           for r in W.group_percentiles_nearest_rank(
+               df, ["g"], "v", qs=(50, 95)).collect()}
+    assert got == {
+        "a": (4, 20, 40, 40),
+        "b": (100, 50, 95, 100),
+        "c": (3, 5, 9, 9),
+    }
+
+
+def test_transition_probs_hand_case(spark):
+    """Journeys a→b→a (u1) and a→b (u2): from 'a' always to 'b' (prob 1),
+    from 'b' to 'a' once out of one observed b-transition."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "a"), (2, 2, "b")]
+    df = spark.createDataFrame(rows, "u bigint, t bigint, s string")
+    got = {(r.prev, r.nxt): (r.n, r.prob)
+           for r in G.transition_probs(df, "u", ["t"], "s").collect()}
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
