@@ -875,3 +875,68 @@ def stream_scd2(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_hll_sliding(
+    stream: DataFrame,
+    ts_col: str,
+    item_col,
+    bucket_us: int,
+    store_dir: str,
+    checkpoint_dir: str,
+    p: int = 12,
+):
+    """Sliding-window distinct counts over an unbounded stream, the
+    sketch-reuse way: each micro-batch folds its events into per-bucket
+    HLL registers (batch-local groupBy-max — ≤ #buckets × 2^p rows) and
+    APPENDS them to a persistent register store.  Register max is
+    monotone, so the append-only store needs no read-modify-write, no
+    dedup, and is idempotent under micro-batch replay: stray lower-rank
+    rows from a re-delivered batch are absorbed by the max at read time.
+    Any consumer turns the store into sliding estimates with
+    :func:`hll_sliding_snapshot` — merging k bucket sketches per window,
+    never rescanning events (the batch twin is
+    ``sketches.hll_sliding_estimate``; equality is tested).
+
+    State: the streaming query itself is STATELESS (the store is the
+    state, bounded by buckets × 2^p); at cluster scale the store would
+    be a Delta/Iceberg table compacted periodically with the same
+    groupBy-max."""
+    from map_reduce_folds_spark.operators.sketches import hll_register
+    from map_reduce_folds_spark.timeutil import epoch_us
+
+    reg, rank = hll_register(item_col, p)
+    eus = epoch_us(F.col(ts_col))
+    bucket = ((eus - eus % F.lit(int(bucket_us))) / F.lit(int(bucket_us))) \
+        .cast("bigint")
+
+    def _append(df: DataFrame, batch_id: int):
+        (
+            df.select(bucket.alias("__bkt"), reg, rank)
+            .groupBy("__bkt", "reg").agg(F.max("rank").alias("rank"))
+            .write.mode("append").parquet(store_dir)
+        )
+
+    return write_foreach_batch(stream, _append, checkpoint_dir)
+
+
+def hll_sliding_snapshot(
+    spark,
+    store_dir: str,
+    bucket_us: int,
+    k: int,
+    p: int = 12,
+) -> DataFrame:
+    """Sliding distinct-count estimates from a :func:`stream_hll_sliding`
+    register store: compact the appended register rows (groupBy-max)
+    and merge each window's k bucket sketches
+    (``sketches.hll_registers_sliding_estimate``).  Output
+    ``(win_start_us, nd_est)`` — bitwise-equal to the batch
+    ``hll_sliding_estimate`` over the same events."""
+    from map_reduce_folds_spark.operators.sketches import (
+        hll_registers_sliding_estimate,
+    )
+
+    sk = spark.read.parquet(store_dir) \
+        .groupBy("__bkt", "reg").agg(F.max("rank").alias("rank"))
+    return hll_registers_sliding_estimate(sk, bucket_us, k, p=p)

@@ -1044,3 +1044,40 @@ def test_stream_scd2_timestamp_value_column(spark, tmp_path_factory):
             for r in got.collect()}
     assert rows == {(1, 1): (datetime(2020, 5, 1), 2),
                     (1, 2): (datetime(2021, 6, 2), 1)}
+
+
+def test_stream_hll_sliding_store_matches_batch(
+        spark, events_batch, events_stream_path, tmp_path):
+    """The append-only register store built by stream_hll_sliding over a
+    multi-file replay, snapshotted with hll_sliding_snapshot, must equal
+    the BATCH hll_sliding_estimate on the same events — bitwise (same
+    registers, same merge, same 9-decimal estimate discipline)."""
+    from map_reduce_folds_spark.operators.sketches import (
+        hll_sliding_estimate,
+    )
+    from map_reduce_folds_spark.streaming import (
+        hll_sliding_snapshot, stream_hll_sliding,
+    )
+
+    bucket_us, k, p = 3_600_000_000, 3, 8
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = read_parquet_stream(spark, events_stream_path, schema,
+                                 max_files_per_trigger=1)
+    store = str(tmp_path / "hll_store")
+    q = stream_hll_sliding(stream, "ts", F.col("user_id").cast("string"),
+                           bucket_us, store,
+                           str(tmp_path / "ckpt"), p=p)
+    q.awaitTermination(120)
+    # >1 micro-batch actually exercised the cross-batch monotone merge
+    assert len([f for f in os.listdir(store)
+                if f.endswith(".parquet")]) > 1
+
+    got = {r.win_start_us: r.nd_est
+           for r in hll_sliding_snapshot(spark, store, bucket_us, k,
+                                         p=p).collect()}
+    want = {r.win_start_us: r.nd_est
+            for r in hll_sliding_estimate(
+                events_batch, "ts", F.col("user_id").cast("string"),
+                bucket_us, k, p=p).collect()}
+    assert got == want and len(want) > 3
