@@ -762,3 +762,110 @@ def group_percentiles_nearest_rank(
     aggs += [F.max(F.when(F.col("__rn") == F.col("__n"), F.col("__v")))
              .alias("vmax")]
     return picked.groupBy(*keys).agg(*aggs)
+
+
+def cusum_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    target_cents: int,
+    alarm_cents: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One-sided CUSUM change detection per key — the classic
+    upward-shift monitor: over each key\'s events in event-time order,
+    ``s ← max(0, s + (x − target))``, counting ALARMS (upward crossings
+    of ``alarm_cents``).  Page\'s cumulative-sum detector flags a
+    sustained drift above ``target`` long before any windowed mean
+    moves.
+
+    NOT a sequential fold: the clamped recurrence has the closed form
+    ``s_t = P_t − min(0, min_{j≤t} P_j)`` where ``P`` is the running sum
+    of ``x − target`` — so the whole detector is running-sum +
+    running-min + lag windows over ONE per-key sort.  No per-key array
+    (the sorted-``collect_list`` folds are bounded by events-per-key;
+    this is not), no Python, and the oracle mirrors the identical
+    windows.  ALL-INTEGER arithmetic: values fixed-pointed to cents
+    first, so every expression is exact — bitwise-portable by
+    construction.  A crossing counts once per excursion (the state must
+    return to ``alarm_cents`` or below before a new alarm can fire).
+
+    Output per key: ``n_events``, ``final_cusum``, ``max_cusum``,
+    ``n_alarms`` (cents units)."""
+    from ..timeutil import epoch_us
+
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    t = epoch_us(F.col(ts_col))
+    wo = Window.partitionBy(key).orderBy(t, tb)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zero = F.lit(0).cast("bigint")
+    p_ = F.sum(cents - F.lit(int(target_cents))).over(wrun)
+    s_ = p_ - F.least(zero, F.min(p_).over(wrun))
+    h = F.lit(int(alarm_cents)).cast("bigint")
+    prev = F.lag(s_, 1, 0).over(wo)
+    staged = df.select(
+        F.col(key),
+        s_.alias("__s"),
+        ((prev <= h) & (s_ > h)).cast("bigint").alias("__alarm"),
+        F.struct(t.alias("t"), tb.alias("b"), s_.alias("v")).alias("__lastp"),
+    )
+    return staged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("__lastp").getField("v").alias("final_cusum"),
+        F.max("__s").alias("max_cusum"),
+        F.sum("__alarm").alias("n_alarms"),
+    )
+
+
+def cusum_sql(
+    src: str,
+    key: str,
+    ts_expr: str,
+    value_expr: str,
+    target_cents: int,
+    alarm_cents: int,
+    tiebreak_expr: str = "0",
+) -> str:
+    """DuckDB mirror of :func:`cusum_per_key` — the same closed-form
+    prefix windows (running sum, running min, lag), all-integer."""
+    k, h = int(target_cents), int(alarm_cents)
+    return f"""
+    WITH base AS (
+        SELECT {key} AS k, epoch_us({ts_expr}) AS t,
+               {tiebreak_expr} AS b,
+               CAST(CAST({value_expr} AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS x
+        FROM {src}
+    ),
+    pfx AS (
+        SELECT k, t, b,
+               SUM(x - {k}) OVER w AS p
+        FROM base
+        WINDOW w AS (PARTITION BY k ORDER BY t, b
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    st AS (
+        SELECT k, t, b,
+               p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER w) AS s
+        FROM pfx
+        WINDOW w AS (PARTITION BY k ORDER BY t, b
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    fl AS (
+        SELECT k, s,
+               CASE WHEN LAG(s, 1, CAST(0 AS BIGINT))
+                             OVER (PARTITION BY k ORDER BY t, b) <= {h}
+                         AND s > {h} THEN 1 ELSE 0 END AS alarm,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY t DESC, b DESC)
+                   AS rdesc
+        FROM st
+    )
+    SELECT k AS {key}, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rdesc = 1 THEN s END) AS BIGINT)
+               AS final_cusum,
+           CAST(MAX(s) AS BIGINT) AS max_cusum,
+           CAST(SUM(alarm) AS BIGINT) AS n_alarms
+    FROM fl GROUP BY k
+    """

@@ -2739,3 +2739,25 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.transition_probs(e, "user_id",
                               [F.col("ts"), F.col("event_id")],
                               "event_type")
+
+
+_CUSUM_K, _CUSUM_H = 5000, 20000  # cents: target ≈ value mean, alarm = 200.00
+
+
+@query(
+    "cusum_user_drift",
+    oracle=W.cusum_sql("events", "user_id", "ts", "value",
+                       _CUSUM_K, _CUSUM_H, tiebreak_expr="event_id"),
+)
+def cusum_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM drift detector per user
+    (operators/windows.cusum_per_key): fold each user's event values in
+    time order through s ← max(0, s + (x − target)) and count upward
+    alarm-threshold crossings — the sequential change detector that
+    flags a sustained shift above target long before a windowed mean
+    moves.  ALL-INTEGER state (values fixed-pointed to cents before the
+    fold): every transition is exact, so the oracle's list_reduce mirror
+    is bitwise-equal by construction — no float anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    return W.cusum_per_key(e, "user_id", "ts", "value",
+                           _CUSUM_K, _CUSUM_H, tiebreak_col="event_id")

@@ -979,3 +979,42 @@ def test_transition_probs_hand_case(spark):
     got = {(r.prev, r.nxt): (r.n, r.prob)
            for r in G.transition_probs(df, "u", ["t"], "s").collect()}
     assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_cusum_closed_form_equals_sequential_fold(spark):
+    """The prefix identity s_t = P_t − min(0, min_{j≤t} P_j) must equal
+    the naive sequential clamp fold — states, max, and one-per-excursion
+    alarm counts — on adversarial data (clamps, exact-threshold touches,
+    repeated excursions)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(6):
+        for i in range(80):
+            # values straddle the target (50.00) hard enough to clamp
+            # often and cross the alarm (5.00 above) repeatedly
+            rows.append((u, i, round(rng.uniform(0, 120), 2)))
+    K, H = 5000, 500
+    want = {}
+    for u in range(6):
+        s = mx = a = 0
+        xs = [int(round(v * 100)) for (uu, _i, v) in rows if uu == u]
+        for x in xs:
+            ns = max(0, s + (x - K))
+            if s <= H < ns:
+                a += 1
+            mx = max(mx, ns)
+            s = ns
+        want[u] = (len(xs), s, mx, a)
+    df = spark.createDataFrame(
+        [(u, i, v) for (u, i, v) in rows],
+        "user_id bigint, seq bigint, value double",
+    ).select("user_id", "value",
+             F.timestamp_micros(F.col("seq")).alias("ts"),
+             F.col("seq").alias("event_id"))
+    got = {r.user_id: (r.n_events, r.final_cusum, r.max_cusum, r.n_alarms)
+           for r in W.cusum_per_key(df, "user_id", "ts", "value",
+                                    K, H, tiebreak_col="event_id").collect()}
+    assert got == want
+    assert any(v[3] >= 2 for v in want.values())  # multi-excursion exercised
