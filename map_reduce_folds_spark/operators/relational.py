@@ -715,3 +715,61 @@ def mode_per_group(
         *keys, F.col("__m.v").alias(out_col),
         (-F.col("__m.nn")).cast("bigint").alias("mode_count"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    key: str,
+    item: str,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Market-basket association rules A → B over per-key item sets
+    (Agrawal–Srikant support/confidence/lift, pair rules): which items
+    co-occur in the same basket more than independence predicts.  Here a
+    "basket" is the DISTINCT item set of one key.
+
+    Plan: distinct (key, item) once; item frequencies and the basket
+    total are two map-side-combinable aggregations; co-occurrence counts
+    come from ONE self-equi-join on the key — per-basket fan-out is
+    |basket|², bounded by the item VOCABULARY, never by event volume
+    (events collapse in the distinct).  Frequency relations are
+    vocabulary-sized → broadcast joins; the total rides a 1-row cross
+    join, never a collect.
+
+    Numeric policy: all counts are exact bigints; each measure is ONE
+    division of exact integers (lift's numerator/denominator are bigint
+    PRODUCTS — n_ab·N and n_a·n_b — before the single divide), so every
+    double is bitwise-identical in any engine.
+
+    Output: (ante, cons, n_ab, n_a, n_b, n_keys, support, confidence,
+    lift) for ordered pairs ante ≠ cons with n_ab ≥ min_pair_count."""
+    items = df.select(key, item).distinct()
+    freq = items.groupBy(item).agg(F.count(F.lit(1)).alias("__nf"))
+    total = items.select(
+        F.count_distinct(F.col(key)).alias("__nk"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+               & (F.col(f"a.{item}") != F.col(f"b.{item}")))
+        .groupBy(F.col(f"a.{item}").alias("ante"),
+                 F.col(f"b.{item}").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_pair_count))
+    )
+    na = F.broadcast(freq.select(F.col(item).alias("ante"),
+                                 F.col("__nf").alias("n_a")))
+    nb = F.broadcast(freq.select(F.col(item).alias("cons"),
+                                 F.col("__nf").alias("n_b")))
+    d_ = lambda c: c.cast("double")  # noqa: E731
+    return (
+        pairs.join(na, "ante").join(nb, "cons")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ante", "cons", "n_ab", "n_a", "n_b",
+            F.col("__nk").alias("n_keys"),
+            (d_(F.col("n_ab")) / F.col("__nk")).alias("support"),
+            (d_(F.col("n_ab")) / F.col("n_a")).alias("confidence"),
+            (d_(F.col("n_ab") * F.col("__nk"))
+             / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )

@@ -2761,3 +2761,41 @@ def cusum_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return W.cusum_per_key(e, "user_id", "ts", "value",
                            _CUSUM_K, _CUSUM_H, tiebreak_col="event_id")
+
+
+@query(
+    "assoc_rules_event_types",
+    oracle="""
+    WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+    freq AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nf
+             FROM items GROUP BY 1),
+    total AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nk
+              FROM items),
+    pairs AS (
+        SELECT a.event_type AS ante, b.event_type AS cons,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ante, cons, n_ab,
+           na.nf AS n_a, nb.nf AS n_b, total.nk AS n_keys,
+           CAST(n_ab AS DOUBLE) / total.nk AS support,
+           CAST(n_ab AS DOUBLE) / na.nf AS confidence,
+           CAST(n_ab * total.nk AS DOUBLE) / (na.nf * nb.nf) AS lift
+    FROM pairs
+    JOIN freq na ON na.event_type = pairs.ante
+    JOIN freq nb ON nb.event_type = pairs.cons
+    CROSS JOIN total
+    """,
+)
+def assoc_rules_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user event-type baskets
+    (operators/relational.association_rules): support, confidence, and
+    lift for every directed type pair — does 'view then purchase'
+    co-occur in the same user's repertoire beyond independence.  One
+    distinct, one key self-join bounded by vocabulary² per user, two
+    broadcast frequency joins; every measure is one division of exact
+    bigint counts/products (bitwise-portable)."""
+    e = load_table(spark, sf_dir, "events")
+    return R.association_rules(e, "user_id", "event_type")

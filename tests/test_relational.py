@@ -1018,3 +1018,18 @@ def test_cusum_closed_form_equals_sequential_fold(spark):
                                     K, H, tiebreak_col="event_id").collect()}
     assert got == want
     assert any(v[3] >= 2 for v in want.values())  # multi-excursion exercised
+
+
+def test_association_rules_hand_case(spark):
+    """Hand-checked support/confidence/lift on three baskets; events
+    collapse into distinct items first (u1 fires 'a' twice)."""
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c"),
+            (3, "a")]
+    df = spark.createDataFrame(rows, "user_id bigint, item string")
+    got = {(r.ante, r.cons): (r.n_ab, r.n_a, r.n_b, r.n_keys,
+                              r.support, r.confidence, r.lift)
+           for r in R.association_rules(df, "user_id", "item").collect()}
+    assert got[("a", "b")] == (2, 3, 2, 3, 2 / 3, 2 / 3, 1.0)
+    assert got[("b", "a")] == (2, 2, 3, 3, 2 / 3, 1.0, 1.0)
+    assert got[("c", "b")] == (1, 1, 2, 3, 1 / 3, 1.0, 3 / 2)
+    assert len(got) == 6
