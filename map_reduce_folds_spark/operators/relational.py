@@ -773,3 +773,71 @@ def association_rules(
              / (F.col("n_a") * F.col("n_b"))).alias("lift"),
         )
     )
+
+
+def incremental_agg_merge(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> DataFrame:
+    """Materialized-aggregate MAINTENANCE: merge a batch of NEW rows into
+    a stored per-key aggregate state WITHOUT rescanning the base table —
+    the incremental-view-maintenance core (Delta/streaming "merge new
+    partial aggregates into state").  ``aggs`` maps output column →
+    (fn, col) with fn ∈ {count, sum, min, max} — the algebraic
+    aggregates whose partial states merge losslessly: counts and sums
+    ADD, min/max take least/greatest.  (avg = sum/count at read time;
+    retractions need either retractable functions only — count/sum — or
+    a rescan of the touched keys: this operator handles INSERTS.)
+
+    ``state`` must carry exactly ``keys + aggs.keys()`` (the output of a
+    previous full aggregation or a previous merge — the operation is
+    associative, so chains of merges equal one recompute;
+    oracle-verified by the registered query).  Plan: one partial
+    aggregation over the delta (shuffles ONLY the batch), one full-outer
+    merge join on the key — the stored state is read once and never
+    sorted.  NULL discipline: a sum over an all-NULL group is NULL, and
+    merging NULL with NULL must stay NULL (not 0) — the coalesce guards
+    mirror ``running_keyed``'s."""
+    fns = {"sum": F.sum, "count": None, "min": F.min, "max": F.max}
+    for name, (fn, _c) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"{name}: fn must be one of {sorted(fns)}")
+    missing = [c for c in [*keys, *aggs] if c not in state.columns]
+    if missing:
+        raise ValueError(f"state is missing columns {missing}")
+
+    def agg_expr(fn: str, col: str | None) -> Column:
+        if fn == "count":
+            return F.count(F.lit(1) if col is None else F.col(col))
+        return fns[fn](col)
+
+    d = delta.groupBy(*keys).agg(
+        *[agg_expr(fn, col).alias(f"__d_{name}")
+          for name, (fn, col) in aggs.items()])
+    # full-outer NULL-SAFE merge join: eqNullSafe so a NULL-key group is
+    # one group on both sides, and the output key COALESCES across sides
+    # (a right-only key must survive — windows._join_null_safe drops the
+    # right key, which silently nulls delta-only keys under "full")
+    for k in keys:
+        d = d.withColumnRenamed(k, f"__dk_{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
+    merged = state.select(
+        *keys, *[F.col(n).alias(f"__s_{n}") for n in aggs]
+    ).join(d, cond, "full")
+    out_cols = [F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k)
+                for k in keys]
+    for name, (fn, _c) in aggs.items():
+        s, n = F.col(f"__s_{name}"), F.col(f"__d_{name}")
+        if fn in ("sum", "count"):
+            merged_val = F.when(s.isNull() & n.isNull(), F.lit(None)) \
+                .otherwise(F.coalesce(s, F.lit(0)) + F.coalesce(n, F.lit(0)))
+        elif fn == "min":
+            merged_val = F.least(s, n)
+        else:
+            merged_val = F.greatest(s, n)
+        out_cols.append(merged_val.alias(name))
+    return merged.select(*out_cols)

@@ -2799,3 +2799,43 @@ def assoc_rules_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint counts/products (bitwise-portable)."""
     e = load_table(spark, sf_dir, "events")
     return R.association_rules(e, "user_id", "event_type")
+
+
+@query(
+    "incremental_orders_agg",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/relational.incremental_agg_merge): the per-customer order
+    aggregate is built as state-over-old-rows MERGED with a
+    new-rows batch (split on o_orderkey % 7 — a stand-in for "yesterday's
+    state + today's partition"), and the oracle recomputes from scratch
+    — merge(state, delta) must equal the full recompute EXACTLY,
+    including keys appearing only in the state or only in the delta.
+    The merge shuffles only the delta; the state joins by key, unsorted.
+    Cents fixed-point keeps the sums integer-exact."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+    aggs = {
+        "n": ("count", None),
+        "sum_cents": ("sum", "cents"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    old = o.where(F.col("o_orderkey") % 7 != 0)
+    delta = o.where(F.col("o_orderkey") % 7 == 0)
+    state = old.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"))
+    return R.incremental_agg_merge(state, delta, ["o_custkey"], aggs)

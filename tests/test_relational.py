@@ -1033,3 +1033,31 @@ def test_association_rules_hand_case(spark):
     assert got[("b", "a")] == (2, 2, 3, 3, 2 / 3, 1.0, 1.0)
     assert got[("c", "b")] == (1, 1, 2, 3, 1 / 3, 1.0, 3 / 2)
     assert len(got) == 6
+
+
+def test_incremental_agg_merge_edges(spark):
+    """Merge must equal recompute on the edge cases: key only in state,
+    key only in delta, NULL key, NULL-sum groups staying NULL, and
+    associativity (two chained merges = one)."""
+    schema = "k string, v long"
+    old = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), (None, 5)], schema)
+    d1 = spark.createDataFrame([("a", 10), ("c", 7)], schema)
+    d2 = spark.createDataFrame([("b", None), (None, None)], schema)
+    aggs = {"n": ("count", None), "s": ("sum", "v"),
+            "lo": ("min", "v"), "hi": ("max", "v")}
+
+    def full(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+    state = full(old)
+    m1 = R.incremental_agg_merge(state, d1, ["k"], aggs)
+    m2 = R.incremental_agg_merge(m1, d2, ["k"], aggs)
+    want = {r.k: (r.n, r.s, r.lo, r.hi)
+            for r in full(old.union(d1).union(d2)).collect()}
+    got = {r.k: (r.n, r.s, r.lo, r.hi) for r in m2.collect()}
+    assert got == want
+    assert want["b"] == (2, None, None, None)  # NULL sums stay NULL
+    assert None in want  # NULL key survives the null-safe merge join
