@@ -1409,3 +1409,70 @@ def cluster_savings(
              F.sum(F.when(~kept, F.col(size_col)).otherwise(F.lit(0)))
              .cast("bigint").alias("chars_dropped"))
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """IDENTICAL output to :func:`ngram_jaccard_pairs` (no df cap) via
+    PREFIX FILTERING (Bayardo et al. 2007 / PPJoin's candidate rule):
+    order every set's shingles by ascending global document frequency
+    (rarest first, hash tie-break) and index only each set's first
+    ``s − ⌊t·s⌋ + 1`` shingles — any pair with Jaccard ≥ t must share
+    an indexed shingle in BOTH prefixes, so the candidate join runs on
+    the prefix relation instead of the full inverted index.  Candidates
+    are re-scored against the full shingle arrays, so emitted scores are
+    bitwise-identical to the unfiltered form; the filter only PRUNES
+    candidate generation (property-tested equal, tests/test_llm.py).
+
+    Prefix length uses ``floor`` (one longer than the tight
+    ``s − ⌈t·s⌉ + 1``): float rounding in ``t·s`` can then only LENGTHEN
+    the prefix, never lose a pair.  Common shingles (boilerplate) sort
+    LAST and fall out of every prefix — the frequency ordering does
+    organically what ``max_shingle_df`` does by decree, without the
+    recall caveat.  Scale shape: one df aggregation, one window sort per
+    doc, then the index join over ~(1−t)·Σ|s| rows instead of Σ|s| —
+    the win grows with the threshold."""
+    sh = docs.select(
+        F.col(id_col),
+        distinct_shingle_hashes(text_col, n,
+                                token_pattern=token_pattern).alias("sh"),
+    ).filter(F.size("sh") > 0).localCheckpoint(eager=False)
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("h"))
+    df_ = inv.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql.window import Window
+
+    wo = Window.partitionBy(id_col).orderBy("__df", "h")
+    wn = Window.partitionBy(id_col)
+    ranked = inv.join(df_, "h").select(
+        F.col(id_col), "h",
+        F.row_number().over(wo).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__sz"),
+    )
+    plen = (F.col("__sz")
+            - F.floor(F.lit(float(threshold)) * F.col("__sz")) + 1)
+    prefix = ranked.where(F.col("__rn") <= plen).select(F.col(id_col), "h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sets_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sets_a, "id_a").join(sets_b, "id_b")
+        .select("id_a", "id_b",
+                (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                 / (F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))))
+                .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

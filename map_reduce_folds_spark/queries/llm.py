@@ -2693,3 +2693,39 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.cluster_savings(d, "doc_id", "text", "n_chars", "source",
                              bits=32, max_hamming=3, blocks=4)
+
+
+_PF_T = 0.8  # prefix-filter demo threshold (tight → biggest pruning win)
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {_PF_T}
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING
+    (operators/dedup.ngram_jaccard_pairs_prefix, Bayardo et al. 2007):
+    index only each shingle set's s − ⌊t·s⌋ + 1 globally-rarest
+    shingles — every Jaccard ≥ 0.8 pair still shares an indexed
+    shingle, so candidate generation shrinks with the threshold while
+    the verify stage keeps scores bitwise-exact (property-proven
+    lossless vs the full index).  Boilerplate shingles sort last and
+    drop out of every prefix organically.  The oracle brute-forces the
+    FULL inverted index — the gate proves the pruning loses nothing."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=_N,
+                                        threshold=_PF_T)

@@ -1830,3 +1830,29 @@ def test_cluster_savings_accounting(spark):
     assert got == {"web": (3, 2, 1, 100), "books": (1, 0, 1, 300)}
     for n_docs, n_kept, n_dropped, _ in got.values():
         assert n_docs == n_kept + n_dropped
+
+
+def test_jaccard_prefix_filter_equals_unfiltered(spark, docs):
+    """Prefix filtering must be LOSSLESS: identical (pair, score) rows
+    to the full inverted index, at a loose and a tight threshold, on the
+    fixture and a hand case with heavy shared boilerplate (which falls
+    out of every prefix — the pruning's whole point)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely different text with no overlap at all here"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    hand = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for corpus, th in ((hand, 0.3), (hand, 0.8), (docs, 0.5), (docs, 0.8)):
+        want = {(r.id_a, r.id_b): r.jaccard
+                for r in D.ngram_jaccard_pairs(
+                    corpus, threshold=th).collect()}
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in D.ngram_jaccard_pairs_prefix(
+                   corpus, threshold=th).collect()}
+        assert got == want
+    assert (1, 5) in {(r.id_a, r.id_b) for r in
+                      D.ngram_jaccard_pairs_prefix(
+                          hand, threshold=0.8).collect()}
