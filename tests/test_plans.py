@@ -387,3 +387,46 @@ def test_trend_window_shares_group_partitioning(spark):
     hash-partition on the same key — one Exchange, not two."""
     df = _run(spark, "trend_per_user")
     assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_rolling_median_single_shuffle_pruned(spark):
+    """Exact rolling median: ONE shuffle (the per-user window sort) and a
+    scan pruned to the four referenced event columns — the collect_list
+    frame must not force extra exchanges."""
+    df = _run(spark, "rolling_median_user")
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+    assert set(P.scan_columns(df)) == {"event_id", "user_id", "ts", "value"}
+
+
+def test_cusum_single_shuffle(spark):
+    """Closed-form CUSUM: running sum + running min + lag + final agg all
+    ride ONE per-user sort; the terminal groupBy reuses the window's
+    hash partitioning (no second exchange)."""
+    df = _run(spark, "cusum_user_drift")
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_assoc_rules_broadcasts_frequency_sides(spark):
+    """Association rules: the vocabulary-sized frequency/total relations
+    must broadcast (no shuffle join against the pair counts) and the
+    basket self-join must stay equi-shaped."""
+    df = _run(spark, "assoc_rules_event_types")
+    plan = P.executed_plan(df)
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # n_a, n_b
+    # the 1-row total is legitimately a broadcast nested-loop (cross join
+    # with a single row); anything more means a frequency join degenerated
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_incremental_merge_shuffles_delta_only(spark):
+    """The state side of the incremental merge must not be re-aggregated:
+    exactly one aggregate pair for the delta (partial+final) plus the
+    state build in this self-contained query — pinned as 'no more
+    exchanges than the state build + delta agg + merge join'."""
+    df = _run(spark, "incremental_orders_agg")
+    assert P.count_cartesian_joins(df) == 0
+    # state agg (1 exchange), delta agg (1), full-outer merge join
+    # repartitions both sides (2) = 4; anything above means an extra
+    # unplanned shuffle crept in
+    assert P.count_exchanges(df) <= 4, P.executed_plan(df)
