@@ -940,3 +940,78 @@ def hll_sliding_snapshot(
     sk = spark.read.parquet(store_dir) \
         .groupBy("__bkt", "reg").agg(F.max("rank").alias("rank"))
     return hll_registers_sliding_estimate(sk, bucket_us, k, p=p)
+
+
+def stream_cusum(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    target_cents: int,
+    alarm_cents: int,
+    tiebreak_col: str | None = None,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming CUSUM drift detection: the incremental twin of
+    ``windows.cusum_per_key`` — state is FOUR integers per key (count,
+    current s, max s, alarm count) at any event volume.  Each
+    micro-batch folds its rows in (ts, tiebreak) event-time order
+    through the same all-integer clamp recurrence
+    ``s ← max(0, s + (x − target))`` (the batch operator evaluates the
+    closed-form prefix windows; the recurrence and the closed form are
+    property-tested equal), so a time-ordered replay is EXACTLY equal
+    to the batch operator — integer state, no rounding to argue about.
+    Same arrival-order caveat as ``stream_ewma``: a cross-batch late
+    event folds in at its arrival batch."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..timeutil import epoch_us
+
+    k_, h_ = int(target_cents), int(alarm_cents)
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = (f"{key} {fields[key]}, n_events bigint, "
+                  "final_cusum bigint, max_cusum bigint, n_alarms bigint")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    src = stream.select(
+        F.col(key),
+        epoch_us(F.col(ts_col)).alias("__t"),
+        tb.alias("__b"),
+        (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+        .alias("__x"),
+    )
+
+    def update(key_, pdf_iter, state: GroupState):
+        import pandas as pd  # local import: runs on executors
+
+        if state.exists:
+            (st_json,) = state.get
+            n, s, mx, a = json.loads(st_json)
+        else:
+            n = s = mx = a = 0
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["__t"], pdf["__b"], pdf["__x"]))
+        rows.sort()
+        for _t, _b, x in rows:
+            ns = max(0, s + (int(x) - k_))
+            if s <= h_ < ns:
+                a += 1
+            mx = max(mx, ns)
+            s = ns
+            n += 1
+        state.update((json.dumps([n, s, mx, a]),))
+        yield pd.DataFrame([{key: key_[0], "n_events": n, "final_cusum": s,
+                             "max_cusum": mx, "n_alarms": a}])
+
+    return (
+        src.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="acc string",
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

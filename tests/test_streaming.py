@@ -1081,3 +1081,51 @@ def test_stream_hll_sliding_store_matches_batch(
                 events_batch, "ts", F.col("user_id").cast("string"),
                 bucket_us, k, p=p).collect()}
     assert got == want and len(want) > 3
+
+
+def test_stream_cusum_matches_batch_and_carries_state(
+        spark, tmp_path_factory):
+    """Streaming CUSUM over a time-ordered two-phase replay: the LAST
+    emission per key equals the batch cusum_per_key on the union —
+    integer state, including an alarm whose excursion SPANS the batch
+    boundary (state carry is what makes it fire)."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators.windows import cusum_per_key
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_cusum,
+    )
+
+    K, H = 500, 800  # target 5.00, alarm 8.00 (cents)
+    p = str(tmp_path_factory.mktemp("cusum_stream"))
+    cols = ["eid", "ts", "k", "v"]
+    early = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 10.0),   # s = 500
+         (2, datetime(2024, 1, 2), 1, 8.0),    # s = 800 (== H, no alarm)
+         (3, datetime(2024, 1, 1), 2, 1.0)], cols)   # s = 0 (clamped)
+    late = spark.createDataFrame(
+        [(4, datetime(2024, 1, 3), 1, 5.5),    # s = 850 > H → alarm fires
+         (5, datetime(2024, 1, 2), 2, 20.0)], cols)  # s = 1500 → alarm
+    early.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(
+        spark, p, "eid bigint, ts timestamp, k bigint, v double")
+    out = stream_cusum(stream, "k", "ts", "v", K, H, tiebreak_col="eid")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("cusum_stream").start())
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = {}
+    for r in spark.table("cusum_stream").collect():
+        last[r["k"]] = (r["n_events"], r["final_cusum"], r["max_cusum"],
+                        r["n_alarms"])
+    batch = {r["k"]: (r["n_events"], r["final_cusum"], r["max_cusum"],
+                      r["n_alarms"])
+             for r in cusum_per_key(early.union(late), "k", "ts", "v",
+                                    K, H, tiebreak_col="eid").collect()}
+    assert last == batch
+    assert last[1] == (3, 850, 850, 1)  # the cross-batch excursion alarm
+    assert last[2] == (2, 1500, 1500, 1)
