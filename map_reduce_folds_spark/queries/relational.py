@@ -2839,3 +2839,107 @@ def incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"))
     return R.incremental_agg_merge(state, delta, ["o_custkey"], aggs)
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days — the
+    classic streak analysis (retention's sharp edge), via the
+    rank-difference trick: distinct active days minus their per-user
+    row_number is CONSTANT within a consecutive island, so islands fall
+    out of one groupBy — no self-join, no iteration.  Distinct-day
+    collapse first (events → ≤ span rows per user), one window sort,
+    two aggregations; all-integer day arithmetic."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        (epoch_us(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d",
+        (F.col("d") - F.row_number().over(w)).alias("grp"))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"))
+
+
+@query(
+    "revenue_share_within_region",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           CAST(cents AS DOUBLE)
+               / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE)
+               AS share
+    FROM rev
+    """,
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's order
+    revenue — the percent-of-total window every BI layer ships.  Exact
+    integer-cents sums; the share is one bigint/bigint division against
+    a partition-total window over the nation-sized aggregate (25 rows —
+    the window costs nothing; the heavy lifting is the broadcast-dim
+    star join + one aggregation)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # customer SCALES with SF — equi-join (AQE may still broadcast at
+    # small SF); only the fixed dims broadcast unconditionally
+    rev = (
+        o.join(c.select("c_custkey", "c_nationkey"),
+               o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                   .cast("bigint")).alias("cents"))
+    )
+    share = (F.col("cents").cast("double")
+             / F.sum("cents").over(Window.partitionBy("region")))
+    return rev.select("region", "nation", "cents", share.alias("share"))
