@@ -692,6 +692,11 @@ def rolling_median_cents(
     (``lo == hi``) and a single well-defined rounding for even ones,
     identical in any engine.  Output ``med_cents`` is in cents.
 
+    NULL discipline: NULL values are EXCLUDED from the frame
+    (``collect_list`` skips them) but the carrying row still emits —
+    mirror with ``list(...) FILTER (WHERE x IS NOT NULL)`` in SQL
+    engines whose ``list`` keeps NULLs.
+
     Plan shape: ONE window pass (partition by key, order by epoch
     micros, value-defined RANGE frame — order-deterministic under ties);
     the frame's values ride ``collect_list``/``array_sort``, bounded by
