@@ -841,3 +841,61 @@ def incremental_agg_merge(
             merged_val = F.greatest(s, n)
         out_cols.append(merged_val.alias(name))
     return merged.select(*out_cols)
+
+
+def nearest_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    on: Sequence[str],
+    tolerance_us: int,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """NEAREST-neighbor temporal join: each left row pairs with the ONE
+    right row (same equi-keys) closest in time — BOTH directions, unlike
+    :func:`asof_join`'s backward-only look — within ``tolerance_us``.
+    The sensor-alignment / feature-attachment join: "the closest reading
+    to each observation, max 30 min apart".
+
+    Candidate generation is the bucket trick: bucket = ⌊t/tol⌋; the
+    right side explodes to its bucket ± 1 (三 rows), so every pair with
+    |Δt| ≤ tol co-buckets at least once and the join is a pure equi-join
+    on (keys…, bucket) — never a theta/cartesian, and a hot key spreads
+    over its time range.  Duplicate candidate meetings (a pair can
+    co-bucket twice) collapse in the arg-min itself.  The winner per
+    left row is a deterministic min over ``(|Δt|, right ts, right id)``
+    structs — ties break to the EARLIER right row, then smaller id.
+
+    Output: (keys…, ``left_id``, ``right_id``, ``diff_us``), inner
+    (unmatched left rows drop; left-outer is one extra join upstream if
+    needed)."""
+    from ..timeutil import epoch_us
+
+    keys = list(on)
+    tol = int(tolerance_us)
+    lt, rt = epoch_us(F.col(left_ts)), epoch_us(F.col(right_ts))
+    l_ = left.select(*keys, F.col(left_id).alias("__lid"),
+                     lt.alias("__lt"),
+                     F.floor(lt / F.lit(tol)).alias("__b"))
+    r_ = right.select(*keys, F.col(right_id).alias("__rid"),
+                      rt.alias("__rt"),
+                      F.explode(F.sequence(
+                          F.floor(rt / F.lit(tol)) - 1,
+                          F.floor(rt / F.lit(tol)) + 1)).alias("__b"))
+    cand = (
+        l_.join(r_, [*keys, "__b"])
+        .where(F.abs(F.col("__lt") - F.col("__rt")) <= tol)
+    )
+    pick = F.min(F.struct(
+        F.abs(F.col("__lt") - F.col("__rt")).alias("d"),
+        F.col("__rt").alias("t"),
+        F.col("__rid").alias("e"))).alias("__m")
+    return (
+        cand.groupBy(*keys, "__lid").agg(pick)
+        .select(*keys,
+                F.col("__lid").alias(left_id),
+                F.col("__m.e").alias(right_id),
+                F.col("__m.d").cast("bigint").alias("diff_us"))
+    )

@@ -2943,3 +2943,45 @@ def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = (F.col("cents").cast("double")
              / F.sum("cents").over(Window.partitionBy("region")))
     return rev.select("region", "nation", "cents", share.alias("share"))
+
+
+_NEAR_TOL_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "nearest_join_purchase_click",
+    oracle=f"""
+    WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.user_id, p.event_id AS purchase_id,
+               {{'d': abs(p.t - c.t), 't': c.t, 'e': c.event_id}} AS m
+        FROM p JOIN c ON p.user_id = c.user_id
+        WHERE abs(p.t - c.t) <= {_NEAR_TOL_US}
+    )
+    SELECT user_id, purchase_id,
+           (MIN(m)).e AS click_id,
+           CAST((MIN(m)).d AS BIGINT) AS diff_us
+    FROM cand GROUP BY 1, 2
+    """,
+)
+def nearest_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor temporal join
+    (operators/relational.nearest_event_join): each purchase pairs with
+    its single closest click — EITHER direction, unlike the
+    backward-only as-of — within 30 minutes; ties break to the earlier,
+    then smaller-id click (deterministic min-struct).  Candidates come
+    from the ⌊t/tol⌋ bucket trick (right side explodes to bucket ± 1),
+    so the plan is a pure equi-join on (user, bucket) — no theta join,
+    no per-user cartesian; the oracle brute-forces the per-user pair
+    space."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+    c = e.where(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("ts2"))
+    return R.nearest_event_join(p, c, "ts", "ts2", ["user_id"],
+                                _NEAR_TOL_US, "purchase_id", "click_id")

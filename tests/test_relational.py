@@ -1061,3 +1061,33 @@ def test_incremental_agg_merge_edges(spark):
     assert got == want
     assert want["b"] == (2, None, None, None)  # NULL sums stay NULL
     assert None in want  # NULL key survives the null-safe merge join
+
+
+def test_nearest_event_join_semantics(spark):
+    """Nearest must pick forward matches too (unlike as-of backward),
+    honor the tolerance bound, break exact ties to the earlier right
+    row, and collapse duplicate bucket meetings to one winner."""
+    from datetime import datetime
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 12, 0, 0).replace(
+            minute=(sec // 60) % 60, second=sec % 60)
+
+    left = spark.createDataFrame(
+        [(1, 100, at(600)),     # clicks at 590 & 610: tie → earlier (590)
+         (1, 101, at(1200)),    # only forward click (1205) in range
+         (2, 102, at(600))],    # nothing within tolerance
+        "user_id bigint, purchase_id bigint, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, 900, at(590)), (1, 901, at(610)), (1, 902, at(1205)),
+         (2, 903, at(1500))],
+        "user_id bigint, click_id bigint, ts2 timestamp")
+    got = {r.purchase_id: (r.click_id, r.diff_us)
+           for r in R.nearest_event_join(
+               left, right, "ts", "ts2", ["user_id"],
+               60_000_000, "purchase_id", "click_id").collect()}
+    assert got == {100: (900, 10_000_000),   # tie → earlier click 590
+                   101: (902, 5_000_000)}    # forward match
+    assert 102 not in got                     # out of tolerance drops
