@@ -2729,3 +2729,96 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=_N,
                                         threshold=_PF_T)
+
+
+_BM25_TERMS = ("data", "hash", "scan")   # fixed query, fixed add order
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.tk AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) d,
+             LATERAL (SELECT unnest(toks) AS tk) t
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+           FROM tok GROUP BY 1),
+    stats AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok WHERE term IN {_BM25_TERMS!r} GROUP BY 1),
+    s AS (
+        SELECT tf.doc_id, tf.term,
+               round(
+                 ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                 * ((tf * ({_BM25_K1!r} + 1.0))
+                    / (tf + {_BM25_K1!r}
+                       * (1.0 - {_BM25_B!r}
+                          + {_BM25_B!r} * (CAST(len AS DOUBLE) / avglen)))),
+                 9) AS sc
+        FROM tf
+        JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    tot AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN term = '{_BM25_TERMS[0]}'
+                                 THEN sc END), 0.0)
+               + COALESCE(MAX(CASE WHEN term = '{_BM25_TERMS[1]}'
+                                   THEN sc END), 0.0)
+               + COALESCE(MAX(CASE WHEN term = '{_BM25_TERMS[2]}'
+                                   THEN sc END), 0.0) AS score
+        FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM tot
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson–Sparck Jones): top-20 documents for a
+    fixed 3-term query — the ranking function every lexical search
+    stack runs, built from the engine's own relations: one token scan →
+    tf (query terms only — the IN filter prunes BEFORE the aggregation),
+    df, doc lengths; idf and the saturation term follow the exact
+    fixed-parenthesization chain in both engines with the repo's
+    9-decimal ln discipline, and the per-doc score SUMS THE TERMS IN
+    FIXED ORDER (one pivot column per query term — never an
+    order-nondeterministic float SUM).  Global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    from map_reduce_folds_spark.operators.relational import topk
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokenize("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avglen"),
+        F.count(F.lit(1)).alias("n_docs"))
+    qt = tok.where(F.col("term").isin(*_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    sat = ((F.col("tf") * (k1 + 1.0))
+           / (F.col("tf") + k1 * (1.0 - b
+                                  + b * (F.col("len").cast("double")
+                                         / F.col("avglen")))))
+    s = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.round(idf * sat, 9).alias("sc"))
+    )
+    term_col = lambda t: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0))
+    tot = s.groupBy("doc_id").agg(
+        (term_col(_BM25_TERMS[0]) + term_col(_BM25_TERMS[1])
+         + term_col(_BM25_TERMS[2])).alias("score"))
+    return topk(tot, [F.col("score").desc(), F.col("doc_id")], _BM25_TOPK)

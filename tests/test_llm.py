@@ -1856,3 +1856,35 @@ def test_jaccard_prefix_filter_equals_unfiltered(spark, docs):
     assert (1, 5) in {(r.id_a, r.id_b) for r in
                       D.ngram_jaccard_pairs_prefix(
                           hand, threshold=0.8).collect()}
+
+
+def test_bm25_hand_corpus(spark, monkeypatch, tmp_path):
+    """BM25 on a 3-doc hand corpus equals the straight formula: doc 1
+    (both query terms, short) outranks doc 2 (one term, long); doc 3
+    (no terms) is absent."""
+    import math
+
+    from map_reduce_folds_spark.queries import llm as L
+
+    rows = [
+        (1, "data hash data"),
+        (2, "data filler filler filler filler filler"),
+        (3, "nothing relevant here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pq = str(tmp_path / "documents.parquet")
+    d.write.parquet(pq)
+    out = {r.doc_id: r.score
+           for r in L.bm25_topk_docs(spark, str(tmp_path)).collect()}
+    # hand scores: N=3, avglen=(3+6+3)/3=4; k1=1.2, b=0.75
+    k1, b, N, avg = 1.2, 0.75, 3, 4.0
+
+    def sc(tf, df, ln):
+        idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+        return round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * ln / avg)), 9)
+
+    want1 = round(sc(2, 2, 3.0) + sc(1, 1, 3.0), 9)   # data + hash
+    want2 = sc(1, 2, 6.0)                              # data only
+    assert out[1] == round(want1, 9) or abs(out[1] - want1) < 1e-12
+    assert out[2] == want2 or abs(out[2] - want2) < 1e-12
+    assert 3 not in out and out[1] > out[2]
