@@ -2985,3 +2985,110 @@ def nearest_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").alias("ts2"))
     return R.nearest_event_join(p, c, "ts", "ts2", ["user_id"],
                                 _NEAR_TOL_US, "purchase_id", "click_id")
+
+
+@query(
+    "lapsed_users_daily",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+        FROM events
+    )
+    SELECT a.d, CAST(COUNT(*) AS BIGINT) AS n_lapsed
+    FROM ud a LEFT JOIN ud b
+      ON b.user_id = a.user_id AND b.d = a.d + 1
+    WHERE b.user_id IS NULL
+      AND a.d < (SELECT MAX(d) FROM ud)
+    GROUP BY a.d
+    """,
+)
+def lapsed_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ANTI-join: users active on day d with NO activity on
+    day d+1 — the lapse/churn complement of cohort_retention.  Distinct
+    (user, day) collapse first (events → ≤ span rows per user), then
+    ONE left-anti self-join on (user, day+1); the final day is excluded
+    (no d+1 exists to disprove the lapse — a truncation artifact, not a
+    signal).  Integer epoch-day arithmetic end to end."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        (epoch_us(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
+        .alias("d"),
+    ).distinct()
+    nxt = ud.select("user_id", (F.col("d") - 1).alias("d"))
+    max_d = ud.agg(F.max("d").alias("mx"))
+    return (
+        ud.join(nxt, ["user_id", "d"], "left_anti")
+        .crossJoin(F.broadcast(max_d))
+        .where(F.col("d") < F.col("mx"))
+        .groupBy("d").agg(F.count(F.lit(1)).alias("n_lapsed"))
+    )
+
+
+@query(
+    "moments_per_event_type",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x * x) AS DOUBLE)
+                   AS s4
+        FROM c GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(s1 / n, 9) AS mean_cents,
+           round((s2 - (s1 / n) * s1) / n, 9) AS var_cents,
+           round(((s3 - 3.0 * (s1 / n) * s2
+                   + 2.0 * (s1 / n) * (s1 / n) * s1) / n)
+                 / pow((s2 - (s1 / n) * s1) / n, 1.5), 9) AS skewness,
+           round(((s4 - 4.0 * (s1 / n) * s3
+                   + 6.0 * (s1 / n) * (s1 / n) * s2
+                   - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * s1) / n)
+                 / pow((s2 - (s1 / n) * s1) / n, 2.0) - 3.0, 9)
+               AS excess_kurtosis
+    FROM s
+    """,
+)
+def moments_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact higher moments — skewness and excess kurtosis per event
+    type — from four RAW POWER SUMS staged in DECIMAL(38,0) (x⁴ of a
+    49k-cent value is ~6e18: one row fits int64, a sum does not — the
+    same overflow staging as the triangle clique volumes).  The sums
+    are map-side-combinable (one aggregation, no second pass, unlike
+    Welford chains); the central-moment assembly is ONE fixed
+    parenthesization chain over exact-integer-derived doubles, 9-decimal
+    rounded — identical in any engine.  pow(v, 1.5)/pow(v, 2.0) follow
+    the same libm-rounding discipline as ln."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    xd = x.cast("decimal(38,0)")
+    s = e.select("event_type", x.alias("x"), xd.alias("xd")).groupBy(
+        "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").cast("double").alias("s1"),
+        F.sum(F.col("xd") * F.col("x")).cast("double").alias("s2"),
+        F.sum(F.col("xd") * F.col("x") * F.col("x")).cast("double")
+        .alias("s3"),
+        F.sum(F.col("xd") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var = (s2 - m * s1) / n
+    m3 = (s3 - 3.0 * m * s2 + 2.0 * m * m * s1) / n
+    m4 = (s4 - 4.0 * m * s3 + 6.0 * m * m * s2 - 3.0 * m * m * m * s1) / n
+    return s.select(
+        "event_type", "n",
+        F.round(m, 9).alias("mean_cents"),
+        F.round(var, 9).alias("var_cents"),
+        F.round(m3 / F.pow(var, 1.5), 9).alias("skewness"),
+        F.round(m4 / F.pow(var, 2.0) - 3.0, 9).alias("excess_kurtosis"),
+    )
