@@ -1091,3 +1091,40 @@ def test_nearest_event_join_semantics(spark):
     assert got == {100: (900, 10_000_000),   # tie → earlier click 590
                    101: (902, 5_000_000)}    # forward match
     assert 102 not in got                     # out of tolerance drops
+
+
+def test_moments_match_direct_computation(spark, tmp_path):
+    """Skewness / excess kurtosis from raw power sums must match the
+    straight central-moment computation (python floats) to the
+    9-decimal rounding the query promises."""
+    import math
+
+    from map_reduce_folds_spark.queries.relational import (
+        moments_per_event_type,
+    )
+
+    vals = {"a": [1.00, 2.00, 2.00, 3.00, 10.00],
+            "b": [5.00, 5.00, 5.00, 5.01]}
+    rows = [(i, t, v) for t, vs in vals.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("event_id"))) \
+     .withColumn("user_id", F.lit(1)).withColumn("props", F.lit("{}"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: (r.n, r.mean_cents, r.var_cents, r.skewness,
+                          r.excess_kurtosis)
+           for r in moments_per_event_type(spark, str(tmp_path)).collect()}
+    for t, vs in vals.items():
+        xs = [round(v * 100) for v in vs]
+        n = len(xs)
+        m = sum(xs) / n
+        m2 = sum((x - m) ** 2 for x in xs) / n
+        m3 = sum((x - m) ** 3 for x in xs) / n
+        m4 = sum((x - m) ** 4 for x in xs) / n
+        gn, gm, gv, gs, gk = got[t]
+        assert gn == n
+        assert math.isclose(gm, m, abs_tol=1e-9)
+        assert math.isclose(gv, m2, rel_tol=1e-9)
+        assert math.isclose(gs, m3 / m2 ** 1.5, rel_tol=1e-6)
+        assert math.isclose(gk, m4 / m2 ** 2 - 3.0, rel_tol=1e-6)
+    assert got["a"][3] > 1.0  # the 10.00 outlier skews right
