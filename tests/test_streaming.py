@@ -1129,3 +1129,30 @@ def test_stream_cusum_matches_batch_and_carries_state(
     assert last == batch
     assert last[1] == (3, 850, 850, 1)  # the cross-batch excursion alarm
     assert last[2] == (2, 1500, 1500, 1)
+
+
+def test_hll_store_idempotent_under_replay(spark, events_batch, tmp_path):
+    """The append-only register store's monotone-max compaction absorbs
+    re-delivered batches: appending the ENTIRE store to itself (the
+    worst-case duplicate delivery) leaves every snapshot estimate
+    unchanged."""
+    from map_reduce_folds_spark.operators.sketches import hll_register
+    from map_reduce_folds_spark.streaming import hll_sliding_snapshot
+    from map_reduce_folds_spark.timeutil import epoch_us
+
+    bucket_us, k, p = 3_600_000_000, 3, 8
+    store = str(tmp_path / "store")
+    reg, rank = hll_register(F.col("user_id").cast("string"), p)
+    eus = epoch_us(F.col("ts"))
+    bkt = ((eus - eus % F.lit(bucket_us)) / F.lit(bucket_us)).cast("bigint")
+    (events_batch.select(bkt.alias("__bkt"), reg, rank)
+     .groupBy("__bkt", "reg").agg(F.max("rank").alias("rank"))
+     .write.mode("append").parquet(store))
+    before = {r.win_start_us: r.nd_est
+              for r in hll_sliding_snapshot(spark, store, bucket_us, k,
+                                            p=p).collect()}
+    spark.read.parquet(store).write.mode("append").parquet(store)
+    after = {r.win_start_us: r.nd_est
+             for r in hll_sliding_snapshot(spark, store, bucket_us, k,
+                                           p=p).collect()}
+    assert after == before and len(before) > 3
