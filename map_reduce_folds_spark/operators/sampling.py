@@ -457,3 +457,50 @@ def pack_by_token_budget(
         shard_col,
         (F.col("__cum_before") / F.lit(int(budget))).cast("bigint"),
     ).drop("__cum_before")
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "bern",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its salted id-hash
+    bucket falls below ``round(rate·10^6)`` — the same fixed-denominator
+    rational the split/shuffle family uses, so the EXACT inclusion
+    probability is ``threshold / 10^6`` (known, not approximate — what a
+    Horvitz–Thompson estimator divides by).  Re-salt for an independent
+    draw; scan-local, no shuffle."""
+    thr = _rate_threshold("rate", rate)
+    return df.where(_bucket(id_col, salt) < thr)
+
+
+def bernoulli_sample_sql(id_expr: str, rate: float,
+                         salt: str = "bern") -> str:
+    """DuckDB predicate mirroring :func:`bernoulli_sample`."""
+    thr = _rate_threshold("rate", rate)
+    return f"{_bucket_sql(id_expr, salt)} < {thr}"
+
+
+def ht_total_estimate(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: list[str],
+    rate: float,
+    salt: str = "bern",
+) -> DataFrame:
+    """Horvitz–Thompson total estimator from the deterministic Bernoulli
+    sample: every sampled row's value is inflated by its KNOWN inverse
+    inclusion probability (10^6 / threshold — one exact bigint product,
+    one terminal division), giving an unbiased estimate of the per-group
+    total WITHOUT scanning the unsampled rows — the survey-sampling
+    accounting a size-estimation pass over a 100 TB corpus runs on its
+    1% sample.  Output per group: ``n_sampled``, ``est_total``
+    (double)."""
+    thr = _rate_threshold("rate", rate)
+    s = bernoulli_sample(df, id_col, rate, salt)
+    return s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        ((F.sum(F.col(value_col)) * _BUCKETS).cast("double") / thr)
+        .alias("est_total"))

@@ -2822,3 +2822,43 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (term_col(_BM25_TERMS[0]) + term_col(_BM25_TERMS[1])
          + term_col(_BM25_TERMS[2])).alias("score"))
     return topk(tot, [F.col("score").desc(), F.col("doc_id")], _BM25_TOPK)
+
+
+@query(
+    "ht_estimate_chars",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, n_chars FROM documents
+        WHERE {SM.bernoulli_sample_sql('doc_id', 0.2)}
+    ),
+    est AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) * 1000000 AS DOUBLE)
+                   / {SM._rate_threshold('rate', 0.2)} AS est_total
+        FROM s GROUP BY 1
+    ),
+    tru AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS true_total
+        FROM documents GROUP BY 1
+    )
+    SELECT source, n_sampled, est_total, n_docs, true_total
+    FROM est JOIN tru USING (source)
+    """,
+)
+def ht_estimate_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson size estimation
+    (operators/sampling.ht_total_estimate): per-source total characters
+    estimated from the deterministic 20% Bernoulli sample — each
+    sampled value inflated by its KNOWN inverse inclusion probability
+    (exact rational threshold/10^6, the split family's denominator) —
+    joined against the true totals so the row itself exhibits the
+    estimator's error.  The estimate path scans ONLY the sample; at
+    100 TB that is the entire point.  One bigint product + one terminal
+    division (bitwise-portable)."""
+    d = load_table(spark, sf_dir, "documents")
+    est = SM.ht_total_estimate(d, "doc_id", "n_chars", ["source"], 0.2)
+    tru = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("true_total"))
+    return est.join(tru, "source")
