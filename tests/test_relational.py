@@ -1128,3 +1128,30 @@ def test_moments_match_direct_computation(spark, tmp_path):
         assert math.isclose(gs, m3 / m2 ** 1.5, rel_tol=1e-6)
         assert math.isclose(gk, m4 / m2 ** 2 - 3.0, rel_tol=1e-6)
     assert got["a"][3] > 1.0  # the 10.00 outlier skews right
+
+
+def test_activity_streaks_islands(spark, tmp_path):
+    """Rank-difference islands: consecutive days fuse across month
+    boundaries, gaps split, multiple same-day events collapse, and a
+    single-day user is one streak of length 1."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.queries.relational import activity_streaks
+
+    rows = [
+        # u1: Jan 30, 31, Feb 1 (one 3-day streak spanning the month
+        # boundary), then Feb 5 (second streak)
+        (1, 1, datetime(2024, 1, 30, 9)), (2, 1, datetime(2024, 1, 30, 21)),
+        (3, 1, datetime(2024, 1, 31, 12)), (4, 1, datetime(2024, 2, 1, 3)),
+        (5, 1, datetime(2024, 2, 5, 8)),
+        # u2: one day only
+        (6, 2, datetime(2024, 3, 1, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    ).withColumn("event_type", F.lit("click")) \
+     .withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: (r.n_active_days, r.n_streaks, r.longest_streak)
+           for r in activity_streaks(spark, str(tmp_path)).collect()}
+    assert got == {1: (4, 2, 3), 2: (1, 1, 1)}
