@@ -3055,6 +3055,7 @@ def lapsed_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / pow((s2 - (s1 / n) * s1) / n, 2.0) - 3.0, 9)
                AS excess_kurtosis
     FROM s
+    WHERE (s2 - (s1 / n) * s1) / n > 0
     """,
 )
 def moments_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3085,7 +3086,9 @@ def moments_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (s2 - m * s1) / n
     m3 = (s3 - 3.0 * m * s2 + 2.0 * m * m * s1) / n
     m4 = (s4 - 4.0 * m * s3 + 6.0 * m * m * s2 - 3.0 * m * m * m * s1) / n
-    return s.select(
+    # constant groups (var = 0) are EXCLUDED rather than emitting the
+    # NaN/Inf divergence 0-division would hand each engine differently
+    return s.where(var > 0).select(
         "event_type", "n",
         F.round(m, 9).alias("mean_cents"),
         F.round(var, 9).alias("var_cents"),
