@@ -104,7 +104,14 @@ _PRIORITY = [
     # family) displaces mr_ordered_collect — encounter-order keeps
     # mr_group_reduce_ordered in-window, mr_ordered_collect re-registers
     # just past it.
-    "join_broadcast_dims", "asof_join_purchase_click",
+    # Round-9 late swap, same displacement rule: cusum_user_drift enters
+    # (NEW change-detection family: Page's CUSUM via closed-form prefix
+    # windows, all-integer state) displacing join_broadcast_dims — the
+    # join family keeps asof/interval/q1/q7/q9 in-window (all of which
+    # broadcast their dims; the broadcast discipline is additionally
+    # plan-pinned in test_plans), and join_broadcast_dims re-registers
+    # immediately past the window.
+    "cusum_user_drift", "asof_join_purchase_click",
     "interval_join_attribution", "window_topk_per_group",
     "sessionize_events", "rollup_region_nation", "salted_aggregation",
     "events_tumbling_window", "q1_pricing_summary", "q9_product_profit",
@@ -117,6 +124,7 @@ _PRIORITY = [
     "embedding_quantize_int8", "q7_volume_shipping",
     "resample_user_hourly",
     # first entries PAST the 50-window: the displaced green rows
+    "join_broadcast_dims",
     "q17_small_quantity_revenue", "dedup_ngram_jaccard",
     "tfidf_top_terms", "contamination_check", "data_quality_expectations",
     "mr_simple_unpack", "mr_ordered_collect", "dedup_simhash_pairs",
