@@ -10,6 +10,15 @@ DECIMAL(18,2) (exact in both engines), means are emitted as a single double
 division of exact quantities, and double outputs are produced by identical
 single operations on both sides.  Integer-valued doubles (e.g. l_quantity)
 sum exactly in binary double, so they need no cast.
+
+Corollary for ROUNDED outputs (the ln/pow 9-decimal discipline): rounding
+absorbs cross-engine ulp noise ONLY while the rounding quantum exceeds the
+value's ulp — round(x, 9) of an O(1) score is stable, but at magnitude
+~1e7+ one ulp (~7e-9) is WIDER than the 1e-9 grid and round() itself
+becomes engine-dependent.  Rescale large-magnitude outputs into a range
+where quantum ≫ ulp (moments_per_event_type emits variance in units², not
+cents², for exactly this reason) or emit them from exact integer
+numerators without a rounding step.
 """
 
 from __future__ import annotations

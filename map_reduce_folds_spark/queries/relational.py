@@ -3036,6 +3036,8 @@ def lapsed_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS DECIMAL(38,0))) AS d1,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS d2,
                CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
                CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
                CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3,
@@ -3045,7 +3047,8 @@ def lapsed_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n,
            round(s1 / n, 9) AS mean_cents,
-           round((s2 - (s1 / n) * s1) / n, 9) AS var_cents,
+           round(CAST(n * d2 - d1 * d1 AS DOUBLE) / n / n / 10000.0, 9)
+               AS var_units2,
            round(((s3 - 3.0 * (s1 / n) * s2
                    + 2.0 * (s1 / n) * (s1 / n) * s1) / n)
                  / pow((s2 - (s1 / n) * s1) / n, 1.5), 9) AS skewness,
@@ -3055,7 +3058,7 @@ def lapsed_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / pow((s2 - (s1 / n) * s1) / n, 2.0) - 3.0, 9)
                AS excess_kurtosis
     FROM s
-    WHERE (s2 - (s1 / n) * s1) / n > 0
+    WHERE n * d2 - d1 * d1 > 0
     """,
 )
 def moments_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3074,6 +3077,8 @@ def moments_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.select("event_type", x.alias("x"), xd.alias("xd")).groupBy(
         "event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum("xd").alias("d1"),
+        F.sum(F.col("xd") * F.col("x")).alias("d2"),
         F.sum("xd").cast("double").alias("s1"),
         F.sum(F.col("xd") * F.col("x")).cast("double").alias("s2"),
         F.sum(F.col("xd") * F.col("x") * F.col("x")).cast("double")
@@ -3086,12 +3091,24 @@ def moments_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (s2 - m * s1) / n
     m3 = (s3 - 3.0 * m * s2 + 2.0 * m * m * s1) / n
     m4 = (s4 - 4.0 * m * s3 + 6.0 * m * m * s2 - 3.0 * m * m * m * s1) / n
+    # VARIANCE is emitted from the EXACT integer numerator n·Σx² − (Σx)²
+    # (decimal-staged) with the n² division applied as two correctly-
+    # rounded steps: at cents² magnitudes the 9-decimal quantum sits
+    # BELOW one double ulp, so the compound m-chain (which engines may
+    # FMA-contract differently) is not representable-stable there — the
+    # O(1) skewness/kurtosis chains absorb ulp noise in the rounding,
+    # the big-magnitude column must not go through a chain at all.
+    num2 = n.cast("decimal(38,0)") * F.col("d2") - F.col("d1") * F.col("d1")
+    # …and rescaled to UNITS² (÷100²): at cents² magnitude (~1e7+) the
+    # 9-decimal grid is finer than one double ulp, making round() itself
+    # engine-dependent; in units² the quantum sits 3 orders above ulp.
+    var_exact = num2.cast("double") / n / n / 10000.0
     # constant groups (var = 0) are EXCLUDED rather than emitting the
     # NaN/Inf divergence 0-division would hand each engine differently
-    return s.where(var > 0).select(
+    return s.where(num2 > 0).select(
         "event_type", "n",
         F.round(m, 9).alias("mean_cents"),
-        F.round(var, 9).alias("var_cents"),
+        F.round(var_exact, 9).alias("var_units2"),
         F.round(m3 / F.pow(var, 1.5), 9).alias("skewness"),
         F.round(m4 / F.pow(var, 2.0) - 3.0, 9).alias("excess_kurtosis"),
     )

@@ -1111,7 +1111,7 @@ def test_moments_match_direct_computation(spark, tmp_path):
     ).withColumn("ts", F.timestamp_micros(F.col("event_id"))) \
      .withColumn("user_id", F.lit(1)).withColumn("props", F.lit("{}"))
     df.write.parquet(str(tmp_path / "events.parquet"))
-    got = {r.event_type: (r.n, r.mean_cents, r.var_cents, r.skewness,
+    got = {r.event_type: (r.n, r.mean_cents, r.var_units2, r.skewness,
                           r.excess_kurtosis)
            for r in moments_per_event_type(spark, str(tmp_path)).collect()}
     for t, vs in vals.items():
@@ -1124,7 +1124,7 @@ def test_moments_match_direct_computation(spark, tmp_path):
         gn, gm, gv, gs, gk = got[t]
         assert gn == n
         assert math.isclose(gm, m, abs_tol=1e-9)
-        assert math.isclose(gv, m2, rel_tol=1e-9)
+        assert math.isclose(gv, m2 / 1e4, rel_tol=1e-9)
         assert math.isclose(gs, m3 / m2 ** 1.5, rel_tol=1e-6)
         assert math.isclose(gk, m4 / m2 ** 2 - 3.0, rel_tol=1e-6)
     assert got["a"][3] > 1.0  # the 10.00 outlier skews right
