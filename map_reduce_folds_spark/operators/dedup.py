@@ -1371,6 +1371,7 @@ def cluster_savings(
     bits: int = 32,
     max_hamming: int = 3,
     blocks: int = 4,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup SAVINGS REPORT a curation run ends with: cluster the
     corpus with :func:`simhash_components` (near-dup graph → connected
@@ -1387,8 +1388,18 @@ def cluster_savings(
     ``n_kept`` (elected reps homed in this group), ``n_dropped``, and
     ``chars_dropped`` (exact bigint sum of ``size_col`` over dropped
     docs)."""
-    comp = simhash_components(docs, id_col, text_col, bits=bits,
-                              max_hamming=max_hamming, blocks=blocks)
+    if pairs is not None:
+        # pluggable near-dup policy: any (id_a, id_b) pair relation —
+        # e.g. the prefix-filtered Jaccard join — replaces the SimHash
+        # default; the accounting below is policy-agnostic
+        from map_reduce_folds_spark.operators.graph import (
+            components_of_pairs,
+        )
+
+        comp = components_of_pairs(pairs.select("id_a", "id_b"))
+    else:
+        comp = simhash_components(docs, id_col, text_col, bits=bits,
+                                  max_hamming=max_hamming, blocks=blocks)
     d = (
         docs.select(id_col, group_col, size_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")

@@ -2862,3 +2862,64 @@ def ht_estimate_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("true_total"))
     return est.join(tru, "source")
+
+
+@query(
+    "dedup_savings_jaccard",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {_PF_T}
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component
+             FROM reach GROUP BY node),
+    d AS (
+        SELECT doc_id, source, n_chars,
+               COALESCE(component, doc_id) AS cluster
+        FROM documents LEFT JOIN comp USING (doc_id)
+    ),
+    rep AS (
+        SELECT cluster,
+               (MIN({{'a': -n_chars, 'b': doc_id}})).b AS rep_id
+        FROM d GROUP BY cluster
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN doc_id <> rep_id THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped
+    FROM d JOIN rep USING (cluster)
+    GROUP BY source
+    """,
+)
+def dedup_savings_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The savings report under the JACCARD near-dup policy — two
+    round-9 operators composed in ONE plan: prefix-filtered similarity
+    join (candidate pruning, proven lossless) feeds the pluggable
+    ``cluster_savings`` accounting (CC → keep-the-longest rep →
+    per-source kept/dropped).  The oracle walks the FULL inverted index
+    into the same closure — the gate simultaneously re-proves the
+    prefix filter loses no edge AND the policy-agnostic accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=_N,
+                                         threshold=_PF_T)
+    return D.cluster_savings(d, "doc_id", "text", "n_chars", "source",
+                             pairs=pairs)
