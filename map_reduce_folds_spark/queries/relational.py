@@ -3112,3 +3112,55 @@ def moments_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(var, 1.5), 9).alias("skewness"),
         F.round(m4 / F.pow(var, 2.0) - 3.0, 9).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders.custkey' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem.orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.partkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-foreign-key counts for the
+    three fact→dimension edges of the schema — the ingest-gate check a
+    warehouse runs before promoting a snapshot.  Each edge is ONE left
+    join + conditional count (a full-scan row count AND the orphan count
+    ride the same pass — never a second scan); the three audits union
+    into a single 3-row report.  At 100 TB each probe side is the
+    dimension (broadcast when it fits), and the audit shares the fact
+    scan shape of the queries it guards."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def audit(fact, dim, fk, pk, label):
+        return (
+            fact.select(F.col(fk)).join(
+                dim.select(F.col(pk)), fact[fk] == dim[pk], "left")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.isnull(F.col(pk)).cast("bigint"))
+                 .alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        audit(o, c, "o_custkey", "c_custkey", "orders.custkey")
+        .unionByName(audit(li, o, "l_orderkey", "o_orderkey",
+                           "lineitem.orderkey"))
+        .unionByName(audit(li, p, "l_partkey", "p_partkey",
+                           "lineitem.partkey"))
+    )
