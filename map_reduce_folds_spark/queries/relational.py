@@ -3164,3 +3164,87 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(li, p, "l_partkey", "p_partkey",
                            "lineitem.partkey"))
     )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT month, cents,
+           cents - LAG(cents) OVER (ORDER BY month) AS delta_cents,
+           CAST(cents - LAG(cents) OVER (ORDER BY month) AS DOUBLE)
+               / LAG(cents) OVER (ORDER BY month) AS growth
+    FROM m
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: monthly order revenue with the
+    month-over-month delta and relative growth — the standard trend
+    report.  Heavy lifting is ONE aggregation to the month grain
+    (integer cents); the lag/growth window then runs over the
+    months-sized relation (a deliberately unpartitioned window over ~12
+    rows — the single-partition sort is the AGGREGATE's size, never the
+    fact table's).  delta is exact integer; growth is one bigint
+    division."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")).alias("cents"))
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "month", "cents",
+        (F.col("cents") - prev).alias("delta_cents"),
+        ((F.col("cents") - prev).cast("double") / prev).alias("growth"))
+
+
+@query(
+    "cumulative_distinct_types",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_first) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_distinct_types
+    FROM flagged
+    """,
+)
+def cumulative_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative EXACT distinct count per user over time — "how many
+    distinct event types has this user touched as of each event" — via
+    the first-occurrence-flag decomposition: a running COUNT DISTINCT
+    (which no engine supports as a window) becomes row_number()=1 flags
+    over (user, type) plus a running SUM of flags over (user) — two
+    window passes sharing the user_id hash partitioning, all-integer,
+    no state explosion (the naive per-frame set would carry every seen
+    type per row)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.select(
+        "user_id", "event_id", "ts",
+        (F.row_number().over(wt) == 1).cast("int").alias("is_first"))
+    return flagged.select(
+        "user_id", "event_id",
+        F.sum("is_first").over(wu).cast("bigint")
+        .alias("n_distinct_types"))
