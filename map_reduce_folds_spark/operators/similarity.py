@@ -1343,3 +1343,140 @@ def ivf_pq_topk(
 
     return topk_per_group(
         scored, ["query_id"], [F.col("adc_dist"), F.col("neighbor_id")], k)
+
+
+def _int8_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8 code arrays (bigint)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_vec_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cand: int = 50,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+    diversified top-k — each pick maximizes ``relevance − max
+    similarity to anything already picked`` (λ = ½, scaled ×2 so the
+    objective stays INTEGER), the retrieval op that stops k near-dup
+    results from crowding out coverage — the same redundancy axis the
+    dedup family audits, applied at query time.
+
+    ALL-INTEGER geometry: relevance and pairwise similarity are exact
+    bigint dot products over the int8 codes of :func:`quantize_int8`
+    (scale-free by design — the op is DEFINED on the quantized
+    geometry, so every score is exactly reproducible).  Ties break to
+    the smaller id.
+
+    Plan: relevance is one scan-shaped broadcast-query pass; the top
+    ``n_cand`` candidates (TakeOrderedAndProject) then run the greedy
+    loop as k−1 tiny jobs over the candidate relation — each step
+    joins the single winner back to update every candidate's running
+    max-similarity (the winner is a 1-row broadcast; nothing collects
+    beyond it).  Candidate codes ride the relation (n_cand × dim
+    bytes).  Output: (pick, neighbor_id, rel, mmr) with pick 1..k;
+    mmr = 2·rel for the first pick (no diversity term yet)."""
+    q8 = quantize_int8(corpus, id_col, vec_col)
+    qrow = F.broadcast(
+        q8.where(F.col(id_col) == query_vec_id)
+        .select(F.col("qvec").alias("__qq")))
+    rel = (
+        q8.where(F.col(id_col) != query_vec_id)
+        .crossJoin(qrow)
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col("qvec"),
+                _int8_dot(F.col("qvec"), F.col("__qq")).alias("rel"))
+    )
+    cand = rel.orderBy(F.col("rel").desc(), "neighbor_id").limit(n_cand) \
+        .withColumn("maxsim", F.lit(None).cast("long")) \
+        .localCheckpoint(eager=False)
+
+    picks = []
+    rem = cand
+    for step in range(1, k + 1):
+        # mmr = 2·rel − maxsim (λ=½ scaled ×2; first pick has no
+        # diversity term).  argmax with (score desc, id) tie-break.
+        score = (2 * F.col("rel")
+                 - F.coalesce(F.col("maxsim"), F.lit(0))).alias("mmr")
+        winner = (
+            rem.select("neighbor_id", "qvec", "rel", score)
+            .orderBy(F.col("mmr").desc(), "neighbor_id").limit(1)
+            .localCheckpoint(eager=False)
+        )
+        picks.append(winner.select(
+            F.lit(step).alias("pick"), "neighbor_id", "rel", "mmr"))
+        if step == k:
+            break
+        w = F.broadcast(winner.select(
+            F.col("neighbor_id").alias("__wid"),
+            F.col("qvec").alias("__wv")))
+        rem = (
+            rem.crossJoin(w)
+            .where(F.col("neighbor_id") != F.col("__wid"))
+            .select("neighbor_id", "qvec", "rel",
+                    F.greatest(
+                        F.coalesce(F.col("maxsim"),
+                                   F.lit(-(1 << 62)).cast("long")),
+                        _int8_dot(F.col("qvec"), F.col("__wv")))
+                    .alias("maxsim"))
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p_ in picks[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def mmr_topk_sql(
+    query_vec_id: int,
+    k: int = 5,
+    n_cand: int = 50,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`mmr_topk` — the greedy loop UNROLLED into
+    k chained CTE stages (the pagerank_sql convention), same int8 codes
+    (:func:`quantize_int8_sql`), same exact integer dots, same
+    tie-breaks."""
+    idot = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "s -> CAST(s[1] AS BIGINT) * s[2]))")
+    parts = [f"""
+    WITH q8 AS ({quantize_int8_sql(id_col, vec_col, src)}),
+    qq AS (SELECT qvec AS v FROM q8 WHERE {id_col} = {query_vec_id}),
+    cand AS (
+        SELECT {id_col} AS nid, qvec,
+               CAST({idot.format(a='qvec', b='qq.v')} AS BIGINT) AS rel
+        FROM q8, qq WHERE {id_col} <> {query_vec_id}
+        ORDER BY rel DESC, nid LIMIT {n_cand}
+    ),
+    m0 AS (SELECT nid, qvec, rel, CAST(NULL AS BIGINT) AS maxsim
+           FROM cand)"""]
+    for step in range(1, k + 1):
+        prev = f"m{step - 1}"
+        parts.append(f""",
+    w{step} AS (
+        SELECT nid, qvec, rel,
+               2 * rel - COALESCE(maxsim, 0) AS mmr
+        FROM {prev} ORDER BY mmr DESC, nid LIMIT 1
+    )""")
+        if step < k:
+            parts.append(f""",
+    m{step} AS (
+        SELECT r.nid, r.qvec, r.rel,
+               GREATEST(COALESCE(r.maxsim, {-(1 << 62)}),
+                        CAST({idot.format(a='r.qvec', b='w.qvec')}
+                             AS BIGINT)) AS maxsim
+        FROM {prev} r, w{step} w WHERE r.nid <> w.nid
+    )""")
+    selects = [
+        f"SELECT CAST({s} AS INT) AS pick, nid AS neighbor_id, rel, mmr "
+        f"FROM w{s}" for s in range(1, k + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)

@@ -2923,3 +2923,17 @@ def dedup_savings_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          threshold=_PF_T)
     return D.cluster_savings(d, "doc_id", "text", "n_chars", "source",
                              pairs=pairs)
+
+
+@query("mmr_diversified_topk", oracle=S.mmr_topk_sql(0, k=5, n_cand=50))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (operators/similarity.mmr_topk): Maximal
+    Marginal Relevance top-5 for query vector 0 over a 50-candidate
+    pool — each pick maximizes 2·relevance − max-similarity-to-picked,
+    the query-time answer to near-dup results crowding out coverage.
+    Exact integer dot products over int8 codes end to end; the oracle
+    unrolls the same greedy loop into five chained CTE stages
+    (pagerank_sql convention) — selection order, scores, and tie-breaks
+    are engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_topk(emb, 0, k=5, n_cand=50)

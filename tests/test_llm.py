@@ -1888,3 +1888,28 @@ def test_bm25_hand_corpus(spark, monkeypatch, tmp_path):
     assert out[1] == round(want1, 9) or abs(out[1] - want1) < 1e-12
     assert out[2] == want2 or abs(out[2] - want2) < 1e-12
     assert 3 not in out and out[1] > out[2]
+
+
+def test_mmr_diversifies_away_from_near_dups(spark):
+    """Planted geometry: a and b are near-duplicates of each other (both
+    relevant to q), c covers q's other half-space with lower relevance.
+    Pure relevance orders a, b, c — MMR at λ=½ must demote b below c
+    after a is picked (b's similarity to a exceeds its relevance, c's
+    does not).  Int8-code arithmetic checked by hand in the comments."""
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),       # query: codes [127]*4
+        (1, [1.0, 1.0, 1.0, 0.0]),       # a: rel 127·381 = 48387
+        (2, [1.0, 1.0, 0.99, 0.0]),      # b: rel 48260; sim(b,a) 48260
+        (3, [0.0, 0.0, 1.0, 1.0]),       # c: rel 32258; sim(c,a) 16129
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>")
+    got = [(r.pick, r.neighbor_id, r.mmr)
+           for r in S.mmr_topk(emb, 0, k=3, n_cand=3)
+           .orderBy("pick").collect()]
+    # step 2: b scores 2·48260 − 48260 = 48260 < c's 2·32258 − 16129
+    assert [(p, n) for p, n, _ in got] == [(1, 1), (2, 3), (3, 2)]
+    assert got[1][2] == 2 * 32258 - 16129
+    # relevance alone would have ordered a, b, c — pinned so the test
+    # fails if diversification stops mattering
+    assert got[2][2] == 2 * 48260 - 48260
