@@ -3175,35 +3175,35 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AS BIGINT)) AS BIGINT) AS cents
         FROM orders GROUP BY 1
     )
-    SELECT month, cents,
-           cents - LAG(cents) OVER (ORDER BY month) AS delta_cents,
-           CAST(cents - LAG(cents) OVER (ORDER BY month) AS DOUBLE)
-               / LAG(cents) OVER (ORDER BY month) AS growth
-    FROM m
+    SELECT m.month, m.cents,
+           m.cents - p.cents AS delta_cents,
+           CAST(m.cents - p.cents AS DOUBLE) / p.cents AS growth
+    FROM m LEFT JOIN m p ON m.month = p.month + INTERVAL 1 MONTH
     """,
 )
 def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period growth: monthly order revenue with the
     month-over-month delta and relative growth — the standard trend
     report.  Heavy lifting is ONE aggregation to the month grain
-    (integer cents); the lag/growth window then runs over the
-    months-sized relation (a deliberately unpartitioned window over ~12
-    rows — the single-partition sort is the AGGREGATE's size, never the
-    fact table's).  delta is exact integer; growth is one bigint
-    division."""
-    from pyspark.sql.window import Window
-
+    (integer cents); the previous month attaches by a VALUE-BASED
+    calendar self-join (month = prev + 1 MONTH) on the months-sized
+    aggregate — no global-order window anywhere in the plan (the
+    package-wide lint forbids them), and a calendar gap yields NULL
+    growth instead of silently comparing across it.  delta is exact
+    integer; growth is one bigint division."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
     ).agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
                 .cast("bigint")).alias("cents"))
-    w = Window.orderBy("month")
-    prev = F.lag("cents").over(w)
-    return m.select(
+    prev = m.select(
+        (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("month"),
+        F.col("cents").alias("__prev"))
+    return m.join(prev, "month", "left").select(
         "month", "cents",
-        (F.col("cents") - prev).alias("delta_cents"),
-        ((F.col("cents") - prev).cast("double") / prev).alias("growth"))
+        (F.col("cents") - F.col("__prev")).alias("delta_cents"),
+        ((F.col("cents") - F.col("__prev")).cast("double")
+         / F.col("__prev")).alias("growth"))
 
 
 @query(
