@@ -753,3 +753,54 @@ def transition_probs(
         "prev", "nxt", "n",
         (F.col("n").cast("double") / tot).alias("prob"),
     )
+
+
+def adamic_adar(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph given as
+    (id_a, id_b) pairs: for every DISTANCE-2 pair (x, y) that is NOT
+    already an edge, ``AA = Σ_{z ∈ Γ(x)∩Γ(y)} 1 / ln(deg z)`` — common
+    neighbors weighted by how selective they are (a hub says little, a
+    rare mutual contact says a lot).
+
+    Determinism discipline: the per-pair sum is a SORTED fold — common
+    neighbors collect as (deg, z) structs, array_sort pins the order,
+    and the fold adds ``1/ln(deg)`` terms in that order (each term is a
+    single ln + division on identical inputs; sub-ulp term noise stays
+    orders below the 9-decimal rounding).  deg(z) ≥ 2 for any common
+    neighbor, so ln > 0 by construction.
+
+    Plan: symmetrize + distinct, one degree aggregation, the wedge
+    self-join on the shared neighbor (cost Σ_z deg(z)² — the classic
+    2-hop bound; hub nodes are the skew axis, same guard family as the
+    triangle counter), one anti-join against existing edges, one
+    aggregation.  Output: (id_a, id_b, n_common, aa) with id_a < id_b.
+    """
+    e = symmetric_edges(pairs.select(F.col(id_a).alias("u"),
+                                     F.col(id_b).alias("v")), "u", "v") \
+        .distinct().localCheckpoint(eager=False)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = e.alias("a"), e.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.u") < F.col("b.u")))
+        .select(F.col("a.u").alias("x"), F.col("b.u").alias("y"),
+                F.col("a.v").alias("z"))
+    )
+    non_edge = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"], "left_anti")
+    terms = non_edge.join(deg.withColumnRenamed("u", "z"), "z")
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("deg"),
+                                             F.col("z")))),
+        F.lit(0.0),
+        lambda acc, s: acc + 1.0 / F.log(s["deg"].cast("double")))
+    return (
+        terms.groupBy(F.col("x").alias(id_a), F.col("y").alias(id_b))
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.round(folded, 9).alias("aa"))
+    )

@@ -2937,3 +2937,68 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.mmr_topk(emb, 0, k=5, n_cand=50)
+
+
+_AA_N, _AA_K = 500, 5  # kNN-graph node cap (explicit, oracle-mirrored) / k
+
+
+@query(
+    "adamic_adar_knn",
+    oracle=f"""
+    WITH knn AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {S.cosine_sql('q.embedding', 'c.embedding', _DIM)}
+                       AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {_AA_N} AND c.vec_id < {_AA_N}
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                <= {_AA_K}
+    ),
+    e AS (
+        SELECT DISTINCT u, v FROM (
+            SELECT query_id AS u, neighbor_id AS v FROM knn
+            UNION ALL
+            SELECT neighbor_id, query_id FROM knn
+        ) WHERE u <> v
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+    wedges AS (
+        SELECT a.u AS x, b.u AS y, a.v AS z
+        FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+    ),
+    non_edge AS (
+        SELECT w.x, w.y, w.z FROM wedges w
+        LEFT JOIN e ON e.u = w.x AND e.v = w.y
+        WHERE e.u IS NULL
+    ),
+    terms AS (SELECT x, y, deg FROM non_edge JOIN deg ON deg.u = z)
+    SELECT x AS id_a, y AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(1.0 / ln(CAST(deg AS DOUBLE))
+                                 ORDER BY deg, x)),
+               (acc, t) -> acc + t), 9) AS aa
+    FROM terms GROUP BY x, y
+    """,
+)
+def adamic_adar_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the embedding kNN graph
+    (operators/graph.adamic_adar): for every distance-2 NON-edge of the
+    k=5 cosine-neighbor graph (nodes capped at vec_id < 500 — an
+    explicit, oracle-mirrored analysis parameter, not a silent
+    truncation), the Adamic–Adar score Σ 1/ln(deg) over common
+    neighbors — "should these two be linked, given how selective their
+    mutual neighbors are".  The per-pair sum is a SORTED fold (order
+    pinned by (deg, z)), each term a single ln + division — the
+    9-decimal discipline absorbs sub-ulp term noise.  At corpus scale
+    the kNN build swaps to the blocked/IVF path; the AA stage is
+    join-shaped either way."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _AA_N)
+    knn = S.brute_force_topk(e, e, "vec_id", "embedding", _DIM, _AA_K) \
+        .select(F.col("query_id").alias("id_a"),
+                F.col("neighbor_id").alias("id_b"))
+    return G2.adamic_adar(knn)

@@ -546,3 +546,22 @@ def test_bfs_hops_multi_seed(spark):
     got = {r["node"]: r["hops"]
            for r in G.bfs_hops(edges, [1, 5], max_hops=6).collect()}
     assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path graph 1-2-3 plus hub 4 connected to 1,2,3: hand-checked AA
+    for each distance-2 non-edge; existing edges and distance-1 pairs
+    never appear."""
+    import math
+
+    from map_reduce_folds_spark.operators.graph import adamic_adar
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 1), (4, 2), (4, 3)],
+        "id_a bigint, id_b bigint")
+    got = {(r.id_a, r.id_b): (r.n_common, r.aa)
+           for r in adamic_adar(pairs).collect()}
+    # degrees: 1→{2,4}=2, 2→{1,3,4}=3, 3→{2,4}=2, 4→{1,2,3}=3
+    # only non-edge at distance 2: (1,3) via z ∈ {2, 4} (both deg 3)
+    want = round(1 / math.log(3) + 1 / math.log(3), 9)
+    assert got == {(1, 3): (2, want)}
