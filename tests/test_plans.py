@@ -430,3 +430,21 @@ def test_incremental_merge_shuffles_delta_only(spark):
     # repartitions both sides (2) = 4; anything above means an extra
     # unplanned shuffle crept in
     assert P.count_exchanges(df) <= 4, P.executed_plan(df)
+
+
+def test_bucketed_groupby_no_shuffle(spark, tmp_path_factory):
+    """Aggregation on the bucket column of a bucketed table must reuse
+    the bucketing as its distribution — ZERO exchanges (the groupBy twin
+    of the bucketed-join pin in test_sources; at 100 TB this is why
+    fact tables bucket on their hottest aggregation key)."""
+    from map_reduce_folds_spark import sources
+    from map_reduce_folds_spark.sources import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    name = "orders_bkt_agg_pin"
+    sources.write_bucketed(o.select("o_custkey", "o_totalprice"),
+                           name, ["o_custkey"], n_buckets=8)
+    t = spark.table(name)
+    agg = t.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    agg.collect()
+    assert P.count_exchanges(agg) == 0, P.executed_plan(agg)
