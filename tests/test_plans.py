@@ -440,11 +440,21 @@ def test_bucketed_groupby_no_shuffle(spark, tmp_path_factory):
     from map_reduce_folds_spark import sources
     from map_reduce_folds_spark.sources import load_table
 
+    import shutil
+
     o = load_table(spark, SF_DIR, "orders")
     name = "orders_bkt_agg_pin"
-    sources.write_bucketed(o.select("o_custkey", "o_totalprice"),
-                           name, ["o_custkey"], n_buckets=8)
-    t = spark.table(name)
-    agg = t.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
-    agg.collect()
-    assert P.count_exchanges(agg) == 0, P.executed_plan(agg)
+    # a prior pytest session's warehouse dir survives the metastore —
+    # clear both (DROP alone misses an unregistered leftover location)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+    try:
+        sources.write_bucketed(o.select("o_custkey", "o_totalprice"),
+                               name, ["o_custkey"], n_buckets=8)
+        t = spark.table(name)
+        agg = t.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        agg.collect()
+        assert P.count_exchanges(agg) == 0, P.executed_plan(agg)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
