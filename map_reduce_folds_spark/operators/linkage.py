@@ -93,3 +93,55 @@ def blocked_levenshtein_pairs(
                 F.col(f"b.{id_col}").alias("id_b"),
                 dist.cast("int").alias("dist"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    bucket: Column,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-Neighborhood blocking (Hernández & Stolfo 1995): sort the
+    relation by ``key_col`` and emit every pair within ``window``
+    positions of each other — the classic entity-resolution alternative
+    to equi-blocking (``blocked_levenshtein_pairs``): an equi-block
+    misses matches that straddle block boundaries; the sliding sort
+    window catches near-misses wherever they sort adjacently.  Candidate
+    volume is EXACTLY (window−1)·n — linear by construction, never a
+    block-size quadratic.
+
+    No global-ORDER-BY window (the package lint forbids the single-task
+    sort): global positions come from the distributed decomposition —
+    rank within ``bucket`` (caller-supplied, must be ORDER-PRESERVING
+    w.r.t. ``key_col``: bucket a < bucket b ⇒ every key in a sorts
+    before every key in b) plus the exclusive prefix sum of bucket
+    counts (``windows.exclusive_bucket_offsets``, lazily assembled and
+    broadcast back).  Pairs then form by an EQUI-join on
+    ``pos = pos + d`` for d ∈ 1..window−1 (an explode, not a range
+    join).  Output: (id_a, key_a, id_b, key_b, dist) where dist is the
+    positional distance."""
+    from pyspark.sql.window import Window as W_
+
+    from .windows import exclusive_bucket_offsets
+
+    w_in = W_.partitionBy("__b").orderBy(key_col, id_col)
+    ranked = df.select(
+        F.col(id_col), F.col(key_col), bucket.alias("__b"),
+        ).withColumn("__r", F.row_number().over(w_in))
+    totals = ranked.groupBy("__b").agg(F.count(F.lit(1)).alias("__t"))
+    offs = exclusive_bucket_offsets(totals)
+    pos = ranked.join(F.broadcast(offs), "__b").select(
+        id_col, key_col, (F.col("__r") + F.col("__off")).alias("__p"))
+    right = pos.select(
+        F.col(id_col).alias("id_b"), F.col(key_col).alias("key_b"),
+        F.explode(F.sequence(
+            F.lit(1), F.lit(int(window) - 1))).alias("__d"),
+        F.col("__p").alias("__pb"))
+    return (
+        pos.select(F.col(id_col).alias("id_a"),
+                   F.col(key_col).alias("key_a"), "__p")
+        .join(right, F.col("__p") + F.col("__d") == F.col("__pb"))
+        .select("id_a", "key_a", "id_b", "key_b",
+                F.col("__d").cast("int").alias("dist"))
+    )

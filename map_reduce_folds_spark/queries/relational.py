@@ -3248,3 +3248,43 @@ def cumulative_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         F.sum("is_first").over(wu).cast("bigint")
         .alias("n_distinct_types"))
+
+
+_SNB_W = 4  # sorted-neighborhood window (pairs within 3 sort positions)
+
+
+@query(
+    "sorted_neighborhood_linkage",
+    oracle=f"""
+    WITH pos AS (
+        SELECT c_custkey, c_name,
+               ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS p
+        FROM customer
+    )
+    SELECT CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pos a JOIN pos b
+      ON b.p - a.p BETWEEN 1 AND {_SNB_W - 1}
+    GROUP BY 1
+    """,
+)
+def sorted_neighborhood_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood entity resolution
+    (operators/linkage.sorted_neighborhood_pairs): candidates are the
+    pairs within 3 positions of each other in the GLOBAL c_name sort —
+    the boundary-free alternative to equi-blocking, exactly
+    (window−1)·n candidates.  Positions come from the distributed
+    bucket-rank + exclusive-offset decomposition (order-preserving
+    name-prefix buckets), never a single-task global window; the edit-
+    distance histogram over the candidates measures the blocking's
+    yield.  The oracle brute-forces the same window over a true global
+    ROW_NUMBER."""
+    from map_reduce_folds_spark.operators import linkage as LK
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = LK.sorted_neighborhood_pairs(
+        c, "c_custkey", "c_name",
+        bucket=F.substring("c_name", 10, 6), window=_SNB_W)
+    return pairs.groupBy(
+        F.levenshtein("key_a", "key_b").cast("int").alias("lev")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

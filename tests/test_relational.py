@@ -1155,3 +1155,33 @@ def test_activity_streaks_islands(spark, tmp_path):
     got = {r.user_id: (r.n_active_days, r.n_streaks, r.longest_streak)
            for r in activity_streaks(spark, str(tmp_path)).collect()}
     assert got == {1: (4, 2, 3), 2: (1, 1, 1)}
+
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    """SNB pairs = exactly the (window−1)·adjacent positional pairs of
+    the key sort — including across bucket boundaries (the equi-blocking
+    failure mode it exists to fix); candidate count is linear."""
+    from map_reduce_folds_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"k{i:03d}") for i in range(1, 8)]  # sort = id order
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in sorted_neighborhood_pairs(
+               df, "id", "name",
+               bucket=F.substring("name", 2, 2),  # k00|k00|...boundary k0X
+               window=3).collect()}
+    want = {(i, i + d, d) for i in range(1, 8) for d in (1, 2)
+            if i + d <= 7}
+    assert got == want  # 6 + 5 = 11 pairs, linear in n
+    # boundary pair: ids 6(k006) and 7(k007) sit in different buckets
+    # ('00' vs '00'... use ids 9,10 style) — assert cross-bucket pairs
+    rows2 = [(9, "k009"), (10, "k010"), (11, "k011")]
+    df2 = spark.createDataFrame(rows2, "id bigint, name string")
+    got2 = {(r.id_a, r.id_b)
+            for r in sorted_neighborhood_pairs(
+                df2, "id", "name",
+                bucket=F.substring("name", 2, 2), window=2).collect()}
+    # buckets '00' vs '01' — the (9,10) pair crosses the boundary
+    assert got2 == {(9, 10), (10, 11)}
