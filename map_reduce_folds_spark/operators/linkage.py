@@ -133,15 +133,21 @@ def sorted_neighborhood_pairs(
     offs = exclusive_bucket_offsets(totals)
     pos = ranked.join(F.broadcast(offs), "__b").select(
         id_col, key_col, (F.col("__r") + F.col("__off")).alias("__p"))
+    # the join key must be computable from ONE side: `left.p + right.d ==
+    # right.p` mixes sides and degrades to a CartesianProduct (measured
+    # 38 s vs 2 s on 15k rows) — fold the offset into the right side so
+    # the condition is a pure equi-key
     right = pos.select(
         F.col(id_col).alias("id_b"), F.col(key_col).alias("key_b"),
         F.explode(F.sequence(
             F.lit(1), F.lit(int(window) - 1))).alias("__d"),
-        F.col("__p").alias("__pb"))
+        F.col("__p").alias("__pb")
+    ).withColumn("__pa", F.col("__pb") - F.col("__d"))
     return (
         pos.select(F.col(id_col).alias("id_a"),
-                   F.col(key_col).alias("key_a"), "__p")
-        .join(right, F.col("__p") + F.col("__d") == F.col("__pb"))
+                   F.col(key_col).alias("key_a"),
+                   F.col("__p").alias("__pa"))
+        .join(right, "__pa")
         .select("id_a", "key_a", "id_b", "key_b",
                 F.col("__d").cast("int").alias("dist"))
     )

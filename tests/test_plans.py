@@ -458,3 +458,14 @@ def test_bucketed_groupby_no_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+
+
+def test_sorted_neighborhood_no_cartesian(spark):
+    """The SNB positional join must stay an equi-join: a condition mixing
+    left and right columns (p + d = pb) degrades to CartesianProduct —
+    measured 38 s vs 0.9 s at sf0.1 when this regressed during
+    development."""
+    df = _run(spark, "sorted_neighborhood_linkage")
+    plan = P.executed_plan(df)
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
