@@ -3288,3 +3288,92 @@ def sorted_neighborhood_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.levenshtein("key_a", "key_b").cast("int").alias("lev")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(epoch_us(MAX(o_orderdate)) // 86400000000 AS BIGINT)
+                   AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS mon
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT
+          (SELECT v FROM (SELECT rec v, ROW_NUMBER() OVER (ORDER BY rec) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*25+99)//100) r1,
+          (SELECT v FROM (SELECT rec v, ROW_NUMBER() OVER (ORDER BY rec) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*50+99)//100) r2,
+          (SELECT v FROM (SELECT rec v, ROW_NUMBER() OVER (ORDER BY rec) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*75+99)//100) r3,
+          (SELECT v FROM (SELECT freq v, ROW_NUMBER() OVER (ORDER BY freq) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*25+99)//100) f1,
+          (SELECT v FROM (SELECT freq v, ROW_NUMBER() OVER (ORDER BY freq) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*50+99)//100) f2,
+          (SELECT v FROM (SELECT freq v, ROW_NUMBER() OVER (ORDER BY freq) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*75+99)//100) f3,
+          (SELECT v FROM (SELECT mon v, ROW_NUMBER() OVER (ORDER BY mon) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*25+99)//100) m1,
+          (SELECT v FROM (SELECT mon v, ROW_NUMBER() OVER (ORDER BY mon) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*50+99)//100) m2,
+          (SELECT v FROM (SELECT mon v, ROW_NUMBER() OVER (ORDER BY mon) rn,
+                          COUNT(*) OVER () n FROM m) WHERE rn = (n*75+99)//100) m3
+    )
+    SELECT CAST(1 + CAST(rec > r1 AS INT) + CAST(rec > r2 AS INT)
+                + CAST(rec > r3 AS INT) AS INT) AS r_seg,
+           CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+                + CAST(freq > f3 AS INT) AS INT) AS f_seg,
+           CAST(1 + CAST(mon > m1 AS INT) + CAST(mon > m2 AS INT)
+                + CAST(mon > m3 AS INT) AS INT) AS m_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM m, b GROUP BY 1, 2, 3
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer scored 1-4 on Recency (last order
+    day), Frequency (order count), and Monetary (cents total) by
+    VALUE-BASED quartiles — boundaries are the exact nearest-rank
+    p25/p50/p75 of each metric (operators/windows.
+    group_percentiles_nearest_rank over one global group), and a
+    customer's segment is 1 + #boundaries its value EXCEEDS.  Unlike
+    NTILE, ties land in the same bucket by construction — positional
+    quartiles are tie-order-dependent, value quartiles are a pure
+    function of the data (the determinism the gate needs, and the
+    semantics a marketer actually wants).  All-integer metrics and
+    boundaries; the three 1-row boundary relations broadcast.  The
+    global selection sort is customer-sized (the histogram-refinement
+    lever in SCALE.md applies beyond that)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        (epoch_us(F.max("o_orderdate")) / F.lit(86_400_000_000))
+        .cast("bigint").alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("bigint")).alias("mon"),
+    ).localCheckpoint(eager=False)
+
+    def bounds(col):
+        b = W.group_percentiles_nearest_rank(
+            m.withColumn("__g", F.lit(1)), ["__g"], col, qs=(25, 50, 75))
+        return F.broadcast(b.select(
+            F.col("p25").alias(f"{col}_b1"),
+            F.col("p50").alias(f"{col}_b2"),
+            F.col("p75").alias(f"{col}_b3")))
+
+    seg = m.crossJoin(bounds("rec")).crossJoin(bounds("freq")) \
+        .crossJoin(bounds("mon"))
+
+    def code(col):
+        return (1 + (F.col(col) > F.col(f"{col}_b1")).cast("int")
+                + (F.col(col) > F.col(f"{col}_b2")).cast("int")
+                + (F.col(col) > F.col(f"{col}_b3")).cast("int"))
+
+    return seg.select(
+        code("rec").alias("r_seg"), code("freq").alias("f_seg"),
+        code("mon").alias("m_seg"),
+    ).groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).alias("n_customers"))
