@@ -364,7 +364,13 @@ def mad_outliers(
 
     wn = Window.partitionBy(group_col)
     w1 = Window.partitionBy(group_col).orderBy(value_col, id_col)
-    base = df.select(id_col, group_col, value_col)
+    # NULL values are excluded BEFORE ranking: Spark sorts NULLs first
+    # while DuckDB sorts them last, so a NULL-bearing column would make
+    # the two engines select different median rows.  A NULL value can
+    # be neither a median candidate nor an outlier, so dropping it is
+    # the only portable semantics.
+    base = (df.select(id_col, group_col, value_col)
+            .where(F.col(value_col).isNotNull()))
     r1 = base.select(
         id_col, group_col, value_col,
         F.count(F.lit(1)).over(wn).alias("__n"),
@@ -397,7 +403,8 @@ def mad_outliers_sql(
     """DuckDB mirror of :func:`mad_outliers` (same rank-selection lower
     medians, same ``(v, id)`` / ``(d, id)`` total orders)."""
     return f"""
-    WITH base AS (SELECT {id_col}, {group_col}, {value_col} FROM {src}),
+    WITH base AS (SELECT {id_col}, {group_col}, {value_col} FROM {src}
+                  WHERE {value_col} IS NOT NULL),
     r1 AS (
         SELECT *, COUNT(*) OVER (PARTITION BY {group_col}) AS n,
                ROW_NUMBER() OVER (PARTITION BY {group_col}

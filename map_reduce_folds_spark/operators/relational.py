@@ -875,6 +875,8 @@ def nearest_event_join(
 
     keys = list(on)
     tol = int(tolerance_us)
+    if tol <= 0:
+        raise ValueError(f"tolerance_us must be > 0, got {tolerance_us!r}")
     lt, rt = epoch_us(F.col(left_ts)), epoch_us(F.col(right_ts))
     l_ = left.select(*keys, F.col(left_id).alias("__lid"),
                      lt.alias("__lt"),

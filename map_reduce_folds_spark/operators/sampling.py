@@ -502,5 +502,5 @@ def ht_total_estimate(
     s = bernoulli_sample(df, id_col, rate, salt)
     return s.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        ((F.sum(F.col(value_col)) * _BUCKETS).cast("double") / thr)
+        ((F.sum(F.col(value_col)).cast("double") * _BUCKETS) / thr)
         .alias("est_total"))

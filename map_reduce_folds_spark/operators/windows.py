@@ -744,7 +744,8 @@ def group_percentiles_nearest_rank(
     Output: one row per group — ``n``, ``p{q}`` for each requested q,
     and ``vmax`` (the q=100 pick).
     """
-    assert all(0 < q <= 100 for q in qs)
+    if not all(isinstance(q, int) and 0 < q <= 100 for q in qs):
+        raise ValueError(f"qs must be integers in (0, 100], got {qs!r}")
     wo = Window.partitionBy(*keys).orderBy(value_col)
     wn = Window.partitionBy(*keys)
     v = F.col(value_col)

@@ -2833,7 +2833,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     est AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
-               CAST(SUM(n_chars) * 1000000 AS DOUBLE)
+               CAST(SUM(n_chars) AS DOUBLE) * 1000000
                    / {SM._rate_threshold('rate', 0.2)} AS est_total
         FROM s GROUP BY 1
     ),

@@ -2878,8 +2878,8 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     days = e.select(
         "user_id",
-        (epoch_us(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
-        .alias("d"),
+        F.floor(epoch_us(F.col("ts")) / F.lit(86_400_000_000))
+        .cast("bigint").alias("d"),
     ).distinct()
     w = Window.partitionBy("user_id").orderBy("d")
     isl = days.select(
@@ -3013,8 +3013,8 @@ def lapsed_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     ud = e.select(
         "user_id",
-        (epoch_us(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
-        .alias("d"),
+        F.floor(epoch_us(F.col("ts")) / F.lit(86_400_000_000))
+        .cast("bigint").alias("d"),
     ).distinct()
     nxt = ud.select("user_id", (F.col("d") - 1).alias("d"))
     max_d = ud.agg(F.max("d").alias("mx"))
@@ -3349,7 +3349,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     lever in SCALE.md applies beyond that)."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
-        (epoch_us(F.max("o_orderdate")) / F.lit(86_400_000_000))
+        F.floor(epoch_us(F.max("o_orderdate")) / F.lit(86_400_000_000))
         .cast("bigint").alias("rec"),
         F.count(F.lit(1)).alias("freq"),
         F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
