@@ -770,6 +770,101 @@ def group_percentiles_nearest_rank(
     return picked.groupBy(*keys).agg(*aggs)
 
 
+def group_percentiles_hist(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[int] = (50, 95),
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group via HISTOGRAM REFINEMENT
+    — pick-for-pick identical to :func:`group_percentiles_nearest_rank`
+    (property-tested) but with NO per-group global sort, so low-key-
+    cardinality groups don't serialize into one task at 100 TB.
+
+    The single-sort form partitions the row_number window by the group
+    key: a 5-type corpus sorts each type's entire delta stream in ONE
+    task regardless of cluster size.  Here the selection is the classic
+    two-pass distributed order statistic over integer domains:
+
+    1. per-group ``(min, max, n)`` — one map-side-combinable agg;
+    2. integer-bucket every value (``(v − lo) div width``, width =
+       ``(hi − lo) div nbuckets + 1`` so indices stay < nbuckets) and
+       count per (group, bucket) — map-side-combinable, full
+       parallelism;
+    3. a cumulative pass over the TINY (group, bucket, count) relation
+       (≤ |groups|·nbuckets rows) locates, for each q, the bucket
+       holding global rank ``ceil(q·n/100)`` and the residual rank
+       within it;
+    4. rank-select ONLY that bucket's residents — each (group, q) task
+       sorts ~n/nbuckets rows instead of n.
+
+    Exactness: rows below the target bucket number exactly ``cum_prev``,
+    so the residual rank inside the bucket addresses the same global
+    order statistic; equal values are interchangeable at a rank, so the
+    picked VALUE is unique (same argument as the single-sort form).
+    All arithmetic is integer (`div`), no float index.  NULL values are
+    excluded (the portable-median policy — see mad_outliers).
+
+    Output schema matches group_percentiles_nearest_rank: one row per
+    group — ``n``, ``p{q}`` per requested q, ``vmax``."""
+    if not all(isinstance(q, int) and 0 < q <= 100 for q in qs):
+        raise ValueError(f"qs must be integers in (0, 100], got {qs!r}")
+    base = (df.select(*keys, F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            # three consumers (stats, counts, resident pick) — cut the
+            # lineage ONCE at the narrowest projection so the (possibly
+            # expensive) upstream computes a single time; everything
+            # below is a cheap narrow scan of the materialized rows
+            .localCheckpoint(eager=False))
+    stats = base.groupBy(*keys).agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"))
+    # width > (hi-lo)/nbuckets  ⇒  bucket index (v-lo) div width < nbuckets
+    # stats/targets joins are BROADCAST: one row per group, and this
+    # operator targets low-key-cardinality groups — a hash shuffle on the
+    # group key would have parallelism = |groups|, re-creating exactly
+    # the serialization the histogram form exists to avoid.  The big
+    # relation is never shuffled at all: both aggs are map-side partial
+    # + tiny final, the pick join is broadcast, and the pick window's
+    # partitions hold only target-bucket residents (~n/nbuckets rows).
+    j = (base.join(F.broadcast(stats), list(keys))
+         .withColumn("__b", F.expr(f"(__v - __lo) div "
+                                   f"((__hi - __lo) div {int(nbuckets)} + 1)"))
+         .select(*keys, "__v", "__b"))
+    counts = j.groupBy(*keys, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.partitionBy(*keys).orderBy("__b") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        *keys, "__b",
+        (F.sum("__c").over(wcum) - F.col("__c")).alias("__below"),
+        F.sum("__c").over(wcum).alias("__cum"))
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    targets = (
+        cum.join(stats.select(*keys, "__n"), list(keys))
+        .select(*keys, "__b", "__below", "__cum", "__n",
+                F.explode(qarr).alias("__q"))
+        .withColumn("__idx", F.expr("(__n * __q + 99) div 100"))
+        .where((F.col("__below") < F.col("__idx"))
+               & (F.col("__idx") <= F.col("__cum")))
+        .select(*keys, "__b", "__q",
+                (F.col("__idx") - F.col("__below")).alias("__rr"))
+    )
+    wpick = Window.partitionBy(*keys, "__q").orderBy("__v")
+    picked = (
+        j.join(F.broadcast(targets), [*keys, "__b"])
+        .withColumn("__rn", F.row_number().over(wpick))
+        .where(F.col("__rn") == F.col("__rr"))
+    )
+    aggs = [F.max(F.when(F.col("__q") == int(q), F.col("__v")))
+            .alias(f"p{q}") for q in qs]
+    return (
+        stats.join(picked.groupBy(*keys).agg(*aggs), list(keys), "left")
+        .select(*keys, F.col("__n").alias("n"),
+                *[f"p{q}" for q in qs], F.col("__hi").alias("vmax"))
+    )
+
+
 def cusum_per_key(
     df: DataFrame,
     key: str,

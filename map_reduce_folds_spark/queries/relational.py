@@ -2686,13 +2686,17 @@ def rolling_median_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival time distribution per event type — how often does a
     user fire the SAME event again (operators/windows.
-    group_percentiles_nearest_rank): per-(user, type) LAG deltas in
-    epoch micros, then EXACT nearest-rank p50/p95/max per type via the
-    distributed order-statistic plan (row_number sort + integer-index
-    filter — the group never has to fit in one array, unlike the sorted
-    collect_list median).  All-integer end to end: micros deltas,
-    ceil(q·n/100) in `div` arithmetic, picked values are bigints — no
-    float anywhere."""
+    group_percentiles_hist): per-(user, type) LAG deltas in epoch
+    micros, then EXACT nearest-rank p50/p95/max per type via HISTOGRAM
+    REFINEMENT (per-group min/max/count → integer bucket counts →
+    locate the rank's bucket → sort only its residents).  The former
+    single-sort form partitioned its row_number window by event_type, so
+    sort parallelism equaled |types| — a 5-type corpus at 100 TB
+    serializes each type into one task; the hist form's per-task work is
+    bounded by n/nbuckets (round-10; picks property-tested identical,
+    oracle unchanged).  All-integer end to end: micros deltas, bucket
+    `div` arithmetic, ceil(q·n/100) integer index, picked values are
+    bigints — no float anywhere."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -2704,8 +2708,8 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (tus - F.lag(tus).over(w)).alias("delta"))
         .where(F.col("delta").isNotNull())
     )
-    return W.group_percentiles_nearest_rank(d, ["event_type"], "delta",
-                                            qs=(50, 95))
+    return W.group_percentiles_hist(d, ["event_type"], "delta",
+                                    qs=(50, 95))
 
 
 @query(
@@ -3338,15 +3342,15 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     day), Frequency (order count), and Monetary (cents total) by
     VALUE-BASED quartiles — boundaries are the exact nearest-rank
     p25/p50/p75 of each metric (operators/windows.
-    group_percentiles_nearest_rank over one global group), and a
+    group_percentiles_hist over one global group), and a
     customer's segment is 1 + #boundaries its value EXCEEDS.  Unlike
     NTILE, ties land in the same bucket by construction — positional
     quartiles are tie-order-dependent, value quartiles are a pure
     function of the data (the determinism the gate needs, and the
     semantics a marketer actually wants).  All-integer metrics and
     boundaries; the three 1-row boundary relations broadcast.  The
-    global selection sort is customer-sized (the histogram-refinement
-    lever in SCALE.md applies beyond that)."""
+    boundary selection is histogram-refined (round-10), so the single
+    global group never serializes into one sort task."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
         F.floor(epoch_us(F.max("o_orderdate")) / F.lit(86_400_000_000))
@@ -3357,7 +3361,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def bounds(col):
-        b = W.group_percentiles_nearest_rank(
+        # hist-refinement selection (round-10): the single-global-group
+        # sort serialized into one task; the hist form's per-task work is
+        # bounded by n/nbuckets (picks identical, property-tested)
+        b = W.group_percentiles_hist(
             m.withColumn("__g", F.lit(1)), ["__g"], col, qs=(25, 50, 75))
         return F.broadcast(b.select(
             F.col("p25").alias(f"{col}_b1"),

@@ -469,3 +469,26 @@ def test_sorted_neighborhood_no_cartesian(spark):
     plan = P.executed_plan(df)
     assert plan.count("CartesianProduct") == 0, plan
     assert plan.count("BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_interarrival_hist_no_per_type_sort(spark):
+    """interarrival_stats (round-10 histogram-refinement form): the full
+    delta relation must never be sorted or exchanged with parallelism =
+    |event_type|.  Pin: every Window/Sort over the big relation
+    partitions by more than the bare group key (the LAG window uses
+    (user_id, event_type); the pick window uses (event_type, __q) over
+    broadcast-filtered residents), and the only Exchanges hashing on
+    event_type alone carry pre-aggregated tiny relations (partial-agg
+    outputs), never the raw deltas."""
+    df = _run(spark, "interarrival_stats")
+    plan = P.executed_plan(df)
+    import re
+
+    # windows partitioned by event_type ALONE would appear as
+    # "partitionBy=[event_type...]" with no second key
+    for m in re.finditer(r"Sort \[([^\]]*)\]", plan):
+        spec = m.group(1)
+        if "event_type" in spec and "user_id" not in spec:
+            # the selection window sorts (event_type, __q) partitions —
+            # must carry __q; a bare event_type sort is the serialized form
+            assert "__q" in spec or "__b" in spec, plan

@@ -1185,3 +1185,35 @@ def test_sorted_neighborhood_pairs_window_semantics(spark):
                 bucket=F.substring("name", 2, 2), window=2).collect()}
     # buckets '00' vs '01' — the (9,10) pair crosses the boundary
     assert got2 == {(9, 10), (10, 11)}
+
+
+def test_group_percentiles_hist_equals_single_sort(spark):
+    """Histogram-refinement selection must be pick-for-pick identical to
+    the single-sort form: hand cases, random integer groups (skewed and
+    uniform, negatives, heavy duplicates), and tiny nbuckets so multiple
+    refinement buckets genuinely carry mass."""
+    import random
+
+    rng = random.Random(41)
+    rows = [("a", v) for v in (10, 20, 30, 40)] \
+        + [("b", v) for v in range(1, 101)] \
+        + [("c", 5), ("c", 5), ("c", 9)]
+    for g, lo, hi, n in [("u", -50, 50, 137), ("s", 0, 5, 200),
+                         ("w", -10**9, 10**9, 61), ("one", 7, 7, 9)]:
+        rows += [(g, rng.randint(lo, hi)) for _ in range(n)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    for qs in [(50, 95), (1, 25, 50, 75, 99, 100)]:
+        for nb in (4, 8192):
+            want = {tuple(r) for r in W.group_percentiles_nearest_rank(
+                df, ["g"], "v", qs=qs).collect()}
+            got = {tuple(r) for r in W.group_percentiles_hist(
+                df, ["g"], "v", qs=qs, nbuckets=nb).collect()}
+            assert got == want, (qs, nb)
+
+
+def test_group_percentiles_hist_rejects_bad_q(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        W.group_percentiles_hist(df, ["g"], "v", qs=(0,))
+    with pytest.raises(ValueError):
+        W.group_percentiles_hist(df, ["g"], "v", qs=(101,))
