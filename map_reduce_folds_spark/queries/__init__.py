@@ -46,9 +46,21 @@ _PRIORITY = [
     "dedup_lines", "mr_fold_vocab", "mr_assign_udf", "mr_null_key_group",
     "mr_filtered_folds",
     # core operators driver-verified from round 2 (VERDICT r1 item 5)
+    # Round 10 swaps, per the same displacement rule (r9 verdict Next #4):
+    # four round-9 families enter — rfm_customer_segments (NEW value-based
+    # segmentation family, now also exercising the round-10
+    # histogram-refinement selection), dedup_jaccard_prefix (prefix-filter
+    # PPJoin pruning), ewma_user_value (exponential smoothing),
+    # activity_streaks (island detection / retention) — displacing
+    # mr_first_last_by (fold vocab keeps mr_fold_vocab + mr_filtered_folds),
+    # mr_shared_scan (extraction/concat keeps mr_concat_fold), dedup_simhash
+    # (SimHash stays in-window via the simhash_components-backed
+    # dedup_cc_clusters), and q7_volume_shipping (TPC-H keeps q1/q9).  All
+    # four displaced rows re-register immediately past the window and stay
+    # hash-exact in LOCAL_CORRECTNESS.
     "mr_group_reduce_keyed", "mr_custom_fold_merge", "mr_concat_fold",
-    "mr_unpack_only", "mr_filter_mapinpandas", "mr_first_last_by",
-    "mr_product_median", "mr_shared_scan",
+    "mr_unpack_only", "mr_filter_mapinpandas", "rfm_customer_segments",
+    "mr_product_median", "activity_streaks",
     "mr_group_reduce_ordered",
     # LLM-pipeline block (dedup / similarity / text / multimodal / quality)
     # (lang_id_confusion and doc_fingerprints sit just past the window:
@@ -87,7 +99,7 @@ _PRIORITY = [
     # q17_small_quantity_revenue — TPC-H keeps q1/q7/q9 in-window and
     # q17 re-registers immediately past it.
     "dedup_exact", "record_linkage_customers", "dedup_minhash",
-    "dedup_simhash",
+    "dedup_jaccard_prefix",
     "dedup_cc_clusters", "dedup_embedding", "sim_topk_bruteforce",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
     "diff_orders_snapshots",
@@ -121,9 +133,11 @@ _PRIORITY = [
     # mr_simple_unpack stays hash-exact in LOCAL_CORRECTNESS; the window
     # now driver-verifies TPC-H q1/q7/q9/q17.  embedding_quantize_int8's
     # registration was re-shaped to scalar rows (r5's only red row).
-    "embedding_quantize_int8", "q7_volume_shipping",
+    "embedding_quantize_int8", "ewma_user_value",
     "resample_user_hourly",
     # first entries PAST the 50-window: the displaced green rows
+    "mr_first_last_by", "mr_shared_scan", "dedup_simhash",
+    "q7_volume_shipping",
     "join_broadcast_dims",
     "q17_small_quantity_revenue", "dedup_ngram_jaccard",
     "tfidf_top_terms", "contamination_check", "data_quality_expectations",
