@@ -68,11 +68,64 @@ def _merge_pair(syms: Column, left: Column, right: Column) -> Column:
     return F.aggregate(syms, zero, step, fin)
 
 
+def _batch_accept(
+    cand: list[tuple[str, str, int]],
+    m: int,
+    exhaustive: bool,
+) -> list[tuple[str, str, int]]:
+    """Select the longest prefix of ranked pair candidates that a batched
+    round may merge while remaining EXACTLY equal to sequential BPE.
+
+    Safety argument (why the result is provably the same merge list):
+    merging pair p only changes counts of pairs sharing a symbol with p,
+    and every pair it CREATES (``x·ab`` / ``ab·y`` from ``ab``) occurs
+    only where an overlapping old pair (``x·a`` / ``b·y``) occurred, so
+    its count is ≤ that overlapping pair's pre-merge count.  Hence if the
+    accepted pairs are (a) mutually symbol-disjoint and (b) each STRICTLY
+    greater in count than every pair that overlaps any accepted pair —
+    enforced by stopping at the first overlapping candidate and dropping
+    any accepted tail tying its count — then at sequential step i all
+    changed/created counts sit strictly below ``n_i``, unchanged pairs
+    keep their relative (count DESC, l, r) order, and the sequential
+    argmax is exactly the i-th accepted pair.  Interdependent merges
+    (later merges consuming earlier ones' output, the typical late-BPE
+    regime) simply shrink the batch — correctness never depends on m.
+
+    ``exhaustive``: True when ``cand`` is the ENTIRE pair relation; if
+    False, uncollected pairs may tie the last collected count, so
+    acceptance additionally requires counts strictly above it.
+
+    One hazard this prefix rule cannot see: a symbol ALREADY in the
+    vocabulary that equals an accepted pair's concatenation ("ab"
+    pre-existing when ("a","b") merges) — pairs featuring it GAIN count
+    from the merge, so the ≤-old-overlap bound breaks.  Candidates
+    mentioning the concat are caught here (the concat joins ``used``);
+    pre-existing occurrences below the collected window are the
+    caller's vocabulary-membership check (see bpe_learn_merges)."""
+    floor = -1 if exhaustive else cand[-1][2]
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    stop_n = None
+    for l, r, n in cand:
+        if len(out) == m or n <= floor:
+            break
+        if l in used or r in used:
+            stop_n = n
+            break
+        out.append((l, r, n))
+        used.update((l, r, l + r))
+    if stop_n is not None:
+        while out and out[-1][2] <= stop_n:
+            out.pop()
+    return out or cand[:1]
+
+
 def bpe_learn_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int,
     token_split: str = " ",
+    batch: int = 8,
 ) -> list[tuple[str, str, int]]:
     """Learn the first ``n_merges`` BPE merges from a corpus: returns the
     ordered list ``[(left, right, pair_count), …]`` (rank = position).
@@ -84,12 +137,28 @@ def bpe_learn_merges(
     ``text.tokenize``).  The :func:`bpe_merges_sql` mirror covers the
     default space delimiter only.  Words shorter than two characters
     never contribute pairs but stay in the vocabulary.
-    """
+
+    BATCHED ROUNDS (round 10): one merge per Spark job does not survive
+    real vocab sizes — 32k merges would be 32k tiny jobs.  Each round
+    now collects the top ``max(4·batch, 64)`` pair counts ONCE and
+    accepts up to ``batch`` merges via :func:`_batch_accept`, whose
+    acceptance rule makes the batched list PROVABLY identical to the
+    sequential one (see its docstring — this is stronger than the usual
+    "batched BPE differs on tie interactions" caveat: ties and
+    created-pair interactions cause the batch to stop early, never to
+    diverge).  All accepted merges of a round apply as one composed
+    fold chain in a single pass over the vocabulary, so job count is
+    ~n_merges/batch on independent merges and degrades gracefully to
+    sequential when merges interdepend (late-BPE regime).  Property-
+    tested equal to ``batch=1`` on skewed corpora."""
     from map_reduce_folds_spark.operators.dedup import _quote_sep
 
     if n_merges <= 0:
         raise ValueError(f"bpe_learn_merges: n_merges must be > 0, "
                          f"got {n_merges}")
+    if batch <= 0:
+        raise ValueError(f"bpe_learn_merges: batch must be > 0, "
+                         f"got {batch}")
     words = (
         df.select(F.explode(F.split(F.col(text_col),
                                     _quote_sep(token_split)))
@@ -100,7 +169,9 @@ def bpe_learn_merges(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        m = min(batch, n_merges - len(merges))
+        topk = max(4 * m, 64)
         pairs = (
             words.where(F.size("syms") >= 2)
             .select(
@@ -113,15 +184,37 @@ def bpe_learn_merges(
             .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
             .agg(F.sum("freq").alias("n"))
         )
-        best = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
-        if not best:
+        cand = [(r["l"], r["r"], int(r["n"])) for r in
+                pairs.orderBy(F.col("n").desc(), "l", "r")
+                .limit(topk).collect()]
+        if not cand:
             break
-        bl, br, bn = best[0]["l"], best[0]["r"], int(best[0]["n"])
-        merges.append((bl, br, bn))
-        words = words.select(
-            _merge_pair(F.col("syms"), F.lit(bl), F.lit(br)).alias("syms"),
-            "freq",
-        ).localCheckpoint(eager=False)
+        accepted = _batch_accept(cand, m, exhaustive=len(cand) < topk)
+        if len(accepted) > 1:
+            # concat-symbol hazard (see _batch_accept): if an accepted
+            # pair's concatenation already exists as a vocabulary symbol,
+            # its merge can RAISE counts of pairs featuring that symbol,
+            # so merges after it are no longer certified — truncate the
+            # batch there (the next round recounts and continues
+            # exactly).  One narrow membership scan of the checkpointed
+            # vocab per multi-merge round.
+            concats = [l + r for l, r, _ in accepted]
+            present = {
+                r["s"] for r in words
+                .select(F.explode("syms").alias("s"))
+                .where(F.col("s").isin(concats)).distinct().collect()
+            }
+            if present:
+                for i, c in enumerate(concats):
+                    if c in present:
+                        accepted = accepted[: i + 1]
+                        break
+        merges.extend(accepted)
+        syms = F.col("syms")
+        for bl, br, _ in accepted:
+            syms = _merge_pair(syms, F.lit(bl), F.lit(br))
+        words = words.select(syms.alias("syms"), "freq") \
+            .localCheckpoint(eager=False)
     return merges
 
 

@@ -1941,3 +1941,62 @@ def test_srp_oracle_geometry_matches_auto():
             f"pinned ({_SRP_PLANES}, {_SRP_TABLES}) — regenerate the oracle")
         seen += 1
     assert seen, "no fixture dirs found"
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """Batched merge rounds (round 10) must be merge-for-merge identical
+    to sequential induction on adversarial corpora: interdependent
+    merges (later pairs consume earlier outputs), count ties, repeated
+    symbols, and the concat-symbol hazard (a vocabulary symbol equal to
+    an accepted pair's concatenation gaining count from the merge)."""
+    import random
+
+    from map_reduce_folds_spark.operators import bpe as B
+
+    corpora = [
+        ["low lower lowest low low", "new newer newest new",
+         "wide wider widest", "low newer low", "aaaa aaa banana bandana"],
+        # chain-dependent: best merges build on each other (abcd…)
+        ["abcdefgh abcdefgh abcdefgh abcd abcd ab ab ab"],
+        # heavy ties on a tiny alphabet
+        ["ab ab cd cd ef ef gh gh", "abcd abcd efgh efgh"],
+        # repeats: greedy non-overlap inside one word
+        ["aaaaaaa aaaa aa", "bbbb bb bbbbbb"],
+    ]
+    rng = random.Random(11)
+    for _ in range(2):
+        words = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                 for _ in range(30)]
+        corpora.append([" ".join(words)])
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        want = _py_bpe(texts, 12)
+        for bsz in (4, 8):
+            got = B.bpe_learn_merges(df, "text", 12, batch=bsz)
+            assert got == want, (texts, bsz)
+
+
+def test_bpe_batch_job_bound(spark):
+    """m independent merges learn in ceil(m/batch) rounds — pinned via
+    the collect-action count (each round runs exactly one top-K collect
+    and at most one membership scan)."""
+    from map_reduce_folds_spark.operators import bpe as B
+
+    # 8 disjoint two-letter words, each pair independent of the others;
+    # distinct frequencies pin the rank order
+    texts = [" ".join(
+        " ".join([w] * k) for k, w in enumerate(
+            ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"], start=2))]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    got = B.bpe_learn_merges(df, "text", 8, batch=8)
+    assert got == _py_bpe(texts, 8)
+    assert [(l, r) for l, r, _ in got] == \
+        [("o", "p"), ("m", "n"), ("k", "l"), ("i", "j"),
+         ("g", "h"), ("e", "f"), ("c", "d"), ("a", "b")]
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # 1 word-count checkpoint + 1 round: top-K collect + concat scan
+    # (+ the final checkpoint's first action) — far below the 8 collects
+    # + 8 rewrites of sequential rounds
+    assert after - before <= 5, after - before
