@@ -549,12 +549,14 @@ def kmv_intersection_estimate(
     overlap from two k-row artifacts.  Pure arithmetic over the
     deterministic sketches → oracle-exact."""
     u = kmv_merge(a, b, k).persist()
-    n_u = u.count()
-    both = u.join(a, "h", "left_semi").join(b, "h", "left_semi").count()
-    est_a = a.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
-    est_b = b.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
-    est_u = u.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
-    u.unpersist()
+    try:
+        n_u = u.count()
+        both = u.join(a, "h", "left_semi").join(b, "h", "left_semi").count()
+        est_a = a.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
+        est_b = b.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
+        est_u = u.agg(kmv_distinct_estimate(k).alias("e")).first()["e"]
+    finally:
+        u.unpersist()
     jac = both / n_u if n_u else 0.0
     spark = a.sparkSession
     return spark.createDataFrame(

@@ -492,3 +492,20 @@ def test_interarrival_hist_no_per_type_sort(spark):
             # the selection window sorts (event_type, __q) partitions —
             # must carry __q; a bare event_type sort is the serialized form
             assert "__q" in spec or "__b" in spec, plan
+
+
+def test_no_cache_manager_leaks_across_cached_query_families(spark):
+    """Every DataFrame.persist() in the package is paired with a
+    try/finally unpersist (CC, pagerank, BFS, KMV intersection) or
+    replaced by GC-cleaned lazy localCheckpoint.  A persist() on a
+    lazily-returned frame leaks a CacheManager entry that silently
+    recomputes-into-cache on the consumer's first pass (the r8 bench
+    artifact) — sweep the persist-using query families and pin the
+    CacheManager empty."""
+    spark.catalog.clearCache()
+    for name in ("dedup_cc_clusters", "dedup_embedding_clusters",
+                 "pagerank_event_types", "khop_doc_neighborhood",
+                 "sketch_kmv_jaccard_sources", "dedup_savings_by_source"):
+        QUERIES[name](spark, SF_DIR).collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "CacheManager entries leaked by a query"
