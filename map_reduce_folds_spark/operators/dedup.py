@@ -872,7 +872,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | str = "auto",
     materialize: bool = True,
     materialize_path: str | None = None,
     arrow: bool = True,
@@ -892,7 +892,8 @@ def simhash_near_dup_pairs(
     not on both sides of the block self-join (same boundary discipline
     as the MinHash path); ``materialize_path`` writes it to a parquet
     table instead — the cluster-scale form."""
-    assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
+    if blocks != "auto" and max_hamming >= int(blocks):
+        raise ValueError("pigeonhole requires max_hamming < blocks")
     if arrow:
         s = simhash_rows(docs, id_col, text_col, bits)
     else:
@@ -901,28 +902,99 @@ def simhash_near_dup_pairs(
         s, id_col, bits, max_hamming, blocks, materialize, materialize_path)
 
 
+def _auto_blocks(n: int, bits: int, max_hamming: int,
+                 combo_cap: int = 128) -> int:
+    """Pick the multi-index block count b minimizing the estimated
+    candidate-generation cost ``C(b, b−r)·n + C(b, b−r)·n²/2^keybits``
+    (emit rows + expected same-key pairs under uniform signatures, with
+    the worst-case smallest key width).  Deterministic in n — the
+    100 TB knob: the classic b = r+1 blocking saturates once the corpus
+    outgrows its 2^(bits/(r+1)) buckets (measured: 500k docs → 270k
+    distinct 32-bit sigs → ~3·10⁹ block-pair candidates at b=4, ~2·10⁶
+    at b=8), while larger b trades a C(b, b−r)-way emit for
+    exponentially more key space AT IDENTICAL OUTPUT (the pigeonhole
+    guarantee needs only ≥ b−r agreeing blocks)."""
+    from math import comb
+
+    best_b, best_cost = max_hamming + 1, None
+    for b in range(max_hamming + 1, bits + 1):
+        m = b - max_hamming
+        c = comb(b, m)
+        if c > combo_cap:
+            break
+        base, extra = divmod(bits, b)
+        if base < 1:
+            break
+        widths = sorted([base + 1] * extra + [base] * (b - extra))
+        keybits = sum(widths[:m])
+        cost = c * n + c * n * n / (1 << keybits)
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b
+
+
 def _pigeonhole_sig_pairs(
     s: DataFrame,
     id_col: str,
     bits: int,
     max_hamming: int,
-    blocks: int,
+    blocks: int | str,
     materialize: bool = True,
     materialize_path: str | None = None,
+    sig_count: int | None = None,
 ) -> DataFrame:
-    """Pigeonhole block join + hamming verify over an ``(id, sig)`` frame:
-    the shared candidate core of :func:`simhash_near_dup_pairs` (doc-level
-    ids) and :func:`simhash_components` (distinct-signature reps)."""
-    width = bits // blocks
-    mask = (1 << width) - 1
+    """Multi-index pigeonhole block join + hamming verify over an
+    ``(id, sig)`` frame: the shared candidate core of
+    :func:`simhash_near_dup_pairs` (doc-level ids) and
+    :func:`simhash_components` (distinct-signature reps).
+
+    Generalized combination blocking (multi-index hamming search, public
+    literature): split the signature into ``b`` blocks; a pair within
+    hamming ``r`` differs in ≤ r blocks, so it AGREES on ≥ b − r — hence
+    it shares at least one (b − r)-subset of blocks, and indexing every
+    signature under all ``C(b, b−r)`` subset keys makes the candidate
+    join a pure equi-join on (combo id, concatenated block values).  The
+    classic r+1-block pigeonhole is exactly the m = 1 special case.  The
+    OUTPUT is identical for every valid b (candidates are verified by
+    true hamming); only candidate volume changes — which is the whole
+    point at scale, where the classic form's 2^(bits/(r+1)) bucket space
+    saturates (see :func:`_auto_blocks`).  ``blocks="auto"`` derives b
+    from the signature count (``sig_count`` when the caller knows it,
+    else one count job)."""
+    from itertools import combinations
+
+    if blocks == "auto":
+        n = sig_count if sig_count is not None else s.count()
+        blocks = _auto_blocks(n, bits, max_hamming)
+    b_ = int(blocks)
+    m = b_ - max_hamming
+    if m < 1:
+        raise ValueError(
+            f"blocks={b_} must exceed max_hamming={max_hamming} "
+            "(pigeonhole needs at least one agreeing block)")
+    base, extra = divmod(bits, b_)
+    widths = [base + 1] * extra + [base] * (b_ - extra)
+    offs, o = [], 0
+    for w in widths:
+        offs.append(o)
+        o += w
+
+    def combo_key(combo):
+        shift, key = 0, None
+        for i in combo:
+            part = F.shiftright("sig", offs[i]) \
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            part = F.shiftleft(part, shift)
+            key = part if key is None else key + part
+            shift += widths[i]
+        return key.cast("bigint")
+
+    combos = list(combinations(range(b_), m))
     blocked = s.select(
         id_col, "sig",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright("sig", i * width).bitwiseAND(F.lit(mask)).alias("bh"),
-            )
-            for i in range(blocks)
+            F.struct(F.lit(ci).alias("blk"), combo_key(cm).alias("bh"))
+            for ci, cm in enumerate(combos)
         ])).alias("b"),
     ).select(id_col, "sig", "b.blk", "b.bh")
     if materialize_path is not None:
@@ -950,7 +1022,7 @@ def simhash_components(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | str = "auto",
     **cc_kw,
 ) -> DataFrame:
     """``(node, component)`` of the SimHash near-dup graph — identical
@@ -1159,7 +1231,7 @@ def simhash_near_dup_pairs_factored(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | str = "auto",
 ) -> DataFrame:
     """IDENTICAL pair set to :func:`simhash_near_dup_pairs` — candidate
     generation over DISTINCT signatures instead of documents.
@@ -1220,7 +1292,7 @@ def simhash_khop_hops(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | str = "auto",
     max_hops: int = 4,
     seed=None,
 ) -> DataFrame:
@@ -1284,7 +1356,7 @@ def simhash_triangle_count_factored(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | str = "auto",
 ) -> DataFrame:
     """Exact triangle count of the SimHash near-dup DOC graph computed
     ARITHMETICALLY from the signature graph — one row
@@ -1370,7 +1442,7 @@ def cluster_savings(
     group_col: str = "source",
     bits: int = 32,
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | str = "auto",
     pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup SAVINGS REPORT a curation run ends with: cluster the

@@ -462,7 +462,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably complete (tests/test_llm.py proves set equality too)."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs_factored(d, "doc_id", "text", bits=32,
-                                             max_hamming=3, blocks=4)
+                                             max_hamming=3, blocks="auto")
 
 
 @query(
@@ -499,7 +499,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by hash."""
     d = load_table(spark, sf_dir, "documents")
     comp = D.simhash_components(d, "doc_id", "text", bits=32,
-                                max_hamming=3, blocks=4)
+                                max_hamming=3, blocks="auto")
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -1938,7 +1938,7 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph (identical count)."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_triangle_count_factored(d, "doc_id", "text", bits=32,
-                                             max_hamming=3, blocks=4)
+                                             max_hamming=3, blocks="auto")
 
 
 @query(
@@ -2356,7 +2356,7 @@ def khop_doc_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents")
     hops = D.simhash_khop_hops(
-        d, "doc_id", "text", bits=32, max_hamming=3, blocks=4, max_hops=4)
+        d, "doc_id", "text", bits=32, max_hamming=3, blocks="auto", max_hops=4)
     return hops.select(F.col("node").alias("doc_id"),
                        F.col("hops").cast("int").alias("hops"))
 
@@ -2710,7 +2710,7 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     arg-min."""
     d = load_table(spark, sf_dir, "documents")
     return D.cluster_savings(d, "doc_id", "text", "n_chars", "source",
-                             bits=32, max_hamming=3, blocks=4)
+                             bits=32, max_hamming=3, blocks="auto")
 
 
 _PF_T = 0.8  # prefix-filter demo threshold (tight → biggest pruning win)

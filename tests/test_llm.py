@@ -2000,3 +2000,38 @@ def test_bpe_batch_job_bound(spark):
     # (+ the final checkpoint's first action) — far below the 8 collects
     # + 8 rewrites of sequential rounds
     assert after - before <= 5, after - before
+
+
+def test_multi_index_blocking_output_invariant(spark, docs):
+    """The multi-index pigeonhole generalization must produce EXACTLY the
+    classic b=r+1 pair set at every valid block count (the b−r agreeing
+    blocks guarantee), including uneven widths; auto selection picks a
+    valid b."""
+    d = docs.limit(200)
+    base = {(r.id_a, r.id_b, r.hamming) for r in D.simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=32, max_hamming=3, blocks=4).collect()}
+    assert base  # fixture must exercise the join
+    for b in (5, 6, 8):
+        got = {(r.id_a, r.id_b, r.hamming) for r in D.simhash_near_dup_pairs(
+            d, "doc_id", "text", bits=32, max_hamming=3, blocks=b).collect()}
+        assert got == base, b
+    auto = {(r.id_a, r.id_b, r.hamming) for r in D.simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=32, max_hamming=3, blocks="auto").collect()}
+    assert auto == base
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, blocks=3)
+
+
+def test_auto_blocks_ladder():
+    """The cost model climbs the ladder as signatures grow: classic r+1
+    blocking for small corpora, more blocks once the 2^(bits/(r+1))
+    bucket space saturates — and never violates the pigeonhole bound."""
+    from map_reduce_folds_spark.operators.dedup import _auto_blocks
+
+    small = _auto_blocks(1000, 32, 3)
+    mid = _auto_blocks(30_000, 32, 3)
+    big = _auto_blocks(300_000, 32, 3)
+    assert small >= 4 and mid >= small and big > mid
+    for n in (1, 100, 10**6, 10**9):
+        assert _auto_blocks(n, 32, 3) > 3
+        assert _auto_blocks(n, 64, 3) > 3

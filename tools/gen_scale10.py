@@ -35,6 +35,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from map_reduce_folds_spark.session import get_spark  # noqa: E402
 
 COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+# optional 3rd arg: comma-separated fact-table subset (a 100× rehearsal
+# of the document/embedding rows doesn't need 60M lineitems on disk)
+FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
+WANT = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set(FACTS)
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
@@ -52,41 +56,53 @@ def main() -> None:
             "overwrite").parquet(f"{out}/{t}.parquet")
         print(f"# {t}: copied")
 
-    orders = spark.read.parquet(f"{src}/orders.parquet")
-    ok_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    parts = [orders] + [
-        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(c * ok_off))
-        for c in range(1, COPIES)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.write.mode("overwrite").parquet(f"{out}/orders.parquet")
-    print(f"# orders: x{COPIES} (orderkey offset {ok_off})")
+    if "orders" in WANT or "lineitem" in WANT:
+        orders = spark.read.parquet(f"{src}/orders.parquet")
+        ok_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    if "orders" in WANT:
+        parts = [orders] + [
+            orders.withColumn("o_orderkey",
+                              F.col("o_orderkey") + F.lit(c * ok_off))
+            for c in range(1, COPIES)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+        print(f"# orders: x{COPIES} (orderkey offset {ok_off})")
 
-    li = spark.read.parquet(f"{src}/lineitem.parquet")
-    parts = [li] + [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(c * ok_off))
-        for c in range(1, COPIES)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    print(f"# lineitem: x{COPIES} (same orderkey offset)")
+    if "lineitem" in WANT:
+        li = spark.read.parquet(f"{src}/lineitem.parquet")
+        parts = [li] + [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(c * ok_off))
+            for c in range(1, COPIES)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+        print(f"# lineitem: x{COPIES} (same orderkey offset)")
 
-    ev = spark.read.parquet(f"{src}/events.parquet")
-    ev_off = ev.agg(F.max("event_id")).first()[0] + 1
-    parts = [ev] + [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(c * ev_off))
-          .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {7 * c} SECONDS"))
-        for c in range(1, COPIES)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.write.mode("overwrite").parquet(f"{out}/events.parquet")
-    print(f"# events: x{COPIES} (ts interleaved, user_id shared)")
+    if "events" in WANT:
+        ev = spark.read.parquet(f"{src}/events.parquet")
+        ev_off = ev.agg(F.max("event_id")).first()[0] + 1
+        parts = [ev] + [
+            ev.withColumn("event_id", F.col("event_id") + F.lit(c * ev_off))
+              .withColumn("ts",
+                          F.col("ts") + F.expr(f"INTERVAL {7 * c} SECONDS"))
+            for c in range(1, COPIES)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/events.parquet")
+        print(f"# events: x{COPIES} (ts interleaved, user_id shared)")
+
+    if "documents" not in WANT:
+        if "embeddings" in WANT:
+            _write_embeddings(spark, src, out)
+        print(f"# done -> {out}")
+        return
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     d_off = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -105,14 +121,47 @@ def main() -> None:
     u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     print(f"# documents: x{COPIES} (per-copy token suffix)")
 
+    if "embeddings" in WANT:
+        _write_embeddings(spark, src, out)
+    print(f"# done -> {out}")
+
+
+def _sign_pattern(block: int, dim: int) -> list[float]:
+    """Deterministic ±1 pattern per roll-exhaustion block (md5 parity —
+    the same public derivation as similarity._srp_coeff).  Block 0 is
+    all +1 so copies < dim are bit-identical to the historical roll-only
+    transform."""
+    import hashlib
+
+    if block == 0:
+        return [1.0] * dim
+    return [
+        1.0 if int(hashlib.md5(f"sgn{block}d{i}".encode())
+                   .hexdigest()[:15], 16) & 1 else -1.0
+        for i in range(dim)
+    ]
+
+
+def _write_embeddings(spark, src: str, out: str) -> None:
+    """Copy c = roll by ``c % dim`` composed with the block-``c // dim``
+    sign pattern: norm-preserving, deterministic, and decorrelated for
+    ANY copy count (a bare roll repeats identically at c = dim, which
+    would plant exact-duplicate vectors and turn every pair query
+    quadratic in copies rather than linear in rows)."""
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     v_off = emb.agg(F.max("vec_id")).first()[0] + 1
     dim = emb.select(F.size("embedding")).first()[0]
     parts = [emb]
     for c in range(1, COPIES):
+        r = c % dim
         rolled = F.expr(
-            f"concat(slice(embedding, {c + 1}, {dim - c}), "
-            f"slice(embedding, 1, {c}))")
+            f"concat(slice(embedding, {r + 1}, {dim - r}), "
+            f"slice(embedding, 1, {r}))") if r else F.col("embedding")
+        sgn = _sign_pattern(c // dim, dim)
+        if any(s < 0 for s in sgn):
+            lit = F.array(*[F.lit(s) for s in sgn])
+            rolled = F.zip_with(rolled, lit,
+                                lambda x, s: (x * s).cast("float"))
         parts.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * v_off))
                .withColumn("embedding", rolled))
@@ -120,8 +169,8 @@ def main() -> None:
     for p in parts[1:]:
         u = u.unionByName(p)
     u.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    print(f"# embeddings: x{COPIES} (rolled by copy index, dim={dim})")
-    print(f"# done -> {out}")
+    print(f"# embeddings: x{COPIES} (roll c%dim + sign-block c//dim, "
+          f"dim={dim})")
 
 
 if __name__ == "__main__":

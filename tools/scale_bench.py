@@ -19,9 +19,14 @@ from pyspark.sql import functions as F  # noqa: E402
 from map_reduce_folds_spark.queries import QUERIES  # noqa: E402
 from map_reduce_folds_spark.session import get_spark  # noqa: E402
 
-BASE = "/root/testdata/sf0.1"
-TENX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "scale_data", "sf1.0")
+BASE = os.environ.get("MRF_SCALE_BASE", "/root/testdata/sf0.1")
+# MRF_SCALE_DIR overrides the big side (e.g. the 100x rehearsal slice);
+# MRF_SCALE_LABEL names it in the output JSON
+TENX = os.environ.get("MRF_SCALE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scale_data", "sf1.0"))
+LABEL = os.environ.get("MRF_SCALE_LABEL", "sf1.0_10x")
+BASE_LABEL = os.environ.get("MRF_SCALE_BASE_LABEL", "sf0.1")
 
 
 def run_to_completion(df):
@@ -52,12 +57,12 @@ def main():
             run_to_completion(QUERIES[n](spark, "/root/testdata/sf0.01"))
         except Exception as exc:  # noqa: BLE001
             print(f"# {n}: WARMUP ERROR {exc}", file=sys.stderr)
-    out = {"sf0.1": {}, "sf1.0_10x": {}, "ratios": {}}
+    out = {BASE_LABEL: {}, LABEL: {}, "ratios": {}}
     for n in names:
-        out["sf0.1"][n] = best_of_2(spark, QUERIES[n], BASE)
-        out["sf1.0_10x"][n] = best_of_2(spark, QUERIES[n], TENX)
-        out["ratios"][n] = round(out["sf1.0_10x"][n] / out["sf0.1"][n], 2)
-        print(f"# {n}: {out['sf0.1'][n]}s -> {out['sf1.0_10x'][n]}s "
+        out[BASE_LABEL][n] = best_of_2(spark, QUERIES[n], BASE)
+        out[LABEL][n] = best_of_2(spark, QUERIES[n], TENX)
+        out["ratios"][n] = round(out[LABEL][n] / out[BASE_LABEL][n], 2)
+        print(f"# {n}: {out[BASE_LABEL][n]}s -> {out[LABEL][n]}s "
               f"({out['ratios'][n]}x)", file=sys.stderr)
     print(json.dumps(out))
 
