@@ -3020,3 +3020,135 @@ def adamic_adar_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("query_id").alias("id_a"),
                 F.col("neighbor_id").alias("id_b"))
     return G2.adamic_adar(knn)
+
+
+@query(
+    "gini_doclen_by_source",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(2 * SUM(rk * n_chars) - (COUNT(*) + 1) * SUM(n_chars)
+                      AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(n_chars) AS DOUBLE), 9) AS gini
+    FROM r GROUP BY source
+    """,
+)
+def gini_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the inequality
+    diagnostic of a corpus mix (a source whose token mass concentrates
+    in a handful of giant documents behaves very differently downstream
+    than one with the same mean and uniform lengths).  Exact rank
+    formula ``(2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` over the ascending
+    ``(n_chars, doc_id)`` order: ranks are deterministic, equal values
+    are swap-invariant in Σ i·x, every sum is a bigint, and the ONLY
+    float operation is the single terminal division (the
+    moments_per_event_type discipline).  The per-source rank window
+    serializes per source at extreme scale — the histogram-refinement
+    lever (windows.group_percentiles_hist) applies to rank-sums too via
+    per-bucket offsets; at |sources| ≈ 20 the sort path is the honest
+    default."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
+    n = F.count(F.lit(1))
+    sx = F.sum("n_chars")
+    six = F.sum(F.col("rk") * F.col("n_chars"))
+    return r.groupBy("source").agg(
+        n.cast("bigint").alias("n"),
+        sx.cast("bigint").alias("total_chars"),
+        F.round((2 * six - (n + 1) * sx).cast("double")
+                / (n * sx).cast("double"), 9).alias("gini"))
+
+
+_ZIPF_R = 500     # ranks entering the log-log fit (head of the law)
+
+
+@query(
+    "zipf_slope_by_lang",
+    oracle=f"""
+    WITH tf AS (
+        SELECT lang, t.tk AS tok, COUNT(*) AS freq
+        FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents) d,
+             LATERAL (SELECT unnest(toks) AS tk) t
+        WHERE t.tk <> ''
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT lang, freq,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY freq DESC, tok) AS r
+        FROM tf QUALIFY r <= {_ZIPF_R}
+    ),
+    folded AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+               list_reduce(
+                   list_prepend(
+                       {{'sx': 0.0, 'sy': 0.0, 'sxy': 0.0, 'sxx': 0.0}},
+                       list({{'sx': ln(CAST(r AS DOUBLE)),
+                              'sy': ln(CAST(freq AS DOUBLE)),
+                              'sxy': ln(CAST(r AS DOUBLE))
+                                     * ln(CAST(freq AS DOUBLE)),
+                              'sxx': ln(CAST(r AS DOUBLE))
+                                     * ln(CAST(r AS DOUBLE))}} ORDER BY r)),
+                   (a, e) -> {{'sx': a.sx + e.sx, 'sy': a.sy + e.sy,
+                               'sxy': a.sxy + e.sxy,
+                               'sxx': a.sxx + e.sxx}}) AS s
+        FROM rk GROUP BY lang
+    )
+    SELECT lang, n_ranks,
+           round((CAST(n_ranks AS DOUBLE) * s.sxy - s.sx * s.sy)
+                 / (CAST(n_ranks AS DOUBLE) * s.sxx - s.sx * s.sx), 9)
+               AS zipf_slope
+    FROM folded
+    """,
+)
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per language: OLS slope of ln(freq) on ln(rank)
+    over the top-500 token ranks — the classic corpus-health diagnostic
+    (natural text sits near −1; templated/boilerplate-heavy or
+    synthetic text bends the head of the law).  Rank order is pinned by
+    (freq DESC, tok); the four regression sums fold in RANK ORDER on
+    both engines (the adamic_adar sorted-fold discipline — float sums
+    have no portable order otherwise), and the slope emits through one
+    rounded division chain.  The per-lang fold array is ≤ 500 structs —
+    bounded by the parameter, never by the corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(T.tokenize("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "tok")
+    rk = tf.select("lang", "freq", F.row_number().over(w).alias("r")) \
+        .where(F.col("r") <= _ZIPF_R)
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    terms = rk.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("r").alias("r"), x.alias("sx"), y.alias("sy"),
+            (x * y).alias("sxy"), (x * x).alias("sxx")))).alias("arr"))
+    zero = F.struct(F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
+                    F.lit(0.0).alias("sxy"), F.lit(0.0).alias("sxx"))
+    s = F.aggregate(
+        "arr", zero,
+        lambda a, e: F.struct(
+            (a["sx"] + e["sx"]).alias("sx"), (a["sy"] + e["sy"]).alias("sy"),
+            (a["sxy"] + e["sxy"]).alias("sxy"),
+            (a["sxx"] + e["sxx"]).alias("sxx")))
+    n = F.col("n_ranks").cast("double")
+    return terms.select(
+        "lang", "n_ranks",
+        F.round((n * s["sxy"] - s["sx"] * s["sy"])
+                / (n * s["sxx"] - s["sx"] * s["sx"]), 9)
+        .alias("zipf_slope"))

@@ -3384,3 +3384,98 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         code("mon").alias("m_seg"),
     ).groupBy("r_seg", "f_seg", "m_seg").agg(
         F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "autocorr_daily_events",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+             FROM cnt GROUP BY 1),
+    grid AS (
+        SELECT s.event_type, g.d
+        FROM span s, LATERAL (SELECT unnest(range(s.lo, s.hi + 1)) AS d) g
+    ),
+    dense AS (
+        SELECT g.event_type, g.d, COALESCE(cnt.c, 0) AS c
+        FROM grid g
+        LEFT JOIN cnt ON cnt.event_type = g.event_type AND cnt.d = g.d
+    ),
+    pairs AS (
+        SELECT event_type, c AS x,
+               LEAD(c) OVER (PARTITION BY event_type ORDER BY d) AS y
+        FROM dense QUALIFY y IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT event_type, n,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+           END AS autocorr
+    FROM s
+    """,
+)
+def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the DAILY event-count series per type —
+    the time-series burstiness diagnostic (near 0: memoryless arrivals;
+    high: multi-day waves worth a seasonal model).  Day-grain collapse
+    first (events → ≤ span rows per type — the window input is
+    AGGREGATE-sized, the monthly_revenue_growth discipline), dense
+    zero-filled day range per type (a missing day IS a 0 observation),
+    one LEAD window over the tiny series, then Pearson r from six exact
+    bigint sums with the ONLY float ops in the terminal
+    round(num/sqrt(d1·d2), 9) chain (sqrt is IEEE correctly-rounded —
+    engine-portable).  Zero-variance series emit NULL explicitly (Spark
+    and DuckDB disagree on x/0.0)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cnt = (
+        e.select("event_type",
+                 F.floor(epoch_us(F.col("ts")) / F.lit(86_400_000_000))
+                 .cast("bigint").alias("d"))
+        .groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    )
+    span = cnt.groupBy("event_type").agg(F.min("d").alias("lo"),
+                                         F.max("d").alias("hi"))
+    dense = (
+        span.select("event_type",
+                    F.explode(F.sequence("lo", "hi")).alias("d"))
+        .join(cnt, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = (
+        dense.select("event_type", F.col("c").alias("x"),
+                     F.lead("c").over(w).alias("y"))
+        .where(F.col("y").isNotNull())
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "event_type", "n",
+        F.when(d1 * d2 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double")
+                           / F.sqrt(d1.cast("double") * d2.cast("double")),
+                           9)).alias("autocorr"))

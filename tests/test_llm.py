@@ -2035,3 +2035,42 @@ def test_auto_blocks_ladder():
     for n in (1, 100, 10**6, 10**9):
         assert _auto_blocks(n, 32, 3) > 3
         assert _auto_blocks(n, 64, 3) > 3
+
+
+def test_gini_known_values(spark):
+    """Equal lengths → 0; the 4-doc [1,1,1,7] case → exact rank-formula
+    value (2·(1+2+3+28) − 5·10) / (4·10) = 0.45."""
+    from map_reduce_folds_spark.queries.llm import gini_doclen_by_source
+    import os
+    import tempfile
+
+    rows = [(i, "eq", 5) for i in range(4)] + \
+        [(10 + i, "sk", v) for i, v in enumerate([1, 1, 1, 7])]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        ).withColumn("text", F.lit("t")).withColumn("lang", F.lit("en")) \
+            .write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r.source: (r.n, r.total_chars, r.gini)
+               for r in gini_doclen_by_source(spark, td).collect()}
+    assert got["eq"] == (4, 20, 0.0)
+    assert got["sk"] == (4, 10, 0.45)
+
+
+def test_zipf_two_rank_slope(spark):
+    """freq 4 at rank 1, freq 2 at rank 2 → slope exactly −1
+    ((ln2−ln4)/(ln2−ln1))."""
+    from map_reduce_folds_spark.queries.llm import zipf_slope_by_lang
+    import os
+    import tempfile
+
+    text = " ".join(["a"] * 4 + ["b"] * 2)
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, "en", text, len(text), "s")],
+            "doc_id long, lang string, text string, n_chars long, "
+            "source string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = zipf_slope_by_lang(spark, td).collect()
+    assert [(r.lang, r.n_ranks, r.zipf_slope) for r in got] == \
+        [("en", 2, -1.0)]

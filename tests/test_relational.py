@@ -1217,3 +1217,35 @@ def test_group_percentiles_hist_rejects_bad_q(spark):
         W.group_percentiles_hist(df, ["g"], "v", qs=(0,))
     with pytest.raises(ValueError):
         W.group_percentiles_hist(df, ["g"], "v", qs=(101,))
+
+
+def test_autocorr_known_series(spark):
+    """Alternating daily counts → strongly negative lag-1 r (exactly −1
+    for a 2-value alternation); constant series → NULL (zero variance)."""
+    import os
+    import tempfile
+
+    from map_reduce_folds_spark.queries.relational import (
+        autocorr_daily_events)
+
+    rows = []
+    eid = 0
+    day_us = 86_400_000_000
+    for d in range(6):
+        n = 3 if d % 2 == 0 else 1
+        for _ in range(n):
+            rows.append((eid, 1, "alt", d * day_us)); eid += 1
+    for d in range(4):
+        for _ in range(2):
+            rows.append((eid, 1, "const", d * day_us)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, tus long"
+    ).select("event_id", "user_id", "event_type",
+             F.timestamp_micros("tus").alias("ts"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {r.event_type: (r.n, r.autocorr)
+               for r in autocorr_daily_events(spark, td).collect()}
+    assert got["const"] == (3, None)
+    n, r = got["alt"]
+    assert n == 5 and r == -1.0
