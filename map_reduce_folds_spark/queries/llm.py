@@ -592,9 +592,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     get the occupancy-constant geometry the fixed registration lacked
     (3.89× at 10× pinned vs 0.8× auto, SCALE_BENCH_r09)."""
     e = load_table(spark, sf_dir, "embeddings")
+    from map_reduce_folds_spark.sources import table_rowcount
+
     return S.embedding_near_dup_pairs_lsh(
         e, "vec_id", "embedding", _DIM, _COS_T,
         n_planes="auto", n_tables="auto",
+        corpus_count=table_rowcount(sf_dir, "embeddings"),
     )
 
 
@@ -1903,9 +1906,12 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the corpus; the registered query returns the cluster labels so the
     closure itself is what the oracle hashes."""
     e = load_table(spark, sf_dir, "embeddings")
+    from map_reduce_folds_spark.sources import table_rowcount
+
     pairs = S.embedding_near_dup_pairs_lsh(
         e, "vec_id", "embedding", _DIM, _COS_T,
         n_planes="auto", n_tables="auto",
+        corpus_count=table_rowcount(sf_dir, "embeddings"),
     )
     from map_reduce_folds_spark.operators.graph import components_of_pairs
 

@@ -196,6 +196,29 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     )
 
 
+def table_rowcount(sf_dir: str, name: str) -> int | None:
+    """Row count from the parquet FOOTERS — a driver-side metadata read
+    (milliseconds, zero Spark jobs), the local analog of a catalog
+    rowcount at warehouse scale.  Returns None when the path isn't a
+    local parquet file/dir pyarrow can reach (remote filesystems fall
+    back to a Spark count in the caller)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+        if os.path.isdir(path):
+            return sum(
+                pq.read_metadata(os.path.join(path, f)).num_rows
+                for f in os.listdir(path) if f.endswith(".parquet"))
+    except Exception:  # noqa: BLE001 — metadata probe only, never fatal
+        return None
+    return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table present in ``sf_dir`` (TESTDATA.md)."""
     out = {}
