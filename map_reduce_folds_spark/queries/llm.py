@@ -3158,3 +3158,71 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * s["sxy"] - s["sx"] * s["sy"])
                 / (n * s["sxx"] - s["sx"] * s["sx"]), 9)
         .alias("zipf_slope"))
+
+
+@query(
+    "gopher_repetition_signals",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, g.gr
+        FROM toks, LATERAL (
+            SELECT unnest(list_transform(
+                list_zip(tk[1:len(tk)-1], tk[2:len(tk)]),
+                p -> p[1] || ' ' || p[2])) AS gr) g
+        WHERE len(tk) >= 2
+    ),
+    gc AS (SELECT doc_id, gr, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    per AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(MAX(c) AS BIGINT) AS top_c,
+               CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+                   AS dup_occ
+        FROM gc GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+           CAST(per.top_c AS DOUBLE) / per.n_grams AS top2gram_frac,
+           CAST(per.dup_occ AS DOUBLE) / per.n_grams AS dup2gram_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Rae et al., Gopher data-quality
+    filters — public literature): the fraction of a document's token
+    2-gram occurrences covered by its single most frequent 2-gram
+    (``top2gram_frac``: boilerplate/template detector) and by 2-grams
+    occurring ≥ 2 times (``dup2gram_frac``: loops and stutter).  One
+    explode → per-(doc, gram) count → per-doc fold; all counts are exact
+    bigints and each fraction is ONE IEEE double division —
+    engine-portable without rounding.  Documents with < 2 tokens restore
+    by left join with zero grams and NULL fractions (no signal, not a
+    0% signal)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    grams = (
+        d.select("doc_id", tk.alias("tk"))
+        .where(F.size("tk") >= 2)
+        .select("doc_id", F.explode(F.transform(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("l"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("r")),
+            lambda p: F.concat_ws(" ", p["l"], p["r"]))).alias("gr"))
+    )
+    gc = grams.groupBy("doc_id", "gr").agg(F.count(F.lit(1)).alias("c"))
+    per = gc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.max("c").cast("bigint").alias("top_c"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
+        .cast("bigint").alias("dup_occ"))
+    return (
+        d.select("doc_id").join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            (F.col("top_c").cast("double") / F.col("n_grams"))
+            .alias("top2gram_frac"),
+            (F.col("dup_occ").cast("double") / F.col("n_grams"))
+            .alias("dup2gram_frac"))
+    )

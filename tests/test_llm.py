@@ -2074,3 +2074,26 @@ def test_zipf_two_rank_slope(spark):
         got = zipf_slope_by_lang(spark, td).collect()
     assert [(r.lang, r.n_ranks, r.zipf_slope) for r in got] == \
         [("en", 2, -1.0)]
+
+
+def test_gopher_repetition_hand_case(spark):
+    """'a b a b a' → 4 grams: 'a b'×2, 'b a'×2 → top 0.5, dup 1.0;
+    'x y z' → 2 distinct grams → top 0.5, dup 0.0; single token → zero
+    grams, NULL fractions."""
+    import os
+    import tempfile
+
+    from map_reduce_folds_spark.queries.llm import gopher_repetition_signals
+
+    rows = [(1, "a b a b a"), (2, "x y z"), (3, "solo")]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .withColumn("lang", F.lit("en")) \
+            .withColumn("source", F.lit("s")) \
+            .withColumn("n_chars", F.length("text")) \
+            .write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r.doc_id: (r.n_grams, r.top2gram_frac, r.dup2gram_frac)
+               for r in gopher_repetition_signals(spark, td).collect()}
+    assert got[1] == (4, 0.5, 1.0)
+    assert got[2] == (2, 0.5, 0.0)
+    assert got[3] == (0, None, None)
