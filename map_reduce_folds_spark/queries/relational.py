@@ -3479,3 +3479,86 @@ def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num.cast("double")
                            / F.sqrt(d1.cast("double") * d2.cast("double")),
                            9)).alias("autocorr"))
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        FROM customer GROUP BY 1, 2
+    ),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE sz < k), 0) AS BIGINT)
+               AS groups_below_k,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE sz < k), 0) AS BIGINT)
+               AS rows_at_risk
+    FROM g CROSS JOIN ks
+    GROUP BY k
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier — the privacy gate a training-data release runs
+    BEFORE shipping: for each candidate k, how many quasi-identifier
+    groups fall below k members and how many rows those groups expose
+    (a row in a size-1 group is re-identifiable from the
+    quasi-identifiers alone; Sweeney's k-anonymity, public literature).
+    One group-size aggregation (map-side combinable) cross-joined with
+    the tiny k ladder — the group relation is aggregate-sized, the
+    audit is pure integer arithmetic."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"))
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    below = F.when(F.col("sz") < F.col("k"), F.col("sz"))
+    return (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("sz").cast("bigint").alias("min_group_size"),
+            F.coalesce(F.count(below), F.lit(0)).cast("bigint")
+            .alias("groups_below_k"),
+            F.coalesce(F.sum(below), F.lit(0)).cast("bigint")
+            .alias("rows_at_risk"))
+    )
+
+
+@query(
+    "weekday_profile_events",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow
+        FROM events
+    ),
+    c AS (SELECT event_type, dow, COUNT(*) AS n FROM d GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / t.tot AS share
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def weekday_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity profile per event type — the seasonality
+    fingerprint (weekday-heavy clickstreams vs flat bot traffic).  The
+    weekday is the EPOCH-DAY residue mod 7 (day 0 = 1970-01-01, a
+    Thursday) — a pure integer function of the timestamp, free of
+    timezone/locale WEEKDAY() semantics that differ across engines.
+    Two map-side-combinable aggregations over (type, dow ≤ 35 rows);
+    each share is one IEEE double division."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        (F.floor(epoch_us(F.col("ts")) / F.lit(86_400_000_000)) % 7)
+        .cast("bigint").alias("dow"))
+    c = d.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .select("event_type", "dow", F.col("n").cast("bigint").alias("n"),
+                (F.col("n").cast("double") / F.col("tot")).alias("share"))
+    )

@@ -1249,3 +1249,39 @@ def test_autocorr_known_series(spark):
     assert got["const"] == (3, None)
     n, r = got["alt"]
     assert n == 5 and r == -1.0
+
+
+def test_k_anonymity_hand_case(spark):
+    """Groups of sizes 1, 2, 5: at k=2 one group (1 row) at risk; at k=5
+    two groups (3 rows); at k=10 all three (8 rows)."""
+    import os
+    import tempfile
+
+    from map_reduce_folds_spark.queries.relational import k_anonymity_audit
+
+    rows = [(i, 1, "A") for i in range(1)] \
+        + [(10 + i, 1, "B") for i in range(2)] \
+        + [(20 + i, 2, "A") for i in range(5)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "c_custkey long, c_nationkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(td, "customer.parquet"))
+        got = {r.k: (r.n_groups, r.min_group_size, r.groups_below_k,
+                     r.rows_at_risk)
+               for r in k_anonymity_audit(spark, td).collect()}
+    assert got[2] == (3, 1, 1, 1)
+    assert got[5] == (3, 1, 2, 3)
+    assert got[10] == (3, 1, 3, 8)
+
+
+def test_weekday_profile_shares_sum_to_one(spark):
+    from map_reduce_folds_spark.queries.relational import (
+        weekday_profile_events)
+    from tests.conftest import SF_DIR
+
+    rows = weekday_profile_events(spark, SF_DIR).collect()
+    assert rows and all(0 <= r.dow <= 6 for r in rows)
+    per = {}
+    for r in rows:
+        per[r.event_type] = per.get(r.event_type, 0.0) + r.share
+    assert all(abs(v - 1.0) < 1e-9 for v in per.values())
