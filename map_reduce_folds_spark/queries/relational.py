@@ -3562,3 +3562,64 @@ def weekday_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "dow", F.col("n").cast("bigint").alias("n"),
                 (F.col("n").cast("double") / F.col("tot")).alias("share"))
     )
+
+
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_regionkey AS region, l.l_suppkey AS supp,
+               SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS c
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT region, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               SUM(CAST(c AS DECIMAL(38,0)) * c) AS sq,
+               SUM(CAST(c AS DECIMAL(38,0))) AS tot
+        FROM rev GROUP BY 1
+    )
+    SELECT region, n_suppliers,
+           CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+               AS hhi
+    FROM agg
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each region — the market-structure diagnostic (HHI = Σ shareᵢ²;
+    1/n for perfectly even suppliers, → 1 under monopoly).  Computed
+    WITHOUT a float share sum: HHI = Σcᵢ²/(Σcᵢ)² with revenue
+    fixed-pointed to exact 1e-4 units, both Σc² and Σc staged through
+    DECIMAL(38,0) (c² overflows int64 — the moments discipline), and
+    the ONLY float math the terminal division of two exact quantities.
+    Supplier→nation→region joins broadcast the dims; the revenue agg is
+    map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.sum(
+        ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+         .cast("decimal(18,4)") * 10000).cast("bigint")).alias("c")
+    rev = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_regionkey").alias("region"),
+                 F.col("l_suppkey").alias("supp"))
+        .agg(cents)
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    agg = rev.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(cd * F.col("c")).alias("sq"),
+        F.sum(cd).alias("tot"))
+    return agg.select(
+        "region", "n_suppliers",
+        (F.col("sq").cast("double")
+         / (F.col("tot").cast("double") * F.col("tot").cast("double")))
+        .alias("hhi"))

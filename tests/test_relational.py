@@ -1285,3 +1285,34 @@ def test_weekday_profile_shares_sum_to_one(spark):
     for r in rows:
         per[r.event_type] = per.get(r.event_type, 0.0) + r.share
     assert all(abs(v - 1.0) < 1e-9 for v in per.values())
+
+
+def test_hhi_known_values(spark):
+    """Two regions: monopoly (one supplier) → HHI 1.0; two equal
+    suppliers → 0.5; three suppliers at 2:1:1 → (4+1+1)/16 = 0.375."""
+    import os
+    import tempfile
+
+    from map_reduce_folds_spark.queries.relational import (
+        hhi_supplier_concentration)
+
+    sup = [(1, 10), (2, 20), (3, 20), (4, 30), (5, 30), (6, 30)]
+    nat = [(10, 100), (20, 200), (30, 300)]
+    li = [(1, 1, 50.0, 0.0)] \
+        + [(2, 2, 25.0, 0.0), (3, 3, 25.0, 0.0)] \
+        + [(4, 4, 20.0, 0.0), (5, 5, 10.0, 0.0), (6, 6, 10.0, 0.0)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(sup, "s_suppkey long, s_nationkey long") \
+            .write.parquet(os.path.join(td, "supplier.parquet"))
+        spark.createDataFrame(nat, "n_nationkey long, n_regionkey long") \
+            .write.parquet(os.path.join(td, "nation.parquet"))
+        spark.createDataFrame(
+            li, "l_orderkey long, l_suppkey long, l_extendedprice double, "
+                "l_discount double"
+        ).withColumn("l_shipdate", F.to_date(F.lit("1995-01-01"))) \
+            .write.parquet(os.path.join(td, "lineitem.parquet"))
+        got = {r.region: (r.n_suppliers, r.hhi)
+               for r in hhi_supplier_concentration(spark, td).collect()}
+    assert got[100] == (1, 1.0)
+    assert got[200] == (2, 0.5)
+    assert got[300] == (3, 0.375)
