@@ -3055,9 +3055,9 @@ def gini_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     are swap-invariant in Σ i·x, every sum is a bigint, and the ONLY
     float operation is the single terminal division (the
     moments_per_event_type discipline).  The per-source rank window
-    serializes per source at extreme scale — the histogram-refinement
-    lever (windows.group_percentiles_hist) applies to rank-sums too via
-    per-bucket offsets; at |sources| ≈ 20 the sort path is the honest
+    serializes per source at extreme scale — the sortless form exists
+    as windows.group_ranksum_hist (bucket-offset rank-sum decomposition,
+    property-identical); at |sources| ≈ 20 the sort path is the honest
     default."""
     from pyspark.sql.window import Window
 
