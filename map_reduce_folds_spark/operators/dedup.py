@@ -1007,13 +1007,52 @@ def _pigeonhole_sig_pairs(
         (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bh") == F.col("b.bh"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
+        F.col("a.blk").alias("blk"),
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
         F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
-    ).distinct()
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
+    # Pair dedup WITHOUT a distinct shuffle: a pair co-keys once per
+    # agreeing combo (up to C(b, m) times), but the m SMALLEST agreeing
+    # block indices form a unique canonical combo — keep the meeting
+    # only when its combo IS that one (the cumulative agreeing-block
+    # count up to the combo's largest index equals m: every agreeing
+    # block ≤ max(combo) must itself be in the combo, and the combo's
+    # own blocks agree by the join).  ORDER MATTERS for plan cost: the
+    # cheap bit_count hamming verify runs FIRST so the per-combo test —
+    # one xor already shared with the verify, then ≤ b masked-zero
+    # tests — touches only true near-pairs' co-key duplicates, and its
+    # expression stays a scalar chain (a first-draft 56-wide array
+    # lookup of cumulative columns defeated whole-stage codegen and ran
+    # 40× slower than the distinct it replaced)."""
+    x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    cand = (cand.withColumn("__x", x)
+            .filter(F.bit_count(F.col("__x")) <= max_hamming))
+    # agree-mask integer: bit i set iff block i's sig bits agree (the
+    # xor is zero under that block's mask) — b shift/mask terms
+    amask = None
+    for i in range(b_):
+        msk = (1 << widths[i]) - 1
+        bit = F.when(
+            F.shiftright("__x", offs[i]).bitwiseAND(F.lit(msk)) == 0,
+            F.lit(1 << i)).otherwise(F.lit(0))
+        amask = bit if amask is None else amask + bit
+    # literal 2^b-entry table: agree-mask -> canonical combo id (the
+    # lexicographic index of the m smallest agreeing blocks; -1 when
+    # fewer than m agree, unreachable post-join).  A constant array
+    # lookup keeps the whole filter a handful of codegen'd ops — the
+    # first-draft per-combo when-chain of cumulative columns broke
+    # whole-stage codegen and ran slower than the distinct it replaced.
+    combo_id = {cm: ci for ci, cm in enumerate(combos)}
+    table = []
+    for a_val in range(1 << b_):
+        bits = [i for i in range(b_) if a_val >> i & 1]
+        table.append(combo_id[tuple(bits[:m])] if len(bits) >= m else -1)
+    canon = F.element_at(
+        F.array(*[F.lit(v) for v in table]), amask + 1)
+    cand = cand.filter(F.col("blk") == canon)
+    return cand.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("__x")).alias("hamming"))
 
 
 def simhash_components(

@@ -2097,3 +2097,18 @@ def test_gopher_repetition_hand_case(spark):
     assert got[1] == (4, 0.5, 1.0)
     assert got[2] == (2, 0.5, 0.0)
     assert got[3] == (0, None, None)
+
+
+def test_multi_index_blocking_emits_each_pair_once(spark, docs):
+    """The smallest-agreeing-subset canonical-combo filter must emit
+    every verified pair EXACTLY once (downstream triangle/savings
+    arithmetic would silently double-count duplicates) at every block
+    count including classic b=4."""
+    d = docs.limit(200)
+    for b in (4, 6, 8, "auto"):
+        rows = D.simhash_near_dup_pairs(
+            d, "doc_id", "text", bits=32, max_hamming=3, blocks=b
+        ).select("id_a", "id_b").collect()
+        pairs = [(r.id_a, r.id_b) for r in rows]
+        assert len(pairs) == len(set(pairs)), b
+        assert pairs, b
