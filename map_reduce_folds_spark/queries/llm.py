@@ -3226,3 +3226,59 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_occ").cast("double") / F.col("n_grams"))
             .alias("dup2gram_frac"))
     )
+
+
+@query(
+    "lorenz_curve_doclen",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+               COUNT(*) OVER (PARTITION BY source) AS n,
+               SUM(n_chars) OVER (PARTITION BY source) AS tot
+        FROM documents
+    ),
+    d AS (SELECT unnest(range(1, 11)) AS decile)
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(cum AS BIGINT) AS cum_chars,
+           CAST(cum AS DOUBLE) / tot AS share
+    FROM r JOIN d ON rn = (n * decile + 9) // 10
+    """,
+)
+def lorenz_curve_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of document length per source — the distributional
+    picture behind gini_doclen_by_source: at each population decile d,
+    the cumulative share of characters held by the smallest d/10 of
+    documents (a source where L(9) ≈ 0.2 keeps 80% of its mass in its
+    top decile).  Ascending (n_chars, doc_id) rank + running bigint
+    cumsum in ONE window pass; decile rows picked at the integer
+    nearest-rank index ceil(d·n/10); the only float is each share's
+    single division.  Equal values are swap-invariant in the cumsum at
+    equal ranks, so picks are deterministic."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wo = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.select(
+        "source", "n_chars",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("n_chars").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("n_chars").over(wn).alias("tot"))
+    dec = spark.range(1, 11).select(F.col("id").cast("bigint")
+                                    .alias("decile"))
+    return (
+        r.join(F.broadcast(dec),
+               F.col("rn") == F.expr("(n * decile + 9) div 10"))
+        .select("source", "decile",
+                F.col("cum").cast("bigint").alias("cum_chars"),
+                (F.col("cum").cast("double") / F.col("tot")).alias("share"))
+    )

@@ -3623,3 +3623,60 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sq").cast("double")
          / (F.col("tot").cast("double") * F.col("tot").cast("double")))
         .alias("hhi"))
+
+
+@query(
+    "session_duration_percentiles",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, tus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM flagged
+    ),
+    dur AS (
+        SELECT user_id, session_id,
+               MAX(tus) - MIN(tus) AS dur_us
+        FROM sessions GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT dur_us, ROW_NUMBER() OVER (ORDER BY dur_us) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dur
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN dur_us END) AS p50,
+           MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN dur_us END) AS p90,
+           MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN dur_us END) AS p99,
+           MAX(CASE WHEN rn = n THEN dur_us END) AS vmax
+    FROM r
+    """,
+)
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Global session-duration distribution: sessionize (30-min gap),
+    per-session duration in exact epoch-micros, then nearest-rank
+    p50/p90/p99/max via HISTOGRAM REFINEMENT
+    (operators/windows.group_percentiles_hist over one global group —
+    the single-group case is exactly where a sort-based selection
+    serializes into one task).  The engagement-health companion to
+    sessionize_events: how long sessions actually run, robustly.
+    All-integer durations, integer rank indices, bigint picks."""
+    e = load_table(spark, sf_dir, "events")
+    s = W.sessionize(e, key="user_id", ts="ts", gap_seconds=1800)
+    tus = epoch_us(F.col("ts"))
+    dur = s.groupBy("user_id", "session_id").agg(
+        (F.max(tus) - F.min(tus)).alias("dur_us"))
+    out = W.group_percentiles_hist(
+        dur.withColumn("__g", F.lit(1)), ["__g"], "dur_us",
+        qs=(50, 90, 99))
+    return out.select("n", "p50", "p90", "p99", "vmax")

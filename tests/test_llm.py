@@ -2112,3 +2112,29 @@ def test_multi_index_blocking_emits_each_pair_once(spark, docs):
         pairs = [(r.id_a, r.id_b) for r in rows]
         assert len(pairs) == len(set(pairs)), b
         assert pairs, b
+
+
+def test_lorenz_curve_hand_case(spark):
+    """Four docs of length 1,1,1,7: deciles 1-2 pick rank 1 (share .1),
+    3-5 rank 2-ish... exact nearest-rank checks at d=5 (rank 2, cum 2,
+    share 0.2) and d=10 (rank 4, cum 10, share 1.0); uniform source
+    gives shares d·0.25 at each picked rank."""
+    import os
+    import tempfile
+
+    from map_reduce_folds_spark.queries.llm import lorenz_curve_doclen
+
+    rows = [(i, "sk", v) for i, v in enumerate([1, 1, 1, 7])] \
+        + [(10 + i, "eq", 5) for i in range(4)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        ).withColumn("text", F.lit("t")).withColumn("lang", F.lit("en")) \
+            .write.parquet(os.path.join(td, "documents.parquet"))
+        got = {(r.source, r.decile): (r.cum_chars, r.share)
+               for r in lorenz_curve_doclen(spark, td).collect()}
+    assert got[("sk", 5)] == (2, 0.2)
+    assert got[("sk", 10)] == (10, 1.0)
+    assert got[("eq", 5)] == (10, 0.5)
+    # rank index ceil(d*4/10): d=1,2 -> rank 1
+    assert got[("sk", 1)] == (1, 0.1) and got[("sk", 2)] == (1, 0.1)
