@@ -3282,3 +3282,80 @@ def lorenz_curve_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cum").cast("bigint").alias("cum_chars"),
                 (F.col("cum").cast("double") / F.col("tot")).alias("share"))
     )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle="""
+    WITH dr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+               COUNT(*) OVER () AS nd,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    tok AS (
+        SELECT t.tk AS tok, MIN(dr.rk) AS first_rk
+        FROM (SELECT doc_id, rk FROM dr) dr
+        JOIN documents d USING (doc_id),
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tk) t
+        WHERE t.tk <> ''
+        GROUP BY 1
+    ),
+    m AS (SELECT unnest(range(1, 11)) AS decile),
+    cuts AS (SELECT decile, (SELECT (nd * decile + 9) // 10
+                             FROM dr LIMIT 1) AS cut FROM m)
+    SELECT c.decile AS decile,
+           (SELECT CAST(SUM(ntok) AS BIGINT) FROM dr
+            WHERE rk <= c.cut) AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
+            WHERE first_rk <= c.cut) AS n_distinct
+    FROM cuts c
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-token
+    count against cumulative token count at each corpus decile (docs
+    ordered by doc_id — the generator's arrival order), the
+    tokenizer-budget diagnostic that pairs with zipf_slope_by_lang
+    (natural text grows ~n^β, β ≈ 0.5; a flattening curve says the
+    vocabulary is saturating).  No iterative scan: each distinct
+    token's FIRST document rank is one min-aggregation, so
+    "distinct so far at cutoff" is a count of first-ranks ≤ cutoff
+    and "tokens so far" a sum over ranked docs — two aggregate-sized
+    broadcast joins with the decile ladder, all integers.  The global
+    doc-rank window is corpus-row-sized (one task); at extreme scale
+    swap the rank cutoffs for doc_id VALUE cutoffs picked by
+    windows.group_percentiles_hist — doc_id is unique, so value and
+    rank cutoffs select identical prefixes."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wo = Window.orderBy("doc_id")
+    dr = d.select(
+        "doc_id",
+        F.row_number().over(wo).alias("rk"),
+        F.size(F.split("text", " ")).alias("ntok"),
+    ).localCheckpoint(eager=False)
+    nd = dr.count()
+    tok = (
+        d.select("doc_id", F.explode(T.tokenize("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .join(dr.select("doc_id", "rk"), "doc_id")
+        .groupBy("tok").agg(F.min("rk").alias("first_rk"))
+    )
+    cuts = spark.range(1, 11).select(
+        F.col("id").cast("bigint").alias("decile"),
+        ((F.lit(nd) * F.col("id") + 9) / 10).cast("bigint")
+        .alias("cut"))
+    toks_at = (
+        dr.crossJoin(F.broadcast(cuts))
+        .where(F.col("rk") <= F.col("cut"))
+        .groupBy("decile").agg(F.sum("ntok").cast("bigint")
+                               .alias("n_tokens")))
+    dist_at = (
+        tok.crossJoin(F.broadcast(cuts))
+        .where(F.col("first_rk") <= F.col("cut"))
+        .groupBy("decile").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("n_distinct")))
+    return toks_at.join(dist_at, "decile").select(
+        "decile", "n_tokens", "n_distinct")

@@ -2138,3 +2138,28 @@ def test_lorenz_curve_hand_case(spark):
     assert got[("eq", 5)] == (10, 0.5)
     # rank index ceil(d*4/10): d=1,2 -> rank 1
     assert got[("sk", 1)] == (1, 0.1) and got[("sk", 2)] == (1, 0.1)
+
+
+def test_vocab_growth_hand_case(spark):
+    """Docs 'a b', 'a c', 'a b': cumulative tokens 2/4/6; distinct
+    2/3/3.  Decile cutoffs over 3 docs: ceil(3d/10) → docs 1,1,1,2,2,2,3,3,3,3."""
+    import os
+    import tempfile
+
+    from map_reduce_folds_spark.queries.llm import vocab_growth_curve
+
+    rows = [(1, "a b"), (2, "a c"), (3, "a b")]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .withColumn("lang", F.lit("en")) \
+            .withColumn("source", F.lit("s")) \
+            .withColumn("n_chars", F.length("text")) \
+            .write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r.decile: (r.n_tokens, r.n_distinct)
+               for r in vocab_growth_curve(spark, td).collect()}
+    for d in (1, 2, 3):
+        assert got[d] == (2, 2), d
+    for d in (4, 5, 6):
+        assert got[d] == (4, 3), d
+    for d in (7, 8, 9, 10):
+        assert got[d] == (6, 3), d
