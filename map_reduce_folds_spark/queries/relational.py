@@ -3680,3 +3680,54 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) \
         dur.withColumn("__g", F.lit(1)), ["__g"], "dur_us",
         qs=(50, 90, 99))
     return out.select("n", "p50", "p90", "p99", "vmax")
+
+
+@query(
+    "conversion_latency_percentiles",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_seen,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT first_purchase - first_seen AS lat_us
+        FROM u WHERE first_purchase IS NOT NULL
+    ),
+    r AS (
+        SELECT lat_us, ROW_NUMBER() OVER (ORDER BY lat_us) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lat
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converting,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_us END) AS p50,
+           MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat_us END) AS p90,
+           MAX(CASE WHEN rn = n THEN lat_us END) AS vmax
+    FROM r
+    """,
+)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Time-to-first-purchase distribution: per user, the exact micros
+    between their first event of any kind and their first purchase
+    (non-converting users drop — absence of a purchase is censoring,
+    not a latency), then global nearest-rank p50/p90/max via the
+    histogram-refinement selector.  The funnel family's latency axis
+    (funnel_conversion counts WHO converts; this measures HOW LONG the
+    corpus takes to convert).  One conditional-min aggregation per
+    user — no window over the event stream at all — then the
+    aggregate-sized selection."""
+    e = load_table(spark, sf_dir, "events")
+    tus = epoch_us(F.col("ts"))
+    u = e.groupBy("user_id").agg(
+        F.min(tus).alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", tus))
+        .alias("first_purchase"))
+    lat = (u.where(F.col("first_purchase").isNotNull())
+           .select((F.col("first_purchase") - F.col("first_seen"))
+                   .alias("lat_us")))
+    out = W.group_percentiles_hist(
+        lat.withColumn("__g", F.lit(1)), ["__g"], "lat_us", qs=(50, 90))
+    return out.select(F.col("n").alias("n_converting"), "p50", "p90",
+                      "vmax")
