@@ -3039,9 +3039,11 @@ def adamic_adar_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           round(CAST(2 * SUM(rk * n_chars) - (COUNT(*) + 1) * SUM(n_chars)
+           round(CAST(2 * SUM(CAST(rk AS HUGEINT) * n_chars)
+                      - (COUNT(*) + 1) * CAST(SUM(n_chars) AS HUGEINT)
                       AS DOUBLE)
-                 / CAST(COUNT(*) * SUM(n_chars) AS DOUBLE), 9) AS gini
+                 / CAST(COUNT(*) * CAST(SUM(n_chars) AS HUGEINT)
+                        AS DOUBLE), 9) AS gini
     FROM r GROUP BY source
     """,
 )
@@ -3064,12 +3066,16 @@ def gini_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     r = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
-    n = F.count(F.lit(1))
-    sx = F.sum("n_chars")
-    six = F.sum(F.col("rk") * F.col("n_chars"))
+    n = F.count(F.lit(1)).cast("decimal(38,0)")
+    sx = F.sum("n_chars").cast("decimal(38,0)")
+    # rank·value products and n·Σx stage through DECIMAL — rk·x and the
+    # final cross-terms outgrow int64 on billion-row sources (the same
+    # overflow class the 100× rehearsal caught in autocorr); DuckDB
+    # mirror uses HUGEINT
+    six = F.sum(F.col("rk").cast("decimal(38,0)") * F.col("n_chars"))
     return r.groupBy("source").agg(
-        n.cast("bigint").alias("n"),
-        sx.cast("bigint").alias("total_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round((2 * six - (n + 1) * sx).cast("double")
                 / (n * sx).cast("double"), 9).alias("gini"))
 

@@ -3420,10 +3420,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY 1
     )
     SELECT event_type, n,
-           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
-                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                                  * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+           CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                  OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0
+                THEN NULL
+                ELSE round(
+                    CAST(CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           * CAST(CAST(n AS HUGEINT) * syy
+                                  - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 9)
            END AS autocorr
     FROM s
     """,
@@ -3470,12 +3476,17 @@ def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # n·Σ products overflow int64 once per-day counts reach ~10k (the
+    # 100× rehearsal hit it) — stage through DECIMAL like the moments
+    # query (DuckDB mirror: HUGEINT), and test the two variance factors
+    # for zero SEPARATELY (their product would need 128 bits too)
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    d1 = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    d2 = dec("n") * dec("syy") - dec("sy") * dec("sy")
     return s.select(
         "event_type", "n",
-        F.when(d1 * d2 == 0, F.lit(None).cast("double"))
+        F.when((d1 == 0) | (d2 == 0), F.lit(None).cast("double"))
         .otherwise(F.round(num.cast("double")
                            / F.sqrt(d1.cast("double") * d2.cast("double")),
                            9)).alias("autocorr"))
