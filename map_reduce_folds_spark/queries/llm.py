@@ -3327,40 +3327,39 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is saturating).  No iterative scan: each distinct
     token's FIRST document rank is one min-aggregation, so
     "distinct so far at cutoff" is a count of first-ranks ≤ cutoff
-    and "tokens so far" a sum over ranked docs — two aggregate-sized
-    broadcast joins with the decile ladder, all integers.  The global
-    doc-rank window is corpus-row-sized (one task); at extreme scale
-    swap the rank cutoffs for doc_id VALUE cutoffs picked by
-    windows.group_percentiles_hist — doc_id is unique, so value and
-    rank cutoffs select identical prefixes."""
-    from pyspark.sql.window import Window
+    and "tokens so far" a sum over docs — two aggregate-sized broadcast
+    joins with the decile ladder, all integers.  There is NO global
+    rank window anywhere (the package lints those out): doc_id is
+    unique, so the decile RANK cutoff and the doc_id VALUE at that rank
+    select identical prefixes — the ten cutoff values come from one
+    group_percentiles_hist pass (qs = 10..100, and ceil(10d·n/100) ≡
+    ceil(d·n/10), the oracle's index)."""
+    import map_reduce_folds_spark.operators.windows as W2
 
     d = load_table(spark, sf_dir, "documents")
-    wo = Window.orderBy("doc_id")
-    dr = d.select(
-        "doc_id",
-        F.row_number().over(wo).alias("rk"),
-        F.size(F.split("text", " ")).alias("ntok"),
-    ).localCheckpoint(eager=False)
-    nd = dr.count()
+    dr = d.select("doc_id",
+                  F.size(F.split("text", " ")).alias("ntok")) \
+        .localCheckpoint(eager=False)
+    qrow = W2.group_percentiles_hist(
+        dr.withColumn("__g", F.lit(1)), ["__g"], "doc_id",
+        qs=tuple(range(10, 101, 10)))
+    cuts = qrow.select(F.explode(F.array(*[
+        F.struct(F.lit(i).cast("bigint").alias("decile"),
+                 F.col(f"p{10 * i}").alias("cut"))
+        for i in range(1, 11)])).alias("e")).select("e.decile", "e.cut")
     tok = (
         d.select("doc_id", F.explode(T.tokenize("text")).alias("tok"))
         .where(F.col("tok") != "")
-        .join(dr.select("doc_id", "rk"), "doc_id")
-        .groupBy("tok").agg(F.min("rk").alias("first_rk"))
+        .groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     )
-    cuts = spark.range(1, 11).select(
-        F.col("id").cast("bigint").alias("decile"),
-        ((F.lit(nd) * F.col("id") + 9) / 10).cast("bigint")
-        .alias("cut"))
     toks_at = (
         dr.crossJoin(F.broadcast(cuts))
-        .where(F.col("rk") <= F.col("cut"))
+        .where(F.col("doc_id") <= F.col("cut"))
         .groupBy("decile").agg(F.sum("ntok").cast("bigint")
                                .alias("n_tokens")))
     dist_at = (
         tok.crossJoin(F.broadcast(cuts))
-        .where(F.col("first_rk") <= F.col("cut"))
+        .where(F.col("first_doc") <= F.col("cut"))
         .groupBy("decile").agg(F.count(F.lit(1)).cast("bigint")
                                .alias("n_distinct")))
     return toks_at.join(dist_at, "decile").select(
