@@ -509,3 +509,19 @@ def test_no_cache_manager_leaks_across_cached_query_families(spark):
         QUERIES[name](spark, SF_DIR).collect()
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), "CacheManager entries leaked by a query"
+
+
+def test_simhash_pairs_no_candidate_dedup_exchange(spark):
+    """The canonical-combo filter (round 10) makes every pair unique by
+    construction, so the SimHash pair plan must contain NO deduplicating
+    aggregate over the candidate stream — the old distinct cost a full
+    exchange of all candidate rows on every SimHash query."""
+    import re
+
+    df = _run(spark, "dedup_simhash_pairs")
+    plan = P.executed_plan(df)
+    dedup_aggs = [m.group(0) for m in
+                  re.finditer(r"HashAggregate\(keys=\[[^\]]*id_a[^\]]*\]",
+                              plan)]
+    assert not dedup_aggs, dedup_aggs
+    assert "hashpartitioning(id_a" not in plan, "candidate dedup exchange"
