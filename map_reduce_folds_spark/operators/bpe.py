@@ -106,7 +106,9 @@ def _batch_accept(
     used: set[str] = set()
     out: list[tuple[str, str, int]] = []
     stop_n = None
-    for l, r, n in cand:
+    i = 0
+    while i < len(cand):
+        l, r, n = cand[i]
         if len(out) == m or n <= floor:
             break
         if l in used or r in used:
@@ -114,6 +116,24 @@ def _batch_accept(
             break
         out.append((l, r, n))
         used.update((l, r, l + r))
+        i += 1
+    if stop_n is None and out:
+        # Batch full (or floor hit): the certification must still inspect
+        # the UNSCANNED candidates that TIE the accepted tail's count — a
+        # tying pair overlapping an accepted merge can, after that merge,
+        # spawn a created pair that ties out[-1] and wins the sequential
+        # (count DESC, l, r) tiebreak (created pairs are new strings,
+        # lexicographic order vs the accepted tail is arbitrary).  Ties
+        # are a prefix of the remainder (cand is count-sorted), so the
+        # scan is bounded by the tie run.  Non-overlapping ties are safe:
+        # their counts are unchanged by accepted merges and they sort
+        # AFTER the accepted tail by construction.
+        for tl, tr, tn in cand[i:]:
+            if tn != out[-1][2]:
+                break
+            if tl in used or tr in used:
+                stop_n = tn
+                break
     if stop_n is not None:
         while out and out[-1][2] <= stop_n:
             out.pop()

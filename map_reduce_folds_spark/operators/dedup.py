@@ -963,6 +963,8 @@ def _pigeonhole_sig_pairs(
     else one count job)."""
     from itertools import combinations
 
+    from math import comb
+
     if blocks == "auto":
         n = sig_count if sig_count is not None else s.count()
         blocks = _auto_blocks(n, bits, max_hamming)
@@ -972,6 +974,20 @@ def _pigeonhole_sig_pairs(
         raise ValueError(
             f"blocks={b_} must exceed max_hamming={max_hamming} "
             "(pigeonhole needs at least one agreeing block)")
+    # Explicit large `blocks` guard (r10 advice): the combo fan-out
+    # C(b, b−r) and the 2^b canonical-combo table are PLAN-LITERAL
+    # costs — blocks=24/32 (cheap under the pre-r10 per-block scheme)
+    # would build a multi-thousand-way explode and a 2^24+ literal
+    # array on the driver.  Bound both by the same combo_cap
+    # _auto_blocks enforces plus a table cap; "auto" always satisfies
+    # these by construction.
+    if comb(b_, m) > 128 or b_ > 12:
+        raise ValueError(
+            f"blocks={b_} with max_hamming={max_hamming} needs "
+            f"C({b_},{m})={comb(b_, m)} combination keys and a "
+            f"2^{b_}-entry canonical table — beyond the plan-size cap "
+            "(C(b,m) ≤ 128, b ≤ 12). Use blocks=\"auto\" (cost-model "
+            "choice, always within the cap) or a smaller block count.")
     base, extra = divmod(bits, b_)
     widths = [base + 1] * extra + [base] * (b_ - extra)
     offs, o = [], 0
@@ -1045,8 +1061,9 @@ def _pigeonhole_sig_pairs(
     combo_id = {cm: ci for ci, cm in enumerate(combos)}
     table = []
     for a_val in range(1 << b_):
-        bits = [i for i in range(b_) if a_val >> i & 1]
-        table.append(combo_id[tuple(bits[:m])] if len(bits) >= m else -1)
+        agree_idx = [i for i in range(b_) if a_val >> i & 1]
+        table.append(combo_id[tuple(agree_idx[:m])]
+                     if len(agree_idx) >= m else -1)
     canon = F.element_at(
         F.array(*[F.lit(v) for v in table]), amask + 1)
     cand = cand.filter(F.col("blk") == canon)

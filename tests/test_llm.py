@@ -1962,6 +1962,14 @@ def test_bpe_batched_equals_sequential(spark):
         ["ab ab cd cd ef ef gh gh", "abcd abcd efgh efgh"],
         # repeats: greedy non-overlap inside one word
         ["aaaaaaa aaaa aa", "bbbb bb bbbbbb"],
+        # r10-advice reproduction: with batch=4 the batch FILLS at
+        # (e,f,11), leaving the tying (b,y,10) unscanned — it overlaps
+        # the accepted (a,b), and the (ab,y,10) its merge creates wins
+        # the sequential tiebreak over (ac,z,10).  The fixed
+        # _batch_accept scans the tie run past a full batch and pops
+        # the tying accepted tail.
+        ["ac"] * 40 + ["acz"] * 10 + ["ab"] * 5 + ["aby"] * 10
+        + ["cd"] * 12 + ["ef"] * 11,
     ]
     rng = random.Random(11)
     for _ in range(2):
@@ -2020,6 +2028,14 @@ def test_multi_index_blocking_output_invariant(spark, docs):
     assert auto == base
     with pytest.raises(ValueError, match="pigeonhole"):
         D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, blocks=3)
+    # r10-advice guard: explicit large b would build a C(b, b−r)-way
+    # combo explode and a 2^b-literal canonical table on the driver —
+    # rejected loudly instead of hanging (blocks=24 → C(24,21)=2024
+    # combos; blocks=13 → an 8192-entry table past the cap).
+    for bad in (24, 32, 13):
+        with pytest.raises(ValueError, match="plan-size cap"):
+            D.simhash_near_dup_pairs(
+                d, "doc_id", "text", max_hamming=3, blocks=bad)
 
 
 def test_auto_blocks_ladder():
