@@ -140,12 +140,84 @@ def _batch_accept(
     return out or cand[:1]
 
 
+def _local_bpe_replay(
+    word_freqs: list[tuple[str, int]],
+    n_merges: int,
+) -> list[tuple[str, str, int]]:
+    """Exact sequential BPE induction over a COLLECTED ``(word, freq)``
+    vocabulary — merge-for-merge identical to the distributed rounds
+    (same greedy non-overlap fold, same (count DESC, l, r) argmax) by
+    construction: it IS the sequential algorithm, run where the data is.
+
+    Incremental pair maintenance (the classic trainer structure, e.g.
+    Sennrich's learn_bpe / HuggingFace tokenizers — public designs):
+    a pair→count table plus a pair→containing-words index; each merge
+    re-pairs ONLY the words that contain the merged pair, and the argmax
+    rides a lazy-invalidation heap keyed (−count, l, r), so total work is
+    Σ touched-word lengths, not rounds × vocabulary."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [list(w) for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+    pc: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    heap: list[tuple[int, str, str]] = []
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += f
+            where[(a, b)].add(i)
+    for (a, b), n in pc.items():
+        heap.append((-n, a, b))
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        negn, l, r = heapq.heappop(heap)
+        cur = pc.get((l, r), 0)
+        if cur != -negn:        # stale heap entry (count changed since push)
+            continue
+        merges.append((l, r, cur))
+        touched: Counter = Counter()
+        for i in sorted(where[(l, r)]):
+            syms, f = words[i], freqs[i]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] -= f
+                touched[(a, b)] += 1
+                if pc[(a, b)] == 0:
+                    del pc[(a, b)]
+                where[(a, b)].discard(i)
+            out: list[str] = []
+            prev = None
+            for x in syms:
+                if prev is None:
+                    prev = x
+                elif prev == l and x == r:
+                    out.append(l + r)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            words[i] = out
+            for a, b in zip(out, out[1:]):
+                pc[(a, b)] += f
+                touched[(a, b)] += 1
+                where[(a, b)].add(i)
+        for p in touched:
+            if p in pc:
+                heapq.heappush(heap, (-pc[p], p[0], p[1]))
+    return merges
+
+
 def bpe_learn_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int,
     token_split: str = " ",
     batch: int = 8,
+    local_vocab_cap: int = 500_000,
 ) -> list[tuple[str, str, int]]:
     """Learn the first ``n_merges`` BPE merges from a corpus: returns the
     ordered list ``[(left, right, pair_count), …]`` (rank = position).
@@ -158,19 +230,31 @@ def bpe_learn_merges(
     default space delimiter only.  Words shorter than two characters
     never contribute pairs but stay in the vocabulary.
 
-    BATCHED ROUNDS (round 10): one merge per Spark job does not survive
-    real vocab sizes — 32k merges would be 32k tiny jobs.  Each round
-    now collects the top ``max(4·batch, 64)`` pair counts ONCE and
-    accepts up to ``batch`` merges via :func:`_batch_accept`, whose
-    acceptance rule makes the batched list PROVABLY identical to the
-    sequential one (see its docstring — this is stronger than the usual
-    "batched BPE differs on tie interactions" caveat: ties and
-    created-pair interactions cause the batch to stop early, never to
-    diverge).  All accepted merges of a round apply as one composed
-    fold chain in a single pass over the vocabulary, so job count is
-    ~n_merges/batch on independent merges and degrades gracefully to
-    sequential when merges interdepend (late-BPE regime).  Property-
-    tested equal to ``batch=1`` on skewed corpora."""
+    LOCAL REPLAY (round 11): the corpus scan is the distributed part of
+    BPE training; the per-merge loop runs over the DISTINCT-WORD
+    vocabulary, which is orders of magnitude smaller (a 100 TB web
+    corpus has a few million distinct whitespace words — the standard
+    trainer shape, cf. HuggingFace tokenizers / Sennrich's learn_bpe).
+    When the vocabulary fits under ``local_vocab_cap`` rows, ONE
+    ``limit(cap+1)`` collect ships ``(word, freq)`` to the driver and
+    :func:`_local_bpe_replay` runs the exact sequential induction with
+    incremental pair maintenance — identical merges (it IS the
+    sequential algorithm), total Spark jobs: 1 regardless of n_merges.
+    Set ``local_vocab_cap=0`` to force the distributed path.
+
+    BATCHED ROUNDS (round 10) — the over-cap distributed path: one
+    merge per Spark job does not survive real vocab sizes — 32k merges
+    would be 32k tiny jobs.  Each round collects the top
+    ``max(4·batch, 64)`` pair counts ONCE and accepts up to ``batch``
+    merges via :func:`_batch_accept`, whose acceptance rule makes the
+    batched list PROVABLY identical to the sequential one (see its
+    docstring — ties and created-pair interactions cause the batch to
+    stop early, never to diverge).  All accepted merges of a round
+    apply as one composed fold chain in a single pass over the
+    vocabulary, so job count is ~n_merges/batch on independent merges
+    and degrades gracefully to sequential when merges interdepend
+    (late-BPE regime).  Property-tested equal to ``batch=1`` AND to the
+    local replay on skewed corpora."""
     from map_reduce_folds_spark.operators.dedup import _quote_sep
 
     if n_merges <= 0:
@@ -179,13 +263,20 @@ def bpe_learn_merges(
     if batch <= 0:
         raise ValueError(f"bpe_learn_merges: batch must be > 0, "
                          f"got {batch}")
-    words = (
+    wc = (
         df.select(F.explode(F.split(F.col(text_col),
                                     _quote_sep(token_split)))
                   .alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-        .select(_chars(F.col("w")).alias("syms"), "freq")
+    )
+    if local_vocab_cap > 0:
+        head = wc.limit(local_vocab_cap + 1).collect()
+        if len(head) <= local_vocab_cap:
+            return _local_bpe_replay(
+                [(r["w"], int(r["freq"])) for r in head], n_merges)
+    words = (
+        wc.select(_chars(F.col("w")).alias("syms"), "freq")
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []

@@ -1979,8 +1979,12 @@ def test_bpe_batched_equals_sequential(spark):
     for texts in corpora:
         df = spark.createDataFrame([(t,) for t in texts], ["text"])
         want = _py_bpe(texts, 12)
-        for bsz in (4, 8):
-            got = B.bpe_learn_merges(df, "text", 12, batch=bsz)
+        # local replay (default path: vocab under the cap)
+        assert B.bpe_learn_merges(df, "text", 12) == want, texts
+        # distributed batched rounds (cap forced off)
+        for bsz in (4, 8, 32):
+            got = B.bpe_learn_merges(df, "text", 12, batch=bsz,
+                                     local_vocab_cap=0)
             assert got == want, (texts, bsz)
 
 
@@ -1998,7 +2002,7 @@ def test_bpe_batch_job_bound(spark):
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
-    got = B.bpe_learn_merges(df, "text", 8, batch=8)
+    got = B.bpe_learn_merges(df, "text", 8, batch=8, local_vocab_cap=0)
     assert got == _py_bpe(texts, 8)
     assert [(l, r) for l, r, _ in got] == \
         [("o", "p"), ("m", "n"), ("k", "l"), ("i", "j"),
@@ -2008,6 +2012,38 @@ def test_bpe_batch_job_bound(spark):
     # (+ the final checkpoint's first action) — far below the 8 collects
     # + 8 rewrites of sequential rounds
     assert after - before <= 5, after - before
+    # local replay (round 11, default path: vocab under the cap): the
+    # ENTIRE induction is ONE Spark job — the (word, freq) collect —
+    # regardless of n_merges
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert B.bpe_learn_merges(df, "text", 8) == _py_bpe(texts, 8)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 2, after - before
+
+
+def test_bpe_local_replay_equals_sequential():
+    """The incremental local trainer (pair→count table, pair→words
+    index, lazy-invalidation heap) must be merge-for-merge identical to
+    the naive sequential reference on random tie-heavy corpora —
+    including count increases from created pairs, repeated symbols, and
+    pairs whose count returns to a previously-seen value (stale-heap
+    aliasing)."""
+    import random
+
+    from map_reduce_folds_spark.operators.bpe import _local_bpe_replay
+    from collections import Counter
+
+    rng = random.Random(23)
+    for trial in range(60):
+        alpha = "abcde"[: rng.randint(2, 5)]
+        texts = []
+        for _ in range(rng.randint(2, 12)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            texts += [w] * rng.randint(1, 9)
+        wc = Counter(w for t in texts for w in t.split(" ") if w)
+        n = rng.randint(1, 15)
+        got = _local_bpe_replay(sorted(wc.items()), n)
+        assert got == _py_bpe(texts, n), (texts, n)
 
 
 def test_multi_index_blocking_output_invariant(spark, docs):
