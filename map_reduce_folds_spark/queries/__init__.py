@@ -42,9 +42,36 @@ _PRIORITY = [
     # dedup_embedding; both displaced rows re-register right past the
     # window).  Side effect: the window is now 100% oracle-backed (IVF was
     # its only rows-only row).
+    # Round 11 swaps, per the same displacement rule (r10 verdict Next
+    # #1/#2/#7): SEVEN rows rotate in —
+    #   dedup_embedding_clusters_t09 (production-threshold SemDeDup: SRP
+    #     auto geometry + CC at cos ≥ 0.9, the linear-pair-mass regime)
+    #     displaces dedup_embedding (embedding near-dup family stays via
+    #     t09 — same SRP-LSH candidate pipeline, plus the CC closure);
+    #   gini_doclen_by_source (inequality family) displaces
+    #     mr_filtered_folds (fold vocab keeps mr_fold_vocab);
+    #   gopher_repetition_signals (quality-heuristics family) displaces
+    #     pipeline_clean_corpus (text keeps text_stats+token_count_bpe);
+    #   k_anonymity_audit (privacy-audit family) displaces mr_assign_udf
+    #     (the Arrow-UDF AssignM/FilterM path stays via
+    #     mr_filter_mapinpandas + multimodal_features);
+    #   hhi_supplier_concentration (concentration family) displaces
+    #     mr_custom_fold_merge (custom merge-folds stay via
+    #     mr_product_median);
+    #   session_duration_percentiles (session-analytics percentiles)
+    #     displaces mr_null_key_group (grouped reduces keep
+    #     mr_group_reduce_keyed/_ordered; null-key semantics stay
+    #     hash-exact just past the window);
+    #   sessionize_stream_stateful (NEW: the GroupState stateful
+    #     streaming path run END-TO-END — event-time timers, watermark,
+    #     no-data microbatch — against the batch sessionization oracle)
+    #     displaces events_tumbling_window (streaming family keeps a
+    #     strictly richer row; the tumbling agg stays hash-exact just
+    #     past the window alongside events_sliding_window).
+    # All displaced rows re-register immediately past the window.
     "mr_readme_sum", "mr_task1_mean", "mr_applicative", "mr_melt",
-    "dedup_lines", "mr_fold_vocab", "mr_assign_udf", "mr_null_key_group",
-    "mr_filtered_folds",
+    "dedup_lines", "mr_fold_vocab", "k_anonymity_audit",
+    "session_duration_percentiles", "gini_doclen_by_source",
     # core operators driver-verified from round 2 (VERDICT r1 item 5)
     # Round 10 swaps, per the same displacement rule (r9 verdict Next #4):
     # four round-9 families enter — rfm_customer_segments (NEW value-based
@@ -58,7 +85,7 @@ _PRIORITY = [
     # dedup_cc_clusters), and q7_volume_shipping (TPC-H keeps q1/q9).  All
     # four displaced rows re-register immediately past the window and stay
     # hash-exact in LOCAL_CORRECTNESS.
-    "mr_group_reduce_keyed", "mr_custom_fold_merge", "mr_concat_fold",
+    "mr_group_reduce_keyed", "hhi_supplier_concentration", "mr_concat_fold",
     "mr_unpack_only", "mr_filter_mapinpandas", "rfm_customer_segments",
     "mr_product_median", "activity_streaks",
     "mr_group_reduce_ordered",
@@ -100,10 +127,12 @@ _PRIORITY = [
     # q17 re-registers immediately past it.
     "dedup_exact", "record_linkage_customers", "dedup_minhash",
     "dedup_jaccard_prefix",
-    "dedup_cc_clusters", "dedup_embedding", "sim_topk_bruteforce",
+    "dedup_cc_clusters", "dedup_embedding_clusters_t09",
+    "sim_topk_bruteforce",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
     "diff_orders_snapshots",
-    "scd2_user_event_history", "deterministic_sample", "pipeline_clean_corpus",
+    "scd2_user_event_history", "deterministic_sample",
+    "gopher_repetition_signals",
     "data_quality_profile", "sketch_union_hll",
     # Round-6 late swap: funnel_conversion (NEW ordered-event-analytics
     # family; greedy in-order step matching) displaces
@@ -126,7 +155,7 @@ _PRIORITY = [
     "cusum_user_drift", "asof_join_purchase_click",
     "interval_join_attribution", "window_topk_per_group",
     "sessionize_events", "rollup_region_nation", "salted_aggregation",
-    "events_tumbling_window", "q1_pricing_summary", "q9_product_profit",
+    "sessionize_stream_stateful", "q1_pricing_summary", "q9_product_profit",
     # TPC-H shapes that registered past round 1's window.  Round 6:
     # q7_volume_shipping restored (r5 verdict item 4) by displacing
     # mr_simple_unpack — the core fold family keeps 19 in-window rows and
@@ -136,6 +165,9 @@ _PRIORITY = [
     "embedding_quantize_int8", "ewma_user_value",
     "resample_user_hourly",
     # first entries PAST the 50-window: the displaced green rows
+    "dedup_embedding", "mr_filtered_folds", "pipeline_clean_corpus",
+    "mr_assign_udf", "mr_custom_fold_merge", "mr_null_key_group",
+    "events_tumbling_window",
     "mr_first_last_by", "mr_shared_scan", "dedup_simhash",
     "q7_volume_shipping",
     "join_broadcast_dims",

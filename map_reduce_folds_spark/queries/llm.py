@@ -544,13 +544,15 @@ _SRP_PLANES = 6   # SRP-LSH hyperplanes per table
 _SRP_TABLES = 8   # SRP-LSH tables
 
 
-def _emb_lsh_cand_sql() -> str:
+def _emb_lsh_cand_sql(src: str = "embeddings") -> str:
     """CTE fragment: SRP bucket rows + distinct candidate pairs, mirroring
-    operators/similarity.embedding_near_dup_pairs_lsh bucket-for-bucket."""
+    operators/similarity.embedding_near_dup_pairs_lsh bucket-for-bucket.
+    ``src``: the ``(vec_id, embedding)`` relation to bucket (a prior CTE
+    name works — used by the t09 perturbed-union registration)."""
     branches = "\n        UNION ALL\n".join(
         f"        SELECT vec_id, {t} AS tbl, "
         f"{S.srp_signature_sql('embedding', _DIM, _SRP_PLANES, t)} AS bucket "
-        f"FROM embeddings"
+        f"FROM {src}"
         for t in range(_SRP_TABLES)
     )
     return f"""
@@ -1912,6 +1914,79 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", _DIM, _COS_T,
         n_planes="auto", n_tables="auto",
         corpus_count=table_rowcount(sf_dir, "embeddings"),
+    )
+    from map_reduce_folds_spark.operators.graph import components_of_pairs
+
+    comp = components_of_pairs(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("node").alias("vec_id"), "component")
+
+
+_COS_T09 = 0.9  # production SemDeDup threshold (true near-dup regime)
+
+
+@query(
+    "dedup_embedding_clusters_t09",
+    oracle=f"""
+    WITH RECURSIVE
+    emb09 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_concat([CAST(embedding[1] AS DOUBLE) + 0.5],
+                           CAST(embedding[2:] AS DOUBLE[]))
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    {_emb_lsh_cand_sql(src="emb09").lstrip()},
+    vpairs AS (
+        SELECT c.id_a, c.id_b
+        FROM emb_cand c
+        JOIN emb09 ea ON ea.vec_id = c.id_a
+        JOIN emb09 eb ON eb.vec_id = c.id_b
+        WHERE {S.cosine_sql('ea.embedding', 'eb.embedding', _DIM)} >= {_COS_T09}
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM vpairs
+              UNION SELECT id_b, id_a FROM vpairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_embedding_clusters_t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup clusters at the PRODUCTION threshold (cosine ≥ 0.9 — the
+    regime real semantic dedup runs in, where true near-duplicates live
+    and pair mass is linear in corpus size).  The fixture embeddings are
+    random unit vectors with zero native pairs at 0.9, so the registered
+    relation is the fixture UNION a deterministic near-duplicate per
+    10th vector (first coordinate +0.5 → cosine ≈ 0.876–0.92, straddling
+    the threshold so it does real filtering work) — the same transform
+    in both engines, bit-identical doubles.  Complements
+    dedup_embedding_clusters (cos ≥ 0.4), whose registered threshold
+    sits inside 64-d random-cosine noise and makes the ANSWER grow
+    quadratically (r10 scale note); at 0.9 the true-pair mass — and the
+    measured plan — is linear.  Same SRP-LSH → connected-components
+    pipeline; auto geometry resolves to the oracle's pinned base at
+    every fixture sf (guarded by test_srp_oracle_geometry_matches_auto)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from map_reduce_folds_spark.sources import table_rowcount
+
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.5)),
+            F.slice(F.col("embedding").cast("array<double>"), 2, _DIM - 1),
+        ).alias("embedding"),
+    )
+    n = table_rowcount(sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs_lsh(
+        base.unionByName(pert), "vec_id", "embedding", _DIM, _COS_T09,
+        n_planes="auto", n_tables="auto",
+        corpus_count=n + n // 10,
     )
     from map_reduce_folds_spark.operators.graph import components_of_pairs
 

@@ -513,6 +513,81 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+@query(
+    "sessionize_stream_stateful",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL STREAMING path, driver-verified: events replayed as a
+    file stream through ``streaming.sessionize_stateful`` (GroupState /
+    ``applyInPandasWithState``, event-time timers) must emit exactly the
+    batch sessionization — every (user, session) with its event-time
+    bounds and size.  Deterministic close: a far-future sentinel key
+    unioned into the stream advances the watermark past every
+    ``session_end + gap``, so each user's final open session closes by
+    TIMER (the no-data microbatch) while earlier ones close in-batch by
+    the gap rule — the streaming/batch equivalence the r10 verdict asked
+    to put under the CORRECTNESS gate (previously unit-tested only,
+    tests/test_streaming.py::test_sessionize_stateful_timer_close)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, run_to_memory, sessionize_stateful)
+
+    schema = "user_id bigint, ts timestamp"
+    # stage ONE source directory: a symlink to the fixture events file
+    # plus a sentinel row — the streaming file source requires a
+    # directory, and a single source guarantees the first microbatch
+    # swallows both files (a sentinel-first batch would make every real
+    # event late against the advanced watermark).
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"mrf_sess_stream_{abs(hash(os.path.abspath(sf_dir)))}")
+    sentinel_dir = src + "_sentinel"
+    spark.createDataFrame(
+        [(-1, dt.datetime(2100, 1, 1))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+    os.makedirs(src, exist_ok=True)
+    for f in os.listdir(src):
+        os.unlink(os.path.join(src, f))
+    os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+               os.path.join(src, "events.parquet"))
+    n = 0
+    for f in sorted(os.listdir(sentinel_dir)):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(sentinel_dir, f),
+                       os.path.join(src, f"sentinel_{n}.parquet"))
+            n += 1
+    stream = read_parquet_stream(
+        spark, src, schema, max_files_per_trigger=1000
+    ).withWatermark("ts", "0 seconds")
+    out = sessionize_stateful(stream, ["user_id"], "ts", gap_seconds=1800)
+    got = run_to_memory(out, "sessionize_stream_stateful_q",
+                        timeout_s=300, output_mode="append")
+    return got.where(F.col("user_id") >= 0).select(
+        "user_id", "session_start_us", "session_end_us", "n_events")
+
+
 # ---------------------------------------------------------------------------
 # Set ops / distinct / grouping sets
 # ---------------------------------------------------------------------------

@@ -57,22 +57,28 @@ def test_driver_window_covers_every_family():
 
     names = list(entrymod.queries())
     window = names[:50]
-    # round-10 rotation: dedup_simhash moved just past the window (the
-    # SimHash family stays in-window via the simhash_components-backed
-    # dedup_cc_clusters); dedup_jaccard_prefix / rfm / streaks / ewma
-    # entered
+    # round-11 rotation: the embedding near-dup family is represented by
+    # dedup_embedding_clusters_t09 (same SRP-LSH candidate pipeline at
+    # the production threshold, plus the CC closure); streaming by the
+    # end-to-end stateful sessionize row; five round-10 analytics
+    # families entered (gini / gopher / k-anonymity / HHI / session
+    # percentiles).  Displaced rows re-register just past the window.
     for must_have in [
-        "mr_fold_vocab", "mr_group_reduce_keyed", "mr_custom_fold_merge",
+        "mr_fold_vocab", "mr_group_reduce_keyed", "mr_product_median",
         "dedup_exact", "dedup_minhash", "dedup_cc_clusters",
         "dedup_jaccard_prefix", "rfm_customer_segments",
         "activity_streaks", "ewma_user_value",
         "record_linkage_customers", "resample_user_hourly",
-        "dedup_embedding", "text_stats", "scd2_user_event_history",
-        "sim_topk_bruteforce", "pipeline_clean_corpus", "multimodal_features",
+        "dedup_embedding_clusters_t09", "text_stats",
+        "scd2_user_event_history",
+        "sim_topk_bruteforce", "token_count_bpe", "multimodal_features",
         "data_quality_profile", "cusum_user_drift",
         "asof_join_purchase_click", "window_topk_per_group",
         "sessionize_events", "rollup_region_nation", "salted_aggregation",
-        "events_tumbling_window", "q1_pricing_summary",
+        "sessionize_stream_stateful", "q1_pricing_summary",
+        "k_anonymity_audit", "session_duration_percentiles",
+        "gini_doclen_by_source", "hhi_supplier_concentration",
+        "gopher_repetition_signals",
     ]:
         assert must_have in window, f"{must_have} fell outside the driver window"
     no_oracle = [n for n in window if n not in ORACLES]
@@ -108,4 +114,4 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'mr_assign_udf', 'mr_null_key_group', 'mr_filtered_folds', 'mr_group_reduce_keyed', 'mr_custom_fold_merge', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'token_count_bpe', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_jaccard_prefix', 'dedup_cc_clusters', 'dedup_embedding', 'sim_topk_bruteforce', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'deterministic_sample', 'pipeline_clean_corpus', 'data_quality_profile', 'sketch_union_hll', 'funnel_conversion', 'cusum_user_drift', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'sessionize_events', 'rollup_region_nation', 'salted_aggregation', 'events_tumbling_window', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'ewma_user_value', 'resample_user_hourly']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'session_duration_percentiles', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'hhi_supplier_concentration', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'token_count_bpe', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_jaccard_prefix', 'dedup_cc_clusters', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'deterministic_sample', 'gopher_repetition_signals', 'data_quality_profile', 'sketch_union_hll', 'funnel_conversion', 'cusum_user_drift', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'sessionize_events', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'ewma_user_value', 'resample_user_hourly']

@@ -1939,6 +1939,13 @@ def test_srp_oracle_geometry_matches_auto():
             f"{sf}: embeddings grew to {n} rows; auto geometry "
             f"{auto_srp_params(n, _COS_T)} no longer matches the oracle's "
             f"pinned ({_SRP_PLANES}, {_SRP_TABLES}) — regenerate the oracle")
+        # the t09 registration buckets the perturbed union (n + n//10
+        # rows) at threshold 0.9 — same pinned base geometry required
+        from map_reduce_folds_spark.queries.llm import _COS_T09
+
+        assert auto_srp_params(n + n // 10, _COS_T09) == \
+            (_SRP_PLANES, _SRP_TABLES), (
+            f"{sf}: t09 union geometry diverged from the pinned oracle")
         seen += 1
     assert seen, "no fixture dirs found"
 
