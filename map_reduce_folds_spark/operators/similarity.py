@@ -198,8 +198,19 @@ def srp_lsh_topk(
 def srp_bucket_rows(
     df: DataFrame, id_col: str, vec_col: str, dim: int,
     n_planes: int, n_tables: int,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(id, tbl, bucket) rows for ALL tables in ONE vectorized Arrow stage.
+
+    ``carry_vec=True`` additionally emits, on every bucket row, the
+    vector (as ``__vec array<double>`` — the float64 values the
+    projections were computed from, so a float input widens exactly)
+    and ``__all``, the row's bucket id in EVERY table: the inline-verify
+    join (see :func:`embedding_near_dup_pairs_lsh`) scores cosine where
+    both vectors are already co-located, and the all-tables array lets
+    the join emit each pair only at its FIRST agreeing table (canonical
+    meeting — no dedup aggregate), at the cost of n_tables× vector
+    duplication in the bucket relation.
 
     Semantically identical to exploding :func:`srp_signature` per table, but
     the Catalyst form is an ~8000-node literal expression tree whose
@@ -221,6 +232,8 @@ def srp_bucket_rows(
     pw = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
     id_type = dict(df.dtypes)[id_col]
     schema = f"__id {id_type}, tbl int, bucket bigint"
+    if carry_vec:
+        schema += ", __vec array<double>, __all array<bigint>"
     nt, npl = n_tables, n_planes
 
     def gen(batches):
@@ -235,11 +248,18 @@ def srp_bucket_rows(
                 acc += x[:, i : i + 1] * C[i]
             buckets = ((acc >= 0).reshape(len(pdf), nt, npl) * pw).sum(axis=2)
             ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame({
+            out = {
                 "__id": np.repeat(ids, nt),
                 "tbl": np.tile(np.arange(nt, dtype=np.int32), len(pdf)),
                 "bucket": buckets.reshape(-1),
-            })
+            }
+            if carry_vec:
+                rows = [r.tolist() for r in x]
+                ball = [r.tolist() for r in buckets]
+                rep = np.repeat(np.arange(len(pdf)), nt)
+                out["__vec"] = pd.Series([rows[i] for i in rep])
+                out["__all"] = pd.Series([ball[i] for i in rep])
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
 
@@ -322,6 +342,7 @@ def embedding_near_dup_pairs_lsh(
     corpus_count: int | None = None,
     materialize: bool = True,
     materialize_path: str | None = None,
+    verify: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs via SRP-LSH buckets — the 100 TB path (no cross join).
 
@@ -335,15 +356,38 @@ def embedding_near_dup_pairs_lsh(
     a SQL oracle can reproduce the bucketing — including which pairs
     surface — exactly (see queries/llm.py).
 
-    The candidate stream carries IDS ONLY — the bucket self-join and the
-    pair-dedup shuffle move 16-byte rows, not 2·dim-double vectors; vectors
-    (with their norms, computed once per row) join back only for the verify
-    scoring.  Signatures come from the vectorized :func:`srp_bucket_rows`
-    stage (the equivalent Catalyst expression tree costs seconds of
-    analysis per run).  ``materialize`` persists the (id, table, bucket)
-    rows before the self-join so the signature stage runs once, not on both
-    join sides; ``materialize_path`` writes them to a parquet table at that
-    path instead (the cluster-scale form — see dedup.materialize_stage).
+    TWO VERIFY STRATEGIES (round 11 — the 100× rehearsal found the old
+    single strategy's cliff).  ``verify=``
+
+    * ``"broadcast"`` — skinny (id, table, bucket) candidates → distinct
+      → cosine via TWO broadcast joins against the vector table, with an
+      EXPLICIT ``F.broadcast`` (the round-10 shape relied on the
+      planner's 64 MB auto-threshold: a 113 MB double-width vector table
+      silently fell into sort-merge joins whose sorts carried a vector
+      payload per CANDIDATE — 123M rows × 0.5 KB at 220k vectors / 21
+      tables — an unbounded spill that filled the rehearsal disk).
+      Fastest whenever one copy of the vectors fits every executor.
+    * ``"inline"`` — bucket rows carry their vector and all-tables
+      bucket array (``srp_bucket_rows(carry_vec=True)``); the join
+      output streams through a canonical-meeting filter (first agreeing
+      table — dedup WITHOUT an aggregate, the SimHash canonical-combo
+      trick) straight into the codegen'd cosine, merge-hinted so AQE
+      cannot broadcast-convert the fat self-join.  No vector ever moves
+      per-candidate — vector movement is bounded by the bucket relation
+      (n_tables× duplication); the billion-vector regime where nothing
+      broadcasts.  Measured at 100× (220k × 21 tables): 151 s where the
+      un-hinted broadcast-assuming shape died.
+    * ``"auto"`` (default) — ``"broadcast"`` while the estimated vector
+      table (rows × (dim·elem + 24 B)) stays under 256 MB — well inside
+      what an explicit broadcast handles, 4× the planner's conservative
+      threshold — else ``"inline"``.
+
+    Signatures come from the vectorized :func:`srp_bucket_rows` stage
+    (the equivalent Catalyst expression tree costs seconds of analysis
+    per run).  ``materialize`` persists the bucket rows before the
+    self-join so the signature stage runs once, not on both join sides;
+    ``materialize_path`` writes them to a parquet table at that path
+    instead (the cluster-scale form — see dedup.materialize_stage).
 
     SCALING THE BUCKET SPACE: bucket count is 2^n_planes per table, so a
     growing corpus at FIXED planes grows per-bucket occupancy linearly and
@@ -355,52 +399,109 @@ def embedding_near_dup_pairs_lsh(
     narrow ``df.count()`` scan.  Explicit ints keep working and skip the
     count.  Measured at 10× the sf0.1 corpus, planes 6→9 brought the run
     from 11.9× back to 0.8× of the base time (SCALE.md scaling table)."""
+    n = corpus_count if corpus_count is not None else (
+        df.count() if (n_planes == "auto" or n_tables == "auto"
+                       or verify == "auto") else 0)
     if n_planes == "auto" or n_tables == "auto":
-        n = corpus_count if corpus_count is not None else df.count()
         pinned = None if n_planes == "auto" else n_planes
         auto_p, auto_t = auto_srp_params(n, threshold, planes=pinned)
         n_planes = auto_p
         n_tables = auto_t if n_tables == "auto" else n_tables
-    buckets = srp_bucket_rows(df, id_col, vec_col, dim, n_planes, n_tables)
-    if materialize_path is not None:
-        from map_reduce_folds_spark.operators.dedup import materialize_stage
+    if verify == "auto":
+        elem = 8 if "double" in dict(df.dtypes)[vec_col] else 4
+        verify = ("broadcast"
+                  if n * (dim * elem + 24) <= 256 * 1024 * 1024
+                  else "inline")
+    if verify not in ("broadcast", "inline"):
+        raise ValueError(f"verify must be auto|broadcast|inline, "
+                         f"got {verify!r}")
 
-        buckets = materialize_stage(buckets, materialize_path)
-    elif materialize:
-        # lazy localCheckpoint: reused by the self-join's two sides,
-        # GC-cleaned (persist() on a lazily-returned frame leaks in the
-        # CacheManager unless the caller unpersists)
-        buckets = buckets.localCheckpoint(eager=False)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = a.join(
+    def _stage(frame):
+        if materialize_path is not None:
+            from map_reduce_folds_spark.operators.dedup import (
+                materialize_stage)
+
+            return materialize_stage(frame, materialize_path)
+        if materialize:
+            # lazy localCheckpoint: reused by the self-join's two sides,
+            # GC-cleaned (persist() on a lazily-returned frame leaks in
+            # the CacheManager unless the caller unpersists)
+            return frame.localCheckpoint(eager=False)
+        return frame
+
+    if verify == "broadcast":
+        buckets = _stage(srp_bucket_rows(
+            df, id_col, vec_col, dim, n_planes, n_tables))
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        ).select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+        ).distinct()
+        # verify stays JVM-side: per-pair norms + left-fold dot (an
+        # Arrow-batch numpy verify was measured SLOWER here — shipping
+        # 2·dim doubles per candidate through Arrow costs more than the
+        # interpreted fold saves); the vector table broadcasts
+        # EXPLICITLY — the planner's own threshold refusing a 113 MB
+        # table is exactly what produced the fatal fat-SMJ fallback
+        vecs = df.select(
+            F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"),
+            norm(F.col(vec_col), dim).alias("__n"),
+        )
+        out = (
+            cand.join(F.broadcast(vecs.select(
+                F.col("__vid").alias("id_a"), F.col("__vec").alias("va"),
+                F.col("__n").alias("na"))), "id_a")
+            .join(F.broadcast(vecs.select(
+                F.col("__vid").alias("id_b"), F.col("__vec").alias("vb"),
+                F.col("__n").alias("nb"))), "id_b")
+            .select(
+                "id_a", "id_b",
+                (dot(F.col("va"), F.col("vb"), dim)
+                 / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+            )
+        )
+        return out.filter(F.col("cos_sim") >= threshold)
+
+    buckets = srp_bucket_rows(df, id_col, vec_col, dim, n_planes, n_tables,
+                              carry_vec=True)
+    # norm once per bucket row, via the SAME left-fold Catalyst chain the
+    # oracle evaluates (a numpy norm would sum pairwise — different bits)
+    buckets = _stage(buckets.withColumn("__n", norm(F.col("__vec"), dim)))
+    # Pin the self-join to sort-merge: the bucket relation carries
+    # vectors, so an AQE broadcast conversion (observed at the 100×
+    # rehearsal — the reused-exchange side's stats tempt it) builds a
+    # multi-GB hash relation on the driver and dies; SMJ spills
+    # gracefully and its per-task sort input is bounded by the bucket
+    # relation, not the candidate stream.
+    a = buckets.alias("a").hint("merge")
+    b = buckets.alias("b").hint("merge")
+    # Pair dedup WITHOUT an aggregate (the SimHash canonical-combo trick,
+    # round 10): a pair meeting in k tables co-keys k times, but each row
+    # carries its bucket id in EVERY table (__all), so "this meeting's
+    # table is the FIRST where the two rows agree" selects exactly one
+    # meeting per pair — a scalar codegen filter in the join stage,
+    # replacing the distinct whose partial hash-agg competed with the
+    # join's sort buffers for task memory and OOM'd at the 100× scale
+    # rehearsal.  The filter runs BEFORE the cosine arithmetic (integer
+    # compares prune the duplicate meetings of true near-dups).
+    canonical = F.array_position(
+        F.zip_with(F.col("a.__all"), F.col("b.__all"),
+                   lambda x, y: x == y),
+        F.lit(True)) == (F.col("a.tbl").cast("bigint") + 1)
+    return a.join(
         b,
         (F.col("a.tbl") == F.col("b.tbl"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.__id") < F.col("b.__id")),
-    ).select(
+    ).filter(canonical).select(
         F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-    ).distinct()
-    # verify stays JVM-side: per-pair norms + left-fold dot (an Arrow-batch
-    # numpy verify was measured SLOWER here — shipping 2·dim doubles per
-    # candidate through Arrow costs more than the interpreted fold saves)
-    vecs = df.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"),
-        norm(F.col(vec_col), dim).alias("__n"),
-    )
-    out = (
-        cand.join(vecs.select(F.col("__vid").alias("id_a"),
-                              F.col("__vec").alias("va"),
-                              F.col("__n").alias("na")), "id_a")
-        .join(vecs.select(F.col("__vid").alias("id_b"),
-                          F.col("__vec").alias("vb"),
-                          F.col("__n").alias("nb")), "id_b")
-        .select(
-            "id_a", "id_b",
-            (dot(F.col("va"), F.col("vb"), dim)
-             / (F.col("na") * F.col("nb"))).alias("cos_sim"),
-        )
-    )
-    return out.filter(F.col("cos_sim") >= threshold)
+        (dot(F.col("a.__vec"), F.col("b.__vec"), dim)
+         / (F.col("a.__n") * F.col("b.__n"))).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def embedding_near_dup_pairs(
