@@ -345,6 +345,34 @@ def test_embedding_lsh_vs_exact(emb):
         assert recall >= 0.1, f"embedding-lsh recall {recall:.2f} on {len(exact)} pairs"
 
 
+def test_embedding_lsh_verify_modes_identical(emb):
+    """The two verify strategies (round 11) must emit the IDENTICAL pair
+    set with bitwise-identical cosines: broadcast = skinny candidates →
+    distinct → explicit-broadcast vector joins; inline = vectors carried
+    on bucket rows, canonical-first-agreeing-table dedup filter, no
+    aggregate.  Same buckets, same left-fold arithmetic — only the plan
+    differs.  Also pins that the inline plan really has NO dedup
+    aggregate over the candidate stream and the broadcast plan really
+    broadcasts (no sort-merge vector join — the 100× disk-filling
+    regression class)."""
+    from map_reduce_folds_spark import plans as P
+
+    kw = dict(threshold=0.4, n_planes=6, n_tables=8)
+    bc = S.embedding_near_dup_pairs_lsh(emb, verify="broadcast", **kw)
+    il = S.embedding_near_dup_pairs_lsh(emb, verify="inline", **kw)
+    got_bc = {(r.id_a, r.id_b): r.cos_sim for r in bc.collect()}
+    got_il = {(r.id_a, r.id_b): r.cos_sim for r in il.collect()}
+    assert set(got_bc) == set(got_il)
+    for pair, cos in got_bc.items():
+        assert cos == got_il[pair], pair  # bitwise-identical verify
+    il_plan = P.executed_plan(il)
+    assert "hashpartitioning(id_a" not in il_plan, "candidate dedup exchange"
+    bc_plan = P.executed_plan(bc)
+    assert "BroadcastHashJoin" in bc_plan, bc_plan
+    with pytest.raises(ValueError, match="verify"):
+        S.embedding_near_dup_pairs_lsh(emb, verify="bogus", **kw)
+
+
 def test_auto_srp_params():
     """Auto bucket-space sizing: +1 plane per corpus doubling past the
     base knee, tables compensated to hold the recall S-curve, explicit
