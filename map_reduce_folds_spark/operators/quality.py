@@ -182,6 +182,140 @@ def unigram_logprob(
     )
 
 
+def dsir_logweights(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance log-weights — Data Selection via Importance
+    Resampling (Xie et al., NeurIPS 2023 — public literature): score
+    every raw document by ``ln(p_target(x) / p_raw(x))`` under
+    bag-of-hashed-n-gram unigram models, so resampling by weight shifts
+    the raw corpus toward the target domain.  The standard
+    pretraining-data selection step when a small in-domain sample
+    (``target_pred`` rows) should steer selection from a large crawl.
+
+    Features are uni+bi-grams hashed into ``n_buckets`` buckets
+    (:func:`text.hash60` — engine-portable, so a SQL oracle reproduces
+    every bucket).  With add-1 smoothing, per-bucket term
+
+        t[b] = ln((ct[b]+1)/(Tt+B)) − ln((cr[b]+1)/(Tr+B))
+
+    and a document's log-weight is Σ_b n[b]·t[b] over its per-bucket
+    gram counts.  Output: ``(id, n_grams, logw)`` with logw rounded to
+    9 decimals.
+
+    Shape (100 TB): one gram explode feeds (a) the B-row bucket count
+    table (map-side combinable; B is a constant, the aggregate is tiny
+    regardless of corpus size) and (b) per-doc bucket counts; the B-row
+    term table broadcasts back; the per-doc reduction folds a SORTED
+    (bucket, contribution) array so float addition order is pinned
+    under any partitioning, and the terminal 9-decimal round absorbs
+    ln's cross-libm last-ulp (the :func:`unigram_logprob` discipline).
+    Totals ride a one-row broadcast."""
+    from map_reduce_folds_spark.operators.text import (
+        hash60, shingles, tokenize)
+
+    B = int(n_buckets)
+    tk = df.select(F.col(id_col), target_pred.alias("__t"),
+                   tokenize(text_col).alias("tk"))
+    grams = tk.select(
+        id_col, "__t",
+        F.explode(F.concat(F.col("tk"), shingles(F.col("tk"), 2)))
+        .alias("gram"),
+    ).select(id_col, "__t", (hash60(F.col("gram")) % B).alias("bkt"))
+    # the B-row bucket-count table feeds both the totals and the term
+    # table — checkpoint IT (tiny), so the corpus-sized gram explode
+    # evaluates exactly twice (bucket counts + per-doc counts), never a
+    # third time through tot's lineage
+    bc = grams.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+    ).localCheckpoint(eager=False)
+    tot = bc.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    term = bc.crossJoin(F.broadcast(tot)).select(  # one-row scalar idiom
+        "bkt",
+        (F.log((F.col("ct") + 1).cast("double")
+               / (F.col("tt") + B).cast("double"))
+         - F.log((F.col("cr") + 1).cast("double")
+                 / (F.col("tr") + B).cast("double"))).alias("term"),
+    )
+    dbc = grams.groupBy(id_col, "bkt").agg(F.count(F.lit(1)).alias("n"))
+    contrib = dbc.join(F.broadcast(term), "bkt").select(
+        id_col, "bkt", "n",
+        (F.col("n").cast("double") * F.col("term")).alias("c"),
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("bkt", "c")))
+    s = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["c"])
+    return contrib.groupBy(id_col).agg(
+        F.sum("n").alias("n_grams"),
+        F.round(s, 9).alias("logw"),
+    )
+
+
+def dsir_logweights_sql(
+    target_sql: str,
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> str:
+    """DuckDB mirror of :func:`dsir_logweights` — same hashed buckets,
+    same smoothing arithmetic, same sorted-fold reduction.
+    ``target_sql``: boolean SQL over the source row (e.g.
+    ``"lang = 'en'"``)."""
+    from map_reduce_folds_spark.operators.text import hash60_sql
+
+    B = int(n_buckets)
+    h = hash60_sql("gram")
+    return f"""
+    WITH tk AS (
+        SELECT {id_col}, ({target_sql}) AS t,
+               string_split({text_col}, ' ') AS tk
+        FROM {src}
+    ),
+    g AS (
+        SELECT {id_col}, t, {h} % {B} AS bkt
+        FROM (
+            SELECT {id_col}, t, unnest(tk) AS gram FROM tk
+            UNION ALL
+            SELECT {id_col}, t,
+                   array_to_string(tk[i.i:i.i+1], ' ') AS gram
+            FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(tk) - 1)) AS i) i
+            WHERE len(tk) >= 2
+        )
+    ),
+    bc AS (
+        SELECT bkt, COUNT(*) AS cr,
+               SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+        FROM g GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+    term AS (
+        SELECT bkt,
+               ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + {B} AS DOUBLE))
+             - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + {B} AS DOUBLE)) AS term
+        FROM bc, tot
+    ),
+    dbc AS (SELECT {id_col}, bkt, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    contrib AS (
+        SELECT d.{id_col}, d.bkt, d.n,
+               CAST(d.n AS DOUBLE) * term.term AS c
+        FROM dbc d JOIN term USING (bkt)
+    )
+    SELECT {id_col}, CAST(SUM(n) AS BIGINT) AS n_grams,
+           round(list_reduce(
+                     list_prepend(0.0,
+                         list_sort(list({{'b': bkt, 'c': c}}))
+                             .apply(s -> s.c)),
+                     (acc, x) -> acc + x), 9) AS logw
+    FROM contrib GROUP BY {id_col}
+    """
+
+
 def observe(df: DataFrame, name: str, metrics: Mapping[str, Column]):
     """Attach free-riding pipeline metrics to a DataFrame: returns
     ``(df, observation)`` where the named aggregate expressions are

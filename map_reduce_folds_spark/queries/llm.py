@@ -1921,6 +1921,26 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("vec_id"), "component")
 
 
+def _dsir_oracle() -> str:
+    from map_reduce_folds_spark.operators.quality import dsir_logweights_sql
+
+    return dsir_logweights_sql("lang = 'en'")
+
+
+@query("dsir_importance_weights", oracle=_dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR pretraining-data selection scores
+    (operators/quality.dsir_logweights — Xie et al., NeurIPS 2023):
+    every document's ln(p_target/p_raw) under bag-of-hashed-uni+bi-gram
+    models, target = the English slice — the importance weights that
+    steer resampling a raw crawl toward a target domain.  Hashed
+    buckets are engine-portable (hash60 % 1024), smoothing arithmetic
+    and the sorted per-doc fold follow the unigram_logprob 9-decimal
+    discipline, so the oracle hashes exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return Q.dsir_logweights(d, F.col("lang") == "en")
+
+
 _COS_T09 = 0.9  # production SemDeDup threshold (true near-dup regime)
 
 

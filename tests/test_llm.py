@@ -2250,3 +2250,26 @@ def test_vocab_growth_hand_case(spark):
         assert got[d] == (4, 3), d
     for d in (7, 8, 9, 10):
         assert got[d] == (6, 3), d
+
+
+def test_dsir_logweights_separates_target_domain(spark):
+    """DSIR hand-case (Xie et al.): a raw corpus with a distinctive
+    target-domain vocabulary — docs sharing the target's grams must
+    score HIGHER ln(p_target/p_raw) than docs that don't, and gram
+    counts are 2n−1 (unigrams + bigrams) per n-token doc."""
+    from map_reduce_folds_spark.operators.quality import dsir_logweights
+
+    rows = [
+        (1, "alpha beta alpha beta", True),    # target
+        (2, "alpha beta gamma", False),        # raw, target-like
+        (3, "delta epsilon zeta eta", False),  # raw, off-domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, t boolean")
+    got = {r.doc_id: r for r in
+           dsir_logweights(df, F.col("t"), "doc_id", "text").collect()}
+    assert got[1].n_grams == 7 and got[2].n_grams == 5 \
+        and got[3].n_grams == 7
+    # per-gram average weight: target-like beats off-domain
+    assert got[2].logw / got[2].n_grams > got[3].logw / got[3].n_grams
+    # the target doc itself scores highest per gram
+    assert got[1].logw / got[1].n_grams > got[2].logw / got[2].n_grams
