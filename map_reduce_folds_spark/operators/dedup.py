@@ -459,6 +459,162 @@ def duplicate_ngram_stats(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Exact-substring dedup as a CORPUS REWRITE — the removal step of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", public literature) at fixed ``n``-token gram granularity:
+    every occurrence of a corpus-duplicated n-token gram EXCEPT the
+    globally first one (minimal ``(doc_id, position)`` — deterministic
+    on any engine/partitioning) is cut from its document's text, and
+    overlapping cuts merge.  The suffix-array original removes
+    arbitrary-length duplicate spans; fixing the granularity turns the
+    whole computation into relational primitives — occurrence explode,
+    one gram-hash aggregate, a sorted per-doc interval fold — with no
+    per-node suffix structure, which is the 100 TB trade.
+
+    Shape: token scan → n-gram occurrence explode (JVM
+    :func:`text.shingles`) → per-gram-hash (count, argmin occurrence)
+    aggregate (map-side combinable, fixed-width bigint key) → join back
+    marks removal starts → per-doc SORTED interval fold rebuilds the
+    kept text with a (string, cursor, removed) state.  All-integer and
+    string arithmetic — bitwise portable, no rounding needed.  The text
+    rebuild assumes single-space tokenization (the fixture's canonical
+    form, same assumption as every shingle consumer).
+
+    Output: ``(id, clean_text, n_removed)`` — every input doc appears;
+    untouched docs carry their original text and ``n_removed = 0``."""
+    from map_reduce_folds_spark.operators.text import (
+        hash60, shingles, tokenize)
+
+    tk = docs.select(F.col(id_col), tokenize(text_col).alias("__tk"))
+    occ = tk.select(
+        id_col,
+        F.posexplode(shingles(F.col("__tk"), n)).alias("__p", "__g"),
+    ).select(id_col, (F.col("__p") + 1).alias("__s"),  # 1-based start
+             hash60(F.col("__g")).alias("__gh"))
+    stats = occ.groupBy("__gh").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("__s").alias("s"))).alias("__first"),
+    )
+    rem = occ.join(stats, "__gh").where(
+        (F.col("__cnt") >= 2)
+        & ~((F.col(id_col) == F.col("__first.d"))
+            & (F.col("__s") == F.col("__first.s")))
+    ).groupBy(id_col).agg(
+        F.array_sort(F.collect_list("__s")).alias("__starts"))
+    zero = F.struct(F.lit("").alias("o"),
+                    F.lit(1).cast("int").alias("cur"),
+                    F.lit(0).cast("int").alias("rm"))
+
+    def step(acc, s):
+        emit = F.concat_ws(" ", F.slice(
+            F.col("__tk"), acc["cur"],
+            F.greatest(s.cast("int") - acc["cur"], F.lit(0))))
+        joined = (F.when(emit == "", acc["o"])
+                  .when(acc["o"] == "", emit)
+                  .otherwise(F.concat(acc["o"], F.lit(" "), emit)))
+        covered = F.greatest(
+            s.cast("int") + n - F.greatest(acc["cur"], s.cast("int")),
+            F.lit(0))
+        return F.struct(
+            joined.alias("o"),
+            F.greatest(acc["cur"], s.cast("int") + n).alias("cur"),
+            (acc["rm"] + covered).alias("rm"))
+
+    def fin(acc):
+        tail = F.concat_ws(" ", F.slice(
+            F.col("__tk"), acc["cur"],
+            F.greatest(F.size("__tk") - acc["cur"] + 1, F.lit(0))))
+        joined = (F.when(tail == "", acc["o"])
+                  .when(acc["o"] == "", tail)
+                  .otherwise(F.concat(acc["o"], F.lit(" "), tail)))
+        return F.struct(joined.alias("o"), acc["rm"].alias("rm"))
+
+    rebuilt = tk.join(rem, id_col).select(
+        id_col,
+        F.aggregate("__starts", zero, step, fin).alias("__r"),
+    ).select(id_col, F.col("__r.o").alias("__clean"),
+             F.col("__r.rm").alias("__rm"))
+    return docs.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("__clean", F.col(text_col)).alias("clean_text"),
+        F.coalesce("__rm", F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+
+
+def remove_duplicate_spans_sql(src: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               n: int = 5) -> str:
+    """DuckDB mirror of :func:`remove_duplicate_spans`: same grams, same
+    first-occurrence rule (ROW_NUMBER over (doc, start)), but the
+    rebuild is PURE RELATIONAL — token positions of touched docs
+    range-join the removal intervals, kept = uncovered positions
+    reassembled in order, removed = len − kept.  (A first draft
+    mirrored the Spark interval fold with list_reduce; DuckDB 1.0.0's
+    list_reduce silently corrupts struct accumulators on longer lists —
+    a BIGINT field froze after one step, a VARCHAR field resurrected
+    dropped text past ~64 elements — so the oracle avoids list folds
+    here entirely.  The set-cover formulation is equal to the interval
+    merge by construction: both keep exactly the positions no
+    duplicated gram covers.)"""
+    from map_reduce_folds_spark.operators.text import hash60_sql
+
+    g = hash60_sql(f"array_to_string(tk[o.gs:o.gs+{n - 1}], ' ')")
+    return f"""
+    WITH tk AS (SELECT {id_col}, string_split({text_col}, ' ') AS tk
+                FROM {src}),
+    occ AS (
+        SELECT {id_col}, o.gs AS s, {g} AS gh
+        FROM tk, LATERAL (
+            SELECT unnest(generate_series(1, len(tk) - {n - 1})) AS gs) o
+        WHERE len(tk) >= {n}
+    ),
+    st AS (
+        SELECT {id_col}, s,
+               COUNT(*) OVER (PARTITION BY gh) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY gh
+                                  ORDER BY {id_col}, s) AS rn
+        FROM occ
+    ),
+    rem AS (SELECT {id_col}, s FROM st WHERE cnt >= 2 AND rn > 1),
+    pos AS (
+        SELECT t.{id_col}, p.p AS p, t.tk[p.p] AS tok, len(t.tk) AS nt
+        FROM tk t
+        JOIN (SELECT DISTINCT {id_col} FROM rem) rd USING ({id_col}),
+        LATERAL (SELECT unnest(generate_series(1, len(t.tk))) AS p) p
+    ),
+    covered AS (
+        SELECT DISTINCT p.{id_col}, p.p
+        FROM pos p JOIN rem r
+          ON r.{id_col} = p.{id_col}
+         AND p.p BETWEEN r.s AND r.s + {n - 1}
+    ),
+    fin AS (
+        SELECT p.{id_col},
+               COALESCE(array_to_string(
+                   list(CASE WHEN c.p IS NULL THEN p.tok END
+                        ORDER BY p.p) FILTER (c.p IS NULL), ' '),
+                   '') AS clean_text,
+               ANY_VALUE(p.nt)
+                   - COUNT(*) FILTER (c.p IS NULL) AS n_removed
+        FROM pos p LEFT JOIN covered c
+          ON c.{id_col} = p.{id_col} AND c.p = p.p
+        GROUP BY 1
+    )
+    SELECT d.{id_col},
+           COALESCE(fin.clean_text, d.{text_col}) AS clean_text,
+           CAST(COALESCE(fin.n_removed, 0) AS BIGINT) AS n_removed
+    FROM {src} d LEFT JOIN fin USING ({id_col})
+    """
+
+
 def shingle_containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

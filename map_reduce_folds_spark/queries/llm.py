@@ -1921,6 +1921,23 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("vec_id"), "component")
 
 
+@query(
+    "dedup_span_rewrite",
+    oracle=D.remove_duplicate_spans_sql(n=5),
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a corpus REWRITE
+    (operators/dedup.remove_duplicate_spans — the removal step of Lee et
+    al. 2022 at 5-token gram granularity): every non-first occurrence of
+    a corpus-duplicated 5-gram is cut, overlapping cuts merge, and the
+    globally-first occurrence (min (doc_id, position)) survives.
+    Complements duplicate_ngram_stats (the AUDIT form) and dedup_lines
+    (the line-level C4 rewrite) with the span-level rewrite; all-integer
+    + string arithmetic, hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(d, "doc_id", "text", n=5)
+
+
 def _dsir_oracle() -> str:
     from map_reduce_folds_spark.operators.quality import dsir_logweights_sql
 

@@ -2273,3 +2273,31 @@ def test_dsir_logweights_separates_target_domain(spark):
     assert got[2].logw / got[2].n_grams > got[3].logw / got[3].n_grams
     # the target doc itself scores highest per gram
     assert got[1].logw / got[1].n_grams > got[2].logw / got[2].n_grams
+
+
+def test_remove_duplicate_spans_hand_case(spark):
+    """Span-rewrite semantics (Lee et al. removal step): the globally
+    first occurrence (min (doc_id, pos)) of a duplicated 5-gram
+    survives, every later occurrence is cut, overlapping cuts merge,
+    and untouched docs pass through verbatim."""
+    from map_reduce_folds_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"intro {shared} outro"),          # first occurrence: kept
+        (2, f"head {shared} tail"),            # later occurrence: cut
+        (3, f"{shared} six {shared}"),         # within-doc repeat: 2nd cut
+        (4, "totally unique words here only"), # untouched
+        (5, "shorty"),                         # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", n=5).collect()}
+    assert got[1].clean_text == rows[0][1] and got[1].n_removed == 0
+    assert got[2].clean_text == "head tail" and got[2].n_removed == 5
+    # doc 3: first 5 tokens duplicated (doc 1 wins), "six" kept, trailing
+    # repeat cut; the overlapping grams spanning "six" are unique so only
+    # the two exact spans go
+    assert got[3].clean_text == "six" and got[3].n_removed == 10
+    assert got[4].clean_text == rows[3][1] and got[4].n_removed == 0
+    assert got[5].clean_text == "shorty" and got[5].n_removed == 0
