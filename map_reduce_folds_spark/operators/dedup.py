@@ -487,16 +487,29 @@ def remove_duplicate_spans(
     form, same assumption as every shingle consumer).
 
     Output: ``(id, clean_text, n_removed)`` — every input doc appears;
-    untouched docs carry their original text and ``n_removed = 0``."""
+    untouched docs carry their original text and ``n_removed = 0``.
+
+    Gram identity is a 120-bit key (two independently-salted 60-bit md5
+    hashes, fixed-width struct — still a map-side-combinable shuffle
+    key, unlike carrying the variable-width gram text).  Unlike the
+    audit-only :func:`duplicate_ngram_stats`, a false hash collision
+    here DELETES unique text, so the key is sized for the corpus this
+    docstring advertises: at 10^12 grams the birthday bound gives
+    P(any collision) ≈ (10^12)²/2^121 ≈ 4·10⁻¹³ (a single 60-bit key
+    would collide with near-certainty at that scale)."""
     from map_reduce_folds_spark.operators.text import (
         hash60, shingles, tokenize)
+
+    def gram_key(g):
+        return F.struct(hash60(g).alias("h1"),
+                        hash60(g, salt="span2").alias("h2"))
 
     tk = docs.select(F.col(id_col), tokenize(text_col).alias("__tk"))
     occ = tk.select(
         id_col,
         F.posexplode(shingles(F.col("__tk"), n)).alias("__p", "__g"),
     ).select(id_col, (F.col("__p") + 1).alias("__s"),  # 1-based start
-             hash60(F.col("__g")).alias("__gh"))
+             gram_key(F.col("__g")).alias("__gh"))
     stats = occ.groupBy("__gh").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct(F.col(id_col).alias("d"),
@@ -566,20 +579,22 @@ def remove_duplicate_spans_sql(src: str = "documents",
     duplicated gram covers.)"""
     from map_reduce_folds_spark.operators.text import hash60_sql
 
-    g = hash60_sql(f"array_to_string(tk[o.gs:o.gs+{n - 1}], ' ')")
+    gram = f"array_to_string(tk[o.gs:o.gs+{n - 1}], ' ')"
+    g1 = hash60_sql(gram)
+    g2 = hash60_sql(gram, salt="span2")
     return f"""
     WITH tk AS (SELECT {id_col}, string_split({text_col}, ' ') AS tk
                 FROM {src}),
     occ AS (
-        SELECT {id_col}, o.gs AS s, {g} AS gh
+        SELECT {id_col}, o.gs AS s, {g1} AS gh1, {g2} AS gh2
         FROM tk, LATERAL (
             SELECT unnest(generate_series(1, len(tk) - {n - 1})) AS gs) o
         WHERE len(tk) >= {n}
     ),
     st AS (
         SELECT {id_col}, s,
-               COUNT(*) OVER (PARTITION BY gh) AS cnt,
-               ROW_NUMBER() OVER (PARTITION BY gh
+               COUNT(*) OVER (PARTITION BY gh1, gh2) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY gh1, gh2
                                   ORDER BY {id_col}, s) AS rn
         FROM occ
     ),
@@ -1059,7 +1074,7 @@ def simhash_near_dup_pairs(
 
 
 def _auto_blocks(n: int, bits: int, max_hamming: int,
-                 combo_cap: int = 128) -> int:
+                 combo_cap: int = 128, max_b: int = 12) -> int:
     """Pick the multi-index block count b minimizing the estimated
     candidate-generation cost ``C(b, b−r)·n + C(b, b−r)·n²/2^keybits``
     (emit rows + expected same-key pairs under uniform signatures, with
@@ -1072,8 +1087,19 @@ def _auto_blocks(n: int, bits: int, max_hamming: int,
     guarantee needs only ≥ b−r agreeing blocks)."""
     from math import comb
 
+    # ``max_b`` mirrors the plan-size guard in _pigeonhole_sig_pairs
+    # (the 2^b canonical-combo table is a plan literal): the search
+    # never returns a b the guard would reject (r11 advice — at large
+    # max_hamming the cost model could pick b=13 with C(13,2)=78 under
+    # the combo cap but over the table cap).
+    if max_hamming + 1 > max_b:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
+            f"blocks, beyond the plan-size cap b <= {max_b}; combination "
+            "blocking is the wrong tool at that radius — use a smaller "
+            "max_hamming or a candidate-free exact pass")
     best_b, best_cost = max_hamming + 1, None
-    for b in range(max_hamming + 1, bits + 1):
+    for b in range(max_hamming + 1, min(bits, max_b) + 1):
         m = b - max_hamming
         c = comb(b, m)
         if c > combo_cap:

@@ -148,9 +148,9 @@ def srp_lsh_topk(
 
     Default ``n_planes="auto"`` sizes the bucket space from the corpus
     cardinality via :func:`auto_srp_params` (base 8 planes / 4 tables,
-    +1 plane per corpus doubling past 2^8·64 rows, tables compensated to
-    hold the recall S-curve at cos≈0.9 — the regime a top-k search must
-    not miss).  Pass ``corpus_count`` to skip the sizing count scan, or
+    occupancy shrinking past the 2^8·64-row knee per the
+    linear-candidates rule, tables compensated to hold the recall
+    S-curve at cos≈0.9 — the regime a top-k search must not miss).  Pass ``corpus_count`` to skip the sizing count scan, or
     explicit ints to pin the geometry (as the oracle-backed registered
     query does)."""
     if n_planes == "auto" or n_tables == "auto":
@@ -314,18 +314,43 @@ def auto_srp_params(
     grow only 1.17× per plane and the 0.9-cosine recall stays ≥ 0.97.
     At threshold 0.95 the default is the threshold itself (~1.11× per
     plane); table count grows like a small power of n either way, far
-    cheaper than the n² occupancy blow-up it prevents."""
+    cheaper than the n² occupancy blow-up it prevents.
+
+    OCCUPANCY SHRINKS WITH n (round 12 — the linear-candidates rule).
+    Holding occupancy CONSTANT leaves candidate volume superlinear:
+    candidates ≈ n·occ/2 per table × tables, and tables must grow
+    ``(n/occ)^c`` with ``c = log2(1/p1)`` to hold recall, so fixed occ
+    gives candidates ∝ n^(1+c) — measured as the 17× wall per 10× at
+    the 100× rehearsal (c ≈ 0.224 at cos 0.9, SCALE_BENCH_r11, the
+    repo's only super-linear rows).  Since candidates ∝
+    n^(1+c)·occ^(1−c), shrinking occupancy as ``occ = target ·
+    (n/knee)^(−c/(1−c))`` past the knee (``knee = target·2^base_planes``,
+    where planes first exceed base) cancels the exponent exactly:
+    candidate volume returns to ~n (at cos 0.9, β = c/(1−c) ≈ 0.29 —
+    10× data → occupancy ÷2, planes +1 beyond the constant-occupancy
+    schedule).  The price is more tables (∝ n^(c(1+β)) ≈ n^0.27 — the
+    bucket relation stays skinny and trivially smaller than the
+    candidate set it buys down) — the classic LSH n^ρ storage/work
+    trade, spent on storage.  ``occ_floor`` (8) bounds the shrink: below
+    ~8 rows a bucket's join output no longer dominates its fixed row
+    overhead and table compensation goes exponential; past the floor
+    (n ≈ knee·(target/floor)^(1/β), ~5M rows at the defaults) growth
+    reverts to n^(1+c) but from an 8×-smaller constant."""
     import math
 
-    if planes is None:
-        planes = base_planes
-        if n_rows > target_bucket:
-            planes = max(base_planes,
-                         math.ceil(math.log2(n_rows / target_bucket)))
     if recall_cos is None:
         recall_cos = max(threshold, 0.9)
     theta = math.acos(min(max(recall_cos, -1.0), 1.0))
     p1 = 1.0 - theta / math.pi
+    c = math.log2(1.0 / p1)
+    if planes is None:
+        planes = base_planes
+        knee = target_bucket * (1 << base_planes)
+        if n_rows > knee:
+            beta = c / (1.0 - c)
+            occ = max(8.0, target_bucket / (n_rows / knee) ** beta)
+            planes = max(base_planes,
+                         math.ceil(math.log2(n_rows / occ)))
     n_tables = max(base_tables, math.ceil(
         base_tables * (1.0 / p1) ** (planes - base_planes)))
     return planes, n_tables
@@ -392,11 +417,13 @@ def embedding_near_dup_pairs_lsh(
     SCALING THE BUCKET SPACE: bucket count is 2^n_planes per table, so a
     growing corpus at FIXED planes grows per-bucket occupancy linearly and
     the bucket self-join quadratically.  The DEFAULT is therefore
-    ``n_planes="auto"``: :func:`auto_srp_params` derives planes (+1 per
-    corpus doubling past 2^6·target_bucket rows) and compensating tables
-    from the corpus cardinality — supplied via ``corpus_count`` when the
-    caller already knows it (a catalog rowcount at 100 TB), else one
-    narrow ``df.count()`` scan.  Explicit ints keep working and skip the
+    ``n_planes="auto"``: :func:`auto_srp_params` derives planes (past
+    the 2^6·target_bucket-row knee, occupancy itself shrinks as
+    n^(−c/(1−c)) so candidate volume stays ~n — the round-12
+    linear-candidates rule) and compensating tables from the corpus
+    cardinality — supplied via ``corpus_count`` when the caller already
+    knows it (a catalog rowcount at 100 TB), else one narrow
+    ``df.count()`` scan.  Explicit ints keep working and skip the
     count.  Measured at 10× the sf0.1 corpus, planes 6→9 brought the run
     from 11.9× back to 0.8× of the base time (SCALE.md scaling table)."""
     n = corpus_count if corpus_count is not None else (

@@ -533,7 +533,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SRP-LSH oracle geometry.  The registered embedding-dedup queries run the
 # operator's ``n_planes="auto"`` occupancy rule (similarity.auto_srp_params:
-# planes = max(6, ceil(log2(n/64))), tables compensate recall); the static
+# occupancy shrinks past the 4096-row knee so candidates stay ~linear,
+# tables compensate recall); the static
 # DuckDB oracle must embed ONE geometry, so these constants are the auto
 # resolution at every committed fixture (embeddings: 500 rows at
 # sf0.001/sf0.01, 2000 at sf0.1 — all ≤ 2^6·64, hence base 6/8).  Guarded by
@@ -591,8 +592,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed fixture sf the corpus is small enough that auto resolves to
     the base (_SRP_PLANES, _SRP_TABLES) the static oracle embeds — see
     the _SRP_PLANES comment — while the 10×/100× scale harness corpora
-    get the occupancy-constant geometry the fixed registration lacked
-    (3.89× at 10× pinned vs 0.8× auto, SCALE_BENCH_r09)."""
+    get the shrinking-occupancy geometry the fixed registration lacked
+    (3.89× at 10× pinned vs 0.8× auto, SCALE_BENCH_r09; candidates
+    returned to ~linear by the round-12 occupancy rule)."""
     e = load_table(spark, sf_dir, "embeddings")
     from map_reduce_folds_spark.sources import table_rowcount
 
@@ -1899,7 +1901,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup clusters: SRP-LSH near-dup pairs
-    (cosine ≥ 0.4; ``"auto"`` occupancy-constant geometry, which resolves
+    (cosine ≥ 0.4; ``"auto"`` shrinking-occupancy geometry, which resolves
     to the oracle's pinned base planes/tables at every fixture sf — see
     the _SRP_PLANES comment) → distributed connected components →
     ``(vec_id, canonical component)``.  The embedding analog of dedup_cc_clusters — transitive

@@ -559,31 +559,37 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plus a sentinel row — the streaming file source requires a
     # directory, and a single source guarantees the first microbatch
     # swallows both files (a sentinel-first batch would make every real
-    # event late against the advanced watermark).
-    src = os.path.join(
-        tempfile.gettempdir(),
-        f"mrf_sess_stream_{abs(hash(os.path.abspath(sf_dir)))}")
-    sentinel_dir = src + "_sentinel"
-    spark.createDataFrame(
-        [(-1, dt.datetime(2100, 1, 1))], schema
-    ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
-    os.makedirs(src, exist_ok=True)
-    for f in os.listdir(src):
-        os.unlink(os.path.join(src, f))
-    os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-               os.path.join(src, "events.parquet"))
-    n = 0
-    for f in sorted(os.listdir(sentinel_dir)):
-        if f.endswith(".parquet"):
-            os.symlink(os.path.join(sentinel_dir, f),
-                       os.path.join(src, f"sentinel_{n}.parquet"))
-            n += 1
-    stream = read_parquet_stream(
-        spark, src, schema, max_files_per_trigger=1000
-    ).withWatermark("ts", "0 seconds")
-    out = sessionize_stateful(stream, ["user_id"], "ts", gap_seconds=1800)
-    got = run_to_memory(out, "sessionize_stream_stateful_q",
-                        timeout_s=300, output_mode="append")
+    # event late against the advanced watermark).  Per-run mkdtemp (r11
+    # advice): the old name keyed on Python's per-process randomized
+    # hash(), so runs leaked unreclaimed /tmp dirs and two same-named
+    # concurrent runs would race on unlink-then-symlink; mkdtemp is
+    # collision-free by construction and removed in the finally.
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="mrf_sess_stream_")
+    sentinel_dir = tempfile.mkdtemp(prefix="mrf_sess_sentinel_")
+    try:
+        spark.createDataFrame(
+            [(-1, dt.datetime(2100, 1, 1))], schema
+        ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+                   os.path.join(src, "events.parquet"))
+        n = 0
+        for f in sorted(os.listdir(sentinel_dir)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(sentinel_dir, f),
+                           os.path.join(src, f"sentinel_{n}.parquet"))
+                n += 1
+        stream = read_parquet_stream(
+            spark, src, schema, max_files_per_trigger=1000
+        ).withWatermark("ts", "0 seconds")
+        out = sessionize_stateful(stream, ["user_id"], "ts",
+                                  gap_seconds=1800)
+        got = run_to_memory(out, "sessionize_stream_stateful_q",
+                            timeout_s=300, output_mode="append")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(sentinel_dir, ignore_errors=True)
     return got.where(F.col("user_id") >= 0).select(
         "user_id", "session_start_us", "session_end_us", "n_events")
 

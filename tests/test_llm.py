@@ -374,19 +374,33 @@ def test_embedding_lsh_verify_modes_identical(emb):
 
 
 def test_auto_srp_params():
-    """Auto bucket-space sizing: +1 plane per corpus doubling past the
-    base knee, tables compensated to hold the recall S-curve, explicit
-    planes pinned but tables still derived (the round-5 scale-trap fix)."""
+    """Auto bucket-space sizing: occupancy SHRINKS past the base knee
+    (occ = target·(n/knee)^(−c/(1−c)), the round-12 linear-candidates
+    rule — constant occupancy left candidates ∝ n^1.22, the 17×-per-10×
+    wall of SCALE_BENCH_r11), tables compensated to hold the recall
+    S-curve, explicit planes pinned but tables still derived (the
+    round-5 scale-trap fix)."""
     base = S.auto_srp_params(1_000)
     assert base == (6, 8)  # under the knee: base geometry
     p10, t10 = S.auto_srp_params(64 * 64 * 10)       # 10x past the knee
     p100, t100 = S.auto_srp_params(64 * 64 * 100)    # 100x past the knee
-    assert p10 == 10 and p100 == 13  # ceil(log2(n/64)): +1 per doubling
+    assert p10 == 10 and p100 == 14  # beyond +1-per-doubling: occ shrinks
     assert t100 >= t10 >= 8          # monotone recall compensation
-    # expected occupancy n / 2^planes stays bounded near target_bucket
+    # occupancy n / 2^planes stays bounded by target_bucket and SHRINKS
+    # with n past the knee (down to the floor of 8)
+    prev = 64.0
     for n in (10**4, 10**5, 10**6, 10**8):
         planes, _ = S.auto_srp_params(n)
-        assert n / 2 ** planes <= 64
+        occ = n / 2 ** planes
+        assert occ <= prev + 1e-9 and occ <= 64
+        prev = occ
+    # candidate volume n·occ/2·tables grows ≤ ~linearly per 10× across
+    # the measured regime (the whole point of the shrink rule)
+    def cand(n):
+        p, t = S.auto_srp_params(n, threshold=0.9)
+        return n * (n / 2 ** p) / 2 * t
+    for lo, hi in ((2 * 10**4, 2 * 10**5), (2 * 10**5, 2 * 10**6)):
+        assert cand(hi) / cand(lo) <= 12.0, (lo, hi, cand(hi) / cand(lo))
     # pinned planes: tables still compensated for the pinned geometry
     pp, pt = S.auto_srp_params(64 * 64 * 100, planes=9)
     assert pp == 9 and pt == math.ceil(8 * (1 / (1 - math.acos(0.95) / math.pi)) ** 3)

@@ -124,7 +124,12 @@ def main():
         # 10x/100x the join shuffles both fact sides (3) — recorded, not
         # asserted, since the crossover is a size-threshold detail
         assert [r[:2] for r in want] == [r[:2] for r in got]
-        assert all(abs(a[2] - b[2]) < 1e-6 and a[3] == b[3]
+        # relative tolerance (r11 advice): the two plans sum doubles in
+        # different orders (shuffle vs bucket-sorted reads) and profit
+        # reaches ~1e9 at 100x, where order-dependent rounding exceeds
+        # any absolute 1e-6
+        assert all(abs(a[2] - b[2]) <= 1e-9 * max(1.0, abs(a[2]))
+                   and a[3] == b[3]
                    for a, b in zip(want, got))
 
         plain = best_of_2(
