@@ -18,6 +18,18 @@ Copy transforms keep the WORKLOAD shape linear rather than quadratic:
   ~orthogonal), so candidate volumes scale linearly.
 - events: ts shifted by 7c seconds per copy so per-user streams
   interleave instead of stacking 10 duplicates on each instant.
+- customer + nation (round 12): the record-linkage family scales on
+  CUSTOMER, and with all dims fixed its 10x/100x rows measured nothing
+  (flat 13 s, SCALE_BENCH_r11 note / r11 verdict #2).  Copy c offsets
+  c_custkey and moves the copy into its OWN nation-key space
+  (c_nationkey + 25c, with nation replicated the same way so every FK
+  stays valid) — per-block size is constant, block COUNT grows with the
+  data, so blocked-linkage candidates scale 10x, not the 100x a
+  fixed-key-space copy would produce (the realistic shape: a growing
+  customer base comes with a growing blocking-key domain, Hernández–
+  Stolfo).  Names get the ``_c{c}`` suffix — a common suffix preserves
+  every within-copy Levenshtein distance, so the match histogram is
+  exactly ``copies ×`` the base histogram on shifted keys.
 
 Usage: python tools/gen_scale10.py [out_dir] [copies]
        (defaults: scale_data/sf1.0, 10 copies)
@@ -37,9 +49,10 @@ from map_reduce_folds_spark.session import get_spark  # noqa: E402
 COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 # optional 3rd arg: comma-separated fact-table subset (a 100× rehearsal
 # of the document/embedding rows doesn't need 60M lineitems on disk)
-FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
+FACTS = ("orders", "lineitem", "events", "documents", "embeddings",
+         "customer")
 WANT = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set(FACTS)
-DIMS = ("region", "nation", "customer", "supplier", "part")
+DIMS = ("region", "supplier", "part")
 
 
 def main() -> None:
@@ -55,6 +68,45 @@ def main() -> None:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode(
             "overwrite").parquet(f"{out}/{t}.parquet")
         print(f"# {t}: copied")
+
+    if "customer" in WANT:
+        nat = spark.read.parquet(f"{src}/nation.parquet")
+        nk_off = nat.agg(F.max("n_nationkey")).first()[0] + 1
+        nparts = [nat] + [
+            nat.withColumn("n_nationkey",
+                           F.col("n_nationkey") + F.lit(c * nk_off))
+               .withColumn("n_name",
+                           F.concat(F.col("n_name"), F.lit(f"_c{c}")))
+            for c in range(1, COPIES)
+        ]
+        u = nparts[0]
+        for p in nparts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/nation.parquet")
+        print(f"# nation: x{COPIES} (nationkey offset {nk_off})")
+
+        cust = spark.read.parquet(f"{src}/customer.parquet")
+        ck_off = cust.agg(F.max("c_custkey")).first()[0] + 1
+        cparts = [cust] + [
+            cust.withColumn("c_custkey",
+                            F.col("c_custkey") + F.lit(c * ck_off))
+                .withColumn("c_nationkey",
+                            F.col("c_nationkey") + F.lit(c * nk_off))
+                .withColumn("c_name",
+                            F.concat(F.col("c_name"), F.lit(f"_c{c}")))
+            for c in range(1, COPIES)
+        ]
+        u = cparts[0]
+        for p in cparts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/customer.parquet")
+        print(f"# customer: x{COPIES} (custkey offset {ck_off}, "
+              f"per-copy nation space)")
+    else:
+        for t in ("nation", "customer"):
+            spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+                "overwrite").parquet(f"{out}/{t}.parquet")
+            print(f"# {t}: copied")
 
     if "orders" in WANT or "lineitem" in WANT:
         orders = spark.read.parquet(f"{src}/orders.parquet")
