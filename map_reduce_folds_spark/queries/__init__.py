@@ -125,10 +125,23 @@ _PRIORITY = [
     # resample + forward-fill family) displacing
     # q17_small_quantity_revenue — TPC-H keeps q1/q7/q9 in-window and
     # q17 re-registers immediately past it.
+    # Round 12 swaps, per the same displacement rule (r11 verdict Next
+    # #3): the two round-11 operator families rotate in —
+    #   dedup_span_rewrite (NEW span-level corpus-rewrite family: the
+    #     Lee-et-al exact-substring removal — occurrence explode,
+    #     120-bit gram key, sorted per-doc interval fold) displaces
+    #     dedup_jaccard_prefix (dedup keeps six in-window rows: exact,
+    #     minhash, lines, cc_clusters, t09, span_rewrite; the PPJoin
+    #     prefix row re-registers immediately past the window);
+    #   dsir_importance_weights (NEW data-selection family: DSIR
+    #     importance resampling log-weights, Xie et al. 2023) displaces
+    #     ewma_user_value (time-series keeps cusum_user_drift,
+    #     resample_user_hourly, activity_streaks; EWMA re-registers
+    #     immediately past the window).
     "dedup_exact", "record_linkage_customers", "dedup_minhash",
-    "dedup_jaccard_prefix",
+    "dedup_span_rewrite",
     "dedup_cc_clusters", "dedup_embedding_clusters_t09",
-    "sim_topk_bruteforce",
+    "sim_topk_bruteforce", "dsir_importance_weights",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
     "diff_orders_snapshots",
     "scd2_user_event_history", "deterministic_sample",
@@ -162,9 +175,10 @@ _PRIORITY = [
     # mr_simple_unpack stays hash-exact in LOCAL_CORRECTNESS; the window
     # now driver-verifies TPC-H q1/q7/q9/q17.  embedding_quantize_int8's
     # registration was re-shaped to scalar rows (r5's only red row).
-    "embedding_quantize_int8", "ewma_user_value",
+    "embedding_quantize_int8",
     "resample_user_hourly",
     # first entries PAST the 50-window: the displaced green rows
+    "dedup_jaccard_prefix", "ewma_user_value",
     "dedup_embedding", "mr_filtered_folds", "pipeline_clean_corpus",
     "mr_assign_udf", "mr_custom_fold_merge", "mr_null_key_group",
     "events_tumbling_window",
