@@ -460,6 +460,74 @@ def test_bucketed_groupby_no_shuffle(spark, tmp_path_factory):
         shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
 
 
+def test_scale_audit_bucketed_join_rule(spark):
+    """The fact-fact shuffle-join rule (round 12, promoting the measured
+    q9 bucketed recipe from tools/bench_q9_bucketed.py to the API):
+
+    * plain q9-shaped lineitem⋈orders with broadcast disabled → FLAGGED,
+      recommending sources.write_bucketed when no layout exists and
+      naming the layout when the catalog has one;
+    * the same join over bucketed tables (Exchange-free) → clean;
+    * a self-join of DERIVED relations (aggregate before the shuffle)
+      → NOT flagged: no stored layout can pre-partition it."""
+    from map_reduce_folds_spark import sources
+    from map_reduce_folds_spark.sources import load_table
+
+    import shutil
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    names = ("li_bkt_audit_pin", "o_bkt_audit_pin")
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        shutil.rmtree(f"spark-warehouse/{n}", ignore_errors=True)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                             None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority").agg(F.sum("l_quantity").alias("s"))
+        plain.collect()
+        f = P.scale_audit(plain)
+        assert any("fact-fact shuffle join" in s
+                   and "write_bucketed" in s for s in f), f
+        sources.write_bucketed(li, names[0], ["l_orderkey"], n_buckets=8,
+                               sort_cols=["l_orderkey"])
+        sources.write_bucketed(o, names[1], ["o_orderkey"], n_buckets=8,
+                               sort_cols=["o_orderkey"])
+        f2 = P.scale_audit(plain)
+        assert any("bucketed layout exists" in s
+                   and names[0] in s for s in f2), f2
+        bkt = spark.table(names[0]).join(
+            spark.table(names[1]),
+            F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority").agg(F.sum("l_quantity").alias("s"))
+        bkt.collect()
+        assert not any("fact-fact" in s for s in P.scale_audit(bkt)), \
+            P.executed_plan(bkt)
+        # derived-relation self-join: aggregate feeds both sides — the
+        # dedup/LSH idiom must stay unflagged
+        agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        der = agg.alias("a").join(agg.alias("b"), "l_orderkey")
+        der.collect()
+        assert not any("fact-fact" in s for s in P.scale_audit(der)), \
+            P.executed_plan(der)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(f"spark-warehouse/{n}", ignore_errors=True)
+
+
 def test_sorted_neighborhood_no_cartesian(spark):
     """The SNB positional join must stay an equi-join: a condition mixing
     left and right columns (p + d = pb) degrades to CartesianProduct —
