@@ -135,9 +135,17 @@ _PRIORITY = [
     #     prefix row re-registers immediately past the window);
     #   dsir_importance_weights (NEW data-selection family: DSIR
     #     importance resampling log-weights, Xie et al. 2023) displaces
-    #     ewma_user_value (time-series keeps cusum_user_drift,
+    #     ewma_user_value (time-series keeps cusum (both forms),
     #     resample_user_hourly, activity_streaks; EWMA re-registers
     #     immediately past the window).
+    # Round-12 late swap, same rule (r11 verdict Next #5):
+    # cusum_stream_stateful enters (SECOND stateful-streaming row:
+    # GroupState CUSUM over a two-batch ts-ordered file replay, state
+    # carried across the micro-batch boundary, verified against the
+    # SAME batch closed-form oracle) displacing cusum_user_drift — the
+    # change-detection family stays represented by the strictly richer
+    # streaming row (identical oracle SQL); the batch row re-registers
+    # immediately past the window.
     "dedup_exact", "record_linkage_customers", "dedup_minhash",
     "dedup_span_rewrite",
     "dedup_cc_clusters", "dedup_embedding_clusters_t09",
@@ -165,7 +173,7 @@ _PRIORITY = [
     # broadcast their dims; the broadcast discipline is additionally
     # plan-pinned in test_plans), and join_broadcast_dims re-registers
     # immediately past the window.
-    "cusum_user_drift", "asof_join_purchase_click",
+    "cusum_stream_stateful", "asof_join_purchase_click",
     "interval_join_attribution", "window_topk_per_group",
     "sessionize_events", "rollup_region_nation", "salted_aggregation",
     "sessionize_stream_stateful", "q1_pricing_summary", "q9_product_profit",
@@ -178,7 +186,7 @@ _PRIORITY = [
     "embedding_quantize_int8",
     "resample_user_hourly",
     # first entries PAST the 50-window: the displaced green rows
-    "dedup_jaccard_prefix", "ewma_user_value",
+    "dedup_jaccard_prefix", "ewma_user_value", "cusum_user_drift",
     "dedup_embedding", "mr_filtered_folds", "pipeline_clean_corpus",
     "mr_assign_udf", "mr_custom_fold_merge", "mr_null_key_group",
     "events_tumbling_window",

@@ -594,6 +594,76 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start_us", "session_end_us", "n_events")
 
 
+def _cusum_stream_stateful_impl(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The SECOND stateful-streaming path under the driver gate (r11
+    verdict Next #5): events replayed as a TWO-BATCH file stream through
+    ``streaming.stream_cusum`` (GroupState, applyInPandasWithState) must
+    equal the batch ``windows.cusum_per_key`` oracle exactly — integer
+    state, alarms included, with state genuinely CARRIED across the
+    micro-batch boundary.
+
+    Determinism of the replay: the fixture is split at the median
+    timestamp into two staged files (every event with ts ≤ cut in file
+    A, the rest in file B), so each user's events arrive in
+    nondecreasing event-time order across batches — equal-timestamp
+    pairs land in the SAME file, where the operator's in-batch
+    (ts, tiebreak) sort orders them — making the arrival-order fold
+    bitwise-equal to the batch closed form.  File order is pinned twice
+    (mtime AND lexicographic name) and ``max_files_per_trigger=1``
+    forces one file per micro-batch.  The final per-user state is the
+    row with the largest n_events (monotone per key under update
+    mode)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, run_to_memory, stream_cusum)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id")
+    cut = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).first()["c"]
+    src = tempfile.mkdtemp(prefix="mrf_cusum_stream_")
+    stage = tempfile.mkdtemp(prefix="mrf_cusum_stage_")
+    try:
+        ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(stage, "a"))
+        ev.where(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(stage, "b"))
+        t0 = time.time()
+        for i, half in enumerate(("a", "b")):
+            n = 0
+            d = os.path.join(stage, half)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    tgt = os.path.join(d, f)
+                    os.utime(tgt, (t0 + 100 * i, t0 + 100 * i))
+                    os.symlink(tgt,
+                               os.path.join(src, f"{half}_{n}.parquet"))
+                    n += 1
+        stream = read_parquet_stream(
+            spark, src,
+            "user_id bigint, ts timestamp, value double, event_id bigint",
+            max_files_per_trigger=1)
+        out = stream_cusum(stream, "user_id", "ts", "value",
+                           _CUSUM_K, _CUSUM_H, tiebreak_col="event_id",
+                           output_mode="update")
+        got = run_to_memory(out, "cusum_stream_stateful_q",
+                            timeout_s=300, output_mode="update")
+        # materialize before the staging dirs disappear
+        final = got.groupBy("user_id").agg(
+            F.max_by(F.struct("n_events", "final_cusum", "max_cusum",
+                              "n_alarms"), "n_events").alias("s")
+        ).select("user_id", "s.*")
+        final = final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+    return final
+
+
 # ---------------------------------------------------------------------------
 # Set ops / distinct / grouping sets
 # ---------------------------------------------------------------------------
@@ -2846,6 +2916,22 @@ def cusum_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return W.cusum_per_key(e, "user_id", "ts", "value",
                            _CUSUM_K, _CUSUM_H, tiebreak_col="event_id")
+
+
+@query(
+    "cusum_stream_stateful",
+    oracle=W.cusum_sql("events", "user_id", "ts", "value",
+                       _CUSUM_K, _CUSUM_H, tiebreak_expr="event_id"),
+)
+def cusum_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second stateful-streaming path under the driver gate (r11 verdict
+    Next #5): events replayed as a TWO-BATCH file stream through
+    ``streaming.stream_cusum`` (GroupState / applyInPandasWithState)
+    must equal the batch ``windows.cusum_per_key`` closed form exactly —
+    integer state, alarms included, state genuinely CARRIED across the
+    micro-batch boundary (implementation and determinism argument in
+    ``_cusum_stream_stateful_impl``)."""
+    return _cusum_stream_stateful_impl(spark, sf_dir)
 
 
 @query(

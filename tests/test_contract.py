@@ -76,7 +76,7 @@ def test_driver_window_covers_every_family():
         "dedup_embedding_clusters_t09", "text_stats",
         "scd2_user_event_history",
         "sim_topk_bruteforce", "token_count_bpe", "multimodal_features",
-        "data_quality_profile", "cusum_user_drift",
+        "data_quality_profile", "cusum_stream_stateful",
         "asof_join_purchase_click", "window_topk_per_group",
         "sessionize_events", "rollup_region_nation", "salted_aggregation",
         "sessionize_stream_stateful", "q1_pricing_summary",
@@ -118,4 +118,4 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'session_duration_percentiles', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'hhi_supplier_concentration', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'token_count_bpe', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_cc_clusters', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'deterministic_sample', 'gopher_repetition_signals', 'data_quality_profile', 'sketch_union_hll', 'funnel_conversion', 'cusum_user_drift', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'sessionize_events', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'resample_user_hourly']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'session_duration_percentiles', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'hhi_supplier_concentration', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'token_count_bpe', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_cc_clusters', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'deterministic_sample', 'gopher_repetition_signals', 'data_quality_profile', 'sketch_union_hll', 'funnel_conversion', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'sessionize_events', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'resample_user_hourly']
