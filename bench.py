@@ -15,6 +15,15 @@ Timing methodology:
   keyed by generated code, which depends on the expressions, not the data
   files).  Compile cost is fixed per plan — at the target 100 TB scale it
   is noise; the timed pass measures the data path.
+* SAME-MOMENT CONTROL PAIR (round 12, automating the r11 protocol): the
+  sf0.1 environment drifts ±21% within a day on an UNCHANGED commit
+  (SCALE.md round-11 note), so a bare cross-round total is
+  uninterpretable.  After the timed pass, the previous round-close
+  commit's bench.py re-runs in a throwaway git worktree (sequentially,
+  main session stopped first) and its total is embedded as
+  ``control_prior_close`` — the apples-to-apples denominator measured in
+  THIS moment's ambient conditions.  Disable with MRF_BENCH_CONTROL=0
+  (the control subprocess runs with it set, so no recursion).
 """
 
 from __future__ import annotations
@@ -170,7 +179,56 @@ def main():
     if errors:
         out["errors"] = errors
         out["partial_total_sec"] = round(sum(timings.values()), 3)
+    if os.environ.get("MRF_BENCH_CONTROL", "1") != "0":
+        spark.stop()  # free the CPUs before the control JVM starts
+        out["control_prior_close"] = _control_prior_close()
     print(json.dumps(out))
+
+
+def _control_prior_close():
+    """Re-run the PREVIOUS round-close commit's bench.py right now, in a
+    throwaway worktree, and return {sha, value, partial?} — the
+    same-moment ambient control that makes cross-round totals readable
+    (a 21% intra-day swing was measured on an unchanged commit).  Any
+    failure returns {"error": ...} instead of killing the bench line."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="mrf_bench_ctl_")
+    try:
+        sha = subprocess.run(
+            ["git", "log", "--grep", r"^round [0-9]\+:", "-1",
+             "--format=%H"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not sha:
+            return {"error": "no prior round-close commit found"}
+        subprocess.run(["git", "worktree", "add", "--detach", wt, sha],
+                       cwd=repo, capture_output=True, text=True,
+                       timeout=120, check=True)
+        env = dict(os.environ, MRF_BENCH_CONTROL="0")
+        r = subprocess.run([sys.executable, os.path.join(wt, "bench.py")],
+                           cwd=wt, capture_output=True, text=True,
+                           timeout=1800, env=env)
+        line = next((ln for ln in reversed(r.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if line is None:
+            return {"error": f"control produced no JSON (rc {r.returncode})",
+                    "sha": sha}
+        parsed = json.loads(line)
+        ctl = {"sha": sha, "value": parsed.get("value")}
+        if parsed.get("errors"):
+            ctl["partial_total_sec"] = parsed.get("partial_total_sec")
+            ctl["errors"] = sorted(parsed["errors"])
+        return ctl
+    except Exception as exc:  # noqa: BLE001 — the control is best-effort
+        return {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=repo, capture_output=True, timeout=60)
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 if __name__ == "__main__":
