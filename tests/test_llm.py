@@ -1900,6 +1900,32 @@ def test_jaccard_prefix_filter_equals_unfiltered(spark, docs):
                           hand, threshold=0.8).collect()}
 
 
+def test_shared_shingle_sets_stage(spark, docs, tmp_path):
+    """The shared gram-index stage (round 12, roadmap #2): every
+    consumer fed a precomputed (materialized) shingle_sets frame must
+    return IDENTICAL rows to its self-derived form, and a parameter
+    mismatch (different n) must fail loudly via the metadata stamp —
+    including after a parquet round-trip."""
+    import pytest
+
+    sets = D.shingle_sets(docs, materialize_path=str(tmp_path / "sets"))
+    for fn, kw, key in (
+        (D.ngram_jaccard_pairs, {"threshold": 0.5}, "jaccard"),
+        (D.shingle_containment_pairs, {"threshold": 0.8}, "containment"),
+        (D.ngram_jaccard_pairs_prefix, {"threshold": 0.5}, "jaccard"),
+    ):
+        want = {(r.id_a, r.id_b): r[key]
+                for r in fn(docs, **kw).collect()}
+        got = {(r.id_a, r.id_b): r[key]
+               for r in fn(docs, sets=sets, **kw).collect()}
+        assert got == want and want, fn.__name__
+    # metadata survives the parquet round-trip and mismatches are loud
+    with pytest.raises(ValueError, match="rebuild the shared stage"):
+        D.ngram_jaccard_pairs(docs, n=5, sets=sets)
+    with pytest.raises(ValueError, match="shingle_sets frame"):
+        D.ngram_jaccard_pairs(docs, sets=docs)
+
+
 def test_bm25_hand_corpus(spark, monkeypatch, tmp_path):
     """BM25 on a 3-doc hand corpus equals the straight formula: doc 1
     (both query terms, short) outranks doc 2 (one term, long); doc 3
