@@ -226,6 +226,91 @@ def mix_sources_sql(
     return f"({b} < {thr})"
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    tau: float = 0.5,
+    salt: str = "tmix",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-reweighted corpus mixing (the multilingual /
+    multi-source sampling rule of mT5 & UniMax, public literature):
+    subsample each source so the KEPT mass follows ``p_s ∝ w_s^τ``
+    instead of the raw ``w_s`` — τ < 1 upweights small sources, τ = 1
+    is a no-op, τ = 0 equalizes.  Unlike :func:`mix_sources` the rates
+    are not caller-supplied: they are DERIVED from the observed masses,
+    keeping the maximum possible data (the largest total where every
+    per-source rate stays ≤ 1): ``r_s = (w_min / w_s)^(1−τ)`` — the
+    smallest source is kept whole and every other source is thinned
+    toward it.
+
+    Fully distributed: per-source mass is one aggregate (row count, or
+    ``sum(weight_col)`` for token-mass weighting), the global min is a
+    1-row broadcast, the keep decision is the usual deterministic
+    row-id hash against an integer bucket threshold
+    ``t_s = floor(1e6 · r_s)`` — no driver collect, no RNG, stable
+    under data growth like everything in this module.
+
+    ENGINE-PORTABILITY of the threshold: at the default ``τ = 0.5`` the
+    rate is ``sqrt(w_min/w_s)`` — one IEEE division and one IEEE sqrt,
+    both CORRECTLY ROUNDED by the standard, so Spark and DuckDB compute
+    bit-identical doubles and therefore identical integer thresholds
+    (:func:`temperature_mix_sql` is the exact mirror).  Other τ go
+    through ``pow``, which libm does NOT guarantee correctly rounded —
+    fine in production, but only τ = 0.5 is held to the bitwise oracle
+    gate."""
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0,1], got {tau}")
+    w = (F.count(F.lit(1)).cast("double") if weight_col is None
+         else F.sum(weight_col).cast("double"))
+    mass = df.groupBy(source_col).agg(w.alias("__w"))
+    wmin = mass.agg(F.min("__w").alias("__wmin"))
+    ratio = F.col("__wmin") / F.col("__w")
+    rate = (F.sqrt(ratio) if tau == 0.5
+            else F.pow(ratio, F.lit(1.0 - tau)))
+    thr = mass.crossJoin(F.broadcast(wmin)).select(
+        source_col,
+        F.floor(F.lit(float(_BUCKETS)) * rate).cast("bigint").alias("__t"),
+    )
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .filter(_bucket(id_col, salt) < F.col("__t"))
+        .drop("__t")
+    )
+
+
+def temperature_mix_sql(
+    src: str,
+    source_expr: str,
+    id_expr: str,
+    salt: str = "tmix",
+    weight_expr: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`temperature_mix` at τ = 0.5 (the
+    correctly-rounded sqrt path — see the portability note there):
+    returns a full SELECT over ``src`` keeping the mirrored rows."""
+    w = "CAST(COUNT(*) AS DOUBLE)" if weight_expr is None \
+        else f"CAST(SUM({weight_expr}) AS DOUBLE)"
+    b = _bucket_sql(id_expr, salt)
+    return f"""
+    WITH __mass AS (
+        SELECT {source_expr} AS __src, {w} AS __w
+        FROM {src} GROUP BY 1
+    ),
+    __thr AS (
+        SELECT __src,
+               CAST(floor({float(_BUCKETS)} *
+                    sqrt((SELECT MIN(__w) FROM __mass) / __w))
+                    AS BIGINT) AS __t
+        FROM __mass
+    )
+    SELECT d.* FROM {src} d
+    JOIN __thr ON __thr.__src = d.{source_expr}
+    WHERE {b} < __thr.__t
+    """
+
+
 # ---------------------------------------------------------------------------
 # Stratified exact-count sampling
 # ---------------------------------------------------------------------------

@@ -867,6 +867,35 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mix_sources",
+    oracle=f"""
+    WITH kept AS ({SM.temperature_mix_sql('documents', 'source', 'doc_id',
+                                          weight_expr='n_chars')})
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM kept GROUP BY 1
+    """,
+)
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted corpus mixing at τ = 0.5
+    (operators/sampling.temperature_mix — the mT5/UniMax multilingual
+    sampling rule): rates are DERIVED from observed per-source char
+    mass, ``r_s = sqrt(w_min/w_s)``, so kept mass follows ``w^0.5``
+    (small sources upweighted, the smallest kept whole, maximal data
+    retained subject to r ≤ 1).  Fully distributed — one mass
+    aggregate, a 1-row min broadcast, per-row hash keep.  Bitwise
+    oracle-exact because IEEE division and sqrt are correctly rounded
+    in both engines, so the integer bucket thresholds agree exactly.
+    Per-source kept (rows, chars) as the check."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = SM.temperature_mix(d, "source", "doc_id", tau=0.5,
+                              weight_col="n_chars")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"))
+
+
+@query(
     "deterministic_shuffle_positions",
     oracle=f"""
     SELECT doc_id, {SM.deterministic_shuffle_sql('doc_id')} AS pos

@@ -551,6 +551,43 @@ def test_mix_sources_rates(spark, docs):
     assert kept2.count() == docs.count() - docs.filter("source = 'src1'").count()
 
 
+def test_temperature_mix_properties(spark):
+    """τ-mixing semantics: the smallest source is kept WHOLE, rates are
+    (w_min/w_s)^(1−τ) so kept row counts track w^τ (within hash-sampling
+    noise), τ=1 is a no-op, and the decision is deterministic (a rerun
+    keeps the identical id set).  Skewed 3-source corpus: 200/1800/8000
+    rows."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    rows = [(i, "a" if i < 200 else ("b" if i < 2000 else "c"))
+            for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string") \
+        .repartition(8)
+    kept = SM.temperature_mix(df, "source", "doc_id", tau=0.5)
+    by = {r.source: r.n for r in kept.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["a"] == 200                       # smallest source whole
+    import math
+
+    for s, w in (("b", 1800), ("c", 8000)):
+        expect = w * math.sqrt(200 / w)         # = sqrt(200·w)
+        assert abs(by[s] - expect) / expect < 0.15, (s, by[s], expect)
+    # kept mass follows w^tau: ratios of kept counts ≈ sqrt ratios
+    assert abs(by["c"] / by["b"] - math.sqrt(8000 / 1800)) < 0.4
+    # tau=1 keeps everything
+    assert SM.temperature_mix(df, "source", "doc_id", tau=1.0).count() \
+        == 10_000
+    # deterministic: identical id set on rerun
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in SM.temperature_mix(
+        df, "source", "doc_id", tau=0.5).collect()}
+    assert ids1 == ids2
+    import pytest
+
+    with pytest.raises(ValueError, match="tau"):
+        SM.temperature_mix(df, "source", "doc_id", tau=1.5)
+
+
 def test_deterministic_shuffle_total_order(spark, docs):
     """Positions are a permutation of 1..n, stable under repartitioning,
     and a different salt yields a different permutation."""
