@@ -215,6 +215,71 @@ def _bucketed_tables_on(spark, key_names: set[str]) -> list[str]:
     return hits
 
 
+def _jvm_children(node) -> list:
+    out = []
+    try:
+        ch = node.children()
+        out = [ch.apply(i) for i in range(ch.length())]
+    except Exception:  # noqa: BLE001 — leaf / wrapper node
+        pass
+    if not out:
+        # AQE wrappers expose their subtree as a method, not a child
+        for meth in ("executedPlan", "finalPhysicalPlan", "plan"):
+            try:
+                sub = getattr(node, meth)()
+                if sub is not None:
+                    return [sub]
+            except Exception:  # noqa: BLE001
+                continue
+    return out
+
+
+def fat_sorts(df: DataFrame) -> list[str]:
+    """Names of array/struct-typed columns that a SortExec sorts ON TOP
+    OF A JOIN RESULT — the shape that killed the round-10 embedding
+    verify at 100×: a sort-merge join's sort buffered the CANDIDATE
+    stream with a ~0.5 KB vector payload per row (123M rows) and filled
+    the disk.  A sort whose input is a base relation carrying arrays is
+    bounded by the data and fine (the inline-verify bucket relation);
+    a sort of a JOIN-DERIVED relation carrying arrays scales with the
+    join output — restructure so wide payloads attach AFTER candidate
+    generation (ids-only join + broadcast/bucketed payload attach).
+    Walks the JVM executed plan for real attribute types (the plan
+    string does not carry them)."""
+    hits: list[str] = []
+    try:
+        root = df._jdf.queryExecution().executedPlan()
+    except Exception:  # noqa: BLE001
+        return hits
+
+    def subtree_has_join(node) -> bool:
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if "Join" in n.getClass().getSimpleName():
+                return True
+            stack.extend(_jvm_children(n))
+        return False
+
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        kids = _jvm_children(n)
+        stack.extend(kids)
+        if n.getClass().getSimpleName() != "SortExec":
+            continue
+        try:
+            o = n.output()
+            wide = [o.apply(i).name() for i in range(o.length())
+                    if o.apply(i).dataType().typeName()
+                    in ("array", "struct", "map")]
+        except Exception:  # noqa: BLE001
+            continue
+        if wide and any(subtree_has_join(k) for k in kids):
+            hits.extend(w for w in wide if w not in hits)
+    return hits
+
+
 def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
     """Lint a plan for the smells that kill a 100× scale-up.  Returns a
     list of human-readable findings (empty = clean); each names the smell
@@ -236,6 +301,10 @@ def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
       pay ``sources.write_bucketed`` once and join free forever
       (measured on q9: 8.38 s → 2.31 s at the 100× corpus, per-10×
       growth 7.43× → 1.97×, tools/bench_q9_bucketed.py);
+    * sort of a join-derived relation carrying array/struct columns
+      (:func:`fat_sorts`) — the sort buffer scales with join output ×
+      payload width (the round-10 embedding-verify disk-filler): join
+      ids only and attach wide payloads after candidate generation;
     * more shuffles than ``max_shuffles`` (when given).
     """
     p = executed_plan(df)
@@ -272,6 +341,15 @@ def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
         findings.append(
             "row-at-a-time Python UDF (BatchEvalPython): ~10-100x slower "
             "than Arrow — use pyspark.sql.functions or mapInPandas")
+    wide = fat_sorts(df)
+    if wide:
+        findings.append(
+            f"sort of a JOIN-DERIVED relation carrying wide column(s) "
+            f"({', '.join(wide)}): the sort buffer scales with the join "
+            "output times the payload width — the shape that filled the "
+            "disk at the 100x embedding rehearsal. Join ids only, then "
+            "attach the payload after candidate generation (broadcast / "
+            "bucketed attach), or carry it on the bounded input relation")
     shuffled_keys = _bucketable_shuffle_joins(p)
     if shuffled_keys:
         layouts = _bucketed_tables_on(df.sparkSession, shuffled_keys)

@@ -528,6 +528,47 @@ def test_scale_audit_bucketed_join_rule(spark):
             shutil.rmtree(f"spark-warehouse/{n}", ignore_errors=True)
 
 
+def test_scale_audit_fat_sort_rule(spark):
+    """The fat-sort rule (round 12, encoding the r10 embedding-verify
+    disk-filler): a SortExec over a JOIN-DERIVED relation carrying an
+    array column is flagged; the same array column sorted straight off
+    a base relation (the bounded inline-verify shape) is not."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        vecs = spark.range(2000).select(
+            "id", F.array(F.col("id") * 1.0, F.col("id") * 2.0)
+            .alias("vec"))
+        ids = spark.range(2000).withColumnRenamed("id", "id2")
+        # r10 shape: join-derived rows carrying vec feed ANOTHER
+        # sort-merge join on a NEW key (a same-key second join inherits
+        # the first SMJ's output order and needs no sort) → the join
+        # result re-sorts with the array payload aboard
+        derived = vecs.join(ids, vecs.id == ids.id2)
+        second = derived.join(
+            spark.range(97).withColumnRenamed("id", "id3"),
+            (F.col("id2") % 97) == F.col("id3"))
+        second.collect()
+        hits = P.fat_sorts(second)
+        assert "vec" in hits, P.executed_plan(second)
+        assert any("JOIN-DERIVED" in s for s in P.scale_audit(second))
+        # bounded shape: base relation with the array sorts for a join —
+        # sort input is data-bounded, not candidate-bounded: clean
+        bounded = vecs.join(ids, vecs.id == ids.id2)
+        bounded.collect()
+        assert P.fat_sorts(bounded) == [], P.executed_plan(bounded)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_sorted_neighborhood_no_cartesian(spark):
     """The SNB positional join must stay an equi-join: a condition mixing
     left and right columns (p + d = pb) degrades to CartesianProduct —
