@@ -329,6 +329,177 @@ def bpe_learn_merges(
     return merges
 
 
+def bpe_encode_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+    merges: list[tuple[str, str, int]] | None = None,
+    token_split: str = " ",
+    engine: str = "catalyst",
+) -> DataFrame:
+    """ENCODE the corpus with a trained BPE merge list — the tokenizer
+    APPLY step that follows :func:`bpe_learn_merges` (Sennrich et al.
+    2016): per document, ``(n_words, n_tokens)`` where n_tokens is the
+    subword count after replaying the merges in rank order.
+
+    THE WORD-LEVEL CACHE SHAPE (how real tokenizer pipelines encode at
+    scale, cf. Sennrich's apply_bpe word cache): the corpus is scanned
+    once for per-(doc, word) counts; the merge replay runs over the
+    DISTINCT-WORD vocabulary only (millions of rows at 100 TB, not
+    billions of occurrences), and per-doc token counts come from one
+    join back — ``n_tokens = Σ count(w in doc) · |encode(w)|``.  A
+    per-occurrence encode would redo identical work per duplicate word.
+
+    ``merges=None`` trains the first ``n_merges`` merges from this
+    corpus (one extra scan); pass an existing list to encode with a
+    vocabulary trained elsewhere.
+
+    ``engine="catalyst"``: each merge is one :func:`_merge_pair` fold —
+    ``k`` chained JVM aggregates over the word relation, plan-flattened
+    every 8 merges (``localCheckpoint``).  Exact SQL mirror
+    (:func:`bpe_encode_sql`), merge-fold semantics identical to the
+    trainer.  Right up to ~64 merges; a full 32k-merge vocabulary
+    would compile a 32k-deep expression chain, so
+    ``engine="arrow"`` runs the same word-level replay as a pandas
+    loop per Arrow batch (dict cache per batch) — property-tested
+    identical, no SQL mirror needed because outputs match catalyst's."""
+    from map_reduce_folds_spark.operators.dedup import _quote_sep
+
+    if engine not in ("catalyst", "arrow"):
+        raise ValueError(f"engine must be catalyst|arrow, got {engine!r}")
+    if merges is None:
+        merges = bpe_learn_merges(df, text_col, n_merges,
+                                  token_split=token_split)
+    wc = (
+        df.select(F.col(id_col),
+                  F.explode(F.split(F.col(text_col),
+                                    _quote_sep(token_split))).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = wc.select("w").distinct()
+    if engine == "catalyst":
+        enc = vocab.select("w", _chars(F.col("w")).alias("syms"))
+        for i, (bl, br, _) in enumerate(merges):
+            enc = enc.select(
+                "w", _merge_pair(F.col("syms"),
+                                 F.lit(bl), F.lit(br)).alias("syms"))
+            if (i + 1) % 8 == 0:
+                enc = enc.localCheckpoint(eager=False)
+        enc = enc.select("w", F.size("syms").alias("__ntok"))
+    else:
+        pairs = [(bl, br) for bl, br, _ in merges]
+
+        def gen(batches):
+            import pandas as pd
+
+            def encode(word: str) -> int:
+                syms = list(word)
+                for bl, br in pairs:
+                    out, pend = [], None
+                    for s in syms:
+                        if pend is None:
+                            pend = s
+                        elif pend == bl and s == br:
+                            out.append(bl + br)
+                            pend = None
+                        else:
+                            out.append(pend)
+                            pend = s
+                    if pend is not None:
+                        out.append(pend)
+                    syms = out
+                return len(syms)
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cache = {w: encode(w) for w in set(pdf["w"])}
+                yield pd.DataFrame({
+                    "w": pdf["w"],
+                    "__ntok": pdf["w"].map(cache).astype("int32"),
+                })
+
+        enc = vocab.mapInPandas(gen, schema="w string, __ntok int")
+    per_doc = (
+        wc.join(enc, "w")
+        .groupBy(id_col)
+        .agg(F.sum("cnt").cast("bigint").alias("n_words"),
+             F.sum(F.col("cnt") * F.col("__ntok")).cast("bigint")
+             .alias("n_tokens"))
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+
+
+def bpe_encode_sql(n_merges: int, src: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`bpe_encode_token_counts` (catalyst
+    engine, corpus-trained merges): reuses the trainer mirror's CTE
+    chain (w0..b{k} — training over the freq-weighted vocabulary), then
+    replays the same k merges over a WORD-KEYED chain (e0..e{k}) with
+    the identical chr(2)-string fold, and joins token lengths back to
+    per-doc word counts."""
+    fold = """list_reduce(
+        list_prepend({'o': '', 'p': CAST(NULL AS VARCHAR)},
+                     list_transform(syms, x -> {'o': '', 'p': x})),
+        (acc, e) -> CASE
+            WHEN acc.p IS NULL THEN {'o': acc.o, 'p': e.p}
+            WHEN acc.p = bl AND e.p = br
+            THEN {'o': CASE WHEN acc.o = '' THEN bm
+                            ELSE acc.o || chr(2) || bm END,
+                  'p': CAST(NULL AS VARCHAR)}
+            ELSE {'o': CASE WHEN acc.o = '' THEN acc.p
+                            ELSE acc.o || chr(2) || acc.p END,
+                  'p': e.p} END)"""
+
+    def enc_merge_cte(e: str, b: str) -> str:
+        return f"""(
+        SELECT w, string_split(
+                   CASE WHEN ww.p IS NULL THEN ww.o
+                        WHEN ww.o = '' THEN ww.p
+                        ELSE ww.o || chr(2) || ww.p END, chr(2)) AS syms
+        FROM (SELECT w, {fold} AS ww
+              FROM {e} CROSS JOIN (SELECT l AS bl, r AS br, l || r AS bm
+                                   FROM {b})))"""
+
+    # the trainer chain, minus its final SELECT list (its first output
+    # row starts "SELECT 1 AS rank"; everything before is the WITH body)
+    base = bpe_merges_sql(n_merges, src=src, text_col=text_col)
+    with_part = base[: base.index("\nSELECT 1 AS rank")]
+    ctes = [with_part[len("WITH "):]]
+    ctes.append(f"""e0 AS (
+        SELECT w, list_transform(generate_series(1, length(w)),
+                                 i -> w[i:i]) AS syms
+        FROM (SELECT DISTINCT unnest(string_split({text_col}, ' ')) AS w
+              FROM {src})
+        WHERE length(w) > 0)""")
+    for i in range(1, n_merges + 1):
+        ctes.append(f"e{i} AS {enc_merge_cte(f'e{i - 1}', f'b{i}')}")
+    ctes.append(f"""wc AS (
+        SELECT {id_col}, t.w AS w, COUNT(*) AS cnt
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws
+              FROM {src}) d, LATERAL (SELECT unnest(ws) AS w) t
+        WHERE length(t.w) > 0
+        GROUP BY 1, 2)""")
+    ctes.append(f"""per_doc AS (
+        SELECT wc.{id_col},
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(SUM(cnt * len(e{n_merges}.syms)) AS BIGINT)
+                   AS n_tokens
+        FROM wc JOIN e{n_merges} USING (w)
+        GROUP BY 1)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT d.{id_col},
+           CAST(COALESCE(per_doc.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(per_doc.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM {src} d LEFT JOIN per_doc USING ({id_col})""")
+
+
 def bpe_merges_sql(n_merges: int, src: str = "documents",
                    text_col: str = "text") -> str:
     """Unrolled DuckDB mirror of :func:`bpe_learn_merges`: ``n_merges``

