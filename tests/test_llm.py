@@ -365,6 +365,12 @@ def test_embedding_lsh_verify_modes_identical(emb):
     assert set(got_bc) == set(got_il)
     for pair, cos in got_bc.items():
         assert cos == got_il[pair], pair  # bitwise-identical verify
+    # round 12: the int8-prefiltered inline strategy must also be
+    # bitwise-identical — the quantization-error bound is LOSSLESS and
+    # survivors re-score with the exact left-fold arithmetic
+    q8 = S.embedding_near_dup_pairs_lsh(emb, verify="inline_q8", **kw)
+    got_q8 = {(r.id_a, r.id_b): r.cos_sim for r in q8.collect()}
+    assert got_q8 == got_bc
     il_plan = P.executed_plan(il)
     assert "hashpartitioning(id_a" not in il_plan, "candidate dedup exchange"
     bc_plan = P.executed_plan(bc)
