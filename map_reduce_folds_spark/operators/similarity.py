@@ -246,8 +246,12 @@ def srp_bucket_rows(
     if carry_vec:
         schema += ", __vec array<double>, __all array<bigint>"
     if carry_q8:
-        schema += (", __q8 array<tinyint>, __s double, __a1 int, "
-                   "__n double, __all array<bigint>")
+        # no __all here: the q8 prefilter shrinks the survivor stream to
+        # ~output size, so pair dedup is a cheap distinct over survivors
+        # — carrying the all-tables array (n_tables × 8 B per row, the
+        # dominant byte of the relation) just for canonical-meeting
+        # dedup blew the shuffled-hash build at the 1000× rehearsal
+        schema += ", __q8 array<tinyint>, __s double, __a1 int, __n double"
     nt, npl = n_tables, n_planes
 
     def gen(batches):
@@ -286,11 +290,10 @@ def srp_bucket_rows(
                     "bucket": buckets[lo:hi].reshape(-1),
                 }
                 rep = np.repeat(np.arange(lo, hi), nt)
-                if carry_vec or carry_q8:
+                if carry_vec:
                     # numpy row views, not per-element Python lists —
                     # Arrow ingests ndarray cells directly
                     out["__all"] = pd.Series(list(buckets[rep]))
-                if carry_vec:
                     out["__vec"] = pd.Series(list(x[rep]))
                 if carry_q8:
                     out["__q8"] = pd.Series(list(q[rep]))
@@ -449,9 +452,13 @@ def embedding_near_dup_pairs_lsh(
       comment), and the ~output-sized survivors re-score EXACTLY
       against the vector table via a broadcast of the skinny survivor
       list — emitted cosines are bitwise-identical to the other
-      strategies.  Measured at 300× (600k vectors, same-process pair):
-      299 s inline → 184 s inline_q8 (1.6×); at 100× broadcast remains
-      fastest (35 s) and auto still picks it below the 256 MB bound.
+      strategies.  Measured at 300× (600k vectors, default 8 GiB
+      session): 299 s inline → 125 s inline_q8 (2.4×); the 1000×
+      rehearsal (2M vectors, 104M bucket rows) completes in 684 s on
+      the SAME default session — no memory tuning — where the
+      carry-vector inline filled the 78 GB local scratch and died.  At
+      100× broadcast remains fastest (35 s) and auto still picks it
+      below the 256 MB bound.
     * ``"auto"`` (default) — ``"broadcast"`` while the estimated vector
       table (rows × (dim·elem + 24 B)) stays under 256 MB — well inside
       what an explicit broadcast handles, 4× the planner's conservative
@@ -561,12 +568,18 @@ def embedding_near_dup_pairs_lsh(
         # the skinny survivor list — the vector table never shuffles.
         buckets = _stage(srp_bucket_rows(
             df, id_col, vec_col, dim, n_planes, n_tables, carry_q8=True))
+        # merge-hinted like the inline path: SMJ spills GRACEFULLY at
+        # any session memory config, which a shuffled-hash build does
+        # not (tried at the 1000× rehearsal: SHJ needs its per-partition
+        # build inside the per-task memory slice, and the default
+        # 32-partition/8 GiB session OOM'd even after data-sized
+        # repartitioning — a checkpoint boundary does not carry the
+        # partitioning into the join, so the exchange re-ran at 32).
+        # Dropping __all (the canonical-dedup array, n_tables×8 B — the
+        # dominant byte of the old row) already cut the sorted payload
+        # ~70%, which is what makes the 1000× SMJ fit local scratch.
         a = buckets.alias("a").hint("merge")
         b = buckets.alias("b").hint("merge")
-        canonical = F.array_position(
-            F.zip_with(F.col("a.__all"), F.col("b.__all"),
-                       lambda x, y: x == y),
-            F.lit(True)) == (F.col("a.tbl").cast("bigint") + 1)
         qdot = F.aggregate(
             F.zip_with(F.col("a.__q8"), F.col("b.__q8"),
                        lambda x, y: x.cast("int") * y.cast("int")),
@@ -574,16 +587,20 @@ def embedding_near_dup_pairs_lsh(
         ubound = (F.col("a.__s") * F.col("b.__s")
                   * (qdot + F.col("a.__a1") / 2 + F.col("b.__a1") / 2
                      + F.lit(dim / 4.0)))
+        # pair dedup AFTER the prefilter: survivors are ~output-sized
+        # (× the pair's table multiplicity), so a distinct here is
+        # cheap — the canonical-meeting trick is only needed when the
+        # dedup input is the full candidate stream (the inline path)
         survivors = a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
-        ).filter(canonical).filter(
+        ).filter(
             ubound >= F.lit(float(threshold)) * F.col("a.__n")
             * F.col("b.__n") * F.lit(1.0 - 1e-9)
         ).select(F.col("a.__id").alias("id_a"),
-                 F.col("b.__id").alias("id_b"))
+                 F.col("b.__id").alias("id_b")).distinct()
         vecs = df.select(
             F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"),
             norm(F.col(vec_col), dim).alias("__nx"),
