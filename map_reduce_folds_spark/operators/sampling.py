@@ -305,8 +305,9 @@ def temperature_mix_sql(
                     AS BIGINT) AS __t
         FROM __mass
     )
-    SELECT d.* FROM {src} d
-    JOIN __thr ON __thr.__src = d.{source_expr}
+    SELECT d.* EXCLUDE (__srcv)
+    FROM (SELECT *, {source_expr} AS __srcv FROM {src}) d
+    JOIN __thr ON __thr.__src = d.__srcv
     WHERE {b} < __thr.__t
     """
 

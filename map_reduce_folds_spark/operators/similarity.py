@@ -383,6 +383,16 @@ def auto_srp_params(
         recall_cos = max(threshold, 0.9)
     theta = math.acos(min(max(recall_cos, -1.0), 1.0))
     p1 = 1.0 - theta / math.pi
+    if p1 <= 0.5:
+        # c = log2(1/p1) >= 1 makes beta = c/(1-c) blow up (p1 = 0.5)
+        # or go NEGATIVE (p1 < 0.5): occupancy would GROW with n and
+        # planes shrink — silently inverted geometry.  recall_cos <= 0
+        # means "hold recall for orthogonal-or-worse pairs", which no
+        # hyperplane-LSH geometry can do at sub-quadratic cost.
+        raise ValueError(
+            f"recall_cos={recall_cos} gives per-plane agreement "
+            f"p1={p1:.3f} <= 0.5; SRP auto-geometry needs recall_cos > 0 "
+            "(pass explicit planes/tables for degenerate thresholds)")
     c = math.log2(1.0 / p1)
     if planes is None:
         planes = base_planes
@@ -500,6 +510,13 @@ def embedding_near_dup_pairs_lsh(
     if verify not in ("broadcast", "inline", "inline_q8"):
         raise ValueError(f"verify must be auto|broadcast|inline|inline_q8, "
                          f"got {verify!r}")
+    if verify == "inline_q8" and threshold <= 0:
+        # the 1e-9 relative slack on the prefilter RHS LOOSENS the bound
+        # only when threshold·n_a·n_b > 0; at threshold <= 0 it would
+        # TIGHTEN it instead, quietly voiding the lossless guarantee
+        raise ValueError(
+            f"verify='inline_q8' requires threshold > 0 (got {threshold}); "
+            "use verify='broadcast' or 'inline' for non-positive thresholds")
 
     def _stage(frame):
         if materialize_path is not None:

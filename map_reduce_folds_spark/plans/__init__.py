@@ -199,9 +199,15 @@ def _bucketed_tables_on(spark, key_names: set[str]) -> list[str]:
         return hits
     want = {k.lower() for k in key_names}
     for t in tables[:200]:
+        # backtick-quote (and qualify with the database when set): an
+        # unquoted name needing backticks fails the DESCRIBE silently
+        # via the broad except, hiding an existing bucketed layout
+        qname = "`" + t.name.replace("`", "``") + "`"
+        if getattr(t, "database", None):
+            qname = "`" + t.database.replace("`", "``") + "`." + qname
         try:
             rows = spark.sql(
-                f"DESCRIBE TABLE EXTENDED {t.name}").collect()
+                f"DESCRIBE TABLE EXTENDED {qname}").collect()
         except Exception:  # noqa: BLE001 — view/temp without describe
             continue
         for r in rows:

@@ -93,7 +93,7 @@ _PRIORITY = [
     # (lang_id_confusion and doc_fingerprints sit just past the window:
     # their operators ride other entries — hash60 via dedup_exact digests,
     # tokenization via text_stats)
-    "text_stats", "token_count_bpe",
+    "text_stats", "bpe_encode_corpus",
     # round-5 window swaps, per the r4 verdict's displacement rule (a NEW
     # family may displace a green row whose family stays represented):
     # dedup_simhash_pairs → dedup_cc_clusters (graph/connected-components
@@ -146,6 +146,19 @@ _PRIORITY = [
     # change-detection family stays represented by the strictly richer
     # streaming row (identical oracle SQL); the batch row re-registers
     # immediately past the window.
+    # Round 13 swaps, per the same displacement rule (r12 verdict Next
+    # #2): the two round-12 operator families rotate in —
+    #   bpe_encode_corpus (BPE ENCODE: trains merges then replays them
+    #     over the distinct-word vocabulary, train-then-encode CTE
+    #     oracle) displaces token_count_bpe — the strictly-richer-row
+    #     precedent (cusum_stream_stateful r12): encode subsumes the
+    #     train side, and token_count_bpe re-registers immediately past
+    #     the window;
+    #   temperature_mix_sources (NEW corpus-mixing family: mT5/UniMax
+    #     temperature reweighting, IEEE-sqrt bitwise oracle) displaces
+    #     resample_user_hourly — time-series stays represented by
+    #     cusum_stream_stateful, activity_streaks and sessionize_events,
+    #     and the resample row re-registers immediately past the window.
     "dedup_exact", "record_linkage_customers", "dedup_minhash",
     "dedup_span_rewrite",
     "dedup_cc_clusters", "dedup_embedding_clusters_t09",
@@ -184,8 +197,9 @@ _PRIORITY = [
     # now driver-verifies TPC-H q1/q7/q9/q17.  embedding_quantize_int8's
     # registration was re-shaped to scalar rows (r5's only red row).
     "embedding_quantize_int8",
-    "resample_user_hourly",
+    "temperature_mix_sources",
     # first entries PAST the 50-window: the displaced green rows
+    "token_count_bpe", "resample_user_hourly",
     "dedup_jaccard_prefix", "ewma_user_value", "cusum_user_drift",
     "dedup_embedding", "mr_filtered_folds", "pipeline_clean_corpus",
     "mr_assign_udf", "mr_custom_fold_merge", "mr_null_key_group",

@@ -2423,3 +2423,48 @@ def test_remove_duplicate_spans_hand_case(spark):
     assert got[3].clean_text == "six" and got[3].n_removed == 10
     assert got[4].clean_text == rows[3][1] and got[4].n_removed == 0
     assert got[5].clean_text == "shorty" and got[5].n_removed == 0
+
+
+def test_advice_r13_guards(spark):
+    """Round-13 ADVICE fixes, pinned:
+
+    * temperature_mix_sql with a real EXPRESSION source_expr (not a bare
+      column) generates valid SQL — the old form joined on
+      ``d.lower(source)``;
+    * auto_srp_params rejects recall_cos <= 0 loudly (beta would blow up
+      at p1 = 0.5 and silently INVERT the geometry below it);
+    * the inline_q8 verify path rejects threshold <= 0 (the ulp slack
+      would TIGHTEN the lossless prefilter bound there)."""
+    import duckdb
+
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE docs AS
+        SELECT i AS doc_id,
+               CASE WHEN i % 10 = 0 THEN 'A' ELSE 'b' END AS source
+        FROM range(2000) t(i)
+    """)
+    # expression source_expr: lower(source) folds A into b's source class
+    q = SM.temperature_mix_sql("docs", "lower(source)", "doc_id")
+    rows = con.execute(q).fetchall()
+    assert 0 < len(rows) <= 2000
+    assert {len(r) for r in rows} == {2}      # d.* minus the helper col
+    # bare column keeps working and stays deterministic
+    q2 = SM.temperature_mix_sql("docs", "source", "doc_id")
+    assert con.execute(q2).fetchall() == con.execute(q2).fetchall()
+    con.close()
+
+    with pytest.raises(ValueError, match="recall_cos"):
+        S.auto_srp_params(10**6, recall_cos=0.0)
+    with pytest.raises(ValueError, match="recall_cos"):
+        S.auto_srp_params(10**6, recall_cos=-0.5)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="threshold > 0"):
+        S.embedding_near_dup_pairs_lsh(
+            emb, dim=2, threshold=0.0, n_planes=4, n_tables=2,
+            verify="inline_q8")

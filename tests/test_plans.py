@@ -634,3 +634,30 @@ def test_simhash_pairs_no_candidate_dedup_exchange(spark):
                               plan)]
     assert not dedup_aggs, dedup_aggs
     assert "hashpartitioning(id_a" not in plan, "candidate dedup exchange"
+
+
+def test_bucketed_tables_on_quotes_names(spark):
+    """_bucketed_tables_on backtick-quotes catalog names (round-13 ADVICE):
+    a bucketed table whose name needs quoting (here the reserved word
+    ``table`` — this catalog only admits [A-Za-z0-9_] names, so a
+    reserved word is the quotable case that can exist) used to fail the
+    DESCRIBE silently via the broad except, so an existing co-located
+    layout went unreported by scale_audit."""
+    from map_reduce_folds_spark import sources
+    from map_reduce_folds_spark.plans import _bucketed_tables_on
+    from map_reduce_folds_spark.sources import load_table
+
+    import shutil
+
+    name = "table"
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+    try:
+        o = load_table(spark, SF_DIR, "orders").select(
+            "o_custkey", "o_totalprice")
+        sources.write_bucketed(o, f"`{name}`", ["o_custkey"], n_buckets=4)
+        hits = _bucketed_tables_on(spark, {"o_custkey"})
+        assert any(name in h for h in hits), hits
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
