@@ -312,6 +312,168 @@ def temperature_mix_sql(
     """
 
 
+def unimax_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    budget_epochs: float,
+    max_epochs: float = 1.0,
+    salt: str = "umax",
+    weight_col: str | None = None,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """UniMax epoch-capped corpus mixing (Chung et al. 2023, public
+    literature): spread a total training budget as UNIFORMLY as possible
+    across sources, subject to a per-source repeat cap — no source is
+    seen for more than ``max_epochs`` epochs.  This is the closed-form
+    waterfilling allocation: with per-source mass ``w_s`` and caps
+    ``c_s = max_epochs·w_s``, each source gets ``b_s = min(c_s, L)``
+    where the water level ``L`` solves ``Σ b_s = B`` (sources small
+    enough to hit their cap are taken whole; the rest share the
+    remaining budget equally).  ``budget_epochs`` expresses ``B`` in
+    units of total corpus mass (``B = budget_epochs·Σw``) so the rule is
+    scale-free — the same parameterization at sf0.01 and at 100 TB.
+
+    Per-source epochs ``e_s = b_s/w_s ∈ (0, max_epochs]`` realize as row
+    REPLICATION (e > 1 upsamples small sources, the UniMax point) plus a
+    deterministic hash-kept fractional epoch: every row of source s is
+    emitted ``floor(e_s)`` times, plus once more iff
+    ``hash(id) < floor(1e6·frac(e_s))`` — copies are numbered 0..k-1 in
+    ``epoch_col``.  Fully distributed: one mass aggregate, the
+    waterfall over the K-row source relation via window functions
+    (K = #sources, a bounded relation — the one global window here runs
+    over K rows, not the corpus), a broadcast join back, per-row hash
+    decisions; no driver collect, no RNG.
+
+    ENGINE-PORTABILITY (the bitwise-oracle contract of this module):
+    caps and masses are INTEGER-VALUED doubles when ``max_epochs`` is
+    integral and the weights are counts/integers — every cumulative sum
+    and product below 2^53 is then EXACT regardless of accumulation
+    order (DuckDB's segment-tree window sums and Spark's running frames
+    agree bit-for-bit), and the two divisions (water level, epochs) plus
+    the budget multiply are single correctly-rounded IEEE ops.  The
+    bitwise gate therefore holds for integral ``max_epochs``; fractional
+    caps remain correct but only hash-stable per engine."""
+    from pyspark.sql.window import Window
+
+    if budget_epochs <= 0:
+        raise ValueError(f"budget_epochs must be > 0, got {budget_epochs}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    w = (F.count(F.lit(1)).cast("double") if weight_col is None
+         else F.sum(weight_col).cast("double"))
+    mass = df.groupBy(source_col).agg(w.alias("__w"))
+    order = Window.orderBy("__c", source_col)
+    lvl = mass.withColumn(
+        "__c", F.lit(float(max_epochs)) * F.col("__w")
+    ).select(
+        source_col, "__w", "__c",
+        F.sum("__c").over(order.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).alias("__p"),
+        F.row_number().over(order).alias("__i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__k"),
+        (F.lit(float(budget_epochs))
+         * F.sum("__w").over(Window.partitionBy())).alias("__B"),
+    )
+    # source i (caps ascending) is capped iff, with 1..i taken whole,
+    # the uniform share of the rest still covers its cap:
+    # c_i·(k−i) ≤ B − P_i — a monotone predicate, so m = max such i
+    capped = (F.col("__c") * (F.col("__k") - F.col("__i"))
+              <= F.col("__B") - F.col("__p"))
+    mrow = lvl.agg(
+        F.coalesce(F.max(F.when(capped, F.col("__i"))), F.lit(0)).alias("__m"),
+        # __p is nondecreasing in __i, so max over capped rows IS P_m
+        F.coalesce(F.max(F.when(capped, F.col("__p"))),
+                   F.lit(0.0)).alias("__pm"),
+    )
+    eps = lvl.crossJoin(F.broadcast(mrow)).select(
+        source_col,
+        (F.when(F.col("__i") <= F.col("__m"), F.col("__c"))
+         .otherwise((F.col("__B") - F.col("__pm"))
+                    / (F.col("__k") - F.col("__m")).cast("double"))
+         / F.col("__w")).alias("__e"),
+    ).select(
+        source_col,
+        F.floor("__e").alias("__nf"),
+        F.floor(F.lit(float(_BUCKETS))
+                * (F.col("__e") - F.floor("__e"))).alias("__t"),
+    )
+    nc = (F.col("__nf")
+          + (_bucket(id_col, salt) < F.col("__t")).cast("bigint"))
+    return (
+        df.join(F.broadcast(eps), source_col)
+        .withColumn("__nc", nc)
+        .filter(F.col("__nc") >= 1)
+        .withColumn(epoch_col, F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("__nc") - 1,
+                       F.lit(1).cast("bigint"))))
+        .drop("__nf", "__t", "__nc")
+    )
+
+
+def unimax_mix_sql(
+    src: str,
+    source_expr: str,
+    id_expr: str,
+    budget_epochs: float,
+    max_epochs: float = 1.0,
+    salt: str = "umax",
+    weight_expr: str | None = None,
+    epoch_col: str = "epoch",
+) -> str:
+    """DuckDB mirror of :func:`unimax_mix`, bit-for-bit under the
+    integral-``max_epochs`` contract there: same cap ordering, same
+    monotone capped-prefix predicate, same two divisions, same hash
+    threshold, same per-copy UNNEST(generate_series) expansion."""
+    w = "CAST(COUNT(*) AS DOUBLE)" if weight_expr is None \
+        else f"CAST(SUM({weight_expr}) AS DOUBLE)"
+    b = _bucket_sql(id_expr, salt)
+    return f"""
+    WITH __mass AS (
+        SELECT {source_expr} AS __src, {w} AS __w
+        FROM {src} GROUP BY 1
+    ),
+    __lvl AS (
+        SELECT __src, __w, {float(max_epochs)} * __w AS __c,
+               SUM({float(max_epochs)} * __w) OVER (
+                   ORDER BY {float(max_epochs)} * __w, __src
+                   ROWS UNBOUNDED PRECEDING) AS __p,
+               ROW_NUMBER() OVER (
+                   ORDER BY {float(max_epochs)} * __w, __src) AS __i,
+               COUNT(*) OVER () AS __k,
+               {float(budget_epochs)} * SUM(__w) OVER () AS __B
+        FROM __mass
+    ),
+    __m AS (
+        SELECT COALESCE(MAX(CASE WHEN __c * (__k - __i) <= __B - __p
+                                 THEN __i END), 0) AS __m,
+               COALESCE(MAX(CASE WHEN __c * (__k - __i) <= __B - __p
+                                 THEN __p END), 0.0) AS __pm
+        FROM __lvl
+    ),
+    __eps AS (
+        SELECT __src,
+               CAST(floor(__e) AS BIGINT) AS __nf,
+               CAST(floor({float(_BUCKETS)} * (__e - floor(__e)))
+                    AS BIGINT) AS __t
+        FROM (
+            SELECT l.__src,
+                   (CASE WHEN l.__i <= m.__m THEN l.__c
+                         ELSE (l.__B - m.__pm)
+                              / CAST(l.__k - m.__m AS DOUBLE) END)
+                   / l.__w AS __e
+            FROM __lvl l CROSS JOIN __m m
+        )
+    )
+    SELECT d.* EXCLUDE (__srcv), u.{epoch_col}
+    FROM (SELECT *, {source_expr} AS __srcv FROM {src}) d
+    JOIN __eps ON __eps.__src = d.__srcv
+    CROSS JOIN UNNEST(generate_series(
+        0, __eps.__nf + (CASE WHEN {b} < __eps.__t THEN 1 ELSE 0 END) - 1
+    )) AS u({epoch_col})
+    """
+
+
 # ---------------------------------------------------------------------------
 # Stratified exact-count sampling
 # ---------------------------------------------------------------------------

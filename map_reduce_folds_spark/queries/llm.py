@@ -896,6 +896,41 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unimax_epoch_mix",
+    oracle=f"""
+    WITH kept AS ({SM.unimax_mix_sql('documents', 'source', 'doc_id',
+                                     budget_epochs=1.5, max_epochs=3.0,
+                                     weight_expr='n_chars')})
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(MAX(epoch) AS BIGINT) AS max_epoch
+    FROM kept GROUP BY 1
+    """,
+)
+def unimax_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped corpus mixing (operators/sampling.unimax_mix,
+    Chung et al. 2023): a 1.5-epoch total budget spread as uniformly as
+    char mass allows across sources, capped at 3 epochs per source —
+    small sources replicate (the UniMax upsampling point, realized as
+    deterministic row copies numbered in ``epoch``), large ones thin via
+    the hash keep.  The waterfilling level is closed-form over the
+    K-source mass relation (window functions, no collect).  Bitwise
+    oracle-exact under the integral-cap contract: caps/masses are
+    integer-valued doubles (order-free exact sums) and the two divisions
+    are single correctly-rounded IEEE ops.  Per-source kept (rows, docs,
+    chars, max epoch) as the check."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = SM.unimax_mix(d, "source", "doc_id", budget_epochs=1.5,
+                         max_epochs=3.0, weight_col="n_chars")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        F.max("epoch").alias("max_epoch"))
+
+
+@query(
     "deterministic_shuffle_positions",
     oracle=f"""
     SELECT doc_id, {SM.deterministic_shuffle_sql('doc_id')} AS pos

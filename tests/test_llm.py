@@ -2468,3 +2468,53 @@ def test_advice_r13_guards(spark):
         S.embedding_near_dup_pairs_lsh(
             emb, dim=2, threshold=0.0, n_planes=4, n_tables=2,
             verify="inline_q8")
+
+
+def test_unimax_mix_waterfall(spark):
+    """UniMax epoch-capped mixing (hand waterfall): sources 100/300/600
+    rows, cap 2 epochs, budget 0.9 epochs of the 1000-row corpus (B=900).
+    The closed form: the smallest source hits its cap (200), the other
+    two share the rest equally (350 each) — e = (2.0, 7/6, 7/12).  Exact
+    replication counts for the integral part, hash-kept fraction within
+    tolerance, epoch numbering 0..k-1, determinism across reruns, and
+    the DuckDB mirror agrees row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    rows = [(i, "a" if i < 100 else ("b" if i < 400 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string") \
+        .repartition(7)
+    out = SM.unimax_mix(df, "source", "doc_id",
+                        budget_epochs=0.9, max_epochs=2.0)
+    got = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.max("epoch").alias("maxe")).collect()
+    by = {r.source: r for r in got}
+    assert by["a"].n == 200 and by["a"].docs == 100 and by["a"].maxe == 1
+    # b: 300 full + ~1/6 fractional; c: ~7/12 fractional only
+    assert 300 <= by["b"].n <= 400 and abs(by["b"].n - 350) < 25
+    assert by["c"].maxe == 0 and abs(by["c"].n - 350) < 30
+    total = sum(r.n for r in got)
+    assert abs(total - 900) < 40
+    # deterministic rerun
+    out2 = SM.unimax_mix(df, "source", "doc_id",
+                         budget_epochs=0.9, max_epochs=2.0)
+    assert sorted((r.doc_id, r.epoch) for r in out.collect()) == \
+        sorted((r.doc_id, r.epoch) for r in out2.collect())
+    # DuckDB mirror: identical kept (doc_id, epoch) multiset
+    con = duckdb.connect()
+    con.register("docs_pd", pd.DataFrame(rows, columns=["doc_id", "source"]))
+    q = SM.unimax_mix_sql("docs_pd", "source", "doc_id",
+                          budget_epochs=0.9, max_epochs=2.0)
+    mirror = sorted(map(tuple, con.execute(
+        f"SELECT doc_id, epoch FROM ({q})").fetchall()))
+    con.close()
+    assert mirror == sorted((r.doc_id, r.epoch) for r in out.collect())
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="budget_epochs"):
+        SM.unimax_mix(df, "source", "doc_id", budget_epochs=0.0)
