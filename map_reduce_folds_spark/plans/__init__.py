@@ -240,6 +240,65 @@ def _jvm_children(node) -> list:
     return out
 
 
+def _subtree_has_join(node) -> bool:
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if "Join" in n.getClass().getSimpleName():
+            return True
+        stack.extend(_jvm_children(n))
+    return False
+
+
+#: HOF names worth naming in a finding (they all render as
+#: ``lambdafunction(...)`` in the executed plan)
+_HOF_FNS = ("aggregate", "zip_with", "transform", "filter", "exists",
+            "forall", "map_zip_with", "array_sort", "reduce")
+
+
+def hof_on_join_stream(df: DataFrame) -> list[str]:
+    """Plan nodes that evaluate HIGHER-ORDER FUNCTIONS (zip_with /
+    aggregate / transform / ... — anything Catalyst renders as
+    ``lambdafunction``) over a JOIN-DERIVED stream — per-candidate
+    interpreted arithmetic.  HOF lambdas never enter whole-stage codegen
+    (each element application walks an interpreted expression tree), and
+    dot-product-style chains cost ~dim interpreted ops per row.  On a
+    BOUNDED relation (a scan, an aggregate output) that is a constant
+    tax and often the right call (e.g. the broadcast-verify cosine,
+    where shipping 2·dim doubles through Arrow measured SLOWER than the
+    interpreted fold).  On a JOIN output the tax multiplies by the
+    CANDIDATE count — the stream that grows fastest at 100 TB — so each
+    such site deserves an explicit decision: a pre-join prefilter that
+    shrinks the stream first (the inline_q8 int8 bound), an Arrow-batch
+    rescore of survivors, or a measured acceptance.  Returns one finding
+    per plan node: node class + the HOF names it evaluates."""
+    hits: list[str] = []
+    try:
+        root = df._jdf.queryExecution().executedPlan()
+    except Exception:  # noqa: BLE001
+        return hits
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        kids = _jvm_children(n)
+        stack.extend(kids)
+        try:
+            s = n.simpleString(2000)
+        except Exception:  # noqa: BLE001
+            continue
+        if "lambdafunction" not in s:
+            continue
+        cls = n.getClass().getSimpleName()
+        # a Join node's own condition/keys run once per candidate pair;
+        # any other node is per-candidate iff its input is join-derived
+        if "Join" in cls or any(_subtree_has_join(k) for k in kids):
+            fns = sorted({f for f in _HOF_FNS if f + "(" in s})
+            desc = f"{cls}[{', '.join(fns) or 'lambda'}]"
+            if desc not in hits:
+                hits.append(desc)
+    return hits
+
+
 def fat_sorts(df: DataFrame) -> list[str]:
     """Names of array/struct-typed columns that a SortExec sorts ON TOP
     OF A JOIN RESULT — the shape that killed the round-10 embedding
@@ -258,15 +317,6 @@ def fat_sorts(df: DataFrame) -> list[str]:
     except Exception:  # noqa: BLE001
         return hits
 
-    def subtree_has_join(node) -> bool:
-        stack = [node]
-        while stack:
-            n = stack.pop()
-            if "Join" in n.getClass().getSimpleName():
-                return True
-            stack.extend(_jvm_children(n))
-        return False
-
     stack = [root]
     while stack:
         n = stack.pop()
@@ -281,7 +331,7 @@ def fat_sorts(df: DataFrame) -> list[str]:
                     in ("array", "struct", "map")]
         except Exception:  # noqa: BLE001
             continue
-        if wide and any(subtree_has_join(k) for k in kids):
+        if wide and any(_subtree_has_join(k) for k in kids):
             hits.extend(w for w in wide if w not in hits)
     return hits
 
@@ -311,6 +361,10 @@ def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
       (:func:`fat_sorts`) — the sort buffer scales with join output ×
       payload width (the round-10 embedding-verify disk-filler): join
       ids only and attach wide payloads after candidate generation;
+    * higher-order-function lambdas (zip_with/aggregate/transform) on a
+      join-derived stream (:func:`hof_on_join_stream`) — interpreted
+      per-CANDIDATE arithmetic outside codegen: prefilter the stream,
+      Arrow-batch the survivors, or accept with a measurement;
     * more shuffles than ``max_shuffles`` (when given).
     """
     p = executed_plan(df)
@@ -356,6 +410,16 @@ def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
             "disk at the 100x embedding rehearsal. Join ids only, then "
             "attach the payload after candidate generation (broadcast / "
             "bucketed attach), or carry it on the bounded input relation")
+    hof = hof_on_join_stream(df)
+    if hof:
+        findings.append(
+            f"higher-order-function arithmetic on a JOIN-DERIVED stream "
+            f"({'; '.join(hof)}): lambda chains run interpreted, outside "
+            "whole-stage codegen, once per CANDIDATE pair — fine on a "
+            "bounded relation, a real tax on the stream that grows "
+            "fastest at scale. Shrink the stream first (a cheap pre-join "
+            "prefilter like the int8 cosine bound), Arrow-batch the "
+            "survivor rescore, or record a measured acceptance")
     shuffled_keys = _bucketable_shuffle_joins(p)
     if shuffled_keys:
         layouts = _bucketed_tables_on(df.sparkSession, shuffled_keys)

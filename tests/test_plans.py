@@ -661,3 +661,33 @@ def test_bucketed_tables_on_quotes_names(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+
+
+def test_hof_on_join_stream_rule(spark):
+    """The round-13 HOF-on-candidates lint: a zip_with/aggregate dot
+    product evaluated over a JOIN output is flagged (named node + HOF
+    names, surfaced by scale_audit); the SAME expression over a base
+    relation is NOT (bounded input — the broadcast-verify-cosine case,
+    where the interpreted fold measured faster than Arrow transfer)."""
+    a = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("va"))
+    b = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.array(F.lit(3.0), F.lit(4.0)).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x).alias("dot")
+    joined = a.join(b, "k").select(dot)
+    joined.collect()
+    hits = P.hof_on_join_stream(joined)
+    assert hits and any("aggregate" in h and "zip_with" in h
+                        for h in hits), hits
+    audit = P.scale_audit(joined)
+    assert any("JOIN-DERIVED stream" in s for s in audit), audit
+    # same HOF on a base relation: clean (constant, not per-candidate)
+    base = a.select(F.aggregate(
+        "va", F.lit(0.0), lambda acc, x: acc + x).alias("s"))
+    base.collect()
+    assert P.hof_on_join_stream(base) == []
+    assert not any("JOIN-DERIVED" in s for s in P.scale_audit(base))
