@@ -1890,6 +1890,68 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q9_product_profit_bucketed",
+    oracle=f"""
+    SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS profit, COUNT(*) AS n_items
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%green%' OR p.p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 over BUCKETED fact tables — the write-once/join-free recipe
+    (tools/bench_q9_bucketed.py: 8.38 s → 2.31 s at the 100× corpus,
+    per-10× growth 7.43× → 1.97×) promoted to a first-class registered
+    query.  Both facts materialize ONCE per corpus path as catalog
+    tables bucketed AND sorted on orderkey (``sources.write_bucketed``;
+    names carry a path fingerprint so scale dirs never collide); every
+    subsequent run reads ``spark.table`` and the fact-fact join compiles
+    with NO Exchange and NO Sort on either side — the only shuffle left
+    is the tiny (nation, year) aggregate (plan-pinned in test_plans).
+    Same oracle as q9_product_profit: the revenue sum is decimal-exact,
+    so bucket-sorted reads and shuffled reads agree bitwise."""
+    import hashlib
+    import os
+    import shutil
+
+    from map_reduce_folds_spark.sources import write_bucketed
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    li_tbl, o_tbl = f"li_bkt_q9_{tag}", f"o_bkt_q9_{tag}"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl, src, keys in ((li_tbl, "lineitem", ["l_orderkey"]),
+                           (o_tbl, "orders", ["o_orderkey"])):
+        if not spark.catalog.tableExists(tbl):
+            # a dead session leaves the warehouse dir after the catalog
+            # entry is gone — clear it so the write-once is idempotent
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+            write_bucketed(load_table(spark, sf_dir, src), tbl, keys,
+                           n_buckets=32, sort_cols=keys)
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%green%") | (F.col("p_type") == "ECONOMY"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = j.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    j = j.join(o, F.col("l_orderkey") == o.o_orderkey)
+    j = j.join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(
+        F.sum(_revenue()).cast("double").alias("profit"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "q8_market_share",
     oracle=f"""
     WITH all_sales AS (

@@ -691,3 +691,33 @@ def test_hof_on_join_stream_rule(spark):
     base.collect()
     assert P.hof_on_join_stream(base) == []
     assert not any("JOIN-DERIVED" in s for s in P.scale_audit(base))
+
+
+def test_q9_bucketed_join_exchange_free(spark):
+    """The registered bucketed q9 (round 13): the lineitem⋈orders
+    fact-fact join reads bucket-sorted catalog tables, so the ONLY
+    Exchange left is the tiny (nation, year) aggregate — and no Sort
+    feeds the join.  Results match plain q9 exactly (decimal-exact
+    revenue sum is order-free)."""
+    import shutil
+
+    # force a fresh write-once so the pin covers the materialize path too
+    for t in [r.name for r in spark.catalog.listTables()
+              if r.name.startswith(("li_bkt_q9_", "o_bkt_q9_"))]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    bkt = _run(spark, "q9_product_profit_bucketed")
+    assert P.count_exchanges(bkt) == 1, P.executed_plan(bkt)
+    plan = P.executed_plan(bkt)
+    # bucket-sorted reads: no SortExec between scan and the fact join
+    # (at sf0.001 AQE may broadcast-convert the tiny fact join — the
+    # pinned property is exchange- and sort-freedom, not the operator)
+    import re
+
+    assert not re.search(r"Sort \[l_orderkey", plan), plan
+    got = sorted(map(tuple, bkt.collect()))
+    want = sorted(map(tuple, _run(spark, "q9_product_profit").collect()))
+    assert got == want
+    # second run: write-once — tables reused, still exchange-free
+    again = _run(spark, "q9_product_profit_bucketed")
+    assert P.count_exchanges(again) == 1
