@@ -200,6 +200,7 @@ def srp_bucket_rows(
     n_planes: int, n_tables: int,
     carry_vec: bool = False,
     carry_q8: bool = False,
+    cp_hashes: int = 0,
 ) -> DataFrame:
     """(id, tbl, bucket) rows for ALL tables in ONE vectorized Arrow stage.
 
@@ -229,7 +230,19 @@ def srp_bucket_rows(
     Bitwise parity with the SQL oracle is preserved: the accumulator adds
     the per-dimension terms in index order (``acc += v[i]·c[i]``), which is
     exactly the left-associated chain ``t1 + t2 + …`` the oracle evaluates
-    — same doubles, same signs, same buckets."""
+    — same doubles, same signs, same buckets.
+
+    ``cp_hashes = k > 0`` (round 13) composes each table's bucket from
+    ``k`` CROSS-POLYTOPE codes plus ``n_planes`` SRP fine bits:
+    ``bucket = (Σ_h code_h·(2d)^h)·2^n_planes + srp_bits``.  Each code is
+    argmax-with-sign over a deterministic ±1 md5-parity projection of
+    the 2^20-QUANTIZED vector — every product and partial sum is an
+    integer below 2^53, EXACTLY representable in float64, so the BLAS
+    matmul here and the SQL SUM in :func:`cp_bucket_rows_sql` agree
+    bit-free regardless of accumulation order (the argmax tie-break is
+    the exact-integer key |y|·2d + (2d−1−code), identical in both).
+    This is what makes a rotation-style hash ORACLE-ABLE — the open
+    problem the r12 verdict named."""
     import numpy as np
 
     # C[i-1, t*n_planes + p] = hyperplane coefficient (±1, md5-parity)
@@ -237,8 +250,19 @@ def srp_bucket_rows(
         [[_srp_coeff(t, p, i) for t in range(n_tables) for p in range(n_planes)]
          for i in range(1, dim + 1)],
         dtype=np.float64,
-    )
+    ) if n_planes else None
     pw = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+    # CPm[t]: (cp_hashes·dim, dim) ±1 projection block for table t —
+    # applied per table (one (batch × dim)·(dim × k·dim) gemm each) so
+    # the transient y stays ~k·dim doubles per row, not nt·k·dim
+    CPm = np.array(
+        [[[_cp_coeff(t, h, oi, dj) for dj in range(dim)]
+          for h in range(cp_hashes) for oi in range(dim)]
+         for t in range(n_tables)],
+        dtype=np.float64,
+    ) if cp_hashes else None
+    cp_codes_base = 2.0 * np.arange(dim) if cp_hashes else None
+    cp_pow = (2.0 * dim) ** np.arange(cp_hashes) if cp_hashes else None
     if carry_vec and carry_q8:
         raise ValueError("carry_vec and carry_q8 are mutually exclusive")
     id_type = dict(df.dtypes)[id_col]
@@ -269,10 +293,24 @@ def srp_bucket_rows(
             if pdf.empty:
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            acc = np.zeros((len(pdf), nt * npl), dtype=np.float64)
-            for i in range(x.shape[1]):  # left fold over dims: oracle-exact
-                acc += x[:, i : i + 1] * C[i]
-            buckets = ((acc >= 0).reshape(len(pdf), nt, npl) * pw).sum(axis=2)
+            if npl:
+                acc = np.zeros((len(pdf), nt * npl), dtype=np.float64)
+                for i in range(x.shape[1]):  # left fold over dims: oracle-exact
+                    acc += x[:, i : i + 1] * C[i]
+                buckets = ((acc >= 0).reshape(len(pdf), nt, npl) * pw).sum(axis=2)
+            else:
+                buckets = np.zeros((len(pdf), nt), dtype=np.int64)
+            if CPm is not None:
+                q = np.floor(x * 1048576.0 + 0.5)  # exact ints in float64
+                for t in range(nt):
+                    y = (q @ CPm[t].T).reshape(len(pdf), cp_hashes, dim)
+                    # exact-integer argmax key: max |y| wins, ties go to
+                    # the smallest code (sign folded into the code)
+                    key = np.abs(y) * (2 * dim) \
+                        + (2 * dim - 1 - (cp_codes_base + (y < 0)))
+                    code = (2 * dim - 1) - (key.max(axis=2) % (2 * dim))
+                    cp_val = (code * cp_pow).sum(axis=1)
+                    buckets[:, t] += (cp_val * float(1 << npl)).astype(np.int64)
             ids = pdf[id_col].to_numpy()
             if carry_q8:
                 s = np.abs(x).max(axis=1) / 127.0
@@ -317,6 +355,218 @@ def srp_signature_sql(vec: str, dim: int, n_planes: int, table: int) -> str:
         )
         terms.append(f"CASE WHEN ({chain}) >= 0 THEN {1 << p} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+#: empirical per-hash collision probability of the cross-polytope code
+#: at d = 64, measured on EXACTLY the production pipeline (2^20 quantize
+#: → ±1 md5-parity projection → argmax-with-sign) by
+#: tools/calibrate_cp.py, 200k pairs per point (stderr < 0.0012).
+#: Interpolated linearly by _cp_p1; re-run the script to extend.
+_CP_P1 = {
+    0.80: 0.2961,
+    0.85: 0.3648,
+    0.90: 0.4575,
+    0.925: 0.5149,
+    0.95: 0.5922,
+    0.975: 0.6960,
+    0.99: 0.8008,
+}
+
+
+def _cp_p1(recall_cos: float) -> float:
+    """Linear interpolation of the calibrated cross-polytope collision
+    table (clamped to its measured range — geometry planning outside
+    [0.80, 0.99] should recalibrate, not extrapolate)."""
+    pts = sorted(_CP_P1.items())
+    if recall_cos <= pts[0][0]:
+        return pts[0][1]
+    if recall_cos >= pts[-1][0]:
+        return pts[-1][1]
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        if x0 <= recall_cos <= x1:
+            return y0 + (y1 - y0) * (recall_cos - x0) / (x1 - x0)
+    raise AssertionError("unreachable")
+
+
+def _cp_coeff(table: int, h: int, oi: int, dj: int) -> float:
+    """±1 from md5 parity of 'c{table}h{h}o{oi}d{dj}' — the cross-
+    polytope projection matrix entry, derivable in SQL from the same
+    md5 (15th hex digit's parity), so the oracle regenerates the matrix
+    instead of embedding 4096·k·tables literals."""
+    import hashlib
+
+    hx = int(hashlib.md5(
+        f"c{table}h{h}o{oi}d{dj}".encode()).hexdigest()[:15], 16)
+    return 1.0 if hx & 1 else -1.0
+
+
+def auto_cp_params(
+    n_rows: int,
+    threshold: float = 0.95,
+    dim: int = 64,
+    target_bucket: int = 64,
+    recall: float = 0.98,
+    recall_cos: float | None = None,
+    occ_floor: float = 4.0,
+    row_weight: float = 8.0,
+) -> tuple[int, int, int]:
+    """(cp_hashes k, fine_bits r, n_tables) for the cross-polytope
+    scheme — the round-13 answer to the SRP occupancy FLOOR (the repo's
+    one super-linear regime: past occ = 8 / n ≈ 5M vectors, SRP
+    candidates revert to n^1.22, r12 verdict).
+
+    WHY CP: per bit of bucket space, a cross-polytope hash is more
+    selective at the same recall.  One CP code carries log2(2d) = 7 bits
+    (d = 64) at measured p1 = 0.589 (cos 0.95), i.e. a per-bit recall
+    cost c = log2(1/p1)/7 ≈ 0.109, vs an SRP plane's c = log2(1/p1) ≈
+    0.153 (cos 0.95) / 0.224 (cos 0.9).  Everything downstream of c
+    improves superlinearly: tables ∝ (n/occ)^c, candidates ∝
+    n^(1+c)·occ^(1−c), and the occupancy-shrink rule's floor — where
+    compensation overwhelms the shrink — moves from n ≈ 5M (SRP, cos
+    0.9) past 10^9 rows (β = c/(1−c) ≈ 0.14: each occupancy halving
+    costs only 1.10× tables).
+
+    SELECTION is a direct enumeration, not the closed form: bucket space
+    is (2d)^k·2^r, so (k, r) are integers and the smooth occ-shrink
+    algebra only brackets the answer.  For each (k, r) with occupancy
+    occ = n/((2d)^k·2^r) in [occ_floor, 4·target_bucket], tables come
+    from the recall S-curve (1−(1−p_tab)^T ≥ recall at p_tab =
+    p1_cp^k·p1_srp^r, evaluated at ``recall_cos`` = max(threshold, 0.9)
+    as in :func:`auto_srp_params`), and the cost model is
+    ``tables·(row_weight + occ/2)`` — bucket-relation rows plus expected
+    candidates per row, with row_weight ≈ 8 from the measured regimes
+    (a q8 bucket row's shuffle+sort cost ≈ ~8 q8-dot prefilter evals;
+    it only moves the k/r rounding point).  occ_floor is 4, BELOW the
+    r12 SRP floor of 8: for SRP the floor was BINDING (table
+    compensation per halving cost 1.17× and the planner would otherwise
+    dive), while under CP's β ≈ 0.14 the row_weight term of the cost
+    model already prices low occupancy — the floor is a soft guardrail,
+    and because (k, r) are discrete the realized occupancy OSCILLATES in
+    a band around the optimum rather than tracking a smooth curve (the
+    uniform-model candidates/n stays in a bounded band; the measured
+    counts in SCALE_BENCH are the ground truth).  CP hashes are
+    preferred implicitly —
+    at equal bucket space they need fewer tables — so small n degrades
+    gracefully to k = 0 (pure SRP bits: this planner strictly
+    generalizes the SRP one)."""
+    import math
+
+    if recall_cos is None:
+        recall_cos = max(threshold, 0.9)
+    theta = math.acos(min(max(recall_cos, -1.0), 1.0))
+    p1_srp = 1.0 - theta / math.pi
+    if p1_srp <= 0.5:
+        raise ValueError(
+            f"recall_cos={recall_cos} gives SRP bit agreement "
+            f"p1={p1_srp:.3f} <= 0.5; CP auto-geometry needs "
+            "recall_cos > 0")
+    p1_cp = _cp_p1(recall_cos)
+    best = None
+    n = max(int(n_rows), 1)
+    for k in range(0, 7):
+        space_k = (2 * dim) ** k
+        if space_k > n:
+            break
+        for r in range(0, 25):
+            space = space_k * (1 << r)
+            occ = n / space
+            if occ > 4.0 * target_bucket:
+                continue
+            if occ < occ_floor and space > 2 * dim:
+                break
+            p_tab = (p1_cp ** k) * (p1_srp ** r)
+            if p_tab >= 1.0:
+                tables = 1
+            else:
+                tables = max(1, math.ceil(math.log(1.0 - recall)
+                                          / math.log(1.0 - p_tab)))
+            cost = tables * (row_weight + occ / 2.0)
+            cand = (k, r, tables)
+            if best is None or cost < best[0] or \
+                    (cost == best[0] and tables < best[1][2]):
+                best = (cost, cand)
+    if best is None:
+        # tiny corpus: one table, everything in few buckets
+        return 0, max(0, int(math.log2(max(n // target_bucket, 1)))), 1
+    return best[1]
+
+
+def cp_bucket_rows_sql(
+    src: str,
+    id_expr: str,
+    vec_expr: str,
+    dim: int,
+    cp_hashes: int,
+    n_planes: int,
+    n_tables: int,
+) -> str:
+    """DuckDB SELECT producing the same ``(__id, tbl, bucket)`` rows as
+    :func:`srp_bucket_rows` with ``cp_hashes > 0`` — bit-free parity by
+    construction, not by accumulation-order discipline:
+
+    * the ±1 projection matrix is REGENERATED in SQL from the same md5
+      parity (``int(md5[:15], 16) & 1`` = the 15th hex digit's parity);
+    * the vector quantizes to ``floor(v·2^20 + 0.5)`` — integers held in
+      doubles, so every product and SUM below 2^53 is exact and
+      order-independent (no left-fold chain needed, unlike the float
+      SRP oracle);
+    * argmax-with-sign is MAX over the exact-integer key
+      ``|y|·2d + (2d−1−code)`` — identical tie-breaks.
+
+    The SRP fine bits (``n_planes > 0``) reuse the float
+    :func:`srp_signature_sql` chain per table, unchanged."""
+    nt, k, r = n_tables, cp_hashes, n_planes
+    odd = "('1','3','5','7','9','b','d','f')"
+    srp_branches = "\n        UNION ALL\n".join(
+        f"        SELECT {id_expr} AS __id, {t} AS tbl, "
+        f"{srp_signature_sql(vec_expr, dim, r, t)} AS srp FROM {src}"
+        for t in range(nt)
+    ) if r else ""
+    srp_cte = f""",
+    __srp AS (
+{srp_branches}
+    )""" if r else ""
+    bucket_expr = (f"c.cpv * {1 << r} + s.srp" if r else "c.cpv")
+    srp_join = (" JOIN __srp s ON s.__id = c.__id AND s.tbl = c.t"
+                if r else "")
+    return f"""
+    WITH __qv AS (
+        SELECT {id_expr} AS __id, u.dj AS dj,
+               floor({vec_expr}[u.dj + 1] * 1048576.0 + 0.5) AS qv
+        FROM {src}, UNNEST(generate_series(0, {dim - 1})) u(dj)
+    ),
+    __rm AS (
+        SELECT t.t, h.h, o.oi, d.dj,
+               CASE WHEN substr(md5('c' || t.t || 'h' || h.h
+                                 || 'o' || o.oi || 'd' || d.dj), 15, 1)
+                    IN {odd} THEN 1.0 ELSE -1.0 END AS s
+        FROM UNNEST(generate_series(0, {nt - 1})) t(t),
+             UNNEST(generate_series(0, {k - 1})) h(h),
+             UNNEST(generate_series(0, {dim - 1})) o(oi),
+             UNNEST(generate_series(0, {dim - 1})) d(dj)
+    ),
+    __y AS (
+        SELECT q.__id, r.t, r.h, r.oi, SUM(r.s * q.qv) AS y
+        FROM __qv q JOIN __rm r ON r.dj = q.dj
+        GROUP BY 1, 2, 3, 4
+    ),
+    __code AS (
+        SELECT __id, t, h,
+               {2 * dim - 1} - (CAST(MAX(abs(y) * {2 * dim}
+                    + ({2 * dim - 1} - (2 * oi
+                       + CASE WHEN y < 0 THEN 1 ELSE 0 END)))
+                    AS BIGINT) % {2 * dim}) AS code
+        FROM __y GROUP BY 1, 2, 3
+    ),
+    __cp AS (
+        SELECT __id, t,
+               CAST(SUM(code * ({2 * dim}.0 ** h)) AS BIGINT) AS cpv
+        FROM __code GROUP BY 1, 2
+    ){srp_cte}
+    SELECT c.__id AS __id, c.t AS tbl,
+           CAST({bucket_expr} AS BIGINT) AS bucket
+    FROM __cp c{srp_join}
+    """
 
 
 def auto_srp_params(
@@ -419,6 +669,11 @@ def embedding_near_dup_pairs_lsh(
     materialize: bool = True,
     materialize_path: str | None = None,
     verify: str = "auto",
+    rescore: str = "partitioned",
+    scheme: str = "srp",
+    cp_hashes: int | str = "auto",
+    materialize_bucketed: str | None = None,
+    bucket_files: int = 64,
 ) -> DataFrame:
     """Near-dup pairs via SRP-LSH buckets — the 100 TB path (no cross join).
 
@@ -496,12 +751,29 @@ def embedding_near_dup_pairs_lsh(
     from 11.9× back to 0.8× of the base time (SCALE.md scaling table)."""
     n = corpus_count if corpus_count is not None else (
         df.count() if (n_planes == "auto" or n_tables == "auto"
-                       or verify == "auto") else 0)
-    if n_planes == "auto" or n_tables == "auto":
-        pinned = None if n_planes == "auto" else n_planes
-        auto_p, auto_t = auto_srp_params(n, threshold, planes=pinned)
-        n_planes = auto_p
-        n_tables = auto_t if n_tables == "auto" else n_tables
+                       or cp_hashes == "auto" or verify == "auto") else 0)
+    if scheme == "cp":
+        # cross-polytope scheme (round 13): n_planes plays the FINE-BITS
+        # role r; auto resolves (k, r, tables) jointly from the
+        # calibrated collision table
+        if (cp_hashes == "auto" or n_planes == "auto"
+                or n_tables == "auto"):
+            auto_k, auto_r, auto_t = auto_cp_params(n, threshold, dim)
+            cp_hashes = auto_k if cp_hashes == "auto" else cp_hashes
+            n_planes = auto_r if n_planes == "auto" else n_planes
+            n_tables = auto_t if n_tables == "auto" else n_tables
+    elif scheme == "srp":
+        cp_hashes = 0
+        if n_planes == "auto" or n_tables == "auto":
+            pinned = None if n_planes == "auto" else n_planes
+            auto_p, auto_t = auto_srp_params(n, threshold, planes=pinned)
+            n_planes = auto_p
+            n_tables = auto_t if n_tables == "auto" else n_tables
+    else:
+        raise ValueError(f"scheme must be srp|cp, got {scheme!r}")
+    if rescore not in ("partitioned", "broadcast"):
+        raise ValueError(
+            f"rescore must be partitioned|broadcast, got {rescore!r}")
     if verify == "auto":
         elem = 8 if "double" in dict(df.dtypes)[vec_col] else 4
         verify = ("broadcast"
@@ -519,6 +791,25 @@ def embedding_near_dup_pairs_lsh(
             "use verify='broadcast' or 'inline' for non-positive thresholds")
 
     def _stage(frame):
+        if materialize_bucketed is not None:
+            # PERSISTENT LSH INDEX TABLE (round 13, the q9 write-once
+            # recipe applied to the bucket relation): saveAsTable
+            # bucketed AND sorted on the join keys — both sides of the
+            # self-join then read the SAME co-located files, so the join
+            # compiles with NO Exchange and NO Sort on the candidate
+            # relation at all.  One repartition-write (the only shuffle
+            # the relation ever pays, amortized across every query) and
+            # the table survives the session — the 100 TB shape for an
+            # index you probe repeatedly, and locally the shape that
+            # keeps a ≥20M-vector rehearsal inside the scratch budget
+            # (no sort spill, no shuffle files at join time).
+            spark = frame.sparkSession
+            (frame.repartition(bucket_files, "tbl", "bucket")
+             .write.mode("overwrite")
+             .bucketBy(bucket_files, "tbl", "bucket")
+             .sortBy("tbl", "bucket")
+             .saveAsTable(materialize_bucketed))
+            return spark.table(materialize_bucketed)
         if materialize_path is not None:
             from map_reduce_folds_spark.operators.dedup import (
                 materialize_stage)
@@ -533,7 +824,8 @@ def embedding_near_dup_pairs_lsh(
 
     if verify == "broadcast":
         buckets = _stage(srp_bucket_rows(
-            df, id_col, vec_col, dim, n_planes, n_tables))
+            df, id_col, vec_col, dim, n_planes, n_tables,
+            cp_hashes=cp_hashes))
         a, b = buckets.alias("a"), buckets.alias("b")
         cand = a.join(
             b,
@@ -584,7 +876,8 @@ def embedding_near_dup_pairs_lsh(
         # emitted cosines are bitwise-identical), joined by broadcasting
         # the skinny survivor list — the vector table never shuffles.
         buckets = _stage(srp_bucket_rows(
-            df, id_col, vec_col, dim, n_planes, n_tables, carry_q8=True))
+            df, id_col, vec_col, dim, n_planes, n_tables, carry_q8=True,
+            cp_hashes=cp_hashes))
         # merge-hinted like the inline path: SMJ spills GRACEFULLY at
         # any session memory config, which a shuffled-hash build does
         # not (tried at the 1000× rehearsal: SHJ needs its per-partition
@@ -622,22 +915,37 @@ def embedding_near_dup_pairs_lsh(
             F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"),
             norm(F.col(vec_col), dim).alias("__nx"),
         )
-        out = (
-            vecs.select(F.col("__vid").alias("id_a"),
-                        F.col("__vec").alias("va"),
-                        F.col("__nx").alias("na"))
-            .join(F.broadcast(survivors), "id_a")
-            .join(vecs.select(F.col("__vid").alias("id_b"),
-                              F.col("__vec").alias("vb"),
-                              F.col("__nx").alias("nb")), "id_b")
-            .select("id_a", "id_b",
-                    (dot(F.col("va"), F.col("vb"), dim)
-                     / (F.col("na") * F.col("nb"))).alias("cos_sim"))
-        )
+        va = vecs.select(F.col("__vid").alias("id_a"),
+                         F.col("__vec").alias("va"),
+                         F.col("__nx").alias("na"))
+        vb = vecs.select(F.col("__vid").alias("id_b"),
+                         F.col("__vec").alias("vb"),
+                         F.col("__nx").alias("nb"))
+        if rescore == "broadcast":
+            # r12 shape, kept as the explicit fast path when the caller
+            # KNOWS the survivor list is small: the vector table never
+            # shuffles at all
+            out = (va.join(F.broadcast(survivors), "id_a")
+                   .join(vb, "id_b"))
+        else:
+            # PARTITIONED rescore (round 13, default — removes the last
+            # unbounded driver broadcast in the family): the skinny
+            # survivor list joins the vector table on id — two shuffles
+            # of an ~output-sized relation plus two id-keyed shuffles of
+            # the vector table, all spillable.  No F.broadcast anywhere:
+            # when the survivor side happens to be tiny, AQE may still
+            # broadcast-convert it AT RUNTIME from real stats — that is
+            # the safe direction (a bounded relation chosen by
+            # measurement), the opposite of force-broadcasting a
+            # relation whose size scales with the output.
+            out = survivors.join(va, "id_a").join(vb, "id_b")
+        out = out.select("id_a", "id_b",
+                         (dot(F.col("va"), F.col("vb"), dim)
+                          / (F.col("na") * F.col("nb"))).alias("cos_sim"))
         return out.filter(F.col("cos_sim") >= threshold)
 
     buckets = srp_bucket_rows(df, id_col, vec_col, dim, n_planes, n_tables,
-                              carry_vec=True)
+                              carry_vec=True, cp_hashes=cp_hashes)
     # norm once per bucket row, via the SAME left-fold Catalyst chain the
     # oracle evaluates (a numpy norm would sum pairwise — different bits)
     buckets = _stage(buckets.withColumn("__n", norm(F.col("__vec"), dim)))

@@ -605,6 +605,50 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CP_SQL = S.cp_bucket_rows_sql("embeddings", "vec_id", "embedding",
+                               _DIM, 1, 2, 8)
+
+
+@query(
+    "dedup_embedding_cp",
+    oracle=f"""
+    WITH cp_rows AS ({_CP_SQL}),
+    cp_cand AS (
+        SELECT DISTINCT a.__id AS id_a, b.__id AS id_b
+        FROM cp_rows a JOIN cp_rows b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.__id < b.__id
+    )
+    SELECT c.id_a, c.id_b,
+           {S.cosine_sql('ea.embedding', 'eb.embedding', _DIM)} AS cos_sim
+    FROM cp_cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {S.cosine_sql('ea.embedding', 'eb.embedding', _DIM)} >= {_COS_T}
+    """,
+)
+def dedup_embedding_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via CROSS-POLYTOPE buckets (round 13 —
+    operators/similarity srp_bucket_rows(cp_hashes=1) + 2 SRP fine
+    bits, 8 tables): each table's bucket is argmax-with-sign over a
+    deterministic ±1 md5-parity projection of the 2^20-QUANTIZED vector
+    — exact integer arithmetic end-to-end, so the DuckDB oracle
+    regenerates the projection matrix from the same md5 parity and
+    reproduces every bucket (and therefore every surfaced pair) with NO
+    accumulation-order discipline at all.  This is the oracle-able
+    rotation the r12 verdict asked for: per bit of bucket space CP costs
+    c ≈ 0.16 recall-compensation vs SRP's 0.22 (calibrated,
+    tools/calibrate_cp.py), which cuts table counts 2-4× at the 20M+
+    rehearsal scales and moves the SRP occupancy floor (~5M vectors,
+    the repo's one super-linear regime) past 10^9 rows.  Explicit small
+    geometry here so the static oracle matches at every fixture sf;
+    auto geometry (auto_cp_params) is exercised by the scale series."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs_lsh(
+        e, "vec_id", "embedding", _DIM, _COS_T,
+        scheme="cp", cp_hashes=1, n_planes=2, n_tables=8,
+        verify="broadcast")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

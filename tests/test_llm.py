@@ -371,6 +371,38 @@ def test_embedding_lsh_verify_modes_identical(emb):
     q8 = S.embedding_near_dup_pairs_lsh(emb, verify="inline_q8", **kw)
     got_q8 = {(r.id_a, r.id_b): r.cos_sim for r in q8.collect()}
     assert got_q8 == got_bc
+    # round 13: BOTH rescore modes of inline_q8 are bitwise-identical —
+    # partitioned (the default: no F.broadcast of the survivor list
+    # anywhere, the r12 verdict's last unbounded driver broadcast) and
+    # the explicit broadcast fast path.  Only the join plan differs; the
+    # exact left-fold rescore arithmetic is shared.
+    q8b = S.embedding_near_dup_pairs_lsh(
+        emb, verify="inline_q8", rescore="broadcast", **kw)
+    assert {(r.id_a, r.id_b): r.cos_sim for r in q8b.collect()} == got_bc
+    from map_reduce_folds_spark.plans import initial_physical_plan
+
+    # the distinguishing plan property: with the planner's size-based
+    # broadcasts disabled, the partitioned rescore plans ZERO broadcast
+    # joins (nothing is force-broadcast; at tiny SF the planner's own
+    # stats normally convert the small side, which is the safe
+    # direction), while the explicit mode still broadcasts — the
+    # F.broadcast hint overrides the threshold, which is exactly the
+    # unbounded-at-scale behavior the partitioned default removes
+    spark = emb.sparkSession
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pp = initial_physical_plan(
+            S.embedding_near_dup_pairs_lsh(emb, verify="inline_q8", **kw))
+        pb = initial_physical_plan(S.embedding_near_dup_pairs_lsh(
+            emb, verify="inline_q8", rescore="broadcast", **kw))
+        assert pp.count("BroadcastHashJoin") == 0, pp
+        assert pb.count("BroadcastHashJoin") >= 1, pb
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    with pytest.raises(ValueError, match="rescore"):
+        S.embedding_near_dup_pairs_lsh(emb, verify="inline_q8",
+                                       rescore="bogus", **kw)
     il_plan = P.executed_plan(il)
     assert "hashpartitioning(id_a" not in il_plan, "candidate dedup exchange"
     bc_plan = P.executed_plan(bc)
@@ -2518,3 +2550,91 @@ def test_unimax_mix_waterfall(spark):
 
     with _pt.raises(ValueError, match="budget_epochs"):
         SM.unimax_mix(df, "source", "doc_id", budget_epochs=0.0)
+
+
+def test_cp_bucket_rows_oracle_parity(spark, emb):
+    """Cross-polytope buckets (round 13) are bit-free reproducible in
+    SQL: the ±1 projection matrix regenerates from md5 parity, the
+    2^20-quantized arithmetic is exact integers in doubles (order-free
+    sums), and the argmax tie-break is the same exact-integer key.
+    Pinned for a mixed (k=1, r=2) geometry AND a multi-hash pure-CP
+    (k=2, r=0) geometry — covering the code-combining positional base
+    (2d)^h and both with/without the SRP fine-bit branch."""
+    import duckdb
+
+    src = f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    con = duckdb.connect()
+    for k, r, t in ((1, 2, 4), (2, 0, 3)):
+        rows = S.srp_bucket_rows(emb, "vec_id", "embedding", 64, r, t,
+                                 cp_hashes=k)
+        got = sorted(map(tuple, rows.collect()))
+        want = sorted(map(tuple, con.execute(
+            S.cp_bucket_rows_sql(src, "vec_id", "embedding",
+                                 64, k, r, t)).fetchall()))
+        assert got == want, (k, r, t, got[:3], want[:3])
+    con.close()
+
+
+def test_cp_scheme_recall_vs_exact(spark):
+    """CP auto geometry must surface true near-dups: planted pairs at
+    cosine ~0.95 in a 4000-vector corpus, recall vs the exact quadratic
+    baseline >= 0.9 at the default recall target 0.98 (LSH S-curve;
+    probabilistic, margin allows it), and every emitted pair is exact
+    (re-scored) by construction."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((2000, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant a near-dup of every vector at cos ~0.95
+    eps = rng.standard_normal((2000, 64)) * 0.04
+    near = base + eps
+    near /= np.linalg.norm(near, axis=1, keepdims=True)
+    vecs = np.vstack([base, near])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id bigint, embedding array<double>").repartition(8).cache()
+    exact = {(r.id_a, r.id_b) for r in S.embedding_near_dup_pairs(
+        df, dim=64, threshold=0.9).collect()}
+    got = {(r.id_a, r.id_b) for r in S.embedding_near_dup_pairs_lsh(
+        df, dim=64, threshold=0.9, scheme="cp",
+        corpus_count=len(vecs)).collect()}
+    assert got <= exact              # precision exact by construction
+    assert len(exact) >= 1500        # the planted pairs are really there
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall
+    df.unpersist()
+
+
+def test_auto_cp_params():
+    """The CP geometry planner: strictly generalizes the SRP planner
+    (k = 0 at small n), k grows with corpus size, per-decade uniform-
+    model candidate volume stays in a bounded band (the discrete (k, r)
+    lattice oscillates around the optimum instead of tracking a smooth
+    curve), tables stay far below the SRP planner's at 20M+ rows, and
+    degenerate recall_cos fails loudly."""
+    k0, r0, t0 = S.auto_cp_params(2_000, 0.95)
+    assert k0 <= 1 and t0 >= 1
+    ks = []
+    for n in (10**4, 10**5, 10**6, 10**7, 10**8):
+        k, r, t = S.auto_cp_params(n, 0.95)
+        occ = n / (128 ** k * 2 ** r)
+        assert 1.0 <= occ <= 256.0, (n, k, r, occ)
+        ks.append(k)
+    assert ks == sorted(ks) and ks[-1] >= 3   # k monotone, grows
+    # candidate band: candidates-per-row n·occ·T/2n stays within 3.5x
+    # across THREE decades (10^6..10^9) — between CP-hash steps the
+    # r-bit tail grows at the SRP per-bit exponent (~n^0.15) and each
+    # k-step resets it; compare SRP's same-span growth of >5x (and its
+    # hard floor at ~5M rows)
+    def cand_per_row(n):
+        k, r, t = S.auto_cp_params(n, 0.95)
+        return (n / (128 ** k * 2 ** r)) * t / 2
+    band = [cand_per_row(n) for n in (10**6, 10**7, 10**8, 10**9)]
+    assert max(band) / min(band) <= 3.5, band
+    # CP beats SRP on bucket-relation size where it matters
+    _, _, t_cp = S.auto_cp_params(20_000_000, 0.95)
+    _, t_srp = S.auto_srp_params(20_000_000, 0.95)
+    assert t_cp * 2 < t_srp, (t_cp, t_srp)
+    with pytest.raises(ValueError, match="recall_cos"):
+        S.auto_cp_params(10**6, recall_cos=0.0)
