@@ -389,14 +389,26 @@ def bpe_encode_token_counts(
                 enc = enc.localCheckpoint(eager=False)
         enc = enc.select("w", F.size("syms").alias("__ntok"))
     else:
-        pairs = [(bl, br) for bl, br, _ in merges]
+        pairs = [(bl, br, bl + br) for bl, br, _ in merges]
 
         def gen(batches):
             import pandas as pd
 
             def encode(word: str) -> int:
                 syms = list(word)
-                for bl, br in pairs:
+                for bl, br, cat in pairs:
+                    # EXACT skip (round 13 — makes real 8k+ vocabularies
+                    # linear in the word, not the merge list): symbols
+                    # are contiguous character spans, so merge (bl, br)
+                    # can only apply where bl+br occurs contiguously in
+                    # the ORIGINAL word — one C-speed substring test
+                    # replaces a full replay pass for the ~99% of a 32k
+                    # merge list that cannot touch this word.  A word
+                    # fully merged to one symbol is done (no pair left).
+                    if len(syms) == 1:
+                        break
+                    if cat not in word:
+                        continue
                     out, pend = [], None
                     for s in syms:
                         if pend is None:

@@ -804,11 +804,15 @@ def embedding_near_dup_pairs_lsh(
             # keeps a ≥20M-vector rehearsal inside the scratch budget
             # (no sort spill, no shuffle files at join time).
             spark = frame.sparkSession
-            (frame.repartition(bucket_files, "tbl", "bucket")
-             .write.mode("overwrite")
-             .bucketBy(bucket_files, "tbl", "bucket")
-             .sortBy("tbl", "bucket")
-             .saveAsTable(materialize_bucketed))
+            if not spark.catalog.tableExists(materialize_bucketed):
+                # WRITE-ONCE, like the q9 bucketed recipe: re-running
+                # the query reuses the index table; DROP TABLE to
+                # refresh after the corpus changes
+                (frame.repartition(bucket_files, "tbl", "bucket")
+                 .write.mode("overwrite")
+                 .bucketBy(bucket_files, "tbl", "bucket")
+                 .sortBy("tbl", "bucket")
+                 .saveAsTable(materialize_bucketed))
             return spark.table(materialize_bucketed)
         if materialize_path is not None:
             from map_reduce_folds_spark.operators.dedup import (

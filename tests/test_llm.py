@@ -14,7 +14,7 @@ from map_reduce_folds_spark.operators import similarity as S
 from map_reduce_folds_spark.operators import text as T
 from map_reduce_folds_spark.sources import load_table
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_MEDIUM
 
 
 @pytest.fixture(scope="module")
@@ -2638,3 +2638,59 @@ def test_auto_cp_params():
     assert t_cp * 2 < t_srp, (t_cp, t_srp)
     with pytest.raises(ValueError, match="recall_cos"):
         S.auto_cp_params(10**6, recall_cos=0.0)
+
+
+def test_bpe_encode_arrow_8k_merges_exact(spark):
+    """The arrow engine at a REAL vocabulary size (round 13): train ~8k
+    merges on a rich synthetic vocabulary (the fixture corpus's word
+    pool yields only ~90), encode with the substring-precheck fast
+    path, and compare a 300-word sample against a driver-side NAIVE
+    replay (no precheck — the semantics definition; the full-vocab naive
+    replay is exactly the quadratic cost the precheck removes).  The
+    precheck must be invisible: it skips a merge only when its
+    concatenated pair cannot occur contiguously in the word.
+    (catalyst stays the cross-engine witness at small merge counts in
+    test_bpe_encode_engines_agree_and_hand_case; an 8k-deep catalyst
+    chain is the documented non-goal.)"""
+    import random
+
+    from map_reduce_folds_spark.operators import bpe as BP
+
+    rng = random.Random(13)
+    letters = "abcdefghijklmnopqrst"
+    vocab = {"".join(rng.choice(letters)
+                     for _ in range(rng.randint(6, 12)))
+             for _ in range(20_000)}
+    words = sorted(vocab)
+    # one word per doc: per-doc n_tokens IS encode(word)
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)],
+        "doc_id bigint, text string").repartition(16)
+    merges = BP.bpe_learn_merges(df, "text", 8000)
+    assert len(merges) >= 6000, len(merges)
+    got = {r.doc_id: r.n_tokens
+           for r in BP.bpe_encode_token_counts(
+               df, "doc_id", "text", len(merges), merges=merges,
+               engine="arrow").collect()}
+
+    def naive(word):
+        syms = list(word)
+        for bl, br, _ in merges:
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == bl and s == br:
+                    out.append(bl + br)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        return len(syms)
+
+    sample = rng.sample(range(len(words)), 300)
+    for i in sample:
+        assert got[i] == naive(words[i]), (i, words[i])
