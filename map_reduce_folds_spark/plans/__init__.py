@@ -289,9 +289,29 @@ def hof_on_join_stream(df: DataFrame) -> list[str]:
         if "lambdafunction" not in s:
             continue
         cls = n.getClass().getSimpleName()
+
+        def equi(name: str) -> bool:
+            # only EQUI-joins feed candidate streams; the 1-row
+            # broadcast scalar attach (crossJoin(broadcast(one_row)) →
+            # BroadcastNestedLoopJoin) is this package's standard
+            # bounded idiom, and a REAL cartesian is already flagged by
+            # scale_audit's O(n²) rule — double-flagging it as a HOF
+            # finding would drown the signal
+            return ("Join" in name and "NestedLoop" not in name
+                    and "Cartesian" not in name)
+
+        def subtree_has_equijoin(node) -> bool:
+            stack2 = [node]
+            while stack2:
+                m = stack2.pop()
+                if equi(m.getClass().getSimpleName()):
+                    return True
+                stack2.extend(_jvm_children(m))
+            return False
+
         # a Join node's own condition/keys run once per candidate pair;
         # any other node is per-candidate iff its input is join-derived
-        if "Join" in cls or any(_subtree_has_join(k) for k in kids):
+        if equi(cls) or any(subtree_has_equijoin(k) for k in kids):
             fns = sorted({f for f in _HOF_FNS if f + "(" in s})
             desc = f"{cls}[{', '.join(fns) or 'lambda'}]"
             if desc not in hits:
