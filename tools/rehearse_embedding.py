@@ -59,10 +59,20 @@ def main() -> None:
     ap.add_argument("--phase", default="all",
                     choices=["all", "write", "query"])
     ap.add_argument("--skip-histogram", action="store_true")
+    ap.add_argument("--histogram-only", action="store_true")
     ap.add_argument("--label", default=None)
     args = ap.parse_args()
 
-    spark = get_spark(app_name=f"mrf-rehearse-{args.label or 'emb'}")
+    extra = {}
+    if args.bucketed_table:
+        # trust the per-bucket sort of the index table (we wrote it
+        # sorted, one file per bucket): without this legacy flag Spark 3
+        # re-sorts both SMJ sides — 380M rows × 2 of pure spill at the
+        # 20M point, the difference between a streaming co-located join
+        # and filling the disk
+        extra["spark.sql.legacy.bucketedTableScan.outputOrdering"] = "true"
+    spark = get_spark(app_name=f"mrf-rehearse-{args.label or 'emb'}",
+                      extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     e = spark.read.parquet(f"{args.dir}/embeddings.parquet")
     if args.limit:
@@ -96,6 +106,9 @@ def main() -> None:
         out["raw_candidates"] = int(hist.cand)
         out["max_bucket"] = int(hist.max_bucket)
         out["histogram_s"] = round(time.time() - t0, 1)
+        if args.histogram_only:
+            print(json.dumps(out), flush=True)
+            return
 
     if args.bucketed_table and args.phase == "query" and \
             not spark.catalog.tableExists(args.bucketed_table):
