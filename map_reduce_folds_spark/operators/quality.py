@@ -718,3 +718,175 @@ def ks_statistic_sql(a_src: str, b_src: str, expr: str) -> str:
            MIN(ta) AS n_a, MIN(tb) AS n_b
     FROM r
     """
+
+
+def nb_classify(
+    df: DataFrame,
+    class_col: str,
+    train_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier over hashed token
+    features — the classic trained quality/domain filter (the
+    fastText-style classifier gate of GPT-3/CCNet-era pipelines, public
+    literature: McCallum & Nigam 1998 workshop formulation; hashing
+    trick per Weinberger et al. 2009).  Trains on the rows matching
+    ``train_pred`` (labels from ``class_col``), scores EVERY row, and
+    returns ``(id, pred, score)`` — the argmax class and its rounded
+    log-posterior.
+
+    Model: per-class hashed-unigram counts with add-``alpha`` smoothing,
+
+        score(d, c) = ln(dc_c/dt) + Σ_b n_b·ln((cnt_{b,c}+α)/(tot_c+αB))
+
+    computed via the absent-bucket identity
+
+        Σ_b n_b·ln(cnt+α)  =  Σ_{b present} n_b·ln(cnt+α) + (N−m)·ln(α)
+
+    (present = (class, bucket) pairs seen in training; m = Σ present
+    n_b) so the corpus side INNER-joins the bounded B×K model relation —
+    absent buckets are never materialized, and the only per-document
+    blow-up is the K-row class skeleton.
+
+    Shape (100 TB): one token explode → per-doc bucket counts (map-side
+    combinable); the model (≤ B·K rows, a constant) broadcasts; the
+    per-(doc, class) reduction folds a SORTED (bucket, contribution)
+    array (the :func:`unigram_logprob` discipline) and every ln-bearing
+    term is a single correctly-rounded op, so the 9-decimal round makes
+    the score engine-exact.  Argmax is two portable aggregates (max
+    score, then min class among ties) — no engine-specific arg_max tie
+    rule."""
+    import math
+
+    from map_reduce_folds_spark.operators.text import hash60, tokenize
+    from pyspark.sql.window import Window
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    B = int(n_buckets)
+    a = float(alpha)
+    ln_a = math.log(a) if a != 1.0 else 0.0  # exact 0.0 when α=1
+    tk = df.select(F.col(id_col), F.col(class_col).alias("__cls"),
+                   train_pred.alias("__tr"), tokenize(text_col).alias("tk"))
+    g = tk.select(
+        id_col, "__cls", "__tr",
+        F.explode("tk").alias("tok"),
+    ).select(id_col, "__cls", "__tr",
+             (hash60(F.col("tok")) % B).alias("bkt"))
+    db = g.groupBy(id_col, "bkt").agg(F.count(F.lit(1)).alias("n"))
+    dn = db.groupBy(id_col).agg(F.sum("n").alias("__N"))
+    # the model: bounded B×K relations, checkpointed so the corpus-sized
+    # explode never re-evaluates through the model's lineage
+    cc = (g.where("__tr").groupBy(F.col("__cls").alias("cls"), "bkt")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .localCheckpoint(eager=False))
+    ct = cc.groupBy("cls").agg(F.sum("cnt").alias("tot"))
+    pr = tk.where("__tr").groupBy(F.col("__cls").alias("cls")) \
+           .agg(F.count(F.lit(1)).alias("dc"))
+    dt = pr.agg(F.sum("dc").alias("dt"))
+    cls_info = (ct.join(pr, "cls")
+                  .crossJoin(F.broadcast(dt)))  # one-row scalar idiom
+    fold_in = db.join(F.broadcast(cc), "bkt").select(
+        id_col, "cls", "n", "bkt",
+        (F.col("n").cast("double")
+         * F.log(F.col("cnt").cast("double") + F.lit(a))).alias("c"),
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("bkt", "c")))
+    s = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["c"])
+    folded = fold_in.groupBy(id_col, "cls").agg(
+        s.alias("__s"), F.sum("n").alias("__m"))
+    skel = dn.crossJoin(F.broadcast(cls_info))
+    scores = skel.join(folded, [id_col, "cls"], "left").select(
+        id_col, "cls",
+        F.round(
+            F.coalesce("__s", F.lit(0.0))
+            + (F.col("__N") - F.coalesce("__m", F.lit(0))).cast("double")
+            * F.lit(ln_a)
+            - F.col("__N").cast("double")
+            * F.log(F.col("tot").cast("double") + F.lit(a * B))
+            + F.log(F.col("dc").cast("double") / F.col("dt").cast("double")),
+            9,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col)
+    return (scores.withColumn("__mx", F.max("score").over(w))
+            .where(F.col("score") == F.col("__mx"))
+            .groupBy(id_col)
+            .agg(F.min("cls").alias("pred"), F.max("score").alias("score")))
+
+
+def nb_classify_sql(
+    train_sql: str,
+    src: str = "documents",
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB mirror of :func:`nb_classify` — same hashed buckets, same
+    smoothing identity, same sorted-fold order, same two-step argmax.
+    ``train_sql``: boolean SQL over the source row (e.g.
+    ``"doc_id % 2 = 0"``)."""
+    import math
+
+    from map_reduce_folds_spark.operators.text import hash60_sql
+
+    B = int(n_buckets)
+    a = float(alpha)
+    ln_a = repr(math.log(a)) if a != 1.0 else "0.0"
+    h = hash60_sql("tok")
+    return f"""
+    WITH tk AS (
+        SELECT {id_col}, {class_col} AS cls0, ({train_sql}) AS tr,
+               string_split({text_col}, ' ') AS tk
+        FROM {src}
+    ),
+    g AS (
+        SELECT {id_col}, cls0, tr, {h} % {B} AS bkt
+        FROM (SELECT {id_col}, cls0, tr, unnest(tk) AS tok FROM tk)
+    ),
+    db AS (SELECT {id_col}, bkt, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    dn AS (SELECT {id_col}, SUM(n) AS nn FROM db GROUP BY 1),
+    cc AS (SELECT cls0 AS cls, bkt, COUNT(*) AS cnt
+           FROM g WHERE tr GROUP BY 1, 2),
+    ct AS (SELECT cls, SUM(cnt) AS tot FROM cc GROUP BY 1),
+    pr AS (SELECT cls0 AS cls, COUNT(*) AS dc FROM tk WHERE tr GROUP BY 1),
+    dt AS (SELECT SUM(dc) AS dt FROM pr),
+    fold AS (
+        SELECT d.{id_col}, cc.cls,
+               list_reduce(
+                   list_prepend(0.0,
+                       list_sort(list({{'b': d.bkt,
+                                        'c': CAST(d.n AS DOUBLE)
+                                             * ln(CAST(cc.cnt AS DOUBLE)
+                                                  + {a!r})}}))
+                           .apply(s -> s.c)),
+                   (acc, x) -> acc + x) AS s,
+               SUM(d.n) AS m
+        FROM db d JOIN cc USING (bkt) GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT dn.{id_col}, ci.cls,
+               round(COALESCE(f.s, 0.0)
+                     + CAST(dn.nn - COALESCE(f.m, 0) AS DOUBLE) * {ln_a}
+                     - CAST(dn.nn AS DOUBLE)
+                       * ln(CAST(ci.tot AS DOUBLE) + {a * B!r})
+                     + ln(CAST(ci.dc AS DOUBLE) / CAST(ci.dt AS DOUBLE)),
+                     9) AS score
+        FROM dn
+        CROSS JOIN (SELECT ct.cls, ct.tot, pr.dc, dt.dt
+                    FROM ct JOIN pr USING (cls), dt) ci
+        LEFT JOIN fold f ON f.{id_col} = dn.{id_col} AND f.cls = ci.cls
+    ),
+    mx AS (
+        SELECT {id_col}, cls, score,
+               MAX(score) OVER (PARTITION BY {id_col}) AS m
+        FROM scores
+    )
+    SELECT {id_col}, MIN(cls) AS pred, MAX(score) AS score
+    FROM mx WHERE score = m GROUP BY {id_col}
+    """

@@ -290,3 +290,162 @@ def token_entropy_sql(text_expr: str) -> str:
         f"list_sort(list_distinct({t}))"
         f".apply(u -> -{p} * ln({p}))), (acc, x) -> acc + x), 9)"
     )
+
+
+def winnow_fingerprints(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    salt: str = "",
+    token_pattern: str | None = None,
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS copy-detection scheme, public literature): hash every
+    token ``k``-gram, then keep the MINIMUM hash of each window of ``w``
+    consecutive grams.  Output ``(id, p, g)`` — the selected gram's
+    0-based position and 60-bit portable hash.  Guarantees: any shared
+    substring of ``w + k - 1`` tokens yields at least one shared
+    fingerprint (every window selects), and expected density is
+    ``2/(w+1)`` — the index is a small constant fraction of the gram
+    stream, which is what makes fingerprint-based overlap audits feasible
+    at corpus scale where storing all grams is not.
+
+    This is the ALL-MINIMA variant: every position achieving a window's
+    minimum is selected (the paper's robust variant breaks ties
+    rightmost).  The sets differ only when one window holds duplicate
+    minimal hashes — i.e. a k-gram repeated within w positions — and
+    all-minima never selects fewer, so the coverage guarantee is
+    preserved.  The win: selection becomes two bounded window frames over
+    plain BIGINTs —
+
+        mn[j] = MIN(g) OVER (doc ORDER BY p ROWS w-1 PRECEDING..CURRENT)
+                            (valid once a full window fits: j >= w-1,
+                             or the doc's last gram when it has < w)
+        selected(p) <=> MAX(mn) OVER (doc ORDER BY p
+                            ROWS CURRENT..w-1 FOLLOWING) = g[p]
+
+    since mn[j] <= g[p] for every window j containing p, equality holds
+    iff some window elected p.  No structs, no higher-order folds, no
+    argmin tie rules — both engines compute it with stock window
+    aggregates, so the oracle (:func:`winnow_fingerprints_sql`) is exact.
+
+    Shape (100 TB): gram hashing is row-local (codegen'd HOF over the
+    token array); the two frames share one hash-partition-by-doc +
+    sort-by-position pass (a single Exchange — Catalyst reuses the sort
+    for the second Window, pinned in tests); frames are O(w) regardless
+    of document length, so giant documents cost memory O(w), not O(doc).
+    Documents with fewer than ``k`` tokens have no grams and emit no
+    fingerprints (the paper's domain: n_grams >= 1)."""
+    from pyspark.sql.window import Window
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    toks = (tokenize(text_col) if token_pattern is None
+            else tokenize_regex(text_col, token_pattern))
+    arr = df.select(
+        F.col(id_col),
+        F.transform(shingles(toks, k), lambda s: hash60(s, salt)).alias("__gs"),
+    )
+    gr = arr.select(
+        id_col,
+        F.size("__gs").alias("__n"),
+        F.posexplode("__gs").alias("p", "g"),
+    )
+    wb = Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
+    wf = Window.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
+    m = gr.withColumn(
+        "__mn",
+        F.when(F.col("p") >= F.least(F.lit(w), F.col("__n")) - 1,
+               F.min("g").over(wb)),
+    )
+    s = m.withColumn("__fm", F.max("__mn").over(wf))
+    return s.where(F.col("__fm") == F.col("g")).select(id_col, "p", "g")
+
+
+def winnow_fingerprints_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    salt: str = "",
+) -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints` (space tokenizer):
+    same md5-based gram hashes, same two window frames, same validity
+    rule — exact, value-for-value."""
+    gram = f"array_to_string(tk[i.i+1:i.i+{k}], ' ')"
+    h = hash60_sql(gram, salt)
+    return f"""
+    WITH tk AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS tk FROM {src}
+    ),
+    g AS (
+        SELECT {id_col}, len(tk) - ({k} - 1) AS n, i.i AS p, {h} AS g
+        FROM tk, LATERAL (
+            SELECT unnest(range(len(tk) - ({k} - 1))) AS i) i
+        WHERE len(tk) >= {k}
+    ),
+    m AS (
+        SELECT {id_col}, p, g,
+               CASE WHEN p >= least({w}, n) - 1 THEN
+                   MIN(g) OVER (PARTITION BY {id_col} ORDER BY p
+                                ROWS BETWEEN {w} - 1 PRECEDING
+                                         AND CURRENT ROW)
+               END AS mn
+        FROM g
+    ),
+    s AS (
+        SELECT {id_col}, p, g,
+               MAX(mn) OVER (PARTITION BY {id_col} ORDER BY p
+                             ROWS BETWEEN CURRENT ROW
+                                      AND {w} - 1 FOLLOWING) AS fm
+        FROM m
+    )
+    SELECT {id_col}, p, g FROM s WHERE fm = g
+    """
+
+
+def winnow_overlap_pairs(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 10,
+    salt: str = "",
+    token_pattern: str | None = None,
+    fps: "DataFrame | None" = None,
+) -> "DataFrame":
+    """MOSS-style copy-detection pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints, with the shared count —
+    ``(id_a, id_b, shared)``, ``id_a < id_b``.  The fingerprint overlap
+    audit run on submissions/corpora to surface likely copies without
+    an all-grams index (winnowing keeps ~``2/(w+1)`` of the grams).
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before the pair join — boilerplate grams (headers, license
+    blocks) otherwise dominate: a fingerprint in d documents contributes
+    d·(d−1)/2 candidate rows, so the join's output is bounded by
+    ``max_df · |fingerprints|`` rather than Σd² (the
+    ``max_shingle_df`` discipline from the Jaccard family).  Pass a
+    precomputed ``fps=`` (e.g. a :func:`winnow_fingerprints` table
+    materialized once) to skip re-fingerprinting — the shared-stage
+    pattern of ``dedup.shingle_sets``."""
+    fp = fps if fps is not None else winnow_fingerprints(
+        df, id_col, text_col, k, w, salt, token_pattern)
+    d = fp.select(id_col, "g").distinct()
+    dfc = d.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
+    e = d.join(dfc.where(F.col("__c") <= max_df).select("g"), "g")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

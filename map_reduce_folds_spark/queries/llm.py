@@ -3617,3 +3617,129 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .alias("n_distinct")))
     return toks_at.join(dist_at, "decile").select(
         "decile", "n_tokens", "n_distinct")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3   # gram size (tokens)
+_WIN_W = 4   # winnowing window (grams) — expected density 2/(w+1)
+
+
+@query(
+    "winnow_fingerprint_stats",
+    oracle=f"""
+    WITH fp AS ({T.winnow_fingerprints_sql('documents', k=_WIN_K, w=_WIN_W)})
+    SELECT doc_id, COUNT(*) AS n_fp,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_fp,
+           MIN(g) AS min_fp, MAX(g) AS max_fp
+    FROM fp GROUP BY doc_id
+    """,
+)
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary
+    (operators/text.winnow_fingerprints — the MOSS selection rule):
+    selected-position count, distinct fingerprint count, and the hash
+    extrema as value witnesses.  Density across the corpus sits near the
+    paper's 2/(w+1) expectation; the per-doc counts are the audit that a
+    fingerprint index stayed a constant fraction of the gram stream."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = T.winnow_fingerprints(d, "doc_id", "text", k=_WIN_K, w=_WIN_W)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.count_distinct("g").alias("n_distinct_fp"),
+        F.min("g").alias("min_fp"),
+        F.max("g").alias("max_fp"),
+    )
+
+
+@query(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH fp AS ({T.winnow_fingerprints_sql('documents', k=_WIN_K, w=_WIN_W)}),
+    d AS (SELECT DISTINCT doc_id, g FROM fp),
+    dfc AS (SELECT g, COUNT(*) AS c FROM d GROUP BY g),
+    e AS (SELECT doc_id, d.g FROM d JOIN dfc USING (g) WHERE dfc.c <= 10),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared FROM p WHERE shared >= 2
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style copy-detection audit
+    (operators/text.winnow_overlap_pairs): document pairs sharing >= 2
+    winnowing fingerprints, boilerplate fingerprints (doc-frequency > 10)
+    dropped before the pair join so a header gram shared by d documents
+    cannot contribute d^2 candidate rows.  Surfaces the fixture corpus's
+    genuine near-copies from a ~2/(w+1)-density index instead of an
+    all-grams inverted index."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.winnow_overlap_pairs(
+        d, "doc_id", "text", k=_WIN_K, w=_WIN_W, min_shared=2, max_df=10)
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes classifier (trained quality/domain filter)
+# ---------------------------------------------------------------------------
+
+_NB_TRAIN_SQL = "doc_id % 2 = 0"   # deterministic train/held-out split
+_NB_B = 256
+_NB_ALPHA = 0.1
+
+# The fixture's lang label is independent metadata over a shared vocabulary
+# (see lang_id_confusion) — no text classifier can recover it.  Plant a
+# recoverable signal the way _planted plants duplicates: append each lang's
+# two lexicon markers to its documents, deterministically, on BOTH engines.
+_NB_MARK = {lg: " ".join(ws[:2]) for lg, ws in T.LANG_MARKERS.items()}
+_NB_MARK_SQL = ("CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN text || ' {m}'" for lg, m in _NB_MARK.items())
+    + " ELSE text END")
+
+
+def _nb_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mark = F.col("text")
+    for lg, m in _NB_MARK.items():
+        mark = F.when(F.col("lang") == lg,
+                      F.concat(F.col("text"), F.lit(" " + m))).otherwise(mark)
+    return d.withColumn("text", mark)
+
+
+@query(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH marked AS (
+        SELECT doc_id, {_NB_MARK_SQL} AS text, lang FROM documents
+    ),
+    nb AS ({Q.nb_classify_sql(_NB_TRAIN_SQL, src='marked', class_col='lang',
+                              n_buckets=_NB_B, alpha=_NB_ALPHA)}),
+    held AS (
+        SELECT d.lang, nb.pred
+        FROM nb JOIN documents d USING (doc_id)
+        WHERE NOT ({_NB_TRAIN_SQL})
+    )
+    SELECT lang, pred, COUNT(*) AS n_docs
+    FROM held GROUP BY lang, pred
+    """,
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier gate (operators/quality.nb_classify): fit a
+    multinomial Naive Bayes on the even-id half of the marker-planted
+    corpus with the language as the label, score the held-out half, and
+    report the confusion matrix — the standard audit of a learned
+    quality/domain filter before it gates a 100 TB crawl.  Model is a
+    bounded B×K hashed-count relation (broadcast); scoring is one corpus
+    scan.  The planted markers make the label recoverable (the fixture's
+    raw lang is metadata-only), so the matrix is meaningfully diagonal
+    AND value-exact under the oracle."""
+    d = _nb_marked(spark, sf_dir)
+    nb = Q.nb_classify(d, "lang", F.expr(_NB_TRAIN_SQL),
+                       n_buckets=_NB_B, alpha=_NB_ALPHA)
+    held = nb.join(d.select("doc_id", "lang"), "doc_id") \
+             .where(~F.expr(_NB_TRAIN_SQL))
+    return held.groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).alias("n_docs"))

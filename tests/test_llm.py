@@ -2694,3 +2694,235 @@ def test_bpe_encode_arrow_8k_merges_exact(spark):
     sample = rng.sample(range(len(words)), 300)
     for i in sample:
         assert got[i] == naive(words[i]), (i, words[i])
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer–Wilkerson–Aiken)
+# ---------------------------------------------------------------------------
+
+def _winnow_ref(tokens: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Brute-force all-minima winnowing over one document (the operator's
+    documented selection rule), hash-identical to text.hash60."""
+    import hashlib
+
+    grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    n = len(hs)
+    sel: set[tuple[int, int]] = set()
+    if n == 0:
+        return sel
+    for j in range(min(w, n) - 1, n):
+        lo = max(0, j - w + 1)
+        m = min(hs[lo:j + 1])
+        sel.update((p, hs[p]) for p in range(lo, j + 1) if hs[p] == m)
+    return sel
+
+
+def test_winnow_matches_python_reference(spark):
+    """Exact selection-set equality vs the brute-force reference on a
+    small-vocab corpus (repeats force within-window hash ties, the case
+    where all-minima and rightmost-tie winnowing differ)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for k, w in [(3, 4), (2, 5), (1, 3)]:
+        got = {
+            (r.doc_id, r.p, r.g)
+            for r in T.winnow_fingerprints(df, k=k, w=w).collect()
+        }
+        want = {
+            (i, p, g)
+            for i, txt in rows
+            for p, g in _winnow_ref(txt.split(" "), k, w)
+        }
+        assert got == want, f"k={k} w={w}: {len(got)} vs {len(want)}"
+
+
+def test_winnow_window_coverage_guarantee(docs):
+    """The paper's guarantee: every window of w consecutive grams
+    contains at least one selected fingerprint (so any shared run of
+    w+k-1 tokens is always detected)."""
+    k, w = 3, 4
+    fps = T.winnow_fingerprints(docs, k=k, w=w).collect()
+    sel_by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        sel_by_doc.setdefault(r.doc_id, set()).add(r.p)
+    checked = 0
+    for row in docs.select("doc_id", "text").collect():
+        n = len(row.text.split(" ")) - k + 1
+        if n < w:
+            continue
+        sel = sel_by_doc[row.doc_id]
+        for j in range(w - 1, n):
+            assert any(p in sel for p in range(j - w + 1, j + 1)), \
+                f"doc {row.doc_id}: window ending at {j} has no fingerprint"
+        checked += 1
+    assert checked > 0
+
+
+def test_winnow_short_docs(spark):
+    """< k tokens → no grams, no fingerprints; k <= tokens < w+k-1 →
+    the document's global minimum gram is selected (windows clip)."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b c d")],
+        "doc_id bigint, text string")
+    out = T.winnow_fingerprints(df, k=3, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.p, r.g))
+    assert 1 not in by_doc            # only 2 tokens: no 3-gram
+    assert len(by_doc[2]) == 1        # single gram: it is the minimum
+    want3 = _winnow_ref(["a", "b", "c", "d"], 3, 4)
+    assert set(by_doc[3]) == want3    # 2 grams < w: global min selected
+
+
+def test_winnow_density_near_expectation(docs):
+    """Selected density ~ 2/(w+1) on the fixture corpus (the paper's
+    expectation for random hashes; wide tolerance — small-vocab repeats
+    pull it up slightly via ties)."""
+    k, w = 3, 4
+    grams = docs.select(
+        (F.size(T.tokenize("text")) - (k - 1)).alias("n")
+    ).where(F.col("n") > 0).agg(F.sum("n")).collect()[0][0]
+    n_fp = T.winnow_fingerprints(docs, k=k, w=w).count()
+    density = n_fp / grams
+    assert 1.2 / (w + 1) < density < 3.5 / (w + 1), density
+
+
+def test_winnow_overlap_detects_planted_copy(spark):
+    """An exact copy (and a block-sharing doc) must surface as overlap
+    pairs; an unrelated doc must not pair with them."""
+    base = " ".join(f"t{i}" for i in range(30))
+    block = " ".join(f"t{i}" for i in range(10, 22))
+    rows = [
+        (1, base),
+        (2, base),                                  # exact copy
+        (3, "x0 x1 x2 x3 " + block + " y0 y1 y2"),  # shares a 12-token block
+        (4, " ".join(f"z{i}" for i in range(30))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.id_a, r.id_b): r.shared
+             for r in T.winnow_overlap_pairs(
+                 df, k=3, w=4, min_shared=2, max_df=10).collect()}
+    assert (1, 2) in pairs
+    n_distinct = (T.winnow_fingerprints(df.where("doc_id = 1"), k=3, w=4)
+                  .select("g").distinct().count())
+    assert pairs[(1, 2)] == n_distinct  # copies share their whole set
+    assert (1, 3) in pairs and (2, 3) in pairs  # the shared block fires
+    assert not any(4 in p for p in pairs)
+
+
+def test_winnow_overlap_max_df_drops_boilerplate(spark):
+    """A gram present in MORE than max_df documents contributes nothing:
+    docs that share only the boilerplate block produce no pair."""
+    boiler = "h0 h1 h2 h3 h4"
+    rows = [(i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(20)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = T.winnow_overlap_pairs(
+        df, k=3, w=4, min_shared=1, max_df=3).collect()
+    assert pairs == []  # the boilerplate fingerprints exceed max_df=3
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes classifier
+# ---------------------------------------------------------------------------
+
+def _nb_ref(rows, train_ids, B, alpha):
+    """Brute-force multinomial NB with the operator's exact formula and
+    hash60 bucketing: rows = [(id, cls, text)]; returns {id: (pred, score)}."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    cc = defaultdict(Counter)
+    dc = Counter()
+    for i, c, t in rows:
+        if i in train_ids:
+            dc[c] += 1
+            for tok in t.split(" "):
+                cc[c][bkt(tok)] += 1
+    dt = sum(dc.values())
+    tot = {c: sum(v.values()) for c, v in cc.items()}
+    ln_a = math.log(alpha) if alpha != 1.0 else 0.0
+    out = {}
+    for i, _, t in rows:
+        db = Counter(bkt(tok) for tok in t.split(" "))
+        n = sum(db.values())
+        best = None
+        for c in sorted(cc):
+            present = sorted(b for b in db if b in cc[c])
+            s = 0.0
+            for b in present:
+                s += float(db[b]) * math.log(float(cc[c][b]) + alpha)
+            m = sum(db[b] for b in present)
+            score = round(s + float(n - m) * ln_a
+                          - float(n) * math.log(float(tot[c]) + alpha * B)
+                          + math.log(float(dc[c]) / float(dt)), 9)
+            # argmax, ties -> min class: strict > keeps the earlier
+            # (alphabetically smaller) class on ties
+            if best is None or score > best[1]:
+                best = (c, score)
+        out[i] = best
+    return out
+
+
+def test_nb_classify_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    voc = {"sports": ["goal", "team", "match", "score"],
+           "tech": ["code", "chip", "model", "data"]}
+    shared = ["the", "a", "of", "and"]
+    rows = []
+    for i in range(80):
+        c = "sports" if i % 2 == 0 else "tech"
+        toks = [rng.choice(voc[c] + shared) for _ in range(rng.randint(3, 25))]
+        rows.append((i, c, " ".join(toks)))
+    train_ids = {i for i, _, _ in rows if i % 3 != 0}
+    df = spark.createDataFrame(rows, "doc_id bigint, cls string, text string")
+    from map_reduce_folds_spark.operators import quality as Q
+
+    for B, alpha in [(64, 1.0), (256, 0.1)]:
+        got = {r.doc_id: (r.pred, r.score)
+               for r in Q.nb_classify(df, "cls", F.expr("doc_id % 3 != 0"),
+                                      n_buckets=B, alpha=alpha).collect()}
+        want = _nb_ref(rows, train_ids, B, alpha)
+        assert got == want, f"B={B} alpha={alpha}"
+
+
+def test_nb_classify_separable_classes_recovered(spark):
+    """On clearly separable vocabulary the held-out predictions must be
+    (almost all) correct — the operator is a working classifier, not
+    just a deterministic formula."""
+    import random
+
+    rng = random.Random(5)
+    voc = {"a": [f"wa{j}" for j in range(10)],
+           "b": [f"wb{j}" for j in range(10)]}
+    rows = [(i, c, " ".join(rng.choice(voc[c]) for _ in range(15)))
+            for i in range(100) for c in [("a" if i % 2 == 0 else "b")]]
+    df = spark.createDataFrame(rows, "doc_id bigint, cls string, text string")
+    from map_reduce_folds_spark.operators import quality as Q
+
+    nb = Q.nb_classify(df, "cls", F.expr("doc_id < 60"), n_buckets=128)
+    held = {r.doc_id: r.pred for r in nb.collect() if r.doc_id >= 60}
+    truth = {i: c for i, c, _ in rows if i >= 60}
+    acc = sum(held[i] == truth[i] for i in held) / len(held)
+    assert acc == 1.0, acc
+
+
+def test_nb_classify_rejects_bad_alpha(spark):
+    from map_reduce_folds_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1, "x", "a b")],
+                               "doc_id bigint, cls string, text string")
+    with pytest.raises(ValueError, match="alpha"):
+        Q.nb_classify(df, "cls", F.lit(True), alpha=0.0)

@@ -733,3 +733,24 @@ def test_q9_bucketed_join_exchange_free(spark):
     # second run: write-once — tables reused, still exchange-free
     again = _run(spark, "q9_product_profit_bucketed")
     assert P.count_exchanges(again) == 1
+
+
+def test_winnow_fingerprints_single_exchange(spark):
+    """Winnowing selection = two bounded window frames over ONE
+    hash-partition-by-doc + sort-by-position pass: exactly 1 Exchange and
+    1 Sort feed both Window operators (Catalyst reuses the sort — the
+    second frame orders identically), and gram hashing stays codegen'd
+    row-local (no BatchEvalPython).  Two sorts or two exchanges would
+    double the operator's only shuffle at corpus scale."""
+    from map_reduce_folds_spark.operators import text as T
+    from map_reduce_folds_spark.sources import load_table
+    import re
+
+    d = load_table(spark, SF_DIR, "documents")
+    fp = T.winnow_fingerprints(d)
+    fp.collect()
+    plan = P.executed_plan(fp)
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\bSort\b", plan)) == 1, plan
+    assert plan.count("Window") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
