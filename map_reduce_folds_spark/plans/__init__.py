@@ -356,6 +356,49 @@ def fat_sorts(df: DataFrame) -> list[str]:
     return hits
 
 
+def _has_unpartitioned_window(plan: str) -> bool:
+    """True when any Window in the plan has an EMPTY partition spec — the
+    single-task shape (every row in one partition, whether or not an
+    ORDER BY then sorts it).
+
+    Counting the operator's top-level ``[...]`` groups cannot distinguish
+    the cases (both "partition only" and "order only" render 2 groups),
+    so parse the ``windowspecdefinition(...)`` argument list instead: its
+    pre-frame arguments are partition expressions (rendered bare)
+    followed by order expressions (rendered with ``ASC``/``DESC`` +
+    ``NULLS`` markers).  No bare pre-frame argument ⇒ no partition."""
+    pos = 0
+    while True:
+        i = plan.find("windowspecdefinition(", pos)
+        if i < 0:
+            return False
+        j = i + len("windowspecdefinition(")
+        depth = 1
+        args, cur = [], []
+        while depth and j < len(plan):
+            ch = plan[j]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            j += 1
+        if cur:
+            args.append("".join(cur).strip())
+        pre = [a for a in args if not a.startswith("specifiedwindowframe")]
+        has_partition = any(
+            " ASC NULLS" not in a and " DESC NULLS" not in a for a in pre)
+        if not has_partition:
+            return True
+        pos = j + 1
+
+
 def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
     """Lint a plan for the smells that kill a 100× scale-up.  Returns a
     list of human-readable findings (empty = clean); each names the smell
@@ -396,27 +439,11 @@ def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
             "generation — add an equi-key, bucketize the range condition "
             "(relational.interval_join/overlap_join), or broadcast an "
             "actually-small side")
-    for ln in p.splitlines():
-        if "Window [" not in ln:
-            continue
-        # a Window operator renders its top-level argument lists as
-        # `Window [fns], [partitionExprs], [orderExprs]` — the partition
-        # group is OMITTED entirely when empty, leaving only 2 groups
-        depth = 0
-        groups = 0
-        for ch in ln[ln.index("Window ["):]:
-            if ch == "[":
-                if depth == 0:
-                    groups += 1
-                depth += 1
-            elif ch == "]":
-                depth -= 1
-        if groups < 3:
-            findings.append(
-                "global-order Window (no PARTITION BY): the whole "
-                "dataset sorts in one task — use "
-                "windows.ordered_prefix_sum / bucketed ranks")
-            break
+    if _has_unpartitioned_window(p):
+        findings.append(
+            "global-order Window (no PARTITION BY): the whole "
+            "dataset sorts in one task — use "
+            "windows.ordered_prefix_sum / bucketed ranks")
     if "BatchEvalPython" in p:
         findings.append(
             "row-at-a-time Python UDF (BatchEvalPython): ~10-100x slower "

@@ -159,15 +159,29 @@ _PRIORITY = [
     #     resample_user_hourly — time-series stays represented by
     #     cusum_stream_stateful, activity_streaks and sessionize_events,
     #     and the resample row re-registers immediately past the window.
+    # Round-13 late swaps, same displacement rule (two NEW operator
+    # families added this round):
+    #   winnow_overlap_pairs (NEW fingerprinting/copy-detection family:
+    #     Schleimer–Wilkerson–Aiken winnowing selection + MOSS overlap
+    #     audit) displaces data_quality_profile — quality analytics
+    #     keeps five in-window rows (gopher_repetition_signals,
+    #     k_anonymity_audit, gini_doclen_by_source,
+    #     session_duration_percentiles, hhi_supplier_concentration) and
+    #     the profile row re-registers immediately past the window;
+    #   nb_lang_confusion (NEW trained-classifier family: hashed-feature
+    #     multinomial Naive Bayes quality/domain gate) displaces
+    #     deterministic_sample — sampling stays represented by
+    #     temperature_mix_sources (plus weighted/stratified rows locally)
+    #     and the split row re-registers immediately past the window.
     "dedup_exact", "record_linkage_customers", "dedup_minhash",
     "dedup_span_rewrite",
     "dedup_cc_clusters", "dedup_embedding_clusters_t09",
     "sim_topk_bruteforce", "dsir_importance_weights",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
     "diff_orders_snapshots",
-    "scd2_user_event_history", "deterministic_sample",
+    "scd2_user_event_history", "nb_lang_confusion",
     "gopher_repetition_signals",
-    "data_quality_profile", "sketch_union_hll",
+    "winnow_overlap_pairs", "sketch_union_hll",
     # Round-6 late swap: funnel_conversion (NEW ordered-event-analytics
     # family; greedy in-order step matching) displaces
     # dedup_multimodal_union — multimodal keeps multimodal_features
@@ -199,6 +213,7 @@ _PRIORITY = [
     "embedding_quantize_int8",
     "temperature_mix_sources",
     # first entries PAST the 50-window: the displaced green rows
+    "data_quality_profile", "deterministic_sample",
     "token_count_bpe", "resample_user_hourly",
     "dedup_jaccard_prefix", "ewma_user_value", "cusum_user_drift",
     "dedup_embedding", "mr_filtered_folds", "pipeline_clean_corpus",

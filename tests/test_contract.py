@@ -70,7 +70,12 @@ def test_driver_window_covers_every_family():
     # subsumes train) displaces token_count_bpe, and
     # temperature_mix_sources (corpus-mixing family) displaces
     # resample_user_hourly (time-series keeps cusum_stream / streaks /
-    # sessionize).  Displaced rows re-register just past the window.
+    # sessionize).  Round-13 late rotation: winnow_overlap_pairs (NEW
+    # fingerprinting/copy-detection family) displaces
+    # data_quality_profile (quality analytics keeps five rows) and
+    # nb_lang_confusion (NEW trained-classifier family) displaces
+    # deterministic_sample (sampling keeps temperature_mix_sources).
+    # Displaced rows re-register just past the window.
     for must_have in [
         "mr_fold_vocab", "mr_group_reduce_keyed", "mr_product_median",
         "dedup_exact", "dedup_minhash", "dedup_cc_clusters",
@@ -80,7 +85,8 @@ def test_driver_window_covers_every_family():
         "dedup_embedding_clusters_t09", "text_stats",
         "scd2_user_event_history",
         "sim_topk_bruteforce", "bpe_encode_corpus", "multimodal_features",
-        "data_quality_profile", "cusum_stream_stateful",
+        "winnow_overlap_pairs", "nb_lang_confusion",
+        "cusum_stream_stateful",
         "asof_join_purchase_click", "window_topk_per_group",
         "sessionize_events", "rollup_region_nation", "salted_aggregation",
         "sessionize_stream_stateful", "q1_pricing_summary",
@@ -122,4 +128,4 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'session_duration_percentiles', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'hhi_supplier_concentration', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_cc_clusters', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'deterministic_sample', 'gopher_repetition_signals', 'data_quality_profile', 'sketch_union_hll', 'funnel_conversion', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'sessionize_events', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'temperature_mix_sources']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'session_duration_percentiles', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'hhi_supplier_concentration', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_cc_clusters', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'funnel_conversion', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'sessionize_events', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'temperature_mix_sources']

@@ -291,6 +291,21 @@ def test_scale_audit_flags_each_smell(spark):
     kw.collect()
     assert not any("global-order" in s for s in P.scale_audit(kw))
 
+    # partitioned-UNORDERED windows (pure partition aggregates) are not
+    # global either — they render with only 2 bracket groups, same as the
+    # order-only form, which fooled the old group-count heuristic (the
+    # nb_classify argmax window false-positive); the rule now parses the
+    # windowspecdefinition argument list
+    pw = a.withColumn("mx", F.max("id").over(
+        Window.partitionBy((F.col("id") % 5))))
+    pw.collect()
+    assert not any("global-order" in s for s in P.scale_audit(pw))
+
+    # empty-partition NO-order windows are still single-task → flagged
+    ew = a.withColumn("mx", F.max("id").over(Window.partitionBy()))
+    ew.collect()
+    assert any("global-order" in s for s in P.scale_audit(ew))
+
 
 @pytest.mark.parametrize("name,max_shuffles", [
     ("dedup_lines", 6),            # digest agg+join, per-doc regroup, doc join
