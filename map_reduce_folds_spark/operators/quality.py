@@ -890,3 +890,114 @@ def nb_classify_sql(
     SELECT {id_col}, MIN(cls) AS pred, MAX(score) AS score
     FROM mx WHERE score = m GROUP BY {id_col}
     """
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    add-α-smoothed bigram LM — the next quality filter up from
+    :func:`unigram_logprob` (a unigram model cannot see scrambled or
+    repetitive token ORDER; a bigram model scores "the the the" and
+    bag-of-frequent-words spam as improbable).  Output:
+    ``(id, n_bigrams, mean_logprob)`` with
+
+        p(w_i | w_{i-1}) = (c2(w_{i-1}, w_i) + α) / (c1(w_{i-1}) + α·V)
+        mean_logprob = round(Σ_{i≥1} ln p(w_i|w_{i-1}) / n_bigrams, 9)
+
+    where ``c1`` counts occurrences as HISTORIES (every position that
+    has a successor), so each conditional sums to 1 over the V-token
+    vocabulary — the textbook Laplace bigram model (Jurafsky & Martin
+    ch. 3, public literature).  Documents with < 2 tokens have no
+    bigrams and drop out (no evidence).
+
+    Shape (100 TB): one bigram explode feeds two map-side-combinable
+    count aggregations (distinct-bigram and history counts — vocabulary-
+    sized, not corpus-sized); scoring joins the bigram stream to both
+    count relations on their keys (hot stopword histories skew the join
+    input, but rows are skinny and AQE splits oversized partitions —
+    the :func:`unigram_logprob` note); V rides a one-row broadcast; the
+    per-doc sum folds a SORTED (pos, term) array and each term is
+    division + ln (two correctly-rounded ops), so the 9-decimal round
+    makes the score engine-exact."""
+    from map_reduce_folds_spark.operators.text import shingles, tokenize
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    a = float(alpha)
+    tk = df.select(F.col(id_col), tokenize(text_col).alias("tk"))
+    big = tk.select(
+        id_col,
+        F.posexplode(shingles(F.col("tk"), 2)).alias("pos", "bg"),
+    ).select(id_col, "pos", "bg",
+             F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy(F.col("w1").alias("h")).agg(
+        F.count(F.lit(1)).alias("c1"))
+    vocab = tk.select(F.explode("tk").alias("tok")) \
+        .agg(F.count_distinct("tok").alias("v"))
+    terms = (
+        big.join(c2, "bg")
+        .join(c1, big["w1"] == c1["h"])
+        .crossJoin(F.broadcast(vocab))  # one-row scalar idiom
+        .select(
+            id_col, "pos",
+            F.log((F.col("c2").cast("double") + F.lit(a))
+                  / (F.col("c1").cast("double")
+                     + F.col("v").cast("double") * F.lit(a))).alias("term"),
+        )
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("pos", "term")))
+    s = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["term"])
+    return terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(s / F.count(F.lit(1)).cast("double"), 9)
+         .alias("mean_logprob"),
+    )
+
+
+def bigram_logprob_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB mirror of :func:`bigram_logprob` — same history-count
+    semantics, same division+ln term, same sorted-fold order."""
+    a = float(alpha)
+    return f"""
+    WITH tk AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS tk FROM {src}
+    ),
+    big AS (
+        SELECT {id_col}, i.i AS pos,
+               array_to_string(tk[i.i+1:i.i+2], ' ') AS bg,
+               tk[i.i+1] AS w1
+        FROM tk, LATERAL (SELECT unnest(range(len(tk) - 1)) AS i) i
+        WHERE len(tk) >= 2
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY 1),
+    c1 AS (SELECT w1 AS h, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(tk) AS tok FROM tk)
+    ),
+    terms AS (
+        SELECT big.{id_col}, big.pos,
+               ln((CAST(c2.c2 AS DOUBLE) + {a!r})
+                  / (CAST(c1.c1 AS DOUBLE)
+                     + CAST(v.v AS DOUBLE) * {a!r})) AS term
+        FROM big JOIN c2 USING (bg) JOIN c1 ON big.w1 = c1.h, v
+    )
+    SELECT {id_col}, COUNT(*) AS n_bigrams,
+           round(list_reduce(
+                     list_prepend(0.0,
+                         list_sort(list({{'p': pos, 't': term}}))
+                             .apply(s -> s.t)),
+                     (acc, x) -> acc + x)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS mean_logprob
+    FROM terms GROUP BY {id_col}
+    """

@@ -3743,3 +3743,85 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(~F.expr(_NB_TRAIN_SQL))
     return held.groupBy("lang", "pred").agg(
         F.count(F.lit(1)).alias("n_docs"))
+
+
+@query("bigram_logprob", oracle=Q.bigram_logprob_sql("documents"))
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-proxy quality signal
+    (operators/quality.bigram_logprob): each document's mean
+    ln p(w_i | w_{i-1}) under the corpus's own add-1-smoothed bigram
+    model — catches scrambled/repetitive token ORDER that the unigram
+    filter (unigram_logprob) cannot see.  Two vocabulary-sized count
+    aggregations + token-keyed joins; sorted-fold + 9-decimal-round make
+    the ln-bearing score hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return Q.bigram_logprob(d, "doc_id", "text")
+
+
+_V3_BG_GATE = -3.43   # bigram mean_logprob gate (≈ p10 at sf0.01)
+
+
+@query(
+    "pipeline_curation_v3",
+    oracle=f"""
+    WITH marked AS (
+        SELECT doc_id, {_NB_MARK_SQL} AS text, lang FROM documents
+    ),
+    nb AS ({Q.nb_classify_sql(_NB_TRAIN_SQL, src='marked', class_col='lang',
+                              n_buckets=_NB_B, alpha=_NB_ALPHA)}),
+    agree AS (
+        SELECT nb.doc_id FROM nb JOIN documents d USING (doc_id)
+        WHERE nb.pred = d.lang
+    ),
+    s1 AS (
+        SELECT * FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM agree)
+    ),
+    fp AS ({T.winnow_fingerprints_sql('s1', k=_WIN_K, w=_WIN_W)}),
+    wd AS (SELECT DISTINCT doc_id, g FROM fp),
+    wdf AS (SELECT g, COUNT(*) AS c FROM wd GROUP BY g),
+    we AS (SELECT doc_id, wd.g FROM wd JOIN wdf USING (g) WHERE wdf.c <= 10),
+    wp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM we a JOIN we b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    s2 AS (
+        SELECT * FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM wp)
+    ),
+    bgq AS ({Q.bigram_logprob_sql('documents')}),
+    s3 AS (
+        SELECT s2.* FROM s2 JOIN bgq USING (doc_id)
+        WHERE bgq.mean_logprob >= {_V3_BG_GATE!r}
+    )
+    SELECT doc_id, source
+    FROM ({SM.temperature_mix_sql('s3', 'source', 'doc_id', salt='cur3')}) z
+    """,
+)
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 operator surface composed into ONE curation
+    pipeline: Naive-Bayes label-agreement filter (drop docs whose
+    trained-classifier prediction disagrees with their label — the
+    label-noise gate) → winnowing-fingerprint copy removal (keep-first
+    over MOSS overlap pairs) → bigram-LM perplexity gate (corpus-model
+    mean ln p(w_i|w_{i-1}) ≥ p10) → temperature-reweighted source mixing
+    (τ = 0.5).  Every stage is an existing operator; the whole chain is
+    one Catalyst plan and the oracle chains the stages' SQL mirrors —
+    the composition thesis of pipeline_curation_v2 extended to the
+    round-13 families, verified by hash."""
+    d = load_table(spark, sf_dir, "documents")
+    marked = _nb_marked(spark, sf_dir)
+    nb = Q.nb_classify(marked, "lang", F.expr(_NB_TRAIN_SQL),
+                       n_buckets=_NB_B, alpha=_NB_ALPHA)
+    agree = (nb.join(d.select("doc_id", "lang"), "doc_id")
+               .where(F.col("pred") == F.col("lang")).select("doc_id"))
+    s1 = d.join(agree, "doc_id", "left_semi")
+    pairs = T.winnow_overlap_pairs(s1, k=_WIN_K, w=_WIN_W,
+                                   min_shared=2, max_df=10)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s2 = s1.join(drop, "doc_id", "left_anti")
+    good = Q.bigram_logprob(d).where(
+        F.col("mean_logprob") >= F.lit(_V3_BG_GATE)).select("doc_id")
+    s3 = s2.join(good, "doc_id", "left_semi")
+    return SM.temperature_mix(s3, "source", "doc_id", salt="cur3") \
+        .select("doc_id", "source")

@@ -2926,3 +2926,78 @@ def test_nb_classify_rejects_bad_alpha(spark):
                                "doc_id bigint, cls string, text string")
     with pytest.raises(ValueError, match="alpha"):
         Q.nb_classify(df, "cls", F.lit(True), alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity proxy
+# ---------------------------------------------------------------------------
+
+def _bigram_ref(rows, alpha=1.0):
+    """Brute-force bigram_logprob: rows = [(id, text)]."""
+    import math
+    from collections import Counter
+
+    c2, c1, vocab = Counter(), Counter(), set()
+    for _, t in rows:
+        tk = t.split(" ")
+        vocab.update(tk)
+        for i in range(len(tk) - 1):
+            c2[(tk[i], tk[i + 1])] += 1
+            c1[tk[i]] += 1
+    V = len(vocab)
+    out = {}
+    for i, t in rows:
+        tk = t.split(" ")
+        if len(tk) < 2:
+            continue
+        terms = [math.log((c2[(tk[j], tk[j + 1])] + alpha)
+                          / (c1[tk[j]] + V * alpha))
+                 for j in range(len(tk) - 1)]
+        out[i] = (len(terms), round(math.fsum(terms) / len(terms), 9))
+    return out
+
+
+def test_bigram_logprob_matches_reference(spark):
+    import random
+
+    rng = random.Random(3)
+    voc = [f"w{j}" for j in range(12)]
+    rows = [(i, " ".join(rng.choice(voc)
+                         for _ in range(rng.randint(1, 30))))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from map_reduce_folds_spark.operators import quality as Q
+
+    got = {r.doc_id: (r.n_bigrams, r.mean_logprob)
+           for r in Q.bigram_logprob(df).collect()}
+    want = _bigram_ref(rows)
+    # fsum vs sorted-fold can differ in the last ulp before rounding;
+    # compare counts exactly and scores to the rounded precision
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 2e-9, (i, got[i], want[i])
+
+
+def test_bigram_logprob_penalizes_scrambled_order(spark):
+    """A unigram filter cannot distinguish these rows; the bigram LM
+    must score the order-scrambled document strictly lower."""
+    natural = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy fox the brown jumps"
+    rows = [(i, natural) for i in range(20)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from map_reduce_folds_spark.operators import quality as Q
+
+    out = {r.doc_id: r.mean_logprob for r in Q.bigram_logprob(df).collect()}
+    assert out[99] < out[0] - 1.0, out
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    from map_reduce_folds_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1, "solo"), (2, "a b")],
+                               "doc_id bigint, text string")
+    out = {r.doc_id for r in Q.bigram_logprob(df).collect()}
+    assert out == {2}
+    with pytest.raises(ValueError, match="alpha"):
+        Q.bigram_logprob(df, alpha=-1)
