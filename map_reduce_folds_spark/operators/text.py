@@ -300,6 +300,7 @@ def winnow_fingerprints(
     w: int = 4,
     salt: str = "",
     token_pattern: str | None = None,
+    materialize_path: str | None = None,
 ) -> "DataFrame":
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
@@ -338,7 +339,14 @@ def winnow_fingerprints(
     for the second Window, pinned in tests); frames are O(w) regardless
     of document length, so giant documents cost memory O(w), not O(doc).
     Documents with fewer than ``k`` tokens have no grams and emit no
-    fingerprints (the paper's domain: n_grams >= 1)."""
+    fingerprints (the paper's domain: n_grams >= 1).
+
+    ``materialize_path`` writes the fingerprint index once as parquet
+    and returns a fresh scan (``dedup.materialize_stage`` — the
+    shared-stage discipline of ``shingle_sets``): at corpus scale the
+    index feeds every downstream audit (overlap pairs, cross-corpus
+    contamination), and re-deriving it per consumer repeats the
+    dominant text scan."""
     from pyspark.sql.window import Window
 
     if k < 1 or w < 1:
@@ -362,7 +370,11 @@ def winnow_fingerprints(
                F.min("g").over(wb)),
     )
     s = m.withColumn("__fm", F.max("__mn").over(wf))
-    return s.where(F.col("__fm") == F.col("g")).select(id_col, "p", "g")
+    out = s.where(F.col("__fm") == F.col("g")).select(id_col, "p", "g")
+    if materialize_path is not None:
+        from map_reduce_folds_spark.operators.dedup import materialize_stage
+        return materialize_stage(out, materialize_path)
+    return out
 
 
 def winnow_fingerprints_sql(

@@ -3825,3 +3825,50 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.join(good, "doc_id", "left_semi")
     return SM.temperature_mix(s3, "source", "doc_id", salt="cur3") \
         .select("doc_id", "source")
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=None,  # set below (wraps the train-then-encode CTE chain)
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword tokens emitted per
+    word (the standard multilingual tokenizer-equity audit: a
+    vocabulary trained on a skewed mix over-segments under-represented
+    languages, inflating their sequence lengths and training cost; cf.
+    the mT5/ByT5 fertility analyses, public literature).  Composes the
+    BPE ENCODE step (operators/bpe.bpe_encode_token_counts — word-level
+    cache replay) with a per-lang roll-up: integer token/word sums are
+    exact, fertility is one terminal IEEE division."""
+    from map_reduce_folds_spark.operators import bpe as BP
+
+    d = load_table(spark, sf_dir, "documents")
+    enc = BP.bpe_encode_token_counts(d, "doc_id", "text", _BPE_MERGES)
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_words").alias("total_words"),
+             F.sum("n_tokens").alias("total_tokens"),
+             (F.sum("n_tokens").cast("double")
+              / F.sum("n_words").cast("double")).alias("fertility"))
+    )
+
+
+def _set_fertility_oracle():
+    from map_reduce_folds_spark.operators import bpe as BP
+    from map_reduce_folds_spark.queries.registry import ORACLES
+
+    ORACLES["tokenizer_fertility_by_lang"] = f"""
+    WITH enc AS ({BP.bpe_encode_sql(_BPE_MERGES)})
+    SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(enc.n_words) AS BIGINT) AS total_words,
+           CAST(SUM(enc.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(enc.n_tokens) AS DOUBLE)
+               / CAST(SUM(enc.n_words) AS DOUBLE) AS fertility
+    FROM enc JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+_set_fertility_oracle()

@@ -3001,3 +3001,22 @@ def test_bigram_logprob_short_docs_drop(spark):
     assert out == {2}
     with pytest.raises(ValueError, match="alpha"):
         Q.bigram_logprob(df, alpha=-1)
+
+
+def test_winnow_materialize_path_roundtrip(docs, tmp_path_factory):
+    """materialize_path= writes the fingerprint index once and the
+    re-read scan is row-identical to the derived relation (the
+    shingle_sets shared-stage discipline)."""
+    path = str(tmp_path_factory.mktemp("winnow_idx") / "fp")
+    derived = T.winnow_fingerprints(docs, k=3, w=4)
+    stored = T.winnow_fingerprints(docs, k=3, w=4, materialize_path=path)
+    a = {(r.doc_id, r.p, r.g) for r in derived.collect()}
+    b = {(r.doc_id, r.p, r.g) for r in stored.collect()}
+    assert a == b and len(a) > 0
+    # consumers can feed the stored index straight into the overlap join
+    pairs_stored = T.winnow_overlap_pairs(
+        docs, fps=stored, min_shared=2, max_df=10)
+    pairs_fresh = T.winnow_overlap_pairs(
+        docs, k=3, w=4, min_shared=2, max_df=10)
+    assert ({(r.id_a, r.id_b, r.shared) for r in pairs_stored.collect()}
+            == {(r.id_a, r.id_b, r.shared) for r in pairs_fresh.collect()})
