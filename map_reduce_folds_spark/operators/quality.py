@@ -914,11 +914,12 @@ def bigram_logprob(
     ch. 3, public literature).  Documents with < 2 tokens have no
     bigrams and drop out (no evidence).
 
-    Shape (100 TB): one bigram explode feeds two map-side-combinable
-    count aggregations (distinct-bigram and history counts — vocabulary-
-    sized, not corpus-sized); scoring joins the bigram stream to both
-    count relations on their keys (hot stopword histories skew the join
-    input, but rows are skinny and AQE splits oversized partitions —
+    Shape (100 TB): one bigram explode feeds ONE map-side-combinable
+    count aggregation (distinct-bigram counts); history counts derive
+    from that vocabulary-sized relation (``c1(w) = Σ_{w'} c2(w, w')``)
+    rather than a second corpus scan; scoring joins the bigram stream to
+    both count relations on their keys (hot stopword histories skew the
+    join input, but rows are skinny and AQE splits oversized partitions —
     the :func:`unigram_logprob` note); V rides a one-row broadcast; the
     per-doc sum folds a SORTED (pos, term) array and each term is
     division + ln (two correctly-rounded ops), so the 9-decimal round
@@ -934,9 +935,12 @@ def bigram_logprob(
         F.posexplode(shingles(F.col("tk"), 2)).alias("pos", "bg"),
     ).select(id_col, "pos", "bg",
              F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+    # history counts derive from the DISTINCT-BIGRAM relation, not the
+    # corpus: c1(w) = Σ_{w'} c2(w, w') — one aggregation over the
+    # vocabulary-sized c2 instead of a second corpus-sized scan
     c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy(F.col("w1").alias("h")).agg(
-        F.count(F.lit(1)).alias("c1"))
+    c1 = c2.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("h")) \
+        .agg(F.sum("c2").alias("c1"))
     vocab = tk.select(F.explode("tk").alias("tok")) \
         .agg(F.count_distinct("tok").alias("v"))
     terms = (
@@ -980,7 +984,8 @@ def bigram_logprob_sql(
         WHERE len(tk) >= 2
     ),
     c2 AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY 1),
-    c1 AS (SELECT w1 AS h, COUNT(*) AS c1 FROM big GROUP BY 1),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS h, SUM(c2) AS c1
+           FROM c2 GROUP BY 1),
     v AS (
         SELECT COUNT(DISTINCT tok) AS v
         FROM (SELECT unnest(tk) AS tok FROM tk)

@@ -449,7 +449,11 @@ def winnow_overlap_pairs(
     pattern of ``dedup.shingle_sets``."""
     fp = fps if fps is not None else winnow_fingerprints(
         df, id_col, text_col, k, w, salt, token_pattern)
-    d = fp.select(id_col, "g").distinct()
+    # the skinny (id, g) relation feeds the df-cap count AND both sides
+    # of the pair join — checkpoint it (lazily) so the corpus scan and
+    # the window selection run ONCE, not once per consumer lineage
+    # (ReuseExchange only catches two of the three uses)
+    d = fp.select(id_col, "g").distinct().localCheckpoint(eager=False)
     dfc = d.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
     e = d.join(dfc.where(F.col("__c") <= max_df).select("g"), "g")
     a, b = e.alias("a"), e.alias("b")
@@ -460,4 +464,50 @@ def winnow_overlap_pairs(
                  F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_contamination(
+    train: "DataFrame",
+    eval_df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    salt: str = "",
+    token_pattern: str | None = None,
+    fps: "DataFrame | None" = None,
+) -> "DataFrame":
+    """Per-TRAINING-document contamination score against an eval set's
+    WINNOWING-fingerprint universe: ``(id, n_fp, n_hit, overlap)`` —
+    :func:`eval_overlap` re-based on the winnowed index.  The trade the
+    paper's guarantee makes exact: any shared run of ``w + k - 1``
+    tokens still registers at least one shared fingerprint (coverage),
+    while both sides carry only ~``2/(w+1)`` of their grams — at corpus
+    scale that is the difference between scanning the full shingle
+    relation per audit and probing a small materialized index
+    (``fps=`` accepts a :func:`winnow_fingerprints` table written once
+    via ``materialize_path``).  Shorter overlaps than ``w + k − 1``
+    tokens can fall between selected fingerprints — the audit is a
+    GUARANTEED-LONG-RUN detector, not a per-gram overlap measure (use
+    :func:`eval_overlap` when per-gram resolution matters).
+
+    The eval universe is the SMALL side — distinct eval fingerprint
+    hashes broadcast into a semi-join probe, so the training pass stays
+    scan-shaped.  Train docs with zero fingerprints (< k tokens) score
+    overlap 0 (no evidence)."""
+    fp_train = fps if fps is not None else winnow_fingerprints(
+        train, id_col, text_col, k, w, salt, token_pattern)
+    ev = (winnow_fingerprints(eval_df, id_col, text_col, k, w, salt,
+                              token_pattern)
+          .select("g").distinct())
+    d = fp_train.select(id_col, "g").distinct()
+    hits = d.join(F.broadcast(ev), "g", "left_semi") \
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("__c"))
+    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    return sizes.join(hits, id_col, "left").select(
+        id_col, "n_fp",
+        F.coalesce("__c", F.lit(0)).cast("bigint").alias("n_hit"),
+        (F.coalesce("__c", F.lit(0)).cast("double")
+         / F.col("n_fp").cast("double")).alias("overlap"),
     )

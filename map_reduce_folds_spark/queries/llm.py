@@ -3872,3 +3872,34 @@ def _set_fertility_oracle():
 
 
 _set_fertility_oracle()
+
+
+@query(
+    "winnow_contamination_audit",
+    oracle=f"""
+    WITH fpall AS ({T.winnow_fingerprints_sql('documents',
+                                              k=_WIN_K, w=_WIN_W)}),
+    ev AS (SELECT DISTINCT g FROM fpall WHERE doc_id % 50 = 0),
+    d AS (SELECT DISTINCT doc_id, g FROM fpall WHERE doc_id % 50 != 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM d GROUP BY 1),
+    hits AS (SELECT doc_id, COUNT(*) AS c FROM d
+             WHERE g IN (SELECT g FROM ev) GROUP BY 1)
+    SELECT s.doc_id, s.n_fp,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.c, 0) AS DOUBLE) / s.n_fp AS overlap
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def winnow_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit over the WINNOWED index
+    (operators/text.winnow_contamination): every 50th doc plays the
+    eval set, the rest are training docs scored by the fraction of
+    their winnowing fingerprints present in the eval universe.  The
+    coverage guarantee makes this exact for shared runs of w+k−1
+    tokens while both sides carry only ~2/(w+1) of their grams — the
+    audit a 100 TB corpus can afford to run per eval-set release
+    against a materialized fingerprint index."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 50 != 0)
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    return T.winnow_contamination(train, ev, k=_WIN_K, w=_WIN_W)

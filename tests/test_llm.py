@@ -3020,3 +3020,22 @@ def test_winnow_materialize_path_roundtrip(docs, tmp_path_factory):
         docs, k=3, w=4, min_shared=2, max_df=10)
     assert ({(r.id_a, r.id_b, r.shared) for r in pairs_stored.collect()}
             == {(r.id_a, r.id_b, r.shared) for r in pairs_fresh.collect()})
+
+
+def test_winnow_contamination_guarantee(spark):
+    """A training doc sharing a w+k-1-token run with an eval doc MUST
+    register at least one fingerprint hit (the winnowing coverage
+    guarantee applied cross-corpus); disjoint-vocab docs score 0."""
+    k, w = 3, 4
+    run = " ".join(f"e{i}" for i in range(k + w - 1))  # exactly w+k-1 tokens
+    ev = spark.createDataFrame(
+        [(1000, run + " " + " ".join(f"x{i}" for i in range(10)))],
+        "doc_id bigint, text string")
+    train = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(8)) + " " + run),
+         (2, " ".join(f"u{i}" for i in range(20)))],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in T.winnow_contamination(
+        train, ev, k=k, w=w).collect()}
+    assert out[1].n_hit >= 1 and out[1].overlap > 0
+    assert out[2].n_hit == 0 and out[2].overlap == 0.0
