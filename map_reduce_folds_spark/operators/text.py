@@ -446,14 +446,24 @@ def winnow_overlap_pairs(
     ``max_shingle_df`` discipline from the Jaccard family).  Pass a
     precomputed ``fps=`` (e.g. a :func:`winnow_fingerprints` table
     materialized once) to skip re-fingerprinting — the shared-stage
-    pattern of ``dedup.shingle_sets``."""
+    pattern of ``dedup.shingle_sets``.  At the 100M-fingerprint scale
+    pass ``fps=`` a parquet index (``winnow_fingerprints
+    materialize_path``): a disk-backed stage boundary — an in-memory
+    localCheckpoint of the fingerprint relation was measured to OOM
+    both 8g and 32g sessions at 1000× (the block-manager-vs-disk
+    boundary lesson, SCALE.md)."""
     fp = fps if fps is not None else winnow_fingerprints(
         df, id_col, text_col, k, w, salt, token_pattern)
     # the skinny (id, g) relation feeds the df-cap count AND both sides
-    # of the pair join — checkpoint it (lazily) so the corpus scan and
-    # the window selection run ONCE, not once per consumer lineage
-    # (ReuseExchange only catches two of the three uses)
-    d = fp.select(id_col, "g").distinct().localCheckpoint(eager=False)
+    # of the pair join; ReuseExchange shares the distinct's shuffle
+    # across those lineages.  DELIBERATELY no localCheckpoint here: a
+    # corpus-scale fingerprint relation cached deserialized in the block
+    # manager is a heap cliff (measured: 101M fingerprints OOM'd an 8g
+    # AND a 32g session in the checkpoint materialization stage, while
+    # the un-checkpointed plan runs) — the durable boundary at scale is
+    # a parquet index passed via ``fps=`` (winnow_fingerprints
+    # materialize_path), a disk-backed scan, not block-manager memory
+    d = fp.select(id_col, "g").distinct()
     dfc = d.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
     e = d.join(dfc.where(F.col("__c") <= max_df).select("g"), "g")
     a, b = e.alias("a"), e.alias("b")

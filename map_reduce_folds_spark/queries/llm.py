@@ -3903,3 +3903,61 @@ def winnow_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.where(F.col("doc_id") % 50 != 0)
     ev = d.where(F.col("doc_id") % 50 == 0)
     return T.winnow_contamination(train, ev, k=_WIN_K, w=_WIN_W)
+
+
+@query(
+    "dedup_savings_winnow",
+    oracle=f"""
+    WITH RECURSIVE
+    fp AS ({T.winnow_fingerprints_sql('documents', k=_WIN_K, w=_WIN_W)}),
+    wd AS (SELECT DISTINCT doc_id, g FROM fp),
+    wdf AS (SELECT g, COUNT(*) AS c FROM wd GROUP BY g),
+    we AS (SELECT doc_id, wd.g FROM wd JOIN wdf USING (g)
+           WHERE wdf.c <= 10),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM we a JOIN we b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component
+             FROM reach GROUP BY node),
+    d AS (
+        SELECT doc_id, source, n_chars,
+               COALESCE(component, doc_id) AS cluster
+        FROM documents LEFT JOIN comp USING (doc_id)
+    ),
+    rep AS (
+        SELECT cluster,
+               (MIN({{'a': -n_chars, 'b': doc_id}})).b AS rep_id
+        FROM d GROUP BY cluster
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN doc_id <> rep_id THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped
+    FROM d JOIN rep USING (cluster)
+    GROUP BY source
+    """,
+)
+def dedup_savings_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The savings report under the WINNOWING copy-detection policy —
+    the new fingerprint family composed with the policy-agnostic
+    ``cluster_savings`` accounting (MOSS overlap pairs → CC →
+    keep-the-longest rep → per-source kept/dropped).  The oracle walks
+    the same capped fingerprint join into a recursive-CTE closure —
+    one gate covers the pair policy AND the accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = T.winnow_overlap_pairs(d, k=_WIN_K, w=_WIN_W,
+                                   min_shared=2, max_df=10)
+    return D.cluster_savings(d, "doc_id", "text", "n_chars", "source",
+                             pairs=pairs)
