@@ -521,3 +521,58 @@ def winnow_contamination(
         (F.coalesce("__c", F.lit(0)).cast("double")
          / F.col("n_fp").cast("double")).alias("overlap"),
     )
+
+
+def winnow_ingest(
+    new_docs: "DataFrame",
+    index: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 10,
+    salt: str = "",
+    token_pattern: str | None = None,
+) -> "DataFrame":
+    """Incremental near-dup ingest against an EXISTING winnowing index:
+    score every document of a new batch by its best fingerprint overlap
+    with the already-ingested corpus — the fingerprint analog of the
+    digest-table incremental exact dedup (a growing corpus judges each
+    arriving batch against what it already holds, never re-pairing the
+    whole history).  Output per new document:
+    ``(id, n_fp, best_shared, is_dup)`` where ``best_shared`` is the
+    maximum fingerprint count shared with any single indexed document
+    and ``is_dup = best_shared >= min_shared``.
+
+    ``index`` is a ``(id, g)`` fingerprint relation — a
+    :func:`winnow_fingerprints` result, typically the parquet index
+    maintained across batches (append the KEPT batch docs' fingerprints
+    after each ingest: ``index.union(fp_new.join(kept_ids, id))``).
+    ``max_df`` drops index fingerprints present in more than that many
+    indexed documents before the join (boilerplate guard, as in
+    :func:`winnow_overlap_pairs`).  Within-batch duplicates are out of
+    scope by design — run :func:`winnow_overlap_pairs` on the batch for
+    those; ingest semantics judge against the INDEX only.
+
+    Shape (100 TB): the batch side is one winnow pass over the (small)
+    batch; the index side is a skinny (id, g) scan + df-cap aggregate;
+    the only join is fingerprint-keyed with the capped index, so per-
+    batch cost rides the batch size and the hit mass, not the corpus."""
+    fpn = winnow_fingerprints(new_docs, id_col, text_col, k, w, salt,
+                              token_pattern).select(id_col, "g").distinct()
+    idx = index.select(F.col(id_col).alias("__old"), "g").distinct()
+    dfc = idx.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
+    idx_ok = idx.join(dfc.where(F.col("__c") <= max_df).select("g"), "g")
+    shared = (
+        fpn.join(idx_ok, "g")
+        .groupBy(id_col, "__old").agg(F.count(F.lit(1)).alias("__s"))
+        .groupBy(id_col).agg(F.max("__s").alias("best_shared"))
+    )
+    sizes = fpn.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    return sizes.join(shared, id_col, "left").select(
+        id_col, "n_fp",
+        F.coalesce("best_shared", F.lit(0)).cast("bigint")
+         .alias("best_shared"),
+        (F.coalesce("best_shared", F.lit(0)) >= min_shared).alias("is_dup"),
+    )

@@ -3961,3 +3961,44 @@ def dedup_savings_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    min_shared=2, max_df=10)
     return D.cluster_savings(d, "doc_id", "text", "n_chars", "source",
                              pairs=pairs)
+
+
+@query(
+    "winnow_ingest_audit",
+    oracle=f"""
+    WITH fpall AS ({T.winnow_fingerprints_sql('documents',
+                                              k=_WIN_K, w=_WIN_W)}),
+    fpn AS (SELECT DISTINCT doc_id, g FROM fpall WHERE doc_id % 3 = 0),
+    idx AS (SELECT DISTINCT doc_id AS old_id, g FROM fpall
+            WHERE doc_id % 3 != 0),
+    dfc AS (SELECT g, COUNT(*) AS c FROM idx GROUP BY g),
+    idx_ok AS (SELECT old_id, idx.g FROM idx JOIN dfc USING (g)
+               WHERE dfc.c <= 10),
+    shared AS (
+        SELECT doc_id, MAX(s) AS best_shared FROM (
+            SELECT doc_id, old_id, COUNT(*) AS s
+            FROM fpn JOIN idx_ok USING (g) GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpn GROUP BY 1)
+    SELECT s.doc_id, s.n_fp,
+           CAST(COALESCE(h.best_shared, 0) AS BIGINT) AS best_shared,
+           COALESCE(h.best_shared, 0) >= 2 AS is_dup
+    FROM sizes s LEFT JOIN shared h USING (doc_id)
+    """,
+)
+def winnow_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest (operators/text.winnow_ingest): every
+    third document plays the ARRIVING batch, the rest are the already-
+    ingested corpus's fingerprint index — each batch doc is scored by
+    its best fingerprint overlap with any single indexed doc and
+    flagged when it crosses the pair threshold.  The per-batch cost
+    rides the batch and the capped index join, never re-pairing the
+    history — the fingerprint analog of the digest-table incremental
+    exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 3 == 0)
+    existing = d.where(F.col("doc_id") % 3 != 0)
+    idx = T.winnow_fingerprints(existing, k=_WIN_K, w=_WIN_W)
+    return T.winnow_ingest(batch, idx, k=_WIN_K, w=_WIN_W,
+                           min_shared=2, max_df=10)

@@ -3039,3 +3039,25 @@ def test_winnow_contamination_guarantee(spark):
         train, ev, k=k, w=w).collect()}
     assert out[1].n_hit >= 1 and out[1].overlap > 0
     assert out[2].n_hit == 0 and out[2].overlap == 0.0
+
+
+def test_winnow_ingest_flags_index_copies_only(spark):
+    """An arriving copy of an INDEXED doc is flagged; a novel doc is
+    not; two copies arriving together (within-batch dup) are NOT
+    flagged — ingest judges against the index only, by contract."""
+    base = " ".join(f"d{i}" for i in range(25))
+    existing = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"o{i}" for i in range(25)))],
+        "doc_id bigint, text string")
+    twin = " ".join(f"n{i}" for i in range(25))
+    batch = spark.createDataFrame(
+        [(10, base),         # copy of indexed doc 1 -> dup
+         (11, " ".join(f"z{i}" for i in range(25))),  # novel -> clean
+         (12, twin), (13, twin)],  # within-batch copies -> both clean
+        "doc_id bigint, text string")
+    idx = T.winnow_fingerprints(existing, k=3, w=4)
+    out = {r.doc_id: r for r in T.winnow_ingest(
+        batch, idx, k=3, w=4, min_shared=2, max_df=10).collect()}
+    assert out[10].is_dup and out[10].best_shared >= 2
+    assert not out[11].is_dup and out[11].best_shared == 0
+    assert not out[12].is_dup and not out[13].is_dup
