@@ -758,7 +758,64 @@ def nb_classify(
     term is a single correctly-rounded op, so the 9-decimal round makes
     the score engine-exact.  Argmax is two portable aggregates (max
     score, then min class among ties) — no engine-specific arg_max tie
-    rule."""
+    rule.  Composition of :func:`nb_fit` + :func:`nb_score` (fit once,
+    score many — e.g. each micro-batch of a stream)."""
+    return nb_score(
+        df, nb_fit(df, class_col, train_pred, text_col, n_buckets),
+        id_col, text_col, n_buckets, alpha)
+
+
+def nb_fit(
+    df: DataFrame,
+    class_col: str,
+    train_pred: Column | None = None,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the multinomial NB model on the rows matching ``train_pred``
+    (all rows when None): returns the two BOUNDED model relations
+    ``(counts, class_info)`` — ``counts = (cls, bkt, cnt)`` hashed-token
+    counts (≤ B·K rows, lazily localCheckpoint'd so the corpus explode
+    never re-evaluates through the model's lineage) and ``class_info =
+    (cls, tot, dc, dt)`` class totals/priors.  Fit once, score many:
+    :func:`nb_score` applies the model to any relation — including each
+    micro-batch of a stream (``streaming.stream_nb_score``), where the
+    bounded model is exactly what survives a broadcast."""
+    from map_reduce_folds_spark.operators.text import hash60, tokenize
+
+    B = int(n_buckets)
+    tr = df if train_pred is None else df.where(train_pred)
+    tk = tr.select(F.col(class_col).alias("__cls"),
+                   tokenize(text_col).alias("tk"))
+    g = tk.select("__cls", F.explode("tk").alias("tok")) \
+        .select("__cls", (hash60(F.col("tok")) % B).alias("bkt"))
+    cc = (g.groupBy(F.col("__cls").alias("cls"), "bkt")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .localCheckpoint(eager=False))
+    ct = cc.groupBy("cls").agg(F.sum("cnt").alias("tot"))
+    pr = tk.groupBy(F.col("__cls").alias("cls")) \
+           .agg(F.count(F.lit(1)).alias("dc"))
+    dt = pr.agg(F.sum("dc").alias("dt"))
+    cls_info = (ct.join(pr, "cls")
+                  .crossJoin(F.broadcast(dt)))  # one-row scalar idiom
+    return cc, cls_info
+
+
+def nb_score(
+    df: DataFrame,
+    model: "tuple[DataFrame, DataFrame]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score every row of ``df`` under a fitted NB ``model``
+    (:func:`nb_fit`): ``(id, pred, score)`` — the scoring half of
+    :func:`nb_classify`, separated so one fitted model can score many
+    relations (held-out sets, fresh crawl batches, micro-batches of a
+    stream).  Arithmetic identical to :func:`nb_classify` — same
+    absent-bucket identity, sorted fold, 9-decimal round, two-step
+    argmax."""
     import math
 
     from map_reduce_folds_spark.operators.text import hash60, tokenize
@@ -769,26 +826,12 @@ def nb_classify(
     B = int(n_buckets)
     a = float(alpha)
     ln_a = math.log(a) if a != 1.0 else 0.0  # exact 0.0 when α=1
-    tk = df.select(F.col(id_col), F.col(class_col).alias("__cls"),
-                   train_pred.alias("__tr"), tokenize(text_col).alias("tk"))
-    g = tk.select(
-        id_col, "__cls", "__tr",
-        F.explode("tk").alias("tok"),
-    ).select(id_col, "__cls", "__tr",
-             (hash60(F.col("tok")) % B).alias("bkt"))
+    cc, cls_info = model
+    tk = df.select(F.col(id_col), tokenize(text_col).alias("tk"))
+    g = tk.select(id_col, F.explode("tk").alias("tok")) \
+        .select(id_col, (hash60(F.col("tok")) % B).alias("bkt"))
     db = g.groupBy(id_col, "bkt").agg(F.count(F.lit(1)).alias("n"))
     dn = db.groupBy(id_col).agg(F.sum("n").alias("__N"))
-    # the model: bounded B×K relations, checkpointed so the corpus-sized
-    # explode never re-evaluates through the model's lineage
-    cc = (g.where("__tr").groupBy(F.col("__cls").alias("cls"), "bkt")
-           .agg(F.count(F.lit(1)).alias("cnt"))
-           .localCheckpoint(eager=False))
-    ct = cc.groupBy("cls").agg(F.sum("cnt").alias("tot"))
-    pr = tk.where("__tr").groupBy(F.col("__cls").alias("cls")) \
-           .agg(F.count(F.lit(1)).alias("dc"))
-    dt = pr.agg(F.sum("dc").alias("dt"))
-    cls_info = (ct.join(pr, "cls")
-                  .crossJoin(F.broadcast(dt)))  # one-row scalar idiom
     fold_in = db.join(F.broadcast(cc), "bkt").select(
         id_col, "cls", "n", "bkt",
         (F.col("n").cast("double")

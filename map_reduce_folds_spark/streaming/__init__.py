@@ -1015,3 +1015,34 @@ def stream_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_nb_score(
+    stream: DataFrame,
+    model,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+):
+    """Model-scoring stream: classify each arriving document batch under
+    a PRE-FITTED Naive Bayes model (``quality.nb_fit``) and append
+    ``(id, pred, score)`` to ``out_dir`` — the trained quality/domain
+    gate applied at ingest time instead of as a later batch pass.
+
+    Scoring is per-document (no cross-batch state), so per-micro-batch
+    application of the batch operator is EXACT, not an approximation:
+    stream output over any batch split equals the batch scores row for
+    row (pinned in tests).  The model relations are bounded (≤ B·K +
+    K rows, ``nb_fit``), i.e. exactly the shape that broadcasts to
+    every executor on a real cluster; the corpus never re-shuffles into
+    model lineage."""
+    from map_reduce_folds_spark.operators.quality import nb_score
+
+    def process(df: DataFrame, batch_id: int):
+        nb_score(df, model, id_col, text_col, n_buckets, alpha) \
+            .write.mode("append").parquet(out_dir)
+
+    return write_foreach_batch(stream, process, checkpoint_dir)

@@ -1156,3 +1156,45 @@ def test_hll_store_idempotent_under_replay(spark, events_batch, tmp_path):
              for r in hll_sliding_snapshot(spark, store, bucket_us, k,
                                            p=p).collect()}
     assert after == before and len(before) > 3
+
+
+def test_stream_nb_score_matches_batch(spark, tmp_path_factory):
+    """Scoring a document stream under a pre-fitted NB model must equal
+    the batch scores row for row (per-doc scoring has no cross-batch
+    state, so micro-batch application is exact — any batch split gives
+    identical output)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_folds_spark.operators import quality as Q
+    from map_reduce_folds_spark.sources import load_table
+    from map_reduce_folds_spark.streaming import stream_nb_score
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    train = docs.where("doc_id % 2 = 0")
+    model = Q.nb_fit(train, "lang", n_buckets=256)
+    held = docs.where("doc_id % 2 = 1").select("doc_id", "text")
+
+    base = str(tmp_path_factory.mktemp("nbstream"))
+    src = os.path.join(base, "in")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    held.where("doc_id % 4 = 1").coalesce(1).write.parquet(
+        os.path.join(src, "f0"))
+    held.where("doc_id % 4 = 3").coalesce(1).write.parquet(
+        os.path.join(src, "f1"))
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/f*"))
+    out = os.path.join(base, "out")
+    q = stream_nb_score(stream, model, out, os.path.join(base, "ckpt"),
+                        n_buckets=256, alpha=0.1)
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {(r.doc_id, r.pred, r.score)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.doc_id, r.pred, r.score)
+            for r in Q.nb_score(held, model, n_buckets=256,
+                                alpha=0.1).collect()}
+    assert got == want and len(got) == held.count()
