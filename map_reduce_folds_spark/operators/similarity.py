@@ -2077,3 +2077,172 @@ def mmr_topk_sql(
     ]
     parts.append("\n    " + "\n    UNION ALL ".join(selects))
     return "".join(parts)
+
+
+def kmeans_fit_distributed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    iters: int = 3,
+    salt: str = "km",
+) -> DataFrame:
+    """DISTRIBUTED Lloyd's k-means over the full corpus — the trained
+    coarse quantizer without :func:`_train_centroids`'s bounded driver
+    sample: every assignment and every centroid update is a distributed
+    pass, so the model reflects ALL the data (the billion-vector IVF
+    training shape: assign at scale, aggregate exact sums, update a
+    bounded model).  Output long-form centroids:
+    ``(cid, j, c, n)`` — per (cluster, 0-based dimension) the centroid
+    coordinate and the cluster's member count after the final update.
+
+    ENGINE-EXACT BY CONSTRUCTION (the bitwise-oracle design):
+
+    * vectors quantize once to ``floor(v·2^20 + 0.5)`` integers (the
+      cross-polytope convention) — per-cluster per-dimension SUMS of
+      integers are exact under ANY partitioning/order;
+    * a centroid coordinate is ``sum / (2^20·n)`` — one exact
+      integer-valued cast and one correctly-rounded division, so Spark
+      (which computes updates from collected K×dim sums, a BOUNDED
+      model collect like the IVF sample fit) and the unrolled-CTE SQL
+      oracle (:func:`kmeans_sql`, the pagerank convention) produce the
+      SAME doubles;
+    * distances fold ``(x_j − c_j)²`` LEFT-ASSOCIATED over j (the
+      :func:`dot` discipline — the SQL term chain is the same IEEE
+      sum); argmin is a struct-min with cid tie-break;
+    * deterministic init: the ``k`` vectors with the smallest portable
+      ``hash60(id)`` (ties by id); an emptied cluster keeps its
+      previous centroid (mirrored via COALESCE).
+
+    Fixed ``iters`` (no convergence test) keeps the oracle an exact
+    k-stage unroll.  Capacity: per-dim sums stay exact while
+    ``n·2^20·max|v| < 2^53`` (n < ~8·10^9 at |v| ≤ 1 — documented
+    bound, ANSI overflow is the loud guard on the long cast)."""
+    S = 1048576.0
+    from map_reduce_folds_spark.operators.text import hash60
+
+    qx = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: F.floor(
+            v.cast("double") * F.lit(S) + F.lit(0.5))).alias("__q"),
+    )
+    xd = qx.select(
+        id_col,
+        F.transform("__q", lambda q: q / F.lit(S)).alias("__xd"),
+    ).localCheckpoint(eager=False)
+    seeds = (xd.withColumn("__h", hash60(F.col(id_col).cast("string"), salt))
+               .orderBy("__h", id_col).limit(k).collect())
+    cents = [list(r["__xd"]) for r in seeds]
+    counts = [0] * len(cents)
+
+    def assign(cs):
+        cells = []
+        for idx, c in enumerate(cs):
+            carr = F.array(*[F.lit(float(v)) for v in c])
+            diffs = F.zip_with(F.col("__xd"), carr,
+                               lambda x, y: (x - y) * (x - y))
+            d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
+            cells.append(F.struct(d.alias("d"),
+                                  F.lit(idx).alias("c")))
+        return xd.select(id_col,
+                         F.array_min(F.array(*cells))["c"].alias("__cid"))
+
+    for _ in range(int(iters)):
+        sums = (assign(cents).join(qx, id_col)
+                .select("__cid", F.posexplode("__q").alias("__j", "__qv"))
+                .groupBy("__cid", "__j")
+                .agg(F.sum(F.col("__qv").cast("long")).alias("__s"),
+                     F.count(F.lit(1)).alias("__n"))
+                .collect())  # bounded: K×dim rows (the model, not the data)
+        agg: dict[int, list] = {}
+        for r in sums:
+            agg.setdefault(r["__cid"], [[0] * dim, 0])
+            agg[r["__cid"]][0][r["__j"]] = r["__s"]
+            agg[r["__cid"]][1] = r["__n"]
+        new, ncounts = [], []
+        for cid in range(len(cents)):
+            if cid in agg:
+                svec, n = agg[cid]
+                new.append([float(s) / (S * float(n)) for s in svec])
+                ncounts.append(n)
+            else:
+                new.append(cents[cid])
+                ncounts.append(0)
+        cents, counts = new, ncounts
+
+    spark = corpus.sparkSession
+    rows = [(cid, j, cents[cid][j], counts[cid])
+            for cid in range(len(cents)) for j in range(dim)]
+    return spark.createDataFrame(rows, "cid int, j int, c double, n bigint")
+
+
+def kmeans_sql(
+    k: int,
+    iters: int,
+    dim: int,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+) -> str:
+    """DuckDB mirror of :func:`kmeans_fit_distributed`: the same
+    quantization, init, left-associated distance chain, struct-min
+    argmin, exact integer sums, and COALESCE empty-cluster rule,
+    unrolled into ``iters`` CTE stages (the pagerank_sql convention)."""
+    S = 1048576.0
+    h60 = ("CAST(concat('0x', substr(md5(concat('" + salt + "', "
+           f"CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT)")
+
+    def dist(x, c):
+        return " + ".join(
+            f"({x}[{j}] - {c}[{j}]) * ({x}[{j}] - {c}[{j}])"
+            for j in range(1, dim + 1))
+
+    sql = f"""
+    WITH xq AS (
+        SELECT {id_col},
+               list_transform({vec_col},
+                              v -> floor(CAST(v AS DOUBLE)*{S!r}+0.5)) AS q,
+               list_transform({vec_col},
+                              v -> floor(CAST(v AS DOUBLE)*{S!r}+0.5)/{S!r})
+                   AS xd
+        FROM {src}
+    ),
+    c0 AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY {h60}, {id_col})) - 1 AS cid,
+               xd AS c, CAST(0 AS BIGINT) AS n
+        FROM xq
+        QUALIFY (ROW_NUMBER() OVER (ORDER BY {h60}, {id_col})) <= {k}
+    )"""
+    prev = "c0"
+    for it in range(int(iters)):
+        sql += f""",
+    a{it} AS (
+        SELECT x.{id_col},
+               (MIN({{'d': {dist('x.xd', 'c.c')}, 'c': c.cid}})).c AS cid
+        FROM xq x CROSS JOIN {prev} c GROUP BY x.{id_col}
+    ),
+    s{it} AS (
+        SELECT a.cid, u.j,
+               CAST(SUM(CAST(x.q[u.j] AS BIGINT)) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM a{it} a JOIN xq x USING ({id_col}),
+             LATERAL (SELECT unnest(range(1, {dim} + 1)) AS j) u
+        GROUP BY 1, 2
+    ),
+    c{it + 1} AS (
+        SELECT p.cid,
+               COALESCE(list(CAST(s.s AS DOUBLE)
+                             / ({S!r} * CAST(s.n AS DOUBLE))
+                             ORDER BY s.j), p.c) AS c,
+               CAST(COALESCE(MIN(s.n), 0) AS BIGINT) AS n
+        FROM {prev} p LEFT JOIN s{it} s ON s.cid = p.cid
+        GROUP BY p.cid, p.c
+    )"""
+        prev = f"c{it + 1}"
+    sql += f"""
+    SELECT cid, u.j - 1 AS j, c[u.j] AS c, n
+    FROM {prev}, LATERAL (SELECT unnest(range(1, {dim} + 1)) AS j) u
+    """
+    return sql

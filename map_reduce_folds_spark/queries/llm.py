@@ -4002,3 +4002,23 @@ def winnow_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = T.winnow_fingerprints(existing, k=_WIN_K, w=_WIN_W)
     return T.winnow_ingest(batch, idx, k=_WIN_K, w=_WIN_W,
                            min_shared=2, max_df=10)
+
+
+_KM_K, _KM_ITERS = 8, 3
+
+
+@query(
+    "kmeans_centroids",
+    oracle=S.kmeans_sql(_KM_K, _KM_ITERS, _DIM),
+)
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over ALL embeddings
+    (operators/similarity.kmeans_fit_distributed — no driver sample):
+    k=8, 3 fixed iterations, long-form centroids (cid, dim, coordinate,
+    member count).  Exact integer quantized sums make every centroid
+    coordinate and every assignment engine-exact, so the iterative
+    trainer sits under the bitwise oracle gate (unrolled-CTE mirror) —
+    the trained-quantizer analog of pagerank's fixed-point story."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_fit_distributed(emb, "vec_id", "embedding", _DIM,
+                                    k=_KM_K, iters=_KM_ITERS)

@@ -3061,3 +3061,103 @@ def test_winnow_ingest_flags_index_copies_only(spark):
     assert out[10].is_dup and out[10].best_shared >= 2
     assert not out[11].is_dup and out[11].best_shared == 0
     assert not out[12].is_dup and not out[13].is_dup
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's)
+# ---------------------------------------------------------------------------
+
+def _kmeans_ref(rows, k, iters, dim, salt="km"):
+    """Brute-force reference with the operator's exact arithmetic:
+    2^20 quantization, hash60 seed init, left-assoc fold distances,
+    (d, cid) argmin, exact integer sums."""
+    import hashlib
+
+    S = 1048576.0
+
+    def h60(i):
+        s = salt + str(i)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    import math
+    q = {i: [math.floor(v * S + 0.5) for v in vec] for i, vec in rows}
+    xd = {i: [qq / S for qq in qv] for i, qv in q.items()}
+    seeds = sorted(xd, key=lambda i: (h60(i), i))[:k]
+    cents = [list(xd[i]) for i in seeds]
+    counts = [0] * len(cents)
+
+    def assign():
+        out = {}
+        for i, x in xd.items():
+            best = None
+            for cid, c in enumerate(cents):
+                d = 0.0
+                for j in range(dim):
+                    t = (x[j] - c[j]) * (x[j] - c[j])
+                    d = d + t
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            out[i] = best[1]
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        sums = {}
+        for i, cid in a.items():
+            svec, n = sums.setdefault(cid, ([0] * dim, [0]))
+            for j in range(dim):
+                svec[j] += q[i][j]
+            n[0] += 1
+        for cid in range(len(cents)):
+            if cid in sums:
+                svec, n = sums[cid]
+                cents[cid] = [float(s) / (S * float(n[0])) for s in svec]
+                counts[cid] = n[0]
+            else:
+                counts[cid] = 0
+    return cents, counts
+
+
+def test_kmeans_distributed_matches_reference(spark):
+    import random
+
+    rng = random.Random(9)
+    dim, k, iters = 6, 4, 3
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {(r.cid, r.j): (r.c, r.n)
+           for r in S.kmeans_fit_distributed(
+               df, dim=dim, k=k, iters=iters).collect()}
+    cents, counts = _kmeans_ref(rows, k, iters, dim)
+    for cid in range(k):
+        for j in range(dim):
+            c, n = got[(cid, j)]
+            assert c == cents[cid][j], (cid, j, c, cents[cid][j])
+            assert n == counts[cid]
+
+
+def test_kmeans_distributed_recovers_planted_clusters(spark):
+    """Three well-separated planted clusters must come out as three
+    internally-consistent assignments with correct member counts."""
+    import random
+
+    rng = random.Random(4)
+    dim = 8
+    centers = [[5.0 * (c == j) for j in range(dim)] for c in range(3)]
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, [centers[c][j] + rng.uniform(-0.2, 0.2)
+                         for j in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = S.kmeans_fit_distributed(df, dim=dim, k=3, iters=4).collect()
+    counts = sorted({r.cid: r.n for r in out}.values())
+    assert counts == [30, 30, 30], counts
+    # each centroid sits on one planted center (max coord ~5, rest ~0)
+    cents = {}
+    for r in out:
+        cents.setdefault(r.cid, [0.0] * dim)[r.j] = r.c
+    hot = sorted(max(range(dim), key=lambda j: c[j])
+                 for c in cents.values())
+    assert hot == [0, 1, 2], (hot, cents)
