@@ -1209,6 +1209,7 @@ def ivf_topk(
     n_centroids: int | str = "auto",
     n_probe: int = 4,
     corpus_count: int | None = None,
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned
     to their nearest centroid cell once; each query probes its ``n_probe``
@@ -1223,12 +1224,19 @@ def ivf_topk(
     (clamped to [16, 1024] — the model must stay a broadcastable k×dim
     and trainable on the bounded driver sample), so per-cell occupancy
     grows as √n instead of linearly at a fixed K."""
-    if n_centroids == "auto":
-        import math
+    if centroids is None:
+        if n_centroids == "auto":
+            import math
 
-        n = corpus_count if corpus_count is not None else corpus.count()
-        n_centroids = max(16, min(1024, math.ceil(math.sqrt(max(n, 1)))))
-    centroids = _train_centroids(corpus, id_col, vec_col, dim, n_centroids)
+            n = corpus_count if corpus_count is not None else corpus.count()
+            n_centroids = max(16, min(1024,
+                                      math.ceil(math.sqrt(max(n, 1)))))
+        centroids = _train_centroids(corpus, id_col, vec_col, dim,
+                                     n_centroids)
+    # centroids= accepts an externally-trained model — e.g. the
+    # DISTRIBUTED full-corpus fit (kmeans_fit_distributed), whose exact
+    # SQL mirror makes THIS search oracle-able end-to-end (the
+    # driver-sample fit stays the quick default)
 
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
@@ -2246,3 +2254,66 @@ def kmeans_sql(
     FROM {prev}, LATERAL (SELECT unnest(range(1, {dim} + 1)) AS j) u
     """
     return sql
+
+
+def ivf_kmeans_topk_sql(
+    queries_where: str,
+    dim: int = 64,
+    k: int = 10,
+    km_k: int = 8,
+    km_iters: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src: str = "embeddings",
+    salt: str = "km",
+) -> str:
+    """DuckDB oracle for IVF search under the DISTRIBUTED-trained kmeans
+    quantizer: embeds :func:`kmeans_sql`'s unrolled training chain, then
+    mirrors :func:`ivf_topk`'s cell rule exactly — score = Σ v_j·(−2c_j)
+    + Σ c_j² (both left-associated chains, matching ``_cell_dists``'s
+    Python-literal arithmetic term for term, since −2·c and c² are
+    exact/correctly-rounded in either engine), nearest-cell assignment
+    by (score, cid) struct-min, (score, cid)-ordered ``n_probe`` probe
+    set, exact cosine within probed cells, (cos DESC, id) tie-break.
+    The historically rows-only trained-kmeans IVF becomes hash-exact:
+    the centroids themselves are now SQL-derivable."""
+    km = kmeans_sql(km_k, km_iters, dim, src, id_col, vec_col, salt)
+
+    def mdist(v, c):
+        d = " + ".join(
+            f"CAST({v}[{j}] AS DOUBLE) * (-2.0 * {c}[{j}])"
+            for j in range(1, dim + 1))
+        c2 = " + ".join(f"{c}[{j}] * {c}[{j}]" for j in range(1, dim + 1))
+        return f"(({d}) + ({c2}))"
+
+    return f"""
+    WITH km AS ({km}),
+    cent AS (SELECT cid, list(c ORDER BY j) AS c FROM km GROUP BY cid),
+    cs AS (
+        SELECT e.{id_col} AS neighbor_id, e.{vec_col},
+               (MIN({{'d': {mdist(f'e.{vec_col}', 'ct.c')},
+                     'c': ct.cid}})).c AS cell
+        FROM {src} e CROSS JOIN cent ct
+        GROUP BY e.{id_col}, e.{vec_col}
+    ),
+    qd AS (
+        SELECT e.{id_col} AS query_id, e.{vec_col}, ct.cid AS cell,
+               {mdist(f'e.{vec_col}', 'ct.c')} AS d
+        FROM {src} e CROSS JOIN cent ct
+        {queries_where}
+    ),
+    probes AS (
+        SELECT query_id, {vec_col}, cell FROM qd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d, cell) <= {n_probe}
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT p.query_id, c.neighbor_id,
+               {cosine_sql(f'p.{vec_col}', f'c.{vec_col}', dim)} AS cos_sim
+        FROM probes p JOIN cs c
+          ON c.cell = p.cell AND p.query_id != c.neighbor_id
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {k}
+    """

@@ -4022,3 +4022,29 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_fit_distributed(emb, "vec_id", "embedding", _DIM,
                                     k=_KM_K, iters=_KM_ITERS)
+
+
+@query(
+    "sim_topk_ivf_trained",
+    oracle=S.ivf_kmeans_topk_sql("WHERE e.vec_id < 5", dim=_DIM, k=_TOPK,
+                                 km_k=_KM_K, km_iters=_KM_ITERS, n_probe=4),
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 under the DISTRIBUTED-trained kmeans quantizer — the
+    historically rows-only configuration made hash-exact: the full-corpus
+    Lloyd's fit (kmeans_fit_distributed) is itself SQL-derivable, so the
+    oracle chains training and search into one statement
+    (operators/similarity.ivf_kmeans_topk_sql).  The driver-sample
+    ivf_topk default remains the quick path; this registration proves
+    the trained pipeline end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    km = S.kmeans_fit_distributed(emb, "vec_id", "embedding", _DIM,
+                                  k=_KM_K, iters=_KM_ITERS)
+    rows = km.collect()  # bounded: K×dim model
+    cents: dict[int, list[float]] = {}
+    for r in rows:
+        cents.setdefault(r.cid, [0.0] * _DIM)[r.j] = r.c
+    centroids = [cents[c] for c in sorted(cents)]
+    q = emb.filter("vec_id < 5")
+    return S.ivf_topk(q, emb, "vec_id", "embedding", _DIM, _TOPK,
+                      n_probe=4, centroids=centroids)

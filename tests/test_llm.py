@@ -3161,3 +3161,26 @@ def test_kmeans_distributed_recovers_planted_clusters(spark):
     hot = sorted(max(range(dim), key=lambda j: c[j])
                  for c in cents.values())
     assert hot == [0, 1, 2], (hot, cents)
+
+
+def test_ivf_trained_centroids_recall(emb):
+    """ivf_topk under the DISTRIBUTED kmeans fit (centroids=): exact
+    cosine on whatever it returns, recall floor as for the sample fit."""
+    km = S.kmeans_fit_distributed(emb, dim=64, k=8, iters=3)
+    cents: dict[int, list[float]] = {}
+    for r in km.collect():
+        cents.setdefault(r.cid, [0.0] * 64)[r.j] = r.c
+    centroids = [cents[c] for c in sorted(cents)]
+    q = emb.filter("vec_id < 5")
+    truth = S.brute_force_topk(q, emb, k=10).collect()
+    approx = S.ivf_topk(q, emb, k=10, n_probe=4,
+                        centroids=centroids).collect()
+    truth_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in truth}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in truth_cos:
+            assert abs(r.cos_sim
+                       - truth_cos[(r.query_id, r.neighbor_id)]) < 1e-12
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth_set & approx_set) / len(truth_set)
+    assert recall >= 0.3, f"trained-ivf recall {recall:.2f}"
