@@ -212,6 +212,16 @@ _PRIORITY = [
     # registration was re-shaped to scalar rows (r5's only red row).
     "embedding_quantize_int8",
     "temperature_mix_sources",
+    # Round-14 rotation candidates (new round-13 session-2 FAMILIES,
+    # all hash-exact locally, registering past the window in module
+    # order): kmeans_centroids (distributed trained quantizer — the
+    # iterative-trainer-under-bitwise-oracle story),
+    # sim_topk_ivf_trained (closes the historically rows-only trained
+    # IVF), bigram_logprob (order-aware LM quality filter),
+    # pipeline_curation_v3 (round-13 composition),
+    # winnow_ingest_audit / dedup_savings_winnow /
+    # winnow_contamination_audit (fingerprint-family consumers),
+    # tokenizer_fertility_by_lang.
     # first entries PAST the 50-window: the displaced green rows
     "data_quality_profile", "deterministic_sample",
     "token_count_bpe", "resample_user_hourly",
