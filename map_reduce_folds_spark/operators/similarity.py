@@ -2135,10 +2135,15 @@ def kmeans_fit_distributed(
         F.transform(vec_col, lambda v: F.floor(
             v.cast("double") * F.lit(S) + F.lit(0.5))).alias("__q"),
     )
+    # DELIBERATELY no cache/localCheckpoint on the corpus-sized xd:
+    # re-deriving it per iteration is a narrow scan + row-local
+    # transform (scan-shaped, spill-free), while a block-manager cache
+    # of a corpus-sized relation is the heap cliff the winnowing 1000×
+    # rehearsal measured (SCALE.md round-13 session 2)
     xd = qx.select(
         id_col,
         F.transform("__q", lambda q: q / F.lit(S)).alias("__xd"),
-    ).localCheckpoint(eager=False)
+    )
     seeds = (xd.withColumn("__h", hash60(F.col(id_col).cast("string"), salt))
                .orderBy("__h", id_col).limit(k).collect())
     cents = [list(r["__xd"]) for r in seeds]
