@@ -2322,3 +2322,125 @@ def ivf_kmeans_topk_sql(
     QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id) <= {k}
     """
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-cluster inertia (within-cluster sum of squared distances to
+    the cluster MEAN — the elbow-method / model-selection metric) under
+    a fitted model's assignment, computed EXACTLY: in the 2^20-quantized
+    integer space,
+
+        SSE_q(cluster) = Σ_j ( n·Σ_i q_ij² − (Σ_i q_ij)² ) / n
+
+    — pure integer numerators (DECIMAL(38,0)-staged: q² ≤ 2^40 per term
+    and the cross terms overflow int64, the HHI/skewness discipline), so
+    the per-cluster value is one exact cast and a deterministic
+    division chain, independent of row order and partitioning.  Output:
+    ``(cid, n, inertia)`` with inertia in original vector units
+    (divided by n·2^40).  NOTE the mean in the identity is the EXACT
+    assignment-set mean — the inertia a converged Lloyd step would
+    have, the standard elbow quantity — not the distance to the passed
+    (previous-iteration) centroid.
+
+    Assignment mirrors :func:`ivf_topk`'s cell rule over the passed
+    centroids (same literal arithmetic, struct-min, cid tie-break), so
+    the composed train → assign → inertia pipeline is oracle-exact via
+    :func:`kmeans_inertia_sql`."""
+    S2 = 1048576.0 * 1048576.0
+    qx = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: F.floor(
+            v.cast("double") * F.lit(1048576.0) + F.lit(0.5))).alias("__q"),
+    )
+    xd = qx.select(
+        id_col, F.transform("__q",
+                            lambda q: q / F.lit(1048576.0)).alias("__xd"))
+    cells = []
+    for idx, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        diffs = F.zip_with(F.col("__xd"), carr, lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
+        cells.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
+    a = xd.select(id_col, F.array_min(F.array(*cells))["c"].alias("__cid"))
+    per_dim = (
+        a.join(qx, id_col)
+        .select("__cid", F.posexplode("__q").alias("__j", "__qv"))
+        .groupBy("__cid", "__j")
+        .agg(F.sum(F.col("__qv").cast("decimal(38,0)")).alias("__B"),
+             F.sum((F.col("__qv") * F.col("__qv"))
+                   .cast("decimal(38,0)")).alias("__A"),
+             F.count(F.lit(1)).alias("__n"))
+    )
+    term = per_dim.select(
+        "__cid", "__n",
+        (F.col("__A") * F.col("__n") - F.col("__B") * F.col("__B"))
+        .cast("decimal(38,0)").alias("__num"),
+    )
+    return term.groupBy(F.col("__cid").alias("cid")).agg(
+        F.max("__n").cast("bigint").alias("n"),
+        (F.sum("__num").cast("double")
+         / (F.max("__n").cast("double") * F.max("__n").cast("double")
+            * F.lit(S2))).alias("inertia"),
+    )
+
+
+def kmeans_inertia_sql(
+    k: int,
+    iters: int,
+    dim: int,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+) -> str:
+    """DuckDB mirror of train (:func:`kmeans_sql`) → assign → exact
+    inertia: HUGEINT-staged integer numerators (DuckDB's int128 twin of
+    Spark's DECIMAL(38,0)), identical division chain."""
+    S2 = 1048576.0 * 1048576.0
+    km = kmeans_sql(k, iters, dim, src, id_col, vec_col, salt)
+
+    def dist(x, c):
+        return " + ".join(
+            f"({x}[{j}] - {c}[{j}]) * ({x}[{j}] - {c}[{j}])"
+            for j in range(1, dim + 1))
+
+    return f"""
+    WITH km AS ({km}),
+    cent AS (SELECT cid, list(c ORDER BY j) AS c FROM km GROUP BY cid),
+    xq AS (
+        SELECT {id_col},
+               list_transform({vec_col},
+                   v -> floor(CAST(v AS DOUBLE)*1048576.0+0.5)) AS q,
+               list_transform({vec_col},
+                   v -> floor(CAST(v AS DOUBLE)*1048576.0+0.5)/1048576.0)
+                   AS xd
+        FROM {src}
+    ),
+    af AS (
+        SELECT x.{id_col},
+               (MIN({{'d': {dist('x.xd', 'c.c')}, 'c': c.cid}})).c AS cid
+        FROM xq x CROSS JOIN cent c GROUP BY x.{id_col}
+    ),
+    pd AS (
+        SELECT a.cid, u.j,
+               SUM(CAST(x.q[u.j] AS HUGEINT)) AS b,
+               SUM(CAST(x.q[u.j] AS HUGEINT)
+                   * CAST(x.q[u.j] AS HUGEINT)) AS aa,
+               COUNT(*) AS n
+        FROM af a JOIN xq x USING ({id_col}),
+             LATERAL (SELECT unnest(range(1, {dim} + 1)) AS j) u
+        GROUP BY 1, 2
+    ),
+    term AS (SELECT cid, n, aa * n - b * b AS nn FROM pd)
+    SELECT cid, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(nn) AS DOUBLE)
+               / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+                  * {S2!r}) AS inertia
+    FROM term GROUP BY cid
+    """

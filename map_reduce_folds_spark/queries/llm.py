@@ -4048,3 +4048,24 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter("vec_id < 5")
     return S.ivf_topk(q, emb, "vec_id", "embedding", _DIM, _TOPK,
                       n_probe=4, centroids=centroids)
+
+
+@query(
+    "kmeans_inertia",
+    oracle=S.kmeans_inertia_sql(_KM_K, _KM_ITERS, _DIM),
+)
+def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inertia of the distributed-trained model
+    (operators/similarity.kmeans_inertia) — the elbow-method /
+    model-selection metric, EXACT: integer-identity SSE (n·Σq² − (Σq)²
+    per dimension, DECIMAL/HUGEINT staged) makes the float-order
+    problem structurally absent; the oracle chains training,
+    assignment, and the same staged arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    km = S.kmeans_fit_distributed(emb, "vec_id", "embedding", _DIM,
+                                  k=_KM_K, iters=_KM_ITERS)
+    cents: dict[int, list[float]] = {}
+    for r in km.collect():  # bounded K×dim model
+        cents.setdefault(r.cid, [0.0] * _DIM)[r.j] = r.c
+    centroids = [cents[c] for c in sorted(cents)]
+    return S.kmeans_inertia(emb, centroids, "vec_id", "embedding", _DIM)

@@ -3184,3 +3184,52 @@ def test_ivf_trained_centroids_recall(emb):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(truth_set & approx_set) / len(truth_set)
     assert recall >= 0.3, f"trained-ivf recall {recall:.2f}"
+
+
+def test_kmeans_inertia_matches_reference(spark):
+    """Exact equality with a Python reference computing the same
+    quantized integer identity (n·Σq² − (Σq)²)/n² per dimension, and
+    sanity: tight planted clusters give near-zero inertia."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    dim = 5
+    centers = [[3.0 * (c == j) for j in range(dim)] for c in range(2)]
+    rows = [(i, [centers[i % 2][j] + rng.uniform(-0.05, 0.05)
+                 for j in range(dim)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    km = S.kmeans_fit_distributed(df, dim=dim, k=2, iters=3)
+    cents: dict[int, list[float]] = {}
+    for r in km.collect():
+        cents.setdefault(r.cid, [0.0] * dim)[r.j] = r.c
+    centroids = [cents[c] for c in sorted(cents)]
+    got = {r.cid: (r.n, r.inertia)
+           for r in S.kmeans_inertia(df, centroids, dim=dim).collect()}
+
+    SC = 1048576.0
+    q = {i: [math.floor(v * SC + 0.5) for v in vec] for i, vec in rows}
+    xdv = {i: [qq / SC for qq in qv] for i, qv in q.items()}
+    assign = {}
+    for i, x in xdv.items():
+        best = None
+        for cid, c in enumerate(centroids):
+            d = 0.0
+            for j in range(dim):
+                d = d + (x[j] - c[j]) * (x[j] - c[j])
+            if best is None or (d, cid) < best:
+                best = (d, cid)
+        assign[i] = best[1]
+    for cid in sorted(set(assign.values())):
+        members = [i for i, c in assign.items() if c == cid]
+        n = len(members)
+        num = 0
+        for j in range(dim):
+            A = sum(q[i][j] * q[i][j] for i in members)
+            B = sum(q[i][j] for i in members)
+            num += A * n - B * B
+        want = float(num) / (float(n) * float(n) * (SC * SC))
+        gn, gi = got[cid]
+        assert gn == n
+        assert gi == want, (cid, gi, want)
+        assert gi < 0.05  # tight clusters -> tiny within-cluster SSE
