@@ -1046,3 +1046,43 @@ def stream_nb_score(
             .write.mode("append").parquet(out_dir)
 
     return write_foreach_batch(stream, process, checkpoint_dir)
+
+
+def stream_kmeans_assign(
+    stream: DataFrame,
+    centroids: "list[list[float]]",
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Cluster-assignment stream under a PRE-FITTED k-means model
+    (``similarity.kmeans_fit_distributed``): each arriving vector batch
+    is assigned to its nearest centroid and ``(id, cid)`` appends to
+    ``out_dir`` — routing fresh embeddings into an existing IVF/cluster
+    layout at ingest time.  Per-vector assignment has no cross-batch
+    state, so per-micro-batch application of the batch rule is EXACT
+    (same literal-centroid arithmetic, struct-min argmin as
+    ``ivf_topk``/``kmeans_inertia``); the model is a K×dim literal
+    table — nothing shuffles."""
+    from pyspark.sql import functions as F
+
+    def process(df: DataFrame, batch_id: int):
+        S = 1048576.0
+        xd = df.select(
+            F.col(id_col),
+            F.transform(vec_col, lambda v: F.floor(
+                v.cast("double") * F.lit(S) + F.lit(0.5)) / F.lit(S)
+            ).alias("__xd"))
+        cells = []
+        for idx, c in enumerate(centroids):
+            carr = F.array(*[F.lit(float(v)) for v in c])
+            diffs = F.zip_with(F.col("__xd"), carr,
+                               lambda x, y: (x - y) * (x - y))
+            d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
+            cells.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
+        xd.select(id_col, F.array_min(F.array(*cells))["c"].alias("cid")) \
+            .write.mode("append").parquet(out_dir)
+
+    return write_foreach_batch(stream, process, checkpoint_dir)

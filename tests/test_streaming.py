@@ -1198,3 +1198,56 @@ def test_stream_nb_score_matches_batch(spark, tmp_path_factory):
             for r in Q.nb_score(held, model, n_buckets=256,
                                 alpha=0.1).collect()}
     assert got == want and len(got) == held.count()
+
+
+def test_stream_kmeans_assign_matches_batch(spark, tmp_path_factory):
+    """Streaming cluster assignment under a pre-fitted model equals the
+    batch trainer's own final assignment row for row (same quantization,
+    literal-centroid arithmetic, struct-min rule)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_folds_spark.operators import similarity as S
+    from map_reduce_folds_spark.sources import load_table
+    from map_reduce_folds_spark.streaming import stream_kmeans_assign
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    km = S.kmeans_fit_distributed(emb, dim=64, k=4, iters=2)
+    cents: dict[int, list[float]] = {}
+    for r in km.collect():
+        cents.setdefault(r.cid, [0.0] * 64)[r.j] = r.c
+    centroids = [cents[c] for c in sorted(cents)]
+
+    base = str(tmp_path_factory.mktemp("kmstream"))
+    src = os.path.join(base, "in")
+    emb.where("vec_id % 2 = 0").select("vec_id", "embedding") \
+        .coalesce(1).write.parquet(os.path.join(src, "f0"))
+    emb.where("vec_id % 2 = 1").select("vec_id", "embedding") \
+        .coalesce(1).write.parquet(os.path.join(src, "f1"))
+    stream = (spark.readStream
+              .schema("vec_id bigint, embedding array<float>")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/f*"))
+    out = os.path.join(base, "out")
+    q = stream_kmeans_assign(stream, centroids, out,
+                             os.path.join(base, "ckpt"))
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {r.vec_id: r.cid for r in spark.read.parquet(out).collect()}
+    # batch twin: kmeans_inertia's assignment rule over the same model
+    S2 = 1048576.0
+    xd = emb.select("vec_id", F.transform(
+        "embedding", lambda v: F.floor(
+            v.cast("double") * F.lit(S2) + F.lit(0.5)) / F.lit(S2)
+    ).alias("xd"))
+    cells = []
+    for idx, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        diffs = F.zip_with(F.col("xd"), carr, lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
+        cells.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
+    want = {r.vec_id: r.cid for r in xd.select(
+        "vec_id", F.array_min(F.array(*cells))["c"].alias("cid")).collect()}
+    assert got == want and len(got) == emb.count()
