@@ -4069,3 +4069,57 @@ def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.setdefault(r.cid, [0.0] * _DIM)[r.j] = r.c
     centroids = [cents[c] for c in sorted(cents)]
     return S.kmeans_inertia(emb, centroids, "vec_id", "embedding", _DIM)
+
+
+def _kmeans_elbow_sql() -> str:
+    branches = []
+    for kk in (2, 4, 8):
+        inert = S.kmeans_inertia_sql(kk, _KM_ITERS, _DIM)
+        branches.append(f"""
+    SELECT {kk} AS k, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           round(list_reduce(
+                     list_prepend(0.0,
+                         list_sort(list({{'c': cid,
+                                          't': CAST(n AS DOUBLE) * inertia}}))
+                             .apply(s -> s.t)),
+                     (acc, x) -> acc + x)
+                 / CAST(SUM(n) AS DOUBLE), 9) AS mse
+    FROM ({inert})""")
+    return " UNION ALL ".join(branches)
+
+
+@query("kmeans_elbow", oracle=_kmeans_elbow_sql())
+def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ELBOW sweep — total mean-squared distance to the assigned
+    cluster mean at k = 2, 4, 8 (distributed training + exact inertia
+    per point, operators/similarity.kmeans_fit_distributed /
+    kmeans_inertia): the standard k-selection curve, every value
+    engine-exact (integer-staged SSE, sorted fold over the bounded
+    cluster relation, 9-decimal round).  The oracle unions three full
+    train→assign→inertia chains."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for kk in (2, 4, 8):
+        km = S.kmeans_fit_distributed(emb, "vec_id", "embedding", _DIM,
+                                      k=kk, iters=_KM_ITERS)
+        cents: dict[int, list[float]] = {}
+        for r in km.collect():  # bounded K×dim model
+            cents.setdefault(r.cid, [0.0] * _DIM)[r.j] = r.c
+        centroids = [cents[c] for c in sorted(cents)]
+        inert = S.kmeans_inertia(emb, centroids, "vec_id", "embedding",
+                                 _DIM)
+        pairs = F.array_sort(F.collect_list(F.struct(
+            "cid", (F.col("n").cast("double") * F.col("inertia"))
+            .alias("t"))))
+        s = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["t"])
+        outs.append(inert.agg(
+            F.lit(kk).alias("k"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("n").alias("n_vectors"),
+            F.round(s / F.sum("n").cast("double"), 9).alias("mse"),
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
