@@ -2444,3 +2444,335 @@ def kmeans_inertia_sql(
                   * {S2!r}) AS inertia
     FROM term GROUP BY cid
     """
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: exact integer second moments + unrolled power iteration
+# ---------------------------------------------------------------------------
+
+def _pca_moments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> "tuple[int, list[int], list[list[int]]]":
+    """EXACT second moments of the 2^20-quantized corpus in one
+    distributed pass: returns ``(n, S, G)`` with ``S_i = Σ q_i`` and
+    ``G_ij = Σ q_i·q_j`` as exact Python ints — the bounded dim×dim
+    model every covariance/PCA consumer needs (the kmeans shape: scan
+    the corpus, aggregate exact integers, collect a model, never the
+    data).
+
+    The corpus pass is a vectorized Arrow stage emitting PER-CHUNK
+    int64 partial Grams (dim² + dim + 1 rows per ~bounded chunk — a
+    numpy ``qᵀq`` matmul, never a per-row Python loop); Spark then sums
+    partials as DECIMAL(38,0), so the global sums stay exact at any
+    scale and under any partitioning (int64 holds only a chunk:
+    chunk_rows·max|q|² < 2^62 is enforced per chunk, the global sum
+    may exceed 2^63 long before 10^12 rows).  Shuffle volume is
+    ~dim²·n_chunks rows — model-sized, not corpus-sized: the 100 TB
+    plan is one scan plus a metadata-weight reduce."""
+    import numpy as np
+    import pandas as pd
+
+    nd = int(dim)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            q = np.floor(x * 1048576.0 + 0.5).astype(np.int64)
+            lo = 0
+            while lo < len(q):
+                # int64 partial-Gram overflow guard: rows·max|q|² < 2^62
+                mq = max(1, int(np.abs(q[lo:]).max()))
+                step = max(1, min(len(q) - lo, (1 << 62) // (mq * mq)))
+                c = q[lo:lo + step]
+                g = c.T @ c                      # exact int64 under the bound
+                s = c.sum(axis=0)
+                ii, jj = np.indices((nd, nd))
+                yield pd.DataFrame({
+                    "i": np.concatenate([ii.ravel(), np.arange(nd), [-1]]),
+                    "j": np.concatenate([jj.ravel(), np.full(nd, -1), [-1]]),
+                    "v": np.concatenate([g.ravel(), s, [len(c)]]),
+                })
+                lo += step
+
+    part = corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema="i int, j int, v long")
+    rows = (part.groupBy("i", "j")
+            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+            .collect())  # bounded: dim² + dim + 1 rows (the model)
+    n = 0
+    S = [0] * nd
+    G = [[0] * nd for _ in range(nd)]
+    for r in rows:
+        v = int(r["v"])
+        if r["i"] < 0:
+            n = v
+        elif r["j"] < 0:
+            S[r["i"]] = v
+        else:
+            G[r["i"]][r["j"]] = v
+    return n, S, G
+
+
+def pca_power_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_components: int = 2,
+    iters: int = 8,
+) -> "tuple[list[list[float]], list[float], float, int]":
+    """Top-``n_components`` principal components of the embedding corpus
+    by POWER ITERATION over the exact scatter matrix — the PCA
+    dimensionality-reduction step of embedding-dedup pipelines (e.g.
+    SemDeDup-style semantic dedup runs on PCA-reduced vectors; public
+    literature), distributed the way :func:`kmeans_fit_distributed`
+    distributes Lloyd's: the corpus-scale work is ONE exact-integer
+    moment pass (:func:`_pca_moments`), the iteration runs on the
+    bounded dim×dim model.
+
+    ENGINE-EXACT BY CONSTRUCTION: the scatter matrix
+    ``M = n·G − S·Sᵀ`` (the covariance identity — n² times the
+    covariance of the quantized vectors) is exact INTEGER arithmetic,
+    cast to double once (correctly rounded in both engines); every
+    matvec folds LEFT-ASSOCIATED over j (the :func:`dot` discipline),
+    the norm is one IEEE sqrt of a left-folded sum, deflation is
+    ``M' = M − (λ·v_i)·v_j`` with pinned operation order, and the
+    iteration count is FIXED — so the DuckDB mirror
+    (:func:`pca_sql`) unrolls to the SAME doubles bitwise (the
+    kmeans/pagerank convention).  Deterministic init ``v₀ = 1/8·𝟙``
+    (0.125 is exact).  Returns ``(components, eigenvalues, trace, n)``
+    where eigenvalues are of M (scale: n²·2^40·cov)."""
+    n, S, G = _pca_moments(corpus, id_col, vec_col, dim)
+    if n == 0:
+        raise ValueError("pca_power_fit: empty corpus")
+    M = [[float(n * G[i][j] - S[i] * S[j]) for j in range(dim)]
+         for i in range(dim)]
+    comps: list[list[float]] = []
+    lams: list[float] = []
+    for _c in range(int(n_components)):
+        v = [0.125] * dim if dim == 64 else [1.0 / float(dim)] * dim
+        for _t in range(int(iters)):
+            w = []
+            for i in range(dim):
+                acc = 0.0
+                for j in range(dim):
+                    acc = acc + M[i][j] * v[j]
+                w.append(acc)
+            nrm2 = 0.0
+            for i in range(dim):
+                nrm2 = nrm2 + w[i] * w[i]
+            from math import sqrt
+            nrm = sqrt(nrm2)
+            if nrm == 0.0:
+                raise ValueError(
+                    "pca_power_fit: zero matvec — degenerate scatter "
+                    "matrix (all vectors identical?)")
+            v = [x / nrm for x in w]
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + M[i][j] * v[j]
+            w.append(acc)
+        lam = 0.0
+        for i in range(dim):
+            lam = lam + v[i] * w[i]
+        comps.append(v)
+        lams.append(lam)
+        for i in range(dim):
+            lv = lam * v[i]
+            for j in range(dim):
+                M[i][j] = M[i][j] - lv * v[j]
+    tr = 0.0
+    Mt = [[float(n * G[i][j] - S[i] * S[j]) for j in range(dim)]
+          for i in range(dim)]
+    for i in range(dim):
+        tr = tr + Mt[i][i]
+    return comps, lams, tr, n
+
+
+def pca_project(
+    corpus: DataFrame,
+    components: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "pc",
+) -> DataFrame:
+    """Project every vector onto fitted components: one scan, per-row
+    left-associated dot products of the quantized-then-descaled vector
+    ``xd = q/2^20`` against the component literals (bitwise-mirrorable:
+    the same chain :func:`pca_sql_project` emits).  Output
+    ``(id, pc1..pcK)`` — the reduced representation downstream dedup /
+    clustering runs on."""
+    S = 1048576.0
+    xd = corpus.select(
+        id_col,
+        F.transform(vec_col, lambda v: F.floor(
+            v.cast("double") * F.lit(S) + F.lit(0.5)) / F.lit(S)).alias("__xd"),
+    )
+    cols = [F.col(id_col)]
+    for c, vec in enumerate(components):
+        carr = F.array(*[F.lit(float(x)) for x in vec])
+        score = F.aggregate(
+            F.zip_with("__xd", carr, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, t: acc + t)
+        cols.append(score.alias(f"{prefix}{c + 1}"))
+    return xd.select(*cols)
+
+
+def _pca_cte(
+    dim: int,
+    n_components: int,
+    iters: int,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """WITH-clause body deriving ``v{c}`` (final component lists) and
+    ``lam{c}`` / ``tr`` (eigenvalues of M, trace) — the exact mirror of
+    :func:`pca_power_fit`'s arithmetic, unrolled."""
+    S = 1048576.0
+    init = 0.125 if dim == 64 else 1.0 / float(dim)
+
+    def chain(terms):
+        return " + ".join(terms)
+
+    sql = f"""xq AS (
+        SELECT {id_col},
+               list_transform({vec_col},
+                   v -> floor(CAST(v AS DOUBLE)*{S!r}+0.5)) AS q
+        FROM {src}
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM xq),
+    mom AS (
+        SELECT u.i, u.j,
+               SUM(CAST(q[u.i] AS HUGEINT) * CAST(q[u.j] AS HUGEINT)) AS g
+        FROM xq, LATERAL (
+            SELECT unnest(range(1, {dim} + 1)) AS i,
+                   unnest(range(1, {dim} + 1)) AS j
+        ) u
+        GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT u.i, SUM(CAST(q[u.i] AS HUGEINT)) AS s
+        FROM xq, LATERAL (SELECT unnest(range(1, {dim} + 1)) AS i) u
+        GROUP BY 1
+    ),
+    mrow0 AS (
+        SELECT mom.i,
+               list(CAST(cnt.n * mom.g - si.s * sj.s AS DOUBLE)
+                    ORDER BY mom.j) AS ml
+        FROM mom, cnt
+        JOIN sums si ON si.i = mom.i
+        JOIN sums sj ON sj.i = mom.j
+        GROUP BY mom.i
+    ),
+    trl AS (SELECT list(ml[i] ORDER BY i) AS t FROM mrow0),
+    tr AS (SELECT {chain(f't[{i}]' for i in range(1, dim + 1))} AS tr
+           FROM trl)"""
+    for c in range(int(n_components)):
+        sql += f""",
+    v{c}_0 AS (SELECT [{', '.join([repr(init)] * dim)}]::DOUBLE[] AS v)"""
+        for t in range(1, int(iters) + 1):
+            mv = chain(f"m.ml[{j}] * vv.v[{j}]" for j in range(1, dim + 1))
+            n2 = chain(f"w[{j}] * w[{j}]" for j in range(1, dim + 1))
+            sql += f""",
+    w{c}_{t} AS (SELECT m.i, {mv} AS w FROM mrow{c} m, v{c}_{t - 1} vv),
+    v{c}_{t} AS (
+        SELECT list_transform(w, x -> x / nrm) AS v
+        FROM (SELECT w, sqrt({n2}) AS nrm
+              FROM (SELECT list(w ORDER BY i) AS w FROM w{c}_{t}))
+    )"""
+        mv = chain(f"m.ml[{j}] * vv.v[{j}]" for j in range(1, dim + 1))
+        ray = chain(f"vv.v[{i}] * w.w[{i}]" for i in range(1, dim + 1))
+        sql += f""",
+    mvf{c} AS (SELECT m.i, {mv} AS w FROM mrow{c} m, v{c}_{iters} vv),
+    mvl{c} AS (SELECT list(w ORDER BY i) AS w FROM mvf{c}),
+    lam{c} AS (SELECT {ray} AS lam FROM v{c}_{iters} vv, mvl{c} w),
+    v{c} AS (SELECT v FROM v{c}_{iters})"""
+        if c + 1 < int(n_components):
+            defl = ", ".join(
+                f"m.ml[{j}] - (l.lam * vv.v[m.i]) * vv.v[{j}]"
+                for j in range(1, dim + 1))
+            sql += f""",
+    mrow{c + 1} AS (
+        SELECT m.i, [{defl}]::DOUBLE[] AS ml
+        FROM mrow{c} m, v{c} vv, lam{c} l
+    )"""
+    return sql
+
+
+def pca_sql(
+    dim: int = 64,
+    n_components: int = 2,
+    iters: int = 8,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`pca_power_fit`: long-form loadings
+    ``(component, j, loading)`` — same quantization, same exact-integer
+    scatter matrix, same left-associated matvec/norm/deflation chains,
+    same fixed unroll."""
+    body = _pca_cte(dim, n_components, iters, src, id_col, vec_col)
+    parts = [
+        f"""SELECT {c} AS component, u.j - 1 AS j, vv.v[u.j] AS loading
+    FROM v{c} vv, LATERAL (SELECT unnest(range(1, {dim} + 1)) AS j) u"""
+        for c in range(int(n_components))
+    ]
+    return ("WITH " + body + "\n    " +
+            "\n    UNION ALL\n    ".join(parts))
+
+
+def pca_variance_sql(
+    dim: int = 64,
+    n_components: int = 2,
+    iters: int = 8,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of the (eigenvalue, var_share) summary: λ of the
+    scatter matrix and λ/trace — both taken from the same unrolled
+    chain, shares are one terminal IEEE division each."""
+    body = _pca_cte(dim, n_components, iters, src, id_col, vec_col)
+    parts = [
+        f"""SELECT {c} AS component, l.lam AS eigenvalue,
+           l.lam / t.tr AS var_share
+    FROM lam{c} l, tr t"""
+        for c in range(int(n_components))
+    ]
+    return ("WITH " + body + "\n    " +
+            "\n    UNION ALL\n    ".join(parts))
+
+
+def pca_project_sql(
+    dim: int = 64,
+    n_components: int = 2,
+    iters: int = 8,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "pc",
+) -> str:
+    """DuckDB mirror of :func:`pca_project` under the in-SQL fit: per-id
+    scores against the derived components — the same ``Σ xd_j·v_j``
+    left-associated chain Spark's zip_with/aggregate fold evaluates."""
+    S = 1048576.0
+    body = _pca_cte(dim, n_components, iters, src, id_col, vec_col)
+    score_cols = []
+    joins = []
+    for c in range(int(n_components)):
+        ch = " + ".join(
+            f"(x.q[{j}] / {S!r}) * v{c}.v[{j}]" for j in range(1, dim + 1))
+        score_cols.append(f"0.0 + {ch} AS {prefix}{c + 1}")
+        joins.append(f"v{c}")
+    return (f"WITH {body}\n    SELECT x.{id_col}, "
+            + ", ".join(score_cols)
+            + f"\n    FROM xq x, " + ", ".join(joins))

@@ -200,9 +200,17 @@ _PRIORITY = [
     # broadcast their dims; the broadcast discipline is additionally
     # plan-pinned in test_plans), and join_broadcast_dims re-registers
     # immediately past the window.
+    # Round-13 session-3 swap, same displacement rule: kmeans_centroids
+    # enters (NEW distributed-iterative-trainer family: full-corpus
+    # Lloyd's k-means under the BITWISE unrolled-CTE oracle — the
+    # trained-quantizer story, hash-exact locally at sf0.01 AND sf0.001)
+    # displacing sessionize_events — sessionization keeps the strictly
+    # richer sessionize_stream_stateful (IDENTICAL oracle SQL, the
+    # end-to-end GroupState run) plus sessionize_events_hotkey locally;
+    # the batch row re-registers immediately past the window.
     "cusum_stream_stateful", "asof_join_purchase_click",
     "interval_join_attribution", "window_topk_per_group",
-    "sessionize_events", "rollup_region_nation", "salted_aggregation",
+    "kmeans_centroids", "rollup_region_nation", "salted_aggregation",
     "sessionize_stream_stateful", "q1_pricing_summary", "q9_product_profit",
     # TPC-H shapes that registered past round 1's window.  Round 6:
     # q7_volume_shipping restored (r5 verdict item 4) by displacing
@@ -223,6 +231,7 @@ _PRIORITY = [
     # winnow_contamination_audit (fingerprint-family consumers),
     # tokenizer_fertility_by_lang.
     # first entries PAST the 50-window: the displaced green rows
+    "sessionize_events",
     "data_quality_profile", "deterministic_sample",
     "token_count_bpe", "resample_user_hourly",
     "dedup_jaccard_prefix", "ewma_user_value", "cusum_user_drift",

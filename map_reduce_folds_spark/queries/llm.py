@@ -20,7 +20,7 @@ from map_reduce_folds_spark.operators import sampling as SM
 from map_reduce_folds_spark.operators import similarity as S
 from map_reduce_folds_spark.operators import sketches as K
 from map_reduce_folds_spark.operators import text as T
-from map_reduce_folds_spark.queries.registry import query
+from map_reduce_folds_spark.queries.registry import ORACLES, query
 from map_reduce_folds_spark.sources import load_table
 
 # shared hyperparameters (Spark impl and SQL oracle must agree)
@@ -2817,7 +2817,10 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "pipeline_curation_v3",
+    # registered round 8 as "pipeline_curation_v3"; renamed when the
+    # round-13 composition took that name (the duplicate registration
+    # shadowed this row — registry.query now refuses duplicates)
+    "pipeline_curation_shards",
     oracle=f"""
     WITH sc AS (
         SELECT doc_id, lang, text, {_QUALITY_SQL} AS q FROM documents
@@ -2848,7 +2851,7 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c GROUP BY 1
     """,
 )
-def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-8 composed curation pipeline, ONE Catalyst plan chaining
     three round-8 operators: per-language relative quality gate (exact
     lower median) → exact dedup keep-first (min doc per text digest) →
@@ -3700,13 +3703,16 @@ _NB_MARK_SQL = ("CASE " + " ".join(
     + " ELSE text END")
 
 
-def _nb_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def _nb_marked_df(d: DataFrame) -> DataFrame:
     mark = F.col("text")
     for lg, m in _NB_MARK.items():
         mark = F.when(F.col("lang") == lg,
                       F.concat(F.col("text"), F.lit(" " + m))).otherwise(mark)
     return d.withColumn("text", mark)
+
+
+def _nb_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nb_marked_df(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -3809,8 +3815,13 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Catalyst plan and the oracle chains the stages' SQL mirrors —
     the composition thesis of pipeline_curation_v2 extended to the
     round-13 families, verified by hash."""
-    d = load_table(spark, sf_dir, "documents")
-    marked = _nb_marked(spark, sf_dir)
+    return _curation_v3_from(load_table(spark, sf_dir, "documents"))
+
+
+def _curation_v3_from(d: DataFrame) -> DataFrame:
+    """The v3 chain over a given documents relation — shared by the
+    raw-parquet registration and the doc_id-bucketed layout variant."""
+    marked = _nb_marked_df(d)
     nb = Q.nb_classify(marked, "lang", F.expr(_NB_TRAIN_SQL),
                        n_buckets=_NB_B, alpha=_NB_ALPHA)
     agree = (nb.join(d.select("doc_id", "lang"), "doc_id")
@@ -3825,6 +3836,48 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.join(good, "doc_id", "left_semi")
     return SM.temperature_mix(s3, "source", "doc_id", salt="cur3") \
         .select("doc_id", "source")
+
+
+# identical oracle to pipeline_curation_v3: a bucketed LAYOUT must never
+# change results, only the physical plan
+_V3_ORACLE = ORACLES["pipeline_curation_v3"]
+
+
+@query("pipeline_curation_v3_bucketed", oracle=_V3_ORACLE)
+def pipeline_curation_v3_bucketed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """pipeline_curation_v3 over a doc_id-BUCKETED documents layout —
+    the scale_audit recommendation from the round-13 session-2 run
+    promoted to a first-class registered query (the q9 write-once
+    recipe applied to the curation pipeline): documents materializes
+    ONCE per corpus path as a catalog table bucketed AND sorted on
+    doc_id, and every curation gate join (NB label-agreement semi,
+    winnow-copy anti, perplexity semi — all doc_id-keyed) then reads
+    the bucket layout instead of re-shuffling the WIDE text relation
+    per stage.  At sf0.01 AQE broadcasts the skinny gate sides either
+    way; the layout is the 100 TB shape, where gate outputs outgrow a
+    broadcast and each stage join would otherwise pay a full-corpus
+    SortMergeJoin shuffle per run.  Plan-pinned in test_plans (with
+    auto-broadcast off, the bucketed variant compiles strictly fewer
+    Exchanges and no doc_id Sort over the documents side); results are
+    pinned bitwise-identical to the raw-parquet registration (same
+    oracle)."""
+    import hashlib
+    import os
+    import shutil
+
+    from map_reduce_folds_spark.sources import write_bucketed
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tbl = f"docs_bkt_cur_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        # a dead session leaves the warehouse dir after the catalog
+        # entry is gone — clear it so the write-once is idempotent
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        write_bucketed(load_table(spark, sf_dir, "documents"), tbl,
+                       ["doc_id"], n_buckets=32, sort_cols=["doc_id"])
+    return _curation_v3_from(spark.table(tbl))
 
 
 @query(

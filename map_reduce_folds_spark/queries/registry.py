@@ -18,6 +18,13 @@ def query(name: str, oracle: str | None = None):
     """
 
     def deco(fn):
+        # duplicate registration silently SHADOWS the earlier query (the
+        # round-13 pipeline_curation_v3 name collision left the round-8
+        # shard-packing composition unverified for two sessions) — refuse
+        # loudly so a copy-pasted @query name can never hide a row
+        assert name not in QUERIES, (
+            f"duplicate query registration: {name!r} is already "
+            f"registered; pick a distinct name")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

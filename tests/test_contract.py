@@ -75,6 +75,10 @@ def test_driver_window_covers_every_family():
     # data_quality_profile (quality analytics keeps five rows) and
     # nb_lang_confusion (NEW trained-classifier family) displaces
     # deterministic_sample (sampling keeps temperature_mix_sources).
+    # Round-13 session-3 rotation: kmeans_centroids (NEW distributed
+    # iterative-trainer family under the bitwise unrolled-CTE oracle)
+    # displaces sessionize_events — sessionization keeps the strictly
+    # richer sessionize_stream_stateful (identical oracle SQL).
     # Displaced rows re-register just past the window.
     for must_have in [
         "mr_fold_vocab", "mr_group_reduce_keyed", "mr_product_median",
@@ -86,9 +90,9 @@ def test_driver_window_covers_every_family():
         "scd2_user_event_history",
         "sim_topk_bruteforce", "bpe_encode_corpus", "multimodal_features",
         "winnow_overlap_pairs", "nb_lang_confusion",
-        "cusum_stream_stateful",
+        "cusum_stream_stateful", "kmeans_centroids",
         "asof_join_purchase_click", "window_topk_per_group",
-        "sessionize_events", "rollup_region_nation", "salted_aggregation",
+        "rollup_region_nation", "salted_aggregation",
         "sessionize_stream_stateful", "q1_pricing_summary",
         "k_anonymity_audit", "session_duration_percentiles",
         "gini_doclen_by_source", "hhi_supplier_concentration",
@@ -128,4 +132,4 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'session_duration_percentiles', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'hhi_supplier_concentration', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_cc_clusters', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'funnel_conversion', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'sessionize_events', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'temperature_mix_sources']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'session_duration_percentiles', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'hhi_supplier_concentration', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_cc_clusters', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'funnel_conversion', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'temperature_mix_sources']

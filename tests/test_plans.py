@@ -769,3 +769,43 @@ def test_winnow_fingerprints_single_exchange(spark):
     assert len(re.findall(r"\bSort\b", plan)) == 1, plan
     assert plan.count("Window") >= 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_curation_bucketed_layout_cuts_exchanges(spark):
+    """The registered doc_id-bucketed curation pipeline (round 13, the
+    scale_audit recommendation made first-class): with auto-broadcast
+    OFF — the 100 TB regime where gate outputs outgrow a broadcast and
+    every doc_id gate join goes SortMergeJoin — the bucketed layout
+    compiles strictly fewer Exchanges than the raw-parquet registration
+    and never Sorts the wide documents side on doc_id (bucket-sorted
+    reads).  Results are bitwise-identical either way (same oracle: a
+    layout must never change values)."""
+    import re
+    import shutil
+
+    # force a fresh write-once so the pin covers the materialize path too
+    for t in [r.name for r in spark.catalog.listTables()
+              if r.name.startswith("docs_bkt_cur_")]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bkt = _run(spark, "pipeline_curation_v3_bucketed")
+        plain = _run(spark, "pipeline_curation_v3")
+        n_bkt, n_plain = P.count_exchanges(bkt), P.count_exchanges(plain)
+        assert n_bkt < n_plain, (n_bkt, n_plain)
+        # bucket-sorted reads: no SMJ Sort on the bucketed table's side
+        # (the catalog scan node names the table; a doc_id Sort directly
+        # over it would mean the layout was ignored)
+        plan = P.executed_plan(bkt)
+        assert not re.search(
+            r"Sort \[doc_id[^\n]*\n[^\n]*docs_bkt_cur_", plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    got = sorted(map(tuple, bkt.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+    # second run: write-once — the catalog table is reused
+    again = _run(spark, "pipeline_curation_v3_bucketed")
+    assert sorted(map(tuple, again.collect())) == got
