@@ -1566,7 +1566,10 @@ def pca_fit(
 
     Reference analog: none (north-star LLM-pipeline surface): dimension
     reduction ahead of ANN indexing / clustering, where a 64→16 cut is a
-    4× byte cut on the dominant storage and often raises IVF recall."""
+    4× byte cut on the dominant storage and often raises IVF recall.
+    For the FULL-CORPUS fit under the bitwise oracle gate (exact
+    integer scatter matrix + unrolled power iteration) see
+    :func:`pca_power_fit`."""
     import numpy as np
 
     sample = (
@@ -2597,7 +2600,7 @@ def pca_power_fit(
     return comps, lams, tr, n
 
 
-def pca_project(
+def pca_power_project(
     corpus: DataFrame,
     components: "list[list[float]]",
     id_col: str = "vec_id",
@@ -2607,7 +2610,7 @@ def pca_project(
     """Project every vector onto fitted components: one scan, per-row
     left-associated dot products of the quantized-then-descaled vector
     ``xd = q/2^20`` against the component literals (bitwise-mirrorable:
-    the same chain :func:`pca_sql_project` emits).  Output
+    the same chain :func:`pca_project_sql` emits).  Output
     ``(id, pc1..pcK)`` — the reduced representation downstream dedup /
     clustering runs on."""
     S = 1048576.0
@@ -2643,48 +2646,50 @@ def _pca_cte(
     def chain(terms):
         return " + ".join(terms)
 
-    sql = f"""xq AS (
+    sql = f"""xq AS MATERIALIZED (
         SELECT {id_col},
                list_transform({vec_col},
                    v -> floor(CAST(v AS DOUBLE)*{S!r}+0.5)) AS q
         FROM {src}
     ),
-    cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM xq),
-    mom AS (
-        SELECT u.i, u.j,
-               SUM(CAST(q[u.i] AS HUGEINT) * CAST(q[u.j] AS HUGEINT)) AS g
-        FROM xq, LATERAL (
-            SELECT unnest(range(1, {dim} + 1)) AS i,
-                   unnest(range(1, {dim} + 1)) AS j
-        ) u
+    cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM xq),
+    mom AS MATERIALIZED (
+        -- two separate LATERALs: DuckDB zips parallel unnests in one
+        -- SELECT (diagonal only); the Gram needs the full i×j cross
+        SELECT ui.i, uj.j,
+               SUM(CAST(q[ui.i] AS HUGEINT) * CAST(q[uj.j] AS HUGEINT)) AS g
+        FROM xq,
+             LATERAL (SELECT unnest(range(1, {dim} + 1)) AS i) ui,
+             LATERAL (SELECT unnest(range(1, {dim} + 1)) AS j) uj
         GROUP BY 1, 2
     ),
-    sums AS (
+    sums AS MATERIALIZED (
         SELECT u.i, SUM(CAST(q[u.i] AS HUGEINT)) AS s
         FROM xq, LATERAL (SELECT unnest(range(1, {dim} + 1)) AS i) u
         GROUP BY 1
     ),
-    mrow0 AS (
+    mrow0 AS MATERIALIZED (
         SELECT mom.i,
-               list(CAST(cnt.n * mom.g - si.s * sj.s AS DOUBLE)
+               list(CAST((SELECT n FROM cnt) * mom.g - si.s * sj.s
+                         AS DOUBLE)
                     ORDER BY mom.j) AS ml
-        FROM mom, cnt
+        FROM mom
         JOIN sums si ON si.i = mom.i
         JOIN sums sj ON sj.i = mom.j
         GROUP BY mom.i
     ),
-    trl AS (SELECT list(ml[i] ORDER BY i) AS t FROM mrow0),
-    tr AS (SELECT {chain(f't[{i}]' for i in range(1, dim + 1))} AS tr
+    trl AS MATERIALIZED (SELECT list(ml[i] ORDER BY i) AS t FROM mrow0),
+    tr AS MATERIALIZED (SELECT {chain(f't[{i}]' for i in range(1, dim + 1))} AS tr
            FROM trl)"""
     for c in range(int(n_components)):
         sql += f""",
-    v{c}_0 AS (SELECT [{', '.join([repr(init)] * dim)}]::DOUBLE[] AS v)"""
+    v{c}_0 AS MATERIALIZED (SELECT [{', '.join([repr(init)] * dim)}]::DOUBLE[] AS v)"""
         for t in range(1, int(iters) + 1):
             mv = chain(f"m.ml[{j}] * vv.v[{j}]" for j in range(1, dim + 1))
             n2 = chain(f"w[{j}] * w[{j}]" for j in range(1, dim + 1))
             sql += f""",
-    w{c}_{t} AS (SELECT m.i, {mv} AS w FROM mrow{c} m, v{c}_{t - 1} vv),
-    v{c}_{t} AS (
+    w{c}_{t} AS MATERIALIZED (SELECT m.i, {mv} AS w FROM mrow{c} m, v{c}_{t - 1} vv),
+    v{c}_{t} AS MATERIALIZED (
         SELECT list_transform(w, x -> x / nrm) AS v
         FROM (SELECT w, sqrt({n2}) AS nrm
               FROM (SELECT list(w ORDER BY i) AS w FROM w{c}_{t}))
@@ -2692,16 +2697,16 @@ def _pca_cte(
         mv = chain(f"m.ml[{j}] * vv.v[{j}]" for j in range(1, dim + 1))
         ray = chain(f"vv.v[{i}] * w.w[{i}]" for i in range(1, dim + 1))
         sql += f""",
-    mvf{c} AS (SELECT m.i, {mv} AS w FROM mrow{c} m, v{c}_{iters} vv),
-    mvl{c} AS (SELECT list(w ORDER BY i) AS w FROM mvf{c}),
-    lam{c} AS (SELECT {ray} AS lam FROM v{c}_{iters} vv, mvl{c} w),
-    v{c} AS (SELECT v FROM v{c}_{iters})"""
+    mvf{c} AS MATERIALIZED (SELECT m.i, {mv} AS w FROM mrow{c} m, v{c}_{iters} vv),
+    mvl{c} AS MATERIALIZED (SELECT list(w ORDER BY i) AS w FROM mvf{c}),
+    lam{c} AS MATERIALIZED (SELECT {ray} AS lam FROM v{c}_{iters} vv, mvl{c} w),
+    v{c} AS MATERIALIZED (SELECT v FROM v{c}_{iters})"""
         if c + 1 < int(n_components):
             defl = ", ".join(
                 f"m.ml[{j}] - (l.lam * vv.v[m.i]) * vv.v[{j}]"
                 for j in range(1, dim + 1))
             sql += f""",
-    mrow{c + 1} AS (
+    mrow{c + 1} AS MATERIALIZED (
         SELECT m.i, [{defl}]::DOUBLE[] AS ml
         FROM mrow{c} m, v{c} vv, lam{c} l
     )"""
@@ -2761,7 +2766,7 @@ def pca_project_sql(
     vec_col: str = "embedding",
     prefix: str = "pc",
 ) -> str:
-    """DuckDB mirror of :func:`pca_project` under the in-SQL fit: per-id
+    """DuckDB mirror of :func:`pca_power_project` under the in-SQL fit: per-id
     scores against the derived components — the same ``Σ xd_j·v_j``
     left-associated chain Spark's zip_with/aggregate fold evaluates."""
     S = 1048576.0

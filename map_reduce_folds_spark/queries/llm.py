@@ -4176,3 +4176,73 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# -- PCA family (round 13 session 3): exact scatter matrix + unrolled -------
+# power iteration — the dimensionality-reduction step embedding-dedup
+# pipelines (SemDeDup-style) run before clustering.  Fixed iteration
+# count = deterministic fixed-point semantics (the pagerank convention):
+# on a flat spectrum the 8-step vector is the CONTRACT, not an
+# approximation claim; the planted-direction tests prove statistical
+# recovery when a dominant direction exists.
+_PCA_COMPS = 2
+_PCA_ITERS = 8
+
+
+def _pca_fit_cached(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pca_power_fit(emb, "vec_id", "embedding", _DIM,
+                           n_components=_PCA_COMPS, iters=_PCA_ITERS)
+
+
+@query(
+    "pca_components",
+    oracle=S.pca_sql(_DIM, _PCA_COMPS, _PCA_ITERS),
+)
+def pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component loadings of the embedding corpus —
+    distributed PCA via ONE exact-integer moment pass (the scatter
+    matrix M = n·G − S·Sᵀ over 2^20-quantized vectors is exact under
+    any partitioning) + fixed-unroll power iteration with deflation on
+    the bounded dim×dim model (operators/similarity.pca_power_fit).
+    Every arithmetic step is order-pinned (left-associated matvec /
+    norm / Rayleigh / deflation chains), so the DuckDB mirror unrolls
+    to the same doubles bitwise — the iterative-spectral analog of the
+    kmeans trainer story."""
+    comps, lams, tr, n = _pca_fit_cached(spark, sf_dir)
+    rows = [(c, j, comps[c][j])
+            for c in range(_PCA_COMPS) for j in range(_DIM)]
+    return spark.createDataFrame(
+        rows, "component int, j int, loading double")
+
+
+@query(
+    "pca_variance_explained",
+    oracle=S.pca_variance_sql(_DIM, _PCA_COMPS, _PCA_ITERS),
+)
+def pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh-quotient eigenvalue and variance share per component
+    (λ/trace of the exact scatter matrix) — the scree summary a
+    dimensionality-reduction decision reads; each share is one
+    terminal IEEE division off the same unrolled chain."""
+    comps, lams, tr, n = _pca_fit_cached(spark, sf_dir)
+    rows = [(c, lams[c], lams[c] / tr) for c in range(_PCA_COMPS)]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_share double")
+
+
+@query(
+    "embedding_pca_scores",
+    oracle=S.pca_project_sql(_DIM, _PCA_COMPS, _PCA_ITERS),
+)
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector projected onto the fitted components — the reduced
+    (pc1, pc2) representation downstream semantic dedup / clustering
+    consumes.  Fit is the bounded-model power iteration; projection is
+    one corpus scan of left-associated dot products (zip_with +
+    aggregate fold, per-row bounded — the accepted embedding-verify
+    HOF shape); the oracle chains fit and projection into one
+    statement."""
+    comps, lams, tr, n = _pca_fit_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pca_power_project(emb, comps, "vec_id", "embedding")

@@ -3233,3 +3233,102 @@ def test_kmeans_inertia_matches_reference(spark):
         assert gn == n
         assert gi == want, (cid, gi, want)
         assert gi < 0.05  # tight clusters -> tiny within-cluster SSE
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (round 13 session 3)
+# ---------------------------------------------------------------------------
+
+def _vec_df(spark, X):
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(len(X))]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_pca_moments_exact_vs_numpy(spark):
+    """The distributed moment pass (Arrow partial Grams summed as
+    DECIMAL) equals the exact integer scatter sums computed directly —
+    including with large-magnitude vectors that force the int64 chunk
+    guard to sub-chunk."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(97, 8) * 7.5  # |q| up to ~2^23: products ~2^46
+    df = _vec_df(spark, X)
+    n, S1, G = S._pca_moments(df, dim=8)
+    q = np.floor(X * 1048576.0 + 0.5).astype(object)  # exact python ints
+    assert n == len(X)
+    for i in range(8):
+        assert S1[i] == int(sum(q[:, i]))
+        for j in range(8):
+            assert G[i][j] == int(sum(q[:, i] * q[:, j]))
+
+
+def test_pca_recovers_planted_directions(spark):
+    """Power iteration recovers a planted dominant direction (and the
+    planted second direction after deflation) when a real spectral gap
+    exists; eigenvalues are ordered and positive, components near-
+    orthogonal, variance shares in (0, 1]."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    d1 = rng.randn(64); d1 /= np.linalg.norm(d1)
+    d2 = rng.randn(64); d2 -= (d2 @ d1) * d1; d2 /= np.linalg.norm(d2)
+    X = ((rng.randn(400, 1) * 5.0) @ d1[None, :]
+         + (rng.randn(400, 1) * 2.0) @ d2[None, :]
+         + rng.randn(400, 64) * 0.1)
+    comps, lams, tr, n = S.pca_power_fit(_vec_df(spark, X),
+                                         n_components=2, iters=8)
+    v1, v2 = np.array(comps[0]), np.array(comps[1])
+    assert abs(v1 @ d1) > 0.99
+    assert abs(v2 @ d2) > 0.99
+    assert lams[0] > lams[1] > 0
+    assert abs(v1 @ v2) < 1e-4
+    assert 0 < lams[1] / tr < lams[0] / tr <= 1
+    assert n == 400
+
+
+def test_pca_projection_matches_loadings(spark):
+    """pca_power_project's per-row fold equals the explicit left-associated
+    dot product of the quantized-descaled vector with the component —
+    bitwise."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(50, 16)
+    df = _vec_df(spark, X)
+    comps, lams, tr, _ = S.pca_power_fit(df, dim=16, n_components=1,
+                                         iters=6)
+    got = {r["vec_id"]: r["pc1"]
+           for r in S.pca_power_project(df, comps, "vec_id", "embedding").collect()}
+    Sc = 1048576.0
+    for i in range(len(X)):
+        xd = np.floor(X[i] * Sc + 0.5) / Sc
+        acc = 0.0
+        for j in range(16):
+            acc = acc + xd[j] * comps[0][j]
+        assert got[i] == acc
+
+
+def test_pca_sql_mirror_bitwise(spark):
+    """Fit + variance + projection mirrors agree BITWISE with the Spark
+    implementations on the fixture corpus at sf0.001 (the oracle-gate
+    property, pinned as a unit test at non-default geometry: 3
+    components, 5 iterations)."""
+    import duckdb
+
+    from map_reduce_folds_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    comps, lams, tr, n = S.pca_power_fit(emb, n_components=3, iters=5)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/embeddings.parquet')")
+    duck = (con.sql(S.pca_sql(64, 3, 5)).fetchdf()
+            .sort_values(["component", "j"]).reset_index(drop=True))
+    flat = [x for c in comps for x in c]
+    assert all(a == b for a, b in zip(flat, duck["loading"]))
+    dv = con.sql(S.pca_variance_sql(64, 3, 5)).fetchdf() \
+        .sort_values("component").reset_index(drop=True)
+    assert all(lams[c] == dv["eigenvalue"][c] for c in range(3))
+    assert all(lams[c] / tr == dv["var_share"][c] for c in range(3))
