@@ -890,3 +890,99 @@ def adamic_adar(
         .agg(F.count(F.lit(1)).alias("n_common"),
              F.round(folded, 9).alias("aa"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over an undirected graph —
+    the hard-clamp variant (Zhu & Ghahramani 2002's discrete cousin,
+    Raghavan et al. 2007's update rule with deterministic ties): seeded
+    nodes keep their label forever; every other node takes, each
+    synchronous round, the MODE of its labeled neighbors' labels
+    (ties → smallest label; no labeled neighbor → stays unlabeled).
+    The LLM-pipeline use: spread trusted lang/quality/domain labels
+    across the near-dup graph — near-duplicates of a labeled document
+    inherit its label without a classifier.
+
+    ENGINE-EXACT BY CONSTRUCTION: counts are integers, the
+    argmax-with-min-tie is a struct-min over ``(-count, label)`` (the
+    kmeans argmin convention), updates are synchronous with a FIXED
+    round count — so :func:`label_propagation_sql` unrolls to the
+    identical labeling (the pagerank convention; no randomized update
+    order, the documented determinism trade of the classic LPA).
+
+    100 TB shape: per round one src-keyed join (labels into edges), one
+    (node, label)-keyed count, one node-keyed argmax, one left join
+    back — all linear in |E|; per-round ``localCheckpoint`` keeps the
+    plan O(1) like :func:`pagerank`.  Output: ``(node, label)`` with
+    NULL for never-reached nodes."""
+    e = symmetric_edges(edges, src, dst).persist()
+    nodes = e.select("u").distinct().persist()
+    sd = (seeds.select(F.col(node_col).alias("u"),
+                       F.col(label_col).alias("__seed"))
+          .persist())
+    try:
+        cur = (nodes.join(sd, "u", "left")
+               .select("u", F.col("__seed").alias("__lab")))
+        for _ in range(int(n_iter)):
+            contrib = (
+                e.join(cur.select(F.col("u").alias("v"),
+                                  F.col("__lab").alias("__nl")), "v")
+                .where(F.col("__nl").isNotNull())
+                .groupBy("u", "__nl")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            pick = (contrib.groupBy("u")
+                    .agg(F.min(F.struct(
+                        (-F.col("__c")).alias("d"),
+                        F.col("__nl").alias("l"))).alias("m"))
+                    .select("u", F.col("m.l").alias("__pick")))
+            cur = (nodes.join(sd, "u", "left").join(pick, "u", "left")
+                   .select("u", F.coalesce("__seed", "__pick")
+                           .alias("__lab"))
+                   .localCheckpoint(eager=True))
+        return cur.select(F.col("u").alias(node_col),
+                          F.col("__lab").alias(label_col))
+    finally:
+        nodes.unpersist()
+        sd.unpersist()
+        e.unpersist()
+
+
+def label_propagation_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    n_iter: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`label_propagation` as unrolled CTEs.
+    ``edges_sql`` must yield ``(s, t)`` (one row per undirected pair,
+    either orientation); ``seeds_sql`` must yield ``(u, lab)``.  The
+    symmetrize/dedup, clamp, integer mode counts, and ``(-c, label)``
+    struct-min tie rule match the Spark operator exactly."""
+    cte = [
+        f"ein AS ({edges_sql})",
+        "e AS (SELECT s AS u, t AS v FROM ein WHERE s != t "
+        "UNION SELECT t, s FROM ein WHERE s != t)",
+        "nodes AS (SELECT DISTINCT u FROM e)",
+        f"sd AS ({seeds_sql})",
+        "l0 AS (SELECT n.u, sd.lab FROM nodes n LEFT JOIN sd USING (u))",
+    ]
+    for i in range(int(n_iter)):
+        cte.append(
+            f"l{i + 1} AS (SELECT n.u, COALESCE(sd.lab, p.l) AS lab "
+            "FROM nodes n LEFT JOIN sd USING (u) LEFT JOIN ("
+            "SELECT u, (MIN({'d': -c, 'l': nl})).l AS l FROM ("
+            "SELECT e.u, r.lab AS nl, COUNT(*) AS c "
+            f"FROM e JOIN l{i} r ON e.v = r.u "
+            "WHERE r.lab IS NOT NULL GROUP BY e.u, r.lab) g GROUP BY u"
+            ") p USING (u))"
+        )
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT u AS node, lab AS label FROM l{n_iter}")

@@ -4246,3 +4246,51 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps, lams, tr, n = _pca_fit_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pca_power_project(emb, comps, "vec_id", "embedding")
+
+
+# -- semi-supervised label propagation (round 13 session 3) ------------------
+_LP_EDGES_SQL = f"""WITH sig AS (
+        SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents
+    )
+    SELECT a.doc_id AS s, b.doc_id AS t
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3"""
+_LP_SEEDS_SQL = ("SELECT doc_id AS u, lang AS lab FROM documents "
+                 "WHERE doc_id % 3 != 0")
+
+
+@query(
+    "label_prop_neardup",
+    oracle=f"""
+    WITH lp AS ({G2.label_propagation_sql(_LP_EDGES_SQL, _LP_SEEDS_SQL, 3)})
+    SELECT lp.node AS doc_id, lp.label AS pred_lang, d.lang AS true_lang
+    FROM lp JOIN documents d ON d.doc_id = lp.node
+    WHERE lp.label IS NOT NULL
+    """,
+)
+def label_prop_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trusted labels spread across the NEAR-DUP graph — semi-supervised
+    label propagation (operators/graph.label_propagation: hard-clamped
+    seeds, synchronous mode updates, deterministic min-label ties, 3
+    rounds) over the SimHash hamming ≤ 3 pair graph, seeding lang for
+    doc_id % 3 != 0: near-duplicates of labeled documents inherit the
+    label without a classifier (the label-transfer step a curation
+    pipeline runs before training a quality gate; the true lang rides
+    along so recovery is auditable).  Edges via the pigeonhole-blocked
+    factored pair set (provably complete); the oracle brute-forces
+    pairs and unrolls the propagation — integer counts and struct-min
+    ties make the labeling engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs_factored(
+        d, "doc_id", "text", bits=32, max_hamming=3, blocks="auto"
+    ).select("id_a", "id_b")
+    seeds = (d.where(F.col("doc_id") % 3 != 0)
+             .select(F.col("doc_id").alias("node"),
+                     F.col("lang").alias("label")))
+    lp = G2.label_propagation(pairs, seeds, "id_a", "id_b",
+                              "node", "label", n_iter=3)
+    return (lp.where(F.col("label").isNotNull())
+            .join(d.select(F.col("doc_id"), F.col("lang")),
+                  lp.node == F.col("doc_id"))
+            .select("doc_id", F.col("label").alias("pred_lang"),
+                    F.col("lang").alias("true_lang")))

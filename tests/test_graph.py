@@ -605,3 +605,70 @@ def test_contract_pairs_local_preserves_components_and_shrinks(spark):
            for r in G.connected_components(
                spark.createDataFrame(forest), "u", "v").collect()}
     assert got == _union_find_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# semi-supervised label propagation (round 13 session 3)
+# ---------------------------------------------------------------------------
+
+def _lp(spark, edges, seeds, n_iter=3):
+    from map_reduce_folds_spark.operators import graph as G
+
+    e = spark.createDataFrame(edges, "id_a int, id_b int")
+    s = spark.createDataFrame(seeds, "node int, label string")
+    out = G.label_propagation(e, s, n_iter=n_iter)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_label_prop_hand_case(spark):
+    """Chain 1-2-3-4 seeded at node 1: the label walks one hop per
+    round; node 5-6 disconnected from any seed stays NULL; a seeded
+    node with a disagreeing neighborhood keeps its clamp."""
+    edges = [(1, 2), (2, 3), (3, 4), (5, 6)]
+    seeds = [(1, "en"), (6, "fr")]
+    got = _lp(spark, edges, seeds, n_iter=3)
+    assert got[1] == "en" and got[2] == "en"
+    assert got[3] == "en" and got[4] == "en"  # 3 rounds reach depth 3
+    assert got[5] == "fr" and got[6] == "fr"
+    got1 = _lp(spark, edges, seeds, n_iter=1)
+    assert got1[2] == "en" and got1[3] is None  # depth-1 only
+
+
+def test_label_prop_mode_and_tie(spark):
+    """A node hearing two 'en' neighbors and one 'fr' takes the mode;
+    a 1-1 tie takes the SMALLEST label; clamped seeds never flip."""
+    edges = [(10, 1), (10, 2), (10, 3), (20, 4), (20, 5), (4, 5)]
+    seeds = [(1, "en"), (2, "en"), (3, "fr"), (4, "fr"), (5, "en")]
+    got = _lp(spark, edges, seeds, n_iter=1)
+    assert got[10] == "en"          # mode 2:1
+    assert got[20] == "en"          # 1-1 tie -> min("en","fr")
+    assert got[4] == "fr" and got[5] == "en"  # clamps hold
+
+
+def test_label_prop_sql_mirror_bitwise(spark):
+    """The unrolled DuckDB mirror reproduces the Spark labeling exactly
+    on a random graph with a partial seed set (including NULLs for
+    unreached nodes)."""
+    import random
+
+    import duckdb
+
+    from map_reduce_folds_spark.operators import graph as G
+
+    rnd = random.Random(42)
+    edges = sorted({(rnd.randrange(60), rnd.randrange(60))
+                    for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [(n, rnd.choice("abc")) for n in range(60) if n % 4 == 0]
+    e = spark.createDataFrame(edges, "id_a int, id_b int")
+    s = spark.createDataFrame(seeds, "node int, label string")
+    got = {r["node"]: r["label"]
+           for r in G.label_propagation(e, s, n_iter=4).collect()}
+    con = duckdb.connect()
+    ev = ", ".join(f"({a}, {b})" for a, b in edges)
+    sv = ", ".join(f"({n}, '{l}')" for n, l in seeds)
+    sql = G.label_propagation_sql(
+        f"SELECT * FROM (VALUES {ev}) t(s, t)",
+        f"SELECT * FROM (VALUES {sv}) t(u, lab)", n_iter=4)
+    want = {int(r[0]): r[1] for r in con.sql(sql).fetchall()}
+    assert got == want
