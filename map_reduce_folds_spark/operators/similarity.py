@@ -2529,6 +2529,7 @@ def pca_power_fit(
     dim: int = 64,
     n_components: int = 2,
     iters: int = 8,
+    moments: "tuple[int, list[int], list[list[int]]] | None" = None,
 ) -> "tuple[list[list[float]], list[float], float, int]":
     """Top-``n_components`` principal components of the embedding corpus
     by POWER ITERATION over the exact scatter matrix — the PCA
@@ -2550,8 +2551,13 @@ def pca_power_fit(
     (:func:`pca_sql`) unrolls to the SAME doubles bitwise (the
     kmeans/pagerank convention).  Deterministic init ``v₀ = 1/8·𝟙``
     (0.125 is exact).  Returns ``(components, eigenvalues, trace, n)``
-    where eigenvalues are of M (scale: n²·2^40·cov)."""
-    n, S, G = _pca_moments(corpus, id_col, vec_col, dim)
+    where eigenvalues are of M (scale: n²·2^40·cov).
+
+    ``moments=(n, S, G)`` skips the corpus pass when the caller already
+    ran :func:`_pca_moments` (e.g. to also derive the exact mean for
+    :func:`pca_residual_scores`) — ONE scan fits both."""
+    n, S, G = moments if moments is not None else _pca_moments(
+        corpus, id_col, vec_col, dim)
     if n == 0:
         raise ValueError("pca_power_fit: empty corpus")
     M = [[float(n * G[i][j] - S[i] * S[j]) for j in range(dim)]
@@ -2781,3 +2787,110 @@ def pca_project_sql(
     return (f"WITH {body}\n    SELECT x.{id_col}, "
             + ", ".join(score_cols)
             + f"\n    FROM xq x, " + ", ".join(joins))
+
+
+def pca_means(moments: "tuple[int, list[int], list[list[int]]]") -> list[float]:
+    """Exact per-dimension mean of the quantized-descaled corpus from a
+    :func:`_pca_moments` result: ``m_j = double(S_j) / double(n) / 2^20``
+    — each integer→double conversion is correctly rounded (Python
+    ``float(int)`` ≡ DuckDB ``CAST(HUGEINT AS DOUBLE)`` ≡ Spark
+    ``CAST(DECIMAL(38,0) AS DOUBLE)``), the divisions are single IEEE
+    ops, so the literals Spark receives equal the doubles the SQL mirror
+    derives in-query, bitwise."""
+    n, S, _G = moments
+    if n == 0:
+        raise ValueError("pca_means: empty corpus")
+    return [float(s) / float(n) / 1048576.0 for s in S]
+
+
+def pca_residual_scores(
+    corpus: DataFrame,
+    components: "list[list[float]]",
+    means: "list[float]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector RESIDUAL energy outside the fitted principal subspace —
+    the classic PCA anomaly score a curation pipeline uses to flag
+    off-manifold embeddings (corrupt decodes, wrong-modality rows,
+    adversarial text) before dedup/clustering: for centered
+    ``c = xd − mean``, ``resid = ‖c‖² − Σ_k (c·v_k)²`` — zero for
+    vectors lying in ``mean + span(components)``, large for vectors the
+    subspace cannot explain.
+
+    ONE corpus scan, per-row bounded left-associated folds (the accepted
+    embedding-verify HOF shape; nothing shuffles).  Arithmetic order is
+    pinned — quantize/descale, per-element subtract, left-folded norm
+    and dots, then ``(n2 − p1·p1) − p2·p2 …`` — so the DuckDB mirror
+    (:func:`pca_residual_sql`) reproduces every double bitwise.
+
+    Reference analog: none (north-star LLM-pipeline surface) — the
+    outlier-gate complement of :func:`pca_power_project`."""
+    S0 = 1048576.0
+    if components and len(means) != len(components[0]):
+        raise ValueError(
+            f"pca_residual_scores: means dim {len(means)} != component "
+            f"dim {len(components[0])}")
+    marr = F.array(*[F.lit(float(m)) for m in means])
+    cd = corpus.select(
+        id_col,
+        F.zip_with(
+            F.transform(vec_col, lambda v: F.floor(
+                v.cast("double") * F.lit(S0) + F.lit(0.5)) / F.lit(S0)),
+            marr, lambda a, b: a - b).alias("__cd"),
+    )
+    cols = [F.col(id_col),
+            F.aggregate("__cd", F.lit(0.0),
+                        lambda acc, t: acc + t * t).alias("__n2")]
+    for c, vec in enumerate(components):
+        carr = F.array(*[F.lit(float(x)) for x in vec])
+        p = F.aggregate(F.zip_with("__cd", carr, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, t: acc + t)
+        cols.append(p.alias(f"__p{c}"))
+    staged = cd.select(*cols)
+    resid = F.col("__n2")
+    for c in range(len(components)):
+        resid = resid - F.col(f"__p{c}") * F.col(f"__p{c}")
+    return staged.select(id_col, resid.alias("resid"))
+
+
+def pca_residual_sql(
+    dim: int = 64,
+    n_components: int = 2,
+    iters: int = 8,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`pca_residual_scores` under the in-SQL fit:
+    the mean list derives from the SAME exact integer sums the fit used
+    (``CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/2^20``), the centered list is
+    one subtraction per element, and the residual is the identical
+    left-associated chain."""
+    S0 = 1048576.0
+    body = _pca_cte(dim, n_components, iters, src, id_col, vec_col)
+    cd_terms = ", ".join(
+        f"x.q[{j}] / {S0!r} - mn.m[{j}]" for j in range(1, dim + 1))
+    n2 = " + ".join(f"cd[{j}] * cd[{j}]" for j in range(1, dim + 1))
+    sql = f"""WITH {body},
+    mn AS MATERIALIZED (
+        SELECT list(CAST(s AS DOUBLE) / CAST((SELECT n FROM cnt) AS DOUBLE)
+                    / {S0!r} ORDER BY i) AS m
+        FROM sums
+    ),
+    cd AS MATERIALIZED (
+        SELECT x.{id_col}, [{cd_terms}]::DOUBLE[] AS cd
+        FROM xq x, mn
+    ),
+    stage AS (
+        SELECT {id_col}, 0.0 + {n2} AS n2"""
+    for c in range(int(n_components)):
+        pc = " + ".join(f"cd[{j}] * v{c}.v[{j}]" for j in range(1, dim + 1))
+        sql += f",\n               0.0 + {pc} AS p{c}"
+    sql += ("\n        FROM cd, "
+            + ", ".join(f"v{c}" for c in range(int(n_components)))
+            + "\n    )\n")
+    resid = "n2" + "".join(f" - p{c} * p{c}"
+                           for c in range(int(n_components)))
+    sql += f"    SELECT {id_col}, {resid} AS resid FROM stage"
+    return sql

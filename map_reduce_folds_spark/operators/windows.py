@@ -671,6 +671,147 @@ def ewma_last_sql(
     """
 
 
+def holt_last(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    alpha_halves: int = 2,
+    beta_halves: int = 2,
+    horizon: int = 1,
+) -> DataFrame:
+    """Per-key HOLT double-exponential smoothing (level + trend), CURRENT
+    state: fold each key's events in event-time order through
+
+    .. code-block:: text
+
+        l' = α·x + (1−α)·(l + b)        (level: smoothed position)
+        b' = β·(l' − l) + (1−β)·b       (trend: smoothed velocity)
+
+    seeded ``(l, b) = (x₁, 0)``, and emit the final ``(level, trend)``
+    plus the ``horizon``-step-ahead forecast ``level + h·trend`` — the
+    drifting-signal upgrade of :func:`ewma_last` (EWMA lags a trending
+    series by design; Holt tracks the slope).  One row per key.
+
+    Same exactness discipline as :func:`ewma_last`: ``α = 1/2^a`` and
+    ``β = 1/2^c`` make every decay multiply exact (exponent arithmetic)
+    and the fold order is pinned by the sorted ``(ts, tiebreak, value)``
+    array — bitwise-portable.
+
+    CONTRACT FORM: the trend update is the expanded
+    ``b' = β·(α·(x − l) + (1−α)·b) + (1−β)·b`` (the identity
+    ``l' − l = α·(x−l) + (1−α)·b`` substituted), evaluated in exactly
+    this operation order by both engines; the last-ulp difference vs
+    the textbook ``β·(l'−l)`` form is part of the operator's contract.
+    The DuckDB mirror walks the series via a RECURSIVE CTE rather than
+    the EWMA-style ``list_reduce`` fold: DuckDB 1.0 mis-evaluates a
+    multi-float struct accumulator (some steps read the
+    already-updated level when computing the trend — the same engine-
+    hazard family the CUSUM oracle routed around); see
+    :func:`holt_last_sql`.
+
+    Shape: ONE groupBy(key) with a per-key sorted-array fold (bounded by
+    that key's event count — the sessionize/funnel per-key discipline);
+    no global order anywhere.
+
+    Output: ``(key, n_events, level, trend, forecast)``."""
+    if alpha_halves < 1 or beta_halves < 1:
+        raise ValueError(
+            f"alpha_halves/beta_halves must be >= 1, got "
+            f"{alpha_halves}/{beta_halves}")
+    alpha = 1.0 / (1 << alpha_halves)
+    beta = 1.0 / (1 << beta_halves)
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    from ..timeutil import epoch_us
+
+    rows = F.array_sort(F.collect_list(F.struct(
+        epoch_us(F.col(ts_col)).alias("t"),
+        tb.alias("b"),
+        F.col(value_col).cast("double").alias("x"))))
+    init = F.struct(F.lit(0).cast("bigint").alias("n"),
+                    F.lit(0.0).alias("l"),
+                    F.lit(0.0).alias("tr"))
+
+    step = lambda acc, r: F.struct(  # noqa: E731 — fold step
+        (acc["n"] + 1).alias("n"),
+        F.when(acc["n"] == 0, r["x"])
+        .otherwise(F.lit(alpha) * r["x"]
+                   + F.lit(1.0 - alpha)
+                   * (acc["l"] + acc["tr"])).alias("l"),
+        F.when(acc["n"] == 0, F.lit(0.0))
+        .otherwise(F.lit(beta)
+                   * (F.lit(alpha) * (r["x"] - acc["l"])
+                      + F.lit(1.0 - alpha) * acc["tr"])
+                   + F.lit(1.0 - beta) * acc["tr"]).alias("tr"))
+    return (
+        df.groupBy(key)
+        .agg(F.aggregate(rows, init, step).alias("acc"))
+        .select(key,
+                F.col("acc")["n"].alias("n_events"),
+                F.col("acc")["l"].alias("level"),
+                F.col("acc")["tr"].alias("trend"),
+                (F.col("acc")["l"]
+                 + F.lit(float(horizon)) * F.col("acc")["tr"])
+                .alias("forecast"))
+    )
+
+
+def holt_last_sql(
+    src: str,
+    key: str,
+    ts_expr: str,
+    value_expr: str,
+    tiebreak_expr: str = "0",
+    alpha_halves: int = 2,
+    beta_halves: int = 2,
+    horizon: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`holt_last` — a RECURSIVE CTE walks each
+    key's event-time-ordered series one step at a time, applying the
+    identical expanded updates.
+
+    Why not the ``list_reduce`` sorted-fold the EWMA mirror uses:
+    DuckDB 1.0 MIS-EVALUATES a multi-float struct accumulator —
+    measured on real series, some (not all!) steps compute the ``tr``
+    field against the already-updated ``l`` (sequential in-place
+    mutation) instead of the incoming accumulator; a single-float state
+    (EWMA) is immune.  The recursive CTE has unambiguous sequential
+    semantics: one row per (key, step), each step joins exactly its
+    predecessor.  Recursion depth = the longest per-key series (fine
+    for an oracle; Spark's per-key fold is the scale path)."""
+    alpha = 1.0 / (1 << alpha_halves)
+    beta = 1.0 / (1 << beta_halves)
+    return f"""
+    WITH RECURSIVE rows_ AS (
+        SELECT {key} AS k,
+               row_number() OVER (
+                   PARTITION BY {key}
+                   ORDER BY epoch_us({ts_expr}), {tiebreak_expr},
+                            CAST({value_expr} AS DOUBLE)) AS i,
+               CAST({value_expr} AS DOUBLE) AS x
+        FROM {src}
+    ),
+    step AS (
+        SELECT k, i, x AS l, CAST(0.0 AS DOUBLE) AS tr
+        FROM rows_ WHERE i = 1
+        UNION ALL
+        SELECT r.k, r.i,
+               {alpha!r} * r.x + {1.0 - alpha!r} * (s.l + s.tr),
+               {beta!r} * ({alpha!r} * (r.x - s.l)
+                           + {1.0 - alpha!r} * s.tr)
+               + {1.0 - beta!r} * s.tr
+        FROM step s JOIN rows_ r ON r.k = s.k AND r.i = s.i + 1
+    ),
+    fin AS (SELECT k, MAX(i) AS n FROM rows_ GROUP BY k)
+    SELECT s.k AS {key}, CAST(f.n AS BIGINT) AS n_events,
+           CAST(s.l AS DOUBLE) AS level,
+           CAST(s.tr AS DOUBLE) AS trend,
+           CAST(s.l + {float(horizon)!r} * s.tr AS DOUBLE) AS forecast
+    FROM step s JOIN fin f ON f.k = s.k AND s.i = f.n
+    """
+
+
 def rolling_median_cents(
     df: DataFrame,
     key: str,

@@ -1231,6 +1231,33 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                      tiebreak_col="event_id", alpha_halves=1)
 
 
+def _holt_oracle() -> str:
+    from map_reduce_folds_spark.operators.windows import holt_last_sql
+
+    return holt_last_sql("events", "user_id", "ts", "value",
+                         tiebreak_expr="event_id",
+                         alpha_halves=2, beta_halves=2, horizon=3)
+
+
+@query("holt_user_forecast", oracle=_holt_oracle())
+def holt_user_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user HOLT double-exponential smoothing (level + trend,
+    α = β = 1/4) with a 3-step-ahead forecast
+    (operators/windows.holt_last) — the drifting-signal upgrade of the
+    EWMA row: EWMA lags a trending series by design; Holt carries a
+    smoothed velocity and extrapolates it.  Same shape and exactness
+    discipline as ewma_user_value: one groupBy, per-key sorted-array
+    fold, power-of-two decays (exact multiplies), the level-update
+    expression duplicated textually into the trend update in both
+    engines — bitwise-portable."""
+    from map_reduce_folds_spark.operators.windows import holt_last
+
+    e = load_table(spark, sf_dir, "events")
+    return holt_last(e, "user_id", "ts", "value",
+                     tiebreak_col="event_id",
+                     alpha_halves=2, beta_halves=2, horizon=3)
+
+
 _HLL_BUCKET_US = 1_800_000_000      # 30-minute tumbling sub-buckets
 _HLL_WIN_K = 2                      # 1 h sliding window = 2 buckets
 
@@ -4246,6 +4273,28 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps, lams, tr, n = _pca_fit_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pca_power_project(emb, comps, "vec_id", "embedding")
+
+
+@query(
+    "embedding_pca_residuals",
+    oracle=S.pca_residual_sql(_DIM, _PCA_COMPS, _PCA_ITERS),
+)
+def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA OUTLIER scores: per-vector residual energy outside the
+    fitted top-2 subspace, ‖x−mean‖² − Σ(proj_k)² — the off-manifold
+    anomaly gate (corrupt decodes / wrong-modality rows) a curation
+    pipeline runs before embedding dedup.  ONE moment pass feeds both
+    the fit and the exact mean (moments= reuse); the scoring scan is
+    per-row bounded folds with pinned order, so the oracle — which
+    re-derives mean AND components inside one statement — matches
+    bitwise (operators/similarity.pca_residual_scores)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    moments = S._pca_moments(emb, "vec_id", "embedding", _DIM)
+    comps, lams, tr, n = S.pca_power_fit(
+        emb, "vec_id", "embedding", _DIM,
+        n_components=_PCA_COMPS, iters=_PCA_ITERS, moments=moments)
+    means = S.pca_means(moments)
+    return S.pca_residual_scores(emb, comps, means, "vec_id", "embedding")
 
 
 # -- semi-supervised label propagation (round 13 session 3) ------------------

@@ -899,6 +899,77 @@ def test_ewma_last_semantics(spark):
     assert rep == {1: 4.0, 2: 5.0}
 
 
+def test_holt_last_matches_reference(spark):
+    """holt_last equals the contract-form Python recursion bitwise on a
+    random series (seed l=x₁, b=0; expanded trend update — see the
+    operator docstring's DuckDB list_reduce note), ties break by the
+    tiebreak column, and the result is partitioning-invariant."""
+    import random
+    from datetime import datetime, timedelta
+
+    from map_reduce_folds_spark.operators.windows import holt_last
+
+    rng = random.Random(31)
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(seconds=i * 7), i % 3,
+             round(rng.uniform(-50, 150), 2)) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    got = {r.user_id: (r.n_events, r.level, r.trend, r.forecast)
+           for r in holt_last(df, "user_id", "ts", "value",
+                              tiebreak_col="event_id", alpha_halves=2,
+                              beta_halves=2, horizon=3).collect()}
+    a, b = 0.25, 0.25
+    for u in (0, 1, 2):
+        series = [v for (_e, _t, uu, v) in rows if uu == u]
+        l, tr, n = 0.0, 0.0, 0
+        for x in series:
+            if n == 0:
+                l, tr = x, 0.0
+            else:
+                nl = a * x + (1 - a) * (l + tr)
+                ntr = (b * (a * (x - l) + (1 - a) * tr)
+                       + (1 - b) * tr)
+                l, tr = nl, ntr
+            n += 1
+        assert got[u] == (n, l, tr, l + 3.0 * tr)
+    rep = {r.user_id: r.level
+           for r in holt_last(df.repartition(7), "user_id", "ts", "value",
+                              tiebreak_col="event_id", alpha_halves=2,
+                              beta_halves=2, horizon=3).collect()}
+    assert rep == {u: got[u][1] for u in got}
+
+
+def test_holt_tracks_trend_ewma_lags(spark):
+    """On a pure linear ramp, Holt's 1-step forecast lands near the true
+    next value while EWMA (no trend state) lags far below it — the
+    reason the family earns the second smoothing row."""
+    from datetime import datetime, timedelta
+
+    from map_reduce_folds_spark.operators.windows import ewma_last, holt_last
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(seconds=i), 1, float(10 * i))
+            for i in range(80)]  # next true value would be 800
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    h = holt_last(df, "user_id", "ts", "value", tiebreak_col="event_id",
+                  alpha_halves=1, beta_halves=1, horizon=1).collect()[0]
+    w = ewma_last(df, "user_id", "ts", "value", tiebreak_col="event_id",
+                  alpha_halves=1).collect()[0]
+    assert abs(h.forecast - 800.0) < 2.0     # trend captured
+    assert 800.0 - w.ewma > 8.0              # EWMA lags a full step+
+
+
+def test_holt_alpha_guard(spark):
+    import pytest as _pytest
+
+    from map_reduce_folds_spark.operators.windows import holt_last
+
+    with _pytest.raises(ValueError, match="alpha_halves"):
+        holt_last(None, "k", "ts", "v", alpha_halves=0)
+
+
 def test_hll_sliding_merge_equals_direct_window_sketch(spark):
     """The sketch-reuse identity: merging a window's bucket sketches
     (register-wise max) must give EXACTLY the estimate of a sketch built
@@ -3332,3 +3403,72 @@ def test_pca_sql_mirror_bitwise(spark):
         .sort_values("component").reset_index(drop=True)
     assert all(lams[c] == dv["eigenvalue"][c] for c in range(3))
     assert all(lams[c] / tr == dv["var_share"][c] for c in range(3))
+
+
+def test_pca_residual_matches_reference(spark):
+    """pca_residual_scores equals the explicit left-associated reference
+    arithmetic (quantize/descale, subtract exact mean, folded norm and
+    dots, chained subtraction) — bitwise, including the moments= reuse
+    path that skips the second corpus scan."""
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    X = rng.randn(60, 16)
+    df = _vec_df(spark, X)
+    moments = S._pca_moments(df, dim=16)
+    comps, lams, tr, n = S.pca_power_fit(df, dim=16, n_components=2,
+                                         iters=6, moments=moments)
+    means = S.pca_means(moments)
+    got = {r["vec_id"]: r["resid"]
+           for r in S.pca_residual_scores(df, comps, means).collect()}
+    Sc = 1048576.0
+    assert n == 60
+    for i in range(60):
+        xd = np.floor(X[i] * Sc + 0.5) / Sc
+        cd = [xd[j] - means[j] for j in range(16)]
+        n2 = 0.0
+        for j in range(16):
+            n2 = n2 + cd[j] * cd[j]
+        resid = n2
+        for c in range(2):
+            p = 0.0
+            for j in range(16):
+                p = p + cd[j] * comps[c][j]
+            resid = resid - p * p
+        assert got[i] == resid
+
+
+def test_pca_residual_flags_planted_outlier(spark):
+    """A vector pushed far along a direction orthogonal to the two
+    planted dominant directions gets the LARGEST residual; in-subspace
+    rows (mean + span of planted directions + tiny noise) score near
+    zero relative to the outlier."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    d1 = rng.randn(32); d1 /= np.linalg.norm(d1)
+    d2 = rng.randn(32); d2 -= (d2 @ d1) * d1; d2 /= np.linalg.norm(d2)
+    d3 = rng.randn(32)
+    d3 -= (d3 @ d1) * d1 + (d3 @ d2) * d2
+    d3 /= np.linalg.norm(d3)
+    X = ((rng.randn(200, 1) * 5.0) @ d1[None, :]
+         + (rng.randn(200, 1) * 2.0) @ d2[None, :]
+         + rng.randn(200, 32) * 0.01)
+    X[137] = 8.0 * d3  # the off-subspace plant
+    df = _vec_df(spark, X)
+    moments = S._pca_moments(df, dim=32)
+    comps, _, _, _ = S.pca_power_fit(df, dim=32, n_components=2,
+                                     iters=8, moments=moments)
+    rows = S.pca_residual_scores(df, comps, S.pca_means(moments)).collect()
+    scores = {r["vec_id"]: r["resid"] for r in rows}
+    assert max(scores, key=scores.get) == 137
+    assert scores[137] > 50.0  # ~64 = 8² of unexplained energy
+    others = sorted(v for k, v in scores.items() if k != 137)
+    assert others[-1] < scores[137] / 10
+
+
+def test_pca_residual_dim_guard(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="means dim"):
+        S.pca_residual_scores(None, [[0.0] * 8], [0.0] * 4)
