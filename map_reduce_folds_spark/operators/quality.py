@@ -1049,3 +1049,107 @@ def bigram_logprob_sql(
                  / CAST(COUNT(*) AS DOUBLE), 9) AS mean_logprob
     FROM terms GROUP BY {id_col}
     """
+
+
+# Benford expected first-digit shares log10(1 + 1/d), d = 1..9 — computed
+# ONCE here and injected as the same double literals into the Spark plan
+# and the SQL mirror, so no engine evaluates a transcendental at runtime.
+_BENFORD_SHARES = [0.3010299956639812, 0.17609125905568124,
+                   0.12493873660829993, 0.09691001300805642,
+                   0.07918124604762482, 0.06694678963061322,
+                   0.05799194697768673, 0.05115252244738129,
+                   0.04575749056067514]
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    min_cents: int = 1,
+) -> DataFrame:
+    """First-significant-digit BENFORD audit of a positive monetary
+    column — the classic synthetic-/fabricated-data screen (naturally
+    occurring multiplicative amounts follow ``P(d) = log10(1+1/d)``;
+    generated or tampered columns usually don't): per digit 1–9, the
+    observed count, the Benford-expected count, and the chi-square
+    contribution ``(obs − exp)²/exp``.  A fixture column drawn uniform
+    will FAIL this audit loudly — that is the point of registering it:
+    the audit's job is to measure divergence, not to assert conformity.
+
+    Numeric policy: values fixed-point to integer cents via
+    ``DECIMAL(12,2)`` (the q1 rounding bridge), the leading digit is
+    taken from the INTEGER's string form (integer→string has no
+    formatting freedom in either engine, unlike float printing), the
+    expected shares are compile-time literals (no runtime log10), and
+    every double op is a single IEEE step — bitwise-portable with no
+    rounding discipline needed.
+
+    Shape: one filter+project scan, one 9-group aggregate, a broadcast
+    one-row total (the accepted scalar idiom), LEFT join against a
+    9-row literal digit spine so absent digits emit obs=0.
+
+    Output: ``(digit, obs, expected, chi2_term)``, 9 rows."""
+    cents = (
+        df.select(((F.col(value_col).cast("decimal(12,2)") * 100)
+                   .cast("bigint")).alias("c"))
+        .where(F.col("c") >= int(min_cents))
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int")
+        .alias("digit"))
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs"))
+    n = digits.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d + 1, _BENFORD_SHARES[d]) for d in range(9)],
+        "digit int, share double")
+    out = (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("obs"), F.lit(0).cast("bigint")).alias("obs"),
+            (F.col("__n") * F.col("share")).alias("expected"),
+            F.col("__n"), F.col("share"))
+    )
+    dev = F.col("obs").cast("double") - F.col("expected")
+    return out.select(
+        "digit", "obs", "expected",
+        (dev * dev / F.col("expected")).alias("chi2_term"))
+
+
+def benford_audit_sql(
+    src: str,
+    value_expr: str,
+    min_cents: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`benford_audit`: the identical cents cast,
+    integer-string leading digit, literal shares, and single-step double
+    arithmetic."""
+    # scientific-notation literals parse DIRECTLY as DOUBLE in DuckDB;
+    # plain decimal literals parse as DECIMAL first and the extra
+    # decimal→double conversion DOUBLE-ROUNDS one of the nine shares off
+    # by an ulp (measured at sf0.01)
+    spine = ", ".join(
+        f"({d + 1}, {_BENFORD_SHARES[d]:.17e})" for d in range(9))
+    return f"""
+    WITH cents AS (
+        SELECT CAST(CAST({value_expr} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        FROM {src}
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM cents WHERE c >= {int(min_cents)}
+    ),
+    obs AS (SELECT digit, COUNT(*) AS obs FROM digits GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM digits),
+    spine(digit, share) AS (VALUES {spine})
+    SELECT s.digit,
+           CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+           n.n * s.share AS expected,
+           (CAST(COALESCE(o.obs, 0) AS DOUBLE) - n.n * s.share)
+           * (CAST(COALESCE(o.obs, 0) AS DOUBLE) - n.n * s.share)
+           / (n.n * s.share) AS chi2_term
+    FROM spine s LEFT JOIN obs o USING (digit), n
+    """

@@ -2894,3 +2894,32 @@ def pca_residual_sql(
                            for c in range(int(n_components)))
     sql += f"    SELECT {id_col}, {resid} AS resid FROM stage"
     return sql
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid under a fitted model
+    — the standalone (id, cid) labeling step :func:`kmeans_inertia`
+    embeds: quantize/descale, per-centroid LEFT-ASSOCIATED squared
+    distance fold, ``(d, cid)`` struct-min (cid tie-break) — the same
+    literal arithmetic :func:`kmeans_sql`'s assignment stages unroll,
+    so any composition over the labels stays oracle-exact.  One scan,
+    bounded per-row work (K·dim), nothing shuffles."""
+    xd = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: F.floor(
+            v.cast("double") * F.lit(1048576.0) + F.lit(0.5))
+            / F.lit(1048576.0)).alias("__xd"),
+    )
+    cells = []
+    for idx, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        diffs = F.zip_with(F.col("__xd"), carr,
+                           lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
+        cells.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
+    return xd.select(id_col, F.array_min(F.array(*cells))["c"].alias("cid"))

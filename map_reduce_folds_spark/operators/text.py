@@ -576,3 +576,98 @@ def winnow_ingest(
          .alias("best_shared"),
         (F.coalesce("best_shared", F.lit(0)) >= min_shared).alias("is_dup"),
     )
+
+
+# ARI (Automated Readability Index, Senter & Smith 1967) coefficients —
+# injected as the SAME double literals into the Spark plan and the SQL
+# mirror (scientific notation in SQL: plain decimal literals parse as
+# DECIMAL first and the extra conversion can double-round an ulp).
+_ARI_CHARS = 4.71
+_ARI_WORDS = 0.58
+_ARI_BIAS = 21.43
+
+
+def readability_by_group(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: "Sequence[str]" = ("lang",),
+) -> DataFrame:
+    """Corpus READABILITY audit: Automated Readability Index per group —
+    ``ARI = 4.71·(chars/words) + 0.58·(words/sentences) − 21.43`` over
+    the group's POOLED exact integer counts (alphanumeric chars, space-
+    split words, sentence runs of ``[.!?]+`` floored at 1 per doc).
+    The tokenizer-equity cousin of the Gopher heuristics: a per-source/
+    per-language complexity screen for curriculum or quality gating.
+
+    Numeric policy: the three counts aggregate as exact integers; the
+    formula is three single IEEE divisions/multiplies off literal
+    coefficients — bitwise-portable with no rounding discipline.  The
+    char class and sentence regex are ASCII (RE2 ≡ Java semantics, the
+    text_stats_regex discipline).
+
+    Output: ``(*group_cols, n_docs, n_chars, n_words, n_sentences,
+    ari)``."""
+    per_doc = df.select(
+        *group_cols,
+        F.length(F.regexp_replace(F.col(text_col),
+                                  F.lit("[^A-Za-z0-9]"), F.lit("")))
+        .cast("bigint").alias("__c"),
+        F.size(F.split(F.col(text_col), " "))
+        .cast("bigint").alias("__w"),
+        F.greatest(F.lit(1).cast("bigint"),
+                   F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
+                   .cast("bigint")).alias("__s"),
+    )
+    g = per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__c").cast("bigint").alias("n_chars"),
+        F.sum("__w").cast("bigint").alias("n_words"),
+        F.sum("__s").cast("bigint").alias("n_sentences"),
+    )
+    ari = (F.lit(_ARI_CHARS)
+           * (F.col("n_chars").cast("double")
+              / F.col("n_words").cast("double"))
+           + F.lit(_ARI_WORDS)
+           * (F.col("n_words").cast("double")
+              / F.col("n_sentences").cast("double"))
+           - F.lit(_ARI_BIAS))
+    return g.select(*group_cols, "n_docs", "n_chars", "n_words",
+                    "n_sentences", ari.alias("ari"))
+
+
+def readability_sql(
+    src: str = "documents",
+    text_expr: str = "text",
+    group_exprs: "Sequence[str]" = ("lang",),
+) -> str:
+    """DuckDB mirror of :func:`readability_by_group`: identical ASCII
+    regexes, exact integer sums, and the same three-step double
+    formula with scientific-notation coefficient literals."""
+    gcols = ", ".join(group_exprs)
+    return f"""
+    WITH per_doc AS (
+        SELECT {gcols},
+               CAST(length(regexp_replace({text_expr}, '[^A-Za-z0-9]',
+                                          '', 'g')) AS BIGINT) AS c,
+               CAST(len(string_split({text_expr}, ' ')) AS BIGINT) AS w,
+               greatest(CAST(1 AS BIGINT),
+                        CAST(len(regexp_extract_all({text_expr},
+                                                    '[.!?]+'))
+                             AS BIGINT)) AS s
+        FROM {src}
+    ),
+    g AS (
+        SELECT {gcols}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(SUM(w) AS BIGINT) AS n_words,
+               CAST(SUM(s) AS BIGINT) AS n_sentences
+        FROM per_doc GROUP BY {gcols}
+    )
+    SELECT {gcols}, n_docs, n_chars, n_words, n_sentences,
+           {_ARI_CHARS:.17e} * (CAST(n_chars AS DOUBLE)
+                                / CAST(n_words AS DOUBLE))
+           + {_ARI_WORDS:.17e} * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+           - {_ARI_BIAS:.17e} AS ari
+    FROM g
+    """

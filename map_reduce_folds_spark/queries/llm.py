@@ -4343,3 +4343,135 @@ def label_prop_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lp.node == F.col("doc_id"))
             .select("doc_id", F.col("label").alias("pred_lang"),
                     F.col("lang").alias("true_lang")))
+
+
+@query(
+    "benford_totalprice_audit",
+    oracle=Q.benford_audit_sql("orders", "o_totalprice"),
+)
+def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals
+    (operators/quality.benford_audit) — the fabricated-data screen: per
+    digit 1-9, observed count vs the log10(1+1/d)-expected count and
+    the chi-square contribution.  The synthetic fixture is NOT
+    Benford-distributed, which the audit reports loudly (large chi2
+    terms) — exactly its job.  Shares are compile-time literals (no
+    runtime transcendentals); the leading digit comes from the integer
+    cents' string form, so both engines agree bitwise with no rounding
+    discipline."""
+    o = load_table(spark, sf_dir, "orders")
+    return Q.benford_audit(o, "o_totalprice")
+
+
+@query(
+    "readability_by_lang",
+    oracle=T.readability_sql("documents", "text", ("lang",)),
+)
+def readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per language over pooled exact
+    integer counts (operators/text.readability_by_group) — the
+    complexity screen a curriculum/quality gate reads next to the
+    Gopher heuristics.  The synthetic corpus has no sentence
+    punctuation, so the per-doc sentence count floors at 1 (documented
+    operator behavior); chars/words still discriminate.  Counts are
+    exact integers; the ARI formula is three single IEEE ops off
+    literal coefficients — bitwise with no rounding discipline."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.readability_by_group(d, "text", ("lang",))
+
+
+_CT_TOPN = 5
+
+
+def _cluster_topics_sql() -> str:
+    km = S.kmeans_sql(_KM_K, _KM_ITERS, _DIM)
+    dist = " + ".join(
+        f"(x.xd[{j}] - c.c[{j}]) * (x.xd[{j}] - c.c[{j}])"
+        for j in range(1, _DIM + 1))
+    return f"""
+    WITH km AS ({km}),
+    cents AS (SELECT cid, list(c ORDER BY j) AS c FROM km GROUP BY cid),
+    xq2 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> floor(CAST(v AS DOUBLE)*1048576.0+0.5)/1048576.0)
+                   AS xd
+        FROM embeddings
+    ),
+    a AS (
+        SELECT x.vec_id, (MIN({{'d': {dist}, 'c': c.cid}})).c AS cid
+        FROM xq2 x CROSS JOIN cents c GROUP BY x.vec_id
+    ),
+    toks AS (
+        SELECT a.cid, unnest(string_split(d.text, ' ')) AS tok
+        FROM a JOIN documents d ON d.doc_id = a.vec_id
+    ),
+    tf AS (SELECT cid, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    ncl AS (SELECT CAST(COUNT(DISTINCT cid) AS DOUBLE) AS nc FROM a),
+    scored AS (
+        SELECT tf.cid, tf.tok, tf.tf,
+               round(CAST(tf.tf AS DOUBLE)
+                     * round(ln((1.0 + ncl.nc)
+                                / (1.0 + CAST(dfc.dfc AS DOUBLE))), 9),
+                     9) AS score
+        FROM tf JOIN dfc USING (tok), ncl
+    ),
+    ranked AS (
+        SELECT cid, tok, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY score DESC, tok) AS rnk
+        FROM scored
+    )
+    SELECT cid, CAST(rnk AS INT) AS rank, tok AS term,
+           CAST(tf AS BIGINT) AS tf, score
+    FROM ranked WHERE rnk <= {_CT_TOPN}
+    """
+
+
+@query("kmeans_cluster_topics", oracle=_cluster_topics_sql())
+def kmeans_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AND-DESCRIBE: top-5 distinctive terms per embedding
+    cluster by cluster-level TF-IDF (the BERTopic-style c-TF-IDF idea:
+    each cluster's pooled text is one pseudo-document; idf is over
+    clusters) — the human-readable audit of what a semantic partition
+    actually contains, run after kmeans curation sharding.  Pipeline:
+    distributed Lloyd's fit → exact assignment (kmeans_assign, the
+    kmeans_sql arithmetic) → doc join on vec_id=doc_id → per-cluster
+    term counts → idf over non-empty clusters → top-5 by (score DESC,
+    term) row_number.  The 9-decimal-rounded ln is the house BM25
+    discipline; everything else is exact integers, so the oracle
+    chains train→assign→score→rank into one statement."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    km = S.kmeans_fit_distributed(emb, "vec_id", "embedding", _DIM,
+                                  k=_KM_K, iters=_KM_ITERS)
+    cents: dict[int, list[float]] = {}
+    for r in km.collect():  # bounded K×dim model
+        cents.setdefault(r.cid, [0.0] * _DIM)[r.j] = r.c
+    centroids = [cents[c] for c in sorted(cents)]
+    a = S.kmeans_assign(emb, centroids, "vec_id", "embedding")
+    d = load_table(spark, sf_dir, "documents")
+    toks = (a.join(d, a.vec_id == d.doc_id)
+            .select("cid", F.explode(F.split("text", " ")).alias("tok")))
+    tf = toks.groupBy("cid", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfc = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfc"))
+    ncl = a.agg(F.countDistinct("cid").cast("double").alias("__nc"))
+    scored = (
+        tf.join(dfc, "tok").crossJoin(F.broadcast(ncl))
+        .select(
+            "cid", "tok", "tf",
+            F.round(F.col("tf").cast("double")
+                    * F.round(F.log((F.lit(1.0) + F.col("__nc"))
+                                    / (F.lit(1.0)
+                                       + F.col("dfc").cast("double"))), 9),
+                    9).alias("score"))
+    )
+    from pyspark.sql import Window as W
+    rnk = F.row_number().over(
+        W.partitionBy("cid").orderBy(F.col("score").desc(), F.col("tok")))
+    return (scored.withColumn("rank", rnk)
+            .where(F.col("rank") <= _CT_TOPN)
+            .select("cid", F.col("rank").cast("int").alias("rank"),
+                    F.col("tok").alias("term"), "tf", "score"))

@@ -3472,3 +3472,127 @@ def test_pca_residual_dim_guard(spark):
 
     with _pytest.raises(ValueError, match="means dim"):
         S.pca_residual_scores(None, [[0.0] * 8], [0.0] * 4)
+
+
+def test_benford_audit_hand_counts_and_chi2(spark):
+    """Observed digit counts, expected = n·log10(1+1/d) with literal
+    shares, chi2 = (obs−exp)²/exp — checked against an exact hand
+    computation; nulls, zeros, and negatives are excluded; an absent
+    digit emits obs=0 with chi2_term == expected."""
+    from map_reduce_folds_spark.operators.quality import (
+        _BENFORD_SHARES, benford_audit)
+
+    vals = ([1.23] * 5 + [12.0] * 3 + [2.5] * 4 + [0.0] * 2
+            + [-7.0] + [None])  # digit1: 8, digit2: 4; 0/neg/null out
+    df = spark.createDataFrame([(v,) for v in vals], "amount double")
+    rows = {r["digit"]: r for r in benford_audit(df, "amount").collect()}
+    assert len(rows) == 9
+    assert rows[1]["obs"] == 8 and rows[2]["obs"] == 4
+    assert all(rows[d]["obs"] == 0 for d in range(3, 10))
+    n = 12.0
+    for d in range(1, 10):
+        exp = n * _BENFORD_SHARES[d - 1]
+        assert rows[d]["expected"] == exp
+        dev = float(rows[d]["obs"]) - exp
+        assert rows[d]["chi2_term"] == dev * dev / exp
+        if rows[d]["obs"] == 0:
+            assert rows[d]["chi2_term"] == exp
+
+
+def test_benford_geometric_beats_uniform(spark):
+    """A geometric (multiplicative) series is near-Benford while a
+    uniform column is far from it — total chi2 separates them by an
+    order of magnitude (the screen the audit exists for)."""
+    from map_reduce_folds_spark.operators.quality import benford_audit
+
+    geo = [(1.05 ** k,) for k in range(1, 401)]  # stays in DECIMAL(12,2)
+    uni = [(100.0 + k * 2.25,) for k in range(400)]  # uniform 100-1000
+    chi = {}
+    for name, data in (("geo", geo), ("uni", uni)):
+        df = spark.createDataFrame(data, "amount double")
+        chi[name] = sum(r["chi2_term"]
+                        for r in benford_audit(df, "amount").collect())
+    assert chi["geo"] * 10 < chi["uni"]
+
+
+def test_readability_hand_case(spark):
+    """ARI over pooled counts matches the exact hand computation on a
+    text with known chars/words/sentences; punctuation-free docs floor
+    sentences at 1; grouping pools counts, not per-doc scores."""
+    from map_reduce_folds_spark.operators.text import readability_by_group
+
+    rows = [("en", "The cat sat. The dog ran! Did it?"),   # 3 sentences
+            ("en", "word word word"),                      # 0 -> floor 1
+            ("xx", "abc de")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r for r in
+           readability_by_group(df, "text", ("lang",)).collect()}
+    # doc1 alnum chars: The cat sat The dog ran Did it = 3*7 + 2 = 23
+    d1_c, d1_w, d1_s = 23, 8, 3
+    d2_c, d2_w, d2_s = 12, 3, 1
+    en = got["en"]
+    assert (en["n_docs"], en["n_chars"], en["n_words"], en["n_sentences"]) \
+        == (2, d1_c + d2_c, d1_w + d2_w, d1_s + d2_s)
+    ari = (4.71 * ((d1_c + d2_c) / (d1_w + d2_w))
+           + 0.58 * ((d1_w + d2_w) / (d1_s + d2_s)) - 21.43)
+    assert en["ari"] == ari
+    assert (got["xx"]["n_chars"], got["xx"]["n_words"],
+            got["xx"]["n_sentences"]) == (5, 2, 1)
+
+
+def test_kmeans_assign_nearest_and_tiebreak(spark):
+    """kmeans_assign labels each vector with the argmin-distance
+    centroid; exact distance ties break to the LOWER cid (struct-min),
+    matching kmeans_sql's assignment stages."""
+    from map_reduce_folds_spark.operators.similarity import kmeans_assign
+
+    df = _vec_df(spark, [[0.0, 0.0], [1.0, 1.0], [0.5, 0.5]])
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    got = {r["vec_id"]: r["cid"]
+           for r in kmeans_assign(df, cents, vec_col="embedding").collect()}
+    assert got[0] == 0 and got[1] == 1
+    assert got[2] == 0  # equidistant -> lower cid
+
+
+def test_cluster_topics_surface_planted_vocab(spark, tmp_path):
+    """Two well-separated embedding clusters whose documents use
+    disjoint marker vocabularies: each cluster's top c-TF-IDF terms are
+    exactly its own markers (shared filler words score 0 idf)."""
+    import numpy as np
+
+    import __spark_entry__ as e
+
+    rng = np.random.RandomState(5)
+    dim = 64
+    n = 40
+    vecs, docs = [], []
+    for i in range(n):
+        side = i % 2
+        base = np.full(dim, 3.0 if side else -3.0)
+        vecs.append((i, [float(x) for x in base + rng.randn(dim) * 0.05],
+                     "l"))
+        marker = ("alpha beta gamma" if side == 0 else "delta eps zeta")
+        docs.append((i, f"the and of {marker} {marker}", "en", "s", 10))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<double>, label string"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+              " n_chars bigint").write.parquet(f"{sf}/documents.parquet")
+    out = e.queries()["kmeans_cluster_topics"](spark, sf).collect()
+    by_cid: dict[int, list[str]] = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r["term"])
+    # non-empty clusters partition the two vocabularies: every cluster's
+    # positive-score terms come from exactly one marker set
+    m0, m1 = {"alpha", "beta", "gamma"}, {"delta", "eps", "zeta"}
+    seen0 = seen1 = False
+    for cid, terms in by_cid.items():
+        pos = {r["term"] for r in out if r["cid"] == cid and r["score"] > 0}
+        if not pos:
+            continue
+        assert pos <= m0 or pos <= m1, (cid, pos)
+        seen0 |= pos <= m0
+        seen1 |= pos <= m1
+    assert seen0 and seen1
