@@ -901,3 +901,148 @@ def nearest_event_join(
                 F.col("__m.e").alias(right_id),
                 F.col("__m.d").cast("bigint").alias("diff_us"))
     )
+
+
+def ols2_fit(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Closed-form TWO-REGRESSOR least squares per group —
+    ``y = b0 + b1·x1 + b2·x2`` solved from the normal equations over
+    EXACT integer moments (the multiple-regression upgrade of the
+    trend_per_user slope): one scan accumulates the nine sums
+    (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y) with per-row
+    integer products staged to DECIMAL(38,0) (the HHI/skewness
+    discipline — Σy² cross terms overflow int64), then the centered
+    2×2 system solves in fixed-parenthesization doubles:
+
+        S11 = n·Σx1² − Σx1²  …  det = S11·S22 − S12·S12
+        b1 = (S22·S1y − S12·S2y)/det,  b2 = (S11·S2y − S12·S1y)/det
+        b0 = (Σy − b1·Σx1 − b2·Σx2)/n
+        r² = (b1·S1y + b2·S2y)/SST,   SST = n·Σy² − Σy²
+
+    Every exact integer casts to double ONCE (correctly rounded in any
+    engine) and every subsequent op is a single IEEE step in pinned
+    order — bitwise-portable; outputs round to 9 decimals (house
+    policy).  Distributed training of a linear model with NO iteration
+    and NO driver math beyond the plan: the moments are map-side
+    combinable, the solve is a projection.  Inputs must be INTEGER
+    columns (fixed-point upstream — cents, counts, basis points).
+    Collinear / degenerate groups (det ≤ 0 in exact arithmetic) are
+    excluded rather than emitting NaN/Inf.
+
+    Output: ``(*group_cols, n, b0, b1, b2, r2)``."""
+    y, x1, x2 = F.col(y_col), F.col(x1_col), F.col(x2_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(x1)).alias("sx1"),
+        F.sum(dec(x2)).alias("sx2"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x1 * x1)).alias("sx1x1"),
+        F.sum(dec(x1 * x2)).alias("sx1x2"),
+        F.sum(dec(x2 * x2)).alias("sx2x2"),
+        F.sum(dec(x1 * y)).alias("sx1y"),
+        F.sum(dec(x2 * y)).alias("sx2y"),
+        F.sum(dec(y * y)).alias("syy"),
+    )
+    nD = F.col("n").cast("decimal(38,0)")
+    exacts = {
+        "S11": nD * F.col("sx1x1") - F.col("sx1") * F.col("sx1"),
+        "S12": nD * F.col("sx1x2") - F.col("sx1") * F.col("sx2"),
+        "S22": nD * F.col("sx2x2") - F.col("sx2") * F.col("sx2"),
+        "S1y": nD * F.col("sx1y") - F.col("sx1") * F.col("sy"),
+        "S2y": nD * F.col("sx2y") - F.col("sx2") * F.col("sy"),
+        "SST": nD * F.col("syy") - F.col("sy") * F.col("sy"),
+    }
+    staged = s.select(
+        *group_cols, "n", "sx1", "sx2", "sy",
+        *[v.cast("decimal(38,0)").cast("double").alias(k)
+          for k, v in exacts.items()])
+    det = (F.col("S11") * F.col("S22") - F.col("S12") * F.col("S12"))
+    b1 = ((F.col("S22") * F.col("S1y") - F.col("S12") * F.col("S2y"))
+          / det)
+    b2 = ((F.col("S11") * F.col("S2y") - F.col("S12") * F.col("S1y"))
+          / det)
+    solved = staged.withColumn("__det", det).where(
+        (F.col("n") >= 3) & (F.col("__det") > 0)
+    ).select(
+        *group_cols, "n", "S1y", "S2y", "SST",
+        F.col("sx1").cast("double").alias("__sx1"),
+        F.col("sx2").cast("double").alias("__sx2"),
+        F.col("sy").cast("double").alias("__sy"),
+        b1.alias("__b1"), b2.alias("__b2"))
+    b0 = ((F.col("__sy") - F.col("__b1") * F.col("__sx1")
+           - F.col("__b2") * F.col("__sx2"))
+          / F.col("n").cast("double"))
+    r2 = ((F.col("__b1") * F.col("S1y") + F.col("__b2") * F.col("S2y"))
+          / F.col("SST"))
+    return solved.select(
+        *group_cols, "n",
+        F.round(b0, 9).alias("b0"),
+        F.round(F.col("__b1"), 9).alias("b1"),
+        F.round(F.col("__b2"), 9).alias("b2"),
+        F.round(r2, 9).alias("r2"))
+
+
+def ols2_sql(
+    src: str,
+    y_expr: str,
+    x1_expr: str,
+    x2_expr: str,
+    group_exprs: Sequence[str] = (),
+    where: str = "",
+) -> str:
+    """DuckDB mirror of :func:`ols2_fit`: HUGEINT-exact moments, the
+    same one-cast-to-double discipline and fixed-parenthesization
+    solve (HUGEINT ≡ DECIMAL(38,0) for these magnitudes: both exact
+    integers, both correctly rounded on the single cast)."""
+    g = ", ".join(group_exprs)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    wh = f"WHERE {where}" if where else ""
+    return f"""
+    WITH pts AS (
+        SELECT {gsel}CAST({y_expr} AS HUGEINT) AS y,
+               CAST({x1_expr} AS HUGEINT) AS x1,
+               CAST({x2_expr} AS HUGEINT) AS x2
+        FROM {src} {wh}
+    ),
+    s AS (
+        SELECT {gsel}CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+               SUM(x1 * x1) AS sx1x1, SUM(x1 * x2) AS sx1x2,
+               SUM(x2 * x2) AS sx2x2, SUM(x1 * y) AS sx1y,
+               SUM(x2 * y) AS sx2y, SUM(y * y) AS syy
+        FROM pts {gby}
+    ),
+    c AS (
+        SELECT {gsel}n,
+               CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+               CAST(sy AS DOUBLE) AS syd,
+               CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) AS S11,
+               CAST(n * sx1x2 - sx1 * sx2 AS DOUBLE) AS S12,
+               CAST(n * sx2x2 - sx2 * sx2 AS DOUBLE) AS S22,
+               CAST(n * sx1y - sx1 * sy AS DOUBLE) AS S1y,
+               CAST(n * sx2y - sx2 * sy AS DOUBLE) AS S2y,
+               CAST(n * syy - sy * sy AS DOUBLE) AS SST
+        FROM s
+    ),
+    d AS (
+        SELECT *, S11 * S22 - S12 * S12 AS det,
+               (S22 * S1y - S12 * S2y) / (S11 * S22 - S12 * S12) AS b1,
+               (S11 * S2y - S12 * S1y) / (S11 * S22 - S12 * S12) AS b2
+        FROM c
+    )
+    SELECT {gsel}CAST(n AS BIGINT) AS n,
+           round((syd - b1 * sx1d - b2 * sx2d) / CAST(n AS DOUBLE), 9)
+               AS b0,
+           round(b1, 9) AS b1,
+           round(b2, 9) AS b2,
+           round((b1 * S1y + b2 * S2y) / SST, 9) AS r2
+    FROM d
+    WHERE n >= 3 AND det > 0
+    """

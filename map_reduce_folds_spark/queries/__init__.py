@@ -69,9 +69,9 @@ _PRIORITY = [
     #     strictly richer row; the tumbling agg stays hash-exact just
     #     past the window alongside events_sliding_window).
     # All displaced rows re-register immediately past the window.
-    "mr_readme_sum", "mr_task1_mean", "mr_applicative", "mr_melt",
+    "mr_readme_sum", "mr_applicative", "mr_melt",
     "dedup_lines", "mr_fold_vocab", "k_anonymity_audit",
-    "session_duration_percentiles", "gini_doclen_by_source",
+    "gini_doclen_by_source",
     # core operators driver-verified from round 2 (VERDICT r1 item 5)
     # Round 10 swaps, per the same displacement rule (r9 verdict Next #4):
     # four round-9 families enter — rfm_customer_segments (NEW value-based
@@ -85,7 +85,7 @@ _PRIORITY = [
     # dedup_cc_clusters), and q7_volume_shipping (TPC-H keeps q1/q9).  All
     # four displaced rows re-register immediately past the window and stay
     # hash-exact in LOCAL_CORRECTNESS.
-    "mr_group_reduce_keyed", "hhi_supplier_concentration", "mr_concat_fold",
+    "mr_group_reduce_keyed", "mr_concat_fold",
     "mr_unpack_only", "mr_filter_mapinpandas", "rfm_customer_segments",
     "mr_product_median", "activity_streaks",
     "mr_group_reduce_ordered",
@@ -173,9 +173,38 @@ _PRIORITY = [
     #     deterministic_sample — sampling stays represented by
     #     temperature_mix_sources (plus weighted/stratified rows locally)
     #     and the split row re-registers immediately past the window.
+    # Round-13 session-4 swaps, same displacement rule (four NEW
+    # operator families, all hash-exact locally at sf0.01 AND sf0.001):
+    #   embedding_pca_residuals (NEW distributed-spectral family: exact
+    #     integer scatter matrix + unrolled power iteration + residual
+    #     outlier scoring, the family's richest row — the oracle chains
+    #     fit, exact mean, and scoring) displaces mr_task1_mean — the
+    #     reference-port family keeps mr_readme_sum (the flagship) and
+    #     the task1 row re-registers immediately past the window;
+    #   label_prop_neardup (NEW semi-supervised-propagation family:
+    #     hard-clamped seeds, deterministic mode ties, unrolled-CTE
+    #     oracle) displaces dedup_cc_clusters — connected components
+    #     stay driver-verified via dedup_embedding_clusters_t09's
+    #     recursive-closure oracle, and label_prop itself rides the
+    #     same SimHash near-dup pair graph; the cc row re-registers
+    #     immediately past the window;
+    #   holt_user_forecast (NEW level+trend smoothing/forecast family:
+    #     the drifting-signal upgrade of EWMA, recursive-CTE mirror
+    #     after a measured DuckDB list_reduce multi-field hazard)
+    #     displaces hhi_supplier_concentration — concentration/
+    #     inequality analytics keep gini_doclen_by_source in-window and
+    #     hhi re-registers immediately past the window;
+    #   benford_totalprice_audit (NEW forensic-audit family: first-
+    #     digit Benford screen with literal log10 shares) displaces
+    #     session_duration_percentiles — percentile analytics keep
+    #     rfm_customer_segments (value-based quartiles) in-window and
+    #     the session-percentiles row re-registers immediately past
+    #     the window.
+    "embedding_pca_residuals", "label_prop_neardup",
+    "holt_user_forecast", "benford_totalprice_audit",
     "dedup_exact", "record_linkage_customers", "dedup_minhash",
     "dedup_span_rewrite",
-    "dedup_cc_clusters", "dedup_embedding_clusters_t09",
+    "dedup_embedding_clusters_t09",
     "sim_topk_bruteforce", "dsir_importance_weights",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
     "diff_orders_snapshots",
@@ -231,6 +260,8 @@ _PRIORITY = [
     # winnow_contamination_audit (fingerprint-family consumers),
     # tokenizer_fertility_by_lang.
     # first entries PAST the 50-window: the displaced green rows
+    "mr_task1_mean", "dedup_cc_clusters", "hhi_supplier_concentration",
+    "session_duration_percentiles",
     "sessionize_events",
     "data_quality_profile", "deterministic_sample",
     "token_count_bpe", "resample_user_hourly",

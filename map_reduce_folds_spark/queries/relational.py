@@ -3971,3 +3971,37 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) \
         lat.withColumn("__g", F.lit(1)), ["__g"], "lat_us", qs=(50, 90))
     return out.select(F.col("n").alias("n_converting"), "p50", "p90",
                       "vmax")
+
+
+def _ols2_oracle() -> str:
+    from map_reduce_folds_spark.operators.relational import ols2_sql
+
+    return ols2_sql(
+        "lineitem",
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * 100",
+        "CAST(round(l_quantity) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        ("l_returnflag",))
+
+
+@query("ols2_price_model", oracle=_ols2_oracle())
+def ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple regression per return flag — extended price
+    (cents) against quantity and discount basis points
+    (operators/relational.ols2_fit): distributed linear-model training
+    with no iteration, the two-regressor upgrade of trend_per_user.
+    One scan of DECIMAL-staged exact integer moments, a fixed-
+    parenthesization 2x2 normal-equation solve in the plan, 9-decimal
+    rounding — hash-exact against the HUGEINT mirror.  (price ~ b1*qty
+    recovers the per-unit price scale; r2 reports the fit.)"""
+    from map_reduce_folds_spark.operators.relational import ols2_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint").alias("y_cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("x_qty"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x_disc"),
+    )
+    return ols2_fit(pts, "y_cents", "x_qty", "x_disc", ("l_returnflag",))

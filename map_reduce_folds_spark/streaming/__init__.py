@@ -786,6 +786,90 @@ def stream_ewma(
     )
 
 
+def stream_holt(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    alpha_halves: int = 2,
+    beta_halves: int = 2,
+    horizon: int = 1,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming per-key HOLT level+trend smoothing: the incremental
+    twin of ``windows.holt_last`` — state is THREE scalars per key
+    (count, level, trend) at any event volume.  Each micro-batch folds
+    its rows in (ts, tiebreak) event-time order through the same
+    power-of-two-exact contract-form recursion (expanded trend update,
+    see the batch operator's docstring), so a time-ordered replay is
+    BITWISE equal to the batch operator (parity-tested), emitting the
+    rolling ``horizon``-step forecast per key per micro-batch — the
+    live anomaly/forecast feed a monitoring pipeline consumes.  Same
+    arrival-order caveat as ``stream_ewma``: a cross-batch late event
+    folds into the state as of its arrival batch."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..timeutil import epoch_us
+
+    if alpha_halves < 1 or beta_halves < 1:
+        raise ValueError(
+            f"alpha_halves/beta_halves must be >= 1, got "
+            f"{alpha_halves}/{beta_halves}")
+    alpha = 1.0 / (1 << alpha_halves)
+    beta = 1.0 / (1 << beta_halves)
+    h = float(horizon)
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = (f"{key} {fields[key]}, n_events bigint, level double, "
+                  "trend double, forecast double")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    src = stream.select(
+        F.col(key),
+        epoch_us(F.col(ts_col)).alias("__t"),
+        tb.alias("__b"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+
+    def update(key_, pdf_iter, state: GroupState):
+        import pandas as pd  # local import: runs on executors
+
+        if state.exists:
+            (st_json,) = state.get
+            n, lv, tr = json.loads(st_json)
+        else:
+            n, lv, tr = 0, 0.0, 0.0
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["__t"], pdf["__b"], pdf["__x"]))
+        rows.sort()
+        for _t, _b, x in rows:
+            x = float(x)
+            if n == 0:
+                lv, tr = x, 0.0
+            else:
+                nl = alpha * x + (1 - alpha) * (lv + tr)
+                ntr = (beta * (alpha * (x - lv) + (1 - alpha) * tr)
+                       + (1 - beta) * tr)
+                lv, tr = nl, ntr
+            n += 1
+        state.update((json.dumps([n, lv, tr]),))
+        yield pd.DataFrame([{key: key_[0], "n_events": n, "level": lv,
+                             "trend": tr, "forecast": lv + h * tr}])
+
+    return (
+        src.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="acc string",
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_scd2(
     stream: DataFrame,
     key: str,

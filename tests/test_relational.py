@@ -1344,3 +1344,52 @@ def test_group_ranksum_hist_equals_window_form(spark):
         got = {tuple(r) for r in W.group_ranksum_hist(
             df, ["g"], "v", "id", nbuckets=nb).collect()}
         assert got == want, nb
+
+
+def test_ols2_recovers_planted_coefficients(spark):
+    """On noiseless integer data y = 3 + 2*x1 - 5*x2 the closed-form
+    normal-equation solve returns the planted coefficients (to the
+    9-decimal output rounding) with r2 = 1; a collinear group
+    (x2 = 2*x1, det = 0) is excluded rather than emitting NaN."""
+    from map_reduce_folds_spark.operators.relational import ols2_fit
+
+    rows = []
+    for i in range(40):
+        x1, x2 = i % 7, (i * 3) % 5
+        rows.append(("ok", 3 + 2 * x1 - 5 * x2, x1, x2))
+    for i in range(10):
+        rows.append(("collinear", i, i, 2 * i))
+    df = spark.createDataFrame(
+        rows, "g string, y bigint, x1 bigint, x2 bigint")
+    got = {r["g"]: r for r in
+           ols2_fit(df, "y", "x1", "x2", ("g",)).collect()}
+    assert "collinear" not in got
+    ok = got["ok"]
+    assert ok["n"] == 40
+    assert abs(ok["b0"] - 3.0) < 1e-9
+    assert abs(ok["b1"] - 2.0) < 1e-9
+    assert abs(ok["b2"] - (-5.0)) < 1e-9
+    assert ok["r2"] == 1.0
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    """On noisy integer data the solve agrees with numpy's least
+    squares to ~1e-9 relative (different algorithm, same minimizer)."""
+    import numpy as np
+
+    from map_reduce_folds_spark.operators.relational import ols2_fit
+
+    rng = np.random.RandomState(13)
+    x1 = rng.randint(0, 100, 300)
+    x2 = rng.randint(0, 50, 300)
+    y = (7 * x1 - 3 * x2 + rng.randint(-20, 21, 300) + 500)
+    df = spark.createDataFrame(
+        [(int(y[i]), int(x1[i]), int(x2[i])) for i in range(300)],
+        "y bigint, x1 bigint, x2 bigint")
+    r = ols2_fit(df, "y", "x1", "x2").collect()[0]
+    A = np.column_stack([np.ones(300), x1, x2])
+    ref, *_ = np.linalg.lstsq(A, y.astype(float), rcond=None)
+    assert abs(r["b0"] - ref[0]) < 1e-6 * max(1.0, abs(ref[0]))
+    assert abs(r["b1"] - ref[1]) < 1e-9 * max(1.0, abs(ref[1]))
+    assert abs(r["b2"] - ref[2]) < 1e-9 * max(1.0, abs(ref[2]))
+    assert 0.9 < r["r2"] <= 1.0

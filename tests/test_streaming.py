@@ -1251,3 +1251,51 @@ def test_stream_kmeans_assign_matches_batch(spark, tmp_path_factory):
     want = {r.vec_id: r.cid for r in xd.select(
         "vec_id", F.array_min(F.array(*cells))["c"].alias("cid")).collect()}
     assert got == want and len(got) == emb.count()
+
+
+def test_stream_holt_matches_batch_and_carries_state(
+        spark, tmp_path_factory):
+    """Streaming Holt over a time-ordered two-phase replay: the LAST
+    emission per key is BITWISE equal to the batch holt_last on the
+    union (power-of-two decays, contract-form trend update, order-
+    pinned fold) — including a key whose (level, trend) state carries
+    across the micro-batch boundary."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators.windows import holt_last
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_holt,
+    )
+
+    p = str(tmp_path_factory.mktemp("holt_stream"))
+    cols = ["eid", "ts", "k", "v"]
+    early = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 8.0),
+         (2, datetime(2024, 1, 2), 1, 4.25),
+         (3, datetime(2024, 1, 1), 2, 5.0)], cols)
+    late = spark.createDataFrame(
+        [(4, datetime(2024, 1, 3), 1, 2.5),
+         (5, datetime(2024, 1, 4), 1, 11.0),
+         (6, datetime(2024, 1, 2), 2, 7.5)], cols)
+    early.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(
+        spark, p, "eid bigint, ts timestamp, k bigint, v double")
+    out = stream_holt(stream, "k", "ts", "v", tiebreak_col="eid",
+                      alpha_halves=2, beta_halves=2, horizon=3)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("holt_stream").start())
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = {}
+    for r in spark.table("holt_stream").collect():
+        last[r["k"]] = (r["n_events"], r["level"], r["trend"], r["forecast"])
+    batch = {r["k"]: (r["n_events"], r["level"], r["trend"], r["forecast"])
+             for r in holt_last(early.union(late), "k", "ts", "v",
+                                tiebreak_col="eid", alpha_halves=2,
+                                beta_halves=2, horizon=3).collect()}
+    assert last == batch
+    assert last[1][0] == 4 and last[2][0] == 2
