@@ -1166,3 +1166,150 @@ def cusum_sql(
            CAST(SUM(alarm) AS BIGINT) AS n_alarms
     FROM fl GROUP BY k
     """
+
+
+def multi_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    value_col: str,
+    conversion: str,
+    touch_types: "Sequence[str]",
+    within_us: int = 3_600_000_000,
+    tiebreak_col: str | None = None,
+    micro: int = 1000,
+) -> DataFrame:
+    """LINEAR multi-touch attribution, EXACT: each conversion's value
+    splits evenly across its preceding touch events within the lookback
+    window; conversions with no touches fall into a ``direct`` bucket.
+    The marketing-analytics upgrade of single-touch interval_join
+    attribution.
+
+    DETERMINISTIC INTEGER ACCOUNTING — the reason this row can sit
+    under a hash-exact oracle: value fixed-points to cents·``micro``
+    integer units; each of a conversion's ``k`` touches receives
+    ``units // k`` (floor) and the LAST touch (max ts, tiebreak) also
+    receives the remainder ``units % k`` — so per-conversion credit
+    sums EXACTLY to the conversion's value, group totals are integer
+    sums (no float summation order anywhere), and the split is
+    conserved by construction (k·floor + rem ≡ units).
+
+    Shape: touch and conversion streams filter BEFORE the join (both
+    pushed into the scan); candidates form via the per-user equi-join
+    with a range predicate ``conv.ts − within < touch.ts ≤ conv.ts``
+    (the per-key discipline: a user's touches × conversions, never
+    cross-user), k and the last-touch rank via one window over the
+    conversion id.  Output: per touch event type (plus ``direct``) —
+    ``(touch_type, n_touches, attributed_micro)``; divide by
+    ``100·micro`` for currency units."""
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    from ..timeutil import epoch_us
+
+    units = (F.col(value_col).cast("decimal(12,2)") * 100
+             ).cast("bigint") * F.lit(int(micro))
+    conv = (df.where(F.col(event_col) == conversion)
+            .select(F.col(user_col).alias("__u"),
+                    epoch_us(F.col(ts_col)).alias("__ct"),
+                    tb.alias("__cb"),
+                    units.alias("__units")))
+    touch = (df.where(F.col(event_col).isin(list(touch_types)))
+             .select(F.col(user_col).alias("__u"),
+                     epoch_us(F.col(ts_col)).alias("__tt"),
+                     tb.alias("__tb"),
+                     F.col(event_col).alias("__ttype")))
+    cand = conv.join(touch, "__u").where(
+        (F.col("__tt") <= F.col("__ct"))
+        & (F.col("__tt") > F.col("__ct") - F.lit(int(within_us))))
+    wk = Window.partitionBy("__u", "__ct", "__cb")
+    wr = wk.orderBy(F.col("__tt").desc(), F.col("__tb").desc())
+    credited = (
+        cand.select(
+            "__ttype", "__units",
+            F.count(F.lit(1)).over(wk).alias("__k"),
+            F.row_number().over(wr).alias("__r"))
+        .select(
+            "__ttype",
+            (F.expr("__units div __k")
+             + F.when(F.col("__r") == 1, F.col("__units") % F.col("__k"))
+             .otherwise(F.lit(0).cast("bigint"))).alias("__credit"))
+    )
+    attributed = credited.groupBy(F.col("__ttype").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("__credit").cast("bigint").alias("attributed_micro"))
+    direct = (
+        conv.join(cand.select("__u", "__ct", "__cb").distinct(),
+                  ["__u", "__ct", "__cb"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+             F.coalesce(F.sum("__units"), F.lit(0)).cast("bigint")
+             .alias("attributed_micro"))
+        .select(F.lit("direct").alias("touch_type"),
+                "n_touches", "attributed_micro")
+        .where(F.col("n_touches") > 0)
+    )
+    return attributed.unionByName(direct)
+
+
+def multi_touch_attribution_sql(
+    src: str,
+    user_expr: str,
+    ts_expr: str,
+    event_expr: str,
+    value_expr: str,
+    conversion: str,
+    touch_types: "Sequence[str]",
+    within_us: int = 3_600_000_000,
+    tiebreak_expr: str = "0",
+    micro: int = 1000,
+) -> str:
+    """DuckDB mirror of :func:`multi_touch_attribution` — identical
+    integer accounting (``//`` floor division on non-negative units ≡
+    Spark ``div``), window ranks, and direct-bucket anti-join."""
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+    WITH conv AS (
+        SELECT {user_expr} AS u, epoch_us({ts_expr}) AS ct,
+               {tiebreak_expr} AS cb,
+               CAST(CAST({value_expr} AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * {int(micro)} AS units
+        FROM {src} WHERE {event_expr} = '{conversion}'
+    ),
+    touch AS (
+        SELECT {user_expr} AS u, epoch_us({ts_expr}) AS tt,
+               {tiebreak_expr} AS tb, {event_expr} AS ttype
+        FROM {src} WHERE {event_expr} IN ({tt})
+    ),
+    cand AS (
+        SELECT c.*, t.tt, t.tb, t.ttype
+        FROM conv c JOIN touch t ON t.u = c.u
+        WHERE t.tt <= c.ct AND t.tt > c.ct - {int(within_us)}
+    ),
+    credited AS (
+        SELECT ttype,
+               units // k + CASE WHEN r = 1 THEN units % k ELSE 0 END
+                   AS credit
+        FROM (
+            SELECT ttype, units,
+                   COUNT(*) OVER (PARTITION BY u, ct, cb) AS k,
+                   ROW_NUMBER() OVER (PARTITION BY u, ct, cb
+                                      ORDER BY tt DESC, tb DESC) AS r
+            FROM cand
+        )
+    ),
+    attributed AS (
+        SELECT ttype AS touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit) AS BIGINT) AS attributed_micro
+        FROM credited GROUP BY 1
+    ),
+    direct AS (
+        SELECT 'direct' AS touch_type, CAST(COUNT(*) AS BIGINT)
+                   AS n_touches,
+               CAST(COALESCE(SUM(units), 0) AS BIGINT) AS attributed_micro
+        FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM cand x
+                          WHERE x.u = c.u AND x.ct = c.ct AND x.cb = c.cb)
+    )
+    SELECT * FROM attributed
+    UNION ALL
+    SELECT * FROM direct WHERE n_touches > 0
+    """

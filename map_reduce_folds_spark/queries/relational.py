@@ -4005,3 +4005,36 @@ def ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("bigint").alias("x_disc"),
     )
     return ols2_fit(pts, "y_cents", "x_qty", "x_disc", ("l_returnflag",))
+
+
+def _mta_oracle() -> str:
+    from map_reduce_folds_spark.operators.windows import (
+        multi_touch_attribution_sql,
+    )
+
+    return multi_touch_attribution_sql(
+        "events", "user_id", "ts", "event_type", "value",
+        conversion="purchase", touch_types=("view", "click"),
+        within_us=3_600_000_000, tiebreak_expr="event_id")
+
+
+@query("multi_touch_attribution", oracle=_mta_oracle())
+def multi_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution of purchase value across the
+    preceding hour's view/click touches
+    (operators/windows.multi_touch_attribution) — the multi-touch
+    upgrade of single-touch interval attribution, under a hash-exact
+    oracle because the accounting is INTEGER end-to-end: cents·1000
+    micro-units split by floor division with the remainder pinned to
+    the last touch, so per-conversion credit conserves exactly and
+    group totals are integer sums (no float summation order).
+    Untouched conversions land in the 'direct' bucket."""
+    from map_reduce_folds_spark.operators.windows import (
+        multi_touch_attribution,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return multi_touch_attribution(
+        e, "user_id", "ts", "event_type", "value",
+        conversion="purchase", touch_types=("view", "click"),
+        within_us=3_600_000_000, tiebreak_col="event_id")

@@ -1147,26 +1147,42 @@ def stream_kmeans_assign(
     ``out_dir`` — routing fresh embeddings into an existing IVF/cluster
     layout at ingest time.  Per-vector assignment has no cross-batch
     state, so per-micro-batch application of the batch rule is EXACT
-    (same literal-centroid arithmetic, struct-min argmin as
-    ``ivf_topk``/``kmeans_inertia``); the model is a K×dim literal
-    table — nothing shuffles."""
-    from pyspark.sql import functions as F
+    (the batch operator ``similarity.kmeans_assign`` applied verbatim
+    per micro-batch); the model is a K×dim literal table — nothing
+    shuffles."""
+    from ..operators.similarity import kmeans_assign
 
     def process(df: DataFrame, batch_id: int):
-        S = 1048576.0
-        xd = df.select(
-            F.col(id_col),
-            F.transform(vec_col, lambda v: F.floor(
-                v.cast("double") * F.lit(S) + F.lit(0.5)) / F.lit(S)
-            ).alias("__xd"))
-        cells = []
-        for idx, c in enumerate(centroids):
-            carr = F.array(*[F.lit(float(v)) for v in c])
-            diffs = F.zip_with(F.col("__xd"), carr,
-                               lambda x, y: (x - y) * (x - y))
-            d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
-            cells.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
-        xd.select(id_col, F.array_min(F.array(*cells))["c"].alias("cid")) \
+        kmeans_assign(df, centroids, id_col, vec_col) \
+            .write.mode("append").parquet(out_dir)
+
+    return write_foreach_batch(stream, process, checkpoint_dir)
+
+
+def stream_pca_score(
+    stream: DataFrame,
+    components: "list[list[float]]",
+    means: "list[float]",
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """PCA outlier-scoring stream under a PRE-FITTED model
+    (``similarity.pca_power_fit`` + ``pca_means``): each arriving
+    vector batch is scored with its residual energy outside the fitted
+    subspace and ``(id, resid)`` appends to ``out_dir`` — the
+    off-manifold anomaly gate applied AT INGEST, next to
+    ``stream_kmeans_assign`` and ``stream_nb_score`` in the
+    trained-model-on-a-stream family.  Per-vector scoring has no
+    cross-batch state, so per-micro-batch application of the batch
+    operator (``similarity.pca_residual_scores``, applied verbatim) is
+    EXACT; the model is a K×dim + dim literal set — nothing
+    shuffles."""
+    from ..operators.similarity import pca_residual_scores
+
+    def process(df: DataFrame, batch_id: int):
+        pca_residual_scores(df, components, means, id_col, vec_col) \
             .write.mode("append").parquet(out_dir)
 
     return write_foreach_batch(stream, process, checkpoint_dir)

@@ -1393,3 +1393,44 @@ def test_ols2_matches_numpy_lstsq(spark):
     assert abs(r["b1"] - ref[1]) < 1e-9 * max(1.0, abs(ref[1]))
     assert abs(r["b2"] - ref[2]) < 1e-9 * max(1.0, abs(ref[2]))
     assert 0.9 < r["r2"] <= 1.0
+
+
+def test_multi_touch_attribution_hand_case(spark):
+    """Known splits: a purchase with 3 in-window touches splits
+    cents*1000 by floor division with the remainder on the LAST touch
+    (conservation exact); out-of-window and post-conversion touches are
+    ignored; an untouched purchase lands in 'direct'."""
+    from datetime import datetime, timedelta
+
+    from map_reduce_folds_spark.operators.windows import (
+        multi_touch_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: purchase 10.01 at t0 with touches at -10m/-5m/-1m
+        (1, t0 - timedelta(minutes=10), 1, "view", 0.0),
+        (2, t0 - timedelta(minutes=5), 1, "click", 0.0),
+        (3, t0 - timedelta(minutes=1), 1, "click", 0.0),
+        (4, t0, 1, "purchase", 10.01),
+        (5, t0 - timedelta(hours=2), 1, "view", 0.0),    # out of window
+        (6, t0 + timedelta(minutes=1), 1, "click", 0.0),  # after conv
+        # user 2: untouched purchase 5.00
+        (7, t0, 2, "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+              " event_type string, value double")
+    got = {r["touch_type"]: (r["n_touches"], r["attributed_micro"])
+           for r in multi_touch_attribution(
+               df, "user_id", "ts", "event_type", "value",
+               conversion="purchase", touch_types=("view", "click"),
+               within_us=3_600_000_000, tiebreak_col="event_id").collect()}
+    units = 1001 * 1000          # 10.01 -> 1001 cents -> 1001000 micro
+    base = units // 3            # 333666
+    rem = units - 3 * base       # 2 -> last touch (eid 3, a click)
+    assert got["view"] == (1, base)
+    assert got["click"] == (2, 2 * base + rem)
+    assert got["direct"] == (1, 5 * 100 * 1000)
+    total = sum(v for _n, v in got.values())
+    assert total == units + 500000  # conservation: every micro accounted

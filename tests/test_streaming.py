@@ -1299,3 +1299,41 @@ def test_stream_holt_matches_batch_and_carries_state(
                                 beta_halves=2, horizon=3).collect()}
     assert last == batch
     assert last[1][0] == 4 and last[2][0] == 2
+
+
+def test_stream_pca_score_matches_batch(spark, tmp_path_factory):
+    """Streaming PCA residual scoring under a pre-fitted model equals
+    the batch pca_residual_scores row for row (stateless per-vector
+    model application — the trained-model-on-a-stream discipline)."""
+    import os
+
+    from map_reduce_folds_spark.operators import similarity as S
+    from map_reduce_folds_spark.sources import load_table
+    from map_reduce_folds_spark.streaming import stream_pca_score
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    moments = S._pca_moments(emb, dim=64)
+    comps, _l, _t, _n = S.pca_power_fit(emb, dim=64, n_components=2,
+                                        iters=4, moments=moments)
+    means = S.pca_means(moments)
+
+    base = str(tmp_path_factory.mktemp("pcastream"))
+    src = os.path.join(base, "in")
+    emb.where("vec_id % 2 = 0").select("vec_id", "embedding") \
+        .coalesce(1).write.parquet(os.path.join(src, "f0"))
+    emb.where("vec_id % 2 = 1").select("vec_id", "embedding") \
+        .coalesce(1).write.parquet(os.path.join(src, "f1"))
+    stream = (spark.readStream
+              .schema("vec_id bigint, embedding array<float>")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/f*"))
+    out = os.path.join(base, "out")
+    q = stream_pca_score(stream, comps, means, out,
+                         os.path.join(base, "ckpt"))
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {r.vec_id: r.resid for r in spark.read.parquet(out).collect()}
+    want = {r.vec_id: r.resid
+            for r in S.pca_residual_scores(emb, comps, means).collect()}
+    assert got == want and len(got) == emb.count()
