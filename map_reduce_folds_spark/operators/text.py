@@ -671,3 +671,51 @@ def readability_sql(
            - {_ARI_BIAS:.17e} AS ari
     FROM g
     """
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """Per-document NOVELTY in corpus order: the share of a doc's
+    distinct shingles whose FIRST corpus occurrence (min ``id_col``) is
+    this doc — the freshness/diversity curve a curriculum or crawl-
+    snapshot pipeline reads (late documents full of already-seen
+    n-grams are recombinations; high-novelty docs introduce new
+    content).  The per-document complement of the corpus-level Heaps
+    vocab-growth curve.
+
+    Shape: one shingle pass (``distinct_shingle_hashes``), one
+    min-aggregate over the shingle index (map-side combinable), one
+    skinny join back on the shingle hash — the same inverted-index
+    discipline as the Jaccard family, never all-pairs.  Counts are
+    exact integers; novelty is one terminal division.  Docs with no
+    shingles (< n tokens) emit ``n_shingles = 0`` with NULL novelty.
+
+    Output: ``(id, n_shingles, n_novel, novelty)``."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(distinct_shingle_hashes(
+            F.col(text_col), n=n, token_pattern=token_pattern)).alias("__h"),
+    )
+    first = sh.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        sh.join(first, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+             F.sum(F.when(F.col("__first") == F.col(id_col), 1)
+                   .otherwise(0)).cast("bigint").alias("n_novel"))
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0).cast("bigint")).alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
+    )
+    return out.select(
+        id_col, "n_shingles", "n_novel",
+        F.when(F.col("n_shingles") > 0,
+               F.col("n_novel").cast("double")
+               / F.col("n_shingles").cast("double")).alias("novelty"))

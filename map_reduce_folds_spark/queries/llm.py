@@ -4475,3 +4475,37 @@ def kmeans_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= _CT_TOPN)
             .select("cid", F.col("rank").cast("int").alias("rank"),
                     F.col("tok").alias("term"), "tf", "score"))
+
+
+@query(
+    "doc_novelty_scores",
+    oracle=f"""
+    WITH {_SH_CTE},
+    first_ AS (SELECT h, MIN(doc_id) AS fst FROM sh GROUP BY 1),
+    per_doc AS (
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.fst = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM sh JOIN first_ f USING (h) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_shingles, 0) AS n_shingles,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                THEN CAST(COALESCE(p.n_novel, 0) AS DOUBLE)
+                     / CAST(p.n_shingles AS DOUBLE)
+                END AS novelty
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in corpus order (operators/text.
+    novelty_scores): the share of each doc's distinct 3-gram shingles
+    first seen IN that doc — the per-doc freshness curve next to the
+    corpus-level Heaps vocab-growth row; a crawl/curriculum gate drops
+    late recombination-heavy docs.  Inverted-index shape (one shingle
+    pass, one min-agg, one skinny hash join), exact integer counts,
+    one terminal division."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.novelty_scores(d, "doc_id", "text", n=_N)

@@ -4038,3 +4038,23 @@ def multi_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", "event_type", "value",
         conversion="purchase", touch_types=("view", "click"),
         within_us=3_600_000_000, tiebreak_col="event_id")
+
+
+def _shard_skew_oracle() -> str:
+    from map_reduce_folds_spark.sources import shard_skew_audit_sql
+
+    return shard_skew_audit_sql("lineitem", ["l_orderkey"], 64)
+
+
+@query("shard_skew_lineitem", oracle=_shard_skew_oracle())
+def shard_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-planning audit (sources.shard_skew_audit): would
+    bucketing lineitem on l_orderkey into 64 shards balance?  Exactly
+    the decision the q9 bucketed recipe and the scale_audit
+    bucketed-join rule ask before a write-once layout — answered with
+    the portable md5 hash60 preview (used buckets, nearest-rank size
+    percentiles, max/mean skew factor), engine-exact."""
+    from map_reduce_folds_spark.sources import shard_skew_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return shard_skew_audit(li, ["l_orderkey"], 64)

@@ -518,3 +518,102 @@ def diff_tables(
     return counts.groupBy().pivot(
         "diff", ["added", "removed", "changed", "unchanged"]
     ).sum("n").na.fill(0)
+
+
+def shard_skew_audit(
+    df: DataFrame,
+    key_cols: "list[str]",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """LAYOUT-PLANNING audit: would hash-bucketing this table on
+    ``key_cols`` into ``n_buckets`` shards balance?  Buckets assign by
+    the PORTABLE md5 hash60 (pmod into ``n_buckets``), so the audit —
+    used buckets, min/median/p99/max shard size, and the skew factor
+    ``max/mean`` — is the engine-exact preview of the write-once
+    bucketed layouts this package recommends (the q9 recipe,
+    ``materialize_bucketed``, the scale_audit bucketed-join rule).  A
+    skew factor ≫ 1 means the key is too hot to bucket raw: pre-salt
+    or pick a composite key BEFORE paying for the layout write.
+
+    One scan + one bounded ``n_buckets``-row aggregate; percentiles
+    are nearest-rank integer selection over the sorted bucket-size
+    array (bounded), the skew division is the only double op
+    (9-decimal round).
+
+    Output: one row ``(n_rows, n_buckets, used_buckets, min_sz,
+    p50_sz, p99_sz, max_sz, skew)``."""
+    from ..operators.text import hash60
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    sizes = (
+        df.select(F.pmod(hash60(key), F.lit(int(n_buckets))).alias("__b"))
+        .groupBy("__b").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    arr = F.array_sort(F.collect_list("__n"))
+    stats = sizes.agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("used_buckets"),
+        F.min("__n").cast("bigint").alias("min_sz"),
+        F.max("__n").cast("bigint").alias("max_sz"),
+        arr.alias("__a"),
+    )
+
+    def nearest_rank(p: float):
+        # ceil(p * used)-th of the sorted sizes (1-based nearest-rank)
+        idx = F.ceil(F.lit(p) * F.col("used_buckets")).cast("int")
+        return F.element_at(F.col("__a"), idx)
+
+    return stats.select(
+        "n_rows",
+        F.lit(int(n_buckets)).cast("bigint").alias("n_buckets"),
+        "used_buckets", "min_sz",
+        nearest_rank(0.5).cast("bigint").alias("p50_sz"),
+        nearest_rank(0.99).cast("bigint").alias("p99_sz"),
+        "max_sz",
+        F.round(F.col("max_sz").cast("double")
+                / (F.col("n_rows").cast("double")
+                   / F.lit(float(int(n_buckets)))), 9).alias("skew"))
+
+
+def shard_skew_audit_sql(
+    src: str,
+    key_exprs: "list[str]",
+    n_buckets: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`shard_skew_audit` (same md5 hash60,
+    pmod, nearest-rank selection, single rounded division)."""
+    from ..operators.text import hash60_sql
+
+    key = ("concat_ws(chr(31), "
+           + ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs) + ")")
+    h = hash60_sql(key)
+    return f"""
+    WITH b AS (
+        SELECT ((({h}) % {int(n_buckets)}) + {int(n_buckets)})
+                   % {int(n_buckets)} AS bk
+        FROM {src}
+    ),
+    sizes AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS n
+              FROM b GROUP BY 1),
+    s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS used_buckets,
+               CAST(MIN(n) AS BIGINT) AS min_sz,
+               CAST(MAX(n) AS BIGINT) AS max_sz,
+               list_sort(list(n)) AS a
+        FROM sizes
+    )
+    SELECT n_rows, CAST({int(n_buckets)} AS BIGINT) AS n_buckets,
+           used_buckets, min_sz,
+           CAST(a[CAST(ceil(0.5 * used_buckets) AS INT)] AS BIGINT)
+               AS p50_sz,
+           CAST(a[CAST(ceil(0.99 * used_buckets) AS INT)] AS BIGINT)
+               AS p99_sz,
+           max_sz,
+           round(CAST(max_sz AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / {float(int(n_buckets))!r}), 9)
+               AS skew
+    FROM s
+    """

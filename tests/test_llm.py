@@ -3596,3 +3596,28 @@ def test_cluster_topics_surface_planted_vocab(spark, tmp_path):
         seen0 |= pos <= m0
         seen1 |= pos <= m1
     assert seen0 and seen1
+
+
+def test_novelty_scores_semantics(spark):
+    """First doc scores novelty 1.0; an exact copy later scores 0.0; a
+    half-overlapping doc scores the exact fraction of its distinct
+    shingles first seen in it; a too-short doc emits 0 shingles with
+    NULL novelty."""
+    from map_reduce_folds_spark.operators.text import novelty_scores
+
+    rows = [
+        (0, "a b c d e"),            # 3 shingles: abc bcd cde -> all novel
+        (1, "a b c d e"),            # exact copy -> 0 novel
+        (2, "c d e f g"),            # cde (seen), def, efg -> 2/3
+        (3, "x y"),                  # < n tokens -> no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           novelty_scores(df, "doc_id", "text", n=3).collect()}
+    assert (got[0]["n_shingles"], got[0]["n_novel"],
+            got[0]["novelty"]) == (3, 3, 1.0)
+    assert (got[1]["n_shingles"], got[1]["n_novel"],
+            got[1]["novelty"]) == (3, 0, 0.0)
+    assert (got[2]["n_shingles"], got[2]["n_novel"]) == (3, 2)
+    assert got[2]["novelty"] == 2.0 / 3.0
+    assert (got[3]["n_shingles"], got[3]["novelty"]) == (0, None)

@@ -295,3 +295,32 @@ def test_diff_tables_null_position_swap(spark):
     detail = {r["k"]: r["diff"]
               for r in diff_tables(a, b, ["k"], detail=True).collect()}
     assert detail == {1: "changed", 2: "unchanged"}
+
+
+def test_shard_skew_audit_balanced_vs_hot(spark):
+    """A high-cardinality key buckets near-evenly (skew ~1); a
+    single-value key concentrates everything in one bucket (skew =
+    n_buckets, used_buckets = 1); counts and percentiles are exact."""
+    from map_reduce_folds_spark.sources import shard_skew_audit
+
+    even = spark.range(0, 6400).withColumnRenamed("id", "k")
+    r = shard_skew_audit(even, ["k"], 64).collect()[0]
+    assert r["n_rows"] == 6400 and r["n_buckets"] == 64
+    assert r["used_buckets"] == 64
+    assert r["min_sz"] <= 100 <= r["max_sz"]
+    assert 1.0 <= r["skew"] < 1.6          # hash-even, not perfect
+    assert r["p50_sz"] <= r["p99_sz"] <= r["max_sz"]
+
+    hot = spark.range(0, 500).selectExpr("'same' AS k")
+    h = shard_skew_audit(hot, ["k"], 64).collect()[0]
+    assert h["used_buckets"] == 1 and h["max_sz"] == 500
+    assert h["skew"] == 64.0
+
+
+def test_shard_skew_audit_guard(spark):
+    import pytest as _pytest
+
+    from map_reduce_folds_spark.sources import shard_skew_audit
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        shard_skew_audit(None, ["k"], 0)
