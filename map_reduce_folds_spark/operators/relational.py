@@ -1046,3 +1046,107 @@ def ols2_sql(
     FROM d
     WHERE n >= 3 AND det > 0
     """
+
+
+def join_size_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """PRE-JOIN cardinality + skew audit: the EXACT output size an
+    equi-join would produce and the keys that dominate it — computed
+    WITHOUT running the join (two per-key count aggregates and a skinny
+    count-relation join; the candidate join's n_left·n_right row blowup
+    never materializes).  ``|A ⋈ B| = Σ_k cntA(k)·cntB(k)`` is an
+    identity, not an estimate, so the row sits under a hash-exact
+    oracle.
+
+    The scale-planning companion of ``shard_skew_audit``: run it
+    before a fact-fact join to decide broadcast vs bucketed layout vs
+    salting — ``top_share`` (the hottest key's fraction of the entire
+    join output) ≫ 1/parts means one task owns the join; the
+    scale_audit skew toolkit (salt_and_replicate, bucketed layouts)
+    is the fix.
+
+    Output: one summary row per rank 0 (totals) plus the ``top_n``
+    hottest keys by pair product —
+    ``(rank, key, pairs, join_rows, top_share)`` with rank 1..top_n;
+    rank 0 carries key NULL and the exact total.  All counts exact
+    integers (DECIMAL(38,0)-staged products); top_share is one rounded
+    division."""
+    lc = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__la"))
+    rc = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__rb"))
+    prod = lc.join(rc, "__k").select(
+        "__k",
+        (F.col("__la").cast("decimal(38,0)")
+         * F.col("__rb").cast("decimal(38,0)")).alias("__p"))
+    total = prod.agg(
+        F.sum("__p").cast("decimal(38,0)").alias("__tot"))
+    # global top-n via sort+limit (TakeOrderedAndProject — distributed,
+    # no empty-PARTITION-BY window anywhere: the package-wide lint);
+    # ranks then derive VALUE-BASED on the bounded n-row set (count of
+    # strictly-greater rows + 1, the monthly_revenue_growth rework)
+    topset = (prod.orderBy(F.col("__p").desc(), F.col("__k"))
+              .limit(int(top_n)))
+    other = topset.select(F.col("__p").alias("__p2"),
+                          F.col("__k").alias("__k2"))
+    ranked = (
+        topset.join(F.broadcast(other),
+                    (F.col("__p2") > F.col("__p"))
+                    | ((F.col("__p2") == F.col("__p"))
+                       & (F.col("__k2") < F.col("__k"))), "left")
+        .groupBy("__k", "__p")
+        .agg((F.count("__k2") + 1).cast("int").alias("__rnk"))
+        .crossJoin(F.broadcast(total))
+    )
+    top = ranked.select(
+        F.col("__rnk").cast("int").alias("rank"),
+        F.col("__k").cast("string").alias("key"),
+        F.col("__p").cast("bigint").alias("pairs"),
+        F.col("__tot").cast("bigint").alias("join_rows"),
+        F.round(F.col("__p").cast("double")
+                / F.col("__tot").cast("double"), 9).alias("top_share"))
+    summary = total.select(
+        F.lit(0).cast("int").alias("rank"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("__tot").cast("bigint").alias("pairs"),
+        F.col("__tot").cast("bigint").alias("join_rows"),
+        F.lit(1.0).alias("top_share"))
+    return summary.unionByName(top)
+
+
+def join_size_audit_sql(
+    left_src: str,
+    right_src: str,
+    left_key: str,
+    right_key: str,
+    top_n: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`join_size_audit` (HUGEINT products ≡ the
+    DECIMAL(38,0) staging)."""
+    return f"""
+    WITH lc AS (SELECT {left_key} AS k, CAST(COUNT(*) AS HUGEINT) AS la
+                FROM {left_src} GROUP BY 1),
+    rc AS (SELECT {right_key} AS k, CAST(COUNT(*) AS HUGEINT) AS rb
+           FROM {right_src} GROUP BY 1),
+    prod AS (SELECT lc.k, lc.la * rc.rb AS p
+             FROM lc JOIN rc USING (k)),
+    tot AS (SELECT SUM(p) AS t FROM prod),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY p DESC, k) AS rnk, k, p
+        FROM prod
+    )
+    SELECT CAST(0 AS INT) AS rank, CAST(NULL AS VARCHAR) AS key,
+           CAST(t AS BIGINT) AS pairs, CAST(t AS BIGINT) AS join_rows,
+           1.0 AS top_share
+    FROM tot
+    UNION ALL
+    SELECT CAST(rnk AS INT), CAST(k AS VARCHAR), CAST(p AS BIGINT),
+           CAST(t AS BIGINT),
+           round(CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 9)
+    FROM ranked, tot WHERE rnk <= {int(top_n)}
+    """

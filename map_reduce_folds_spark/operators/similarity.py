@@ -2923,3 +2923,131 @@ def kmeans_assign(
         d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
         cells.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
     return xd.select(id_col, F.array_min(F.array(*cells))["c"].alias("cid"))
+
+
+def retrieval_eval(
+    got: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """ANN QUALITY metrics per query — recall@k, MRR, nDCG@k of a
+    retrieval result against exact ground truth (typically an LSH/IVF
+    top-k vs the brute-force top-k): the eval harness that closes the
+    similarity-search loop, AS AN OPERATOR, so index-parameter sweeps
+    run distributed over millions of queries instead of driver-side.
+
+    Determinism: ranks come from the family's standard (score DESC,
+    id) tie-break; recall and reciprocal rank are single exact
+    divisions; each DCG term ``1/log2(rank+1)`` rounds to 9 decimals
+    BEFORE the fold (absorbing any log2 ulp), the fold is a sorted
+    single-float accumulation (the EWMA discipline — immune to the
+    multi-field list_reduce hazard), and ideal DCG folds the same
+    rounded terms over ranks ``1..min(k, n_truth)``.  Emitting PER-
+    QUERY rows (no cross-query mean) keeps every value order-free.
+
+    Output: ``(query_id, n_truth, n_hits, recall_at_k, mrr, ndcg)``."""
+    from pyspark.sql.window import Window as _W
+
+    q, i, s = query_col, id_col, score_col
+    rnk = F.row_number().over(
+        _W.partitionBy(q).orderBy(F.col(s).desc(), F.col(i)))
+    g = got.select(q, i, s).withColumn("__r", rnk).drop(s)
+    t = truth.select(F.col(q).alias("__tq"), F.col(i).alias("__ti"))
+    n_truth = t.groupBy(F.col("__tq").alias(q)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    marked = g.join(
+        t, (F.col(q) == F.col("__tq")) & (F.col(i) == F.col("__ti")),
+        "left").select(q, "__r", F.col("__ti").isNotNull().alias("__rel"))
+    term = F.round(F.lit(1.0) / F.log2(F.col("__r").cast("double")
+                                       + F.lit(1.0)), 9)
+    per_q = marked.groupBy(q).agg(
+        F.sum(F.when(F.col("__rel"), 1).otherwise(0)).cast("bigint")
+        .alias("n_hits"),
+        F.min(F.when(F.col("__rel"), F.col("__r"))).alias("__minr"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.when(F.col("__rel"), F.struct(
+                    F.col("__r").alias("r"), term.alias("t"))))),
+            F.lit(0.0), lambda acc, x: acc + x["t"]).alias("__dcg"),
+    )
+    ideal_n = F.least(F.lit(int(k)).cast("bigint"), F.col("n_truth"))
+    idcg = F.aggregate(
+        F.transform(F.sequence(F.lit(1).cast("bigint"), ideal_n),
+                    lambda j: F.round(
+                        F.lit(1.0) / F.log2(j.cast("double") + F.lit(1.0)),
+                        9)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        per_q.join(n_truth, q)
+        .select(
+            q, "n_truth", "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.lit(float(int(k))),
+                    9).alias("recall_at_k"),
+            F.round(F.when(F.col("__minr").isNotNull(),
+                           F.lit(1.0) / F.col("__minr").cast("double"))
+                    .otherwise(F.lit(0.0)), 9).alias("mrr"),
+            F.round(F.col("__dcg") / idcg, 9).alias("ndcg"))
+    )
+
+
+def retrieval_eval_sql(
+    got_sql: str,
+    truth_sql: str,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "cos_sim",
+) -> str:
+    """DuckDB mirror of :func:`retrieval_eval`: wraps the got/truth
+    SELECTs as CTEs and reproduces rank, rounded DCG terms, sorted
+    single-float folds, and the single divisions."""
+    q, i, s = query_col, id_col, score_col
+    return f"""
+    WITH got_ AS ({got_sql}),
+    truth_ AS ({truth_sql}),
+    ranked AS (
+        SELECT {q}, {i},
+               ROW_NUMBER() OVER (PARTITION BY {q}
+                                  ORDER BY {s} DESC, {i}) AS r
+        FROM got_
+    ),
+    nt AS (SELECT {q}, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM truth_ GROUP BY 1),
+    marked AS (
+        SELECT g.{q}, g.r,
+               EXISTS (SELECT 1 FROM truth_ t
+                       WHERE t.{q} = g.{q} AND t.{i} = g.{i}) AS rel
+        FROM ranked g
+    ),
+    per_q AS (
+        SELECT {q},
+               CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+               MIN(CASE WHEN rel THEN r END) AS minr,
+               list_reduce(
+                   list_prepend(0.0,
+                       list_sort(list(CASE WHEN rel THEN {{'r': r,
+                           't': round(1.0 / log2(CAST(r AS DOUBLE) + 1.0),
+                                      9)}} END) FILTER (WHERE rel))
+                           .apply(x -> x.t)),
+                   (acc, x) -> acc + x) AS dcg
+        FROM marked GROUP BY 1
+    )
+    SELECT p.{q}, nt.n_truth, p.n_hits,
+           round(CAST(p.n_hits AS DOUBLE) / {float(int(k))!r}, 9)
+               AS recall_at_k,
+           round(CASE WHEN p.minr IS NOT NULL
+                      THEN 1.0 / CAST(p.minr AS DOUBLE) ELSE 0.0 END, 9)
+               AS mrr,
+           round(COALESCE(p.dcg, 0.0) / list_reduce(
+                     list_prepend(0.0,
+                         list_transform(range(1, CAST(least({int(k)},
+                                            nt.n_truth) AS INT) + 1),
+                             j -> round(1.0 / log2(CAST(j AS DOUBLE)
+                                                   + 1.0), 9))),
+                     (acc, x) -> acc + x), 9) AS ndcg
+    FROM per_q p JOIN nt USING ({q})
+    """

@@ -4509,3 +4509,33 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     one terminal division."""
     d = load_table(spark, sf_dir, "documents")
     return T.novelty_scores(d, "doc_id", "text", n=_N)
+
+
+def _ann_eval_oracle() -> str:
+    brute = f"""SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {S.cosine_sql('q.embedding', 'c.embedding', _DIM)} AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {_TOPK}"""
+    return S.retrieval_eval_sql(_srp_topk_oracle(), brute, _TOPK)
+
+
+@query("ann_eval_lsh", oracle=_ann_eval_oracle())
+def ann_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN EVAL HARNESS as an operator
+    (operators/similarity.retrieval_eval): recall@10, MRR, and nDCG@10
+    of the SRP-LSH top-k against the exact brute-force ground truth,
+    per query — the quality loop an index-parameter sweep runs
+    distributed instead of driver-side.  Both pipelines and the
+    metrics are deterministic (md5-parity hyperplanes, (score, id)
+    tie-breaks, 9-decimal-rounded DCG terms in sorted single-float
+    folds), so the composed eval sits under one hash-exact oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    got = S.srp_lsh_topk(q, e, "vec_id", "embedding", _DIM, _TOPK,
+                         n_planes=6, n_tables=8)
+    truth = S.brute_force_topk(q, e, "vec_id", "embedding", _DIM, _TOPK)
+    return S.retrieval_eval(got, truth, _TOPK)

@@ -4058,3 +4058,26 @@ def shard_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return shard_skew_audit(li, ["l_orderkey"], 64)
+
+
+def _join_size_oracle() -> str:
+    from map_reduce_folds_spark.operators.relational import join_size_audit_sql
+
+    return join_size_audit_sql("orders", "lineitem",
+                               "o_orderkey", "l_orderkey", top_n=5)
+
+
+@query("join_size_audit_orders", oracle=_join_size_oracle())
+def join_size_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality + skew audit for orders x lineitem
+    (operators/relational.join_size_audit): the EXACT equi-join output
+    size and the five hottest keys by pair product, computed from two
+    per-key count relations — the join itself never runs.  The
+    planning companion of shard_skew_lineitem: decide broadcast /
+    bucketed layout / salting BEFORE the shuffle, from an identity
+    (sum of per-key count products), not an estimate."""
+    from map_reduce_folds_spark.operators.relational import join_size_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_size_audit(o, li, "o_orderkey", "l_orderkey", top_n=5)

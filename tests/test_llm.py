@@ -3621,3 +3621,44 @@ def test_novelty_scores_semantics(spark):
     assert (got[2]["n_shingles"], got[2]["n_novel"]) == (3, 2)
     assert got[2]["novelty"] == 2.0 / 3.0
     assert (got[3]["n_shingles"], got[3]["novelty"]) == (0, None)
+
+
+def test_retrieval_eval_hand_case(spark):
+    """Known ranks: truth {a,b,c}; got ranks 1..3 = (a, x, c) ->
+    recall 2/3 of k=3, MRR 1 (first hit at rank 1), nDCG = the exact
+    rounded-term fold; a query with zero hits scores recall 0, MRR 0,
+    nDCG 0."""
+    import math
+
+    got = spark.createDataFrame(
+        [(1, "a", 0.9), (1, "x", 0.8), (1, "c", 0.7),
+         (2, "p", 0.9), (2, "q", 0.8), (2, "r", 0.7)],
+        "query_id bigint, neighbor_id string, cos_sim double")
+    truth = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 0.95), (1, "c", 0.85),
+         (2, "z", 1.0), (2, "y", 0.9), (2, "w", 0.8)],
+        "query_id bigint, neighbor_id string, cos_sim double")
+    rows = {r["query_id"]: r
+            for r in S.retrieval_eval(got, truth, 3).collect()}
+    t = lambda r: round(1.0 / math.log2(r + 1.0), 9)  # noqa: E731
+    idcg = (t(1) + t(2)) + t(3)
+    q1 = rows[1]
+    assert (q1["n_truth"], q1["n_hits"]) == (3, 2)
+    assert q1["recall_at_k"] == round(2 / 3.0, 9)
+    assert q1["mrr"] == 1.0
+    assert q1["ndcg"] == round((t(1) + t(3)) / idcg, 9)
+    q2 = rows[2]
+    assert (q2["n_hits"], q2["recall_at_k"], q2["mrr"], q2["ndcg"]) \
+        == (0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_eval_perfect_retrieval(spark):
+    """got == truth -> recall 1, MRR 1, nDCG 1 for every query."""
+    rows = [(q, f"n{j}", 1.0 - j * 0.01)
+            for q in (1, 2) for j in range(5)]
+    df = spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id string, cos_sim double")
+    out = S.retrieval_eval(df, df, 5).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (r["recall_at_k"], r["mrr"], r["ndcg"]) == (1.0, 1.0, 1.0)

@@ -1434,3 +1434,24 @@ def test_multi_touch_attribution_hand_case(spark):
     assert got["direct"] == (1, 5 * 100 * 1000)
     total = sum(v for _n, v in got.values())
     assert total == units + 500000  # conservation: every micro accounted
+
+
+def test_join_size_audit_identity_and_ranks(spark):
+    """The audit's total equals the actual join's count (identity, not
+    estimate); hottest keys rank by pair product with value-based
+    deterministic ties; keys absent from either side contribute 0."""
+    from map_reduce_folds_spark.operators.relational import join_size_audit
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 5 + [2] * 3 + [3] * 1 + [4] * 2], "k bigint")
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 4 + [2] * 6 + [3] * 9 + [5] * 7], "k bigint")
+    rows = join_size_audit(left, right, "k", "k", top_n=3).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    true_join = left.join(right, "k").count()
+    assert by_rank[0]["join_rows"] == true_join == 5 * 4 + 3 * 6 + 1 * 9
+    # products: k1=20, k2=18, k3=9 -> ranks 1,2,3; k4/k5 one-sided
+    assert (by_rank[1]["key"], by_rank[1]["pairs"]) == ("1", 20)
+    assert (by_rank[2]["key"], by_rank[2]["pairs"]) == ("2", 18)
+    assert (by_rank[3]["key"], by_rank[3]["pairs"]) == ("3", 9)
+    assert by_rank[1]["top_share"] == round(20 / 47, 9)
