@@ -2475,6 +2475,25 @@ def _pca_moments(
     may exceed 2^63 long before 10^12 rows).  Shuffle volume is
     ~dim²·n_chunks rows — model-sized, not corpus-sized: the 100 TB
     plan is one scan plus a metadata-weight reduce."""
+    rel = pca_moment_relation(corpus, id_col, vec_col, dim)
+    return pca_moments_from_relation(rel, dim)
+
+
+def pca_moment_relation(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The exact second moments AS A MERGEABLE RELATION ``(i, j, v)``
+    (DECIMAL(38,0) sums; ``i=-1,j=-1`` carries n, ``j=-1`` carries S_i,
+    else G_ij) — the persistable/incremental form of
+    :func:`_pca_moments`: write a batch's relation once, and a new
+    batch updates the model via :func:`pca_moment_merge` — pure
+    additive union — WITHOUT rescanning history (the
+    incremental-aggregate-maintenance story applied to the spectral
+    model; moments are a monoid).  dim² + dim + 1 rows regardless of
+    corpus size."""
     import numpy as np
     import pandas as pd
 
@@ -2505,9 +2524,33 @@ def _pca_moments(
 
     part = corpus.select(id_col, vec_col).mapInPandas(
         gen, schema="i int, j int, v long")
-    rows = (part.groupBy("i", "j")
-            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
-            .collect())  # bounded: dim² + dim + 1 rows (the model)
+    return part.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+
+
+def pca_moment_merge(*relations: DataFrame) -> DataFrame:
+    """Merge moment relations (additive monoid): union + re-sum.  The
+    merged relation of batch A ∪ batch B equals the relation of the
+    concatenated corpus EXACTLY (integer sums are associative/
+    commutative), so a fit from merged per-batch moments is bitwise
+    the batch fit — pinned by the pca_incremental_components oracle."""
+    if not relations:
+        raise ValueError("pca_moment_merge: need at least one relation")
+    out = relations[0]
+    for r in relations[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+
+
+def pca_moments_from_relation(
+    rel: DataFrame,
+    dim: int = 64,
+) -> "tuple[int, list[int], list[list[int]]]":
+    """Collect a (bounded, model-sized) moment relation into the
+    ``(n, S, G)`` exact-int form the fit consumes."""
+    nd = int(dim)
+    rows = rel.collect()  # bounded: dim² + dim + 1 rows (the model)
     n = 0
     S = [0] * nd
     G = [[0] * nd for _ in range(nd)]

@@ -4539,3 +4539,36 @@ def ann_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                          n_planes=6, n_tables=8)
     truth = S.brute_force_topk(q, e, "vec_id", "embedding", _DIM, _TOPK)
     return S.retrieval_eval(got, truth, _TOPK)
+
+
+@query(
+    "pca_incremental_components",
+    oracle=S.pca_sql(_DIM, _PCA_COMPS, _PCA_ITERS),
+)
+def pca_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PCA: the corpus arrives as two batches (vec_id
+    parity), each contributes a bounded mergeable moment relation
+    (operators/similarity.pca_moment_relation), the relations merge by
+    pure additive union (pca_moment_merge — moments are a monoid), and
+    the fit runs on the merged model.  Because integer sums are
+    associative and commutative, the merged moments equal the
+    whole-corpus moments EXACTLY, so this query shares
+    pca_components' UNCHANGED whole-corpus oracle — the incremental
+    path is proven bitwise-equal to the batch path by the gate itself
+    (the incremental-aggregate-maintenance story applied to the
+    spectral model: a daily embedding batch updates the trained PCA
+    without rescanning history)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    merged = S.pca_moment_merge(
+        S.pca_moment_relation(a, "vec_id", "embedding", _DIM),
+        S.pca_moment_relation(b, "vec_id", "embedding", _DIM))
+    moments = S.pca_moments_from_relation(merged, _DIM)
+    comps, lams, tr, n = S.pca_power_fit(
+        emb, "vec_id", "embedding", _DIM,
+        n_components=_PCA_COMPS, iters=_PCA_ITERS, moments=moments)
+    rows = [(c, j, comps[c][j])
+            for c in range(_PCA_COMPS) for j in range(_DIM)]
+    return spark.createDataFrame(
+        rows, "component int, j int, loading double")

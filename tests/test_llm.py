@@ -3662,3 +3662,20 @@ def test_retrieval_eval_perfect_retrieval(spark):
     assert len(out) == 2
     for r in out:
         assert (r["recall_at_k"], r["mrr"], r["ndcg"]) == (1.0, 1.0, 1.0)
+
+
+def test_pca_moment_merge_is_exact_monoid(spark):
+    """Per-batch moment relations merged by additive union equal the
+    whole-corpus moments EXACTLY (integer sums are associative and
+    commutative) — for any split, here three uneven batches."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    X = rng.randn(90, 8) * 2.0
+    df = _vec_df(spark, X)
+    whole = S._pca_moments(df, dim=8)
+    parts = [df.where(f"vec_id % 3 = {m}") for m in range(3)]
+    merged_rel = S.pca_moment_merge(
+        *[S.pca_moment_relation(p, dim=8) for p in parts])
+    merged = S.pca_moments_from_relation(merged_rel, dim=8)
+    assert merged == whole
