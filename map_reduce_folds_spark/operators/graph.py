@@ -986,3 +986,81 @@ def label_propagation_sql(
         )
     return ("WITH " + ",\n".join(cte)
             + f"\nSELECT u AS node, lab AS label FROM l{n_iter}")
+
+
+def sparsify_topk_edges(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    weight_col: str = "hamming",
+    k: int = 16,
+    ascending: bool = True,
+) -> DataFrame:
+    """Deterministic k-NN GRAPH SPARSIFIER: keep, per node, its ``k``
+    best incident edges by ``(weight, neighbor id)`` — the standard
+    preprocessing before label propagation / PageRank on a DENSE
+    similarity graph, where near-dup-rich corpora produce average
+    degrees in the hundreds (measured: the fixture SimHash hamming≤3
+    graph carries ~760 edges/node — linear pair MASS, but every
+    propagation round pays it).  After the cap ``|E| ≤ k·n`` by
+    construction, so iterative graph ops are linear in n regardless of
+    how dense the raw similarity graph was.
+
+    Union semantics (the standard kNN-graph rule): a canonical edge
+    survives if EITHER endpoint ranks it in its top k — no node loses
+    its best neighbors because the other side is popular.  Ranking is
+    ``(weight asc|desc, neighbor id)`` — fully deterministic, so the
+    sparsified edge set is engine-exact and SQL-mirrorable
+    (ROW_NUMBER over the symmetrized incidence).
+
+    Output: canonical ``(src, dst, weight)`` rows, ``src < dst``."""
+    w = F.col(weight_col)
+    sym = pairs.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v"),
+        w.alias("__w"),
+    ).unionByName(pairs.select(
+        F.col(dst).alias("__u"), F.col(src).alias("__v"),
+        w.alias("__w")))
+    order = [F.col("__w").asc() if ascending else F.col("__w").desc(),
+             F.col("__v").asc()]
+    rn = F.row_number().over(
+        Window.partitionBy("__u").orderBy(*order))
+    kept = sym.withColumn("__rn", rn).where(F.col("__rn") <= int(k))
+    return (
+        kept.select(
+            F.least("__u", "__v").alias(src),
+            F.greatest("__u", "__v").alias(dst),
+            F.col("__w").alias(weight_col))
+        .distinct()
+    )
+
+
+def sparsify_topk_edges_sql(
+    pairs_sql: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    weight_col: str = "hamming",
+    k: int = 16,
+    ascending: bool = True,
+) -> str:
+    """DuckDB mirror of :func:`sparsify_topk_edges`."""
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+    WITH praw AS ({pairs_sql}),
+    sym AS (
+        SELECT {src} AS u, {dst} AS v, {weight_col} AS w FROM praw
+        UNION ALL
+        SELECT {dst} AS u, {src} AS v, {weight_col} AS w FROM praw
+    ),
+    kept AS (
+        SELECT u, v, w FROM (
+            SELECT u, v, w,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY w {direction}, v) AS rn
+            FROM sym
+        ) WHERE rn <= {int(k)}
+    )
+    SELECT DISTINCT least(u, v) AS {src}, greatest(u, v) AS {dst},
+           w AS {weight_col}
+    FROM kept
+    """

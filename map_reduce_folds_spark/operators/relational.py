@@ -937,17 +937,20 @@ def ols2_fit(
     Output: ``(*group_cols, n, b0, b1, b2, r2)``."""
     y, x1, x2 = F.col(y_col), F.col(x1_col), F.col(x2_col)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # operands cast to DECIMAL BEFORE multiplying (the HHI/skewness
+    # staging): an int64 per-row product like y·y wraps silently at
+    # |y| ≥ ~3.04e9 with ANSI off, diverging from the HUGEINT mirror
     s = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dec(x1)).alias("sx1"),
         F.sum(dec(x2)).alias("sx2"),
         F.sum(dec(y)).alias("sy"),
-        F.sum(dec(x1 * x1)).alias("sx1x1"),
-        F.sum(dec(x1 * x2)).alias("sx1x2"),
-        F.sum(dec(x2 * x2)).alias("sx2x2"),
-        F.sum(dec(x1 * y)).alias("sx1y"),
-        F.sum(dec(x2 * y)).alias("sx2y"),
-        F.sum(dec(y * y)).alias("syy"),
+        F.sum(dec(x1) * dec(x1)).alias("sx1x1"),
+        F.sum(dec(x1) * dec(x2)).alias("sx1x2"),
+        F.sum(dec(x2) * dec(x2)).alias("sx2x2"),
+        F.sum(dec(x1) * dec(y)).alias("sx1y"),
+        F.sum(dec(x2) * dec(y)).alias("sx2y"),
+        F.sum(dec(y) * dec(y)).alias("syy"),
     )
     nD = F.col("n").cast("decimal(38,0)")
     exacts = {

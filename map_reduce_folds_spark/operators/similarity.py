@@ -2991,14 +2991,26 @@ def retrieval_eval(
     rounded terms over ranks ``1..min(k, n_truth)``.  Emitting PER-
     QUERY rows (no cross-query mean) keeps every value order-free.
 
+    Contract edges (mirrored in :func:`retrieval_eval_sql`): ``got`` is
+    truncated to rank ≤ k (a deeper candidate list cannot leak beyond-k
+    hits into @k metrics), ``truth`` is treated as a SET (duplicates
+    deduped — the EXISTS semantics), and output is TRUTH-driven: a
+    query whose index returned nothing emits a ``(0, 0, 0)`` row.
+
     Output: ``(query_id, n_truth, n_hits, recall_at_k, mrr, ndcg)``."""
     from pyspark.sql.window import Window as _W
 
     q, i, s = query_col, id_col, score_col
     rnk = F.row_number().over(
         _W.partitionBy(q).orderBy(F.col(s).desc(), F.col(i)))
-    g = got.select(q, i, s).withColumn("__r", rnk).drop(s)
-    t = truth.select(F.col(q).alias("__tq"), F.col(i).alias("__ti"))
+    # rank ≤ k enforced HERE: a caller's deeper candidate list must not
+    # leak beyond-k hits into metrics labeled @k (recall could exceed 1)
+    g = (got.select(q, i, s).withColumn("__r", rnk).drop(s)
+         .where(F.col("__r") <= int(k)))
+    # truth treated as a SET (the EXISTS semantics of the SQL mirror):
+    # duplicate ground-truth rows must not double-count hits
+    t = (truth.select(F.col(q).alias("__tq"), F.col(i).alias("__ti"))
+         .distinct())
     n_truth = t.groupBy(F.col("__tq").alias(q)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     marked = g.join(
@@ -3023,16 +3035,20 @@ def retrieval_eval(
                         F.lit(1.0) / F.log2(j.cast("double") + F.lit(1.0)),
                         9)),
         F.lit(0.0), lambda acc, x: acc + x)
+    # truth-driven output: a query whose index returned NOTHING must
+    # still emit a (0, 0, 0) row, not silently vanish
     return (
-        per_q.join(n_truth, q)
+        n_truth.join(per_q, q, "left")
         .select(
-            q, "n_truth", "n_hits",
-            F.round(F.col("n_hits").cast("double") / F.lit(float(int(k))),
-                    9).alias("recall_at_k"),
+            q, "n_truth",
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                    / F.lit(float(int(k))), 9).alias("recall_at_k"),
             F.round(F.when(F.col("__minr").isNotNull(),
                            F.lit(1.0) / F.col("__minr").cast("double"))
                     .otherwise(F.lit(0.0)), 9).alias("mrr"),
-            F.round(F.col("__dcg") / idcg, 9).alias("ndcg"))
+            F.round(F.coalesce(F.col("__dcg"), F.lit(0.0)) / idcg, 9)
+            .alias("ndcg"))
     )
 
 
@@ -3050,12 +3066,14 @@ def retrieval_eval_sql(
     q, i, s = query_col, id_col, score_col
     return f"""
     WITH got_ AS ({got_sql}),
-    truth_ AS ({truth_sql}),
+    truth_ AS (SELECT DISTINCT {q}, {i} FROM ({truth_sql})),
     ranked AS (
-        SELECT {q}, {i},
-               ROW_NUMBER() OVER (PARTITION BY {q}
-                                  ORDER BY {s} DESC, {i}) AS r
-        FROM got_
+        SELECT {q}, {i}, r FROM (
+            SELECT {q}, {i},
+                   ROW_NUMBER() OVER (PARTITION BY {q}
+                                      ORDER BY {s} DESC, {i}) AS r
+            FROM got_
+        ) WHERE r <= {int(k)}
     ),
     nt AS (SELECT {q}, CAST(COUNT(*) AS BIGINT) AS n_truth
            FROM truth_ GROUP BY 1),
@@ -3079,9 +3097,10 @@ def retrieval_eval_sql(
                    (acc, x) -> acc + x) AS dcg
         FROM marked GROUP BY 1
     )
-    SELECT p.{q}, nt.n_truth, p.n_hits,
-           round(CAST(p.n_hits AS DOUBLE) / {float(int(k))!r}, 9)
-               AS recall_at_k,
+    SELECT nt.{q}, nt.n_truth,
+           CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(p.n_hits, 0) AS DOUBLE)
+                 / {float(int(k))!r}, 9) AS recall_at_k,
            round(CASE WHEN p.minr IS NOT NULL
                       THEN 1.0 / CAST(p.minr AS DOUBLE) ELSE 0.0 END, 9)
                AS mrr,
@@ -3092,5 +3111,5 @@ def retrieval_eval_sql(
                              j -> round(1.0 / log2(CAST(j AS DOUBLE)
                                                    + 1.0), 9))),
                      (acc, x) -> acc + x), 9) AS ndcg
-    FROM per_q p JOIN nt USING ({q})
+    FROM nt LEFT JOIN per_q p USING ({q})
     """

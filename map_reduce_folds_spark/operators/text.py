@@ -607,16 +607,22 @@ def readability_by_group(
 
     Output: ``(*group_cols, n_docs, n_chars, n_words, n_sentences,
     ari)``."""
+    # NULL text contributes NULL to every count (SUM skips it in both
+    # engines) — without the guard Spark's size(split(NULL)) is -1
+    # (legacy sizeOfNull) and greatest(1, NULL) disagrees across
+    # engines, silently corrupting n_words
+    nn = F.col(text_col).isNotNull()
     per_doc = df.select(
         *group_cols,
-        F.length(F.regexp_replace(F.col(text_col),
-                                  F.lit("[^A-Za-z0-9]"), F.lit("")))
-        .cast("bigint").alias("__c"),
-        F.size(F.split(F.col(text_col), " "))
-        .cast("bigint").alias("__w"),
-        F.greatest(F.lit(1).cast("bigint"),
-                   F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
-                   .cast("bigint")).alias("__s"),
+        F.when(nn, F.length(F.regexp_replace(
+            F.col(text_col), F.lit("[^A-Za-z0-9]"), F.lit("")))
+               .cast("bigint")).alias("__c"),
+        F.when(nn, F.size(F.split(F.col(text_col), " "))
+               .cast("bigint")).alias("__w"),
+        F.when(nn, F.greatest(
+            F.lit(1).cast("bigint"),
+            F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
+            .cast("bigint"))).alias("__s"),
     )
     g = per_doc.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -647,13 +653,19 @@ def readability_sql(
     return f"""
     WITH per_doc AS (
         SELECT {gcols},
-               CAST(length(regexp_replace({text_expr}, '[^A-Za-z0-9]',
-                                          '', 'g')) AS BIGINT) AS c,
-               CAST(len(string_split({text_expr}, ' ')) AS BIGINT) AS w,
-               greatest(CAST(1 AS BIGINT),
-                        CAST(len(regexp_extract_all({text_expr},
-                                                    '[.!?]+'))
-                             AS BIGINT)) AS s
+               CASE WHEN {text_expr} IS NULL THEN NULL
+                    ELSE CAST(length(regexp_replace({text_expr},
+                                  '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+               END AS c,
+               CASE WHEN {text_expr} IS NULL THEN NULL
+                    ELSE CAST(len(string_split({text_expr}, ' '))
+                              AS BIGINT)
+               END AS w,
+               CASE WHEN {text_expr} IS NULL THEN NULL
+                    ELSE greatest(CAST(1 AS BIGINT),
+                                  CAST(len(regexp_extract_all({text_expr},
+                                               '[.!?]+')) AS BIGINT))
+               END AS s
         FROM {src}
     ),
     g AS (

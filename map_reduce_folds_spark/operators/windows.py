@@ -1202,8 +1202,20 @@ def multi_touch_attribution(
     cross-user), k and the last-touch rank via one window over the
     conversion id.  Output: per touch event type (plus ``direct``) —
     ``(touch_type, n_touches, attributed_micro)``; divide by
-    ``100·micro`` for currency units."""
-    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    ``100·micro`` for currency units.
+
+    ``tiebreak_col`` is REQUIRED and must uniquely identify a
+    conversion within (user, ts): the per-conversion window partitions
+    by (user, ts, tiebreak), so two same-instant conversions without a
+    distinct tiebreak would collapse into one partition — double-
+    counted k, broken conservation, engine-dependent remainder
+    placement.  (The SQL mirror carries the same contract.)"""
+    if not tiebreak_col:
+        raise ValueError(
+            "multi_touch_attribution: tiebreak_col is required — it is "
+            "the unique per-conversion identity (e.g. an event id); "
+            "same-instant conversions would otherwise merge")
+    tb = F.col(tiebreak_col)
     from ..timeutil import epoch_us
 
     units = (F.col(value_col).cast("decimal(12,2)") * 100

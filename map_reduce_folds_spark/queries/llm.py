@@ -4572,3 +4572,54 @@ def pca_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(_PCA_COMPS) for j in range(_DIM)]
     return spark.createDataFrame(
         rows, "component int, j int, loading double")
+
+
+_LP_K = 16
+_LP_PAIRS_W_SQL = f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.s, b.s)) AS hamming
+    FROM (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents) a
+    JOIN (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents) b
+      ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3"""
+
+
+def _lp_sparse_oracle() -> str:
+    sparse = G2.sparsify_topk_edges_sql(
+        _LP_PAIRS_W_SQL, "id_a", "id_b", "hamming", k=_LP_K)
+    edges = f"SELECT id_a AS s, id_b AS t FROM ({sparse})"
+    return f"""
+    WITH lp AS ({G2.label_propagation_sql(edges, _LP_SEEDS_SQL, 3)})
+    SELECT lp.node AS doc_id, lp.label AS pred_lang, d.lang AS true_lang
+    FROM lp JOIN documents d ON d.doc_id = lp.node
+    WHERE lp.label IS NOT NULL
+    """
+
+
+@query("label_prop_neardup_sparse", oracle=_lp_sparse_oracle())
+def label_prop_neardup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation over the k-NN-SPARSIFIED near-dup graph — the
+    SCALE PATH of label_prop_neardup: the raw hamming≤3 similarity
+    graph on a near-dup-rich corpus carries avg degree ~760 (measured,
+    SCALE.md round-13 s4), so every propagation round pays ~760·n edge
+    traffic; sparsify_topk_edges caps it at k·n (k=16) by keeping each
+    node's k lowest-hamming neighbors (union rule, deterministic
+    (weight, id) ranking) — propagation becomes linear in n by
+    construction while near-dup label transfer keeps the edges that
+    matter (the lowest-distance ones).  The oracle mirrors the
+    sparsifier's ROW_NUMBER selection and unrolls the same
+    propagation."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs_factored(
+        d, "doc_id", "text", bits=32, max_hamming=3, blocks="auto")
+    sparse = G2.sparsify_topk_edges(pairs, "id_a", "id_b", "hamming",
+                                    k=_LP_K)
+    seeds = (d.where(F.col("doc_id") % 3 != 0)
+             .select(F.col("doc_id").alias("node"),
+                     F.col("lang").alias("label")))
+    lp = G2.label_propagation(sparse.select("id_a", "id_b"), seeds,
+                              "id_a", "id_b", "node", "label", n_iter=3)
+    return (lp.where(F.col("label").isNotNull())
+            .join(d.select(F.col("doc_id"), F.col("lang")),
+                  lp.node == F.col("doc_id"))
+            .select("doc_id", F.col("label").alias("pred_lang"),
+                    F.col("lang").alias("true_lang")))

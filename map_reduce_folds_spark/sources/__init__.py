@@ -561,9 +561,12 @@ def shard_skew_audit(
     )
 
     def nearest_rank(p: float):
-        # ceil(p * used)-th of the sorted sizes (1-based nearest-rank)
+        # ceil(p * used)-th of the sorted sizes (1-based nearest-rank);
+        # empty input → used_buckets = 0 → NULL (element_at at index 0
+        # would RAISE in Spark, while the SQL mirror yields NULL)
         idx = F.ceil(F.lit(p) * F.col("used_buckets")).cast("int")
-        return F.element_at(F.col("__a"), idx)
+        return F.when(F.col("used_buckets") > 0,
+                      F.element_at(F.col("__a"), idx))
 
     return stats.select(
         "n_rows",

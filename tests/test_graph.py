@@ -672,3 +672,60 @@ def test_label_prop_sql_mirror_bitwise(spark):
         f"SELECT * FROM (VALUES {sv}) t(u, lab)", n_iter=4)
     want = {int(r[0]): r[1] for r in con.sql(sql).fetchall()}
     assert got == want
+
+
+def test_sparsify_topk_edges_union_rule_and_cap(spark):
+    """Per-node top-k by (weight, neighbor): an edge survives if EITHER
+    endpoint ranks it (union rule); post-cap degree counting proves
+    |E| <= k*n; ties break deterministically by neighbor id."""
+    from map_reduce_folds_spark.operators import graph as G
+
+    # star: hub 0 connected to 1..9 with weights = neighbor id;
+    # plus a chain edge (8, 9) with weight 0 (best for both 8 and 9)
+    rows = [(0, v, v) for v in range(1, 10)] + [(8, 9, 0)]
+    pairs = spark.createDataFrame(rows, "id_a bigint, id_b bigint,"
+                                        " hamming bigint")
+    out = G.sparsify_topk_edges(pairs, k=2)
+    edges = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # hub keeps (0,1),(0,2); every leaf v keeps its only hub edge ->
+    # union keeps ALL hub edges; (8,9) kept by both its endpoints
+    assert (0, 1) in edges and (0, 2) in edges
+    assert (8, 9) in edges
+    assert (0, 9) in edges  # leaf 9 ranks hub edge in ITS top-2 (union)
+    # per-node ranking respected: node 9's top-2 = (8,9 w=0),(0,9 w=9)
+    degs = {}
+    for a, b in edges:
+        degs[a] = degs.get(a, 0) + 1
+        degs[b] = degs.get(b, 0) + 1
+    n_nodes = len({x for e in edges for x in e})
+    assert len(edges) <= 2 * n_nodes  # |E| <= k*n
+
+
+def test_sparsify_topk_equals_bruteforce_reference(spark):
+    """Random weighted graph: the kept edge set equals a Python
+    reference implementing the same (weight, neighbor) union rule."""
+    import random
+
+    from map_reduce_folds_spark.operators import graph as G
+
+    rng = random.Random(47)
+    raw = set()
+    while len(raw) < 120:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            raw.add((min(a, b), max(a, b)))
+    rows = [(a, b, rng.randrange(10)) for a, b in sorted(raw)]
+    pairs = spark.createDataFrame(rows, "id_a bigint, id_b bigint,"
+                                        " hamming bigint")
+    k = 3
+    inc: dict[int, list] = {}
+    for a, b, w in rows:
+        inc.setdefault(a, []).append((w, b))
+        inc.setdefault(b, []).append((w, a))
+    keep = set()
+    for u, lst in inc.items():
+        for w, v in sorted(lst)[:k]:
+            keep.add((min(u, v), max(u, v)))
+    got = {(r["id_a"], r["id_b"])
+           for r in G.sparsify_topk_edges(pairs, k=k).collect()}
+    assert got == keep

@@ -3679,3 +3679,32 @@ def test_pca_moment_merge_is_exact_monoid(spark):
         *[S.pca_moment_relation(p, dim=8) for p in parts])
     merged = S.pca_moments_from_relation(merged_rel, dim=8)
     assert merged == whole
+
+
+def test_retrieval_eval_contract_edges(spark):
+    """(a) got deeper than k is truncated to rank <= k (no beyond-k
+    hits, recall <= 1); (b) duplicate truth rows count once; (c) a
+    query with zero retrieved rows emits a (0, 0, 0) row."""
+    import math
+
+    got = spark.createDataFrame(
+        # q1: 4 rows but k=2 -> only ranks 1-2 count; the rank-3 hit 'c'
+        # must NOT count
+        [(1, "x", 0.9), (1, "a", 0.8), (1, "c", 0.7), (1, "b", 0.6)],
+        "query_id bigint, neighbor_id string, cos_sim double")
+    truth = spark.createDataFrame(
+        # duplicate (1, a); q2 has truth but NO got rows
+        [(1, "a", 1.0), (1, "a", 1.0), (1, "b", 0.9),
+         (2, "z", 1.0), (2, "y", 0.9)],
+        "query_id bigint, neighbor_id string, cos_sim double")
+    rows = {r["query_id"]: r for r in S.retrieval_eval(got, truth, 2).collect()}
+    q1 = rows[1]
+    assert q1["n_truth"] == 2          # duplicate deduped
+    assert q1["n_hits"] == 1           # only rank-2 'a'; rank-3 'c' cut
+    assert q1["recall_at_k"] == 0.5
+    assert q1["mrr"] == 0.5
+    t = lambda r: round(1.0 / math.log2(r + 1.0), 9)  # noqa: E731
+    assert q1["ndcg"] == round(t(2) / (t(1) + t(2)), 9)
+    q2 = rows[2]
+    assert (q2["n_hits"], q2["recall_at_k"], q2["mrr"], q2["ndcg"]) \
+        == (0, 0.0, 0.0, 0.0)

@@ -1455,3 +1455,33 @@ def test_join_size_audit_identity_and_ranks(spark):
     assert (by_rank[2]["key"], by_rank[2]["pairs"]) == ("2", 18)
     assert (by_rank[3]["key"], by_rank[3]["pairs"]) == ("3", 9)
     assert by_rank[1]["top_share"] == round(20 / 47, 9)
+
+
+def test_ols2_large_magnitude_no_overflow(spark):
+    """Per-row moment products stage to DECIMAL BEFORE multiplying:
+    values past the int64 y*y wrap point (~3.04e9) still solve exactly
+    (planted line recovered) instead of silently corrupting syy/r2."""
+    from map_reduce_folds_spark.operators.relational import ols2_fit
+
+    big = 4_000_000_000  # y*y = 1.6e19 > 2^63-1
+    rows = [(big + 2 * x1 - 5 * x2, x1, x2)
+            for x1 in range(8) for x2 in range(5)]
+    df = spark.createDataFrame(rows, "y bigint, x1 bigint, x2 bigint")
+    r = ols2_fit(df, "y", "x1", "x2").collect()[0]
+    assert abs(r["b0"] - big) < 1e-3    # 9-sig-digit double of 4e9
+    assert abs(r["b1"] - 2.0) < 1e-6
+    assert abs(r["b2"] - (-5.0)) < 1e-6
+    assert r["r2"] == 1.0
+
+
+def test_multi_touch_attribution_requires_tiebreak(spark):
+    import pytest as _pytest
+
+    from map_reduce_folds_spark.operators.windows import (
+        multi_touch_attribution,
+    )
+
+    with _pytest.raises(ValueError, match="tiebreak_col"):
+        multi_touch_attribution(None, "u", "ts", "e", "v",
+                                conversion="purchase",
+                                touch_types=("view",))

@@ -324,3 +324,15 @@ def test_shard_skew_audit_guard(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         shard_skew_audit(None, ["k"], 0)
+
+
+def test_shard_skew_audit_empty_input(spark):
+    """Empty input yields the NULL-percentile summary row (matching the
+    SQL mirror) instead of an element_at index error."""
+    from map_reduce_folds_spark.sources import shard_skew_audit
+
+    empty = spark.range(0).selectExpr("id AS k")
+    r = shard_skew_audit(empty, ["k"], 16).collect()[0]
+    assert r["used_buckets"] == 0
+    assert r["n_rows"] is None and r["p50_sz"] is None
+    assert r["skew"] is None
