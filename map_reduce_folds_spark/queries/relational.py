@@ -4081,3 +4081,92 @@ def join_size_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return join_size_audit(o, li, "o_orderkey", "l_orderkey", top_n=5)
+
+
+_HOLT_A, _HOLT_B, _HOLT_H = 2, 2, 3
+
+
+def _holt_stream_stateful_impl(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """THIRD stateful-streaming path under the driver gate: events
+    replayed as a TWO-BATCH file stream through
+    ``streaming.stream_holt`` (GroupState, applyInPandasWithState) must
+    equal the batch ``windows.holt_last`` oracle bitwise — (level,
+    trend) doubles included, state genuinely CARRIED across the
+    micro-batch boundary.  Same median-timestamp split / pinned file
+    order / one-file-per-trigger determinism argument as
+    ``_cusum_stream_stateful_impl`` (equal-ts pairs land in one file
+    where the in-batch (ts, tiebreak) sort orders them); the final
+    per-user state is the row with the largest n_events (monotone per
+    key under update mode)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, run_to_memory, stream_holt)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id")
+    cut = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).first()["c"]
+    src = tempfile.mkdtemp(prefix="mrf_holt_stream_")
+    stage = tempfile.mkdtemp(prefix="mrf_holt_stage_")
+    try:
+        ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(stage, "a"))
+        ev.where(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(stage, "b"))
+        t0 = time.time()
+        for i, half in enumerate(("a", "b")):
+            n = 0
+            d = os.path.join(stage, half)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    tgt = os.path.join(d, f)
+                    os.utime(tgt, (t0 + 100 * i, t0 + 100 * i))
+                    os.symlink(tgt,
+                               os.path.join(src, f"{half}_{n}.parquet"))
+                    n += 1
+        stream = read_parquet_stream(
+            spark, src,
+            "user_id bigint, ts timestamp, value double, event_id bigint",
+            max_files_per_trigger=1)
+        out = stream_holt(stream, "user_id", "ts", "value",
+                          tiebreak_col="event_id",
+                          alpha_halves=_HOLT_A, beta_halves=_HOLT_B,
+                          horizon=_HOLT_H, output_mode="update")
+        got = run_to_memory(out, "holt_stream_stateful_q",
+                            timeout_s=300, output_mode="update")
+        final = got.groupBy("user_id").agg(
+            F.max_by(F.struct("n_events", "level", "trend", "forecast"),
+                     "n_events").alias("s")
+        ).select("user_id", "s.*")
+        final = final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+    return final
+
+
+def _holt_stream_oracle() -> str:
+    from map_reduce_folds_spark.operators.windows import holt_last_sql
+
+    return holt_last_sql("events", "user_id", "ts", "value",
+                         tiebreak_expr="event_id",
+                         alpha_halves=_HOLT_A, beta_halves=_HOLT_B,
+                         horizon=_HOLT_H)
+
+
+@query("holt_stream_stateful", oracle=_holt_stream_oracle())
+def holt_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third stateful-streaming path under the driver gate: the HOLT
+    level+trend smoother run END-TO-END as a GroupState stream over a
+    two-batch ts-ordered file replay, verified BITWISE (doubles
+    included — the contract-form power-of-two recursion is arrival-
+    order-deterministic under the split) against the same recursive-CTE
+    oracle the batch holt_user_forecast row carries.  State — three
+    scalars per key — carries across the micro-batch boundary
+    (implementation and determinism argument in
+    ``_holt_stream_stateful_impl``)."""
+    return _holt_stream_stateful_impl(spark, sf_dir)
