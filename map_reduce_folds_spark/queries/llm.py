@@ -4623,3 +4623,70 @@ def label_prop_neardup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lp.node == F.col("doc_id"))
             .select("doc_id", F.col("label").alias("pred_lang"),
                     F.col("lang").alias("true_lang")))
+
+
+_V4_RESID_T = 0.998   # PCA off-manifold gate (~top decile trimmed)
+_V4_NOV_T = 0.45      # novelty gate (~lowest quartile recombinations)
+
+
+def _curation_v4_oracle() -> str:
+    resid = S.pca_residual_sql(_DIM, _PCA_COMPS, _PCA_ITERS)
+    return f"""
+    WITH resid_ AS ({resid}),
+    {_SH_CTE},
+    first_ AS (SELECT h, MIN(doc_id) AS fst FROM sh GROUP BY 1),
+    nov_ AS (
+        SELECT sh.doc_id,
+               CAST(SUM(CASE WHEN f.fst = sh.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS novelty
+        FROM sh JOIN first_ f USING (h) GROUP BY 1
+    ),
+    gated AS (
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        JOIN resid_ r ON r.vec_id = d.doc_id
+        JOIN nov_ v ON v.doc_id = d.doc_id
+        WHERE r.resid <= {_V4_RESID_T!r} AND v.novelty >= {_V4_NOV_T!r}
+    ),
+    kept AS ({SM.temperature_mix_sql('gated', 'source', 'doc_id',
+                                     weight_expr='n_chars')})
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM kept GROUP BY 1
+    """
+
+
+@query("pipeline_curation_v4", oracle=_curation_v4_oracle())
+def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-AWARE curation pipeline — the round-13 session-4
+    families composed into ONE Catalyst plan: PCA off-manifold gate
+    (resid ≤ 0.998 under the fitted top-2 subspace — corrupt/wrong-
+    modality rows out) ∧ novelty gate (first-occurrence shingle share
+    ≥ 0.45 — recombination-heavy docs out; sub-n-token docs' NULL
+    novelty fails the predicate in both engines) → temperature mix
+    (τ = 0.5 by source over surviving char mass).  The text side and
+    the embedding side join on doc_id = vec_id — the cross-modal gate
+    a multimodal corpus runs.  The oracle chains the three stage
+    mirrors; per-source kept (rows, chars) is the check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    moments = S._pca_moments(emb, "vec_id", "embedding", _DIM)
+    comps, _l, _t, _n = S.pca_power_fit(
+        emb, "vec_id", "embedding", _DIM,
+        n_components=_PCA_COMPS, iters=_PCA_ITERS, moments=moments)
+    resid = S.pca_residual_scores(emb, comps, S.pca_means(moments),
+                                  "vec_id", "embedding")
+    d = load_table(spark, sf_dir, "documents")
+    nov = T.novelty_scores(d, "doc_id", "text", n=_N)
+    gated = (
+        d.join(resid.where(F.col("resid") <= _V4_RESID_T),
+               d.doc_id == resid.vec_id)
+        .join(nov.where(F.col("novelty") >= _V4_NOV_T)
+              .select(F.col("doc_id").alias("__nid")),
+              F.col("doc_id") == F.col("__nid"))
+        .select("doc_id", "source", "n_chars")
+    )
+    kept = SM.temperature_mix(gated, "source", "doc_id", tau=0.5,
+                              weight_col="n_chars")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"))
