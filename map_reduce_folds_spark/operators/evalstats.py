@@ -1,0 +1,790 @@
+"""Exact evaluation statistics: ROC-AUC, Spearman, kappa, richness, z-test.
+
+The model-evaluation / corpus-diagnostics layer of a training-data
+pipeline: given scores produced by the engine's own gates (quality
+scores, classifier outputs, importance weights), measure *how good the
+score is* — discrimination (tie-corrected ROC-AUC = Mann-Whitney U),
+monotone association (tie-corrected Spearman's rho), inter-rater
+agreement (Cohen's kappa), vocabulary richness / unseen-mass estimation
+(Chao1, Good-Turing), and proportion-difference significance (pooled
+two-proportion z-test).
+
+Numeric discipline (the repo-wide contract): every statistic is computed
+from EXACT integer sums — counts, rank numerators held in halves or
+doubled form to stay integral under ties — with ONE final double
+expression, so Spark and the DuckDB oracle agree bitwise with no
+accumulation-order discipline.
+
+Scale discipline: rank statistics never compile to a global-ORDER-BY
+window (the single-task shape the ``scale_audit`` fat-sort rule flags).
+Both AUC and Spearman aggregate to the DISTINCT-value relation first,
+then use the monotone-integer-bucket decomposition proven by
+``windows.group_ranksum_hist``: a row's exclusive cumulative = (sum over
+strictly lower buckets, a window over the per-group ≤ ``nbuckets``
+bucket-summary rows) + (a window partitioned by (group, bucket) over
+~n/nbuckets rows).  Every window is partitioned; every join after the
+distinct-value aggregation is against a bucket-summary relation.
+
+Reference anchor: the reference engine (map-reduce-folds, Core.hs:96-189)
+has no statistics layer at all; this module extends the fold vocabulary
+(SURVEY §2.6) with the evaluation folds a 100 TB curation pipeline needs
+(SURVEY §2.7 north-star block).  Formulas are textbook/public: Mann &
+Whitney 1947, Spearman 1904 (tie-corrected via average ranks), Cohen
+1960, Chao 1984 (bias-corrected form), Good 1953.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "cum_below",
+    "roc_auc",
+    "roc_auc_sql",
+    "avg_rank2",
+    "spearman_rho",
+    "spearman_rho_sql",
+    "cohens_kappa",
+    "cohens_kappa_sql",
+    "chao1_richness",
+    "chao1_richness_sql",
+    "two_proportion_ztest",
+    "two_proportion_ztest_sql",
+    "calibration_report",
+    "calibration_report_sql",
+    "mannwhitney_z",
+    "mannwhitney_z_sql",
+]
+
+
+def _with_group(df: DataFrame, keys: Sequence[str]) -> tuple[DataFrame, list[str]]:
+    """Empty ``keys`` means one global group: add a constant key so the
+    grouped machinery (min/max stats join, partitioned windows) keeps a
+    partition column instead of falling into the global-window shape."""
+    if keys:
+        return df, list(keys)
+    return df.withColumn("__g", F.lit(1)), ["__g"]
+
+
+def cum_below(
+    d: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """EXCLUSIVE per-group running sums of ``value_cols`` over the total
+    order of ``order_col`` — for DISTINCT-value relations (``order_col``
+    unique within each group, integer-valued) — without a per-group
+    global sort.
+
+    The ``group_ranksum_hist`` decomposition (windows.py): integer
+    bucketing is monotone, so cumulative-below = (strictly lower buckets'
+    totals: a window over the per-group bucket summary, ≤ ``nbuckets``
+    rows per group) + (within-bucket exclusive window, partitioned by
+    (group, bucket)).  Adds ``below_<c>`` for each value column; all
+    arithmetic bigint-exact.  ``keys`` must be non-empty — ungrouped
+    callers pass the constant key from :func:`_with_group` (the grouped
+    stats join and both windows need a partition column).
+    """
+    keys = list(keys)
+    assert keys, "cum_below needs >=1 group key; use _with_group for global"
+    stats = d.groupBy(*keys).agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi"))
+    j = (
+        d.join(F.broadcast(stats), list(keys))
+        .withColumn(
+            "__b",
+            F.expr(f"({order_col} - __lo) div "
+                   f"((__hi - __lo) div {int(nbuckets)} + 1)"),
+        )
+        .drop("__lo", "__hi")
+    )
+    sums = [F.sum(c).cast("bigint").alias(f"__t_{c}") for c in value_cols]
+    totals = j.groupBy(*keys, "__b").agg(*sums)
+    wcum = (
+        Window.partitionBy(*keys).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_below = totals.select(
+        *keys, "__b",
+        *[(F.sum(f"__t_{c}").over(wcum) - F.col(f"__t_{c}"))
+          .alias(f"__bb_{c}") for c in value_cols],
+    )
+    wloc = (
+        Window.partitionBy(*keys, "__b").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = j.join(F.broadcast(bucket_below), [*keys, "__b"])
+    for c in value_cols:
+        out = out.withColumn(
+            f"below_{c}",
+            (F.col(f"__bb_{c}")
+             + F.coalesce(F.sum(c).over(wloc), F.lit(0)).cast("bigint")),
+        )
+    return out.drop("__b", *[f"__bb_{c}" for c in value_cols])
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: Sequence[str] = (),
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of an integer-valued score against a
+    0/1 label, per group — the Mann-Whitney U statistic normalised by
+    P·N, computed WITHOUT a global sort.
+
+    AUC = [Σ_s pos(s)·(2·cumneg_below(s) + neg(s))] / (2·P·N) over the
+    distinct scores s: a concordant (neg below pos) pair counts 1, a
+    tied-score pair counts ½ — the doubled numerator keeps ties integral.
+    Groups with P=0 or N=0 emit NULL (AUC undefined).
+
+    Shape: one shuffle to the distinct-(group, score) relation, then
+    :func:`cum_below` (partitioned windows only), then one grouped agg.
+    Output: ``keys…, auc (double), n_pos, n_neg (bigint)``.
+
+    int64 headroom: the numerator is ≤ 2·P·N ≤ n²/2 — exact through
+    ~4.3e9 rows per group; stage ``__num2`` through DECIMAL(38,0)
+    beyond that.
+    """
+    df, gkeys = _with_group(df, keys)
+    lab = F.col(label_col).cast("bigint")
+    d = (
+        df.select(*gkeys, F.col(score_col).cast("bigint").alias("__s"), lab.alias("__y"))
+        .groupBy(*gkeys, "__s")
+        .agg(F.sum("__y").alias("__pos"),
+             F.sum(F.lit(1) - F.col("__y")).alias("__neg"))
+    )
+    c = cum_below(d, gkeys, "__s", ["__neg"], nbuckets=nbuckets)
+    agg = c.groupBy(*gkeys).agg(
+        F.sum(F.col("__pos") * (F.lit(2) * F.col("below___neg") + F.col("__neg")))
+        .cast("bigint").alias("__num2"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum("__neg").cast("bigint").alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__num2").cast("double")
+        / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+    )
+    out = agg.select(*(list(keys) or []), auc.alias("auc"), "n_pos", "n_neg")
+    return out
+
+
+def roc_auc_sql(
+    table: str,
+    score_expr: str,
+    label_expr: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`roc_auc` — same doubled-numerator integer
+    identity, same single double division (the oracle may use the plain
+    global-order window; it is single-node by design)."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    part = f"PARTITION BY {kcols} " if keys else ""
+    return f"""
+    WITH pts AS (
+      SELECT {kpref}CAST({score_expr} AS BIGINT) AS s,
+             CAST({label_expr} AS BIGINT) AS y
+      FROM {table}
+    ),
+    d AS (
+      SELECT {kpref}s, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM pts GROUP BY {kpref}s
+    ),
+    c AS (
+      SELECT {kpref}s, pos, neg,
+             COALESCE(SUM(neg) OVER ({part}ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM d
+    ),
+    a AS (
+      SELECT {kpref}
+             CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS num2,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg
+      FROM c {f"GROUP BY {kcols}" if keys else "GROUP BY ()"}
+    )
+    SELECT {kpref}
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(num2 AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+           END AS auc,
+           n_pos, n_neg
+    FROM a
+    """
+
+
+def avg_rank2(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    out_col: str = "r2",
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """Tie-averaged ranks, DOUBLED to stay integral: for each row,
+    ``r2 = 2·(count strictly below) + (ties + 1)`` — twice the textbook
+    average rank (below + (ties+1)/2).  Integer-valued column required.
+
+    Shape: distinct-value aggregation + :func:`cum_below` + one join of
+    the rows back to their (group, value) rank — shuffles on the value,
+    never a sort of the full relation.
+    """
+    df, gkeys = _with_group(df, keys)
+    d = (
+        df.select(*gkeys, F.col(value_col).cast("bigint").alias("__v"))
+        .groupBy(*gkeys, "__v")
+        .agg(F.count(F.lit(1)).alias("__ties"))
+    )
+    c = cum_below(d, gkeys, "__v", ["__ties"], nbuckets=nbuckets)
+    ranks = c.select(
+        *gkeys, "__v",
+        (F.lit(2) * F.col("below___ties") + F.col("__ties") + F.lit(1))
+        .cast("bigint").alias(out_col),
+    )
+    joined = df.withColumn("__v", F.col(value_col).cast("bigint")).join(
+        ranks, [*gkeys, "__v"]
+    ).drop("__v")
+    return joined if keys else joined.drop("__g")
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: Sequence[str] = (),
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation per group: Pearson's
+    formula over tie-averaged ranks (held doubled, so all sums are
+    integer-exact), one deterministic double expression at the end — the
+    rank-statistic companion of ``corr_exact`` (queries/relational.py).
+
+    rho = (n·Σab − Σa·Σb) / (√(n·Σa² − (Σa)²)·√(n·Σb² − (Σb)²)) with
+    a = 2·avg-rank(x), b = 2·avg-rank(y); the doubling cancels.
+
+    int64 headroom: Σa² ≤ 4n³ — exact through ~1.3e6 rows per group;
+    stage the moment sums through DECIMAL(38,0) beyond that (the
+    ``ols2_price_model`` precedent).
+
+    Output: ``keys…, rho (double), n (bigint)``.
+    """
+    rx = avg_rank2(df, x_col, keys, out_col="__a", nbuckets=nbuckets)
+    rxy = avg_rank2(rx, y_col, keys, out_col="__bv", nbuckets=nbuckets)
+    gkeys = list(keys) if keys else []
+    grouped = rxy.groupBy(*gkeys) if gkeys else rxy.groupBy()
+    n = F.count(F.lit(1))
+    sa, sb = F.sum("__a").cast("double"), F.sum("__bv").cast("double")
+    sab = F.sum(F.col("__a") * F.col("__bv")).cast("double")
+    saa = F.sum(F.col("__a") * F.col("__a")).cast("double")
+    sbb = F.sum(F.col("__bv") * F.col("__bv")).cast("double")
+    rho = (n * sab - sa * sb) / (
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+    )
+    return grouped.agg(rho.alias("rho"), n.cast("bigint").alias("n"))
+
+
+def spearman_rho_sql(
+    table: str,
+    x_expr: str,
+    y_expr: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`spearman_rho`: doubled average ranks via
+    the rank identity ``2·(RANK()−1) + ties + 1`` (RANK()−1 = count
+    strictly below; COUNT(*) partitioned by the value = ties — integer
+    throughout), then the exact ``corr_exact`` expression shape —
+    term-for-term identical operation order so the one double expression
+    matches bitwise."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    part = f"PARTITION BY {kcols} " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    return f"""
+    WITH pts AS (
+      SELECT {kpref}CAST({x_expr} AS BIGINT) AS x, CAST({y_expr} AS BIGINT) AS y
+      FROM {table}
+    ),
+    r AS (
+      SELECT {kpref}
+             CAST(2 * (RANK() OVER ({part}ORDER BY x) - 1)
+                  + COUNT(*) OVER (PARTITION BY {kpref}x) + 1 AS BIGINT) AS a,
+             CAST(2 * (RANK() OVER ({part}ORDER BY y) - 1)
+                  + COUNT(*) OVER (PARTITION BY {kpref}y) + 1 AS BIGINT) AS b
+      FROM pts
+    )
+    SELECT {kpref}
+           (COUNT(*) * CAST(SUM(a * b) AS DOUBLE)
+            - CAST(SUM(a) AS DOUBLE) * CAST(SUM(b) AS DOUBLE))
+           / (sqrt(COUNT(*) * CAST(SUM(a * a) AS DOUBLE)
+                   - CAST(SUM(a) AS DOUBLE) * CAST(SUM(a) AS DOUBLE))
+              * sqrt(COUNT(*) * CAST(SUM(b * b) AS DOUBLE)
+                     - CAST(SUM(b) AS DOUBLE) * CAST(SUM(b) AS DOUBLE)))
+               AS rho,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r {grp}
+    """
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Cohen's kappa (1960) between two categorical columns, per group —
+    chance-corrected agreement, entirely from integer counts:
+
+    kappa = (n·Σ_c agree_c − Σ_c ra_c·rb_c) / (n² − Σ_c ra_c·rb_c)
+
+    with ra/rb the per-label margins of the confusion matrix (the
+    po/pe form multiplied through by n²).  Shape: one confusion-matrix
+    aggregation, two margin aggregations of that (already tiny)
+    relation, one join on (group, label) — no broadcast of anything
+    data-sized.  Perfect chance agreement (pe = 1: a single label on
+    both sides) emits NULL.  Output: ``keys…, kappa (double),
+    n (bigint), agree (bigint)``.
+    """
+    df, gkeys = _with_group(df, keys)
+    conf = (
+        df.select(*gkeys, F.col(a_col).alias("__a"), F.col(b_col).alias("__bv"))
+        .groupBy(*gkeys, "__a", "__bv")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ra = conf.groupBy(*gkeys, "__a").agg(F.sum("__c").alias("__ra")) \
+        .withColumnRenamed("__a", "__l")
+    rb = conf.groupBy(*gkeys, "__bv").agg(F.sum("__c").alias("__rb")) \
+        .withColumnRenamed("__bv", "__l")
+    pe_terms = ra.join(rb, [*gkeys, "__l"]).groupBy(*gkeys).agg(
+        F.sum(F.col("__ra") * F.col("__rb")).cast("bigint").alias("__pe_n2"))
+    po = conf.groupBy(*gkeys).agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__bv"), F.col("__c"))
+              .otherwise(F.lit(0))).cast("bigint").alias("agree"),
+    )
+    out = po.join(pe_terms, list(gkeys))
+    kappa = F.when(
+        F.col("n") * F.col("n") != F.col("__pe_n2"),
+        (F.col("n") * F.col("agree") - F.col("__pe_n2")).cast("double")
+        / (F.col("n") * F.col("n") - F.col("__pe_n2")).cast("double"),
+    )
+    return out.select(*(list(keys) or []), kappa.alias("kappa"), "n", "agree")
+
+
+def cohens_kappa_sql(
+    table: str,
+    a_expr: str,
+    b_expr: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`cohens_kappa` — same n²-scaled integer
+    identity, same single double division."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    on = f"USING ({kcols.replace(' ', '')}, l)" if keys else "USING (l)"
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    return f"""
+    WITH pts AS (
+      SELECT {kpref}{a_expr} AS a, {b_expr} AS b FROM {table}
+    ),
+    conf AS (
+      SELECT {kpref}a, b, COUNT(*) AS c FROM pts GROUP BY {kpref}a, b
+    ),
+    ra AS (SELECT {kpref}a AS l, SUM(c) AS ra FROM conf GROUP BY {kpref}a),
+    rb AS (SELECT {kpref}b AS l, SUM(c) AS rb FROM conf GROUP BY {kpref}b),
+    pe AS (
+      SELECT {kpref}CAST(SUM(ra * rb) AS BIGINT) AS pe_n2
+      FROM ra JOIN rb {on} {grp}
+    ),
+    po AS (
+      SELECT {kpref}CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+      FROM conf {grp}
+    )
+    SELECT {kpref}
+           CASE WHEN n * n <> pe_n2 THEN
+             CAST(n * agree - pe_n2 AS DOUBLE)
+             / CAST(n * n - pe_n2 AS DOUBLE)
+           END AS kappa,
+           n, agree
+    FROM po {"JOIN pe USING (" + kcols.replace(" ", "") + ")" if keys else "CROSS JOIN pe"}
+    """
+
+
+def chao1_richness(
+    df: DataFrame,
+    term_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Chao1 species-richness estimate + Good-Turing unseen probability
+    mass per group, from the frequency-of-frequencies of ``term_col``
+    (one row per TOKEN OCCURRENCE in).
+
+    Bias-corrected Chao1 (Chao 1984; defined even when f₂ = 0):
+    ``chao1 = D + f₁·(f₁−1) / (2·(f₂+1))`` with D = distinct terms,
+    f_k = #terms seen exactly k times.  Good-Turing unseen mass
+    (Good 1953): ``p0 = f₁ / N`` with N = total occurrences.
+
+    Shape: two shuffles — (group, term) counts, then the
+    frequency-of-frequencies fold — both map-side combinable; the
+    second relation is bounded by the distinct-count spectrum.  All
+    integer until the two final double expressions.
+
+    Output: ``keys…, distinct_terms, total_tokens, f1, f2,
+    chao1 (double), gt_unseen_mass (double)``.
+    """
+    df, gkeys = _with_group(df, keys)
+    tc = (
+        df.groupBy(*gkeys, F.col(term_col).alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = tc.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_terms"),
+        F.sum("__c").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    chao1 = (
+        F.col("distinct_terms").cast("double")
+        + (F.col("f1") * (F.col("f1") - F.lit(1))).cast("double")
+        / (F.lit(2) * (F.col("f2") + F.lit(1))).cast("double")
+    )
+    p0 = F.col("f1").cast("double") / F.col("total_tokens").cast("double")
+    return agg.select(
+        *(list(keys) or []),
+        "distinct_terms", "total_tokens", "f1", "f2",
+        chao1.alias("chao1"), p0.alias("gt_unseen_mass"),
+    )
+
+
+def chao1_richness_sql(
+    occurrences_cte: str,
+    term_col: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`chao1_richness`.  ``occurrences_cte`` is a
+    subquery producing one row per token occurrence with columns
+    ``keys…, <term_col>``."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    return f"""
+    WITH occ AS ({occurrences_cte}),
+    tc AS (
+      SELECT {kpref}{term_col} AS t, COUNT(*) AS c
+      FROM occ GROUP BY {kpref}{term_col}
+    ),
+    a AS (
+      SELECT {kpref}
+             CAST(COUNT(*) AS BIGINT) AS distinct_terms,
+             CAST(SUM(c) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tc {grp}
+    )
+    SELECT {kpref}distinct_terms, total_tokens, f1, f2,
+           CAST(distinct_terms AS DOUBLE)
+             + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+             AS chao1,
+           CAST(f1 AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS gt_unseen_mass
+    FROM a
+    """
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Pooled two-proportion z-test of EACH group against the rest: the
+    A/B-screen over conversion-style rates.  For group g with (x_g, n_g)
+    and complement (x−x_g, n−n_g):
+
+    z = (p_g − p_rest) / sqrt(p̂·(1−p̂)·(1/n_g + 1/n_rest)),  p̂ = x/n.
+
+    Totals come from a one-row aggregate broadcast back (the scalar
+    crossJoin idiom — no global window), so the whole plan is one
+    grouped aggregation over the data plus bounded-relation arithmetic.
+    Groups equal to the full relation (n_rest = 0) or a degenerate
+    pooled rate (p̂ ∈ {{0, 1}}) emit NULL.  Doubles appear only in the
+    final expression, every operation mirrored in the oracle.
+
+    Output: ``group_col, n, successes, rate (double), z (double)``.
+    """
+    s = F.col(success_col).cast("bigint")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(s).cast("bigint").alias("successes"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("__N"),
+        F.sum("successes").cast("bigint").alias("__X"),
+    )
+    j = per.crossJoin(F.broadcast(tot))  # one-row totals — broadcast idiom
+    n_g = F.col("n").cast("double")
+    x_g = F.col("successes").cast("double")
+    n_r = (F.col("__N") - F.col("n")).cast("double")
+    x_r = (F.col("__X") - F.col("successes")).cast("double")
+    phat = F.col("__X").cast("double") / F.col("__N").cast("double")
+    z = F.when(
+        (F.col("__N") > F.col("n"))
+        & (F.col("__X") > 0) & (F.col("__X") < F.col("__N")),
+        (x_g / n_g - x_r / n_r)
+        / F.sqrt(phat * (F.lit(1.0) - phat) * (F.lit(1.0) / n_g + F.lit(1.0) / n_r)),
+    )
+    return j.select(
+        group_col, "n", "successes",
+        (x_g / n_g).alias("rate"), z.alias("z"),
+    )
+
+
+def two_proportion_ztest_sql(
+    table: str,
+    group_expr: str,
+    success_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`two_proportion_ztest` — identical operation
+    order in the one double expression."""
+    return f"""
+    WITH per AS (
+      SELECT {group_expr} AS g,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST({success_expr} AS BIGINT)) AS BIGINT) AS successes
+      FROM {table} GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(successes) AS BIGINT) AS tx
+      FROM per
+    )
+    SELECT g,
+           n, successes,
+           CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           CASE WHEN tn > n AND tx > 0 AND tx < tn THEN
+             (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(tx - successes AS DOUBLE) / CAST(tn - n AS DOUBLE))
+             / sqrt((CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                    * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                    * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(tn - n AS DOUBLE)))
+           END AS z
+    FROM per CROSS JOIN tot
+    """
+
+
+def calibration_report(
+    df: DataFrame,
+    p_micro_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact expected calibration error (ECE) + Brier score of a
+    probability-like score held in INTEGER micro-units (0..``scale``)
+    against a 0/1 label — the reliability audit for any score the
+    pipeline wants to treat as a probability.
+
+    The micro-unit trick makes both metrics single-division exact:
+
+    * per bin b: |mean(p) − mean(y)| = |Σp_µ − scale·Σy| / (scale·n_b),
+      so  ECE = Σ_b (n_b/n)·|…| = (Σ_b |Σp_µ − scale·Σy|_b) / (scale·n)
+      — ONE integer numerator, ONE double division;
+    * Brier = Σ(p−y)² / n = Σ(p_µ − scale·y)² / (scale²·n) — the
+      numerator an exact bigint (≤ scale²·n: stage through
+      DECIMAL(38,0) past ~9e6 rows at scale=1e6).
+
+    Bin = min(p_µ·n_bins div scale, n_bins−1) (the right-closed last
+    bin).  Output: one row — ``n``, ``ece``, ``brier`` (doubles) — plus
+    the per-bin relation is available via :func:`calibration_bins`.
+    """
+    b = F.least(
+        (F.col(p_micro_col) * n_bins).cast("bigint") / F.lit(scale),
+        F.lit(n_bins - 1).cast("double"),
+    ).cast("bigint")
+    y = F.col(label_col).cast("bigint")
+    binned = df.select(
+        b.alias("__b"),
+        F.col(p_micro_col).cast("bigint").alias("__p"),
+        y.alias("__y"),
+    ).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__p").cast("bigint").alias("__sp"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum((F.col("__p") - F.lit(scale) * F.col("__y"))
+              * (F.col("__p") - F.lit(scale) * F.col("__y")))
+        .cast("bigint").alias("__sq"),
+    )
+    tot = binned.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("__sp") - F.lit(scale) * F.col("__sy")))
+        .cast("bigint").alias("__ece_num"),
+        F.sum("__sq").cast("bigint").alias("__brier_num"),
+    )
+    return tot.select(
+        "n",
+        (F.col("__ece_num").cast("double")
+         / (F.lit(float(scale)) * F.col("n").cast("double"))).alias("ece"),
+        (F.col("__brier_num").cast("double")
+         / (F.lit(float(scale)) * F.lit(float(scale))
+            * F.col("n").cast("double"))).alias("brier"),
+    )
+
+
+def calibration_report_sql(
+    table: str,
+    p_micro_expr: str,
+    label_expr: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`calibration_report` — same integer
+    numerators, same two double divisions (note Spark's ``least(x/…)``
+    bin expression is mirrored as LEAST of the integer div)."""
+    return f"""
+    WITH pts AS (
+      SELECT LEAST((CAST({p_micro_expr} AS BIGINT) * {n_bins}) // {scale},
+                   {n_bins - 1}) AS b,
+             CAST({p_micro_expr} AS BIGINT) AS p,
+             CAST({label_expr} AS BIGINT) AS y
+      FROM {table}
+    ),
+    binned AS (
+      SELECT b,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(p) AS BIGINT) AS sp,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM((p - {scale} * y) * (p - {scale} * y)) AS BIGINT) AS sq
+      FROM pts GROUP BY b
+    )
+    SELECT CAST(SUM(nb) AS BIGINT) AS n,
+           CAST(SUM(ABS(sp - {scale} * sy)) AS DOUBLE)
+             / (CAST({scale} AS DOUBLE) * CAST(SUM(nb) AS DOUBLE)) AS ece,
+           CAST(SUM(sq) AS DOUBLE)
+             / (CAST({scale} AS DOUBLE) * CAST({scale} AS DOUBLE)
+                * CAST(SUM(nb) AS DOUBLE)) AS brier
+    FROM binned
+    """
+
+
+def mannwhitney_z(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: Sequence[str] = (),
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney U significance (normal approximation)
+    per group — turns :func:`roc_auc` into a test: is the positive
+    class's score distribution shifted?
+
+    U = AUC·P·N (held doubled: U2 = the roc_auc numerator), with
+    E[U2] = P·N and Var[U2] = 4·Var[U] where
+    Var[U] = (P·N/12)·((n+1) − Σ_s(t_s³−t_s)/(n·(n−1))) (the standard
+    tie correction; t_s = ties at score s).  z = (U2 − P·N)/√Var[U2].
+    All inputs are exact integer sums (Σt³−t needs DECIMAL staging past
+    ~2e6 ties on one score value); z is one mirrored double expression.
+    Degenerate groups (P·N = 0, all scores tied, or n < 2) emit NULL.
+
+    Output: ``keys…, auc (double), z (double), n_pos, n_neg``.
+    """
+    df, gkeys = _with_group(df, keys)
+    lab = F.col(label_col).cast("bigint")
+    d = (
+        df.select(*gkeys, F.col(score_col).cast("bigint").alias("__s"),
+                  lab.alias("__y"))
+        .groupBy(*gkeys, "__s")
+        .agg(F.sum("__y").alias("__pos"),
+             F.sum(F.lit(1) - F.col("__y")).alias("__neg"))
+    )
+    c = cum_below(d, gkeys, "__s", ["__neg"], nbuckets=nbuckets)
+    t = F.col("__pos") + F.col("__neg")
+    agg = c.groupBy(*gkeys).agg(
+        F.sum(F.col("__pos") * (F.lit(2) * F.col("below___neg") + F.col("__neg")))
+        .cast("bigint").alias("__num2"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum("__neg").cast("bigint").alias("n_neg"),
+        F.sum(t * t * t - t).cast("bigint").alias("__t3"),
+    )
+    n = F.col("n_pos") + F.col("n_neg")
+    pn = F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    var_u = (pn / F.lit(12.0)) * (
+        (n + F.lit(1)).cast("double")
+        - F.col("__t3").cast("double")
+        / (n.cast("double") * (n - F.lit(1)).cast("double"))
+    )
+    auc = F.col("__num2").cast("double") / (F.lit(2.0) * pn)
+    z = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (n > 1)
+        & (F.col("__t3") < (n * n * n - n)),
+        (F.col("__num2").cast("double") - pn)
+        / F.sqrt(F.lit(4.0) * var_u),
+    )
+    return agg.select(
+        *(list(keys) or []),
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
+        z.alias("z"), "n_pos", "n_neg",
+    )
+
+
+def mannwhitney_z_sql(
+    table: str,
+    score_expr: str,
+    label_expr: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`mannwhitney_z` — identical integer sums
+    and double-expression operation order."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    part = f"PARTITION BY {kcols} " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    return f"""
+    WITH pts AS (
+      SELECT {kpref}CAST({score_expr} AS BIGINT) AS s,
+             CAST({label_expr} AS BIGINT) AS y
+      FROM {table}
+    ),
+    d AS (
+      SELECT {kpref}s, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM pts GROUP BY {kpref}s
+    ),
+    c AS (
+      SELECT {kpref}s, pos, neg,
+             COALESCE(SUM(neg) OVER ({part}ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM d
+    ),
+    a AS (
+      SELECT {kpref}
+             CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS num2,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM((pos + neg) * (pos + neg) * (pos + neg)
+                      - (pos + neg)) AS BIGINT) AS t3
+      FROM c {grp}
+    )
+    SELECT {kpref}
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(num2 AS DOUBLE)
+             / (2.0 * (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+           END AS auc,
+           CASE WHEN n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1
+                     AND t3 < (n_pos + n_neg) * (n_pos + n_neg)
+                              * (n_pos + n_neg) - (n_pos + n_neg) THEN
+             (CAST(num2 AS DOUBLE)
+              - CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             / sqrt(4.0 * ((CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                           / 12.0
+                    * (CAST(n_pos + n_neg + 1 AS DOUBLE)
+                       - CAST(t3 AS DOUBLE)
+                         / (CAST(n_pos + n_neg AS DOUBLE)
+                            * CAST(n_pos + n_neg - 1 AS DOUBLE)))))
+           END AS z,
+           n_pos, n_neg
+    FROM a
+    """

@@ -216,7 +216,8 @@ _PRIORITY = [
     # dedup_multimodal_union — multimodal keeps multimodal_features
     # in-window, dedup keeps six rows, and the union composition
     # re-registers just past the window.  Schema pre-flight green.
-    "funnel_conversion",
+    # (funnel_conversion itself rotated out in round-13 session-5 —
+    # see the evaluation-statistics swap note below.)
     # one representative per relational/streaming family.  Round 6:
     # interval_join_attribution (NEW point-in-interval temporal-join
     # family) displaces mr_ordered_collect — encounter-order keeps
@@ -237,6 +238,20 @@ _PRIORITY = [
     # richer sessionize_stream_stateful (IDENTICAL oracle SQL, the
     # end-to-end GroupState run) plus sessionize_events_hotkey locally;
     # the batch row re-registers immediately past the window.
+    # Round-13 session-5 swap, same displacement rule: the NEW
+    # evaluation-statistics family (operators/evalstats.py — exact rank
+    # statistics with NO global sort: the cum_below bucket decomposition)
+    # enters with its two most distinct shapes — roc_auc_doclen_en
+    # (tie-corrected Mann-Whitney AUC per source, the score-evaluation
+    # primitive) and chao1_vocab_by_source (Chao1 + Good-Turing unseen
+    # mass, the frequency-of-frequencies coverage planner) — displacing
+    # embedding_quantize_int8 (the embedding family keeps THREE in-window
+    # rows: dedup_embedding_clusters_t09, sim_topk_bruteforce,
+    # embedding_pca_residuals; int8 quantization additionally runs inside
+    # t09's inline_q8 verify path) and funnel_conversion (ordered-event
+    # analytics keeps activity_streaks, asof_join_purchase_click,
+    # interval_join_attribution and sessionize_stream_stateful).  Both
+    # displaced rows re-register immediately past the window.
     "cusum_stream_stateful", "asof_join_purchase_click",
     "interval_join_attribution", "window_topk_per_group",
     "kmeans_centroids", "rollup_region_nation", "salted_aggregation",
@@ -247,7 +262,8 @@ _PRIORITY = [
     # mr_simple_unpack stays hash-exact in LOCAL_CORRECTNESS; the window
     # now driver-verifies TPC-H q1/q7/q9/q17.  embedding_quantize_int8's
     # registration was re-shaped to scalar rows (r5's only red row).
-    "embedding_quantize_int8",
+    "roc_auc_doclen_en",
+    "chao1_vocab_by_source",
     "temperature_mix_sources",
     # Round-14 rotation candidates (new round-13 session-2 FAMILIES,
     # all hash-exact locally, registering past the window in module
@@ -260,6 +276,7 @@ _PRIORITY = [
     # winnow_contamination_audit (fingerprint-family consumers),
     # tokenizer_fertility_by_lang.
     # first entries PAST the 50-window: the displaced green rows
+    "embedding_quantize_int8", "funnel_conversion",
     "mr_task1_mean", "dedup_cc_clusters", "hhi_supplier_concentration",
     "session_duration_percentiles",
     "sessionize_events",

@@ -4690,3 +4690,153 @@ def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("kept_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-statistics family (operators/evalstats.py): exact rank
+# statistics without global sorts — the measure-the-gates layer.
+
+from map_reduce_folds_spark.operators import evalstats as ES  # noqa: E402
+
+
+@query(
+    "roc_auc_doclen_en",
+    oracle=ES.roc_auc_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", keys=("source",)),
+)
+def roc_auc_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC per source: does document length
+    discriminate English from non-English?  The evaluation primitive for
+    every scalar gate the pipeline produces (quality scores, classifier
+    margins, importance weights) — Mann-Whitney U over the
+    distinct-score relation, partitioned-window cumulative (never a
+    global sort; the `cum_below` bucket decomposition), doubled-integer
+    numerator so score ties stay exact, ONE double division."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.roc_auc(
+        d.withColumn("is_en", (F.col("lang") == "en").cast("int")),
+        "n_chars", "is_en", keys=("source",))
+
+
+_KAPPA_BASE_SQL = """
+    WITH maj AS (
+      SELECT source, lang AS pred FROM (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY COUNT(*) DESC, lang ASC) AS rn
+        FROM documents GROUP BY source, lang
+      ) WHERE rn = 1
+    ),
+    rated AS (
+      SELECT d.lang AS a, m.pred AS b
+      FROM documents d JOIN maj m USING (source)
+    )
+"""
+
+
+@query(
+    "kappa_lang_majority",
+    oracle=_KAPPA_BASE_SQL + """
+    , conf AS (SELECT a, b, COUNT(*) AS c FROM rated GROUP BY a, b),
+    ra AS (SELECT a AS l, SUM(c) AS ra FROM conf GROUP BY a),
+    rb AS (SELECT b AS l, SUM(c) AS rb FROM conf GROUP BY b),
+    pe AS (SELECT CAST(SUM(ra * rb) AS BIGINT) AS pe_n2
+           FROM ra JOIN rb USING (l)),
+    po AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+                      AS agree
+           FROM conf)
+    SELECT CASE WHEN n * n <> pe_n2 THEN
+             CAST(n * agree - pe_n2 AS DOUBLE)
+             / CAST(n * n - pe_n2 AS DOUBLE)
+           END AS kappa, n, agree
+    FROM po CROSS JOIN pe
+    """,
+)
+def kappa_lang_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between each document's language and the
+    majority-language baseline of its source (deterministic argmax:
+    highest count, then lexicographically first lang) — the
+    chance-corrected agreement floor any real lang-id model must beat.
+    Majority vote is a per-source partitioned window over the tiny
+    (source, lang) count relation; kappa is the n²-scaled integer
+    identity with one double division (operators/evalstats.py)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("__c").desc(), F.col("lang").asc())
+    maj = (counts.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") == 1)
+           .select("source", F.col("lang").alias("pred")))
+    rated = d.join(maj, "source").select("lang", "pred")
+    return ES.cohens_kappa(rated, "lang", "pred")
+
+
+@query(
+    "chao1_vocab_by_source",
+    oracle=ES.chao1_richness_sql(
+        "SELECT source, tok FROM (SELECT source, "
+        "UNNEST(string_split(text, ' ')) AS tok FROM documents) "
+        "WHERE tok <> ''",
+        "tok", keys=("source",)),
+)
+def chao1_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate and Good-Turing unseen
+    probability mass per source — how much vocabulary a source still
+    hides, the coverage planner for corpus sampling (a source whose
+    f₁-driven unseen mass is high is under-crawled; one whose Chao1 ≈
+    observed D is exhausted).  Frequency-of-frequencies fold over the
+    per-source term counts: two map-side-combinable shuffles, integers
+    until the two final divisions (Chao 1984 bias-corrected; Good
+    1953)."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return ES.chao1_richness(occ, "tok", keys=("source",))
+
+
+@query(
+    "calibration_doclen_en",
+    oracle=ES.calibration_report_sql(
+        "documents",
+        "LEAST(n_chars, 1000) * 1000",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"),
+)
+def calibration_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact expected calibration error + Brier score of the naive
+    length-based 'probability of English' (n_chars capped at 1000,
+    scaled to micro-units) — the reliability audit any score must pass
+    before the pipeline treats it as a probability.  The micro-unit
+    identity makes both metrics single-division exact: ECE's numerator
+    is Σ_b |Σp_µ − 10⁶·Σy|_b (one bigint), Brier's is Σ(p_µ − 10⁶·y)²
+    (one bigint) — operators/evalstats.py:calibration_report."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.least(F.col("n_chars"), F.lit(1000)) * 1000).alias("p_micro"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return ES.calibration_report(scored, "p_micro", "is_en")
+
+
+@query(
+    "mannwhitney_doclen_en",
+    oracle=ES.mannwhitney_z_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", keys=("source",)),
+)
+def mannwhitney_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney significance per source: is the
+    English documents' length distribution shifted against the rest?
+    The AUC machinery extended with the tie-correction variance
+    (Σ t³−t over distinct scores) — AUC says how separable, z says
+    whether the separation is more than noise at this sample size.
+    Same no-global-sort cum_below shape; z is one mirrored double
+    expression (operators/evalstats.py:mannwhitney_z)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.mannwhitney_z(
+        d.withColumn("is_en", (F.col("lang") == "en").cast("int")),
+        "n_chars", "is_en", keys=("source",))

@@ -4170,3 +4170,53 @@ def holt_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (implementation and determinism argument in
     ``_holt_stream_stateful_impl``)."""
     return _holt_stream_stateful_impl(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-statistics family (operators/evalstats.py) — relational side.
+
+from map_reduce_folds_spark.operators import evalstats as ES  # noqa: E402
+
+
+@query(
+    "spearman_qty_price",
+    oracle=ES.spearman_rho_sql(
+        "lineitem", "l_quantity",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)",
+        keys=("l_returnflag",)),
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation per return flag:
+    quantity vs extended price (cents) — the monotone-association
+    companion of ``corr_exact`` for skewed/outlier-heavy columns.
+    Tie-averaged ranks held DOUBLED so every moment sum is a bigint
+    (the rank machinery is `avg_rank2`: distinct-value aggregation +
+    partitioned-bucket cumulative, never a per-group sort), then the
+    corr_exact one-double-expression Pearson over ranks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lic = li.withColumn(
+        "price_c",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint"))
+    return ES.spearman_rho(lic, "l_quantity", "price_c",
+                           keys=("l_returnflag",))
+
+
+_ZT_SQL = ES.two_proportion_ztest_sql(
+    "events", "CAST(user_id % 8 AS BIGINT)",
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+
+
+@query(
+    "purchase_ztest_by_bucket",
+    oracle=f"SELECT g AS bucket, n, successes, rate, z FROM ({_ZT_SQL})",
+)
+def purchase_ztest_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of each user cohort's purchase rate
+    against the rest — the A/B-screen primitive (which cohorts convert
+    significantly above/below the pool).  One grouped aggregation over
+    the events scan; totals via the one-row broadcast idiom; integers
+    until the final mirrored double expression."""
+    e = load_table(spark, sf_dir, "events")
+    eb = (e.withColumn("bucket", (F.col("user_id") % 8).cast("bigint"))
+          .withColumn("succ", (F.col("event_type") == "purchase").cast("int")))
+    return ES.two_proportion_ztest(eb, "bucket", "succ")

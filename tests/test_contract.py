@@ -79,10 +79,24 @@ def test_driver_window_covers_every_family():
     # iterative-trainer family under the bitwise unrolled-CTE oracle)
     # displaces sessionize_events — sessionization keeps the strictly
     # richer sessionize_stream_stateful (identical oracle SQL).
+    # Round-13 session-4 rotation: embedding_pca_residuals (NEW fitted
+    # subspace-outlier family), label_prop_neardup (NEW semi-supervised
+    # graph family), holt_user_forecast (NEW level+trend smoothing
+    # family), benford_totalprice_audit (NEW forensic-audit family)
+    # displace mr_task1_mean, dedup_cc_clusters (CC closure stays
+    # exercised via dedup_embedding_clusters_t09's cluster stage),
+    # hhi_supplier_concentration and session_duration_percentiles
+    # (concentration + percentile analytics keep gini_doclen_by_source
+    # and k_anonymity_audit in-window).
+    # Round-13 session-5 rotation: roc_auc_doclen_en and
+    # chao1_vocab_by_source (the NEW evaluation-statistics family —
+    # exact no-global-sort rank statistics) displace
+    # embedding_quantize_int8 (embedding family keeps three in-window
+    # rows) and funnel_conversion (ordered-event analytics keeps four).
     # Displaced rows re-register just past the window.
     for must_have in [
         "mr_fold_vocab", "mr_group_reduce_keyed", "mr_product_median",
-        "dedup_exact", "dedup_minhash", "dedup_cc_clusters",
+        "dedup_exact", "dedup_minhash",
         "dedup_span_rewrite", "rfm_customer_segments",
         "activity_streaks", "dsir_importance_weights",
         "record_linkage_customers", "temperature_mix_sources",
@@ -94,9 +108,12 @@ def test_driver_window_covers_every_family():
         "asof_join_purchase_click", "window_topk_per_group",
         "rollup_region_nation", "salted_aggregation",
         "sessionize_stream_stateful", "q1_pricing_summary",
-        "k_anonymity_audit", "session_duration_percentiles",
-        "gini_doclen_by_source", "hhi_supplier_concentration",
+        "k_anonymity_audit",
+        "gini_doclen_by_source",
         "gopher_repetition_signals",
+        "embedding_pca_residuals", "label_prop_neardup",
+        "holt_user_forecast", "benford_totalprice_audit",
+        "roc_auc_doclen_en", "chao1_vocab_by_source",
     ]:
         assert must_have in window, f"{must_have} fell outside the driver window"
     no_oracle = [n for n in window if n not in ORACLES]
@@ -132,4 +149,4 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_task1_mean', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'session_duration_percentiles', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'hhi_supplier_concentration', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_cc_clusters', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'funnel_conversion', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'embedding_quantize_int8', 'temperature_mix_sources']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'roc_auc_doclen_en', 'chao1_vocab_by_source', 'temperature_mix_sources']

@@ -1,0 +1,278 @@
+"""Tests for operators/evalstats.py — exact evaluation statistics.
+
+Strategy (the repo's differential discipline): each operator is checked
+against (a) a hand-computable case, (b) an independent pure-Python
+reference on fixture-scale data, and (c) tie/degenerate edges the
+formulas must handle (NULL on undefined, exact tie halves).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_folds_spark.operators import evalstats as E
+
+
+def _rows(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC
+
+
+def test_roc_auc_hand_case(spark):
+    # scores: pos {3, 2}, neg {1, 2} -> pairs: (3>1)=1, (3>2)=1,
+    # (2>1)=1, (2==2)=0.5  => AUC = 3.5/4
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (1, 0), (2, 0)], "s int, y int")
+    [(auc, p, n)] = _rows(E.roc_auc(df, "s", "y"), "auc", "n_pos", "n_neg")
+    assert (p, n) == (2, 2)
+    assert auc == 3.5 / 4
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    df = spark.createDataFrame(
+        [(10, 1), (9, 1), (1, 0), (2, 0)], "s int, y int")
+    [(auc, _, _)] = _rows(E.roc_auc(df, "s", "y"), "auc", "n_pos", "n_neg")
+    assert auc == 1.0
+    inv = df.withColumn("y", F.lit(1) - F.col("y"))
+    [(auc2, _, _)] = _rows(E.roc_auc(inv, "s", "y"), "auc", "n_pos", "n_neg")
+    assert auc2 == 0.0
+
+
+def test_roc_auc_degenerate_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("a", 3, 1), ("b", 5, 1), ("b", 3, 0)],
+        "g string, s int, y int")
+    got = dict((g, a) for g, a in _rows(
+        E.roc_auc(df, "s", "y", keys=("g",)), "g", "auc"))
+    assert got["a"] is None          # no negatives: AUC undefined
+    assert got["b"] == 1.0
+
+
+def test_roc_auc_matches_python_reference(spark, tables):
+    docs = tables["documents"]
+    sdf = E.roc_auc(
+        docs.withColumn("y", (F.col("lang") == "en").cast("int")),
+        "n_chars", "y")
+    [(auc, npos, nneg)] = _rows(sdf, "auc", "n_pos", "n_neg")
+    rows = [(r["n_chars"], 1 if r["lang"] == "en" else 0)
+            for r in docs.select("n_chars", "lang").collect()]
+    pos = sorted(s for s, y in rows if y == 1)
+    neg = sorted(s for s, y in rows if y == 0)
+    num = 0.0
+    import bisect
+    for s in pos:
+        num += bisect.bisect_left(neg, s)
+        num += 0.5 * (bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s))
+    assert (npos, nneg) == (len(pos), len(neg))
+    assert auc == pytest.approx(num / (len(pos) * len(neg)), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Spearman
+
+
+def test_spearman_monotone_is_one(spark):
+    df = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 30)], "x int, y int")
+    [(rho, n)] = _rows(E.spearman_rho(df, "x", "y"), "rho", "n")
+    assert n == 29
+    assert rho == pytest.approx(1.0, abs=1e-12)
+    dec = df.withColumn("y", -F.col("y"))
+    [(rho2, _)] = _rows(E.spearman_rho(dec, "x", "y"), "rho", "n")
+    assert rho2 == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_spearman_ties_match_scipy_formula(spark):
+    # hand data with ties in both columns; reference = Pearson over
+    # tie-averaged ranks computed in pure Python
+    data = [(1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 4), (4, 4), (5, 0)]
+    df = spark.createDataFrame(data, "x int, y int")
+    [(rho, n)] = _rows(E.spearman_rho(df, "x", "y"), "rho", "n")
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        return [(s.index(v) + 1 + (len(s) - 1 - s[::-1].index(v) + 1)) / 2
+                for v in vals]
+
+    ax, ay = avg_ranks([x for x, _ in data]), avg_ranks([y for _, y in data])
+    m = len(data)
+    mx, my = sum(ax) / m, sum(ay) / m
+    cov = sum((a - mx) * (b - my) for a, b in zip(ax, ay))
+    sx = math.sqrt(sum((a - mx) ** 2 for a in ax))
+    sy = math.sqrt(sum((b - my) ** 2 for b in ay))
+    assert n == m
+    assert rho == pytest.approx(cov / (sx * sy), abs=1e-12)
+
+
+def test_avg_rank2_exact_ties(spark):
+    df = spark.createDataFrame([(10,), (20,), (20,), (30,)], "v int")
+    got = sorted(_rows(E.avg_rank2(df, "v"), "v", "r2"))
+    # avg ranks: 1, 2.5, 2.5, 4 -> doubled: 2, 5, 5, 8
+    assert got == [(10, 2), (20, 5), (20, 5), (30, 8)]
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+
+
+def test_kappa_perfect_and_independent(spark):
+    same = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("a", "a"), ("c", "c")], "x string, y string")
+    [(k, n, agree)] = _rows(E.cohens_kappa(same, "x", "y"), "kappa", "n", "agree")
+    assert (k, n, agree) == (1.0, 4, 4)
+    # single label on both sides -> pe = 1 -> undefined
+    const = spark.createDataFrame([("a", "a")] * 3, "x string, y string")
+    [(k2, _, _)] = _rows(E.cohens_kappa(const, "x", "y"), "kappa", "n", "agree")
+    assert k2 is None
+
+
+def test_kappa_hand_case(spark):
+    # classic 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10
+    rows = ([("y", "y")] * 20 + [("n", "n")] * 15
+            + [("y", "n")] * 5 + [("n", "y")] * 10)
+    df = spark.createDataFrame(rows, "x string, y string")
+    [(k, n, agree)] = _rows(E.cohens_kappa(df, "x", "y"), "kappa", "n", "agree")
+    po = 35 / 50
+    pe = (25 / 50) * (30 / 50) + (25 / 50) * (20 / 50)
+    assert (n, agree) == (50, 35)
+    assert k == pytest.approx((po - pe) / (1 - pe), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Chao1 / Good-Turing
+
+
+def test_chao1_hand_case(spark):
+    # terms: a x1, b x1, c x2, d x3  -> D=4, N=7, f1=2, f2=1
+    occ = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("c",), ("d",), ("d",), ("d",)], "t string")
+    [(d, tot, f1, f2, chao1, p0)] = _rows(
+        E.chao1_richness(occ, "t"),
+        "distinct_terms", "total_tokens", "f1", "f2", "chao1",
+        "gt_unseen_mass")
+    assert (d, tot, f1, f2) == (4, 7, 2, 1)
+    assert chao1 == 4 + (2 * 1) / (2 * 2)
+    assert p0 == 2 / 7
+
+
+def test_chao1_no_doubletons_defined(spark):
+    occ = spark.createDataFrame([("a",), ("b",)], "t string")
+    [(chao1,)] = _rows(E.chao1_richness(occ, "t"), "chao1")
+    # bias-corrected form stays finite when f2 = 0
+    assert chao1 == 2 + (2 * 1) / 2
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test
+
+
+def test_ztest_hand_case(spark):
+    # group A: 30/100, group B: 20/100
+    rows = ([("A", 1)] * 30 + [("A", 0)] * 70
+            + [("B", 1)] * 20 + [("B", 0)] * 80)
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = dict((g, (n, x, r, z)) for g, n, x, r, z in _rows(
+        E.two_proportion_ztest(df, "g", "s"), "g", "n", "successes",
+        "rate", "z"))
+    phat = 50 / 200
+    se = math.sqrt(phat * (1 - phat) * (1 / 100 + 1 / 100))
+    assert got["A"][:3] == (100, 30, 0.3)
+    assert got["A"][3] == pytest.approx((0.30 - 0.20) / se, abs=1e-12)
+    assert got["B"][3] == pytest.approx((0.20 - 0.30) / se, abs=1e-12)
+
+
+def test_ztest_degenerate_null(spark):
+    # one group only (n_rest = 0) and all-success pool -> NULL z
+    df = spark.createDataFrame([("A", 1), ("A", 1)], "g string, s int")
+    [(z,)] = _rows(E.two_proportion_ztest(df, "g", "s"), "z")
+    assert z is None
+
+
+# ---------------------------------------------------------------------------
+# scale shape: no global-order windows in the rank statistics
+
+
+def test_rank_stats_plans_have_no_global_sort(spark, tables):
+    from map_reduce_folds_spark import plans
+
+    docs = tables["documents"]
+    auc = E.roc_auc(
+        docs.withColumn("y", (F.col("lang") == "en").cast("int")),
+        "n_chars", "y", keys=("source",))
+    rho = E.spearman_rho(
+        tables["lineitem"], "l_quantity", "l_partkey",
+        keys=("l_returnflag",))
+    for df in (auc, rho):
+        findings = [f for f in plans.scale_audit(df)
+                    if "global-order Window" in f]
+        assert findings == [], findings
+
+
+# ---------------------------------------------------------------------------
+# calibration (ECE / Brier)
+
+
+def test_calibration_perfect_and_worst(spark):
+    # perfectly calibrated at bin granularity: p=1e6 & y=1, p=0 & y=0
+    good = spark.createDataFrame(
+        [(1_000_000, 1)] * 4 + [(0, 0)] * 4, "p long, y int")
+    [(n, ece, brier)] = _rows(
+        E.calibration_report(good, "p", "y"), "n", "ece", "brier")
+    assert (n, ece, brier) == (8, 0.0, 0.0)
+    # anti-calibrated: p=1e6 & y=0
+    bad = spark.createDataFrame([(1_000_000, 0)] * 4, "p long, y int")
+    [(_, ece2, brier2)] = _rows(
+        E.calibration_report(bad, "p", "y"), "n", "ece", "brier")
+    assert (ece2, brier2) == (1.0, 1.0)
+
+
+def test_calibration_hand_case(spark):
+    # one bin [0.4, 0.5): p = 450000 x2, y = 1, 0 -> mean p 0.45, mean y 0.5
+    # ECE = |0.45 - 0.5| * (2/2) = 0.05 ; Brier = ((0.55)^2+(0.45)^2)/2
+    df = spark.createDataFrame(
+        [(450_000, 1), (450_000, 0)], "p long, y int")
+    [(ece, brier)] = _rows(E.calibration_report(df, "p", "y"), "ece", "brier")
+    assert ece == pytest.approx(0.05, abs=1e-15)
+    assert brier == pytest.approx((0.55 ** 2 + 0.45 ** 2) / 2, abs=1e-15)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney z
+
+
+def test_mannwhitney_matches_scipy_formula(spark):
+    # reference: normal-approximation z with tie correction, pure Python
+    data = [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (4, 1), (5, 1), (5, 0),
+            (6, 1), (7, 1)]
+    df = spark.createDataFrame(data, "s int, y int")
+    [(auc, z, p, nn)] = _rows(
+        E.mannwhitney_z(df, "s", "y"), "auc", "z", "n_pos", "n_neg")
+    import collections
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    u = sum((1.0 if sp > sn else 0.5 if sp == sn else 0.0)
+            for sp in pos for sn in neg)
+    n = len(data)
+    t3 = sum(t ** 3 - t for t in collections.Counter(
+        s for s, _ in data).values())
+    var_u = (len(pos) * len(neg) / 12) * ((n + 1) - t3 / (n * (n - 1)))
+    zref = (u - len(pos) * len(neg) / 2) / math.sqrt(var_u)
+    assert (p, nn) == (len(pos), len(neg))
+    assert auc == pytest.approx(u / (len(pos) * len(neg)), abs=1e-12)
+    assert z == pytest.approx(zref, abs=1e-12)
+
+
+def test_mannwhitney_degenerate(spark):
+    # all scores tied -> variance 0 -> NULL z; single-class -> NULL both
+    tied = spark.createDataFrame([(5, 1), (5, 0), (5, 1)], "s int, y int")
+    [(auc, z)] = _rows(E.mannwhitney_z(tied, "s", "y"), "auc", "z")
+    assert auc == 0.5 and z is None
+    onecls = spark.createDataFrame([(1, 1), (2, 1)], "s int, y int")
+    [(auc2, z2)] = _rows(E.mannwhitney_z(onecls, "s", "y"), "auc", "z")
+    assert auc2 is None and z2 is None
