@@ -162,9 +162,13 @@ def roc_auc(
              F.sum(F.lit(1) - F.col("__y")).alias("__neg"))
     )
     c = cum_below(d, gkeys, "__s", ["__neg"], nbuckets=nbuckets)
+    # the summand pos·(2·below+neg) <= 2·t·N stays per-row bigint-safe;
+    # the SUM (= 2·P·N <= n²/2) is decimal-staged so huge groups stay
+    # exact (one rounding at the final cast — DuckDB's HUGEINT twin)
     agg = c.groupBy(*gkeys).agg(
-        F.sum(F.col("__pos") * (F.lit(2) * F.col("below___neg") + F.col("__neg")))
-        .cast("bigint").alias("__num2"),
+        F.sum((F.col("__pos") * (F.lit(2) * F.col("below___neg")
+                                 + F.col("__neg"))).cast("decimal(38,0)"))
+        .alias("__num2"),
         F.sum("__pos").cast("bigint").alias("n_pos"),
         F.sum("__neg").cast("bigint").alias("n_neg"),
     )
@@ -270,9 +274,13 @@ def spearman_rho(
     rho = (n·Σab − Σa·Σb) / (√(n·Σa² − (Σa)²)·√(n·Σb² − (Σb)²)) with
     a = 2·avg-rank(x), b = 2·avg-rank(y); the doubling cancels.
 
-    int64 headroom: Σa² ≤ 4n³ — exact through ~1.3e6 rows per group;
-    stage the moment sums through DECIMAL(38,0) beyond that (the
-    ``ols2_price_model`` precedent).
+    int64 headroom: Σa² ≤ 4n³ overflows a bigint SUM past ~1.3e6 rows
+    per group (caught by the 10× scale run, not review), so every
+    moment sum is STAGED THROUGH DECIMAL(38,0) — exact integer
+    arithmetic to ~10³⁸, ONE rounding at the final cast to double,
+    bitwise-equal to DuckDB's native HUGEINT sum→double path.  The
+    per-row product a·b ≤ 4n² stays in bigint (safe to ~1.5e9 rows
+    per group).
 
     Output: ``keys…, rho (double), n (bigint)``.
     """
@@ -280,11 +288,13 @@ def spearman_rho(
     rxy = avg_rank2(rx, y_col, keys, out_col="__bv", nbuckets=nbuckets)
     gkeys = list(keys) if keys else []
     grouped = rxy.groupBy(*gkeys) if gkeys else rxy.groupBy()
+    dec = "decimal(38,0)"
     n = F.count(F.lit(1))
-    sa, sb = F.sum("__a").cast("double"), F.sum("__bv").cast("double")
-    sab = F.sum(F.col("__a") * F.col("__bv")).cast("double")
-    saa = F.sum(F.col("__a") * F.col("__a")).cast("double")
-    sbb = F.sum(F.col("__bv") * F.col("__bv")).cast("double")
+    sa = F.sum(F.col("__a").cast(dec)).cast("double")
+    sb = F.sum(F.col("__bv").cast(dec)).cast("double")
+    sab = F.sum((F.col("__a") * F.col("__bv")).cast(dec)).cast("double")
+    saa = F.sum((F.col("__a") * F.col("__a")).cast(dec)).cast("double")
+    sbb = F.sum((F.col("__bv") * F.col("__bv")).cast(dec)).cast("double")
     rho = (n * sab - sa * sb) / (
         F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
     )
@@ -615,15 +625,17 @@ def calibration_report(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         F.sum("__p").cast("bigint").alias("__sp"),
         F.sum("__y").cast("bigint").alias("__sy"),
-        F.sum((F.col("__p") - F.lit(scale) * F.col("__y"))
-              * (F.col("__p") - F.lit(scale) * F.col("__y")))
-        .cast("bigint").alias("__sq"),
+        # decimal-staged: the squared-residual sum reaches scale²·n
+        # (int64 dies at ~9e6 rows for scale=1e6); exact to 10³⁸
+        F.sum(((F.col("__p") - F.lit(scale) * F.col("__y"))
+               * (F.col("__p") - F.lit(scale) * F.col("__y")))
+              .cast("decimal(38,0)")).alias("__sq"),
     )
     tot = binned.agg(
         F.sum("__n").cast("bigint").alias("n"),
         F.sum(F.abs(F.col("__sp") - F.lit(scale) * F.col("__sy")))
         .cast("bigint").alias("__ece_num"),
-        F.sum("__sq").cast("bigint").alias("__brier_num"),
+        F.sum("__sq").alias("__brier_num"),
     )
     return tot.select(
         "n",
@@ -658,7 +670,7 @@ def calibration_report_sql(
              CAST(COUNT(*) AS BIGINT) AS nb,
              CAST(SUM(p) AS BIGINT) AS sp,
              CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM((p - {scale} * y) * (p - {scale} * y)) AS BIGINT) AS sq
+             SUM((p - {scale} * y) * (p - {scale} * y)) AS sq
       FROM pts GROUP BY b
     )
     SELECT CAST(SUM(nb) AS BIGINT) AS n,
@@ -703,12 +715,21 @@ def mannwhitney_z(
     )
     c = cum_below(d, gkeys, "__s", ["__neg"], nbuckets=nbuckets)
     t = F.col("__pos") + F.col("__neg")
+    # decimal-staged sums (the spearman overflow lesson); per-row t³
+    # stays bigint — safe while no single score value carries more than
+    # ~2.09e6 tied rows in one group (document-length scores at corpus
+    # scale stay far under this; a heavier-tied score should be
+    # pre-bucketed anyway)
     agg = c.groupBy(*gkeys).agg(
-        F.sum(F.col("__pos") * (F.lit(2) * F.col("below___neg") + F.col("__neg")))
-        .cast("bigint").alias("__num2"),
+        F.sum((F.col("__pos") * (F.lit(2) * F.col("below___neg")
+                                 + F.col("__neg"))).cast("decimal(38,0)"))
+        .alias("__num2"),
         F.sum("__pos").cast("bigint").alias("n_pos"),
         F.sum("__neg").cast("bigint").alias("n_neg"),
-        F.sum(t * t * t - t).cast("bigint").alias("__t3"),
+        F.sum((t * t * t - t).cast("decimal(38,0)")).alias("__t3"),
+        # all-scores-tied guard by DISTINCT-score count: the naive
+        # t3 = n³−n comparison would itself overflow bigint at n > 2e6
+        F.count(F.lit(1)).cast("bigint").alias("__n_scores"),
     )
     n = F.col("n_pos") + F.col("n_neg")
     pn = F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
@@ -720,7 +741,7 @@ def mannwhitney_z(
     auc = F.col("__num2").cast("double") / (F.lit(2.0) * pn)
     z = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (n > 1)
-        & (F.col("__t3") < (n * n * n - n)),
+        & (F.col("__n_scores") > 1),
         (F.col("__num2").cast("double") - pn)
         / F.sqrt(F.lit(4.0) * var_u),
     )
@@ -764,8 +785,9 @@ def mannwhitney_z_sql(
              CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS num2,
              CAST(SUM(pos) AS BIGINT) AS n_pos,
              CAST(SUM(neg) AS BIGINT) AS n_neg,
-             CAST(SUM((pos + neg) * (pos + neg) * (pos + neg)
-                      - (pos + neg)) AS BIGINT) AS t3
+             SUM((pos + neg) * (pos + neg) * (pos + neg)
+                 - (pos + neg)) AS t3,
+             CAST(COUNT(*) AS BIGINT) AS n_scores
       FROM c {grp}
     )
     SELECT {kpref}
@@ -774,8 +796,7 @@ def mannwhitney_z_sql(
              / (2.0 * (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
            END AS auc,
            CASE WHEN n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1
-                     AND t3 < (n_pos + n_neg) * (n_pos + n_neg)
-                              * (n_pos + n_neg) - (n_pos + n_neg) THEN
+                     AND n_scores > 1 THEN
              (CAST(num2 AS DOUBLE)
               - CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
              / sqrt(4.0 * ((CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
@@ -787,4 +808,124 @@ def mannwhitney_z_sql(
            END AS z,
            n_pos, n_neg
     FROM a
+    """
+
+
+def js_divergence_by_group(
+    df: DataFrame,
+    group_col: str,
+    term_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) of each group's term
+    distribution against the WHOLE corpus's — the distributional
+    signature of source drift / mixture imbalance (0 = identical,
+    ln 2 ≈ 0.693 = disjoint support).  Input: one row per term
+    OCCURRENCE.
+
+    The scale trick: JSD = ½·Σ_t [p·ln(p/m) + q·ln(q/m)] needs the sum
+    over the CORPUS vocabulary per group — |groups|·|vocab| rows if done
+    naively.  But for terms absent from the group, p = 0 and m = q/2, so
+    the term is q·ln 2 — closed form, no row needed:
+
+        JSD_s = ½·Σ_{t∈s}[p·ln(p/m) + q·ln(q/m)] + ½·ln 2·(1 − cov_s),
+
+    cov_s = Σ_{t∈s} q_t (the corpus mass the group's vocabulary covers).
+    The per-(group, term) relation is exactly the input count relation —
+    one shuffle on term (join corpus counts), one on group (the fold).
+
+    Determinism: transcendental-bearing terms are summed with the
+    repo's SORTED-array fold (array_sort on term, then a left fold),
+    and the result rounds to 9 decimals (the drift_psi policy — libm
+    ln differs in the last ulp across engines).
+
+    Output: ``group_col, jsd (double), n_terms (bigint; the group's
+    distinct vocabulary), n_tokens (bigint)``.
+    """
+    tc = (
+        df.select(F.col(group_col).alias("__s"), F.col(term_col).alias("__t"))
+        .groupBy("__s", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    stot = tc.groupBy("__s").agg(F.sum("__c").cast("bigint").alias("__ns"))
+    corpus = tc.groupBy("__t").agg(F.sum("__c").cast("bigint").alias("__cc"))
+    ctot = corpus.agg(F.sum("__cc").cast("bigint").alias("__n"))
+    j = (
+        tc.join(corpus, "__t")
+        .join(stot, "__s")
+        .crossJoin(F.broadcast(ctot))  # one-row corpus total — scalar idiom
+    )
+    p = F.col("__c").cast("double") / F.col("__ns").cast("double")
+    q = F.col("__cc").cast("double") / F.col("__n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    terms = j.select(
+        "__s", "__t",
+        (p * F.log(p / m) + q * F.log(q / m)).alias("__term"),
+        q.alias("__q"),
+        F.col("__ns"),
+    )
+    pairs = F.array_sort(F.collect_list(F.struct(F.col("__t"), F.col("__term"))))
+    insum = F.aggregate(pairs, F.lit(0.0), lambda acc, s: acc + s["__term"])
+    cov_pairs = F.array_sort(F.collect_list(F.struct(F.col("__t"), F.col("__q"))))
+    cov = F.aggregate(cov_pairs, F.lit(0.0), lambda acc, s: acc + s["__q"])
+    agg = terms.groupBy("__s").agg(
+        insum.alias("__in"), cov.alias("__cov"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.first("__ns").alias("n_tokens"),
+    )
+    ln2 = float(__import__("math").log(2.0))
+    jsd = (F.lit(0.5) * F.col("__in")
+           + F.lit(0.5) * F.lit(ln2) * (F.lit(1.0) - F.col("__cov")))
+    return agg.select(
+        F.col("__s").alias(group_col),
+        F.round(jsd, 9).alias("jsd"),
+        "n_terms", "n_tokens",
+    )
+
+
+def js_divergence_by_group_sql(
+    occurrences_cte: str,
+    group_col: str,
+    term_col: str,
+) -> str:
+    """DuckDB mirror of :func:`js_divergence_by_group` — same
+    closed-form absent-term remainder, same sorted-fold term order,
+    same 9-decimal round."""
+    import math
+
+    ln2 = float(math.log(2.0))
+    return f"""
+    WITH occ AS ({occurrences_cte}),
+    tc AS (
+      SELECT {group_col} AS s, {term_col} AS t, COUNT(*) AS c
+      FROM occ GROUP BY 1, 2
+    ),
+    stot AS (SELECT s, CAST(SUM(c) AS BIGINT) AS ns FROM tc GROUP BY 1),
+    corpus AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cc FROM tc GROUP BY 1),
+    ctot AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM corpus),
+    terms AS (
+      SELECT tc.s, tc.t,
+             (CAST(tc.c AS DOUBLE) / CAST(ns AS DOUBLE))
+               * ln((CAST(tc.c AS DOUBLE) / CAST(ns AS DOUBLE))
+                    / ((CAST(tc.c AS DOUBLE) / CAST(ns AS DOUBLE)
+                        + CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+             + (CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln((CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+                    / ((CAST(tc.c AS DOUBLE) / CAST(ns AS DOUBLE)
+                        + CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+               AS term,
+             CAST(cc AS DOUBLE) / CAST(n AS DOUBLE) AS q,
+             ns
+      FROM tc JOIN corpus USING (t) JOIN stot USING (s) CROSS JOIN ctot
+    )
+    SELECT s AS {group_col},
+           round(0.5 * list_reduce(
+                   list_prepend(0.0, list_sort(list({{'t': t, 'x': term}}))
+                                .apply(e -> e.x)),
+                   (acc, x) -> acc + x)
+                 + 0.5 * {ln2!r} * (1.0 - list_reduce(
+                   list_prepend(0.0, list_sort(list({{'t': t, 'x': q}}))
+                                .apply(e -> e.x)),
+                   (acc, x) -> acc + x)), 9) AS jsd,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(MIN(ns) AS BIGINT) AS n_tokens
+    FROM terms GROUP BY s
     """

@@ -4840,3 +4840,26 @@ def mannwhitney_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ES.mannwhitney_z(
         d.withColumn("is_en", (F.col("lang") == "en").cast("int")),
         "n_chars", "is_en", keys=("source",))
+
+
+@query(
+    "js_divergence_by_source",
+    oracle=ES.js_divergence_by_group_sql(
+        "SELECT source, tok FROM (SELECT source, "
+        "UNNEST(string_split(text, ' ')) AS tok FROM documents) "
+        "WHERE tok <> ''",
+        "source", "tok"),
+)
+def js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the whole corpus — the distributional drift/imbalance
+    signature a corpus-mixing plan reads next to temperature_mix.  The
+    absent-term remainder is closed-form (q·ln 2), so the per-source
+    relation never expands past the input term counts; transcendental
+    terms use the repo's sorted-fold + 9-decimal-round discipline
+    (operators/evalstats.py:js_divergence_by_group)."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return ES.js_divergence_by_group(occ, "source", "tok")

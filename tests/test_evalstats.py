@@ -276,3 +276,54 @@ def test_mannwhitney_degenerate(spark):
     onecls = spark.createDataFrame([(1, 1), (2, 1)], "s int, y int")
     [(auc2, z2)] = _rows(E.mannwhitney_z(onecls, "s", "y"), "auc", "z")
     assert auc2 is None and z2 is None
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence
+
+
+def test_jsd_identical_and_disjoint(spark):
+    # one group == corpus -> jsd 0; two disjoint-vocab groups -> each
+    # group's JSD vs the pooled corpus is strictly between 0 and ln 2
+    one = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("s", "a")], "g string, t string")
+    [(jsd, _, _)] = _rows(
+        E.js_divergence_by_group(one, "g", "t"), "jsd", "n_terms", "n_tokens")
+    assert jsd == 0.0
+    two = spark.createDataFrame(
+        [("s1", "a")] * 3 + [("s2", "b")] * 3, "g string, t string")
+    got = dict((g, j) for g, j in _rows(
+        E.js_divergence_by_group(two, "g", "t"), "g", "jsd"))
+    # each source has half the corpus mass on its own token:
+    # p=1, q=1/2, m=3/4; JSD = 0.5*[ln(4/3)+0.5*ln(2/3)] + 0.5*ln2*0.5
+    ref = 0.5 * (math.log(4 / 3) + 0.5 * math.log(2 / 3)) \
+        + 0.5 * math.log(2) * 0.5
+    assert got["s1"] == pytest.approx(ref, abs=1e-9)
+    assert got["s2"] == pytest.approx(ref, abs=1e-9)
+
+
+def test_jsd_matches_python_reference(spark, tables):
+    import collections
+
+    docs = tables["documents"]
+    occ = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    got = dict((g, j) for g, j in _rows(
+        E.js_divergence_by_group(occ, "source", "tok"), "source", "jsd"))
+    rows = [(r["source"], r["tok"]) for r in occ.collect()]
+    corpus = collections.Counter(t for _, t in rows)
+    n = sum(corpus.values())
+    by_src = collections.defaultdict(collections.Counter)
+    for s, t in rows:
+        by_src[s][t] += 1
+    for s, cnt in by_src.items():
+        ns = sum(cnt.values())
+        jsd = 0.0
+        for t, c in cnt.items():
+            p, q = c / ns, corpus[t] / n
+            m = (p + q) / 2
+            jsd += 0.5 * (p * math.log(p / m) + q * math.log(q / m))
+        cov = sum(corpus[t] / n for t in cnt)
+        jsd += 0.5 * math.log(2) * (1 - cov)
+        assert got[s] == pytest.approx(jsd, abs=1e-9), s
