@@ -58,6 +58,12 @@ __all__ = [
     "calibration_report_sql",
     "mannwhitney_z",
     "mannwhitney_z_sql",
+    "js_divergence_by_group",
+    "js_divergence_by_group_sql",
+    "chi2_independence",
+    "chi2_independence_sql",
+    "mutual_information",
+    "mutual_information_sql",
 ]
 
 
@@ -928,4 +934,199 @@ def js_divergence_by_group_sql(
            CAST(COUNT(*) AS BIGINT) AS n_terms,
            CAST(MIN(ns) AS BIGINT) AS n_tokens
     FROM terms GROUP BY s
+    """
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V — the association screen over label-shaped
+    metadata (does source predict language? does shard predict label?).
+
+    χ² = n·(Σ_ij c_ij²/(r_i·k_j) − 1): one confusion-matrix aggregation,
+    two margin folds of that tiny relation, and a SORTED-array fold for
+    the rational-term sum (the drift_psi determinism discipline —
+    division order is fixed by sorting on the (a, b) cell key).
+    V = √(χ²/(n·(min(R,K)−1))); dof = (R−1)(K−1).  Single-category
+    sides (dof = 0) emit NULL χ²/V.
+
+    Output: one row — ``chi2 (double, 9-dec), cramers_v (double,
+    9-dec), dof (bigint), n (bigint)``.
+    """
+    conf = (
+        df.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__bv"))
+        .groupBy("__a", "__bv").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ra = conf.groupBy("__a").agg(F.sum("__c").cast("bigint").alias("__ra"))
+    rb = conf.groupBy("__bv").agg(F.sum("__c").cast("bigint").alias("__rb"))
+    j = conf.join(F.broadcast(ra), "__a").join(F.broadcast(rb), "__bv")
+    term = (
+        (F.col("__c") * F.col("__c")).cast("double")
+        / (F.col("__ra") * F.col("__rb")).cast("double")
+    )
+    cells = j.select("__a", "__bv", term.alias("__t"), F.col("__c"))
+    pairs = F.array_sort(F.collect_list(
+        F.struct(F.col("__a"), F.col("__bv"), F.col("__t"))))
+    ssum = F.aggregate(pairs, F.lit(0.0), lambda acc, s: acc + s["__t"])
+    agg = cells.agg(
+        ssum.alias("__s"),
+        F.sum("__c").cast("bigint").alias("n"),
+        F.count_distinct(F.col("__a")).cast("bigint").alias("__nr"),
+        F.count_distinct(F.col("__bv")).cast("bigint").alias("__nk"),
+    )
+    chi2 = F.col("n").cast("double") * (F.col("__s") - F.lit(1.0))
+    dof = (F.col("__nr") - 1) * (F.col("__nk") - 1)
+    v = F.sqrt(
+        chi2 / (F.col("n").cast("double")
+                * (F.least("__nr", "__nk") - F.lit(1)).cast("double")))
+    return agg.select(
+        F.when(dof > 0, F.round(chi2, 9)).alias("chi2"),
+        F.when(dof > 0, F.round(v, 9)).alias("cramers_v"),
+        dof.cast("bigint").alias("dof"),
+        "n",
+    )
+
+
+def chi2_independence_sql(table: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB mirror of :func:`chi2_independence` — same cell-keyed
+    sorted fold, same expression order, same 9-decimal rounds."""
+    return f"""
+    WITH pts AS (SELECT {a_expr} AS a, {b_expr} AS b FROM {table}),
+    conf AS (SELECT a, b, COUNT(*) AS c FROM pts GROUP BY a, b),
+    ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM conf GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rb FROM conf GROUP BY b),
+    cells AS (
+      SELECT conf.a, conf.b,
+             CAST(c * c AS DOUBLE) / CAST(ra * rb AS DOUBLE) AS t, c
+      FROM conf JOIN ra USING (a) JOIN rb USING (b)
+    ),
+    agg AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list_sort(list({{'a': a, 'b': b, 't': t}}))
+                            .apply(e -> e.t)),
+               (acc, x) -> acc + x) AS s,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS nk
+      FROM cells
+    )
+    SELECT CASE WHEN (nr - 1) * (nk - 1) > 0 THEN
+             round(CAST(n AS DOUBLE) * (s - 1.0), 9) END AS chi2,
+           CASE WHEN (nr - 1) * (nk - 1) > 0 THEN
+             round(sqrt(CAST(n AS DOUBLE) * (s - 1.0)
+                        / (CAST(n AS DOUBLE)
+                           * CAST(LEAST(nr, nk) - 1 AS DOUBLE))), 9)
+           END AS cramers_v,
+           CAST((nr - 1) * (nk - 1) AS BIGINT) AS dof,
+           n
+    FROM agg
+    """
+
+
+def mutual_information(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the normalized variant NMI = MI/√(H(a)·H(b)) — how much one label
+    tells you about the other (0 = independent; the dependence-strength
+    companion to :func:`chi2_independence`'s significance).
+
+    MI = Σ_ij p_ij·ln(n·c_ij/(r_i·k_j)) over the contingency cells —
+    ratios of exact integers inside the ln, sorted-fold summation on
+    the (a, b) cell key, 9-decimal round (the repo transcendental
+    policy).  Entropies fold the margin relations the same way.
+    Degenerate sides (H = 0) emit NULL nmi.
+
+    Output: one row — ``mi, nmi (double), n (bigint)``.
+    """
+    conf = (
+        df.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__bv"))
+        .groupBy("__a", "__bv").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ra = conf.groupBy("__a").agg(F.sum("__c").cast("bigint").alias("__ra"))
+    rb = conf.groupBy("__bv").agg(F.sum("__c").cast("bigint").alias("__rb"))
+    tot = conf.agg(F.sum("__c").cast("bigint").alias("__n"))
+    j = (conf.join(F.broadcast(ra), "__a").join(F.broadcast(rb), "__bv")
+         .crossJoin(F.broadcast(tot)))  # one-row total — scalar idiom
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term = p * F.log(
+        (F.col("__n") * F.col("__c")).cast("double")
+        / (F.col("__ra") * F.col("__rb")).cast("double"))
+    cells = j.select("__a", "__bv", term.alias("__t"), F.col("__c"),
+                     F.col("__n"))
+    mi_pairs = F.array_sort(F.collect_list(
+        F.struct(F.col("__a"), F.col("__bv"), F.col("__t"))))
+    mi_sum = F.aggregate(mi_pairs, F.lit(0.0), lambda acc, s: acc + s["__t"])
+    mi_n = cells.agg(mi_sum.alias("__mi"), F.first("__n").alias("n"))
+
+    def _entropy(margin: DataFrame, key: str, cnt: str) -> DataFrame:
+        m = margin.crossJoin(F.broadcast(tot))
+        q = F.col(cnt).cast("double") / F.col("__n").cast("double")
+        t = m.select(F.col(key), (-q * F.log(q)).alias("__h"))
+        hp = F.array_sort(F.collect_list(F.struct(F.col(key), F.col("__h"))))
+        return t.agg(F.aggregate(
+            hp, F.lit(0.0), lambda acc, s: acc + s["__h"]).alias("h"))
+
+    ha = _entropy(ra, "__a", "__ra").select(F.col("h").alias("__ha"))
+    hb = _entropy(rb, "__bv", "__rb").select(F.col("h").alias("__hb"))
+    out = mi_n.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    nmi = F.when(
+        (F.col("__ha") > 0) & (F.col("__hb") > 0),
+        F.round(F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")), 9))
+    return out.select(
+        F.round("__mi", 9).alias("mi"), nmi.alias("nmi"), "n")
+
+
+def mutual_information_sql(table: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB mirror of :func:`mutual_information` — same cell-keyed and
+    margin-keyed sorted folds, same operation order, same rounds."""
+    return f"""
+    WITH pts AS (SELECT {a_expr} AS a, {b_expr} AS b FROM {table}),
+    conf AS (SELECT a, b, COUNT(*) AS c FROM pts GROUP BY a, b),
+    ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM conf GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rb FROM conf GROUP BY b),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM conf),
+    cells AS (
+      SELECT conf.a, conf.b,
+             (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(n * c AS DOUBLE) / CAST(ra * rb AS DOUBLE)) AS t
+      FROM conf JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot
+    ),
+    mi_ AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list_sort(list({{'a': a, 'b': b, 't': t}}))
+                            .apply(e -> e.t)),
+               (acc, x) -> acc + x) AS mi
+      FROM cells
+    ),
+    ha_ AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list_sort(list(
+                 {{'k': a,
+                   'h': -(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))}}))
+                            .apply(e -> e.h)),
+               (acc, x) -> acc + x) AS ha
+      FROM ra CROSS JOIN tot
+    ),
+    hb_ AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list_sort(list(
+                 {{'k': b,
+                   'h': -(CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))}}))
+                            .apply(e -> e.h)),
+               (acc, x) -> acc + x) AS hb
+      FROM rb CROSS JOIN tot
+    )
+    SELECT round(mi, 9) AS mi,
+           CASE WHEN ha > 0 AND hb > 0 THEN
+             round(mi / sqrt(ha * hb), 9) END AS nmi,
+           n
+    FROM mi_ CROSS JOIN ha_ CROSS JOIN hb_ CROSS JOIN tot
     """

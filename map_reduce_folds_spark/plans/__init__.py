@@ -486,10 +486,24 @@ def scale_audit(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
                 "compiles Exchange-free thereafter (q9 measured: "
                 "7.43x -> 1.97x per-10x growth)")
     if not ("WholeStageCodegen" in p or "*(" in p):
-        findings.append(
-            "no whole-stage codegen in the plan: expressions run "
-            "interpreted — prefer built-in functions over HOF-heavy or "
-            "UDF expressions in the hot path")
+        # an UNEXECUTED AdaptiveSparkPlan prints no codegen markers at
+        # all (CollapseCodegenStages wraps stages only as AQE finalizes
+        # them), so on isFinalPlan=false the rule has no evidence either
+        # way — flagging there was a false positive on EVERY pre-run
+        # audit (caught round-13 session 5 auditing plans before their
+        # first action).  Materialize first (df.collect()) for a real
+        # codegen verdict.
+        if "isFinalPlan=false" in p:
+            findings.append(
+                "codegen rule skipped: plan not yet finalized by AQE "
+                "(isFinalPlan=false) — run the query once (e.g. "
+                "df.collect()) and re-audit for a whole-stage-codegen "
+                "verdict")
+        else:
+            findings.append(
+                "no whole-stage codegen in the plan: expressions run "
+                "interpreted — prefer built-in functions over HOF-heavy "
+                "or UDF expressions in the hot path")
     if max_shuffles is not None:
         n = count_exchanges(df)
         if n > max_shuffles:

@@ -4863,3 +4863,33 @@ def js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     return ES.js_divergence_by_group(occ, "source", "tok")
+
+
+@query(
+    "chi2_lang_source",
+    oracle=ES.chi2_independence_sql("documents", "lang", "source"),
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test + Cramér's V between
+    language and source — the association screen a corpus-composition
+    audit runs (a high V means language is concentrated in specific
+    sources, so per-source sampling will skew the language mix).  One
+    confusion-matrix aggregation, margin folds of the tiny cell
+    relation, sorted-fold rational sum
+    (operators/evalstats.py:chi2_independence)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.chi2_independence(d, "lang", "source")
+
+
+@query(
+    "mi_lang_source",
+    oracle=ES.mutual_information_sql("documents", "lang", "source"),
+)
+def mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) between language and
+    source — the dependence-strength companion of chi2_lang_source:
+    how many nats of a document's language are already determined by
+    knowing its source.  Cell-keyed and margin-keyed sorted folds,
+    9-decimal round (operators/evalstats.py:mutual_information)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.mutual_information(d, "lang", "source")

@@ -327,3 +327,53 @@ def test_jsd_matches_python_reference(spark, tables):
         cov = sum(corpus[t] / n for t in cnt)
         jsd += 0.5 * math.log(2) * (1 - cov)
         assert got[s] == pytest.approx(jsd, abs=1e-9), s
+
+
+# ---------------------------------------------------------------------------
+# chi-square / Cramér's V / mutual information
+
+
+def test_chi2_independent_is_zero(spark):
+    # perfectly independent 2x2 (equal cells) -> chi2 = 0, V = 0
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, v string")
+    [(chi2, v, dof, n)] = _rows(
+        E.chi2_independence(df, "u", "v"), "chi2", "cramers_v", "dof", "n")
+    assert (dof, n) == (1, 20)
+    assert chi2 == pytest.approx(0.0, abs=1e-9)
+    assert v == pytest.approx(0.0, abs=1e-9)
+
+
+def test_chi2_hand_case_and_degenerate(spark):
+    # 2x2 with counts [[10, 20], [20, 10]]: chi2 = n*(sum c^2/(r*k) - 1)
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 20 + [("b", "y")] * 10)
+    df = spark.createDataFrame(rows, "u string, v string")
+    [(chi2, v, dof, n)] = _rows(
+        E.chi2_independence(df, "u", "v"), "chi2", "cramers_v", "dof", "n")
+    s = (100 / (30 * 30) + 400 / (30 * 30) + 400 / (30 * 30)
+         + 100 / (30 * 30))
+    assert chi2 == pytest.approx(60 * (s - 1), abs=1e-9)
+    assert v == pytest.approx(math.sqrt(60 * (s - 1) / 60), abs=1e-9)
+    # single category on one side -> dof 0, NULL stats
+    deg = spark.createDataFrame([("a", "x"), ("a", "y")], "u string, v string")
+    [(c2, v2, d2, _)] = _rows(
+        E.chi2_independence(deg, "u", "v"), "chi2", "cramers_v", "dof", "n")
+    assert (c2, v2, d2) == (None, None, 0)
+
+
+def test_mutual_information_cases(spark):
+    # independent -> MI 0; identical columns -> MI = H, NMI = 1
+    ind = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 3,
+        "u string, v string")
+    [(mi, nmi, _)] = _rows(E.mutual_information(ind, "u", "v"), "mi", "nmi", "n")
+    assert mi == pytest.approx(0.0, abs=1e-9)
+    assert nmi == pytest.approx(0.0, abs=1e-9)
+    same = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 1, "u string, v string")
+    [(mi2, nmi2, _)] = _rows(
+        E.mutual_information(same, "u", "v"), "mi", "nmi", "n")
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert mi2 == pytest.approx(h, abs=1e-9)
+    assert nmi2 == pytest.approx(1.0, abs=1e-9)

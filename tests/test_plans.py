@@ -809,3 +809,17 @@ def test_curation_bucketed_layout_cuts_exchanges(spark):
     # second run: write-once — the catalog table is reused
     again = _run(spark, "pipeline_curation_v3_bucketed")
     assert sorted(map(tuple, again.collect())) == got
+
+
+def test_scale_audit_codegen_rule_needs_final_plan(spark):
+    """An UNEXECUTED AdaptiveSparkPlan prints no codegen markers, so the
+    no-codegen rule must not fire there (round-13 session-5 false
+    positive): pre-run audits get the explicit 'skipped' note instead,
+    and after materialization a codegen'd plan gets neither finding."""
+    df = QUERIES["chao1_vocab_by_source"](spark, SF_DIR)
+    pre = P.scale_audit(df)
+    assert not any("no whole-stage codegen" in f for f in pre), pre
+    assert any("codegen rule skipped" in f for f in pre), pre
+    df.collect()
+    post = P.scale_audit(df)
+    assert not any("codegen" in f for f in post), post
