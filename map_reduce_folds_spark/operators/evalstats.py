@@ -1130,3 +1130,153 @@ def mutual_information_sql(table: str, a_expr: str, b_expr: str) -> str:
            n
     FROM mi_ CROSS JOIN ha_ CROSS JOIN hb_ CROSS JOIN tot
     """
+
+
+def classification_report(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from exact confusion counts —
+    the standard multi-class evaluation table, every metric ONE
+    integer-ratio division (F1 via the single-division identity
+    ``2·tp/(2·tp+fp+fn)``, never the harmonic-mean-of-two-doubles
+    form).  Classes absent from one side still appear (full outer
+    margin join); zero-support edges emit NULL rather than 0/0.
+
+    Shape: one confusion-matrix aggregation, two margins of the tiny
+    cell relation, one outer join on class — nothing data-sized moves
+    after the first shuffle.  Output: one row per class —
+    ``label, tp, fp, fn, precision, recall, f1 (doubles)``.
+    """
+    conf = (
+        df.select(F.col(truth_col).alias("__t"), F.col(pred_col).alias("__p"))
+        .groupBy("__t", "__p").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tp = (conf.where(F.col("__t") == F.col("__p"))
+          .select(F.col("__t").alias("label"),
+                  F.col("__c").cast("bigint").alias("tp")))
+    truth_m = conf.groupBy(F.col("__t").alias("label")).agg(
+        F.sum("__c").cast("bigint").alias("__support"))
+    pred_m = conf.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__c").cast("bigint").alias("__predicted"))
+    j = (truth_m.join(pred_m, "label", "full")
+         .join(tp, "label", "left")
+         .select(
+             "label",
+             F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+             (F.coalesce("__predicted", F.lit(0))
+              - F.coalesce("tp", F.lit(0))).cast("bigint").alias("fp"),
+             (F.coalesce("__support", F.lit(0))
+              - F.coalesce("tp", F.lit(0))).cast("bigint").alias("fn"),
+         ))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp").cast("double")
+                  / (F.col("tp") + F.col("fp")).cast("double"))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp").cast("double")
+                 / (F.col("tp") + F.col("fn")).cast("double"))
+    f1 = F.when(F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                (F.lit(2) * F.col("tp")).cast("double")
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+                .cast("double"))
+    return j.select("label", "tp", "fp", "fn",
+                    prec.alias("precision"), rec.alias("recall"),
+                    f1.alias("f1"))
+
+
+def classification_report_sql(table: str, truth_expr: str, pred_expr: str) -> str:
+    """DuckDB mirror of :func:`classification_report` — same margins,
+    same single-division identities."""
+    return f"""
+    WITH pts AS (SELECT {truth_expr} AS t, {pred_expr} AS p FROM {table}),
+    conf AS (SELECT t, p, COUNT(*) AS c FROM pts GROUP BY t, p),
+    tp AS (SELECT t AS label, CAST(c AS BIGINT) AS tp FROM conf WHERE t = p),
+    tm AS (SELECT t AS label, CAST(SUM(c) AS BIGINT) AS support
+           FROM conf GROUP BY t),
+    pm AS (SELECT p AS label, CAST(SUM(c) AS BIGINT) AS predicted
+           FROM conf GROUP BY p),
+    j AS (
+      SELECT label,
+             CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(predicted, 0) - COALESCE(tp, 0) AS BIGINT) AS fp,
+             CAST(COALESCE(support, 0) - COALESCE(tp, 0) AS BIGINT) AS fn
+      FROM tm FULL JOIN pm USING (label) LEFT JOIN tp USING (label)
+    )
+    SELECT label, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+           END AS f1
+    FROM j
+    """
+
+
+def auc_moment_relation(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """The MERGEABLE sufficient statistic for exact ROC-AUC: per-group
+    per-distinct-score positive/negative counts.  An additive monoid —
+    union the relations of any corpus split and re-aggregate, and you
+    hold EXACTLY the whole-corpus moments, so incremental AUC (daily
+    ingest batches, shard-parallel scans) is bitwise the batch AUC
+    (the incremental-PCA moment-relation convention).
+
+    Output: ``keys…, score (bigint), pos (bigint), neg (bigint)``.
+    """
+    gkeys = list(keys)
+    lab = F.col(label_col).cast("bigint")
+    return (
+        df.select(*gkeys, F.col(score_col).cast("bigint").alias("score"),
+                  lab.alias("__y"))
+        .groupBy(*gkeys, "score")
+        .agg(F.sum("__y").cast("bigint").alias("pos"),
+             F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("neg"))
+    )
+
+
+def auc_moment_merge(*relations: DataFrame) -> DataFrame:
+    """Merge AUC moment relations (additive monoid): union + re-sum.
+    ``auc_from_moments(auc_moment_merge(a, b)) ==
+    roc_auc(a_rows ∪ b_rows)`` bitwise."""
+    u = relations[0]
+    for r in relations[1:]:
+        u = u.unionByName(r)
+    other = [c for c in u.columns if c not in ("pos", "neg")]
+    return u.groupBy(*other).agg(
+        F.sum("pos").cast("bigint").alias("pos"),
+        F.sum("neg").cast("bigint").alias("neg"))
+
+
+def auc_from_moments(
+    moments: DataFrame,
+    keys: Sequence[str] = (),
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """Finalize exact tie-corrected AUC from a (merged) moment relation —
+    the :func:`roc_auc` tail stage (cum_below + the doubled-numerator
+    fold) applied to pre-aggregated counts."""
+    m, gkeys = _with_group(moments, keys)
+    m = m.withColumnRenamed("score", "__s") \
+         .withColumnRenamed("pos", "__pos").withColumnRenamed("neg", "__neg")
+    c = cum_below(m, gkeys, "__s", ["__neg"], nbuckets=nbuckets)
+    agg = c.groupBy(*gkeys).agg(
+        F.sum((F.col("__pos") * (F.lit(2) * F.col("below___neg")
+                                 + F.col("__neg"))).cast("decimal(38,0)"))
+        .alias("__num2"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum("__neg").cast("bigint").alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__num2").cast("double")
+        / (F.lit(2.0) * F.col("n_pos").cast("double")
+           * F.col("n_neg").cast("double")),
+    )
+    return agg.select(*(list(keys) or []), auc.alias("auc"), "n_pos", "n_neg")

@@ -4893,3 +4893,58 @@ def mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-decimal round (operators/evalstats.py:mutual_information)."""
     d = load_table(spark, sf_dir, "documents")
     return ES.mutual_information(d, "lang", "source")
+
+
+@query(
+    "classification_report_lang",
+    oracle=_KAPPA_BASE_SQL + ", "
+    + ES.classification_report_sql("rated", "a", "b").strip().removeprefix(
+        "WITH "),
+)
+def classification_report_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the source-majority language
+    baseline against the true labels — the standard multi-class
+    evaluation table, every metric a single exact integer division
+    (F1 = 2·tp/(2·tp+fp+fn), never the harmonic mean of two rounded
+    doubles).  Same rated relation as kappa_lang_majority; together
+    they are the full agreement picture (chance-corrected scalar +
+    per-class detail)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("__c").desc(), F.col("lang").asc())
+    maj = (counts.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") == 1)
+           .select("source", F.col("lang").alias("pred")))
+    rated = d.join(maj, "source").select(
+        F.col("lang").alias("truth"), "pred")
+    return ES.classification_report(rated, "truth", "pred")
+
+
+@query(
+    "roc_auc_incremental",
+    # the UNCHANGED batch oracle: the gate itself proves the merged
+    # incremental moments finalize to bitwise the batch AUC (the
+    # pca_incremental_components convention)
+    oracle=ES.roc_auc_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", keys=("source",)),
+)
+def roc_auc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact AUC: the corpus split into three disjoint
+    ingest batches (doc_id mod 3), each reduced independently to its
+    AUC moment relation (per-score pos/neg counts — an additive
+    monoid), merged, and finalized.  Registered under roc_auc's
+    UNCHANGED whole-corpus oracle, so the correctness gate itself
+    proves incremental == batch bitwise — the shard-parallel /
+    daily-ingest evaluation story (evalstats.auc_moment_relation /
+    auc_moment_merge / auc_from_moments)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int"))
+    batches = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    moments = [ES.auc_moment_relation(b, "n_chars", "is_en", keys=("source",))
+               for b in batches]
+    merged = ES.auc_moment_merge(*moments)
+    return ES.auc_from_moments(merged, keys=("source",))

@@ -377,3 +377,47 @@ def test_mutual_information_cases(spark):
     h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert mi2 == pytest.approx(h, abs=1e-9)
     assert nmi2 == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# classification report
+
+
+def test_classification_report_hand_case(spark):
+    # truth: a,a,a,b,b,c  pred: a,a,b,b,b,a
+    rows = [("a", "a"), ("a", "a"), ("a", "b"),
+            ("b", "b"), ("b", "b"), ("c", "a")]
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = {r["label"]: r.asDict() for r in
+           E.classification_report(df, "t", "p").collect()}
+    assert got["a"]["tp"] == 2 and got["a"]["fp"] == 1 and got["a"]["fn"] == 1
+    assert got["a"]["precision"] == 2 / 3
+    assert got["a"]["recall"] == 2 / 3
+    assert got["a"]["f1"] == 4 / 6
+    # class c: never predicted -> precision NULL, recall 0
+    assert got["c"]["precision"] is None
+    assert got["c"]["recall"] == 0.0
+    # class only in predictions appears too
+    rows2 = [("a", "zz")]
+    got2 = {r["label"]: r.asDict() for r in
+            E.classification_report(
+                spark.createDataFrame(rows2, "t string, p string"),
+                "t", "p").collect()}
+    assert got2["zz"]["fp"] == 1 and got2["zz"]["recall"] is None
+
+
+# ---------------------------------------------------------------------------
+# mergeable AUC moments
+
+
+def test_auc_moments_merge_equals_batch(spark, tables):
+    docs = tables["documents"].withColumn(
+        "y", (F.col("lang") == "en").cast("int"))
+    batch = E.roc_auc(docs, "n_chars", "y", keys=("source",))
+    parts = [docs.where(F.col("doc_id") % 4 == i) for i in range(4)]
+    moments = [E.auc_moment_relation(p, "n_chars", "y", keys=("source",))
+               for p in parts]
+    inc = E.auc_from_moments(E.auc_moment_merge(*moments), keys=("source",))
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, inc.collect()))
+    assert a == b  # bitwise: the monoid merge is exact
