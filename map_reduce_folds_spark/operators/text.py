@@ -731,3 +731,78 @@ def novelty_scores(
         F.when(F.col("n_shingles") > 0,
                F.col("n_novel").cast("double")
                / F.col("n_shingles").cast("double")).alias("novelty"))
+
+
+def trigram_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Character-trigram inverted index: one ``(gram, id)`` row per
+    DISTINCT trigram per document (the pg_trgm posting-list shape).
+    Build once (optionally persist with ``sources`` write helpers — the
+    winnow ``materialize_path`` convention) and every substring search
+    becomes a bounded semi-join instead of a full-corpus scan.
+
+    Size: ≤ total corpus characters; one shuffle (the distinct)."""
+    grams = F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - 2, 0)), "
+        f"i -> substring({text_col}, i, 3))"))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def trigram_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    postings: DataFrame | None = None,
+    max_grams: int = 8,
+) -> DataFrame:
+    """Exact substring search accelerated by the trigram index (the
+    pg_trgm plan): a document containing ``pattern`` necessarily
+    contains every trigram of the pattern, so intersecting (up to
+    ``max_grams``) pattern-trigram posting lists yields a LOSSLESS
+    candidate set, and a final literal ``contains`` on the candidates
+    alone gives the exact answer — the inverted-index discipline
+    applied to LIKE '%…%', which otherwise cannot push down and scans
+    every byte at 100 TB.
+
+    Using only a SUBSET of the pattern's trigrams stays lossless (each
+    gram is a necessary condition); the cap bounds the semi-join at
+    ``max_grams`` posting lists.  Patterns shorter than 3 characters
+    fall back to the plain scan filter (no trigram to index on).
+
+    Returns the matching rows of ``df`` (all columns).
+    """
+    if len(pattern) < 3:
+        return df.where(F.col(text_col).contains(F.lit(pattern)))
+    pgrams = []
+    for i in range(len(pattern) - 2):
+        g = pattern[i:i + 3]
+        if g not in pgrams:
+            pgrams.append(g)
+    pgrams = pgrams[:max_grams]
+    post = postings if postings is not None else trigram_postings(
+        df, id_col, text_col)
+    hits = (
+        post.where(F.col("gram").isin(pgrams))
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("__ng"))
+        .where(F.col("__ng") == len(pgrams))
+        .select(id_col)
+    )
+    return (
+        df.join(hits, id_col, "left_semi")
+        .where(F.col(text_col).contains(F.lit(pattern)))
+    )
+
+
+def trigram_search_sql(table: str, text_expr: str, pattern: str,
+                       select: str = "*") -> str:
+    """DuckDB mirror of :func:`trigram_search` — the brute-force truth
+    the index path must equal exactly: a literal ``position`` test
+    (no LIKE wildcard escaping hazards)."""
+    lit = pattern.replace("'", "''")
+    return (f"SELECT {select} FROM {table} "
+            f"WHERE position('{lit}' IN {text_expr}) > 0")

@@ -4948,3 +4948,24 @@ def roc_auc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                for b in batches]
     merged = ES.auc_moment_merge(*moments)
     return ES.auc_from_moments(merged, keys=("source",))
+
+
+_TRGM_PAT = "batch stream"
+
+
+@query(
+    "trigram_search_docs",
+    oracle=T.trigram_search_sql(
+        "documents", "text", _TRGM_PAT, select="doc_id, source, n_chars"),
+)
+def trigram_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring search through the character-trigram inverted
+    index (the pg_trgm plan): intersect the pattern's trigram posting
+    lists (lossless necessary-condition filter, capped at 8 grams) and
+    verify only the candidates with a literal contains — the
+    LIKE-'%…%'-at-100 TB answer, since a bare contains scan can never
+    push down.  The oracle is the brute-force truth
+    (operators/text.py:trigram_search)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.trigram_search(d, "doc_id", "text", _TRGM_PAT).select(
+        "doc_id", "source", "n_chars")

@@ -421,3 +421,53 @@ def test_auc_moments_merge_equals_batch(spark, tables):
     a = sorted(map(tuple, batch.collect()))
     b = sorted(map(tuple, inc.collect()))
     assert a == b  # bitwise: the monoid merge is exact
+
+
+# ---------------------------------------------------------------------------
+# trigram substring search (text.py, tested here with the eval wave)
+
+
+def test_trigram_search_equals_bruteforce(spark, tables):
+    from map_reduce_folds_spark.operators import text as T
+
+    docs = tables["documents"]
+    for pat in ("batch stream", "dup", "spark window", "zz-not-there"):
+        fast = sorted(r["doc_id"] for r in
+                      T.trigram_search(docs, "doc_id", "text", pat)
+                      .select("doc_id").collect())
+        slow = sorted(r["doc_id"] for r in
+                      docs.where(F.col("text").contains(F.lit(pat)))
+                      .select("doc_id").collect())
+        assert fast == slow, pat
+
+
+def test_trigram_candidates_are_lossless_superset(spark, tables):
+    from map_reduce_folds_spark.operators import text as T
+
+    docs = tables["documents"]
+    pat = "batch stream"
+    post = T.trigram_postings(docs, "doc_id", "text")
+    pgrams = list(dict.fromkeys(
+        pat[i:i + 3] for i in range(len(pat) - 2)))[:8]
+    cands = set(r["doc_id"] for r in post
+                .where(F.col("gram").isin(pgrams))
+                .groupBy("doc_id")
+                .agg(F.count_distinct("gram").alias("ng"))
+                .where(F.col("ng") == len(pgrams)).collect())
+    truth = set(r["doc_id"] for r in
+                docs.where(F.col("text").contains(F.lit(pat))).collect())
+    assert truth <= cands
+    # and the filter actually prunes (candidates << corpus)
+    assert len(cands) < docs.count()
+
+
+def test_trigram_short_pattern_fallback_and_quote_escape(spark):
+    from map_reduce_folds_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "xaby"), (3, "no")], "id long, text string")
+    got = sorted(r["id"] for r in
+                 T.trigram_search(df, "id", "text", "ab").collect())
+    assert got == [1, 2]
+    sql = T.trigram_search_sql("t", "text", "o'brien")
+    assert "'o''brien'" in sql
