@@ -1325,3 +1325,179 @@ def multi_touch_attribution_sql(
     UNION ALL
     SELECT * FROM direct WHERE n_touches > 0
     """
+
+
+def holtwinters_last(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    tiebreak_col: str | None = None,
+    alpha_halves: int = 2,
+    beta_halves: int = 2,
+    gamma_halves: int = 2,
+    horizon: int = 1,
+) -> DataFrame:
+    """Per-key HOLT-WINTERS additive triple-exponential smoothing
+    (level + trend + ``period``-slot seasonal), CURRENT state — the
+    seasonal member of the EWMA → Holt family.  Event-time fold:
+
+    .. code-block:: text
+
+        l' = α·(x − s[j]) + (1−α)·(l + b)        j = n mod period
+        b' = β·(l'−l) + (1−β)·b                  (expanded — see below)
+        s[j]' = γ·(x − l') + (1−γ)·s[j]
+
+    CONTRACT: seasonals seed at 0.0 (NOT the textbook first-season
+    average — deterministic, needs no second pass; during the first
+    season the recursion is exactly Holt with a growing seasonal
+    correction), the first observation seeds ``(l, b) = (x₁, 0)``, the
+    trend uses the expanded ``l'−l = α·((x−s[j])−l) + (1−α)·b`` form,
+    and the seasonal update DUPLICATES the level expression textually
+    (both engines evaluate the identical operation tree twice — the
+    holt_last contract convention).  α/β/γ = 1/2^k make every decay
+    multiply exact, so the fold is bitwise-portable with only
+    order-pinned addition rounding.
+
+    Forecast: ``level + h·trend + s[(n + h − 1) mod period]`` (the
+    seasonal slot the h-th future step lands on).
+
+    Shape: ONE groupBy(key), per-key sorted-array fold carrying
+    ``2 + period`` doubles (the sessionize/funnel per-key discipline);
+    no global order.  The DuckDB mirror walks a RECURSIVE CTE carrying
+    the seasonal LIST — each step is a fresh row, so the list_reduce
+    multi-float in-place hazard (see :func:`holt_last_sql`) cannot
+    arise.
+
+    Output: ``(key, n_events, level, trend, season_next, forecast)``
+    where ``season_next = s[(n + horizon − 1) mod period]`` (scalar
+    outputs only — the registered-query canonicalizer contract)."""
+    if min(alpha_halves, beta_halves, gamma_halves) < 1:
+        raise ValueError("alpha/beta/gamma halves must be >= 1")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    alpha = 1.0 / (1 << alpha_halves)
+    beta = 1.0 / (1 << beta_halves)
+    gamma = 1.0 / (1 << gamma_halves)
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    from ..timeutil import epoch_us
+
+    rows = F.array_sort(F.collect_list(F.struct(
+        epoch_us(F.col(ts_col)).alias("t"),
+        tb.alias("b"),
+        F.col(value_col).cast("double").alias("x"))))
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("tr"),
+        F.array(*[F.lit(0.0) for _ in range(period)]).alias("s"),
+    )
+
+    def step(acc, r):
+        j = (acc["n"] % period).cast("int")
+        sj = F.element_at(acc["s"], j + 1)
+        lnew = (F.when(acc["n"] == 0, r["x"])
+                .otherwise(F.lit(alpha) * (r["x"] - sj)
+                           + F.lit(1.0 - alpha) * (acc["l"] + acc["tr"])))
+        snew = (F.when(acc["n"] == 0, F.lit(0.0))
+                .otherwise(
+                    F.lit(gamma)
+                    * (r["x"]
+                       - (F.lit(alpha) * (r["x"] - sj)
+                          + F.lit(1.0 - alpha) * (acc["l"] + acc["tr"])))
+                    + F.lit(1.0 - gamma) * sj))
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            lnew.alias("l"),
+            F.when(acc["n"] == 0, F.lit(0.0))
+            .otherwise(F.lit(beta)
+                       * (F.lit(alpha) * ((r["x"] - sj) - acc["l"])
+                          + F.lit(1.0 - alpha) * acc["tr"])
+                       + F.lit(1.0 - beta) * acc["tr"]).alias("tr"),
+            F.transform(
+                acc["s"],
+                lambda v, i: F.when(i == j, snew).otherwise(v)).alias("s"),
+        )
+
+    acc = F.aggregate(rows, init, step)
+    slot = ((F.col("acc")["n"] + F.lit(horizon) - 1) % period).cast("int")
+    season_next = F.element_at(F.col("acc")["s"], slot + 1)
+    return (
+        df.groupBy(key)
+        .agg(acc.alias("acc"))
+        .select(key,
+                F.col("acc")["n"].alias("n_events"),
+                F.col("acc")["l"].alias("level"),
+                F.col("acc")["tr"].alias("trend"),
+                season_next.alias("season_next"),
+                (F.col("acc")["l"]
+                 + F.lit(float(horizon)) * F.col("acc")["tr"]
+                 + season_next).alias("forecast"))
+    )
+
+
+def holtwinters_last_sql(
+    src: str,
+    key: str,
+    ts_expr: str,
+    value_expr: str,
+    period: int,
+    tiebreak_expr: str = "0",
+    alpha_halves: int = 2,
+    beta_halves: int = 2,
+    gamma_halves: int = 2,
+    horizon: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`holtwinters_last` — the holt_last_sql
+    recursive CTE extended with a seasonal LIST column (updated by a
+    pure per-step ``list_transform``; fresh row per step, so the
+    multi-float in-place list_reduce hazard cannot arise).  Identical
+    expanded/duplicated expression forms."""
+    alpha = 1.0 / (1 << alpha_halves)
+    beta = 1.0 / (1 << beta_halves)
+    gamma = 1.0 / (1 << gamma_halves)
+    zeros = ", ".join(["CAST(0.0 AS DOUBLE)"] * period)
+    # row r.i is the (r.i)-th observation: n = r.i − 1 priors are folded
+    # when it arrives, so its seasonal slot is j = (r.i − 1) % period
+    # (0-based); DuckDB lists are 1-indexed, hence s.s[j + 1].
+    j = f"(CAST(r.i - 1 AS BIGINT) % {period})"
+    lnew = (f"({alpha!r} * (r.x - s.s[{j} + 1]) "
+            f"+ {1.0 - alpha!r} * (s.l + s.tr))")
+    return f"""
+    WITH RECURSIVE rows_ AS (
+        SELECT {key} AS k,
+               row_number() OVER (
+                   PARTITION BY {key}
+                   ORDER BY epoch_us({ts_expr}), {tiebreak_expr},
+                            CAST({value_expr} AS DOUBLE)) AS i,
+               CAST({value_expr} AS DOUBLE) AS x
+        FROM {src}
+    ),
+    step AS (
+        SELECT k, i, x AS l, CAST(0.0 AS DOUBLE) AS tr,
+               [{zeros}] AS s
+        FROM rows_ WHERE i = 1
+        UNION ALL
+        SELECT r.k, r.i,
+               {lnew},
+               {beta!r} * ({alpha!r} * ((r.x - s.s[{j} + 1]) - s.l)
+                           + {1.0 - alpha!r} * s.tr)
+               + {1.0 - beta!r} * s.tr,
+               list_transform(s.s, (v, li) ->
+                   CASE WHEN li = {j} + 1 THEN
+                     {gamma!r} * (r.x - {lnew}) + {1.0 - gamma!r} * s.s[{j} + 1]
+                   ELSE v END)
+        FROM step s JOIN rows_ r ON r.k = s.k AND r.i = s.i + 1
+    ),
+    fin AS (SELECT k, MAX(i) AS n FROM rows_ GROUP BY k)
+    SELECT s.k AS {key}, CAST(f.n AS BIGINT) AS n_events,
+           CAST(s.l AS DOUBLE) AS level,
+           CAST(s.tr AS DOUBLE) AS trend,
+           CAST(s.s[(CAST(f.n + {horizon} - 1 AS BIGINT) % {period}) + 1]
+                AS DOUBLE) AS season_next,
+           CAST(s.l + {float(horizon)!r} * s.tr
+                + s.s[(CAST(f.n + {horizon} - 1 AS BIGINT) % {period}) + 1]
+                AS DOUBLE) AS forecast
+    FROM step s JOIN fin f ON f.k = s.k AND s.i = f.n
+    """

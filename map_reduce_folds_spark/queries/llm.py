@@ -4969,3 +4969,31 @@ def trigram_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.trigram_search(d, "doc_id", "text", _TRGM_PAT).select(
         "doc_id", "source", "n_chars")
+
+
+def _holtwinters_oracle() -> str:
+    from map_reduce_folds_spark.operators.windows import holtwinters_last_sql
+
+    return holtwinters_last_sql(
+        "events", "user_id", "ts", "value", period=4,
+        tiebreak_expr="event_id", alpha_halves=2, beta_halves=2,
+        gamma_halves=2, horizon=2)
+
+
+@query("holtwinters_user_forecast", oracle=_holtwinters_oracle())
+def holtwinters_user_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user HOLT-WINTERS additive smoothing (level + trend +
+    4-slot seasonal, α = β = γ = 1/4) with a 2-step forecast — the
+    seasonal member completing the EWMA → Holt family: a periodic
+    signal (weekday cycles, batch-window load) makes Holt's trend
+    oscillate; the seasonal slots absorb the cycle.  Zero-seeded
+    seasonal contract, expanded trend + textually-duplicated level
+    expression (operators/windows.holtwinters_last); the mirror's
+    recursive CTE carries the seasonal LIST as fresh rows per step, so
+    DuckDB's multi-float in-place list_reduce hazard cannot arise."""
+    from map_reduce_folds_spark.operators.windows import holtwinters_last
+
+    e = load_table(spark, sf_dir, "events")
+    return holtwinters_last(e, "user_id", "ts", "value", period=4,
+                            tiebreak_col="event_id", alpha_halves=2,
+                            beta_halves=2, gamma_halves=2, horizon=2)

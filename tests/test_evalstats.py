@@ -471,3 +471,60 @@ def test_trigram_short_pattern_fallback_and_quote_escape(spark):
     assert got == [1, 2]
     sql = T.trigram_search_sql("t", "text", "o'brien")
     assert "'o''brien'" in sql
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters (windows.py, tested with this session's wave)
+
+
+def test_holtwinters_matches_python_fold(spark):
+    from map_reduce_folds_spark.operators.windows import holtwinters_last
+
+    xs = [5.0, 9.0, 2.0, 7.0, 6.0, 10.0, 3.0, 8.0, 6.5, 9.5]
+    m, a, b, g = 4, 0.25, 0.25, 0.25
+    df = spark.createDataFrame(
+        [(1, i, float(x)) for i, x in enumerate(xs)],
+        "k int, ts long, x double").selectExpr(
+        "k", "timestamp '2024-01-01' + ts * interval 1 second as ts", "x")
+    [(n, lvl, tr, sn, fc)] = [
+        (r["n_events"], r["level"], r["trend"], r["season_next"],
+         r["forecast"])
+        for r in holtwinters_last(df, "k", "ts", "x", period=m,
+                                  horizon=1).collect()]
+    l, t, s = xs[0], 0.0, [0.0] * m
+    for i, x in enumerate(xs[1:], start=1):
+        j = i % m
+        lnew = a * (x - s[j]) + (1 - a) * (l + t)
+        tnew = b * (a * ((x - s[j]) - l) + (1 - a) * t) + (1 - b) * t
+        s[j] = g * (x - lnew) + (1 - g) * s[j]
+        l, t = lnew, tnew
+    assert n == len(xs)
+    assert lvl == l and tr == t
+    assert sn == s[len(xs) % m]
+    assert fc == (l + 1.0 * t) + s[len(xs) % m]
+
+
+def test_holtwinters_learns_planted_season(spark):
+    from map_reduce_folds_spark.operators.windows import holtwinters_last
+
+    # pure period-4 signal, many cycles: seasonal slots must order like
+    # the planted pattern and the forecast must beat the level alone
+    pat = [0.0, 10.0, 20.0, 5.0]
+    rows = [(1, i, pat[i % 4]) for i in range(80)]
+    df = spark.createDataFrame(rows, "k int, ts long, x double").selectExpr(
+        "k", "timestamp '2024-01-01' + ts * interval 1 second as ts", "x")
+    [(sn, fc, lvl)] = [(r["season_next"], r["forecast"], r["level"])
+                       for r in holtwinters_last(
+                           df, "k", "ts", "x", period=4, horizon=1).collect()]
+    truth = pat[80 % 4]          # the next step's value
+    assert abs(fc - truth) < abs(lvl - truth)
+
+
+def test_holtwinters_guards(spark):
+    from map_reduce_folds_spark.operators.windows import holtwinters_last
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k int, ts long, x double")
+    with pytest.raises(ValueError):
+        holtwinters_last(df, "k", "ts", "x", period=1)
+    with pytest.raises(ValueError):
+        holtwinters_last(df, "k", "ts", "x", period=4, gamma_halves=0)
