@@ -1186,3 +1186,94 @@ def stream_pca_score(
             .write.mode("append").parquet(out_dir)
 
     return write_foreach_batch(stream, process, checkpoint_dir)
+
+
+def stream_holtwinters(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    tiebreak_col: str | None = None,
+    alpha_halves: int = 2,
+    beta_halves: int = 2,
+    gamma_halves: int = 2,
+    horizon: int = 1,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming per-key HOLT-WINTERS additive smoothing: the
+    incremental twin of ``windows.holtwinters_last`` — state is
+    ``2 + period`` doubles per key (count, level, trend, seasonal
+    slots) at any event volume.  Each micro-batch folds its rows in
+    (ts, tiebreak) event-time order through the identical zero-seeded /
+    expanded-trend / power-of-two contract recursion, so a time-ordered
+    replay is BITWISE equal to the batch operator (parity-tested),
+    emitting the rolling seasonal forecast per key per micro-batch.
+    Same arrival-order caveat as ``stream_holt``."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..timeutil import epoch_us
+
+    if min(alpha_halves, beta_halves, gamma_halves) < 1:
+        raise ValueError("alpha/beta/gamma halves must be >= 1")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    alpha = 1.0 / (1 << alpha_halves)
+    beta = 1.0 / (1 << beta_halves)
+    gamma = 1.0 / (1 << gamma_halves)
+    m, h = period, horizon
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = (f"{key} {fields[key]}, n_events bigint, level double, "
+                  "trend double, season_next double, forecast double")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    src = stream.select(
+        F.col(key),
+        epoch_us(F.col(ts_col)).alias("__t"),
+        tb.alias("__b"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+
+    def update(key_, pdf_iter, state: GroupState):
+        import pandas as pd  # local import: runs on executors
+
+        if state.exists:
+            (st_json,) = state.get
+            st = json.loads(st_json)
+            n, lv, tr, s = st[0], st[1], st[2], list(st[3])
+        else:
+            n, lv, tr, s = 0, 0.0, 0.0, [0.0] * m
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["__t"], pdf["__b"], pdf["__x"]))
+        rows.sort()
+        for _t, _b, x in rows:
+            x = float(x)
+            if n == 0:
+                lv, tr = x, 0.0
+            else:
+                j = n % m
+                sj = s[j]
+                nl = alpha * (x - sj) + (1 - alpha) * (lv + tr)
+                ntr = (beta * (alpha * ((x - sj) - lv) + (1 - alpha) * tr)
+                       + (1 - beta) * tr)
+                s[j] = gamma * (x - nl) + (1 - gamma) * sj
+                lv, tr = nl, ntr
+            n += 1
+        state.update((json.dumps([n, lv, tr, s]),))
+        sn = s[(n + h - 1) % m]
+        yield pd.DataFrame([{key: key_[0], "n_events": n, "level": lv,
+                             "trend": tr, "season_next": sn,
+                             "forecast": (lv + float(h) * tr) + sn}])
+
+    return (
+        src.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="acc string",
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

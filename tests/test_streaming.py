@@ -1337,3 +1337,54 @@ def test_stream_pca_score_matches_batch(spark, tmp_path_factory):
     want = {r.vec_id: r.resid
             for r in S.pca_residual_scores(emb, comps, means).collect()}
     assert got == want and len(got) == emb.count()
+
+
+def test_stream_holtwinters_matches_batch_across_boundary(
+        spark, tmp_path_factory):
+    """Streaming Holt-Winters over a time-ordered two-phase replay: the
+    LAST emission per key is BITWISE equal to batch holtwinters_last on
+    the union — the (level, trend, seasonal-slots) state carries across
+    the micro-batch boundary, including a key whose seasonal slot is
+    written in batch 1 and read in batch 2."""
+    from datetime import datetime
+
+    from map_reduce_folds_spark.operators.windows import holtwinters_last
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_holtwinters,
+    )
+
+    p = str(tmp_path_factory.mktemp("hw_stream"))
+    cols = ["eid", "ts", "k", "v"]
+    early = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 8.0),
+         (2, datetime(2024, 1, 2), 1, 4.25),
+         (3, datetime(2024, 1, 3), 1, 6.5),
+         (4, datetime(2024, 1, 1), 2, 5.0)], cols)
+    late = spark.createDataFrame(
+        [(5, datetime(2024, 1, 4), 1, 2.5),
+         (6, datetime(2024, 1, 5), 1, 11.0),
+         (7, datetime(2024, 1, 6), 1, 7.75),
+         (8, datetime(2024, 1, 2), 2, 7.5)], cols)
+    early.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(
+        spark, p, "eid bigint, ts timestamp, k bigint, v double")
+    out = stream_holtwinters(stream, "k", "ts", "v", period=3,
+                             tiebreak_col="eid", horizon=2)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("hw_stream").start())
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = {}
+    for r in spark.table("hw_stream").collect():
+        last[r["k"]] = (r["n_events"], r["level"], r["trend"],
+                        r["season_next"], r["forecast"])
+    batch = {r["k"]: (r["n_events"], r["level"], r["trend"],
+                      r["season_next"], r["forecast"])
+             for r in holtwinters_last(
+                 early.unionByName(late), "k", "ts", "v", period=3,
+                 tiebreak_col="eid", horizon=2).collect()}
+    assert last == batch  # bitwise, doubles included
