@@ -757,3 +757,165 @@ def ht_total_estimate(
         F.count(F.lit(1)).alias("n_sampled"),
         ((F.sum(F.col(value_col)).cast("double") * _BUCKETS) / thr)
         .alias("est_total"))
+
+
+def neyman_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    total_n: int,
+    id_col: str,
+    salt: str = "neyman",
+) -> DataFrame:
+    """Neyman-optimal stratified sampling: allocate a TOTAL budget of
+    ``total_n`` rows across strata proportionally to ``N_h·σ_h`` (the
+    allocation minimizing the stratified-mean variance — Neyman 1934),
+    then draw each stratum's share deterministically by the hash order
+    (the ``stratified_sample_exact`` discipline).
+
+    Exactness: ``N_h·σ_h = √(N_h·Σx² − (Σx)²)`` — the square root of an
+    EXACT integer (DECIMAL-staged population-variance numerator), so
+    the weights carry no accumulation-order noise; the weight total is
+    a sorted-array fold over the (bounded) strata relation; integer
+    targets use floor + largest-remainder (ties broken by stratum key,
+    rank via a count-comparison over the tiny strata relation — no
+    global-order window).  Realized counts cap at the stratum size
+    (textbook Neyman without the reallocation iteration — document the
+    shortfall, don't hide it).
+
+    Shape: one moment aggregation (map-side combinable), bounded strata
+    arithmetic, one partitioned rank window + broadcast allocation
+    join over the data.  Output: the sampled rows of ``df``."""
+    from pyspark.sql.window import Window
+
+    x = F.col(value_col).cast("bigint")
+    mom = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nh"),
+        F.sum(x.cast("decimal(38,0)")).alias("__sx"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("__sxx"),
+    )
+    w = F.sqrt((F.col("__nh") * F.col("__sxx")
+                - F.col("__sx") * F.col("__sx")).cast("double"))
+    strata = mom.select(group_col, "__nh", w.alias("__w"))
+    tot_pairs = F.array_sort(F.collect_list(
+        F.struct(F.col(group_col), F.col("__w"))))
+    tot = strata.agg(F.aggregate(
+        tot_pairs, F.lit(0.0), lambda a, s: a + s["__w"]).alias("__tw"))
+    st = strata.crossJoin(F.broadcast(tot))  # one-row total — scalar idiom
+    share = F.when(F.col("__tw") > 0,
+                   F.col("__w") / F.col("__tw")).otherwise(F.lit(0.0))
+    st = st.select(
+        group_col, "__nh",
+        F.floor(F.lit(float(total_n)) * share).cast("bigint").alias("__fl"),
+        (F.lit(float(total_n)) * share
+         - F.floor(F.lit(float(total_n)) * share)).alias("__rem"),
+    )
+    fl_pairs = F.array_sort(F.collect_list(
+        F.struct(F.col(group_col), F.col("__fl"))))
+    fl_tot = st.agg(F.aggregate(
+        fl_pairs, F.lit(0).cast("bigint"),
+        lambda a, s: a + s["__fl"]).alias("__ft"))
+    # largest-remainder rank by pairwise comparison over the tiny strata
+    # relation (deterministic, no global-order window): strata strictly
+    # ahead of h = bigger remainder, or equal remainder and smaller key
+    o = st.select(F.col(group_col).alias("__og"),
+                  F.col("__rem").alias("__orem"))
+    ranked = (
+        st.join(o, (F.col("__orem") > F.col("__rem"))
+                | ((F.col("__orem") == F.col("__rem"))
+                   & (F.col("__og") < F.col(group_col))), "left")
+        .groupBy(group_col, "__nh", "__fl", "__rem")
+        .agg(F.count("__og").cast("bigint").alias("__rank"))
+    )
+    alloc = (
+        ranked.crossJoin(F.broadcast(fl_tot))
+        .select(
+            group_col, "__nh",
+            (F.col("__fl")
+             + F.when(F.col("__rank") < F.lit(total_n) - F.col("__ft"), 1)
+             .otherwise(0)).cast("bigint").alias("n_target"),
+        )
+    )
+    wn = Window.partitionBy(group_col).orderBy(
+        _bucket(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(wn))
+        .join(F.broadcast(alloc.select(group_col, "n_target")), group_col)
+        .where(F.col("__rn") <= F.col("n_target"))
+        .drop("__rn", "n_target")
+    )
+
+
+def neyman_sample_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    total_n: int,
+    id_expr: str,
+    salt: str = "neyman",
+    select: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`neyman_sample` — HUGEINT moment
+    arithmetic, the same sorted-fold weight total, the same pairwise
+    largest-remainder rank, the same hash draw order."""
+    return f"""
+    WITH mom AS (
+      SELECT {group_col} AS g,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             SUM(CAST({value_expr} AS HUGEINT)) AS sx,
+             SUM(CAST({value_expr} AS HUGEINT)
+                 * CAST({value_expr} AS HUGEINT)) AS sxx
+      FROM {table} GROUP BY 1
+    ),
+    strata AS (
+      SELECT g, nh, sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)) AS w
+      FROM mom
+    ),
+    tot AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list_sort(list({{'g': g, 'w': w}}))
+                            .apply(e -> e.w)),
+               (a, x) -> a + x) AS tw
+      FROM strata
+    ),
+    st AS (
+      SELECT g, nh,
+             CAST(FLOOR({float(total_n)!r}
+                        * (CASE WHEN tw > 0 THEN w / tw ELSE 0.0 END))
+                  AS BIGINT) AS fl,
+             {float(total_n)!r}
+               * (CASE WHEN tw > 0 THEN w / tw ELSE 0.0 END)
+               - FLOOR({float(total_n)!r}
+                       * (CASE WHEN tw > 0 THEN w / tw ELSE 0.0 END)) AS rem
+      FROM strata CROSS JOIN tot
+    ),
+    ft AS (
+      SELECT CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_sort(list({{'g': g, 'f': fl}}))
+                            .apply(e -> e.f)),
+               (a, x) -> a + x) AS BIGINT) AS ftot
+      FROM st
+    ),
+    ranked AS (
+      SELECT s.g, s.nh, s.fl, s.rem,
+             CAST(COUNT(o.g) AS BIGINT) AS rnk
+      FROM st s LEFT JOIN st o
+        ON (o.rem > s.rem) OR (o.rem = s.rem AND o.g < s.g)
+      GROUP BY s.g, s.nh, s.fl, s.rem
+    ),
+    alloc AS (
+      SELECT g, CAST(fl + CASE WHEN rnk < {total_n} - ftot THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_target
+      FROM ranked CROSS JOIN ft
+    )
+    SELECT {select}
+    FROM (
+      SELECT t.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.{group_col}
+               ORDER BY {_bucket_sql(id_expr, salt)}, {id_expr}) AS rn,
+             a.n_target
+      FROM {table} t JOIN alloc a ON a.g = t.{group_col}
+    ) WHERE rn <= n_target
+    """

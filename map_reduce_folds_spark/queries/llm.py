@@ -4997,3 +4997,34 @@ def holtwinters_user_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holtwinters_last(e, "user_id", "ts", "value", period=4,
                             tiebreak_col="event_id", alpha_halves=2,
                             beta_halves=2, gamma_halves=2, horizon=2)
+
+
+_NEYMAN_N = 1000
+
+
+@query(
+    "neyman_sample_sources",
+    oracle=SM.neyman_sample_sql(
+        "documents", "source", "n_chars", _NEYMAN_N, "doc_id",
+        select="source, CAST(COUNT(*) AS BIGINT) AS n_picked, "
+               "CAST(SUM(doc_id) AS BIGINT) AS sum_ids, "
+               "CAST(SUM(n_chars) AS BIGINT) AS sum_chars")
+    + " GROUP BY source",
+)
+def neyman_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample of the corpus (budget 1000,
+    strata = source, variance column = n_chars): high-variance sources
+    get proportionally more of the labeling/eval budget — the
+    statistically-optimal version of per-source quotas.  Allocation
+    weights are √(exact integer variance numerators), integer targets
+    by floor + largest-remainder, rows drawn by the deterministic hash
+    order; the oracle replays the identical allocation and draw
+    (operators/sampling.py:neyman_sample).  Emitted as per-stratum
+    (count, Σid, Σchars) so the sample membership itself is what the
+    hash gate checks."""
+    d = load_table(spark, sf_dir, "documents")
+    s = SM.neyman_sample(d, "source", "n_chars", _NEYMAN_N, "doc_id")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_picked"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"))

@@ -528,3 +528,45 @@ def test_holtwinters_guards(spark):
         holtwinters_last(df, "k", "ts", "x", period=1)
     with pytest.raises(ValueError):
         holtwinters_last(df, "k", "ts", "x", period=4, gamma_halves=0)
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation (sampling.py, tested with this session's wave)
+
+
+def test_neyman_budget_and_optimality_shape(spark):
+    from map_reduce_folds_spark.operators.sampling import neyman_sample
+
+    # three strata: same size, very different variance -> allocation
+    # must order by sigma and sum exactly to the budget
+    import random
+    random.seed(7)
+    rows = ([("flat", i, 100) for i in range(200)]
+            + [("mid", 1000 + i, 100 + (i % 21) * 5) for i in range(200)]
+            + [("wild", 2000 + i, (i * 37) % 1000) for i in range(200)])
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    picked = neyman_sample(df, "g", "v", 90, "id")
+    counts = {r["g"]: r["n"] for r in
+              picked.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 90
+    # zero-variance stratum gets (almost) nothing; wild gets the most
+    assert counts.get("flat", 0) <= 1
+    assert counts["wild"] > counts["mid"] > 50 - counts["wild"] // 2 - 60  # wild dominates
+    assert counts["wild"] + counts["mid"] >= 89
+
+
+def test_neyman_caps_at_stratum_size_and_is_deterministic(spark):
+    from map_reduce_folds_spark.operators.sampling import neyman_sample
+
+    rows = ([("tiny", i, i * 97) for i in range(5)]
+            + [("big", 100 + i, 50) for i in range(100)])
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    p1 = sorted(r["id"] for r in neyman_sample(df, "g", "v", 50, "id").collect())
+    p2 = sorted(r["id"] for r in neyman_sample(df, "g", "v", 50, "id").collect())
+    assert p1 == p2  # same-seed determinism
+    counts = {}
+    for r in neyman_sample(df, "g", "v", 50, "id").collect():
+        counts[r["g"]] = counts.get(r["g"], 0) + 1
+    # all weight sits on 'tiny' (big is constant): target > 5 but the
+    # realized draw caps at the stratum size
+    assert counts["tiny"] == 5
