@@ -806,3 +806,77 @@ def trigram_search_sql(table: str, text_expr: str, pattern: str,
     lit = pattern.replace("'", "''")
     return (f"SELECT {select} FROM {table} "
             f"WHERE position('{lit}' IN {text_expr}) > 0")
+
+
+def trigram_search_many(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: DataFrame,
+    pattern_col: str = "pattern",
+    postings: DataFrame | None = None,
+    max_grams: int = 8,
+) -> DataFrame:
+    """MULTI-pattern exact substring search — the blocklist shape (ban
+    phrases, contamination markers, canary strings) run as ONE
+    distributed plan instead of |patterns| scans: every pattern's
+    trigrams join the shared posting index, a (pattern, doc) candidate
+    must contain ALL of its pattern's (capped) trigrams, and only the
+    candidates pay the literal ``contains`` verify.
+
+    Lossless per pattern by the same necessary-condition argument as
+    :func:`trigram_search`; patterns shorter than 3 characters are
+    rejected (ValueError via a plan-time check is impossible on a
+    relation — they would silently match nothing, so the operator
+    filters them out and the caller should pre-validate).
+
+    Shape: pattern-gram relation (tiny: ≤ max_grams rows per pattern,
+    broadcast) ⋈ postings on gram → count-distinct-grams filter →
+    text attach + verify.  Candidate volume = Σ posting lengths of the
+    patterns' grams — the inverted-index bound, never |docs|·|patterns|.
+
+    Output: ``(pattern, id)`` one row per (pattern, matching doc).
+    """
+    post = postings if postings is not None else trigram_postings(
+        df, id_col, text_col)
+    pats = patterns.select(F.col(pattern_col).alias("pattern")) \
+        .where(F.length("pattern") >= 3).distinct()
+    pgrams = pats.select(
+        "pattern",
+        F.explode(F.slice(F.array_distinct(F.expr(
+            "transform(sequence(1, length(pattern) - 2), "
+            "i -> substring(pattern, i, 3))")), 1, max_grams)).alias("gram"),
+    )
+    need = pgrams.groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("__need"))
+    cands = (
+        post.join(F.broadcast(pgrams), "gram")
+        .groupBy("pattern", id_col)
+        .agg(F.count_distinct("gram").alias("__got"))
+        .join(F.broadcast(need), "pattern")
+        .where(F.col("__got") == F.col("__need"))
+        .select("pattern", id_col)
+    )
+    return (
+        cands.join(df.select(id_col, text_col), id_col)
+        .where(F.expr(f"contains({text_col}, pattern)"))
+        .select("pattern", id_col)
+    )
+
+
+def trigram_search_many_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    patterns_values: list[str],
+) -> str:
+    """DuckDB mirror of :func:`trigram_search_many` — brute-force truth
+    over an inline VALUES pattern list."""
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "')" for p in patterns_values)
+    return f"""
+    WITH pats(pattern) AS (VALUES {vals})
+    SELECT pattern, {id_expr} AS id
+    FROM {table} JOIN pats ON position(pattern IN {text_expr}) > 0
+    WHERE length(pattern) >= 3
+    """

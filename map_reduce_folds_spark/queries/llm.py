@@ -5028,3 +5028,25 @@ def neyman_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_picked"),
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"))
+
+
+_BLOCKLIST = ["batch stream", "spark window", "scan merge part"]
+
+
+@query(
+    "blocklist_scan_docs",
+    oracle=T.trigram_search_many_sql(
+        "documents", "doc_id", "text", _BLOCKLIST),
+)
+def blocklist_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scan: every (banned phrase, document) hit across a
+    3-phrase list in ONE distributed plan — pattern trigrams broadcast
+    against the shared posting index, candidates bounded by posting-
+    list mass (never |docs|·|patterns|), literal contains verify on
+    candidates only.  The shape a canary/contamination/ban-phrase
+    sweep takes at 100 TB (operators/text.py:trigram_search_many);
+    oracle is the brute-force VALUES-join truth."""
+    d = load_table(spark, sf_dir, "documents")
+    pats = spark.createDataFrame([(p,) for p in _BLOCKLIST], "pattern string")
+    return T.trigram_search_many(d, "doc_id", "text", pats).select(
+        "pattern", F.col("doc_id").alias("id"))

@@ -570,3 +570,21 @@ def test_neyman_caps_at_stratum_size_and_is_deterministic(spark):
     # all weight sits on 'tiny' (big is constant): target > 5 but the
     # realized draw caps at the stratum size
     assert counts["tiny"] == 5
+
+
+def test_trigram_search_many_equals_bruteforce(spark, tables):
+    from map_reduce_folds_spark.operators import text as T
+
+    docs = tables["documents"]
+    pats = spark.createDataFrame(
+        [("batch stream",), ("dup",), ("no-such-phrase-xx",), ("ab",)],
+        "pattern string")
+    got = sorted((r["pattern"], r["doc_id"]) for r in
+                 T.trigram_search_many(docs, "doc_id", "text", pats)
+                 .collect())
+    want = []
+    for p in ("batch stream", "dup"):   # >= 3 chars only; 'ab' filtered
+        want += [(p, r["doc_id"]) for r in
+                 docs.where(F.col("text").contains(F.lit(p)))
+                 .select("doc_id").collect()]
+    assert got == sorted(want)
