@@ -3113,3 +3113,90 @@ def retrieval_eval_sql(
                      (acc, x) -> acc + x), 9) AS ndcg
     FROM nt LEFT JOIN per_q p USING ({q})
     """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009
+    — public literature): merge N per-query candidate rankings into one
+    by ``rrf = Σ_i 1/(k0 + rank_i)`` — the standard hybrid-search
+    combiner (lexical BM25 ⊕ dense ANN) that needs no score
+    calibration because only RANKS cross ranker boundaries.
+
+    Each input carries ``(query_col, id_col, score_col)`` and is
+    expected to be a BOUNDED top-k candidate list per query (build it
+    with ``relational.topk`` / :func:`brute_force_topk` — both compile
+    to per-partition heaps); the rank window below partitions by query
+    over those bounded lists, so no global sort exists at any scale.
+
+    Determinism: ranks use the family's (score DESC, id) tie-break;
+    each contribution ``1.0/(k0 + rank)`` is one exactly-rounded IEEE
+    division, and contributions add LEFT-TO-RIGHT in the callers' list
+    order (a fixed-parenthesization chain, never a float SUM across an
+    unordered relation), so the fused score is bitwise-reproducible —
+    SQL mirror :func:`rrf_fuse_sql`.
+
+    An item absent from ranking ``i`` contributes 0.0 and keeps a NULL
+    ``rank_i`` (callers wanting a non-null sentinel coalesce it).
+
+    Output: ``(query_col, id_col, rrf, rank_0 … rank_{N-1})``.
+    """
+    from pyspark.sql.window import Window as _W
+
+    assert rankings, "rrf_fuse needs at least one ranking"
+    fused = None
+    for i, r in enumerate(rankings):
+        rnk = F.row_number().over(
+            _W.partitionBy(query_col)
+            .orderBy(F.col(score_col).desc(), F.col(id_col)))
+        ranked = (r.select(query_col, id_col, score_col)
+                  .withColumn(f"rank_{i}", rnk.cast("bigint"))
+                  .drop(score_col))
+        fused = ranked if fused is None else fused.join(
+            ranked, [query_col, id_col], "full_outer")
+    total = None
+    for i in range(len(rankings)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0))
+                          + F.col(f"rank_{i}").cast("double")),
+            F.lit(0.0))
+        total = c if total is None else total + c
+    return fused.select(
+        query_col, id_col, total.alias("rrf"),
+        *[f"rank_{i}" for i in range(len(rankings))])
+
+
+def rrf_fuse_sql(
+    ranking_sqls: "list[str]",
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> str:
+    """DuckDB mirror of :func:`rrf_fuse` — identical ranks (same
+    tie-break), identical left-to-right contribution chain."""
+    q, i_, s = query_col, id_col, score_col
+    ctes, joins = [], None
+    for i, sql in enumerate(ranking_sqls):
+        ctes.append(f"src_{i} AS ({sql})")
+        ctes.append(
+            f"rk_{i} AS (SELECT {q}, {i_}, CAST(ROW_NUMBER() OVER ("
+            f"PARTITION BY {q} ORDER BY {s} DESC, {i_}) AS BIGINT) "
+            f"AS rank_{i} FROM src_{i})")
+        joins = (f"rk_{i}" if joins is None
+                 else f"({joins} FULL JOIN rk_{i} USING ({q}, {i_}))")
+    chain = " + ".join(
+        f"COALESCE(1.0 / ({float(k0)!r} + CAST(rank_{i} AS DOUBLE)), 0.0)"
+        for i in range(len(ranking_sqls)))
+    ranks = ", ".join(f"rank_{i}" for i in range(len(ranking_sqls)))
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT {q}, {i_}, {chain} AS rrf, {ranks} FROM {joins}")

