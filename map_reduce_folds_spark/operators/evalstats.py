@@ -1280,3 +1280,165 @@ def auc_from_moments(
            * F.col("n_neg").cast("double")),
     )
     return agg.select(*(list(keys) or []), auc.alias("auc"), "n_pos", "n_neg")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (time-to-event with right censoring)
+# ---------------------------------------------------------------------------
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """KAPLAN-MEIER product-limit survival estimate (Kaplan & Meier,
+    JASA 1958 — public literature): from one row per SUBJECT with an
+    integer ``duration_col`` and ``event_col`` (1 = the event was
+    observed at that duration, 0 = right-censored there), estimate
+    S(t) = Π_{t_j ≤ t} (1 − d_j/n_j) at every observed event time —
+    the retention / time-to-conversion curve of product analytics and
+    the churn model's nonparametric baseline.
+
+    Exactness: d_j (events at t_j) and n_j (subjects still at risk:
+    duration ≥ t_j, censored included) are exact integer sums; each
+    factor folds as ``round(ln(1 − d/n), 9)`` (the repo's 9-decimal ln
+    discipline) summed LEFT-TO-RIGHT over the time-sorted factor list
+    and exponentiated once per emitted row, so both engines walk an
+    identical fixed-parenthesization chain (SQL mirror
+    :func:`kaplan_meier_sql`).  A time where d = n (everyone remaining
+    exits) sends the curve to exactly 0.0 from that row on — guarded
+    explicitly because ln(0) is NULL on Spark and an ERROR on DuckDB.
+
+    Scale: the subject relation aggregates to the DISTINCT-DURATION
+    relation first (map-side combinable), and only that bounded
+    relation is collected per group into the sorted factor array — the
+    contract is bounded distinct durations per group (calendar-bucketed
+    durations: days, hours within a horizon), NEVER raw microseconds;
+    re-bucket upstream if unbounded.  The prefix fold re-folds per
+    emitted row (O(k²) on k ≤ a few hundred distinct times — branchless
+    vectorized HOFs on a bounded array, not a corpus stream).
+
+    Output: ``keys…, duration, n_risk, n_events, survival`` — one row
+    per duration with d > 0 (the curve's step points).
+    """
+    df, gkeys = _with_group(df, keys)
+    ev = F.col(event_col).cast("bigint")
+    g = (
+        df.select(*gkeys,
+                  F.col(duration_col).cast("bigint").alias("__t"),
+                  ev.alias("__e"))
+        .groupBy(*gkeys, "__t")
+        .agg(F.sum("__e").alias("__d"),
+             F.sum(F.lit(1) - F.col("__e")).alias("__c"))
+    )
+    a = g.groupBy(*gkeys).agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("__t").alias("t"), F.col("__d").alias("d"),
+                     F.col("__c").alias("c")))).alias("__arr"),
+        F.sum(F.col("__d") + F.col("__c")).alias("__total"),
+    )
+    # pass 1: at-risk counts n_j = total − Σ_{i<j} (d_i + c_i)
+    arr_n = F.transform(
+        F.col("__arr"),
+        lambda x, i: F.struct(
+            x["t"].alias("t"), x["d"].alias("d"),
+            (F.col("__total") - F.aggregate(
+                F.slice(F.col("__arr"), F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y["d"] + y["c"])).alias("n")))
+    b = a.select(*gkeys, arr_n.alias("__arr2"))
+    # pass 2: per-step survival = exp(left-fold of rounded ln factors),
+    # pinned to exactly 0.0 once any prefix step had d = n
+    arr_s = F.transform(
+        F.col("__arr2"),
+        lambda x, i: F.struct(
+            x["t"].alias("t"), x["d"].alias("d"), x["n"].alias("n"),
+            F.when(
+                F.aggregate(
+                    F.slice(F.col("__arr2"), F.lit(1), i + 1),
+                    F.lit(False),
+                    lambda acc, y: acc | (y["d"] == y["n"])),
+                F.lit(0.0),
+            ).otherwise(F.round(F.exp(F.aggregate(
+                F.slice(F.col("__arr2"), F.lit(1), i + 1),
+                F.lit(0.0),
+                lambda acc, y: acc + F.when(
+                    y["d"] > 0,
+                    F.round(F.log(
+                        F.lit(1.0) - y["d"].cast("double")
+                        / y["n"].cast("double")), 9),
+                ).otherwise(F.lit(0.0)))), 9)).alias("survival")))
+    out = (
+        b.select(*gkeys, F.explode(arr_s).alias("__x"))
+        .where(F.col("__x.d") > 0)
+        .select(*(list(keys) or []),
+                F.col("__x.t").alias("duration"),
+                F.col("__x.n").alias("n_risk"),
+                F.col("__x.d").alias("n_events"),
+                F.col("__x.survival").alias("survival"))
+    )
+    return out
+
+
+def kaplan_meier_sql(
+    subjects_sql: str,
+    duration_expr: str = "duration",
+    event_expr: str = "event",
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`kaplan_meier` — identical integer risk
+    sets and the same left-folded rounded-ln factor chain (single-float
+    ``list_reduce`` accumulators only: immune to the multi-float struct
+    hazard documented at holt_last_sql)."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    kout = f"{kpref}" if keys else ""
+    return f"""
+    WITH subj AS ({subjects_sql}),
+    g AS (
+        SELECT {kpref}CAST({duration_expr} AS BIGINT) AS t,
+               CAST(SUM(CAST({event_expr} AS BIGINT)) AS BIGINT) AS d,
+               CAST(SUM(1 - CAST({event_expr} AS BIGINT)) AS BIGINT) AS c
+        FROM subj GROUP BY {kpref}t
+    ),
+    a AS (
+        SELECT {kpref}
+               list_sort(list({{'t': t, 'd': d, 'c': c}})) AS arr,
+               CAST(SUM(d + c) AS BIGINT) AS total
+        FROM g {grp}
+    ),
+    b AS (
+        SELECT {kpref}
+               list_transform(arr, (x, i) -> {{
+                   't': x.t, 'd': x.d,
+                   'n': total - list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(arr[1:i-1], y -> y.d + y.c)),
+                       (p, q) -> p + q)}}) AS arr2
+        FROM a
+    ),
+    e AS (
+        SELECT {kpref}
+               unnest(list_transform(arr2, (x, i) -> {{
+                   't': x.t, 'd': x.d, 'n': x.n,
+                   'survival': CASE WHEN list_reduce(
+                           list_prepend(FALSE,
+                               list_transform(arr2[1:i], y -> y.d = y.n)),
+                           (p, q) -> p OR q)
+                       THEN 0.0
+                       ELSE round(exp(list_reduce(
+                           list_prepend(0.0,
+                               list_transform(arr2[1:i],
+                                   y -> CASE WHEN y.d > 0 THEN
+                                       round(ln(1.0 - CAST(y.d AS DOUBLE)
+                                             / CAST(y.n AS DOUBLE)), 9)
+                                       ELSE 0.0 END)),
+                           (p, q) -> p + q)), 9) END}}),
+                   recursive := true)
+        FROM b
+    )
+    SELECT {kout}t AS duration, n AS n_risk, d AS n_events, survival
+    FROM e WHERE d > 0
+    """

@@ -4220,3 +4220,53 @@ def purchase_ztest_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = (e.withColumn("bucket", (F.col("user_id") % 8).cast("bigint"))
           .withColumn("succ", (F.col("event_type") == "purchase").cast("int")))
     return ES.two_proportion_ztest(eb, "bucket", "succ")
+
+
+_KM_HORIZON_H = 48  # administrative-censoring horizon (hours)
+
+# subjects: one row per user — hours from first event to first purchase,
+# event=1 if it happened inside the horizon, else censored AT the horizon
+_KM_SUBJECTS_SQL = f"""
+    WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS f_us
+               FROM events GROUP BY 1),
+    p AS (SELECT user_id, MIN(epoch_us(ts)) AS fp_us
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    s AS (SELECT u.user_id,
+                 CAST((fp_us - f_us) // 3600000000 AS BIGINT) AS raw_h
+          FROM u LEFT JOIN p ON u.user_id = p.user_id)
+    SELECT user_id,
+           CASE WHEN raw_h IS NOT NULL AND raw_h < {_KM_HORIZON_H}
+                THEN raw_h ELSE {_KM_HORIZON_H} END AS duration,
+           CASE WHEN raw_h IS NOT NULL AND raw_h < {_KM_HORIZON_H}
+                THEN 1 ELSE 0 END AS event
+    FROM s"""
+
+
+@query(
+    "km_conversion_curve",
+    oracle=ES.kaplan_meier_sql(_KM_SUBJECTS_SQL),
+)
+def km_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER time-to-conversion (operators/evalstats.
+    kaplan_meier): survival curve of hours from a user's FIRST event to
+    their FIRST purchase, administratively right-censored at the 48 h
+    horizon — the nonparametric conversion/retention curve (Kaplan &
+    Meier 1958) with censoring handled correctly, which a naive
+    "conversion latency percentile" silently gets wrong.  Subjects
+    aggregate from the events scan (two map-side-combinable min's);
+    durations are integer hours (exact epoch-microsecond floor
+    division), so the distinct-duration relation is bounded at 49 rows
+    and the product-limit fold walks a fixed-order rounded-ln chain —
+    hash-exact against the mirrored oracle."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.min(epoch_us("ts")).alias("f_us"))
+    p = (e.where(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min(epoch_us("ts")).alias("fp_us")))
+    raw_h = F.floor((F.col("fp_us") - F.col("f_us")) / F.lit(3600000000))
+    inside = raw_h.isNotNull() & (raw_h < _KM_HORIZON_H)
+    subj = (u.join(p, "user_id", "left")
+            .select("user_id",
+                    F.when(inside, raw_h).otherwise(F.lit(_KM_HORIZON_H))
+                    .cast("bigint").alias("duration"),
+                    F.when(inside, 1).otherwise(0).alias("event")))
+    return ES.kaplan_meier(subj, "duration", "event")

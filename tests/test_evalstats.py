@@ -588,3 +588,36 @@ def test_trigram_search_many_equals_bruteforce(spark, tables):
                  docs.where(F.col("text").contains(F.lit(p)))
                  .select("doc_id").collect()]
     assert got == sorted(want)
+
+
+def test_kaplan_meier_hand_case(spark):
+    """Textbook case — durations (1e, 2c, 3e, 3e, 4c, 5e):
+    S(1) = 5/6; S(3) = 5/6 * (1 - 2/4); S(5) = that * (1 - 1/1) = 0."""
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)],
+        "duration bigint, event int")
+    rows = {r["duration"]: r
+            for r in E.kaplan_meier(subj, "duration", "event").collect()}
+    assert set(rows) == {1, 3, 5}
+    assert (rows[1]["n_risk"], rows[1]["n_events"]) == (6, 1)
+    assert (rows[3]["n_risk"], rows[3]["n_events"]) == (4, 2)
+    assert (rows[5]["n_risk"], rows[5]["n_events"]) == (1, 1)
+    import math
+    t = lambda d, n: round(math.log(1.0 - d / n), 9)  # noqa: E731
+    assert rows[1]["survival"] == round(math.exp(t(1, 6)), 9)
+    assert rows[3]["survival"] == round(math.exp(t(1, 6) + t(2, 4)), 9)
+    assert rows[5]["survival"] == 0.0
+
+
+def test_kaplan_meier_all_censored_and_grouped(spark):
+    """A group with zero events emits no rows; grouped curves are
+    independent (keys thread through)."""
+    subj = spark.createDataFrame(
+        [("a", 2, 0), ("a", 3, 0),
+         ("b", 1, 1), ("b", 2, 1)],
+        "g string, duration bigint, event int")
+    out = E.kaplan_meier(subj, "duration", "event", keys=["g"]).collect()
+    gs = {(r["g"], r["duration"]): r for r in out}
+    assert all(r["g"] == "b" for r in out)
+    assert gs[("b", 1)]["survival"] == 0.5
+    assert gs[("b", 2)]["survival"] == 0.0  # last subject exits: d = n
