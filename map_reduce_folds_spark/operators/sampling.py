@@ -919,3 +919,168 @@ def neyman_sample_sql(
       FROM {table} t JOIN alloc a ON a.g = t.{group_col}
     ) WHERE rn <= n_target
     """
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) CDF thresholds scaled to the hash60 space: a 60-bit hash
+#: h < _POIS1_T60[k] iff a Uniform(0,1] draw lands below CDF(k), so the
+#: replicate weight is the count of thresholds ABOVE h (inverse-CDF
+#: sampling with pure INTEGER comparisons — no float literal crosses an
+#: engine boundary).  Tail capped at 7 (P ≈ 8e-6 per draw).
+_POIS1_T60 = (
+    424136118829305344,    # CDF(0) = e^-1
+    848272237658610688,    # CDF(1)
+    1060340297073263360,   # CDF(2)
+    1131029650211480960,   # CDF(3)
+    1148701988496035328,   # CDF(4)
+    1152236456152946176,   # CDF(5)
+    1152825534095764608,   # CDF(6)
+)
+
+
+def _pois1_weight(h: Column) -> Column:
+    w = F.lit(7)
+    for k in reversed(range(7)):
+        w = F.when(h < F.lit(_POIS1_T60[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _pois1_weight_sql(h_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {h_expr} < {t} THEN {k}"
+        for k, t in enumerate(_POIS1_T60))
+    return f"(CASE {branches} ELSE 7 END)"
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    keys: Sequence[str] = (),
+    n_boot: int = 200,
+    alpha_permille: int = 50,
+    salt: str = "boot",
+) -> DataFrame:
+    """Bootstrap percentile CI for the per-group MEAN via the POISSON
+    BOOTSTRAP (Hanley & MacGibbon 2006; the single-pass streaming
+    bootstrap used for massive-data inference — each replicate draws a
+    Poisson(1) multiplicity per row instead of resampling n-of-n, so
+    replicates never materialize and the whole computation is one scan
+    + one (keys, replicate) aggregation, map-side combinable).
+
+    Determinism: replicate b's weight for a row is inverse-CDF
+    Poisson(1) evaluated on the portable ``hash60(salt‖b‖id)`` with
+    pure integer threshold comparisons (``_POIS1_T60`` — no float
+    literal ever crosses an engine boundary), so every replicate is a
+    pure function of the row id: partition-independent, re-saltable,
+    and exactly mirrored by :func:`poisson_bootstrap_mean_ci_sql`.
+    Replicate means are single exact-integer-sum divisions; the
+    percentile bounds are ORDER STATISTICS of the ≤``n_boot``-element
+    sorted (mean, b) list — lower = s[⌊m·α/2⌋+1], upper =
+    s[⌈m·(1−α/2)⌉] (1-based; m = replicates with positive total
+    weight), with α carried in permille so the indices are integer
+    arithmetic.  Integer-valued ``value_col`` required.
+
+    Output: ``keys…, n, mean, ci_lo, ci_hi, n_boot_valid``.
+    """
+    df, gkeys = _with_group_cols(df, keys)
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("__b")
+    h = hash60(
+        F.concat_ws(":", F.lit(salt), F.col("__b").cast("string"),
+                    F.col("__id").cast("string")))
+    rows = (
+        df.select(*gkeys, F.col(id_col).alias("__id"),
+                  F.col(value_col).cast("bigint").alias("__x"), b)
+        .withColumn("__w", _pois1_weight(h))
+    )
+    rep = (
+        rows.groupBy(*gkeys, "__b")
+        .agg(F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
+             F.sum("__w").alias("__sw"))
+        .where(F.col("__sw") > 0)
+        .select(*gkeys, "__b",
+                (F.col("__swx").cast("double")
+                 / F.col("__sw").cast("double")).alias("__m"))
+    )
+    reps = rep.groupBy(*gkeys).agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("__m").alias("m"),
+                     F.col("__b").alias("b")))).alias("__arr"))
+    base = df.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col(value_col).cast("bigint")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean"))
+    m = F.size("__arr").cast("bigint")
+    a2 = int(alpha_permille)
+    # positive-quotient truncation = floor; ceil(x/1000) = (x+999) div 1000
+    lo_i = (m * a2 / F.lit(1000)).cast("bigint") + 1
+    hi_i = ((m * (1000 - a2) + 999) / F.lit(1000)).cast("bigint")
+    out = base.join(reps, gkeys).select(
+        *(list(keys) or []), "n", "mean",
+        F.element_at("__arr", lo_i.cast("int"))["m"].alias("ci_lo"),
+        F.element_at("__arr", hi_i.cast("int"))["m"].alias("ci_hi"),
+        m.alias("n_boot_valid"))
+    return out
+
+
+def _with_group_cols(df: DataFrame, keys: Sequence[str]):
+    if keys:
+        return df, list(keys)
+    return df.withColumn("__g", F.lit(1)), ["__g"]
+
+
+def poisson_bootstrap_mean_ci_sql(
+    table: str,
+    value_expr: str,
+    id_expr: str,
+    keys: Sequence[str] = (),
+    n_boot: int = 200,
+    alpha_permille: int = 50,
+    salt: str = "boot",
+) -> str:
+    """DuckDB mirror of :func:`poisson_bootstrap_mean_ci` — identical
+    integer-threshold weights, single-division replicate means, and
+    order-statistic indices."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    kout = kpref
+    a2 = int(alpha_permille)
+    h = hash60_sql(
+        f"concat('{salt}', ':', CAST(b.b AS VARCHAR), ':', "
+        f"CAST({id_expr} AS VARCHAR))")
+    return f"""
+    WITH rows_ AS (
+        SELECT {kpref}{id_expr} AS id_,
+               CAST({value_expr} AS BIGINT) AS x, b.b AS b,
+               {_pois1_weight_sql(h)} AS w
+        FROM {table} t CROSS JOIN (
+            SELECT unnest(generate_series(0, {int(n_boot) - 1})) AS b) b
+    ),
+    rep AS (
+        SELECT {kpref}b,
+               CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+        FROM rows_ GROUP BY {kpref}b
+        HAVING SUM(w) > 0
+    ),
+    reps AS (
+        SELECT {kpref}list_sort(list({{'m': m, 'b': b}})) AS arr
+        FROM rep {grp}
+    ),
+    base AS (
+        SELECT {kpref}CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({value_expr} AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean
+        FROM {table} {grp}
+    )
+    SELECT {kout}n, mean,
+           arr[CAST(len(arr) * {a2} // 1000 AS BIGINT) + 1].m AS ci_lo,
+           arr[CAST((len(arr) * {1000 - a2} + 999) // 1000 AS BIGINT)].m
+               AS ci_hi,
+           CAST(len(arr) AS BIGINT) AS n_boot_valid
+    FROM base {"JOIN reps USING (" + kcols + ")" if keys
+               else "CROSS JOIN reps"}
+    """

@@ -5139,3 +5139,29 @@ def blocklist_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pats = spark.createDataFrame([(p,) for p in _BLOCKLIST], "pattern string")
     return T.trigram_search_many(d, "doc_id", "text", pats).select(
         "pattern", F.col("doc_id").alias("id"))
+
+
+_BOOT_B = 200      # bootstrap replicates
+_BOOT_A2 = 25      # permille: alpha/2 = 0.025 -> 95% CI
+
+
+@query(
+    "bootstrap_doclen_ci",
+    oracle=SM.poisson_bootstrap_mean_ci_sql(
+        "documents", "n_chars", "doc_id", keys=["source"],
+        n_boot=_BOOT_B, alpha_permille=_BOOT_A2),
+)
+def bootstrap_doclen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% POISSON-BOOTSTRAP CI for mean document length per source
+    (operators/sampling.poisson_bootstrap_mean_ci) — the streaming
+    bootstrap used for inference over corpora too big to resample
+    n-of-n: each of 200 replicates weighs every row by a DETERMINISTIC
+    inverse-CDF Poisson(1) draw from hash60(salt‖b‖doc_id) with pure
+    integer threshold comparisons, so the whole CI is one scan + one
+    (source, replicate) aggregation and is hash-exact against the
+    mirrored oracle.  The percentile bounds are integer-indexed order
+    statistics of the 200 sorted replicate means."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.poisson_bootstrap_mean_ci(
+        d, "n_chars", "doc_id", keys=["source"],
+        n_boot=_BOOT_B, alpha_permille=_BOOT_A2)

@@ -3742,3 +3742,48 @@ def test_rrf_fuse_tiebreak_and_order(spark):
     assert rows["x"]["rank_0"] == 1 and rows["x"]["rank_1"] == 1
     assert rows["y"]["rank_0"] == 2
     assert rows["x"]["rrf"] == (1.0 / 61.0) + (1.0 / 61.0)
+
+
+def test_poisson_bootstrap_weights_distribution(spark):
+    """Hash-derived Poisson(1) weights: mean ~= 1, all in 0..7, and the
+    zero-weight share ~= e^-1 (inverse-CDF on integer thresholds)."""
+    import math
+
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    df = spark.range(2000).select(F.col("id"))
+    from map_reduce_folds_spark.operators.text import hash60
+    h = hash60(F.concat_ws(":", F.lit("t"), F.lit("0"),
+                           F.col("id").cast("string")))
+    w = df.select(SM._pois1_weight(h).alias("w"))
+    stats = w.agg(F.avg("w").alias("m"), F.min("w").alias("lo"),
+                  F.max("w").alias("hi"),
+                  F.avg((F.col("w") == 0).cast("double")).alias("p0")
+                  ).collect()[0]
+    assert 0.9 < stats["m"] < 1.1
+    assert stats["lo"] >= 0 and stats["hi"] <= 7
+    assert abs(stats["p0"] - math.exp(-1)) < 0.04
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    """The 95% percentile CI brackets the point mean on a well-behaved
+    sample, is ordered, uses the documented order-statistic indices, and
+    is a pure function of the salt."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 37 + 5).alias("x"))
+    out = SM.poisson_bootstrap_mean_ci(
+        df, "x", "id", n_boot=100, alpha_permille=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 500 and r["n_boot_valid"] == 100
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+    again = SM.poisson_bootstrap_mean_ci(
+        df, "x", "id", n_boot=100, alpha_permille=50).collect()[0]
+    assert (again["ci_lo"], again["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+    other = SM.poisson_bootstrap_mean_ci(
+        df, "x", "id", n_boot=100, alpha_permille=50,
+        salt="other").collect()[0]
+    assert (other["ci_lo"], other["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
