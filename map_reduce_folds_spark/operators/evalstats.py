@@ -1442,3 +1442,104 @@ def kaplan_meier_sql(
     SELECT {kout}t AS duration, n AS n_risk, d AS n_events, survival
     FROM e WHERE d > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA
+# ---------------------------------------------------------------------------
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """ONE-WAY ANOVA F statistic (Fisher 1925): does the mean of an
+    integer-valued column differ across k groups?  The k-sample
+    extension of the two-sample tests already in this module
+    (mannwhitney_z / two_proportion_ztest).
+
+    Decomposition from exact per-group integer moments (n_g, S_g = Σx,
+    Q_g = Σx², the last DECIMAL-staged): with T = Σ_g S_g²/n_g,
+    SSB = T − S²/n and SSW = Q − T; F = (SSB/(k−1)) / (SSW/(n−k)).
+    Each S_g²/n_g is a fixed three-op double chain computed per group,
+    and T folds those terms LEFT-TO-RIGHT over the group-key-sorted
+    bounded per-group list (the sorted-fold discipline — groups are
+    bounded by construction), so both engines produce the identical
+    double (SQL mirror :func:`anova_f_sql`).  Degenerate inputs (k < 2,
+    n ≤ k, or SSW = 0) emit NULL F.
+
+    Output: one row ``(k, n, ssb, ssw, f)``.
+    """
+    g = (
+        df.select(F.col(group_col).cast("string").alias("__g"),
+                  F.col(value_col).cast("bigint").alias("__x"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.sum("__x").alias("__s"),
+             F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)"))
+             .alias("__q"))
+        .select("__g", "__n", "__s", "__q",
+                (F.col("__s").cast("double") * F.col("__s").cast("double")
+                 / F.col("__n").cast("double")).alias("__t"))
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__s").cast("decimal(38,0)").alias("__S"),
+        F.sum("__q").alias("__Q"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__g").alias("g"), F.col("__t").alias("t")))),
+            F.lit(0.0), lambda acc, x: acc + x["t"]).alias("__T"),
+    )
+    grand = (F.col("__S").cast("double") * F.col("__S").cast("double")
+             / F.col("n").cast("double"))
+    ssb = F.col("__T") - grand
+    ssw = F.col("__Q").cast("double") - F.col("__T")
+    f = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0.0),
+        (ssb / (F.col("k") - F.lit(1)).cast("double"))
+        / (ssw / (F.col("n") - F.col("k")).cast("double")))
+    return agg.select("k", "n", ssb.alias("ssb"), ssw.alias("ssw"),
+                      f.alias("f"))
+
+
+def anova_f_sql(table: str, value_expr: str, group_expr: str) -> str:
+    """DuckDB mirror of :func:`anova_f` — identical integer moments and
+    the same group-sorted left-folded term chain."""
+    return f"""
+    WITH g AS (
+        SELECT CAST({group_expr} AS VARCHAR) AS g,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST({value_expr} AS BIGINT)) AS BIGINT) AS s_g,
+               SUM(CAST(CAST({value_expr} AS BIGINT)
+                        * CAST({value_expr} AS BIGINT)
+                        AS DECIMAL(38,0))) AS q_g,
+               CAST(SUM(CAST({value_expr} AS BIGINT)) AS DOUBLE)
+                   * CAST(SUM(CAST({value_expr} AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS t_g
+        FROM {table} GROUP BY 1
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(q_g) AS DECIMAL(38,0)) AS q,
+               list_reduce(
+                   list_prepend(0.0,
+                       list_transform(list_sort(list({{'g': g, 't': t_g}})),
+                                      x -> x.t)),
+                   (p, x) -> p + x) AS t
+        FROM g
+    )
+    SELECT k, n,
+           t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) AS ssb,
+           CAST(q AS DOUBLE) - t AS ssw,
+           CASE WHEN k > 1 AND n > k AND CAST(q AS DOUBLE) - t > 0.0 THEN
+               ((t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+               / ((CAST(q AS DOUBLE) - t) / CAST(n - k AS DOUBLE))
+           END AS f
+    FROM a
+    """

@@ -5165,3 +5165,17 @@ def bootstrap_doclen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.poisson_bootstrap_mean_ci(
         d, "n_chars", "doc_id", keys=["source"],
         n_boot=_BOOT_B, alpha_permille=_BOOT_A2)
+
+
+@query(
+    "anova_doclen_source",
+    oracle=ES.anova_f_sql("documents", "n_chars", "source"),
+)
+def anova_doclen_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA across all sources (operators/evalstats.anova_f):
+    the k-sample mean-shift test over document length — the screening
+    statistic behind "is any source's length distribution off?" before
+    drilling into pairwise Mann-Whitney.  Exact per-source integer
+    moments; the between-group term folds in source-sorted order."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.anova_f(d, "n_chars", "source")

@@ -621,3 +621,34 @@ def test_kaplan_meier_all_censored_and_grouped(spark):
     assert all(r["g"] == "b" for r in out)
     assert gs[("b", 1)]["survival"] == 0.5
     assert gs[("b", 2)]["survival"] == 0.0  # last subject exits: d = n
+
+
+def test_anova_f_hand_case(spark):
+    """Three groups with a planted mean shift: F matches the textbook
+    formula computed longhand; identical groups give F near 0."""
+    rows = [("a", v) for v in (1, 2, 3)] + \
+           [("b", v) for v in (2, 3, 4)] + \
+           [("c", v) for v in (8, 9, 10)]
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    r = E.anova_f(df, "x", "g").collect()[0]
+    # longhand: group sums 6, 9, 27; n_g = 3; S = 42, n = 9
+    T = 36.0 / 3 + 81.0 / 3 + 729.0 / 3
+    grand = 42.0 * 42.0 / 9
+    q = sum(v * v for _, v in rows)
+    ssb, ssw = T - grand, q - T
+    assert (r["k"], r["n"]) == (3, 9)
+    assert r["ssb"] == ssb and r["ssw"] == ssw
+    assert r["f"] == (ssb / 2) / (ssw / 6)
+    flat = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 5), ("b", 7)], "g string, x bigint")
+    rf = E.anova_f(flat, "x", "g").collect()[0]
+    assert rf["f"] == 0.0 or abs(rf["f"]) < 1e-12
+
+
+def test_anova_f_degenerate_null(spark):
+    """k = 1 and zero within-group variance both emit NULL F."""
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, x bigint")
+    assert E.anova_f(one, "x", "g").collect()[0]["f"] is None
+    const = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 9), ("b", 9)], "g string, x bigint")
+    assert E.anova_f(const, "x", "g").collect()[0]["f"] is None
