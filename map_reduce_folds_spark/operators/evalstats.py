@@ -1543,3 +1543,154 @@ def anova_f_sql(table: str, value_expr: str, group_expr: str) -> str:
            END AS f
     FROM a
     """
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """LOG-RANK TEST (Mantel 1966; Peto & Peto 1972): are two groups'
+    survival curves the same?  The hypothesis test that pairs with
+    :func:`kaplan_meier` — O1/E1 = observed/expected events in group 1
+    under the null, summed over pooled event times with the
+    hypergeometric variance.
+
+    ``group_col`` must be 0/1 (binary cohorts).  At each pooled event
+    time t_j: n_j at risk (both groups), n1_j at risk in group 1, d_j
+    total events, d1_j group-1 events; E1 += d_j·n1_j/n_j and
+    V += d_j·(n1_j/n_j)·(1 − n1_j/n_j)·(n_j − d_j)/(n_j − 1).
+    z = (O1 − E1)/√V, chi2 = z².
+
+    Exactness: every count is an exact integer from the
+    distinct-duration relation (bounded, same contract as
+    kaplan_meier); each E1/V term is a fixed-parenthesization chain of
+    +,·,/ on exact integer casts (no transcendental — no rounding
+    needed), folded LEFT-TO-RIGHT over the time-sorted list; z is one
+    final double chain.  SQL mirror :func:`logrank_test_sql`.
+    Degenerate inputs (V = 0 or a single cohort) emit NULL z/chi2.
+
+    Output: one row ``(o1, e1, v, z, chi2)``.
+    """
+    g = (
+        df.select(F.col(duration_col).cast("bigint").alias("__t"),
+                  F.col(event_col).cast("bigint").alias("__e"),
+                  F.col(group_col).cast("bigint").alias("__g1"))
+        .groupBy("__t")
+        .agg(F.sum("__e").alias("__d"),
+             F.sum(F.col("__e") * F.col("__g1")).alias("__d1"),
+             F.count(F.lit(1)).alias("__m"),
+             F.sum("__g1").alias("__m1"))
+    )
+    a = g.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__t").alias("t"), F.col("__d").alias("d"),
+            F.col("__d1").alias("d1"), F.col("__m").alias("m"),
+            F.col("__m1").alias("m1")))).alias("__arr"),
+        F.sum("__m").alias("__total"),
+        F.sum("__m1").alias("__total1"),
+        F.sum("__d1").cast("bigint").alias("o1"),
+    )
+    # at-risk counts via exclusive prefix sums over the sorted array
+    arr_n = F.transform(
+        F.col("__arr"),
+        lambda x, i: F.struct(
+            x["d"].alias("d"), x["d1"].alias("d1"),
+            (F.col("__total") - F.aggregate(
+                F.slice(F.col("__arr"), F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y["m"])).alias("n"),
+            (F.col("__total1") - F.aggregate(
+                F.slice(F.col("__arr"), F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y["m1"])).alias("n1")))
+    share = lambda x: x["n1"].cast("double") / x["n"].cast("double")  # noqa: E731
+    e1_term = lambda x: x["d"].cast("double") * share(x)  # noqa: E731
+    v_term = lambda x: F.when(  # noqa: E731
+        x["n"] > 1,
+        x["d"].cast("double") * share(x) * (F.lit(1.0) - share(x))
+        * (x["n"] - x["d"]).cast("double") / (x["n"] - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    b = a.select(
+        "o1",
+        F.aggregate(arr_n, F.lit(0.0),
+                    lambda acc, x: acc + F.when(x["d"] > 0, e1_term(x))
+                    .otherwise(F.lit(0.0))).alias("e1"),
+        F.aggregate(arr_n, F.lit(0.0),
+                    lambda acc, x: acc + F.when(x["d"] > 0, v_term(x))
+                    .otherwise(F.lit(0.0))).alias("v"),
+    )
+    z = F.when(F.col("v") > 0.0,
+               (F.col("o1").cast("double") - F.col("e1"))
+               / F.sqrt(F.col("v")))
+    return b.select("o1", "e1", "v", z.alias("z"),
+                    (z * z).alias("chi2"))
+
+
+def logrank_test_sql(
+    subjects_sql: str,
+    duration_expr: str = "duration",
+    event_expr: str = "event",
+    group_expr: str = "grp",
+) -> str:
+    """DuckDB mirror of :func:`logrank_test` — identical integer risk
+    sets and the same left-folded fixed-parenthesization term chains."""
+    return f"""
+    WITH subj AS ({subjects_sql}),
+    g AS (
+        SELECT CAST({duration_expr} AS BIGINT) AS t,
+               CAST(SUM(CAST({event_expr} AS BIGINT)) AS BIGINT) AS d,
+               CAST(SUM(CAST({event_expr} AS BIGINT)
+                        * CAST({group_expr} AS BIGINT)) AS BIGINT) AS d1,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST({group_expr} AS BIGINT)) AS BIGINT) AS m1
+        FROM subj GROUP BY 1
+    ),
+    a AS (
+        SELECT list_sort(list({{'t': t, 'd': d, 'd1': d1,
+                                'm': m, 'm1': m1}})) AS arr,
+               CAST(SUM(m) AS BIGINT) AS total,
+               CAST(SUM(m1) AS BIGINT) AS total1,
+               CAST(SUM(d1) AS BIGINT) AS o1
+        FROM g
+    ),
+    b AS (
+        SELECT o1,
+               list_transform(arr, (x, i) -> {{
+                   'd': x.d, 'd1': x.d1,
+                   'n': total - list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(arr[1:i-1], y -> y.m)),
+                       (p, q) -> p + q),
+                   'n1': total1 - list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(arr[1:i-1], y -> y.m1)),
+                       (p, q) -> p + q)}}) AS arr2
+        FROM a
+    ),
+    c AS (
+        SELECT o1,
+               list_reduce(list_prepend(0.0, list_transform(arr2,
+                   x -> CASE WHEN x.d > 0 THEN
+                       CAST(x.d AS DOUBLE)
+                       * (CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+                   ELSE 0.0 END)), (p, q) -> p + q) AS e1,
+               list_reduce(list_prepend(0.0, list_transform(arr2,
+                   x -> CASE WHEN x.d > 0 AND x.n > 1 THEN
+                       CAST(x.d AS DOUBLE)
+                       * (CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+                       * (1.0 - CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+                       * CAST(x.n - x.d AS DOUBLE)
+                       / CAST(x.n - 1 AS DOUBLE)
+                   ELSE 0.0 END)), (p, q) -> p + q) AS v
+        FROM b
+    )
+    SELECT o1, e1, v,
+           CASE WHEN v > 0.0
+                THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END AS z,
+           CASE WHEN v > 0.0
+                THEN ((CAST(o1 AS DOUBLE) - e1) / sqrt(v))
+                     * ((CAST(o1 AS DOUBLE) - e1) / sqrt(v)) END AS chi2
+    FROM c
+    """

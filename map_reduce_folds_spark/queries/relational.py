@@ -4270,3 +4270,55 @@ def km_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("duration"),
                     F.when(inside, 1).otherwise(0).alias("event")))
     return ES.kaplan_meier(subj, "duration", "event")
+
+
+# subjects with a binary cohort: grp = 1 iff the user's FIRST event
+# (deterministic (epoch, event_id) tiebreak) is a signup
+_LR_SUBJECTS_SQL = f"""
+    WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS f_us,
+                      CASE WHEN MIN({{'t': epoch_us(ts), 'i': event_id,
+                                      'ty': event_type}}).ty = 'signup'
+                           THEN 1 ELSE 0 END AS grp
+               FROM events GROUP BY 1),
+    p AS (SELECT user_id, MIN(epoch_us(ts)) AS fp_us
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    s AS (SELECT u.user_id, u.grp,
+                 CAST((fp_us - f_us) // 3600000000 AS BIGINT) AS raw_h
+          FROM u LEFT JOIN p ON u.user_id = p.user_id)
+    SELECT user_id, grp,
+           CASE WHEN raw_h IS NOT NULL AND raw_h < {_KM_HORIZON_H}
+                THEN raw_h ELSE {_KM_HORIZON_H} END AS duration,
+           CASE WHEN raw_h IS NOT NULL AND raw_h < {_KM_HORIZON_H}
+                THEN 1 ELSE 0 END AS event
+    FROM s"""
+
+
+@query(
+    "logrank_signup_conversion",
+    oracle=ES.logrank_test_sql(_LR_SUBJECTS_SQL),
+)
+def logrank_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST (operators/evalstats.logrank_test): do users whose
+    FIRST event is a signup convert (first purchase, 48 h horizon) on a
+    different survival curve than everyone else?  The censoring-correct
+    A/B answer the km_conversion_curve family exists to feed — observed
+    vs expected group-1 conversions summed over pooled event hours with
+    the hypergeometric variance, every count exact, every float chain
+    fixed-order."""
+    e = load_table(spark, sf_dir, "events")
+    first = F.min(F.struct(
+        epoch_us("ts").alias("t"), F.col("event_id").alias("i"),
+        F.col("event_type").alias("ty")))
+    u = e.groupBy("user_id").agg(
+        F.min(epoch_us("ts")).alias("f_us"),
+        F.when(first["ty"] == "signup", 1).otherwise(0).alias("grp"))
+    p = (e.where(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min(epoch_us("ts")).alias("fp_us")))
+    raw_h = F.floor((F.col("fp_us") - F.col("f_us")) / F.lit(3600000000))
+    inside = raw_h.isNotNull() & (raw_h < _KM_HORIZON_H)
+    subj = (u.join(p, "user_id", "left")
+            .select("user_id", "grp",
+                    F.when(inside, raw_h).otherwise(F.lit(_KM_HORIZON_H))
+                    .cast("bigint").alias("duration"),
+                    F.when(inside, 1).otherwise(0).alias("event")))
+    return ES.logrank_test(subj, "duration", "event", "grp")

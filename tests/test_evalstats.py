@@ -652,3 +652,40 @@ def test_anova_f_degenerate_null(spark):
     const = spark.createDataFrame(
         [("a", 5), ("a", 5), ("b", 9), ("b", 9)], "g string, x bigint")
     assert E.anova_f(const, "x", "g").collect()[0]["f"] is None
+
+
+def test_logrank_identical_groups_z_zero(spark):
+    """Two cohorts with identical duration/event profiles: O1 = E1
+    exactly, so z = 0 (V > 0)."""
+    rows = [(g, d, e) for g in (0, 1)
+            for d, e in [(1, 1), (2, 1), (3, 0), (4, 1)]]
+    df = spark.createDataFrame(rows, "grp int, duration bigint, event int")
+    r = E.logrank_test(df, "duration", "event", "grp").collect()[0]
+    assert r["o1"] == 3
+    assert r["e1"] == 3.0
+    assert r["z"] == 0.0 and r["chi2"] == 0.0
+
+
+def test_logrank_hand_case(spark):
+    """Longhand two-time case: group 1 = (1e, 2c), group 0 = (2e, 2e).
+    t=1: n=4, n1=2, d=1, d1=1 -> E1 += 0.5, V += 1*(0.5)*(0.5)*(3/3).
+    t=2: n=3, n1=1, d=2, d1=0 -> E1 += 2/3, V += 2*(1/3)*(2/3)*(1/2)."""
+    df = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 0), (0, 2, 1), (0, 2, 1)],
+        "grp int, duration bigint, event int")
+    r = E.logrank_test(df, "duration", "event", "grp").collect()[0]
+    e1 = 1.0 * (2.0 / 4.0) + 2.0 * (1.0 / 3.0)
+    v = (1.0 * (2.0 / 4.0) * (1.0 - 2.0 / 4.0) * 3.0 / 3.0
+         + 2.0 * (1.0 / 3.0) * (1.0 - 1.0 / 3.0) * 1.0 / 2.0)
+    assert r["o1"] == 1
+    assert abs(r["e1"] - e1) < 1e-15
+    assert abs(r["v"] - v) < 1e-15
+    assert r["z"] == (1.0 - r["e1"]) / math.sqrt(r["v"])
+
+
+def test_logrank_single_cohort_null(spark):
+    """All subjects in one group: V = 0 -> NULL z."""
+    df = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 1)], "grp int, duration bigint, event int")
+    r = E.logrank_test(df, "duration", "event", "grp").collect()[0]
+    assert r["z"] is None and r["chi2"] is None
