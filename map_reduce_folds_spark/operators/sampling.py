@@ -985,22 +985,74 @@ def poisson_bootstrap_mean_ci(
     arithmetic.  Integer-valued ``value_col`` required.
 
     Output: ``keys…, n, mean, ci_lo, ci_hi, n_boot_valid``.
+
+    Composes :func:`poisson_bootstrap_moments` (a pure-additive
+    MERGEABLE moment relation — batches union with
+    :func:`poisson_bootstrap_merge` and the merged CI is bitwise the
+    whole-corpus CI, the incremental-aggregate-maintenance story) with
+    :func:`poisson_bootstrap_ci_from_moments`.
     """
+    return poisson_bootstrap_ci_from_moments(
+        poisson_bootstrap_moments(df, value_col, id_col, keys=keys,
+                                  n_boot=n_boot, salt=salt),
+        keys=keys, alpha_permille=alpha_permille)
+
+
+def poisson_bootstrap_moments(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    keys: Sequence[str] = (),
+    n_boot: int = 200,
+    salt: str = "boot",
+) -> DataFrame:
+    """The bootstrap's MERGEABLE MOMENT RELATION: one row per
+    ``(keys…, __b, __swx, __sw)`` where __b ≥ 0 carries replicate b's
+    weighted sums and the sentinel __b = −1 carries the base moments
+    (weight 1: __sw = n, __swx = Σx).  Sums are a monoid, so batch
+    relations merged by :func:`poisson_bootstrap_merge` equal the
+    whole-corpus relation EXACTLY."""
     df, gkeys = _with_group_cols(df, keys)
-    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("__b")
+    b = F.explode(
+        F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("__b")
     h = hash60(
         F.concat_ws(":", F.lit(salt), F.col("__b").cast("string"),
                     F.col("__id").cast("string")))
+    w = F.when(F.col("__b") < 0, F.lit(1)).otherwise(_pois1_weight(h))
     rows = (
         df.select(*gkeys, F.col(id_col).alias("__id"),
                   F.col(value_col).cast("bigint").alias("__x"), b)
-        .withColumn("__w", _pois1_weight(h))
+        .withColumn("__w", w)
     )
-    rep = (
+    return (
         rows.groupBy(*gkeys, "__b")
         .agg(F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
              F.sum("__w").alias("__sw"))
-        .where(F.col("__sw") > 0)
+    )
+
+
+def poisson_bootstrap_merge(*relations: DataFrame) -> DataFrame:
+    """Merge per-batch bootstrap moment relations by additive union —
+    exact because integer sums are associative and commutative."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), relations)
+    gkeys = [c for c in u.columns if c not in ("__swx", "__sw")]
+    return u.groupBy(*gkeys).agg(
+        F.sum("__swx").alias("__swx"), F.sum("__sw").alias("__sw"))
+
+
+def poisson_bootstrap_ci_from_moments(
+    moments: DataFrame,
+    keys: Sequence[str] = (),
+    alpha_permille: int = 50,
+) -> DataFrame:
+    """Finish a (merged) moment relation into the CI output of
+    :func:`poisson_bootstrap_mean_ci` — replicate means, sorted order
+    statistics, and the __b = −1 base row's exact mean."""
+    gkeys = list(keys) or ["__g"]
+    rep = (
+        moments.where((F.col("__b") >= 0) & (F.col("__sw") > 0))
         .select(*gkeys, "__b",
                 (F.col("__swx").cast("double")
                  / F.col("__sw").cast("double")).alias("__m"))
@@ -1009,10 +1061,10 @@ def poisson_bootstrap_mean_ci(
         F.array_sort(F.collect_list(
             F.struct(F.col("__m").alias("m"),
                      F.col("__b").alias("b")))).alias("__arr"))
-    base = df.groupBy(*gkeys).agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(F.col(value_col).cast("bigint")).cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("mean"))
+    base = moments.where(F.col("__b") == -1).select(
+        *gkeys, F.col("__sw").alias("n"),
+        (F.col("__swx").cast("double")
+         / F.col("__sw").cast("double")).alias("mean"))
     m = F.size("__arr").cast("bigint")
     a2 = int(alpha_permille)
     # positive-quotient truncation = floor; ceil(x/1000) = (x+999) div 1000

@@ -5179,3 +5179,30 @@ def anova_doclen_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments; the between-group term folds in source-sorted order."""
     d = load_table(spark, sf_dir, "documents")
     return ES.anova_f(d, "n_chars", "source")
+
+
+@query(
+    "bootstrap_incremental_ci",
+    oracle=SM.poisson_bootstrap_mean_ci_sql(
+        "documents", "n_chars", "doc_id", keys=["source"],
+        n_boot=_BOOT_B, alpha_permille=_BOOT_A2),
+)
+def bootstrap_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL bootstrap: the corpus arrives as two batches (doc_id
+    parity), each contributes a mergeable (source, replicate) weighted-
+    sum relation (operators/sampling.poisson_bootstrap_moments), the
+    relations merge by pure additive union, and the CI finishes on the
+    merged moments.  Because weights are a pure function of the row id
+    and integer sums are a monoid, the merged CI is BITWISE the
+    whole-corpus CI — this query shares bootstrap_doclen_ci's UNCHANGED
+    oracle, so the gate itself proves incremental == batch (a daily
+    batch updates the corpus-mean CI without rescanning history)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    kw = dict(keys=["source"], n_boot=_BOOT_B)
+    merged = SM.poisson_bootstrap_merge(
+        SM.poisson_bootstrap_moments(a, "n_chars", "doc_id", **kw),
+        SM.poisson_bootstrap_moments(b, "n_chars", "doc_id", **kw))
+    return SM.poisson_bootstrap_ci_from_moments(
+        merged, keys=["source"], alpha_permille=_BOOT_A2)

@@ -3787,3 +3787,25 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
         df, "x", "id", n_boot=100, alpha_permille=50,
         salt="other").collect()[0]
     assert (other["ci_lo"], other["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+
+
+def test_poisson_bootstrap_merge_is_exact_monoid(spark):
+    """Moment relations from any batch split merge to the whole-corpus
+    relation exactly, so the finished CI is bitwise the batch CI —
+    three uneven batches."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 23 + 1).alias("x"),
+        (F.col("id") % 3).alias("g"))
+    whole = SM.poisson_bootstrap_mean_ci(
+        df, "x", "id", keys=["g"], n_boot=50).collect()
+    parts = [df.where(F.col("id") % 7 == i) for i in range(7)]
+    merged = SM.poisson_bootstrap_merge(*[
+        SM.poisson_bootstrap_moments(p, "x", "id", keys=["g"], n_boot=50)
+        for p in parts])
+    inc = SM.poisson_bootstrap_ci_from_moments(
+        merged, keys=["g"]).collect()
+    key = lambda r: r["g"]  # noqa: E731
+    for w, m in zip(sorted(whole, key=key), sorted(inc, key=key)):
+        assert w.asDict() == m.asDict()
