@@ -71,7 +71,6 @@ _PRIORITY = [
     # All displaced rows re-register immediately past the window.
     "mr_readme_sum", "mr_applicative", "mr_melt",
     "dedup_lines", "mr_fold_vocab", "k_anonymity_audit",
-    "gini_doclen_by_source",
     # core operators driver-verified from round 2 (VERDICT r1 item 5)
     # Round 10 swaps, per the same displacement rule (r9 verdict Next #4):
     # four round-9 families enter — rfm_customer_segments (NEW value-based
@@ -86,6 +85,24 @@ _PRIORITY = [
     # four displaced rows re-register immediately past the window and stay
     # hash-exact in LOCAL_CORRECTNESS.
     "mr_group_reduce_keyed", "mr_concat_fold",
+    # Round-13 session-6 swap, same displacement rule: THREE new
+    # families enter.  km_conversion_curve (NEW survival-analysis
+    # family: Kaplan-Meier product-limit with right censoring) displaces
+    # gini_doclen_by_source — quality analytics keeps k_anonymity_audit,
+    # rfm_customer_segments, benford_totalprice_audit and
+    # chao1_vocab_by_source in-window.  hybrid_search_rrf (NEW
+    # retrieval-fusion family: BM25 ⊕ dense-cosine reciprocal rank
+    # fusion — its plan CONTAINS brute_force_topk and the BM25 scorer as
+    # sub-plans) displaces sim_topk_bruteforce — the embedding family
+    # keeps dedup_embedding_clusters_t09 and embedding_pca_residuals
+    # in-window.  bootstrap_doclen_ci (NEW resampling-inference family:
+    # deterministic Poisson bootstrap CIs) displaces
+    # diff_orders_snapshots — the temporal-table family keeps
+    # scd2_user_event_history in-window.  All three displaced rows
+    # re-register immediately past the window; logrank_signup_conversion
+    # (survival's second shape) and bootstrap_incremental_ci /
+    # anova_doclen_source register just past it too.
+    "km_conversion_curve",
     "mr_unpack_only", "mr_filter_mapinpandas", "rfm_customer_segments",
     "mr_product_median", "activity_streaks",
     "mr_group_reduce_ordered",
@@ -205,9 +222,9 @@ _PRIORITY = [
     "dedup_exact", "record_linkage_customers", "dedup_minhash",
     "dedup_span_rewrite",
     "dedup_embedding_clusters_t09",
-    "sim_topk_bruteforce", "dsir_importance_weights",
+    "hybrid_search_rrf", "dsir_importance_weights",
     "bloom_pruned_join", "pagerank_event_types", "multimodal_features",
-    "diff_orders_snapshots",
+    "bootstrap_doclen_ci",
     "scd2_user_event_history", "nb_lang_confusion",
     "gopher_repetition_signals",
     "winnow_overlap_pairs", "sketch_union_hll",
@@ -276,6 +293,9 @@ _PRIORITY = [
     # winnow_contamination_audit (fingerprint-family consumers),
     # tokenizer_fertility_by_lang.
     # first entries PAST the 50-window: the displaced green rows
+    "gini_doclen_by_source", "sim_topk_bruteforce",
+    "diff_orders_snapshots", "logrank_signup_conversion",
+    "bootstrap_incremental_ci", "anova_doclen_source",
     "embedding_quantize_int8", "funnel_conversion",
     "mr_task1_mean", "dedup_cc_clusters", "hhi_supplier_concentration",
     "session_duration_percentiles",
