@@ -5206,3 +5206,65 @@ def bootstrap_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         SM.poisson_bootstrap_moments(b, "n_chars", "doc_id", **kw))
     return SM.poisson_bootstrap_ci_from_moments(
         merged, keys=["source"], alpha_permille=_BOOT_A2)
+
+
+_LSS_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    sig AS (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component
+             FROM reach GROUP BY node),
+    lab AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT {SM.hash_split_sql('cluster', _LSS_W)} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM lab GROUP BY 1
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: hash-split by NEAR-DUP CLUSTER
+    instead of by document, so a near-duplicate of a training doc can
+    never land in val/test (the contamination mode Lee et al. 2022
+    measure: eval-set near-dups of training data inflate benchmarks —
+    a per-doc split CANNOT prevent it, because the two copies hash
+    independently).  Composition: SimHash near-dup graph → distributed
+    connected components (the dedup_cc_clusters machinery) → singleton
+    docs keep their own id as cluster → the standard deterministic
+    hash_split applied to the CLUSTER id — every cluster lands whole in
+    exactly one split by construction.  Per-split doc/cluster/char
+    counts as the check relation."""
+    d = load_table(spark, sf_dir, "documents")
+    comp = D.simhash_components(d, "doc_id", "text", bits=32,
+                                max_hamming=3, blocks="auto")
+    lab = (
+        d.join(comp.select(F.col("node").alias("doc_id"), "component"),
+               "doc_id", "left")
+        .select("doc_id", "n_chars",
+                F.coalesce(F.col("component"), F.col("doc_id"))
+                .alias("cluster")))
+    s = SM.hash_split(lab, "cluster", weights=_LSS_W)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("chars"))

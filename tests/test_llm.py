@@ -3809,3 +3809,27 @@ def test_poisson_bootstrap_merge_is_exact_monoid(spark):
     key = lambda r: r["g"]  # noqa: E731
     for w, m in zip(sorted(whole, key=key), sorted(inc, key=key)):
         assert w.asDict() == m.asDict()
+
+
+def test_leakage_safe_split_invariant(spark, tables):
+    """No near-dup cluster spans two splits, the split is exhaustive
+    over documents, and singleton docs are their own cluster."""
+    from map_reduce_folds_spark.operators import dedup as D2
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    d = tables["documents"]
+    comp = D2.simhash_components(d, "doc_id", "text", bits=32,
+                                 max_hamming=3, blocks="auto")
+    lab = (d.join(comp.select(F.col("node").alias("doc_id"), "component"),
+                  "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce(F.col("component"), F.col("doc_id"))
+                   .alias("cluster")))
+    s = SM.hash_split(lab, "cluster",
+                      weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    spans = (s.groupBy("cluster")
+             .agg(F.countDistinct("split").alias("k"))
+             .where(F.col("k") > 1).count())
+    assert spans == 0
+    assert s.count() == d.count()
+    assert s.where(F.col("split").isNull()).count() == 0
