@@ -5268,3 +5268,42 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster").alias("n_clusters"),
         F.sum("n_chars").cast("bigint").alias("chars"))
+
+
+_MRL_DIM = 16      # truncation prefix (Matryoshka dim)
+
+
+def _mrl_eval_oracle() -> str:
+    def brute(dim: int) -> str:
+        return f"""SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {S.cosine_sql('q.embedding', 'c.embedding', dim)} AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {_TOPK}"""
+
+    return S.retrieval_eval_sql(brute(_MRL_DIM), brute(_DIM), _TOPK)
+
+
+@query("ann_eval_matryoshka", oracle=_mrl_eval_oracle())
+def ann_eval_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022 — public
+    literature): recall@10 / MRR / nDCG of retrieval over the FIRST 16
+    embedding dimensions against the full-64-dim exact ground truth —
+    the measurement behind the shorten-the-vectors storage/latency
+    trade every MRL-style embedding deployment makes (4× smaller index;
+    how much quality survives?).  Truncation = F.slice on the Spark
+    side and a 16-term dot chain in the oracle (dot_sql's explicit
+    index expansion IS prefix truncation); both sides reuse the exact
+    brute-force + retrieval_eval machinery, so the whole trade-off
+    curve point sits under one hash-exact oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e16 = e.select("vec_id",
+                   F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
+    got = S.brute_force_topk(e16.filter("vec_id < 5"), e16, "vec_id",
+                             "embedding", _MRL_DIM, _TOPK)
+    truth = S.brute_force_topk(e.filter("vec_id < 5"), e, "vec_id",
+                               "embedding", _DIM, _TOPK)
+    return S.retrieval_eval(got, truth, _TOPK)

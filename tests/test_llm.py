@@ -3833,3 +3833,22 @@ def test_leakage_safe_split_invariant(spark, tables):
     assert spans == 0
     assert s.count() == d.count()
     assert s.where(F.col("split").isNull()).count() == 0
+
+
+def test_matryoshka_truncation_eval_bounds(spark, tables):
+    """Truncated-prefix retrieval is a real retrieval run: one metrics
+    row per query, all metrics in [0, 1], and truncating random 64-dim
+    vectors to 16 dims loses SOME ground truth (strictly below perfect
+    on the deterministic fixture)."""
+    e = tables["embeddings"]
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    got = S.brute_force_topk(e16.filter("vec_id < 5"), e16,
+                             "vec_id", "embedding", 16, 10)
+    truth = S.brute_force_topk(e.filter("vec_id < 5"), e,
+                               "vec_id", "embedding", 64, 10)
+    rows = S.retrieval_eval(got, truth, 10).collect()
+    assert len(rows) == 5
+    for r in rows:
+        for m in ("recall_at_k", "mrr", "ndcg"):
+            assert 0.0 <= r[m] <= 1.0
+    assert sum(r["recall_at_k"] for r in rows) < 5.0
