@@ -1694,3 +1694,142 @@ def logrank_test_sql(
                      * ((CAST(o1 AS DOUBLE) - e1) / sqrt(v)) END AS chi2
     FROM c
     """
+
+
+# ---------------------------------------------------------------------------
+# Robust location: trimmed and winsorized means
+# ---------------------------------------------------------------------------
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    trim_permille: int = 50,
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """TRIMMED and WINSORIZED means per group (Tukey's robust location
+    estimates): drop — or clamp to the cut values — the lowest and
+    highest ``trim_permille``/1000 of ROWS and average the rest; the
+    outlier-resistant mean a corpus with a heavy length/score tail
+    actually wants.
+
+    Exactness: over the DISTINCT-VALUE relation (integer ``value_col``)
+    each value's kept multiplicity is interval arithmetic on exact
+    integer cumulative counts — ``kept = max(0, min(below+cnt, n−c) −
+    max(below, c))`` with cut ``c = ⌊n·t/1000⌋`` — so trimmed sum,
+    winsorized sum (kept sum + c·v_lo + c·v_hi, where v_lo/v_hi are the
+    clamp values at the cut ranks), and counts are all exact integers;
+    each mean is ONE division.  Scale: cumulative-below uses the
+    ``cum_below`` bucket decomposition — no per-group global sort at
+    any scale.  Degenerate groups (everything trimmed) emit NULL
+    trimmed/winsorized means.
+
+    Output: ``keys…, n, mean, trimmed_mean, winsor_mean``.
+    """
+    df, gkeys = _with_group(df, keys)
+    d = (
+        df.select(*gkeys, F.col(value_col).cast("bigint").alias("__v"))
+        .groupBy(*gkeys, "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    c = cum_below(d, gkeys, "__v", ["__c"], nbuckets=nbuckets)
+    tot = d.groupBy(*gkeys).agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum((F.col("__v") * F.col("__c")).cast("decimal(38,0)"))
+        .alias("__s"))
+    cut = (F.col("__n") * int(trim_permille) / F.lit(1000)).cast("bigint")
+    j = c.join(tot, gkeys).withColumn("__cut", cut)
+    lo, hi_excl = F.col("__cut"), F.col("__n") - F.col("__cut")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("below___c") + F.col("__c"), hi_excl)
+        - F.greatest(F.col("below___c"), lo))
+    agg = j.groupBy(*gkeys).agg(
+        F.first("__n").alias("n"),
+        F.first("__s").alias("__s"),
+        F.first("__cut").alias("__k"),
+        F.sum(kept).cast("bigint").alias("__nk"),
+        F.sum((F.col("__v") * kept).cast("decimal(38,0)")).alias("__sk"),
+        # clamp values: smallest v whose interval reaches past the low
+        # cut, largest v that starts before the high cut
+        F.min(F.when(F.col("below___c") + F.col("__c") > lo,
+                     F.col("__v"))).alias("__vlo"),
+        F.max(F.when(F.col("below___c") < hi_excl,
+                     F.col("__v"))).alias("__vhi"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n").cast("double")
+    tmean = F.when(
+        F.col("__nk") > 0,
+        F.col("__sk").cast("double") / F.col("__nk").cast("double"))
+    wsum = (F.col("__sk").cast("decimal(38,0)")
+            + (F.col("__vlo") * F.col("__k")).cast("decimal(38,0)")
+            + (F.col("__vhi") * F.col("__k")).cast("decimal(38,0)"))
+    wmean = F.when(
+        F.col("__nk") > 0,
+        wsum.cast("double") / F.col("n").cast("double"))
+    return agg.select(*(list(keys) or []), "n", mean.alias("mean"),
+                      tmean.alias("trimmed_mean"),
+                      wmean.alias("winsor_mean"))
+
+
+def trimmed_mean_sql(
+    table: str,
+    value_expr: str,
+    keys: Sequence[str] = (),
+    trim_permille: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`trimmed_mean` — identical integer
+    interval arithmetic (the oracle's cumulative window is integer
+    sums, so window association order cannot matter)."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    part = f"PARTITION BY {kcols} " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    t = int(trim_permille)
+    return f"""
+    WITH d AS (
+        SELECT {kpref}CAST({value_expr} AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY {kpref}v
+    ),
+    cb AS (
+        SELECT {kpref}v, c,
+               COALESCE(SUM(c) OVER ({part}ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+        FROM d
+    ),
+    tot AS (
+        SELECT {kpref}CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(v * c) AS DECIMAL(38,0)) AS s
+        FROM d {grp}
+    ),
+    j AS (
+        SELECT cb.*, tot.n, tot.s, tot.n * {t} // 1000 AS k
+        FROM cb {"JOIN tot USING (" + kcols + ")" if keys
+                 else "CROSS JOIN tot"}
+    ),
+    a AS (
+        SELECT {kpref}
+               CAST(MAX(n) AS BIGINT) AS n, MAX(s) AS s,
+               CAST(MAX(k) AS BIGINT) AS k,
+               CAST(SUM(GREATEST(0, LEAST(below + c, n - k)
+                                    - GREATEST(below, k))) AS BIGINT)
+                   AS nk,
+               CAST(SUM(CAST(v * GREATEST(0, LEAST(below + c, n - k)
+                                    - GREATEST(below, k))
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sk,
+               MIN(CASE WHEN below + c > k THEN v END) AS vlo,
+               MAX(CASE WHEN below < n - k THEN v END) AS vhi
+        FROM j {grp}
+    )
+    SELECT {kpref}n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CASE WHEN nk > 0 THEN
+               CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) END AS trimmed_mean,
+           CASE WHEN nk > 0 THEN
+               CAST(sk + CAST(vlo * k AS DECIMAL(38,0))
+                       + CAST(vhi * k AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(n AS DOUBLE) END AS winsor_mean
+    FROM a
+    """

@@ -5307,3 +5307,20 @@ def ann_eval_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = S.brute_force_topk(e.filter("vec_id < 5"), e, "vec_id",
                                "embedding", _DIM, _TOPK)
     return S.retrieval_eval(got, truth, _TOPK)
+
+
+@query(
+    "trimmed_doclen_by_source",
+    oracle=ES.trimmed_mean_sql("documents", "n_chars", keys=["source"],
+                               trim_permille=50),
+)
+def trimmed_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-TRIMMED and WINSORIZED mean document length per source
+    (operators/evalstats.trimmed_mean) — the robust location estimates
+    that survive the heavy length tail a plain mean is dragged by.
+    Exact integer interval arithmetic over the distinct-length relation
+    via the cum_below bucket decomposition (no per-group global
+    sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.trimmed_mean(d, "n_chars", keys=["source"],
+                           trim_permille=50)

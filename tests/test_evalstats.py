@@ -689,3 +689,34 @@ def test_logrank_single_cohort_null(spark):
         [(1, 1, 1), (1, 2, 1)], "grp int, duration bigint, event int")
     r = E.logrank_test(df, "duration", "event", "grp").collect()[0]
     assert r["z"] is None and r["chi2"] is None
+
+
+def test_trimmed_mean_hand_case(spark):
+    """10 values with two outliers, 10% trim each side drops exactly
+    the min and max; winsorized clamps them to the cut values."""
+    vals = [1, 5, 6, 6, 7, 7, 8, 8, 9, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    r = E.trimmed_mean(df, "x", trim_permille=100).collect()[0]
+    assert r["n"] == 10
+    assert r["mean"] == sum(vals) / 10.0
+    kept = sorted(vals)[1:-1]
+    assert r["trimmed_mean"] == sum(kept) / len(kept)
+    wins = [5] + kept + [9]
+    assert r["winsor_mean"] == sum(wins) / 10.0
+
+
+def test_trimmed_mean_ties_and_degenerate(spark):
+    """Cut falling inside a tie block keeps the right multiplicity;
+    trimming everything emits NULL robust means."""
+    df = spark.createDataFrame(
+        [(2,), (2,), (2,), (2,), (9,)], "x bigint")
+    # n=5, 20% trim -> k=1: drop one 2 and the 9 -> mean of (2,2,2)
+    r = E.trimmed_mean(df, "x", trim_permille=200).collect()[0]
+    assert r["trimmed_mean"] == 2.0
+    assert r["winsor_mean"] == (2 * 4 + 2 + 9 - 9 + 2) / 5.0 or True
+    # winsor: kept (2,2,2) + clamp lo 2*1 + clamp hi 2? vhi = max v with
+    # below < n-k=4 -> v=2 (below of 9 is 4, excluded) -> 2
+    assert r["winsor_mean"] == (2 + 2 + 2 + 2 + 2) / 5.0
+    tiny = spark.createDataFrame([(1,), (9,)], "x bigint")
+    rt = E.trimmed_mean(tiny, "x", trim_permille=500).collect()[0]
+    assert rt["trimmed_mean"] is None and rt["winsor_mean"] is None
