@@ -1323,6 +1323,26 @@ def kaplan_meier(
     per duration with d > 0 (the curve's step points).
     """
     df, gkeys = _with_group(df, keys)
+    b = _km_curve(df, duration_col, event_col, gkeys)
+    out = (
+        b.select(*gkeys, F.explode(F.col("__arr_s")).alias("__x"))
+        .where(F.col("__x.d") > 0)
+        .select(*(list(keys) or []),
+                F.col("__x.t").alias("duration"),
+                F.col("__x.n").alias("n_risk"),
+                F.col("__x.d").alias("n_events"),
+                F.col("__x.survival").alias("survival"))
+    )
+    return out
+
+
+def _km_curve(df: DataFrame, duration_col: str, event_col: str,
+              gkeys: "list[str]") -> DataFrame:
+    """Shared product-limit machinery: per group, the time-sorted step
+    array ``__arr_s`` of structs (t, d, n, survival) — survival exactly
+    as documented on :func:`kaplan_meier` (rounded-ln left folds, d = n
+    absorbing 0.0).  Used by kaplan_meier (explode) and
+    :func:`restricted_mean_survival` (area fold)."""
     ev = F.col(event_col).cast("bigint")
     g = (
         df.select(*gkeys,
@@ -1369,16 +1389,7 @@ def kaplan_meier(
                         F.lit(1.0) - y["d"].cast("double")
                         / y["n"].cast("double")), 9),
                 ).otherwise(F.lit(0.0)))), 9)).alias("survival")))
-    out = (
-        b.select(*gkeys, F.explode(arr_s).alias("__x"))
-        .where(F.col("__x.d") > 0)
-        .select(*(list(keys) or []),
-                F.col("__x.t").alias("duration"),
-                F.col("__x.n").alias("n_risk"),
-                F.col("__x.d").alias("n_events"),
-                F.col("__x.survival").alias("survival"))
-    )
-    return out
+    return b.select(*gkeys, arr_s.alias("__arr_s"))
 
 
 def kaplan_meier_sql(
@@ -1832,4 +1843,121 @@ def trimmed_mean_sql(
                        + CAST(vhi * k AS DECIMAL(38,0)) AS DOUBLE)
                / CAST(n AS DOUBLE) END AS winsor_mean
     FROM a
+    """
+
+
+def restricted_mean_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    horizon: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME (RMST; Royston & Parmar 2013 —
+    public literature): the area under the Kaplan-Meier curve up to
+    ``horizon`` — "expected event-free time within the window", the
+    single-number survival summary that stays meaningful under heavy
+    censoring (where the median may not exist) and the standard
+    effect-size companion to :func:`logrank_test`.
+
+    Shares :func:`kaplan_meier`'s step machinery (`_km_curve`) —
+    survival values are the identical rounded-ln folds, so RMST is a
+    pure post-fold over the bounded step array: the S=1 head interval
+    ``min(τ, t_1)`` plus Σ_i S_i·(min(τ, t_{i+1}) − min(τ, t_i)) with
+    INTEGER interval widths (censor-only steps contribute zero-change
+    survival and exact-duplicate doubles, so folding every step equals
+    folding event steps), summed LEFT-TO-RIGHT.  SQL mirror
+    :func:`restricted_mean_survival_sql`.
+
+    Output: ``keys…, horizon, rmst`` — one row per group.
+    """
+    df, gkeys = _with_group(df, keys)
+    b = _km_curve(df, duration_col, event_col, gkeys)
+    tau = F.lit(int(horizon)).cast("bigint")
+    arr = F.col("__arr_s")
+    nsteps = F.size(arr)
+    head = F.least(tau, F.element_at(arr, 1)["t"]).cast("double")
+    terms = F.transform(
+        arr,
+        lambda x, i: x["survival"] * (
+            F.least(tau, F.when(i + 2 <= nsteps,
+                                F.element_at(arr, (i + 2).cast("int"))["t"])
+                    .otherwise(tau))
+            - F.least(tau, x["t"])).cast("double"))
+    rmst = F.aggregate(terms, head, lambda acc, x: acc + x)
+    return b.select(*(list(keys) or []),
+                    F.lit(int(horizon)).cast("bigint").alias("horizon"),
+                    rmst.alias("rmst"))
+
+
+def restricted_mean_survival_sql(
+    subjects_sql: str,
+    horizon: int,
+    duration_expr: str = "duration",
+    event_expr: str = "event",
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`restricted_mean_survival` — the
+    kaplan_meier_sql survival expression verbatim, then the identical
+    head + left-folded area chain."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    kout = kpref
+    tau = int(horizon)
+    return f"""
+    WITH subj AS ({subjects_sql}),
+    g AS (
+        SELECT {kpref}CAST({duration_expr} AS BIGINT) AS t,
+               CAST(SUM(CAST({event_expr} AS BIGINT)) AS BIGINT) AS d,
+               CAST(SUM(1 - CAST({event_expr} AS BIGINT)) AS BIGINT) AS c
+        FROM subj GROUP BY {kpref}t
+    ),
+    a AS (
+        SELECT {kpref}
+               list_sort(list({{'t': t, 'd': d, 'c': c}})) AS arr,
+               CAST(SUM(d + c) AS BIGINT) AS total
+        FROM g {grp}
+    ),
+    b AS (
+        SELECT {kpref}
+               list_transform(arr, (x, i) -> {{
+                   't': x.t, 'd': x.d,
+                   'n': total - list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(arr[1:i-1], y -> y.d + y.c)),
+                       (p, q) -> p + q)}}) AS arr2
+        FROM a
+    ),
+    s AS (
+        SELECT {kpref}
+               list_transform(arr2, (x, i) -> {{
+                   't': x.t,
+                   'survival': CASE WHEN list_reduce(
+                           list_prepend(FALSE,
+                               list_transform(arr2[1:i], y -> y.d = y.n)),
+                           (p, q) -> p OR q)
+                       THEN 0.0
+                       ELSE round(exp(list_reduce(
+                           list_prepend(0.0,
+                               list_transform(arr2[1:i],
+                                   y -> CASE WHEN y.d > 0 THEN
+                                       round(ln(1.0 - CAST(y.d AS DOUBLE)
+                                             / CAST(y.n AS DOUBLE)), 9)
+                                       ELSE 0.0 END)),
+                           (p, q) -> p + q)), 9) END}}) AS arr3
+        FROM b
+    )
+    SELECT {kout}CAST({tau} AS BIGINT) AS horizon,
+           list_reduce(
+               list_prepend(
+                   CAST(LEAST({tau}, arr3[1].t) AS DOUBLE),
+                   list_transform(arr3, (x, i) ->
+                       x.survival * CAST(
+                           LEAST({tau}, CASE WHEN i + 1 <= len(arr3)
+                                             THEN arr3[i + 1].t
+                                             ELSE {tau} END)
+                           - LEAST({tau}, x.t) AS DOUBLE))),
+               (p, q) -> p + q) AS rmst
+    FROM s
     """

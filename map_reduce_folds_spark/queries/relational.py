@@ -4322,3 +4322,36 @@ def logrank_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("duration"),
                     F.when(inside, 1).otherwise(0).alias("event")))
     return ES.logrank_test(subj, "duration", "event", "grp")
+
+
+@query(
+    "rmst_conversion_by_cohort",
+    oracle=ES.restricted_mean_survival_sql(
+        _LR_SUBJECTS_SQL, _KM_HORIZON_H, keys=["grp"]),
+)
+def rmst_conversion_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME per cohort (operators/evalstats.
+    restricted_mean_survival): expected hours-to-conversion within the
+    48 h window for signup-first users vs the rest — the EFFECT SIZE
+    companion to logrank_signup_conversion's significance (a z-score
+    says curves differ; RMST difference says by how many hours).  Area
+    under each cohort's KM curve: integer interval widths x the
+    identical rounded-ln survival folds, summed in time order."""
+    e = load_table(spark, sf_dir, "events")
+    first = F.min(F.struct(
+        epoch_us("ts").alias("t"), F.col("event_id").alias("i"),
+        F.col("event_type").alias("ty")))
+    u = e.groupBy("user_id").agg(
+        F.min(epoch_us("ts")).alias("f_us"),
+        F.when(first["ty"] == "signup", 1).otherwise(0).alias("grp"))
+    p = (e.where(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min(epoch_us("ts")).alias("fp_us")))
+    raw_h = F.floor((F.col("fp_us") - F.col("f_us")) / F.lit(3600000000))
+    inside = raw_h.isNotNull() & (raw_h < _KM_HORIZON_H)
+    subj = (u.join(p, "user_id", "left")
+            .select("user_id", "grp",
+                    F.when(inside, raw_h).otherwise(F.lit(_KM_HORIZON_H))
+                    .cast("bigint").alias("duration"),
+                    F.when(inside, 1).otherwise(0).alias("event")))
+    return ES.restricted_mean_survival(subj, "duration", "event",
+                                       _KM_HORIZON_H, keys=["grp"])

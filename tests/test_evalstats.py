@@ -720,3 +720,32 @@ def test_trimmed_mean_ties_and_degenerate(spark):
     tiny = spark.createDataFrame([(1,), (9,)], "x bigint")
     rt = E.trimmed_mean(tiny, "x", trim_permille=500).collect()[0]
     assert rt["trimmed_mean"] is None and rt["winsor_mean"] is None
+
+
+def test_rmst_hand_case(spark):
+    """Durations (1e, 2c, 3e) with horizon 4: S=1 on [0,1), S(1)=2/3 on
+    [1,3), S(3)=0 beyond (d=n at t=3 among remaining... n=1 at t=3) —
+    wait: risk sets are n=3,2,1; S(1)=2/3, S(3)=2/3*(1-1/1)=0.
+    RMST = 1*1 + (2/3 rounded chain)*(3-1) + 0*(4-3)."""
+    import math
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1)], "duration bigint, event int")
+    r = E.restricted_mean_survival(subj, "duration", "event", 4).collect()[0]
+    s1 = round(math.exp(round(math.log(1.0 - 1.0 / 3.0), 9)), 9)
+    # steps at t=1 (S=s1), t=2 censor (S=s1), t=3 (S=0); head = min(4,1)
+    expected = 1.0 + s1 * (2 - 1) + s1 * (3 - 2) + 0.0 * (4 - 3)
+    assert r["rmst"] == expected
+    assert r["horizon"] == 4
+
+
+def test_rmst_horizon_clamps(spark):
+    """Events past the horizon contribute nothing; an all-surviving
+    group integrates S=1 across the whole window."""
+    subj = spark.createDataFrame(
+        [(10, 1), (12, 1)], "duration bigint, event int")
+    r = E.restricted_mean_survival(subj, "duration", "event", 5).collect()[0]
+    assert r["rmst"] == 5.0
+    cens = spark.createDataFrame(
+        [(8, 0), (9, 0)], "duration bigint, event int")
+    rc = E.restricted_mean_survival(cens, "duration", "event", 6).collect()[0]
+    assert rc["rmst"] == 6.0
