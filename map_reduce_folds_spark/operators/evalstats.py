@@ -1961,3 +1961,131 @@ def restricted_mean_survival_sql(
                (p, q) -> p + q) AS rmst
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 distribution drift
+# ---------------------------------------------------------------------------
+
+def wasserstein1_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """EXACT Wasserstein-1 (earth mover's) distance between each
+    group's distribution of an integer column and the WHOLE corpus's —
+    the integral drift measure that complements the sup-norm (KS) and
+    binned (PSI) rows: W1 = ∫|F_g − F_pool| dv, in the column's own
+    units ("this source's length distribution sits ~312 chars of mass
+    away from the corpus").
+
+    Exactness: over the sorted distinct pooled values, every term is
+    put on the COMMON DENOMINATOR n_g·N — ``|inc_g·N − inc_pool·n_g| ·
+    (v_{i+1} − v_i)`` is an exact DECIMAL(38,0) integer — and W1 is ONE
+    final division by the double product n_g·N, so both engines agree
+    bitwise with no accumulation-order discipline (integer sums are
+    order-free).  SQL mirror :func:`wasserstein1_by_group_sql`.
+
+    Scale: the working relation is groups × distinct pooled VALUES —
+    bounded by the integer value DOMAIN (calendar-bucket or quantize
+    unbounded measures upstream), never by corpus rows; the gap/lead
+    window runs one task over that bounded relation (the strata-relation
+    acceptance class).
+
+    Output: ``group, n, w1`` (+ the pooled total as ``n_all``).
+    """
+    from pyspark.sql.window import Window as _W
+
+    g = (
+        df.select(F.col(group_col).cast("string").alias("__g"),
+                  F.col(value_col).cast("bigint").alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    pooled = g.groupBy("__v").agg(F.sum("__c").cast("bigint").alias("__cp"))
+    # gap to the next pooled value: bounded value-domain relation, one
+    # constant-key partition (the _with_group convention)
+    wv = _W.partitionBy(F.lit(1)).orderBy("__v")
+    pool2 = pooled.select(
+        "__v", "__cp",
+        (F.coalesce(F.lead("__v").over(wv), F.col("__v")) - F.col("__v"))
+        .alias("__gap"),
+        (F.sum("__cp").over(
+            wv.rowsBetween(_W.unboundedPreceding, 0))).alias("__incp"),
+        F.sum("__cp").over(
+            wv.rowsBetween(_W.unboundedPreceding,
+                           _W.unboundedFollowing)).alias("__nall"),
+    )
+    groups = g.groupBy("__g").agg(F.sum("__c").cast("bigint").alias("__n"))
+    dense = (
+        groups.crossJoin(pool2)
+        .join(g, ["__g", "__v"], "left")
+        .select("__g", "__n", "__v", "__gap", "__incp", "__nall",
+                F.coalesce(F.col("__c"), F.lit(0)).alias("__c"))
+    )
+    wg = (_W.partitionBy("__g").orderBy("__v")
+          .rowsBetween(_W.unboundedPreceding, 0))
+    inc = dense.withColumn("__incg", F.sum("__c").over(wg))
+    term = (F.abs(F.col("__incg") * F.col("__nall")
+                  - F.col("__incp") * F.col("__n"))
+            * F.col("__gap")).cast("decimal(38,0)")
+    out = inc.groupBy("__g").agg(
+        F.first("__n").alias("n"),
+        F.first("__nall").alias("n_all"),
+        F.sum(term).alias("__num"))
+    w1 = (F.col("__num").cast("double")
+          / (F.col("n").cast("double") * F.col("n_all").cast("double")))
+    return out.select(F.col("__g").alias("grp"), "n",
+                      F.col("n_all").cast("bigint").alias("n_all"),
+                      w1.alias("w1"))
+
+
+def wasserstein1_by_group_sql(
+    table: str,
+    value_expr: str,
+    group_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`wasserstein1_by_group` — identical
+    integer common-denominator terms and the single final division."""
+    return f"""
+    WITH g AS (
+        SELECT CAST({group_expr} AS VARCHAR) AS grp,
+               CAST({value_expr} AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    pooled AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS cp FROM g GROUP BY 1
+    ),
+    pool2 AS (
+        SELECT v, cp,
+               COALESCE(LEAD(v) OVER (ORDER BY v), v) - v AS gap,
+               CAST(SUM(cp) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS incp,
+               CAST(SUM(cp) OVER () AS BIGINT) AS n_all
+        FROM pooled
+    ),
+    groups AS (
+        SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1
+    ),
+    dense AS (
+        SELECT gr.grp, gr.n, p.v, p.gap, p.incp, p.n_all,
+               COALESCE(g.c, 0) AS c
+        FROM groups gr CROSS JOIN pool2 p
+        LEFT JOIN g ON g.grp = gr.grp AND g.v = p.v
+    ),
+    inc AS (
+        SELECT *, CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS incg
+        FROM dense
+    )
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(n_all) AS BIGINT) AS n_all,
+           CAST(SUM(CAST(abs(incg * n_all - incp * n) * gap
+                         AS DECIMAL(38,0))) AS DOUBLE)
+               / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n_all) AS DOUBLE))
+               AS w1
+    FROM inc GROUP BY 1
+    """

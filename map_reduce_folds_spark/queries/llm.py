@@ -5324,3 +5324,19 @@ def trimmed_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return ES.trimmed_mean(d, "n_chars", keys=["source"],
                            trim_permille=50)
+
+
+@query(
+    "wasserstein_doclen_by_source",
+    oracle=ES.wasserstein1_by_group_sql("documents", "n_chars", "source"),
+)
+def wasserstein_doclen_by_source(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """EXACT Wasserstein-1 drift of each source's document-length
+    distribution from the pooled corpus (operators/evalstats.
+    wasserstein1_by_group) — the earth-mover integral that ranks
+    sources by TOTAL distributional displacement in characters, where
+    KS only reports the worst single point.  Every term is an exact
+    common-denominator integer; one division per source."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.wasserstein1_by_group(d, "n_chars", "source")

@@ -749,3 +749,28 @@ def test_rmst_horizon_clamps(spark):
         [(8, 0), (9, 0)], "duration bigint, event int")
     rc = E.restricted_mean_survival(cens, "duration", "event", 6).collect()[0]
     assert rc["rmst"] == 6.0
+
+
+def test_wasserstein1_hand_case(spark):
+    """Two groups: a=(1,1,3), b=(2,4).  Pooled=(1,1,2,3,4), n=5.
+    W1(a, pooled) computed longhand over pooled distinct values."""
+    rows = [("a", 1), ("a", 1), ("a", 3), ("b", 2), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    out = {r["grp"]: r for r in
+           E.wasserstein1_by_group(df, "x", "g").collect()}
+    # group a: inc_a at v=1,2,3,4 -> 2,2,3,3 (n=3); pooled inc -> 2,3,4,5
+    # terms |inc_a*5 - inc_p*3| * gap: v=1:|10-6|*1=4; v=2:|10-9|*1=1;
+    # v=3:|15-12|*1=3; v=4 gap 0.
+    assert out["a"]["n"] == 3 and out["a"]["n_all"] == 5
+    assert out["a"]["w1"] == (4 + 1 + 3) / (3.0 * 5.0)
+    # group b: inc_b -> 0,1,1,2 (n=2); terms |0-4|,|5-6|,|5-8| -> 4,1,3
+    assert out["b"]["w1"] == (4 + 1 + 3) / (2.0 * 5.0)
+
+
+def test_wasserstein1_identical_distribution_zero(spark):
+    """A group that IS the pooled distribution has W1 = 0 against it
+    (two identical groups)."""
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    for r in E.wasserstein1_by_group(df, "x", "g").collect():
+        assert r["w1"] == 0.0
