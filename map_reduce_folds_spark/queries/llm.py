@@ -5215,7 +5215,7 @@ _LSS_W = {"train": 0.8, "val": 0.1, "test": 0.1}
     "leakage_safe_split",
     oracle=f"""
     WITH RECURSIVE
-    sig AS (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents),
+    sig AS (SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM documents),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -5253,9 +5253,17 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs keep their own id as cluster → the standard deterministic
     hash_split applied to the CLUSTER id — every cluster lands whole in
     exactly one split by construction.  Per-split doc/cluster/char
-    counts as the check relation."""
+    counts as the check relation.
+
+    SIGNATURE WIDTH IS A SCALE PARAMETER, measured this round: at 1M
+    docs a 32-bit simhash birthday-saturates — random collisions chain
+    99%% of the corpus into one component (train=494881/500k, val/test
+    starved) and the bucket blow-up costs 6× the wall (121 s vs 21 s at
+    the 100× slice).  60 bits (every informative bit of the 60-bit
+    token hash) keeps components honest at every measured scale;
+    SCALE_BENCH_r13 session-6 records the pair."""
     d = load_table(spark, sf_dir, "documents")
-    comp = D.simhash_components(d, "doc_id", "text", bits=32,
+    comp = D.simhash_components(d, "doc_id", "text", bits=60,
                                 max_hamming=3, blocks="auto")
     lab = (
         d.join(comp.select(F.col("node").alias("doc_id"), "component"),

@@ -3818,7 +3818,7 @@ def test_leakage_safe_split_invariant(spark, tables):
     from map_reduce_folds_spark.operators import sampling as SM
 
     d = tables["documents"]
-    comp = D2.simhash_components(d, "doc_id", "text", bits=32,
+    comp = D2.simhash_components(d, "doc_id", "text", bits=60,
                                  max_hamming=3, blocks="auto")
     lab = (d.join(comp.select(F.col("node").alias("doc_id"), "component"),
                   "doc_id", "left")
