@@ -1277,3 +1277,37 @@ def stream_holtwinters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_bootstrap_moments(
+    stream: DataFrame,
+    value_col: str,
+    id_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    keys=(),
+    n_boot: int = 200,
+    salt: str = "boot",
+):
+    """INCREMENTAL-INFERENCE stream: append each arriving micro-batch's
+    Poisson-bootstrap MOMENT relation
+    (``sampling.poisson_bootstrap_moments`` — the additive-monoid
+    (keys, replicate) weighted sums, base moments on the b = −1
+    sentinel) to ``out_dir``.  Because replicate weights are a pure
+    function of the row id and integer sums are a monoid, finalizing
+    the accumulated directory —
+    ``poisson_bootstrap_ci_from_moments(poisson_bootstrap_merge(
+    spark.read.parquet(out_dir)))`` — yields BITWISE the whole-corpus
+    CI at any point in the stream's life: confidence intervals over an
+    ingest stream without ever rescanning history (the digest-table
+    ingest pattern applied to statistical inference)."""
+    from map_reduce_folds_spark.operators.sampling import (
+        poisson_bootstrap_moments,
+    )
+
+    def process(df: DataFrame, batch_id: int):
+        poisson_bootstrap_moments(
+            df, value_col, id_col, keys=keys, n_boot=n_boot, salt=salt,
+        ).write.mode("append").parquet(out_dir)
+
+    return write_foreach_batch(stream, process, checkpoint_dir)

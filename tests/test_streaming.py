@@ -1388,3 +1388,43 @@ def test_stream_holtwinters_matches_batch_across_boundary(
                  early.unionByName(late), "k", "ts", "v", period=3,
                  tiebreak_col="eid", horizon=2).collect()}
     assert last == batch  # bitwise, doubles included
+
+
+def test_stream_bootstrap_moments_matches_batch(spark, tmp_path_factory):
+    """Bootstrap moment relations accumulated over a two-batch stream,
+    merged and finalized, equal the whole-corpus batch CI BITWISE —
+    weights are a pure function of the row id and moments are an
+    additive monoid, so the stream's split cannot matter."""
+    import os
+
+    from map_reduce_folds_spark.operators import sampling as SM
+    from map_reduce_folds_spark.sources import load_table
+    from map_reduce_folds_spark.streaming import stream_bootstrap_moments
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "source", "n_chars")
+    base = str(tmp_path_factory.mktemp("bootstream"))
+    src = os.path.join(base, "in")
+    docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(src, "f0"))
+    docs.where("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(src, "f1"))
+    stream = (spark.readStream
+              .schema("doc_id bigint, source string, n_chars bigint")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/f*"))
+    out = os.path.join(base, "moments")
+    q = stream_bootstrap_moments(
+        stream, "n_chars", "doc_id", out, os.path.join(base, "ckpt"),
+        keys=["source"], n_boot=50)
+    q.awaitTermination(120)
+    q.stop()
+
+    merged = SM.poisson_bootstrap_merge(spark.read.parquet(out))
+    got = {r["source"]: r for r in SM.poisson_bootstrap_ci_from_moments(
+        merged, keys=["source"]).collect()}
+    want = {r["source"]: r for r in SM.poisson_bootstrap_mean_ci(
+        docs, "n_chars", "doc_id", keys=["source"], n_boot=50).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].asDict() == want[k].asDict()
