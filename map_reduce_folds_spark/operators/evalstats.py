@@ -2089,3 +2089,103 @@ def wasserstein1_by_group_sql(
                AS w1
     FROM inc GROUP BY 1
     """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """QUANTILE NORMALIZATION (Bolstad et al. 2003 — the cross-batch
+    harmonization standard): remap each group's integer values onto the
+    POOLED distribution so every group shares the corpus's marginal —
+    the cross-source length/score harmonizer that removes per-source
+    scale artifacts before mixing.
+
+    Per DISTINCT (group, value): a row with value v in group g sits at
+    inclusive rank ``inc_g(v)`` of n_g, and maps to the pooled value at
+    rank ``ceil(inc_g(v)·N / n_g)`` — all EXACT integer arithmetic, so
+    the mapping is a bounded (group × distinct-value) relation, never a
+    per-row rank: tied rows map identically, and the rank lookup is a
+    half-open interval join ``below_p < k ≤ inc_p`` against the pooled
+    distinct relation (both sides bounded by the value DOMAIN — the
+    wasserstein1 acceptance class).  SQL mirror
+    :func:`quantile_normalize_sql`.
+
+    Output: the per-(group, value) MAP ``grp, v, n_rows, v_norm`` —
+    join it back to rows to materialize normalized columns; emitting
+    the map keeps the gate relation bounded.
+    """
+    g = (
+        df.select(F.col(group_col).cast("string").alias("grp"),
+                  F.col(value_col).cast("bigint").alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    c = cum_below(g, ["grp"], "v", ["n_rows"])
+    tot = g.groupBy("grp").agg(F.sum("n_rows").cast("bigint").alias("n_g"))
+    pooled = g.groupBy("v").agg(
+        F.sum("n_rows").cast("bigint").alias("cp"))
+    pc = cum_below(pooled.withColumn("__g", F.lit(1)), ["__g"], "v",
+                   ["cp"]).select(
+        F.col("v").alias("pv"), F.col("cp").alias("pc"),
+        F.col("below_cp").alias("pbelow"))
+    nall = pooled.agg(F.sum("cp").cast("bigint").alias("n_all"))
+    # ceil via INTEGER div (a double quotient loses exactness past the
+    # 53-bit mantissa); inc·N must fit bigint — N < ~3e9 rows, beyond
+    # which stage the product through decimal
+    j = (c.join(tot, "grp").crossJoin(F.broadcast(nall))
+         .withColumn("__inc", F.col("below_n_rows") + F.col("n_rows"))
+         .withColumn(
+             "__k",
+             F.expr("(__inc * n_all + n_g - 1) div n_g")))
+    out = j.join(
+        pc,
+        (F.col("pbelow") < F.col("__k"))
+        & (F.col("__k") <= F.col("pbelow") + F.col("pc")))
+    return out.select("grp", "v", "n_rows", F.col("pv").alias("v_norm"))
+
+
+def quantile_normalize_sql(
+    table: str,
+    value_expr: str,
+    group_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`quantile_normalize` — identical integer
+    ranks and the same half-open interval lookup."""
+    return f"""
+    WITH g AS (
+        SELECT CAST({group_expr} AS VARCHAR) AS grp,
+               CAST({value_expr} AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM {table} GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT grp, v, n_rows,
+               COALESCE(SUM(n_rows) OVER (PARTITION BY grp ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+        FROM g
+    ),
+    tot AS (SELECT grp, CAST(SUM(n_rows) AS BIGINT) AS n_g
+            FROM g GROUP BY 1),
+    pooled AS (SELECT v, CAST(SUM(n_rows) AS BIGINT) AS cp
+               FROM g GROUP BY 1),
+    pc AS (
+        SELECT v AS pv, cp,
+               COALESCE(SUM(cp) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pbelow
+        FROM pooled
+    ),
+    nall AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_all FROM pooled),
+    j AS (
+        SELECT c.grp, c.v, c.n_rows,
+               (c.below + c.n_rows) AS inc, tot.n_g, nall.n_all,
+               ((c.below + c.n_rows) * nall.n_all + tot.n_g - 1)
+                   // tot.n_g AS k
+        FROM c JOIN tot USING (grp) CROSS JOIN nall
+    )
+    SELECT j.grp, j.v, j.n_rows, pc.pv AS v_norm
+    FROM j JOIN pc ON pc.pbelow < j.k AND j.k <= pc.pbelow + pc.cp
+    """

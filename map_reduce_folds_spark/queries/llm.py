@@ -5445,3 +5445,19 @@ def conformal_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_cal", "threshold_q", "n_test", "n_flagged",
         (F.lit(1.0) - F.col("n_flagged").cast("double")
          / F.col("n_test").cast("double")).alias("coverage"))
+
+
+@query(
+    "quantile_normalize_doclen",
+    oracle=ES.quantile_normalize_sql("documents", "n_chars", "source"),
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of document length across sources
+    (operators/evalstats.quantile_normalize): remap every source's
+    length distribution onto the pooled corpus marginal — the
+    cross-source harmonizer (Bolstad et al.) that removes per-source
+    scale artifacts before mixing or quality-gating.  The result is
+    the bounded per-(source, value) map; exact integer ranks and a
+    half-open interval lookup, hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.quantile_normalize(d, "n_chars", "source")

@@ -774,3 +774,30 @@ def test_wasserstein1_identical_distribution_zero(spark):
     df = spark.createDataFrame(rows, "g string, x bigint")
     for r in E.wasserstein1_by_group(df, "x", "g").collect():
         assert r["w1"] == 0.0
+
+
+def test_quantile_normalize_properties(spark):
+    """The map is monotone in v within each group, ties map
+    identically (it IS a per-(group,value) map), and a group whose
+    distribution equals the pooled marginal maps to itself."""
+    rows = [("a", v) for v in (1, 2, 3, 4)] + \
+           [("b", v) for v in (10, 20, 30, 40)]
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    out = E.quantile_normalize(df, "x", "g").collect()
+    m = {(r["grp"], r["v"]): r["v_norm"] for r in out}
+    # monotone within each group
+    a_vals = [m[("a", v)] for v in (1, 2, 3, 4)]
+    assert a_vals == sorted(a_vals)
+    b_vals = [m[("b", v)] for v in (10, 20, 30, 40)]
+    assert b_vals == sorted(b_vals)
+    # rank alignment: the k-th value of each group maps to the same
+    # pooled value (both groups have n_g = 4, N = 8 -> k = 2i)
+    pooled = sorted([1, 2, 3, 4, 10, 20, 30, 40])
+    for i, (va, vb) in enumerate(zip((1, 2, 3, 4), (10, 20, 30, 40)), 1):
+        assert m[("a", va)] == m[("b", vb)] == pooled[2 * i - 1]
+    # identical groups: map is the identity
+    same = spark.createDataFrame(
+        [("a", v) for v in (5, 6, 7)] + [("b", v) for v in (5, 6, 7)],
+        "g string, x bigint")
+    for r in E.quantile_normalize(same, "x", "g").collect():
+        assert r["v_norm"] == r["v"]
