@@ -2189,3 +2189,74 @@ def quantile_normalize_sql(
     SELECT j.grp, j.v, j.n_rows, pc.pv AS v_norm
     FROM j JOIN pc ON pc.pbelow < j.k AND j.k <= pc.pbelow + pc.cp
     """
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """BROWN-FORSYTHE variance-homogeneity test (Brown & Forsythe 1974
+    — the median-centered Levene): one-way ANOVA on |x − median_g|,
+    the robust "are the group SPREADS equal?" screen that pairs with
+    :func:`anova_f`'s mean test (whose F assumes it).
+
+    The center is the TYPE-1 (lower) median — the ⌈n_g/2⌉-th order
+    statistic, a rank selection over the distinct-value relation via
+    ``cum_below`` — so every deviation |x − med_g| stays an exact
+    INTEGER and the whole statistic rides :func:`anova_f`'s
+    fixed-order machinery unchanged (interpolated medians would make
+    deviations half-integral and engine-divergent).  SQL mirror
+    :func:`brown_forsythe_sql`.
+
+    Output: one row ``(k, n, ssb, ssw, f)`` — f is the W statistic.
+    """
+    d = df.select(F.col(group_col).cast("string").alias("__bfg"),
+                  F.col(value_col).cast("bigint").alias("__v"))
+    cell = d.groupBy("__bfg", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"))
+    cb = cum_below(cell, ["__bfg"], "__v", ["__c"])
+    tot = cell.groupBy("__bfg").agg(
+        F.sum("__c").cast("bigint").alias("__n"))
+    half = F.expr("(__n + 1) div 2")   # ceil(n/2)
+    med = (cb.join(tot, "__bfg")
+           .groupBy("__bfg")
+           .agg(F.min(F.when(
+               F.col("below___c") + F.col("__c") >= half,
+               F.col("__v"))).alias("__med")))
+    dev = (d.join(med, "__bfg")
+           .select(F.col("__bfg"),
+                   F.abs(F.col("__v") - F.col("__med")).alias("__dev")))
+    return anova_f(dev, "__dev", "__bfg")
+
+
+def brown_forsythe_sql(table: str, value_expr: str, group_expr: str) -> str:
+    """DuckDB mirror of :func:`brown_forsythe` — the same type-1
+    median rank selection feeding the anova_f mirror."""
+    dev = f"""(
+    WITH d AS (
+        SELECT CAST({group_expr} AS VARCHAR) AS bfg,
+               CAST({value_expr} AS BIGINT) AS v
+        FROM {table}
+    ),
+    cell AS (
+        SELECT bfg, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT bfg, v, c,
+               COALESCE(SUM(c) OVER (PARTITION BY bfg ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+        FROM cell
+    ),
+    tot AS (SELECT bfg, CAST(SUM(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+    med AS (
+        SELECT bfg, MIN(CASE WHEN below + c >= (n + 1) // 2 THEN v END)
+               AS med
+        FROM cb JOIN tot USING (bfg) GROUP BY 1
+    )
+    SELECT d.bfg, abs(d.v - med.med) AS dev
+    FROM d JOIN med USING (bfg)
+    )"""
+    return anova_f_sql(dev, "dev", "bfg")

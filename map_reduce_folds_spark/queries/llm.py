@@ -5461,3 +5461,17 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-open interval lookup, hash-exact."""
     d = load_table(spark, sf_dir, "documents")
     return ES.quantile_normalize(d, "n_chars", "source")
+
+
+@query(
+    "brown_forsythe_doclen",
+    oracle=ES.brown_forsythe_sql("documents", "n_chars", "source"),
+)
+def brown_forsythe_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE spread-homogeneity test across sources
+    (operators/evalstats.brown_forsythe): are the sources' length
+    SPREADS equal?  The robust Levene variant anova_doclen_source's F
+    quietly assumes — median-centered integer deviations through the
+    same fixed-order ANOVA machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.brown_forsythe(d, "n_chars", "source")

@@ -801,3 +801,30 @@ def test_quantile_normalize_properties(spark):
         "g string, x bigint")
     for r in E.quantile_normalize(same, "x", "g").collect():
         assert r["v_norm"] == r["v"]
+
+
+def test_brown_forsythe_hand_case(spark):
+    """Equal-spread groups give W near 0; a planted wide group gives a
+    large W; the center is the type-1 (lower) median so deviations are
+    integers."""
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 9), ("b", 11), ("b", 15), ("b", 19)],
+        "g string, x bigint")
+    r = E.brown_forsythe(same, "x", "g").collect()[0]
+    assert r["f"] == 0.0  # identical deviation profiles (4,0,4)
+    wide = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("a", 5), ("a", 5),
+         ("b", 0), ("b", 100), ("b", 0), ("b", 100)],
+        "g string, x bigint")
+    rw = E.brown_forsythe(wide, "x", "g").collect()[0]
+    # deviations a=(0,0,0,0), b=(0,100,0,100): SSB=5000, SSW=10000,
+    # W = (5000/1)/(10000/6) = 3 up to the division rounding
+    assert rw["f"] is not None and abs(rw["f"] - 3.0) < 1e-12
+    # even-n group: lower median picked (2 of [2,4] -> deviations 0,2)
+    even = spark.createDataFrame(
+        [("a", 2), ("a", 4), ("b", 2), ("b", 4)], "g string, x bigint")
+    re_ = E.brown_forsythe(even, "x", "g").collect()[0]
+    # lower median = 2 -> deviations (0, 2) in each group, identical
+    # profiles -> W = 0 and SSW = Q - T = 8 - 4 = 4 exactly
+    assert re_["ssw"] == 4.0
+    assert re_["f"] == 0.0
