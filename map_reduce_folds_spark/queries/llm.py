@@ -5490,3 +5490,145 @@ def kruskal_wallis_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the distinct-cell relation; tie-corrected H."""
     d = load_table(spark, sf_dir, "documents")
     return ES.kruskal_wallis(d, "n_chars", "source")
+
+
+_V5_LO, _V5_HI = 150, 1500   # normalized-length keep band (chars)
+
+
+def _v5_oracle() -> str:
+    res = S.pca_residual_sql(_DIM, _PCA_COMPS, _PCA_ITERS)
+    qn = ES.quantile_normalize_sql("documents", "n_chars", "source")
+    return f"""
+    WITH RECURSIVE
+    res AS ({res}),
+    cq AS (
+        SELECT vec_id,
+               CAST(floor(resid * 1000000.0) AS BIGINT) AS qr,
+               {SM.hash_split_sql('vec_id', _CONF_W, 'conformal')} AS split
+        FROM res
+    ),
+    cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_cal FROM cq
+           WHERE split = 'cal'),
+    cd AS (
+        SELECT qr AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY qr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+        FROM cq WHERE split = 'cal' GROUP BY 1
+    ),
+    thr AS (
+        SELECT MIN(CASE WHEN below + c >=
+                   ((m_cal + 1) * {1000 - _CONF_A} + 999) // 1000
+                   THEN v END) AS tau
+        FROM cd CROSS JOIN cm
+    ),
+    keep_emb AS (
+        SELECT vec_id FROM cq CROSS JOIN thr
+        WHERE qr <= tau OR tau IS NULL
+    ),
+    qnmap AS ({qn}),
+    keep_len AS (
+        SELECT d.doc_id FROM documents d
+        JOIN qnmap ON qnmap.grp = d.source AND qnmap.v = d.n_chars
+        WHERE qnmap.v_norm BETWEEN {_V5_LO} AND {_V5_HI}
+    ),
+    surv AS (
+        SELECT d.doc_id, d.text, d.n_chars FROM documents d
+        JOIN keep_emb ON keep_emb.vec_id = d.doc_id
+        JOIN keep_len ON keep_len.doc_id = d.doc_id
+    ),
+    sig AS (SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM surv),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component
+             FROM reach GROUP BY node),
+    lab AS (
+        SELECT s.doc_id, s.n_chars,
+               COALESCE(c.component, s.doc_id) AS cluster
+        FROM surv s LEFT JOIN comp c ON s.doc_id = c.doc_id
+    )
+    SELECT {SM.hash_split_sql('cluster', _LSS_W)} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM lab GROUP BY 1
+    """
+
+
+@query("pipeline_curation_v5", oracle=_v5_oracle())
+def pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION PIPELINE v5 — the session-6 families composed into the
+    full pre-training data-prep story as ONE Catalyst plan: (1) the
+    split-conformal PCA-residual gate keeps embeddings under the
+    calibrated novelty threshold (τ = ∞ keeps everything when the
+    calibration half is too small); (2) the quantile-normalized length
+    band keeps documents whose HARMONIZED length (pooled-marginal
+    remap, so one band fits every source) lies in [150, 1500]; (3)
+    survivors (doc_id = vec_id) get the LEAKAGE-SAFE near-dup-cluster
+    split (60-bit simhash components; clusters land whole).  Output:
+    per-split docs/clusters/chars — the shape a training launch reads.
+    The oracle chains all four mirrors into one recursive-CTE
+    statement."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    # (1) conformal embedding gate
+    moments = S._pca_moments(emb, "vec_id", "embedding", _DIM)
+    comps, lams, tr, n = S.pca_power_fit(
+        emb, "vec_id", "embedding", _DIM,
+        n_components=_PCA_COMPS, iters=_PCA_ITERS, moments=moments)
+    means = S.pca_means(moments)
+    res = S.pca_residual_scores(emb, comps, means, "vec_id", "embedding")
+    cq = SM.hash_split(
+        res.select("vec_id",
+                   F.floor(F.col("resid") * 1000000.0).cast("bigint")
+                   .alias("qr")),
+        "vec_id", weights=_CONF_W, salt="conformal")
+    from map_reduce_folds_spark.operators import evalstats as _ES
+    cal = cq.where(F.col("split") == "cal").withColumn("__g", F.lit(1))
+    cdist = cal.groupBy("__g", "qr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"))
+    cb = _ES.cum_below(cdist, ["__g"], "qr", ["__c"])
+    m = cal.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_cal"))
+    kk = ((F.col("m_cal") + 1) * (1000 - _CONF_A) + 999) / F.lit(1000)
+    thr = (cb.join(m, "__g").groupBy("__g")
+           .agg(F.min(F.when(
+               F.col("below___c") + F.col("__c") >= kk.cast("bigint"),
+               F.col("qr"))).alias("tau")))
+    keep_emb = (cq.crossJoin(F.broadcast(thr.select("tau")))
+                .where((F.col("qr") <= F.col("tau"))
+                       | F.col("tau").isNull())
+                .select("vec_id"))
+    # (2) harmonized length band
+    qnmap = _ES.quantile_normalize(d, "n_chars", "source")
+    keep_len = (d.join(qnmap, (qnmap["grp"] == d["source"])
+                       & (qnmap["v"] == d["n_chars"]))
+                .where(F.col("v_norm").between(_V5_LO, _V5_HI))
+                .select("doc_id"))
+    # (3) survivors -> leakage-safe cluster split
+    surv = (d.join(keep_emb.withColumnRenamed("vec_id", "doc_id"),
+                   "doc_id")
+            .join(keep_len, "doc_id")
+            .select("doc_id", "text", "n_chars"))
+    comp = D.simhash_components(surv, "doc_id", "text", bits=60,
+                                max_hamming=3, blocks="auto")
+    lab = (surv.join(comp.select(F.col("node").alias("doc_id"),
+                                 "component"), "doc_id", "left")
+           .select("doc_id", "n_chars",
+                   F.coalesce(F.col("component"), F.col("doc_id"))
+                   .alias("cluster")))
+    s = SM.hash_split(lab, "cluster", weights=_LSS_W)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("chars"))
