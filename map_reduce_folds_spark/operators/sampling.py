@@ -1136,3 +1136,119 @@ def poisson_bootstrap_mean_ci_sql(
     FROM base {"JOIN reps USING (" + kcols + ")" if keys
                else "CROSS JOIN reps"}
     """
+
+
+def poisson_bootstrap_ratio_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    id_col: str,
+    keys: Sequence[str] = (),
+    n_boot: int = 200,
+    alpha_permille: int = 50,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile CI for the per-group RATIO ``Σnum/Σden`` under the
+    same deterministic Poisson bootstrap as
+    :func:`poisson_bootstrap_mean_ci` — the estimator family (rates,
+    chars-per-token, revenue-per-order) whose standard error has NO
+    closed form, which is what the bootstrap is FOR.  Identical integer
+    threshold weights, replicate ratios as single exact-integer-sum
+    divisions, the same order-statistic bounds; replicates with
+    non-positive denominator mass are excluded from the order
+    statistics (counted out of ``n_boot_valid``).
+
+    Output: ``keys…, n, ratio, ci_lo, ci_hi, n_boot_valid``.
+    """
+    df, gkeys = _with_group_cols(df, keys)
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("__b")
+    h = hash60(
+        F.concat_ws(":", F.lit(salt), F.col("__b").cast("string"),
+                    F.col("__id").cast("string")))
+    rows = (
+        df.select(*gkeys, F.col(id_col).alias("__id"),
+                  F.col(num_col).cast("bigint").alias("__xn"),
+                  F.col(den_col).cast("bigint").alias("__xd"), b)
+        .withColumn("__w", _pois1_weight(h))
+    )
+    rep = (
+        rows.groupBy(*gkeys, "__b")
+        .agg(F.sum(F.col("__w") * F.col("__xn")).alias("__swn"),
+             F.sum(F.col("__w") * F.col("__xd")).alias("__swd"))
+        .where(F.col("__swd") > 0)
+        .select(*gkeys, "__b",
+                (F.col("__swn").cast("double")
+                 / F.col("__swd").cast("double")).alias("__m"))
+    )
+    reps = rep.groupBy(*gkeys).agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("__m").alias("m"),
+                     F.col("__b").alias("b")))).alias("__arr"))
+    base = df.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col(num_col).cast("bigint")).cast("double")
+         / F.sum(F.col(den_col).cast("bigint")).cast("double"))
+        .alias("ratio"))
+    m = F.size("__arr").cast("bigint")
+    a2 = int(alpha_permille)
+    lo_i = (m * a2 / F.lit(1000)).cast("bigint") + 1
+    hi_i = ((m * (1000 - a2) + 999) / F.lit(1000)).cast("bigint")
+    return base.join(reps, gkeys).select(
+        *(list(keys) or []), "n", "ratio",
+        F.element_at("__arr", lo_i.cast("int"))["m"].alias("ci_lo"),
+        F.element_at("__arr", hi_i.cast("int"))["m"].alias("ci_hi"),
+        m.alias("n_boot_valid"))
+
+
+def poisson_bootstrap_ratio_ci_sql(
+    table: str,
+    num_expr: str,
+    den_expr: str,
+    id_expr: str,
+    keys: Sequence[str] = (),
+    n_boot: int = 200,
+    alpha_permille: int = 50,
+    salt: str = "boot",
+) -> str:
+    """DuckDB mirror of :func:`poisson_bootstrap_ratio_ci`."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    a2 = int(alpha_permille)
+    h = hash60_sql(
+        f"concat('{salt}', ':', CAST(b.b AS VARCHAR), ':', "
+        f"CAST({id_expr} AS VARCHAR))")
+    return f"""
+    WITH rows_ AS (
+        SELECT {kpref}CAST({num_expr} AS BIGINT) AS xn,
+               CAST({den_expr} AS BIGINT) AS xd, b.b AS b,
+               {_pois1_weight_sql(h)} AS w
+        FROM {table} t CROSS JOIN (
+            SELECT unnest(generate_series(0, {int(n_boot) - 1})) AS b) b
+    ),
+    rep AS (
+        SELECT {kpref}b,
+               CAST(SUM(w * xn) AS DOUBLE) / CAST(SUM(w * xd) AS DOUBLE)
+                   AS m
+        FROM rows_ GROUP BY {kpref}b
+        HAVING SUM(w * xd) > 0
+    ),
+    reps AS (
+        SELECT {kpref}list_sort(list({{'m': m, 'b': b}})) AS arr
+        FROM rep {grp}
+    ),
+    base AS (
+        SELECT {kpref}CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({num_expr} AS BIGINT)) AS DOUBLE)
+                   / CAST(SUM(CAST({den_expr} AS BIGINT)) AS DOUBLE)
+                   AS ratio
+        FROM {table} {grp}
+    )
+    SELECT {kpref}n, ratio,
+           arr[CAST(len(arr) * {a2} // 1000 AS BIGINT) + 1].m AS ci_lo,
+           arr[CAST((len(arr) * {1000 - a2} + 999) // 1000 AS BIGINT)].m
+               AS ci_hi,
+           CAST(len(arr) AS BIGINT) AS n_boot_valid
+    FROM base {"JOIN reps USING (" + kcols + ")" if keys
+               else "CROSS JOIN reps"}
+    """

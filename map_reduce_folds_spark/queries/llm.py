@@ -5632,3 +5632,29 @@ def pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster").alias("n_clusters"),
         F.sum("n_chars").cast("bigint").alias("chars"))
+
+
+@query(
+    "bootstrap_chars_per_token_ci",
+    oracle=SM.poisson_bootstrap_ratio_ci_sql(
+        "(SELECT doc_id, source, n_chars, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks "
+        "FROM documents)",
+        "n_chars", "n_toks", "doc_id", keys=["source"],
+        n_boot=_BOOT_B, alpha_permille=_BOOT_A2),
+)
+def bootstrap_chars_per_token_ci(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """95% bootstrap CI for CHARS PER TOKEN by source — a RATIO
+    estimator (operators/sampling.poisson_bootstrap_ratio_ci), the
+    family whose standard error has no closed form and for which the
+    bootstrap exists: both sums re-weighted by the SAME deterministic
+    Poisson draw per replicate, ratio = one exact-integer-sum division,
+    bounds = integer-indexed order statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", "source", "n_chars",
+                  F.size(T.tokenize("text")).cast("bigint")
+                  .alias("n_toks"))
+    return SM.poisson_bootstrap_ratio_ci(
+        d2, "n_chars", "n_toks", "doc_id", keys=["source"],
+        n_boot=_BOOT_B, alpha_permille=_BOOT_A2)

@@ -3879,3 +3879,25 @@ def test_conformal_gate_coverage_and_convention(spark):
     # conservative convention: k > m -> no threshold, nothing flagged
     tiny_k = ((3 + 1) * 950 + 999) // 1000   # m=3 -> k=4 > m
     assert tiny_k > 3
+
+
+def test_poisson_bootstrap_ratio_ci(spark):
+    """Ratio CI brackets the point ratio; a constant ratio y = 3x gives
+    a degenerate CI exactly at 1/3... (num=x, den=3x -> every replicate
+    ratio is exactly 1/3)."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") % 17 + 1).alias("x"),
+        ((F.col("id") % 17 + 1) * 3).alias("y"))
+    r = SM.poisson_bootstrap_ratio_ci(
+        df, "x", "y", "id", n_boot=100).collect()[0]
+    assert r["ratio"] == 1.0 / 3.0
+    assert r["ci_lo"] == r["ci_hi"] == 1.0 / 3.0
+    noisy = spark.range(400).select(
+        F.col("id"), (F.col("id") % 17 + 1).alias("x"),
+        (F.col("id") % 23 + 1).alias("y"))
+    rn = SM.poisson_bootstrap_ratio_ci(
+        noisy, "x", "y", "id", n_boot=100).collect()[0]
+    assert rn["ci_lo"] <= rn["ratio"] <= rn["ci_hi"]
+    assert rn["ci_lo"] < rn["ci_hi"]
