@@ -1339,6 +1339,24 @@ def _pigeonhole_sig_pairs(
         F.bit_count(F.col("__x")).alias("hamming"))
 
 
+def simhash_auto_bits(n_docs: int) -> int:
+    """Signature width for a corpus of ``n_docs`` — SimHash bits are a
+    SCALE PARAMETER, measured in SCALE_BENCH_r13 session-6: at 1M docs
+    a 32-bit signature birthday-saturates (random collisions chained
+    99% of the fixture's 100× slice into ONE component and cost 6× the
+    wall).  Rule: spurious-collision mass across C(n,2) pairs stays
+    bounded when bits ≥ 2·log2(n) + margin; clamp to [32, 60] (60 =
+    every informative bit of the per-token hash60 — bits beyond 60 are
+    constant zero).  Registered queries pin bits statically so their
+    SQL oracles stay fixed; use this helper when sizing a NEW corpus
+    job driver-side."""
+    import math
+
+    if n_docs < 2:
+        return 32
+    return max(32, min(60, 2 * math.ceil(math.log2(n_docs)) + 8))
+
+
 def simhash_components(
     docs: DataFrame,
     id_col: str = "doc_id",

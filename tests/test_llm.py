@@ -3901,3 +3901,17 @@ def test_poisson_bootstrap_ratio_ci(spark):
         noisy, "x", "y", "id", n_boot=100).collect()[0]
     assert rn["ci_lo"] <= rn["ratio"] <= rn["ci_hi"]
     assert rn["ci_lo"] < rn["ci_hi"]
+
+
+def test_simhash_auto_bits_rule():
+    """bits grows ~2*log2(n)+8, clamped to [32, 60]: small corpora keep
+    32, the measured 1M-doc saturation point lands at 48+, and the
+    token-hash width bounds it at 60."""
+    from map_reduce_folds_spark.operators.dedup import simhash_auto_bits
+
+    assert simhash_auto_bits(1_000) == 32
+    assert simhash_auto_bits(60_000) == 40
+    assert simhash_auto_bits(1_000_000) == 48
+    assert simhash_auto_bits(10_000_000) > 48
+    assert simhash_auto_bits(10**12) == 60
+    assert simhash_auto_bits(0) == 32
