@@ -93,6 +93,14 @@ def test_driver_window_covers_every_family():
     # exact no-global-sort rank statistics) displace
     # embedding_quantize_int8 (embedding family keeps three in-window
     # rows) and funnel_conversion (ordered-event analytics keeps four).
+    # Round-13 session-6 rotation: km_conversion_curve (NEW survival
+    # family), hybrid_search_rrf (NEW retrieval-fusion family — its
+    # plan CONTAINS brute_force_topk and the BM25 scorer), and
+    # bootstrap_doclen_ci (NEW resampling-inference family) displace
+    # gini_doclen_by_source (quality analytics keeps k_anonymity/rfm/
+    # benford/chao1), sim_topk_bruteforce (embedding keeps t09 +
+    # pca_residuals + the hybrid's embedded brute force), and
+    # diff_orders_snapshots (temporal tables keep scd2).
     # Displaced rows re-register just past the window.
     for must_have in [
         "mr_fold_vocab", "mr_group_reduce_keyed", "mr_product_median",
@@ -102,14 +110,14 @@ def test_driver_window_covers_every_family():
         "record_linkage_customers", "temperature_mix_sources",
         "dedup_embedding_clusters_t09", "text_stats",
         "scd2_user_event_history",
-        "sim_topk_bruteforce", "bpe_encode_corpus", "multimodal_features",
+        "hybrid_search_rrf", "bpe_encode_corpus", "multimodal_features",
+        "km_conversion_curve", "bootstrap_doclen_ci",
         "winnow_overlap_pairs", "nb_lang_confusion",
         "cusum_stream_stateful", "kmeans_centroids",
         "asof_join_purchase_click", "window_topk_per_group",
         "rollup_region_nation", "salted_aggregation",
         "sessionize_stream_stateful", "q1_pricing_summary",
         "k_anonymity_audit",
-        "gini_doclen_by_source",
         "gopher_repetition_signals",
         "embedding_pca_residuals", "label_prop_neardup",
         "holt_user_forecast", "benford_totalprice_audit",
@@ -149,4 +157,4 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'gini_doclen_by_source', 'mr_group_reduce_keyed', 'mr_concat_fold', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'sim_topk_bruteforce', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'diff_orders_snapshots', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'roc_auc_doclen_en', 'chao1_vocab_by_source', 'temperature_mix_sources']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'mr_group_reduce_keyed', 'mr_concat_fold', 'km_conversion_curve', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'hybrid_search_rrf', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'bootstrap_doclen_ci', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'roc_auc_doclen_en', 'chao1_vocab_by_source', 'temperature_mix_sources']
