@@ -269,8 +269,15 @@ _PRIORITY = [
     # analytics keeps activity_streaks, asof_join_purchase_click,
     # interval_join_attribution and sessionize_stream_stateful).  Both
     # displaced rows re-register immediately past the window.
+    # Round-13 session-6 late swap, same displacement rule:
+    # conformal_novelty_gate (NEW calibrated-gating family — the
+    # split-conformal distribution-free coverage guarantee over the
+    # PCA residual scores) displaces interval_join_attribution — the
+    # temporal-join family keeps asof_join_purchase_click in-window
+    # (nearest/overlap/interval variants all hash-exact locally), and
+    # the interval row re-registers immediately past the window.
     "cusum_stream_stateful", "asof_join_purchase_click",
-    "interval_join_attribution", "window_topk_per_group",
+    "conformal_novelty_gate", "window_topk_per_group",
     "kmeans_centroids", "rollup_region_nation", "salted_aggregation",
     "sessionize_stream_stateful", "q1_pricing_summary", "q9_product_profit",
     # TPC-H shapes that registered past round 1's window.  Round 6:
@@ -294,7 +301,8 @@ _PRIORITY = [
     # tokenizer_fertility_by_lang.
     # first entries PAST the 50-window: the displaced green rows
     "gini_doclen_by_source", "sim_topk_bruteforce",
-    "diff_orders_snapshots", "logrank_signup_conversion",
+    "diff_orders_snapshots", "interval_join_attribution",
+    "logrank_signup_conversion",
     "bootstrap_incremental_ci", "anova_doclen_source",
     "embedding_quantize_int8", "funnel_conversion",
     "mr_task1_mean", "dedup_cc_clusters", "hhi_supplier_concentration",

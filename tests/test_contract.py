@@ -101,7 +101,10 @@ def test_driver_window_covers_every_family():
     # benford/chao1), sim_topk_bruteforce (embedding keeps t09 +
     # pca_residuals + the hybrid's embedded brute force), and
     # diff_orders_snapshots (temporal tables keep scd2).
-    # Displaced rows re-register just past the window.
+    # Session-6 late swap: conformal_novelty_gate (NEW calibrated-gating
+    # family) displaces interval_join_attribution (temporal joins keep
+    # asof_join_purchase_click; nearest/overlap/interval hash-exact
+    # locally).  Displaced rows re-register just past the window.
     for must_have in [
         "mr_fold_vocab", "mr_group_reduce_keyed", "mr_product_median",
         "dedup_exact", "dedup_minhash",
@@ -115,6 +118,7 @@ def test_driver_window_covers_every_family():
         "winnow_overlap_pairs", "nb_lang_confusion",
         "cusum_stream_stateful", "kmeans_centroids",
         "asof_join_purchase_click", "window_topk_per_group",
+        "conformal_novelty_gate",
         "rollup_region_nation", "salted_aggregation",
         "sessionize_stream_stateful", "q1_pricing_summary",
         "k_anonymity_audit",
@@ -157,4 +161,4 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'mr_group_reduce_keyed', 'mr_concat_fold', 'km_conversion_curve', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'hybrid_search_rrf', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'bootstrap_doclen_ci', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'interval_join_attribution', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'roc_auc_doclen_en', 'chao1_vocab_by_source', 'temperature_mix_sources']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'mr_group_reduce_keyed', 'mr_concat_fold', 'km_conversion_curve', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'hybrid_search_rrf', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'bootstrap_doclen_ci', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'conformal_novelty_gate', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'roc_auc_doclen_en', 'chao1_vocab_by_source', 'temperature_mix_sources']
