@@ -2389,3 +2389,112 @@ def kruskal_wallis_sql(table: str, value_expr: str, group_expr: str) -> str:
            END AS h_corrected
     FROM a CROSS JOIN t3
     """
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """WELCH'S two-sample t (Welch 1947): difference of means under
+    UNEQUAL variances — the default two-group mean test (Student's
+    equal-variance t is the special case nobody should assume), filling
+    the gap between :func:`two_proportion_ztest` (proportions),
+    :func:`mannwhitney_z` (ranks) and :func:`anova_f` (k groups).
+
+    ``group_col`` must be 0/1.  Exact integer moments per group (n, Σx,
+    DECIMAL-staged Σx²); mean, variance, t, and the Welch-Satterthwaite
+    df are one fixed-parenthesization double chain each, mirrored
+    term-for-term by :func:`welch_t_sql`.  Degenerate inputs (either
+    group with n < 2, missing group, or zero pooled standard error)
+    emit NULL t/df.
+
+    Output: one row ``(n0, n1, mean0, mean1, t, df)``.
+    """
+    g = (
+        df.select(F.col(group_col).cast("bigint").alias("__wg"),
+                  F.col(value_col).cast("bigint").alias("__x"))
+        .groupBy("__wg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"),
+             F.sum("__x").cast("decimal(38,0)").alias("__s"),
+             F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)"))
+             .alias("__q"))
+    )
+    def side(i):
+        return [F.max(F.when(F.col("__wg") == i, F.col(c)))
+                .alias(f"{c}_{i}") for c in ("__n", "__s", "__q")]
+    a = g.agg(*side(0), *side(1))
+    def stats(i):
+        n = F.col(f"__n_{i}").cast("double")
+        s = F.col(f"__s_{i}").cast("double")
+        q = F.col(f"__q_{i}").cast("double")
+        mean = s / n
+        var = (q - s * s / n) / (n - F.lit(1.0))
+        return n, mean, var
+    n0, m0, v0 = stats(0)
+    n1, m1, v1 = stats(1)
+    se2 = v1 / n1 + v0 / n0
+    t = (m1 - m0) / F.sqrt(se2)
+    dof = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+                         + (v0 / n0) * (v0 / n0) / (n0 - F.lit(1.0)))
+    ok = (F.col("__n_0") > 1) & (F.col("__n_1") > 1) & (se2 > 0.0)
+    return a.select(
+        F.col("__n_0").alias("n0"), F.col("__n_1").alias("n1"),
+        m0.alias("mean0"), m1.alias("mean1"),
+        F.when(ok, t).alias("t"), F.when(ok, dof).alias("df"))
+
+
+def welch_t_sql(table: str, value_expr: str, group_expr: str) -> str:
+    """DuckDB mirror of :func:`welch_t` — identical moments and double
+    chains."""
+    return f"""
+    WITH g AS (
+        SELECT CAST({group_expr} AS BIGINT) AS wg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({value_expr} AS BIGINT)) AS DECIMAL(38,0))
+                   AS s,
+               SUM(CAST(CAST({value_expr} AS BIGINT)
+                        * CAST({value_expr} AS BIGINT)
+                        AS DECIMAL(38,0))) AS q
+        FROM {table} GROUP BY 1
+    ),
+    a AS (
+        SELECT MAX(CASE WHEN wg = 0 THEN n END) AS n0,
+               MAX(CASE WHEN wg = 0 THEN s END) AS s0,
+               MAX(CASE WHEN wg = 0 THEN q END) AS q0,
+               MAX(CASE WHEN wg = 1 THEN n END) AS n1,
+               MAX(CASE WHEN wg = 1 THEN s END) AS s1,
+               MAX(CASE WHEN wg = 1 THEN q END) AS q1
+        FROM g
+    ),
+    b AS (
+        SELECT n0, n1,
+               CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+               (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                    * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / (CAST(n0 AS DOUBLE) - 1.0) AS v0,
+               (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) - 1.0) AS v1
+        FROM a
+    )
+    SELECT n0, n1, mean0, mean1,
+           CASE WHEN n0 > 1 AND n1 > 1
+                     AND v1 / CAST(n1 AS DOUBLE)
+                         + v0 / CAST(n0 AS DOUBLE) > 0.0 THEN
+               (mean1 - mean0)
+               / sqrt(v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE))
+           END AS t,
+           CASE WHEN n0 > 1 AND n1 > 1
+                     AND v1 / CAST(n1 AS DOUBLE)
+                         + v0 / CAST(n0 AS DOUBLE) > 0.0 THEN
+               ((v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE))
+                * (v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)))
+               / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) - 1.0)
+                  + (v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE))
+                      / (CAST(n0 AS DOUBLE) - 1.0))
+           END AS df
+    FROM b
+    """

@@ -5658,3 +5658,22 @@ def bootstrap_chars_per_token_ci(spark: SparkSession, sf_dir: str) \
     return SM.poisson_bootstrap_ratio_ci(
         d2, "n_chars", "n_toks", "doc_id", keys=["source"],
         n_boot=_BOOT_B, alpha_permille=_BOOT_A2)
+
+
+@query(
+    "welch_t_doclen_en",
+    oracle=ES.welch_t_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"),
+)
+def welch_t_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S t for English-vs-rest document length (operators/
+    evalstats.welch_t) — the unequal-variance two-sample mean test that
+    completes the family (z for proportions, Mann-Whitney for ranks,
+    ANOVA/Kruskal-Wallis for k groups).  Exact integer moments; t and
+    the Welch-Satterthwaite df are mirrored double chains."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select("n_chars",
+                   F.when(F.col("lang") == "en", 1).otherwise(0)
+                   .alias("is_en"))
+    return ES.welch_t(lab, "n_chars", "is_en")

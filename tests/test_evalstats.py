@@ -855,3 +855,28 @@ def test_kruskal_wallis_reference(spark):
     # one group -> NULL h
     one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, x bigint")
     assert E.kruskal_wallis(one, "x", "g").collect()[0]["h"] is None
+
+
+def test_welch_t_reference(spark):
+    """Longhand Welch on a small two-group case, plus degenerate
+    guards (n<2, single group, zero variance)."""
+    a = [2, 4, 6, 8]
+    bvals = [10, 11, 12]
+    rows = [(0, v) for v in a] + [(1, v) for v in bvals]
+    df = spark.createDataFrame(rows, "g int, x bigint")
+    r = E.welch_t(df, "x", "g").collect()[0]
+    import statistics
+    m0, m1 = statistics.mean(a), statistics.mean(bvals)
+    v0 = statistics.variance(a)
+    v1 = statistics.variance(bvals)
+    se2 = v1 / 3 + v0 / 4
+    assert (r["n0"], r["n1"]) == (4, 3)
+    assert r["mean0"] == m0 and r["mean1"] == m1
+    assert abs(r["t"] - (m1 - m0) / se2 ** 0.5) < 1e-12
+    dof = se2 ** 2 / ((v1 / 3) ** 2 / 2 + (v0 / 4) ** 2 / 3)
+    assert abs(r["df"] - dof) < 1e-9
+    tiny = spark.createDataFrame([(0, 1), (1, 2)], "g int, x bigint")
+    assert E.welch_t(tiny, "x", "g").collect()[0]["t"] is None
+    const = spark.createDataFrame(
+        [(0, 5), (0, 5), (1, 5), (1, 5)], "g int, x bigint")
+    assert E.welch_t(const, "x", "g").collect()[0]["t"] is None
