@@ -4355,3 +4355,73 @@ def rmst_conversion_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(inside, 1).otherwise(0).alias("event")))
     return ES.restricted_mean_survival(subj, "duration", "event",
                                        _KM_HORIZON_H, keys=["grp"])
+
+
+@query(
+    "golden_record_customers",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+          AND levenshtein(a.c_name, b.c_name) <= 2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    lab AS (
+        SELECT c.*, COALESCE(p.component, c.c_custkey) AS cluster
+        FROM customer c LEFT JOIN comp p ON p.node = c.c_custkey
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN({'nl': -len(c_name), 'nm': c_name}).nm AS name,
+           MAX(c_acctbal) AS acctbal,
+           MAX({'ab': c_acctbal, 'ck': c_custkey,
+                'seg': c_mktsegment}).seg AS mktsegment,
+           CAST(MIN(c_nationkey) AS INTEGER) AS nationkey
+    FROM lab GROUP BY 1
+    """,
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD SURVIVORSHIP (the master-data-management step
+    after record linkage): per linkage cluster (blocked Levenshtein ≤ 2
+    within nation → connected components; singletons survive as their
+    own cluster), resolve each attribute by an explicit deterministic
+    rule — name = longest-then-lexicographically-smallest (a MIN over
+    (-length, name) structs), account balance = MAX, market segment =
+    the segment of the highest-balance member (custkey tiebreak, a MAX
+    over (acctbal, custkey, segment) structs), nation = MIN.  Struct
+    min/max compare fields in declaration order on both engines, so
+    every survivorship pick is engine-exact."""
+    from map_reduce_folds_spark.operators import linkage as LK
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = LK.blocked_levenshtein_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey"], max_dist=2,
+        block_cap=100_000)
+    comp = G.components_of_pairs(pairs.select("id_a", "id_b"))
+    lab = (c.join(comp.withColumnRenamed("node", "c_custkey"),
+                  "c_custkey", "left")
+           .withColumn("cluster",
+                       F.coalesce(F.col("component"), F.col("c_custkey"))))
+    name_pick = F.min(F.struct(
+        (-F.length("c_name")).alias("nl"),
+        F.col("c_name").alias("nm")))["nm"]
+    seg_pick = F.max(F.struct(
+        F.col("c_acctbal").alias("ab"),
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg")))["seg"]
+    return lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        name_pick.alias("name"),
+        F.max("c_acctbal").alias("acctbal"),
+        seg_pick.alias("mktsegment"),
+        F.min("c_nationkey").alias("nationkey"))

@@ -1485,3 +1485,45 @@ def test_multi_touch_attribution_requires_tiebreak(spark):
         multi_touch_attribution(None, "u", "ts", "e", "v",
                                 conversion="purchase",
                                 touch_types=("view",))
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Each attribute resolves by its declared rule inside a planted
+    3-member cluster; a singleton is its own golden record."""
+    from map_reduce_folds_spark.operators import graph as G2
+    from pyspark.sql import functions as F
+
+    c = spark.createDataFrame(
+        [(1, "Customer#A", 0, 50.0, "AUTO"),
+         (2, "Customer#AB", 0, 90.0, "BIKE"),
+         (3, "Customer#AA", 0, 90.0, "SHIP"),
+         (9, "Zed", 1, 10.0, "RAIL")],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    comp = G2.components_of_pairs(pairs)
+    lab = (c.join(comp.withColumnRenamed("node", "c_custkey"),
+                  "c_custkey", "left")
+           .withColumn("cluster",
+                       F.coalesce(F.col("component"), F.col("c_custkey"))))
+    name_pick = F.min(F.struct(
+        (-F.length("c_name")).alias("nl"),
+        F.col("c_name").alias("nm")))["nm"]
+    seg_pick = F.max(F.struct(
+        F.col("c_acctbal").alias("ab"),
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg")))["seg"]
+    out = {r["cluster"]: r for r in lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        name_pick.alias("name"),
+        F.max("c_acctbal").alias("acctbal"),
+        seg_pick.alias("mktsegment")).collect()}
+    g = out[1]
+    assert g["n_members"] == 3
+    # longest names are Customer#AB / Customer#AA (len 11); min wins
+    assert g["name"] == "Customer#AA"
+    assert g["acctbal"] == 90.0
+    # balance tie 90.0 between custkey 2 and 3 -> higher custkey wins MAX
+    assert g["mktsegment"] == "SHIP"
+    assert out[9]["n_members"] == 1 and out[9]["name"] == "Zed"
