@@ -1311,3 +1311,29 @@ def stream_bootstrap_moments(
         ).write.mode("append").parquet(out_dir)
 
     return write_foreach_batch(stream, process, checkpoint_dir)
+
+
+def stream_conformal_flag(
+    stream: DataFrame,
+    threshold_q: "int | None",
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    score_col: str = "qr",
+):
+    """CALIBRATED-GATE stream: flag each arriving scored batch against a
+    PRE-FITTED split-conformal threshold (the ``threshold_q`` order
+    statistic from the batch calibration — see
+    ``queries.llm.conformal_novelty_gate``) and append
+    ``(id, score, flagged)`` to ``out_dir``.  Per-row thresholding has
+    no cross-batch state, so micro-batch application of the batch rule
+    is EXACT; ``threshold_q=None`` (k > m at calibration: τ = ∞) flags
+    nothing — the conservative conformal convention, preserved here by
+    an explicit False rather than a NULL comparison."""
+    def process(df: DataFrame, batch_id: int):
+        flagged = (F.lit(False) if threshold_q is None
+                   else F.col(score_col) > F.lit(int(threshold_q)))
+        (df.select(id_col, score_col, flagged.alias("flagged"))
+         .write.mode("append").parquet(out_dir))
+
+    return write_foreach_batch(stream, process, checkpoint_dir)

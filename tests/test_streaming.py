@@ -1428,3 +1428,39 @@ def test_stream_bootstrap_moments_matches_batch(spark, tmp_path_factory):
     assert set(got) == set(want)
     for k in want:
         assert got[k].asDict() == want[k].asDict()
+
+
+def test_stream_conformal_flag_matches_batch(spark, tmp_path_factory):
+    """Streaming application of a fitted conformal threshold equals the
+    batch rule row for row, and the tau = infinity convention flags
+    nothing."""
+    import os
+
+    from map_reduce_folds_spark.streaming import stream_conformal_flag
+
+    scores = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        ((F.col("id") * 13) % 997).cast("bigint").alias("qr"))
+    base = str(tmp_path_factory.mktemp("confstream"))
+    src = os.path.join(base, "in")
+    scores.where("vec_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(src, "f0"))
+    scores.where("vec_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(src, "f1"))
+
+    def run(tau, tag):
+        stream = (spark.readStream.schema("vec_id bigint, qr bigint")
+                  .option("maxFilesPerTrigger", "1").parquet(src + "/f*"))
+        out = os.path.join(base, f"out_{tag}")
+        q = stream_conformal_flag(stream, tau, out,
+                                  os.path.join(base, f"ckpt_{tag}"))
+        q.awaitTermination(120)
+        q.stop()
+        return {(r.vec_id, r.qr, r.flagged)
+                for r in spark.read.parquet(out).collect()}
+
+    got = run(800, "t800")
+    want = {(r.vec_id, r.qr, r.qr > 800) for r in scores.collect()}
+    assert got == want
+    none = run(None, "tinf")
+    assert all(not f for (_, _, f) in none) and len(none) == 500
