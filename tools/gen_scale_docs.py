@@ -57,7 +57,8 @@ def main() -> None:
             parts.append(
                 docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * d_off))
                     .withColumn("text", suffixed)
-                    .withColumn("n_chars", F.length(suffixed)))
+                    .withColumn("n_chars",
+                                F.length(suffixed).cast("bigint")))
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)

@@ -45,9 +45,14 @@ def main() -> None:
     out = {"n_boot": N_BOOT, "points": {}}
     prev = None
     for copies in points:
+        # compute the length on the fly: older slices carry a mixed
+        # int32/int64 physical type for n_chars across chunk files
+        # (gen_scale_docs cast fixed 2026-08-16); length(text) also
+        # proves the scan cost honestly instead of a pruned column
         docs = (spark.read.parquet(f"{slice_dir}/documents.parquet")
                 .where(F.col("doc_id") < copies * d_off)
-                .select("doc_id", "source", "n_chars"))
+                .select("doc_id", "source",
+                        F.length("text").cast("bigint").alias("n_chars")))
         spark.catalog.clearCache()
         t0 = time.time()
         rows = SM.poisson_bootstrap_mean_ci(
