@@ -2498,3 +2498,132 @@ def welch_t_sql(table: str, value_expr: str, group_expr: str) -> str:
            END AS df
     FROM b
     """
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    cohort_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    the standard experimentation trick): adjust each cohort's
+    post-period mean by the pre-period covariate,
+    ``mean_adj_g = Ȳ_g − θ·(X̄_g − X̄)`` with
+    ``θ = cov(X,Y)/var(X)`` fitted on the POOLED units — removing
+    pre-existing between-unit variance so an A/B readout needs fewer
+    units for the same power.
+
+    Exactness: θ's numerator and denominator are the exact integer
+    identities ``n·Σxy − Σx·Σy`` and ``n·Σx² − (Σx)²``
+    (DECIMAL(38,0)-staged); every mean is an exact-sum division; the
+    adjustment and the variance-reduction factor ``1 − ρ²`` are fixed
+    double chains — SQL mirror :func:`cuped_adjusted_means_sql`.
+    Integer-valued metric columns required (pre-scale money to cents).
+    Degenerate var(X) = 0 emits θ = NULL and mean_adj = the raw mean.
+
+    Output: one row per cohort ``(cohort, n, mean_post, mean_adj,
+    theta, var_reduction)`` (θ and the reduction are pooled — repeated
+    per row for a flat relation).
+    """
+    d = df.select(F.col(cohort_col).cast("string").alias("__ch"),
+                  F.col(pre_col).cast("bigint").alias("__x"),
+                  F.col(post_col).cast("bigint").alias("__y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pooled = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(dec(F.col("__x"))).alias("__sx"),
+        F.sum(dec(F.col("__y"))).alias("__sy"),
+        F.sum(dec(F.col("__x") * F.col("__x"))).alias("__sxx"),
+        F.sum(dec(F.col("__y") * F.col("__y"))).alias("__syy"),
+        F.sum(dec(F.col("__x") * F.col("__y"))).alias("__sxy"),
+    )
+    n = F.col("__n").cast("decimal(38,0)")
+    cov_num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    varx_num = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    vary_num = (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    theta = F.when(varx_num > 0,
+                   cov_num.cast("double") / varx_num.cast("double"))
+    rho2 = F.when(
+        (varx_num > 0) & (vary_num > 0),
+        (cov_num.cast("double") * cov_num.cast("double"))
+        / (varx_num.cast("double") * vary_num.cast("double")))
+    mean_x_all = (F.col("__sx").cast("double")
+                  / F.col("__n").cast("double"))
+    p = pooled.select(
+        theta.alias("theta"),
+        (F.lit(1.0) - F.coalesce(rho2, F.lit(0.0)))
+        .alias("var_reduction"),
+        mean_x_all.alias("__mxall"))
+    g = d.groupBy("__ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("__y")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean_post"),
+        (F.sum(F.col("__x")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("__mx"))
+    out = g.crossJoin(F.broadcast(p)).select(
+        F.col("__ch").alias("cohort"), "n", "mean_post",
+        F.when(F.col("theta").isNotNull(),
+               F.col("mean_post") - F.col("theta")
+               * (F.col("__mx") - F.col("__mxall")))
+        .otherwise(F.col("mean_post")).alias("mean_adj"),
+        "theta", "var_reduction")
+    return out
+
+
+def cuped_adjusted_means_sql(
+    table: str,
+    pre_expr: str,
+    post_expr: str,
+    cohort_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`cuped_adjusted_means` — identical integer
+    moment identities and double chains."""
+    return f"""
+    WITH d AS (
+        SELECT CAST({cohort_expr} AS VARCHAR) AS ch,
+               CAST({pre_expr} AS BIGINT) AS x,
+               CAST({post_expr} AS BIGINT) AS y
+        FROM {table}
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM d
+    ),
+    p AS (
+        SELECT CASE WHEN n * sxx - sx * sx > 0 THEN
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+               1.0 - COALESCE(CASE WHEN n * sxx - sx * sx > 0
+                                        AND n * syy - sy * sy > 0 THEN
+                   (CAST(n * sxy - sx * sy AS DOUBLE)
+                    * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) END, 0.0)
+                   AS var_reduction,
+               CAST(sx AS DOUBLE) / CAST(n_b AS DOUBLE) AS mxall
+        FROM pooled
+    ),
+    g AS (
+        SELECT ch, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_post,
+               CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mx
+        FROM d GROUP BY 1
+    )
+    SELECT ch AS cohort, n, mean_post,
+           CASE WHEN theta IS NOT NULL
+                THEN mean_post - theta * (mx - mxall)
+                ELSE mean_post END AS mean_adj,
+           theta, var_reduction
+    FROM g CROSS JOIN p
+    """

@@ -4425,3 +4425,45 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("acctbal"),
         seg_pick.alias("mktsegment"),
         F.min("c_nationkey").alias("nationkey"))
+
+
+@query(
+    "cuped_value_lift",
+    oracle=ES.cuped_adjusted_means_sql(
+        """(
+        WITH w AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+                   FROM events),
+        u AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN epoch_us(ts) < (t0 + t1) // 2
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS pre_cents,
+                   CAST(SUM(CASE WHEN epoch_us(ts) >= (t0 + t1) // 2
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS post_cents
+            FROM events CROSS JOIN w GROUP BY 1
+        ) SELECT * FROM u)""",
+        "pre_cents", "post_cents", "user_id % 2"),
+)
+def cuped_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted cohort means (operators/evalstats.
+    cuped_adjusted_means): per-user event value split into pre/post
+    window halves (integer cents), cohorts by user parity — the
+    variance-reduction readout (Deng et al. WSDM'13) an experimentation
+    platform runs on every metric: θ from exact pooled integer moments,
+    adjusted means as fixed chains, plus the pooled 1−ρ² variance
+    reduction."""
+    e = load_table(spark, sf_dir, "events")
+    w = e.agg(F.min(epoch_us("ts")).alias("t0"),
+              F.max(epoch_us("ts")).alias("t1"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    mid = F.expr("(t0 + t1) div 2")
+    u = (e.crossJoin(F.broadcast(w))
+         .groupBy("user_id")
+         .agg(F.sum(F.when(epoch_us("ts") < mid, cents).otherwise(0))
+              .cast("bigint").alias("pre_cents"),
+              F.sum(F.when(epoch_us("ts") >= mid, cents).otherwise(0))
+              .cast("bigint").alias("post_cents")))
+    return ES.cuped_adjusted_means(
+        u.withColumn("cohort", F.col("user_id") % 2),
+        "pre_cents", "post_cents", "cohort")

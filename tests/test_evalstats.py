@@ -880,3 +880,34 @@ def test_welch_t_reference(spark):
     const = spark.createDataFrame(
         [(0, 5), (0, 5), (1, 5), (1, 5)], "g int, x bigint")
     assert E.welch_t(const, "x", "g").collect()[0]["t"] is None
+
+
+def test_cuped_reference_and_variance_reduction(spark):
+    """theta matches the longhand cov/var; adjusted means shift by
+    theta*(cohort pre-mean - pooled pre-mean); a perfectly-correlated
+    covariate removes ~all variance (1 - rho^2 ~ 0); var(X)=0 falls
+    back to raw means with NULL theta."""
+    rows = [("a", 10, 25), ("a", 20, 45), ("b", 30, 66), ("b", 40, 84)]
+    df = spark.createDataFrame(rows, "ch string, x bigint, y bigint")
+    out = {r["cohort"]: r for r in
+           E.cuped_adjusted_means(df, "x", "y", "ch").collect()}
+    import statistics
+    xs = [10, 20, 30, 40]
+    ys = [25, 45, 66, 84]
+    n = 4
+    cov = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    varx = n * sum(a * a for a in xs) - sum(xs) ** 2
+    theta = cov / varx
+    a = out["a"]
+    assert abs(a["theta"] - theta) < 1e-12
+    mxall = statistics.mean(xs)
+    assert a["mean_adj"] == a["mean_post"] - a["theta"] * (15.0 - mxall)
+    # near-perfect correlation -> variance reduction factor near 0
+    assert a["var_reduction"] < 0.01
+    const = spark.createDataFrame(
+        [("a", 5, 1), ("b", 5, 9)], "ch string, x bigint, y bigint")
+    rc = {r["cohort"]: r for r in
+          E.cuped_adjusted_means(const, "x", "y", "ch").collect()}
+    assert rc["a"]["theta"] is None
+    assert rc["a"]["mean_adj"] == rc["a"]["mean_post"]
+    assert rc["a"]["var_reduction"] == 1.0
