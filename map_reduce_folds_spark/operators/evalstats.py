@@ -2627,3 +2627,82 @@ def cuped_adjusted_means_sql(
            theta, var_reduction
     FROM g CROSS JOIN p
     """
+
+
+def diff_in_diff(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    cohort_col: str,
+) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES (the panel causal-inference baseline):
+    ``DiD = (post̄₁ − prē₁) − (post̄₀ − prē₀)`` over one row per unit
+    with integer pre/post metrics and a 0/1 cohort — the
+    parallel-trends estimate of the treatment effect that a raw
+    post-period comparison confounds with pre-existing differences.
+    All four cell means are exact-integer-sum divisions; DiD is one
+    fixed double chain.  SQL mirror :func:`diff_in_diff_sql`.  A
+    missing cohort emits NULL did.
+
+    Output: one row ``(n0, n1, pre0, pre1, post0, post1, did)``.
+    """
+    d = df.select(F.col(cohort_col).cast("bigint").alias("__ch"),
+                  F.col(pre_col).cast("bigint").alias("__x"),
+                  F.col(post_col).cast("bigint").alias("__y"))
+    def cell(i, col):
+        return (F.sum(F.when(F.col("__ch") == i, F.col(col)))
+                .cast("decimal(38,0)").cast("double")
+                / F.sum(F.when(F.col("__ch") == i, 1))
+                .cast("double"))
+    a = d.agg(
+        F.sum(F.when(F.col("__ch") == 0, 1)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("__ch") == 1, 1)).cast("bigint").alias("n1"),
+        cell(0, "__x").alias("pre0"), cell(1, "__x").alias("pre1"),
+        cell(0, "__y").alias("post0"), cell(1, "__y").alias("post1"))
+    did = ((F.col("post1") - F.col("pre1"))
+           - (F.col("post0") - F.col("pre0")))
+    return a.select("n0", "n1", "pre0", "pre1", "post0", "post1",
+                    F.when(F.col("n0").isNotNull()
+                           & F.col("n1").isNotNull(), did).alias("did"))
+
+
+def diff_in_diff_sql(
+    table: str,
+    pre_expr: str,
+    post_expr: str,
+    cohort_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`diff_in_diff`."""
+    return f"""
+    WITH d AS (
+        SELECT CAST({cohort_expr} AS BIGINT) AS ch,
+               CAST({pre_expr} AS BIGINT) AS x,
+               CAST({post_expr} AS BIGINT) AS y
+        FROM {table}
+    ),
+    a AS (
+        SELECT CAST(SUM(CASE WHEN ch = 0 THEN 1 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN ch = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(CAST(SUM(CASE WHEN ch = 0 THEN x END)
+                         AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN ch = 0 THEN 1 END) AS DOUBLE)
+                   AS pre0,
+               CAST(CAST(SUM(CASE WHEN ch = 1 THEN x END)
+                         AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN ch = 1 THEN 1 END) AS DOUBLE)
+                   AS pre1,
+               CAST(CAST(SUM(CASE WHEN ch = 0 THEN y END)
+                         AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN ch = 0 THEN 1 END) AS DOUBLE)
+                   AS post0,
+               CAST(CAST(SUM(CASE WHEN ch = 1 THEN y END)
+                         AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN ch = 1 THEN 1 END) AS DOUBLE)
+                   AS post1
+        FROM d
+    )
+    SELECT n0, n1, pre0, pre1, post0, post1,
+           CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL THEN
+               (post1 - pre1) - (post0 - pre0) END AS did
+    FROM a
+    """

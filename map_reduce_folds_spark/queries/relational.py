@@ -4467,3 +4467,43 @@ def cuped_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ES.cuped_adjusted_means(
         u.withColumn("cohort", F.col("user_id") % 2),
         "pre_cents", "post_cents", "cohort")
+
+
+@query(
+    "did_value_lift",
+    oracle=ES.diff_in_diff_sql(
+        """(
+        WITH w AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+                   FROM events),
+        u AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN epoch_us(ts) < (t0 + t1) // 2
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS pre_cents,
+                   CAST(SUM(CASE WHEN epoch_us(ts) >= (t0 + t1) // 2
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS post_cents
+            FROM events CROSS JOIN w GROUP BY 1
+        ) SELECT * FROM u)""",
+        "pre_cents", "post_cents", "user_id % 2"),
+)
+def did_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES on per-user event value (operators/
+    evalstats.diff_in_diff): the parallel-trends treatment-effect
+    estimate over the same pre/post cents panel as cuped_value_lift —
+    the two standard experimentation readouts side by side (CUPED
+    reduces variance; DiD removes pre-existing level differences)."""
+    e = load_table(spark, sf_dir, "events")
+    w = e.agg(F.min(epoch_us("ts")).alias("t0"),
+              F.max(epoch_us("ts")).alias("t1"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    mid = F.expr("(t0 + t1) div 2")
+    u = (e.crossJoin(F.broadcast(w))
+         .groupBy("user_id")
+         .agg(F.sum(F.when(epoch_us("ts") < mid, cents).otherwise(0))
+              .cast("bigint").alias("pre_cents"),
+              F.sum(F.when(epoch_us("ts") >= mid, cents).otherwise(0))
+              .cast("bigint").alias("post_cents")))
+    return ES.diff_in_diff(
+        u.withColumn("cohort", F.col("user_id") % 2),
+        "pre_cents", "post_cents", "cohort")

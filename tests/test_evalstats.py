@@ -911,3 +911,16 @@ def test_cuped_reference_and_variance_reduction(spark):
     assert rc["a"]["theta"] is None
     assert rc["a"]["mean_adj"] == rc["a"]["mean_post"]
     assert rc["a"]["var_reduction"] == 1.0
+
+
+def test_diff_in_diff_hand_case(spark):
+    """Planted effect: control goes 10 -> 12 (+2 trend), treatment
+    10 -> 17 (+7) -> DiD = 5; missing cohort gives NULL."""
+    rows = [(0, 10, 12), (0, 10, 12), (1, 10, 17), (1, 10, 17)]
+    df = spark.createDataFrame(rows, "ch int, x bigint, y bigint")
+    r = E.diff_in_diff(df, "x", "y", "ch").collect()[0]
+    assert (r["pre0"], r["post0"], r["pre1"], r["post1"]) \
+        == (10.0, 12.0, 10.0, 17.0)
+    assert r["did"] == 5.0
+    one = spark.createDataFrame([(1, 3, 9)], "ch int, x bigint, y bigint")
+    assert E.diff_in_diff(one, "x", "y", "ch").collect()[0]["did"] is None
