@@ -2706,3 +2706,126 @@ def diff_in_diff_sql(
                (post1 - pre1) - (post0 - pre0) END AS did
     FROM a
     """
+
+
+# ---------------------------------------------------------------------------
+# Normal p-values and Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+
+#: Abramowitz & Stegun 7.1.26 erfc coefficients (public literature);
+#: |error| <= 1.5e-7 — the approximation is DOCUMENTED and, more
+#: importantly here, a fixed Horner chain both engines evaluate
+#: identically, so p-values stay bitwise-mirrorable.
+_ERFC_P = 0.3275911
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741,
+           -1.453152027, 1.061405429)
+_SQRT1_2 = 0.7071067811865476  # 1/sqrt(2), fixed literal on both sides
+
+
+def normal_p_two_sided(z: Column) -> Column:
+    """Two-sided normal p-value ``p = erfc(|z|/√2)`` via the A&S
+    7.1.26 rational approximation — a fixed Horner chain (no engine
+    erf needed; neither engine ships one), rounded to 9 decimals after
+    the exp (the post-transcendental discipline: JVM and libm exp can
+    differ in the final ulp).  NULL z propagates."""
+    x = F.abs(z) * F.lit(_SQRT1_2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERFC_P) * x)
+    a1, a2, a3, a4, a5 = _ERFC_A
+    poly = ((((F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)) * t
+             + F.lit(a2)) * t + F.lit(a1)) * t
+    # exp is a libm call — JVM and DuckDB can differ in the final ulp,
+    # so the repo's post-transcendental 9-decimal rounding applies
+    return F.round(poly * F.exp(-(x * x)), 9)
+
+
+def normal_p_two_sided_sql(z_expr: str) -> str:
+    """DuckDB text of :func:`normal_p_two_sided` — identical Horner
+    chain; scientific-notation literals parse directly as DOUBLE (the
+    benford DECIMAL-parse lesson)."""
+    lit = lambda c: f"{c!r}e0"  # noqa: E731
+    a1, a2, a3, a4, a5 = _ERFC_A
+    x = f"(abs({z_expr}) * {lit(_SQRT1_2)})"
+    t = f"(1.0e0 / (1.0e0 + {lit(_ERFC_P)} * {x}))"
+    poly = (f"((((({lit(a5)} * {t} + {lit(a4)}) * {t} + {lit(a3)}) * {t}"
+            f" + {lit(a2)}) * {t} + {lit(a1)}) * {t})")
+    return f"round({poly} * exp(-({x} * {x})), 9)"
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    key_col: str,
+    alpha_permille: int = 50,
+) -> DataFrame:
+    """BENJAMINI-HOCHBERG step-up FDR control (Benjamini & Hochberg
+    1995) over a BOUNDED family of hypotheses (one row per key with a
+    p-value): rank p's ascending, find k* = max{i : p_(i) ≤ i·α/m},
+    reject ranks ≤ k* — the multiple-testing guard every per-source
+    screening sweep needs before acting on its smallest p.
+
+    NULL p's (degenerate tests) are excluded from the family (m counts
+    only tested hypotheses).  The relation is bounded (keys = sources /
+    buckets / features), so ranking is a sorted-array fold; the
+    threshold compare ``p·m·1000 ≤ i·α`` uses the same double ops on
+    both engines.  α in permille (integer).
+
+    Output: ``key, p, rank, m, rejected`` for tested hypotheses.
+    """
+    a = int(alpha_permille)
+    d = (df.select(F.col(key_col).alias("k"),
+                   F.col(p_col).cast("double").alias("p"))
+         .where(F.col("p").isNotNull()))
+    g = d.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("p").alias("p"), F.col("k").alias("k")))).alias("arr"))
+    m = F.size("arr").cast("bigint")
+    kstar = F.aggregate(
+        F.transform(F.col("arr"),
+                    lambda x, i: F.when(
+                        x["p"] * m.cast("double") * F.lit(1000.0)
+                        <= (i + 1).cast("double") * F.lit(float(a)),
+                        (i + 1).cast("bigint")).otherwise(F.lit(0)
+                                                          .cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: F.greatest(acc, v))
+    rows = g.select(
+        m.alias("m"), kstar.alias("__kstar"),
+        F.posexplode("arr").alias("__i", "__x"))
+    return rows.select(
+        F.col("__x.k").alias("key"), F.col("__x.p").alias("p"),
+        (F.col("__i") + 1).cast("bigint").alias("rank"), "m",
+        ((F.col("__i") + 1) <= F.col("__kstar")).alias("rejected"))
+
+
+def bh_fdr_sql(
+    hypotheses_sql: str,
+    p_expr: str = "p",
+    key_expr: str = "key",
+    alpha_permille: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`bh_fdr` over a hypotheses subquery."""
+    a = int(alpha_permille)
+    return f"""
+    WITH h AS (
+        SELECT {key_expr} AS k, CAST({p_expr} AS DOUBLE) AS p
+        FROM ({hypotheses_sql}) WHERE {p_expr} IS NOT NULL
+    ),
+    g AS (SELECT list_sort(list({{'p': p, 'k': k}})) AS arr FROM h),
+    s AS (
+        SELECT CAST(len(arr) AS BIGINT) AS m,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(arr, (x, i) ->
+                       CASE WHEN x.p * CAST(len(arr) AS DOUBLE) * 1000.0
+                                 <= CAST(i AS DOUBLE) * {float(a)!r}e0
+                            THEN CAST(i AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END)),
+                   (p, q) -> GREATEST(p, q)) AS kstar,
+               arr
+        FROM g
+    )
+    SELECT u.x.k AS key, u.x.p AS p,
+           CAST(u.i AS BIGINT) AS rank, s.m,
+           u.i <= s.kstar AS rejected
+    FROM s, LATERAL (SELECT unnest(arr) AS x,
+                            unnest(range(1, len(arr) + 1)) AS i) u
+    """

@@ -5677,3 +5677,38 @@ def welch_t_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.when(F.col("lang") == "en", 1).otherwise(0)
                    .alias("is_en"))
     return ES.welch_t(lab, "n_chars", "is_en")
+
+
+_FDR_A = 50  # permille: alpha = 0.05
+
+
+def _fdr_oracle() -> str:
+    mw = ES.mannwhitney_z_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", keys=["source"])
+    hyp = f"""SELECT source AS key,
+           {ES.normal_p_two_sided_sql('z')} AS p
+    FROM ({mw})"""
+    return ES.bh_fdr_sql(hyp, alpha_permille=_FDR_A)
+
+
+@query("fdr_doclen_en_by_source", oracle=_fdr_oracle())
+def fdr_doclen_en_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR over the per-source Mann-Whitney screen
+    (operators/evalstats.bh_fdr): for each source, test whether its
+    English docs' length distribution is shifted vs the rest
+    (mannwhitney_z keys=source), convert z to a two-sided normal
+    p-value via the mirrored A&S erfc chain (neither engine ships erf —
+    the approximation is documented and, critically, a FIXED Horner
+    chain both engines evaluate identically), then step-up control the
+    false-discovery rate at 5% across the 20-source family — the
+    multiple-testing guard a screening sweep needs before acting on its
+    smallest p.  Degenerate sources (NULL z) drop out of the family."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select("source", "n_chars",
+                   F.when(F.col("lang") == "en", 1).otherwise(0)
+                   .alias("is_en"))
+    mw = ES.mannwhitney_z(lab, "n_chars", "is_en", keys=["source"])
+    hyp = mw.select(F.col("source").alias("key"),
+                    ES.normal_p_two_sided(F.col("z")).alias("p"))
+    return ES.bh_fdr(hyp, "p", "key", alpha_permille=_FDR_A)

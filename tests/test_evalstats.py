@@ -924,3 +924,36 @@ def test_diff_in_diff_hand_case(spark):
     assert r["did"] == 5.0
     one = spark.createDataFrame([(1, 3, 9)], "ch int, x bigint, y bigint")
     assert E.diff_in_diff(one, "x", "y", "ch").collect()[0]["did"] is None
+
+
+def test_normal_p_and_bh_fdr(spark):
+    """p(z) matches scipy-grade values within the documented 1.5e-7
+    A&S error; BH rejects exactly the textbook step-up set."""
+    import math
+
+    zs = spark.createDataFrame(
+        [(1.96,), (0.0,), (-2.575,)], "z double")
+    got = [r["p"] for r in zs.select(
+        E.normal_p_two_sided(F.col("z")).alias("p")).collect()]
+    want = [2 * (1 - 0.975002), 1.0, 2 * (1 - 0.994988)]
+    for g, w in zip(got, want):
+        assert abs(g - w) < 3e-6
+    # textbook BH at alpha=0.05, m=5: sorted p = .01,.02,.03,.2,.9;
+    # thresholds i*.01: reject ranks 1? p1=.01<=.01 yes; p2=.02<=.02
+    # yes; p3=.03<=.03 yes; p4=.2<=.04 no; p5=.9 no -> k*=3
+    h = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.2), ("e", 0.9),
+         ("f", None)],
+        "key string, p double")
+    out = {r["key"]: r for r in E.bh_fdr(h, "p", "key",
+                                         alpha_permille=50).collect()}
+    assert len(out) == 5 and "f" not in out  # NULL p excluded, m=5
+    assert all(out[k]["m"] == 5 for k in out)
+    assert {k for k in out if out[k]["rejected"]} == {"a", "b", "c"}
+    # step-up: a later passing rank rescues earlier failures
+    h2 = spark.createDataFrame(
+        [("a", 0.011), ("b", 0.02)], "key string, p double")
+    o2 = {r["key"]: r["rejected"]
+          for r in E.bh_fdr(h2, "p", "key", 50).collect()}
+    # m=2: p1=.011 > .025? no, .011 <= .025 yes;  p2=.02 <= .05 yes
+    assert o2 == {"a": True, "b": True}
