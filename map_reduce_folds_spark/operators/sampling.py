@@ -1252,3 +1252,80 @@ def poisson_bootstrap_ratio_ci_sql(
     FROM base {"JOIN reps USING (" + kcols + ")" if keys
                else "CROSS JOIN reps"}
     """
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    keys: Sequence[str] = (),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EFFECTIVE SAMPLE SIZE of a weighted relation (Kish 1965):
+    ``ESS = (Σw)² / Σw²`` — "this reweighted corpus is worth ESS
+    unweighted rows": the diagnostic every importance-resampling /
+    mixture-reweighting step (DSIR, temperature mixing) should report
+    before training on the weights, since a heavy-tailed weight
+    distribution silently collapses the data's information content.
+
+    Determinism: weights QUANTIZE to integer micro-units
+    (``round(w·scale)``) so both sums are exact DECIMAL integers under
+    any partitioning — a raw float Σw² would be accumulation-order
+    nondeterministic; ESS and the ratio are single fixed chains.
+    Rows with non-positive quantized weight contribute zero mass (and
+    count toward n, as unweightable rows should).
+
+    Output: ``keys…, n, ess, ess_ratio``.
+    """
+    df, gkeys = _with_group_cols(df, keys)
+    wq = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.round(F.col(weight_col) * F.lit(float(scale))).cast("bigint"))
+    d = df.select(*gkeys, wq.alias("__wq"))
+    a = d.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__wq").cast("decimal(38,0)")).alias("__sw"),
+        F.sum((F.col("__wq") * F.col("__wq")).cast("decimal(38,0)"))
+        .alias("__sww"))
+    ess = F.when(
+        F.col("__sww") > 0,
+        F.col("__sw").cast("double") * F.col("__sw").cast("double")
+        / F.col("__sww").cast("double"))
+    return a.select(*(list(keys) or []), "n", ess.alias("ess"),
+                    (ess / F.col("n").cast("double")).alias("ess_ratio"))
+
+
+def effective_sample_size_sql(
+    table: str,
+    weight_expr: str,
+    keys: Sequence[str] = (),
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`effective_sample_size`."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    return f"""
+    WITH d AS (
+        SELECT {kpref}GREATEST(CAST(0 AS BIGINT),
+                   CAST(round(({weight_expr}) * {float(scale)!r}e0)
+                        AS BIGINT)) AS wq
+        FROM {table}
+    ),
+    a AS (
+        SELECT {kpref}CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(wq AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sw,
+               CAST(SUM(CAST(wq * wq AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sww
+        FROM d {grp}
+    )
+    SELECT {kpref}n,
+           CASE WHEN sww > 0 THEN
+               CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(sww AS DOUBLE) END AS ess,
+           CASE WHEN sww > 0 THEN
+               (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                / CAST(sww AS DOUBLE)) / CAST(n AS DOUBLE) END
+               AS ess_ratio
+    FROM a
+    """

@@ -5712,3 +5712,24 @@ def fdr_doclen_en_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyp = mw.select(F.col("source").alias("key"),
                     ES.normal_p_two_sided(F.col("z")).alias("p"))
     return ES.bh_fdr(hyp, "p", "key", alpha_permille=_FDR_A)
+
+
+@query(
+    "ess_dsir_selection",
+    oracle=SM.effective_sample_size_sql(
+        f"(SELECT round(exp(logw), 9) AS w FROM ({_dsir_oracle()}))",
+        "w"),
+)
+def ess_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE SAMPLE SIZE of the DSIR importance weights
+    (operators/sampling.effective_sample_size — Kish 1965): "resampling
+    this corpus by w = p_target/p_raw is worth ESS unweighted docs" —
+    the collapse diagnostic to read BEFORE training on a reweighted
+    mixture (a heavy weight tail can quietly shrink 10M docs to an
+    effective 50k).  w = round(exp(logw), 9) (the post-transcendental
+    discipline), then micro-unit quantization makes both ESS sums
+    exact integers under any partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    lw = Q.dsir_logweights(d, F.col("lang") == "en")
+    w = lw.select(F.round(F.exp(F.col("logw")), 9).alias("w"))
+    return SM.effective_sample_size(w, "w")

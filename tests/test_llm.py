@@ -3915,3 +3915,23 @@ def test_simhash_auto_bits_rule():
     assert simhash_auto_bits(10_000_000) > 48
     assert simhash_auto_bits(10**12) == 60
     assert simhash_auto_bits(0) == 32
+
+
+def test_effective_sample_size_properties(spark):
+    """Uniform weights give ESS = n (ratio 1); one dominant weight
+    collapses ESS toward 1; zero/negative weights carry no mass but
+    count toward n."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    uni = spark.createDataFrame([(1.0,)] * 50, "w double")
+    r = SM.effective_sample_size(uni, "w").collect()[0]
+    assert r["n"] == 50 and r["ess"] == 50.0 and r["ess_ratio"] == 1.0
+    dom = spark.createDataFrame([(1000.0,)] + [(0.001,)] * 99, "w double")
+    rd = SM.effective_sample_size(dom, "w").collect()[0]
+    assert rd["ess"] < 1.1
+    mixed = spark.createDataFrame(
+        [(2.0,), (2.0,), (0.0,), (-1.0,)], "w double")
+    rm = SM.effective_sample_size(mixed, "w").collect()[0]
+    assert rm["n"] == 4
+    assert rm["ess"] == 2.0  # (4e6)^2 / (2*(2e6)^2)
+    assert rm["ess_ratio"] == 0.5
