@@ -1038,9 +1038,33 @@ def source_overlap_matrix(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text: Column | str, bits: int = 32) -> Column:
+def _resolve_bits(docs: DataFrame, bits: int | str,
+                  n_docs: int | None = None) -> tuple[int, int | None]:
+    """Resolve ``bits="auto"`` to :func:`simhash_auto_bits` of the corpus
+    size — the family-wide default since round 14 (the session-6 measured
+    finding: signature width is a SCALE parameter; a fixed 32-bit default
+    birthday-saturates at ~1M docs, chaining 99% of the corpus into one
+    component at 6× the wall).  ``n_docs`` skips the sizing count when the
+    caller already knows it (cluster drivers do); otherwise ONE ``count()``
+    job — metadata-only on a plain parquet scan, never a data read.
+    Returns ``(bits, n_docs)`` so the count can be reused downstream
+    (e.g. as ``_pigeonhole_sig_pairs``'s ``sig_count``)."""
+    if bits == "auto":
+        n = n_docs if n_docs is not None else docs.count()
+        return simhash_auto_bits(n), n
+    return int(bits), n_docs
+
+
+def simhash(text: Column | str, bits: int = 60) -> Column:
     """SimHash signature: per-token 60-bit hash; bit j of the signature is
     set when more token-hashes have bit j set than not.
+
+    ``bits`` is a SCALE parameter (see :func:`simhash_auto_bits`); this
+    column constructor cannot count the corpus, so its default is 60 —
+    every informative bit of the per-token hash60, safe at any corpus
+    size.  Narrower widths are a memory/SQL-size opt-in for corpora the
+    caller has sized (the DataFrame-level entry points default to
+    ``bits="auto"`` and size themselves).
 
     Entirely row-local array expressions — zero shuffles, and exactly
     reproducible in SQL (the oracle generator mirrors this construction).
@@ -1065,7 +1089,7 @@ def simhash_rows(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 60,
 ) -> DataFrame:
     """(id, sig) in ONE vectorized Arrow stage — value-identical to
     ``select(id, simhash(text))`` (equality asserted in tests/test_llm.py),
@@ -1110,8 +1134,11 @@ def simhash_rows(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
-def simhash_sql(text_expr: str, bits: int = 32) -> str:
-    """DuckDB SQL mirroring :func:`simhash` bit-for-bit (oracle generator)."""
+def simhash_sql(text_expr: str, bits: int = 60) -> str:
+    """DuckDB SQL mirroring :func:`simhash` bit-for-bit (oracle generator).
+    Default width matches :func:`simhash` (60 — the safe-at-any-scale
+    ceiling); registered queries pass an explicit width so the oracle
+    string is pinned."""
     h = ("CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)")
     hs = f"list_transform(list_distinct(string_split({text_expr}, ' ')), t -> {h})"
     terms = [
@@ -1126,14 +1153,20 @@ def simhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int | str = "auto",
     max_hamming: int = 3,
     blocks: int | str = "auto",
     materialize: bool = True,
     materialize_path: str | None = None,
     arrow: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    ``bits="auto"`` (default) sizes the signature to the corpus via
+    :func:`simhash_auto_bits` — signature width is a scale parameter
+    (measured: 32-bit saturates at ~1M docs); pass ``n_docs`` to skip
+    the sizing count when the corpus size is known.
 
     Pigeonhole blocking: split the signature into ``blocks`` bit-blocks;
     any pair within distance < blocks shares at least one exact block →
@@ -1150,12 +1183,15 @@ def simhash_near_dup_pairs(
     table instead — the cluster-scale form."""
     if blocks != "auto" and max_hamming >= int(blocks):
         raise ValueError("pigeonhole requires max_hamming < blocks")
+    bits, n_docs = _resolve_bits(docs, bits, n_docs)
     if arrow:
         s = simhash_rows(docs, id_col, text_col, bits)
     else:
         s = docs.select(F.col(id_col), simhash(text_col, bits).alias("sig"))
+    # s is one row per doc, so the sizing count doubles as sig_count
     return _pigeonhole_sig_pairs(
-        s, id_col, bits, max_hamming, blocks, materialize, materialize_path)
+        s, id_col, bits, max_hamming, blocks, materialize, materialize_path,
+        sig_count=n_docs)
 
 
 def _auto_blocks(n: int, bits: int, max_hamming: int,
@@ -1361,9 +1397,10 @@ def simhash_components(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int | str = "auto",
     max_hamming: int = 3,
     blocks: int | str = "auto",
+    n_docs: int | None = None,
     **cc_kw,
 ) -> DataFrame:
     """``(node, component)`` of the SimHash near-dup graph — identical
@@ -1391,6 +1428,7 @@ def simhash_components(
     (``checkpoint_dir=``, ``max_iter=``)."""
     from map_reduce_folds_spark.operators.graph import components_of_pairs
 
+    bits, n_docs = _resolve_bits(docs, bits, n_docs)
     s = simhash_rows(docs, id_col, text_col, bits) \
         .localCheckpoint(eager=False)
     reps = s.groupBy("sig").agg(F.min(id_col).alias("rep"))
@@ -1570,9 +1608,10 @@ def simhash_near_dup_pairs_factored(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int | str = "auto",
     max_hamming: int = 3,
     blocks: int | str = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """IDENTICAL pair set to :func:`simhash_near_dup_pairs` — candidate
     generation over DISTINCT signatures instead of documents.
@@ -1599,6 +1638,7 @@ def simhash_near_dup_pairs_factored(
     # RDD-level — the ContextCleaner frees them when the frame is GC'd,
     # where CacheManager-held persist() blocks accumulate for the life of
     # a long session unless every caller remembers to unpersist
+    bits, n_docs = _resolve_bits(docs, bits, n_docs)
     s = simhash_rows(docs, id_col, text_col, bits) \
         .localCheckpoint(eager=False)
     same = (
@@ -1631,11 +1671,12 @@ def simhash_khop_hops(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int | str = "auto",
     max_hamming: int = 3,
     blocks: int | str = "auto",
     max_hops: int = 4,
     seed=None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """k-hop BFS over the SimHash near-dup DOC graph, run at SIGNATURE
     level — value-identical to
@@ -1659,6 +1700,7 @@ def simhash_khop_hops(
     from map_reduce_folds_spark.operators.graph import bfs_hops_factored
 
     spark = docs.sparkSession
+    bits, n_docs = _resolve_bits(docs, bits, n_docs)
     s = simhash_rows(docs, id_col, text_col, bits) \
         .localCheckpoint(eager=True)
     grp = s.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
@@ -1695,9 +1737,10 @@ def simhash_triangle_count_factored(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int | str = "auto",
     max_hamming: int = 3,
     blocks: int | str = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact triangle count of the SimHash near-dup DOC graph computed
     ARITHMETICALLY from the signature graph — one row
@@ -1726,6 +1769,7 @@ def simhash_triangle_count_factored(
     # lazy localCheckpoints (not persist): reused across the t1/t2/t3
     # branches within the consuming action, and the blocks are GC-cleaned
     # instead of accumulating in the CacheManager across a long session
+    bits, n_docs = _resolve_bits(docs, bits, n_docs)
     s = simhash_rows(docs, id_col, text_col, bits) \
         .localCheckpoint(eager=False)
     grp = s.groupBy("sig").agg(F.count(F.lit(1)).alias("n")) \
@@ -1781,10 +1825,11 @@ def cluster_savings(
     text_col: str = "text",
     size_col: str = "n_chars",
     group_col: str = "source",
-    bits: int = 32,
+    bits: int | str = "auto",
     max_hamming: int = 3,
     blocks: int | str = "auto",
     pairs: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """The dedup SAVINGS REPORT a curation run ends with: cluster the
     corpus with :func:`simhash_components` (near-dup graph → connected
@@ -1812,6 +1857,7 @@ def cluster_savings(
         comp = components_of_pairs(pairs.select("id_a", "id_b"))
     else:
         comp = simhash_components(docs, id_col, text_col, bits=bits,
+                                  n_docs=n_docs,
                                   max_hamming=max_hamming, blocks=blocks)
     d = (
         docs.select(id_col, group_col, size_col)

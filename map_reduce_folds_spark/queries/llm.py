@@ -431,21 +431,24 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     oracle=f"""
-    SELECT doc_id, {D.simhash_sql('text', 32)} AS sig
+    SELECT doc_id, {D.simhash_sql('text', 60)} AS sig
     FROM documents
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signature per document (bit-for-bit SQL oracle)."""
+    """60-bit SimHash signature per document (bit-for-bit SQL oracle).
+    Registered at the full informative width — signature width is a
+    scale parameter (operators/dedup.simhash_auto_bits: 32-bit
+    birthday-saturates at ~1M docs); all dedup_simhash* rows pin 60."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", D.simhash("text", 32).alias("sig"))
+    return d.select("doc_id", D.simhash("text", 60).alias("sig"))
 
 
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
     WITH sig AS (
-        SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents
+        SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
@@ -454,14 +457,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 of 32 bits) via pigeonhole
+    """SimHash near-dup pairs (hamming ≤ 3 of 60 bits) via pigeonhole
     blocking over DISTINCT signatures (dedup.simhash_near_dup_pairs_
     factored — the doc-level block join measured quadratic in bucket
     occupancy at 10×; the factored set is property-proven identical).
     The oracle brute-forces all pairs — valid because blocking is
     provably complete (tests/test_llm.py proves set equality too)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs_factored(d, "doc_id", "text", bits=32,
+    return D.simhash_near_dup_pairs_factored(d, "doc_id", "text", bits=60,
                                              max_hamming=3, blocks="auto")
 
 
@@ -469,7 +472,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cc_clusters",
     oracle=f"""
     WITH RECURSIVE
-    sig AS (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents),
+    sig AS (SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM documents),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -498,7 +501,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level pair graph — same components by the factoring argument,
     verified by hash."""
     d = load_table(spark, sf_dir, "documents")
-    comp = D.simhash_components(d, "doc_id", "text", bits=32,
+    comp = D.simhash_components(d, "doc_id", "text", bits=60,
                                 max_hamming=3, blocks="auto")
     return comp.select(F.col("node").alias("doc_id"), "component")
 
@@ -2172,8 +2175,8 @@ def dedup_embedding_clusters_t09(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_triangles",
     oracle=G2.triangle_count_sql(f"""
         SELECT a.doc_id AS s, b.doc_id AS t
-        FROM (SELECT doc_id, {D.simhash_sql('text', 32)} AS sg FROM documents) a
-        JOIN (SELECT doc_id, {D.simhash_sql('text', 32)} AS sg FROM documents) b
+        FROM (SELECT doc_id, {D.simhash_sql('text', 60)} AS sg FROM documents) a
+        JOIN (SELECT doc_id, {D.simhash_sql('text', 60)} AS sg FROM documents) b
           ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sg, b.sg)) <= 3
     """),
@@ -2192,7 +2195,7 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized doc pair graph.  The oracle brute-forces the doc-level
     pair graph (identical count)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_triangle_count_factored(d, "doc_id", "text", bits=32,
+    return D.simhash_triangle_count_factored(d, "doc_id", "text", bits=60,
                                              max_hamming=3, blocks="auto")
 
 
@@ -2570,7 +2573,7 @@ def quality_filter_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "khop_doc_neighborhood",
     oracle=f"""
     WITH RECURSIVE sg AS (
-        SELECT doc_id, {D.simhash_sql('text', 32)} AS sg FROM documents
+        SELECT doc_id, {D.simhash_sql('text', 60)} AS sg FROM documents
     ),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2611,7 +2614,7 @@ def khop_doc_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents")
     hops = D.simhash_khop_hops(
-        d, "doc_id", "text", bits=32, max_hamming=3, blocks="auto", max_hops=4)
+        d, "doc_id", "text", bits=60, max_hamming=3, blocks="auto", max_hops=4)
     return hops.select(F.col("node").alias("doc_id"),
                        F.col("hops").cast("int").alias("hops"))
 
@@ -2951,7 +2954,7 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_savings_by_source",
     oracle=f"""
     WITH RECURSIVE
-    sig AS (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents),
+    sig AS (SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM documents),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -2999,7 +3002,7 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     arg-min."""
     d = load_table(spark, sf_dir, "documents")
     return D.cluster_savings(d, "doc_id", "text", "n_chars", "source",
-                             bits=32, max_hamming=3, blocks="auto")
+                             bits=60, max_hamming=3, blocks="auto")
 
 
 _PF_T = 0.8  # prefix-filter demo threshold (tight → biggest pruning win)
@@ -4388,7 +4391,7 @@ def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- semi-supervised label propagation (round 13 session 3) ------------------
 _LP_EDGES_SQL = f"""WITH sig AS (
-        SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents
+        SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM documents
     )
     SELECT a.doc_id AS s, b.doc_id AS t
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -4420,7 +4423,7 @@ def label_prop_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties make the labeling engine-exact."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_near_dup_pairs_factored(
-        d, "doc_id", "text", bits=32, max_hamming=3, blocks="auto"
+        d, "doc_id", "text", bits=60, max_hamming=3, blocks="auto"
     ).select("id_a", "id_b")
     seeds = (d.where(F.col("doc_id") % 3 != 0)
              .select(F.col("doc_id").alias("node"),
@@ -4666,8 +4669,8 @@ def pca_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_K = 16
 _LP_PAIRS_W_SQL = f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.s, b.s)) AS hamming
-    FROM (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents) a
-    JOIN (SELECT doc_id, {D.simhash_sql('text', 32)} AS s FROM documents) b
+    FROM (SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM documents) a
+    JOIN (SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM documents) b
       ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.s, b.s)) <= 3"""
 
@@ -4699,7 +4702,7 @@ def label_prop_neardup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_near_dup_pairs_factored(
-        d, "doc_id", "text", bits=32, max_hamming=3, blocks="auto")
+        d, "doc_id", "text", bits=60, max_hamming=3, blocks="auto")
     sparse = G2.sparsify_topk_edges(pairs, "id_a", "id_b", "hamming",
                                     k=_LP_K)
     seeds = (d.where(F.col("doc_id") % 3 != 0)

@@ -95,6 +95,56 @@ def test_simhash_components_equals_doc_level_pairs(docs):
     assert factored == doc_level
 
 
+def test_simhash_auto_bits_rule():
+    """Signature width is a SCALE parameter (measured, SCALE_BENCH_r13
+    session 6: 32-bit signatures birthday-saturate at 1M docs — 99% of
+    the corpus chained into one component, 6× wall).  Regression-pin the
+    sizing rule at the measured threshold: the expected SPURIOUS
+    same-signature pair mass C(n,2)/2^bits must stay bounded at the
+    auto width while the old fixed 32 explodes."""
+    from math import comb
+
+    # rule values at the regime boundaries
+    assert D.simhash_auto_bits(1) == 32
+    assert D.simhash_auto_bits(1_000) == 32          # small corpora: floor
+    assert D.simhash_auto_bits(1_000_000) == 48      # the measured cliff
+    assert D.simhash_auto_bits(100_000_000) == 60    # ceiling (hash60)
+    assert D.simhash_auto_bits(10**12) == 60         # clamp holds
+    # saturation arithmetic at the measured 1M-doc threshold: fixed-32
+    # expects ~116 spurious hamming-0 collisions per BIT PATTERN REGION
+    # (C(1M,2)/2^32 ≈ 116 — enough to chain components, as measured);
+    # the auto width keeps expected spurious mass ≪ 1
+    n = 1_000_000
+    assert comb(n, 2) / 2**32 > 100          # the regime that saturated
+    assert comb(n, 2) / 2**D.simhash_auto_bits(n) < 2e-3
+    # monotone non-decreasing in n (no width cliff going up-corpus)
+    widths = [D.simhash_auto_bits(10**k) for k in range(0, 13)]
+    assert widths == sorted(widths)
+
+
+def test_simhash_auto_bits_is_default_and_exact(docs):
+    """bits="auto" (the family default since r14) must resolve through
+    simhash_auto_bits(n_docs) and produce results identical to the same
+    explicit width; n_docs= passthrough must not change the answer."""
+    n = docs.count()
+    w = D.simhash_auto_bits(n)
+    explicit = {(r["id_a"], r["id_b"]) for r in D.simhash_near_dup_pairs(
+        docs, bits=w, max_hamming=3, blocks=4).collect()}
+    auto = {(r["id_a"], r["id_b"]) for r in D.simhash_near_dup_pairs(
+        docs, max_hamming=3, blocks=4).collect()}
+    auto_n = {(r["id_a"], r["id_b"]) for r in D.simhash_near_dup_pairs(
+        docs, max_hamming=3, blocks=4, n_docs=n).collect()}
+    assert auto == explicit
+    assert auto_n == explicit
+    comp_auto = {(r["node"], r["component"])
+                 for r in D.simhash_components(
+                     docs, max_hamming=3, blocks=4).collect()}
+    comp_explicit = {(r["node"], r["component"])
+                     for r in D.simhash_components(
+                         docs, bits=w, max_hamming=3, blocks=4).collect()}
+    assert comp_auto == comp_explicit
+
+
 def test_minhash_materialize_path_roundtrip(docs, tmp_path_factory):
     """The table-backed stage boundary (materialize_path=) must produce
     exactly the persist-backed results: same pairs, bitwise-same jaccard.
