@@ -34,6 +34,13 @@ Timing methodology:
   and the order bias cancels.  ``first_pass_value`` keeps the raw
   pass-1 total; per-query timings are pass-1's.  Disable with
   MRF_BENCH_ABA=0 (subprocess passes run with it set).
+* ORDER ALTERNATION (round 14): A-B-A cancels the bias only to first
+  order (position 3 can still sit warmer than position 2), so the
+  sequence alternates per round — even rounds A-B-A (current commit
+  gets min-of-two), odd rounds B-A-B (control runs positions 1 and 3
+  and gets min-of-two; the ``order`` field records which ran).  Keyed
+  on the count of recorded BENCH_r*.json files; force with
+  MRF_BENCH_ORDER=ABA|BAB.
 """
 
 from __future__ import annotations
@@ -74,6 +81,13 @@ def main():
     # parse sf from dir name (…/sf0.1)
     base = os.path.basename(sf_dir.rstrip("/"))
     sf = float(base[2:]) if base.startswith("sf") else None
+
+    # BAB order: the control takes position 1 BEFORE this process's JVM
+    # spins up (CPUs free, coldest seat — mirroring what the current
+    # commit pays in ABA's position 1)
+    if (os.environ.get("MRF_BENCH_CONTROL", "1") != "0"
+            and _invocation_order() == "BAB"):
+        _BAB_CTL1["ctl"] = _control_prior_close()
 
     from map_reduce_folds_spark.session import get_spark
     from map_reduce_folds_spark.queries import QUERIES
@@ -191,14 +205,53 @@ def main():
         out["partial_total_sec"] = round(sum(timings.values()), 3)
     if os.environ.get("MRF_BENCH_CONTROL", "1") != "0":
         spark.stop()  # free the CPUs before the control JVM starts
-        out["control_prior_close"] = _control_prior_close()
-        if os.environ.get("MRF_BENCH_ABA", "1") != "0":
-            second = _second_current_pass()
-            if second is not None:
-                out["first_pass_value"] = out["value"]
-                out["second_pass_value"] = second
-                out["value"] = min(out["value"], second)
+        order = _invocation_order()
+        out["order"] = order
+        if order == "BAB":
+            # control already ran in position 1 (main() head); run its
+            # position-3 pass now and give the CONTROL the min-of-two,
+            # symmetric to what ABA gives the current commit
+            ctl3 = _control_prior_close()
+            ctl1 = _BAB_CTL1.get("ctl")
+            out["control_passes"] = [
+                (ctl1 or {}).get("value"), ctl3.get("value")]
+            cands = [c for c in (ctl1, ctl3)
+                     if c and c.get("value") is not None]
+            out["control_prior_close"] = (
+                min(cands, key=lambda c: c["value"]) if cands
+                else ctl3 or ctl1)
+        else:
+            out["control_prior_close"] = _control_prior_close()
+            if os.environ.get("MRF_BENCH_ABA", "1") != "0":
+                second = _second_current_pass()
+                if second is not None:
+                    out["first_pass_value"] = out["value"]
+                    out["second_pass_value"] = second
+                    out["value"] = min(out["value"], second)
     print(json.dumps(out))
+
+
+# position-1 control result, stashed by main()'s head in BAB order
+_BAB_CTL1: dict = {}
+
+
+def _invocation_order() -> str:
+    """Alternate the warm-position advantage ACROSS rounds (round-13
+    finding: in a same-moment pair the side that runs later carries a
+    systematic ~10% page-cache/settling advantage; A-B-A cancels it
+    WITHIN a run only to first order).  Even rounds run A-B-A (current
+    gets min-of-two), odd rounds B-A-B (control gets min-of-two), keyed
+    on the count of recorded BENCH_r*.json files so the parity is
+    deterministic per round and flips every round.  Override with
+    MRF_BENCH_ORDER=ABA|BAB."""
+    forced = os.environ.get("MRF_BENCH_ORDER")
+    if forced in ("ABA", "BAB"):
+        return forced
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    n = len(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    return "BAB" if n % 2 == 1 else "ABA"
 
 
 def _second_current_pass():

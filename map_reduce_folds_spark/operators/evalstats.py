@@ -1981,10 +1981,13 @@ def wasserstein1_by_group(
 
     Exactness: over the sorted distinct pooled values, every term is
     put on the COMMON DENOMINATOR n_g·N — ``|inc_g·N − inc_pool·n_g| ·
-    (v_{i+1} − v_i)`` is an exact DECIMAL(38,0) integer — and W1 is ONE
-    final division by the double product n_g·N, so both engines agree
-    bitwise with no accumulation-order discipline (integer sums are
-    order-free).  SQL mirror :func:`wasserstein1_by_group_sql`.
+    (v_{i+1} − v_i)`` staged through DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) BEFORE the products, so the rank×count term never rides
+    int64 (which wraps at N ≈ 3e9 rows) — exact while
+    ``N² · max_gap < 10³⁸`` (N to ~1e14 even at gap 1e9) — and W1 is
+    ONE final division by the double product n_g·N, so both engines
+    agree bitwise with no accumulation-order discipline (integer sums
+    are order-free).  SQL mirror :func:`wasserstein1_by_group_sql`.
 
     Scale: the working relation is groups × distinct pooled VALUES —
     bounded by the integer value DOMAIN (calendar-bucket or quantize
@@ -2026,8 +2029,13 @@ def wasserstein1_by_group(
     wg = (_W.partitionBy("__g").orderBy("__v")
           .rowsBetween(_W.unboundedPreceding, 0))
     inc = dense.withColumn("__incg", F.sum("__c").over(wg))
-    term = (F.abs(F.col("__incg") * F.col("__nall")
-                  - F.col("__incp") * F.col("__n"))
+    # stage the rank×count products through DECIMAL(38,0) BEFORE
+    # multiplying: incg·n_all is an int64 product of two ≤N counts, which
+    # wraps silently in Spark (and raises in DuckDB — engine divergence)
+    # once N crosses ~3e9 rows; decimal staging keeps the term exact to
+    # N ≈ 1e19 at the same one-division cost (r13 advice)
+    term = (F.abs(F.col("__incg").cast("decimal(38,0)") * F.col("__nall")
+                  - F.col("__incp").cast("decimal(38,0)") * F.col("__n"))
             * F.col("__gap")).cast("decimal(38,0)")
     out = inc.groupBy("__g").agg(
         F.first("__n").alias("n"),
@@ -2083,7 +2091,8 @@ def wasserstein1_by_group_sql(
     )
     SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
            CAST(MAX(n_all) AS BIGINT) AS n_all,
-           CAST(SUM(CAST(abs(incg * n_all - incp * n) * gap
+           CAST(SUM(CAST(abs(CAST(incg AS HUGEINT) * n_all
+                             - CAST(incp AS HUGEINT) * n) * gap
                          AS DECIMAL(38,0))) AS DOUBLE)
                / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n_all) AS DOUBLE))
                AS w1

@@ -961,7 +961,7 @@ def poisson_bootstrap_mean_ci(
     id_col: str,
     keys: Sequence[str] = (),
     n_boot: int = 200,
-    alpha_permille: int = 50,
+    tail_permille: int = 50,
     salt: str = "boot",
 ) -> DataFrame:
     """Bootstrap percentile CI for the per-group MEAN via the POISSON
@@ -979,10 +979,15 @@ def poisson_bootstrap_mean_ci(
     and exactly mirrored by :func:`poisson_bootstrap_mean_ci_sql`.
     Replicate means are single exact-integer-sum divisions; the
     percentile bounds are ORDER STATISTICS of the ≤``n_boot``-element
-    sorted (mean, b) list — lower = s[⌊m·α/2⌋+1], upper =
-    s[⌈m·(1−α/2)⌉] (1-based; m = replicates with positive total
-    weight), with α carried in permille so the indices are integer
-    arithmetic.  Integer-valued ``value_col`` required.
+    sorted (mean, b) list — lower = s[⌊m·t⌋+1], upper = s[⌈m·(1−t)⌉]
+    (1-based; m = replicates with positive total weight), where
+    ``t = tail_permille/1000`` is the mass cut from EACH TAIL, carried
+    in permille so the indices are integer arithmetic.  The default 50
+    yields a 90% CI; pass ``tail_permille=25`` for 95%.  (Named
+    ``tail_permille``, not ``alpha_permille``, precisely because it is
+    per-tail — ``bh_fdr``/conformal use ``alpha_permille`` for TOTAL
+    α and the two must not be conflated.)  Integer-valued
+    ``value_col`` required.
 
     Output: ``keys…, n, mean, ci_lo, ci_hi, n_boot_valid``.
 
@@ -995,7 +1000,7 @@ def poisson_bootstrap_mean_ci(
     return poisson_bootstrap_ci_from_moments(
         poisson_bootstrap_moments(df, value_col, id_col, keys=keys,
                                   n_boot=n_boot, salt=salt),
-        keys=keys, alpha_permille=alpha_permille)
+        keys=keys, tail_permille=tail_permille)
 
 
 def poisson_bootstrap_moments(
@@ -1045,7 +1050,7 @@ def poisson_bootstrap_merge(*relations: DataFrame) -> DataFrame:
 def poisson_bootstrap_ci_from_moments(
     moments: DataFrame,
     keys: Sequence[str] = (),
-    alpha_permille: int = 50,
+    tail_permille: int = 50,
 ) -> DataFrame:
     """Finish a (merged) moment relation into the CI output of
     :func:`poisson_bootstrap_mean_ci` — replicate means, sorted order
@@ -1066,7 +1071,7 @@ def poisson_bootstrap_ci_from_moments(
         (F.col("__swx").cast("double")
          / F.col("__sw").cast("double")).alias("mean"))
     m = F.size("__arr").cast("bigint")
-    a2 = int(alpha_permille)
+    a2 = int(tail_permille)
     # positive-quotient truncation = floor; ceil(x/1000) = (x+999) div 1000
     lo_i = (m * a2 / F.lit(1000)).cast("bigint") + 1
     hi_i = ((m * (1000 - a2) + 999) / F.lit(1000)).cast("bigint")
@@ -1090,7 +1095,7 @@ def poisson_bootstrap_mean_ci_sql(
     id_expr: str,
     keys: Sequence[str] = (),
     n_boot: int = 200,
-    alpha_permille: int = 50,
+    tail_permille: int = 50,
     salt: str = "boot",
 ) -> str:
     """DuckDB mirror of :func:`poisson_bootstrap_mean_ci` — identical
@@ -1100,7 +1105,7 @@ def poisson_bootstrap_mean_ci_sql(
     kpref = f"{kcols}, " if keys else ""
     grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
     kout = kpref
-    a2 = int(alpha_permille)
+    a2 = int(tail_permille)
     h = hash60_sql(
         f"concat('{salt}', ':', CAST(b.b AS VARCHAR), ':', "
         f"CAST({id_expr} AS VARCHAR))")
@@ -1145,7 +1150,7 @@ def poisson_bootstrap_ratio_ci(
     id_col: str,
     keys: Sequence[str] = (),
     n_boot: int = 200,
-    alpha_permille: int = 50,
+    tail_permille: int = 50,
     salt: str = "boot",
 ) -> DataFrame:
     """Percentile CI for the per-group RATIO ``Σnum/Σden`` under the
@@ -1190,7 +1195,7 @@ def poisson_bootstrap_ratio_ci(
          / F.sum(F.col(den_col).cast("bigint")).cast("double"))
         .alias("ratio"))
     m = F.size("__arr").cast("bigint")
-    a2 = int(alpha_permille)
+    a2 = int(tail_permille)
     lo_i = (m * a2 / F.lit(1000)).cast("bigint") + 1
     hi_i = ((m * (1000 - a2) + 999) / F.lit(1000)).cast("bigint")
     return base.join(reps, gkeys).select(
@@ -1207,14 +1212,14 @@ def poisson_bootstrap_ratio_ci_sql(
     id_expr: str,
     keys: Sequence[str] = (),
     n_boot: int = 200,
-    alpha_permille: int = 50,
+    tail_permille: int = 50,
     salt: str = "boot",
 ) -> str:
     """DuckDB mirror of :func:`poisson_bootstrap_ratio_ci`."""
     kcols = ", ".join(keys)
     kpref = f"{kcols}, " if keys else ""
     grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
-    a2 = int(alpha_permille)
+    a2 = int(tail_permille)
     h = hash60_sql(
         f"concat('{salt}', ':', CAST(b.b AS VARCHAR), ':', "
         f"CAST({id_expr} AS VARCHAR))")

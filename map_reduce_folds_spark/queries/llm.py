@@ -5145,14 +5145,14 @@ def blocklist_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BOOT_B = 200      # bootstrap replicates
-_BOOT_A2 = 25      # permille: alpha/2 = 0.025 -> 95% CI
+_BOOT_A2 = 25      # per-TAIL permille: 25/1000 per tail -> 95% CI
 
 
 @query(
     "bootstrap_doclen_ci",
     oracle=SM.poisson_bootstrap_mean_ci_sql(
         "documents", "n_chars", "doc_id", keys=["source"],
-        n_boot=_BOOT_B, alpha_permille=_BOOT_A2),
+        n_boot=_BOOT_B, tail_permille=_BOOT_A2),
 )
 def bootstrap_doclen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% POISSON-BOOTSTRAP CI for mean document length per source
@@ -5167,7 +5167,7 @@ def bootstrap_doclen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return SM.poisson_bootstrap_mean_ci(
         d, "n_chars", "doc_id", keys=["source"],
-        n_boot=_BOOT_B, alpha_permille=_BOOT_A2)
+        n_boot=_BOOT_B, tail_permille=_BOOT_A2)
 
 
 @query(
@@ -5188,7 +5188,7 @@ def anova_doclen_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bootstrap_incremental_ci",
     oracle=SM.poisson_bootstrap_mean_ci_sql(
         "documents", "n_chars", "doc_id", keys=["source"],
-        n_boot=_BOOT_B, alpha_permille=_BOOT_A2),
+        n_boot=_BOOT_B, tail_permille=_BOOT_A2),
 )
 def bootstrap_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL bootstrap: the corpus arrives as two batches (doc_id
@@ -5208,7 +5208,7 @@ def bootstrap_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         SM.poisson_bootstrap_moments(a, "n_chars", "doc_id", **kw),
         SM.poisson_bootstrap_moments(b, "n_chars", "doc_id", **kw))
     return SM.poisson_bootstrap_ci_from_moments(
-        merged, keys=["source"], alpha_permille=_BOOT_A2)
+        merged, keys=["source"], tail_permille=_BOOT_A2)
 
 
 _LSS_W = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -5318,6 +5318,72 @@ def ann_eval_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = S.brute_force_topk(e.filter("vec_id < 5"), e, "vec_id",
                                "embedding", _DIM, _TOPK)
     return S.retrieval_eval(got, truth, _TOPK)
+
+
+def _rrf_multi_oracle() -> str:
+    from map_reduce_folds_spark.operators.similarity import rrf_fuse_sql
+
+    def brute(dim: int) -> str:
+        return f"""SELECT query_id, doc_id, score FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               {S.cosine_sql('q.embedding', 'c.embedding', dim)} AS score
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id)
+        <= {_RRF_CAND}"""
+
+    fused = rrf_fuse_sql([brute(_DIM), brute(_MRL_DIM)], k0=_RRF_K0)
+    return f"""
+    WITH fused AS ({fused})
+    SELECT query_id, doc_id, rrf,
+           CAST(COALESCE(rank_0, 0) AS BIGINT) AS rank_full,
+           CAST(COALESCE(rank_1, 0) AS BIGINT) AS rank_m16
+    FROM fused
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) <= {_RRF_TOPK}
+    """
+
+
+@query("hybrid_rrf_multiquery", oracle=_rrf_multi_oracle())
+def hybrid_rrf_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion over FIVE queries at once (vec_id < 5, the ANN-row
+    convention) — the multi-query shape hybrid_search_rrf's single
+    fixed query never exercises: every rank window genuinely
+    PARTITIONS BY query_id (plan-pinned in tests/test_plans.py), so
+    the fusion is one bounded |Q|·k-row join per ranker, the shape a
+    production retrieval batch runs.  The two rankers are the
+    multi-resolution pair every Matryoshka deployment fuses: exact
+    full-dim cosine top-50 ⊕ truncated 16-dim cosine top-50
+    (operators/similarity.rrf_fuse; Cormack et al. SIGIR 2009 +
+    Kusupati et al. 2022).  Per query: top-20 by the fused
+    ``Σ 1/(60+rank)`` — bitwise-reproducible because only RANKS cross
+    the ranker boundary and contributions add in fixed full→truncated
+    order."""
+    from map_reduce_folds_spark.operators.relational import topk_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    full = (S.brute_force_topk(e.filter("vec_id < 5"), e, "vec_id",
+                               "embedding", _DIM, _RRF_CAND)
+            .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                    F.col("cos_sim").alias("score")))
+    e16 = e.select("vec_id",
+                   F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
+    m16 = (S.brute_force_topk(e16.filter("vec_id < 5"), e16, "vec_id",
+                              "embedding", _MRL_DIM, _RRF_CAND)
+           .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                   F.col("cos_sim").alias("score")))
+    fused = S.rrf_fuse([full, m16], k0=_RRF_K0)
+    out = fused.select(
+        "query_id", "doc_id", "rrf",
+        F.coalesce(F.col("rank_0"), F.lit(0)).cast("bigint")
+        .alias("rank_full"),
+        F.coalesce(F.col("rank_1"), F.lit(0)).cast("bigint")
+        .alias("rank_m16"))
+    return topk_per_group(out, ["query_id"],
+                          [F.col("rrf").desc(), F.col("doc_id")],
+                          _RRF_TOPK)
 
 
 @query(
@@ -5644,7 +5710,7 @@ def pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks "
         "FROM documents)",
         "n_chars", "n_toks", "doc_id", keys=["source"],
-        n_boot=_BOOT_B, alpha_permille=_BOOT_A2),
+        n_boot=_BOOT_B, tail_permille=_BOOT_A2),
 )
 def bootstrap_chars_per_token_ci(spark: SparkSession, sf_dir: str) \
         -> DataFrame:
@@ -5660,7 +5726,7 @@ def bootstrap_chars_per_token_ci(spark: SparkSession, sf_dir: str) \
                   .alias("n_toks"))
     return SM.poisson_bootstrap_ratio_ci(
         d2, "n_chars", "n_toks", "doc_id", keys=["source"],
-        n_boot=_BOOT_B, alpha_permille=_BOOT_A2)
+        n_boot=_BOOT_B, tail_permille=_BOOT_A2)
 
 
 @query(

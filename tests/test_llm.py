@@ -3816,25 +3816,25 @@ def test_poisson_bootstrap_weights_distribution(spark):
 
 
 def test_poisson_bootstrap_ci_brackets_mean(spark):
-    """The 95% percentile CI brackets the point mean on a well-behaved
-    sample, is ordered, uses the documented order-statistic indices, and
-    is a pure function of the salt."""
+    """The percentile CI (tail_permille=50 → 90%) brackets the point
+    mean on a well-behaved sample, is ordered, uses the documented
+    order-statistic indices, and is a pure function of the salt."""
     from map_reduce_folds_spark.operators import sampling as SM
 
     df = spark.range(500).select(
         F.col("id"), (F.col("id") % 37 + 5).alias("x"))
     out = SM.poisson_bootstrap_mean_ci(
-        df, "x", "id", n_boot=100, alpha_permille=50).collect()
+        df, "x", "id", n_boot=100, tail_permille=50).collect()
     assert len(out) == 1
     r = out[0]
     assert r["n"] == 500 and r["n_boot_valid"] == 100
     assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
     assert r["ci_lo"] < r["ci_hi"]
     again = SM.poisson_bootstrap_mean_ci(
-        df, "x", "id", n_boot=100, alpha_permille=50).collect()[0]
+        df, "x", "id", n_boot=100, tail_permille=50).collect()[0]
     assert (again["ci_lo"], again["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
     other = SM.poisson_bootstrap_mean_ci(
-        df, "x", "id", n_boot=100, alpha_permille=50,
+        df, "x", "id", n_boot=100, tail_permille=50,
         salt="other").collect()[0]
     assert (other["ci_lo"], other["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
 

@@ -823,3 +823,20 @@ def test_scale_audit_codegen_rule_needs_final_plan(spark):
     df.collect()
     post = P.scale_audit(df)
     assert not any("codegen" in f for f in post), post
+
+
+def test_hybrid_rrf_multiquery_windows_partition_by_query(spark):
+    """The multi-query RRF row must exercise the PER-QUERY partitioned
+    rank path (the single-query row's windows partition by a constant —
+    the r13 caveat): every window in the executed plan partitions by
+    query_id, and no global-order window survives."""
+    df = _run(spark, "hybrid_rrf_multiquery")
+    plan = P.executed_plan(df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan  # the rank windows must exist
+    for s in specs:
+        assert "query_id" in s.split(",")[0], (s, plan)
+    assert not any("global-order" in f for f in P.scale_audit(df)), \
+        P.scale_audit(df)

@@ -13,6 +13,8 @@ ci_lo <= mean <= ci_hi for every source at every scale.
 
 Usage: python tools/rehearse_bootstrap.py <slice_dir> [copies ...]
        (e.g. scale_data/sf1000_docs 10 100 1000)
+The base slice whose max doc_id sets the copy stride defaults to
+$SPARK_GRAFT_SF_DIR/documents.parquet (or /root/testdata/sf0.1).
 """
 
 from __future__ import annotations
@@ -30,11 +32,17 @@ from pyspark.sql import functions as F  # noqa: E402
 from map_reduce_folds_spark.operators import sampling as SM  # noqa: E402
 from map_reduce_folds_spark.session import get_spark  # noqa: E402
 
-BASE = "/root/testdata/sf0.1/documents.parquet"
+BASE = os.path.join(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    "documents.parquet")
 N_BOOT = 200
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit(f"usage: {sys.argv[0]} <slice_dir> [copies ...]   "
+                 "(slice_dir from tools/gen_scale_docs.py; base slice "
+                 f"= $SPARK_GRAFT_SF_DIR/documents.parquet, now {BASE})")
     slice_dir = sys.argv[1]
     points = [int(x) for x in sys.argv[2:]] or [10, 100, 1000]
     spark = get_spark(app_name="mrf-rehearse-bootstrap")
