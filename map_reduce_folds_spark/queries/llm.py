@@ -5567,10 +5567,15 @@ _V5_LO, _V5_HI = 150, 1500   # normalized-length keep band (chars)
 def _v5_oracle() -> str:
     res = S.pca_residual_sql(_DIM, _PCA_COMPS, _PCA_ITERS)
     qn = ES.quantile_normalize_sql("documents", "n_chars", "source")
+    # MATERIALIZED hints mirror the Spark side's shared-stage
+    # localCheckpoints: DuckDB inlines single-referenced CTEs, so the
+    # PCA-residual subplan re-evaluated per consumer exactly like the
+    # unboundaried Spark lineage did (measured 70 s -> 8 s at sf0.01,
+    # identical rows)
     return f"""
     WITH RECURSIVE
-    res AS ({res}),
-    cq AS (
+    res AS MATERIALIZED ({res}),
+    cq AS MATERIALIZED (
         SELECT vec_id,
                CAST(floor(resid * 1000000.0) AS BIGINT) AS qr,
                {SM.hash_split_sql('vec_id', _CONF_W, 'conformal')} AS split
@@ -5595,7 +5600,7 @@ def _v5_oracle() -> str:
         SELECT vec_id FROM cq CROSS JOIN thr
         WHERE qr <= tau OR tau IS NULL
     ),
-    qnmap AS ({qn}),
+    qnmap AS MATERIALIZED ({qn}),
     keep_len AS (
         SELECT d.doc_id FROM documents d
         JOIN qnmap ON qnmap.grp = d.source AND qnmap.v = d.n_chars
@@ -5606,7 +5611,8 @@ def _v5_oracle() -> str:
         JOIN keep_emb ON keep_emb.vec_id = d.doc_id
         JOIN keep_len ON keep_len.doc_id = d.doc_id
     ),
-    sig AS (SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM surv),
+    sig AS MATERIALIZED (
+        SELECT doc_id, {D.simhash_sql('text', 60)} AS s FROM surv),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -5657,11 +5663,19 @@ def pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_components=_PCA_COMPS, iters=_PCA_ITERS, moments=moments)
     means = S.pca_means(moments)
     res = S.pca_residual_scores(emb, comps, means, "vec_id", "embedding")
+    # SHARED-STAGE BOUNDARY (r13 verdict: the composed plan rebuilt the
+    # PCA-residual subplan once per consumer lineage — cal distribution,
+    # calibration count, and the keep filter each re-ran the projection
+    # scan).  One lazy localCheckpoint materializes the quantized
+    # residual relation (vec_id, qr, split — 3 narrow columns) exactly
+    # once; same boundary discipline as the winnow/LSH materialize_path
+    # recipe, RDD-level so the ContextCleaner frees the blocks.
     cq = SM.hash_split(
         res.select("vec_id",
                    F.floor(F.col("resid") * 1000000.0).cast("bigint")
                    .alias("qr")),
-        "vec_id", weights=_CONF_W, salt="conformal")
+        "vec_id", weights=_CONF_W, salt="conformal") \
+        .localCheckpoint(eager=False)
     from map_reduce_folds_spark.operators import evalstats as _ES
     cal = cq.where(F.col("split") == "cal").withColumn("__g", F.lit(1))
     cdist = cal.groupBy("__g", "qr").agg(
@@ -5685,10 +5699,14 @@ def pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("v_norm").between(_V5_LO, _V5_HI))
                 .select("doc_id"))
     # (3) survivors -> leakage-safe cluster split
+    # second shared boundary: survivors feed BOTH the simhash component
+    # build and the labeling join — checkpoint so the two-gate filter
+    # chain (conformal ∧ length band) computes once
     surv = (d.join(keep_emb.withColumnRenamed("vec_id", "doc_id"),
                    "doc_id")
             .join(keep_len, "doc_id")
-            .select("doc_id", "text", "n_chars"))
+            .select("doc_id", "text", "n_chars")
+            .localCheckpoint(eager=False))
     comp = D.simhash_components(surv, "doc_id", "text", bits=60,
                                 max_hamming=3, blocks="auto")
     lab = (surv.join(comp.select(F.col("node").alias("doc_id"),
