@@ -286,7 +286,16 @@ _PRIORITY = [
     # mr_simple_unpack stays hash-exact in LOCAL_CORRECTNESS; the window
     # now driver-verifies TPC-H q1/q7/q9/q17.  embedding_quantize_int8's
     # registration was re-shaped to scalar rows (r5's only red row).
-    "roc_auc_doclen_en",
+    # Round-14 rotation, same displacement rule (r13 verdict Next #4):
+    # fdr_doclen_en_by_source enters (NEW multiple-testing family —
+    # per-source Mann-Whitney screen → A&S-erfc normal p-values →
+    # Benjamini-Hochberg step-up at 5% FDR; the strictly-richer-row
+    # precedent: its oracle CONTAINS the full tie-corrected MW z
+    # machinery per source) displacing roc_auc_doclen_en — evaluation
+    # statistics keep chao1_vocab_by_source in-window plus the MW rank
+    # core exercised inside fdr's own screen; the AUC row re-registers
+    # immediately past the window.
+    "fdr_doclen_en_by_source",
     "chao1_vocab_by_source",
     "temperature_mix_sources",
     # Round-14 rotation candidates (new round-13 session-2 FAMILIES,
@@ -300,6 +309,7 @@ _PRIORITY = [
     # winnow_contamination_audit (fingerprint-family consumers),
     # tokenizer_fertility_by_lang.
     # first entries PAST the 50-window: the displaced green rows
+    "roc_auc_doclen_en",
     "gini_doclen_by_source", "sim_topk_bruteforce",
     "diff_orders_snapshots", "interval_join_attribution",
     "logrank_signup_conversion",

@@ -105,6 +105,12 @@ def test_driver_window_covers_every_family():
     # family) displaces interval_join_attribution (temporal joins keep
     # asof_join_purchase_click; nearest/overlap/interval hash-exact
     # locally).  Displaced rows re-register just past the window.
+    # Round-14 rotation: fdr_doclen_en_by_source (NEW multiple-testing
+    # family: MW screen → erfc p-values → BH step-up) displaces
+    # roc_auc_doclen_en — the strictly-richer-row precedent (fdr's
+    # oracle contains the full per-source MW z machinery); evaluation
+    # statistics keep chao1 in-window and the AUC row re-registers
+    # immediately past the window.
     for must_have in [
         "mr_fold_vocab", "mr_group_reduce_keyed", "mr_product_median",
         "dedup_exact", "dedup_minhash",
@@ -125,7 +131,7 @@ def test_driver_window_covers_every_family():
         "gopher_repetition_signals",
         "embedding_pca_residuals", "label_prop_neardup",
         "holt_user_forecast", "benford_totalprice_audit",
-        "roc_auc_doclen_en", "chao1_vocab_by_source",
+        "fdr_doclen_en_by_source", "chao1_vocab_by_source",
     ]:
         assert must_have in window, f"{must_have} fell outside the driver window"
     no_oracle = [n for n in window if n not in ORACLES]
@@ -161,4 +167,4 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'mr_group_reduce_keyed', 'mr_concat_fold', 'km_conversion_curve', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'hybrid_search_rrf', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'bootstrap_doclen_ci', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'conformal_novelty_gate', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'roc_auc_doclen_en', 'chao1_vocab_by_source', 'temperature_mix_sources']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'mr_group_reduce_keyed', 'mr_concat_fold', 'km_conversion_curve', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'hybrid_search_rrf', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'bootstrap_doclen_ci', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'conformal_novelty_gate', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'fdr_doclen_en_by_source', 'chao1_vocab_by_source', 'temperature_mix_sources']
