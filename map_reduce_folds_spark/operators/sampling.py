@@ -1259,6 +1259,164 @@ def poisson_bootstrap_ratio_ci_sql(
     """
 
 
+def poisson_bootstrap_stratified_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    strata_col: str,
+    keys: Sequence[str] = (),
+    n_boot: int = 200,
+    tail_permille: int = 50,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile CI for the STRATIFIED mean — per-stratum resampling
+    with FIXED population stratum weights ``N_h/N`` (the design-correct
+    bootstrap for stratified/quota-sampled corpora: a plain bootstrap
+    lets stratum masses fluctuate across replicates, inflating the SE
+    exactly by the between-stratum variance the design removed).
+
+    Replicate estimate = ``Σ_h (N_h/N) · (Σ_h w·x / Σ_h w)`` — each
+    stratum's Poisson-reweighted mean (same integer-threshold
+    ``_POIS1_T60`` draw as :func:`poisson_bootstrap_mean_ci`, same
+    hash60(salt‖b‖id) determinism) combined under exact-integer
+    ``N_h`` weights.  Bitwise-reproducible: each stratum term is
+    ``double(N_h) · (double(Σwx)/double(Σw))`` and terms add in
+    STRATUM-SORTED order (a fixed-parenthesization fold over the
+    bounded strata list, never an unordered float SUM); one final
+    division by ``double(N)``.  A replicate where ANY stratum draws
+    zero total weight is excluded (out of ``n_boot_valid``) — the
+    stratified estimator is undefined there.
+
+    The point estimate is the plain exact mean (``Σ_h N_h·mean_h / N
+    ≡ Σx/N``); only the replicate DISTRIBUTION differs from
+    :func:`poisson_bootstrap_mean_ci`.  Integer ``value_col`` required.
+
+    Output: ``keys…, n, mean, ci_lo, ci_hi, n_boot_valid``.  SQL mirror
+    :func:`poisson_bootstrap_stratified_mean_ci_sql`.
+    """
+    df, gkeys = _with_group_cols(df, keys)
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("__b")
+    h = hash60(
+        F.concat_ws(":", F.lit(salt), F.col("__b").cast("string"),
+                    F.col("__id").cast("string")))
+    rows = (
+        df.select(*gkeys, F.col(strata_col).cast("string").alias("__s"),
+                  F.col(id_col).alias("__id"),
+                  F.col(value_col).cast("bigint").alias("__x"), b)
+        .withColumn("__w", _pois1_weight(h))
+    )
+    per = rows.groupBy(*gkeys, "__s", "__b").agg(
+        F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
+        F.sum("__w").alias("__sw"))
+    nh = df.groupBy(*gkeys, F.col(strata_col).cast("string").alias("__s")) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nh"))
+    est = (
+        per.join(nh, [*gkeys, "__s"])
+        .groupBy(*gkeys, "__b")
+        .agg(F.min("__sw").alias("__minw"),
+             F.array_sort(F.collect_list(F.struct(
+                 F.col("__s").alias("s"), F.col("__nh").alias("nh"),
+                 F.col("__swx").alias("swx"),
+                 F.col("__sw").alias("sw")))).alias("__terms"),
+             F.sum("__nh").alias("__N"))
+        .where(F.col("__minw") > 0)
+        .select(*gkeys, "__b",
+                (F.aggregate(
+                    "__terms", F.lit(0.0),
+                    lambda acc, t: acc + t["nh"].cast("double")
+                    * (t["swx"].cast("double") / t["sw"].cast("double")))
+                 / F.col("__N").cast("double")).alias("__m"))
+    )
+    reps = est.groupBy(*gkeys).agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("__m").alias("m"),
+                     F.col("__b").alias("b")))).alias("__arr"))
+    base = df.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col(value_col).cast("bigint")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean"))
+    m = F.size("__arr").cast("bigint")
+    a2 = int(tail_permille)
+    lo_i = (m * a2 / F.lit(1000)).cast("bigint") + 1
+    hi_i = ((m * (1000 - a2) + 999) / F.lit(1000)).cast("bigint")
+    return base.join(reps, gkeys).select(
+        *(list(keys) or []), "n", "mean",
+        F.element_at("__arr", lo_i.cast("int"))["m"].alias("ci_lo"),
+        F.element_at("__arr", hi_i.cast("int"))["m"].alias("ci_hi"),
+        m.alias("n_boot_valid"))
+
+
+def poisson_bootstrap_stratified_mean_ci_sql(
+    table: str,
+    value_expr: str,
+    id_expr: str,
+    strata_expr: str,
+    keys: Sequence[str] = (),
+    n_boot: int = 200,
+    tail_permille: int = 50,
+    salt: str = "boot",
+) -> str:
+    """DuckDB mirror of :func:`poisson_bootstrap_stratified_mean_ci` —
+    identical weights, identical stratum-sorted left fold, identical
+    order-statistic indices."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    a2 = int(tail_permille)
+    h = hash60_sql(
+        f"concat('{salt}', ':', CAST(b.b AS VARCHAR), ':', "
+        f"CAST({id_expr} AS VARCHAR))")
+    return f"""
+    WITH rows_ AS (
+        SELECT {kpref}CAST({strata_expr} AS VARCHAR) AS s,
+               CAST({value_expr} AS BIGINT) AS x, b.b AS b,
+               {_pois1_weight_sql(h)} AS w
+        FROM {table} t CROSS JOIN (
+            SELECT unnest(generate_series(0, {int(n_boot) - 1})) AS b) b
+    ),
+    per AS (
+        SELECT {kpref}s, b, CAST(SUM(w * x) AS BIGINT) AS swx,
+               CAST(SUM(w) AS BIGINT) AS sw
+        FROM rows_ GROUP BY {kpref}s, b
+    ),
+    nh AS (
+        SELECT {kpref}CAST({strata_expr} AS VARCHAR) AS s,
+               CAST(COUNT(*) AS BIGINT) AS nh
+        FROM {table} GROUP BY {kpref}s
+    ),
+    est AS (
+        SELECT {kpref}b,
+               list_reduce(list_prepend(0.0, list_transform(
+                   list_sort(list({{'s': s, 'nh': nh,
+                                    'swx': swx, 'sw': sw}})),
+                   t -> CAST(t.nh AS DOUBLE)
+                        * (CAST(t.swx AS DOUBLE) / CAST(t.sw AS DOUBLE)))),
+                   (p, q) -> p + q)
+                   / CAST(SUM(nh) AS DOUBLE) AS m
+        FROM per JOIN nh USING ({kpref.rstrip(', ') + ',' if keys else ''} s)
+        GROUP BY {kpref}b
+        HAVING MIN(sw) > 0
+    ),
+    reps AS (
+        SELECT {kpref}list_sort(list({{'m': m, 'b': b}})) AS arr
+        FROM est {grp}
+    ),
+    base AS (
+        SELECT {kpref}CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({value_expr} AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean
+        FROM {table} {grp}
+    )
+    SELECT {kpref}n, mean,
+           arr[CAST(len(arr) * {a2} // 1000 AS BIGINT) + 1].m AS ci_lo,
+           arr[CAST((len(arr) * {1000 - a2} + 999) // 1000 AS BIGINT)].m
+               AS ci_hi,
+           CAST(len(arr) AS BIGINT) AS n_boot_valid
+    FROM base {"JOIN reps USING (" + kcols + ")" if keys
+               else "CROSS JOIN reps"}
+    """
+
+
 def effective_sample_size(
     df: DataFrame,
     weight_col: str,

@@ -5211,6 +5211,29 @@ def bootstrap_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged, keys=["source"], tail_permille=_BOOT_A2)
 
 
+@query(
+    "bootstrap_stratified_doclen_ci",
+    oracle=SM.poisson_bootstrap_stratified_mean_ci_sql(
+        "documents", "n_chars", "doc_id", "source",
+        n_boot=_BOOT_B, tail_permille=_BOOT_A2),
+)
+def bootstrap_stratified_doclen_ci(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """95% STRATIFIED bootstrap CI for the CORPUS mean document length
+    with per-source resampling under fixed population weights N_h/N
+    (operators/sampling.poisson_bootstrap_stratified_mean_ci) — the
+    design-correct interval for a quota/stratified-sampled corpus: a
+    plain bootstrap lets source masses fluctuate per replicate,
+    re-inflating the between-source variance the design removed.  Same
+    deterministic integer-threshold Poisson draws; replicate estimates
+    combine per-source reweighted means in SOURCE-SORTED fixed
+    parenthesization — hash-exact against the mirrored fold."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.poisson_bootstrap_stratified_mean_ci(
+        d, "n_chars", "doc_id", "source",
+        n_boot=_BOOT_B, tail_permille=_BOOT_A2)
+
+
 _LSS_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 

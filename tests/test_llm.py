@@ -3839,6 +3839,39 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     assert (other["ci_lo"], other["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
 
 
+def test_stratified_bootstrap_properties(spark):
+    """Stratified Poisson bootstrap: the point estimate IS the exact
+    global mean, the CI brackets it, replicates are salt-deterministic,
+    and a 1-row stratum excludes the replicates where it draws zero
+    weight (the estimator is undefined there) instead of skewing them."""
+    from map_reduce_folds_spark.operators import sampling as SM
+
+    df = spark.range(600).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("s"),
+        (F.col("id") % 41 + 7).alias("x"))
+    r = SM.poisson_bootstrap_stratified_mean_ci(
+        df, "x", "id", "s", n_boot=100).collect()[0]
+    exact = df.agg(F.sum("x") / F.count(F.lit(1))).first()[0]
+    assert r["n"] == 600 and r["mean"] == exact
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+    again = SM.poisson_bootstrap_stratified_mean_ci(
+        df, "x", "id", "s", n_boot=100).collect()[0]
+    assert (again["ci_lo"], again["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+    other = SM.poisson_bootstrap_stratified_mean_ci(
+        df, "x", "id", "s", n_boot=100, salt="other").collect()[0]
+    assert (other["ci_lo"], other["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+    # a singleton stratum draws w=0 with prob 1/e per replicate -> some
+    # replicates must be excluded (P[all 100 valid] ~ 1e-16)
+    tiny = df.unionByName(spark.createDataFrame(
+        [(10_000, "c", 1000)], "id bigint, s string, x bigint"))
+    rt = SM.poisson_bootstrap_stratified_mean_ci(
+        tiny, "x", "id", "s", n_boot=100).collect()[0]
+    assert rt["n_boot_valid"] < 100
+    assert rt["ci_lo"] <= rt["mean"] <= rt["ci_hi"]
+
+
 def test_poisson_bootstrap_merge_is_exact_monoid(spark):
     """Moment relations from any batch split merge to the whole-corpus
     relation exactly, so the finished CI is bitwise the batch CI —
