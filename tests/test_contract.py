@@ -168,3 +168,29 @@ def test_driver_window_exact_composition():
     import __spark_entry__ as entrymod
 
     assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'mr_group_reduce_keyed', 'mr_concat_fold', 'km_conversion_curve', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'hybrid_search_rrf', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'bootstrap_doclen_ci', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'conformal_novelty_gate', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'fdr_doclen_en_by_source', 'chao1_vocab_by_source', 'temperature_mix_sources']
+
+
+def test_local_gate_freshness():
+    """The recorded full-registry gate must cover the registry at HEAD
+    (r13 process finding: the gate closed one commit stale, missing a
+    query registered after it ran).  Red here means: re-run
+    `python tools/check_contract.py /root/testdata/sf0.01` before
+    closing the session."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "LOCAL_CORRECTNESS.json")
+    import __spark_entry__ as entrymod
+
+    with open(path) as f:
+        rec = json.load(f)
+    recorded = set(rec["queries"])
+    registry = set(entrymod.queries())
+    missing = sorted(registry - recorded)
+    stale = sorted(recorded - registry)
+    assert not missing, (
+        f"queries registered after the last full gate run: {missing} — "
+        "re-run tools/check_contract.py (full, no query filter)")
+    assert not stale, f"gate records queries no longer registered: {stale}"
+    assert rec["fail"] == 0

@@ -209,11 +209,19 @@ def main():
     # first 50 queries; this records the rest)
     if not only:
         import json
+        import subprocess
 
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "LOCAL_CORRECTNESS.json"), "w") as f:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=repo, timeout=30,
+                capture_output=True, text=True).stdout.strip()
+        except Exception:  # noqa: BLE001 — evidence field is best-effort
+            head = None
+        with open(os.path.join(repo, "LOCAL_CORRECTNESS.json"), "w") as f:
             json.dump({"sf_dir": sf_dir, "n_queries": len(results),
                        "pass": n_pass, "fail": n_fail, "rows_only": n_weak,
+                       "head_commit": head,
                        "queries": results}, f, indent=1)
     sys.exit(1 if n_fail else 0)
 
