@@ -2838,3 +2838,274 @@ def bh_fdr_sql(
     FROM s, LATERAL (SELECT unnest(arr) AS x,
                             unnest(range(1, len(arr) + 1)) AS i) u
     """
+
+
+# ---------------------------------------------------------------------------
+# Paired-classifier comparison, monotone trend, rank correlation (round 14)
+# ---------------------------------------------------------------------------
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """McNEMAR'S TEST (McNemar 1947) for PAIRED binary gates — "did
+    switching quality filters change which documents pass?" evaluated
+    on the discordant cells only: the correct comparison for two
+    classifiers scored on the SAME corpus (a two-proportion z wrongly
+    treats the samples as independent and throws away the pairing).
+
+    ``a_col`` / ``b_col`` are 0/1 verdicts per row.  Counts are exact
+    integers; the statistic is the Edwards continuity-corrected
+    ``χ² = (|n10 − n01| − 1)² / (n10 + n01)`` — an integer numerator
+    over an integer denominator, ONE division — and the p-value is
+    ``P(χ²₁ > x) = erfc(√x/√2)`` via the shared
+    :func:`normal_p_two_sided` Horner chain.  ``n10 + n01 = 0`` (no
+    discordant pairs) emits NULL χ²/p.  Zero discordance in ONE
+    direction is fine (the test degenerates to sign-test extremity).
+
+    Output: one row ``(n, n10, n01, chi2, p)``; ``n10`` = a passes
+    where b fails.  SQL mirror :func:`mcnemar_test_sql`.
+    """
+    a = F.col(a_col).cast("bigint")
+    b = F.col(b_col).cast("bigint")
+    g = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0))
+        .cast("bigint").alias("n10"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0))
+        .cast("bigint").alias("n01"))
+    d = F.col("n10") + F.col("n01")
+    num = F.abs(F.col("n10") - F.col("n01")) - F.lit(1)
+    chi2 = F.when(
+        d > 0,
+        (num * num).cast("double") / d.cast("double"))
+    return g.select(
+        "n", "n10", "n01", chi2.alias("chi2"),
+        normal_p_two_sided(F.sqrt(chi2)).alias("p"))
+
+
+def mcnemar_test_sql(table: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB mirror of :func:`mcnemar_test` — identical integer counts
+    and the shared erfc chain."""
+    chi2 = ("CASE WHEN n10 + n01 > 0 THEN "
+            "CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)"
+            " / CAST(n10 + n01 AS DOUBLE) END")
+    return f"""
+    WITH g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN CAST({a_expr} AS BIGINT) = 1
+                              AND CAST({b_expr} AS BIGINT) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN CAST({a_expr} AS BIGINT) = 0
+                              AND CAST({b_expr} AS BIGINT) = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n01
+        FROM {table}
+    )
+    SELECT n, n10, n01, {chi2} AS chi2,
+           {normal_p_two_sided_sql(f'sqrt({chi2})')} AS p
+    FROM g
+    """
+
+
+def mann_kendall(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+) -> DataFrame:
+    """MANN-KENDALL monotone-trend test (Mann 1945, Kendall 1975) over
+    a TIME-ORDERED series — "is daily ingest volume / quality drifting?"
+    without assuming linearity or normality: S = Σ_{i<j} sign(x_j −
+    x_i) over all time-point pairs, with the tie-corrected variance
+    ``V = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18``.
+
+    INPUT CONTRACT: one row per time point (pre-aggregate upstream —
+    e.g. events → daily counts), ``time_col`` orderable, integer
+    ``value_col``.  The pair relation is the BOUNDED T×T self-join
+    (T = time buckets — calendar-bounded by construction, never corpus
+    rows: the wasserstein bounded-domain acceptance class).  S and both
+    variance terms are exact integers; z = (S ∓ 1)/√V (0 at S = 0) and
+    the p-value ride the shared erfc chain.  n < 2 or V = 0 (all
+    values tied) emit NULL z/p.
+
+    Output: one row ``(n, s_stat, var_s, z, p)``.  SQL mirror
+    :func:`mann_kendall_sql`.
+    """
+    s = df.select(F.col(time_col).alias("__t"),
+                  F.col(value_col).cast("bigint").alias("__x"))
+    a, b = s.alias("a"), s.alias("b")
+    pair = a.join(b, F.col("b.__t") > F.col("a.__t")).agg(
+        F.sum(F.signum(
+            (F.col("b.__x") - F.col("a.__x")).cast("double"))
+            .cast("bigint")).alias("s_stat"))
+    base = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (s.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.sum(F.col("__c") * (F.col("__c") - 1)
+                       * (2 * F.col("__c") + 5))
+                 .cast("bigint").alias("__tt")))
+    j = base.crossJoin(F.broadcast(pair)).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var = ((n * (n - 1) * (2 * n + 5) - F.col("__tt")).cast("double")
+           / F.lit(18.0))
+    st = F.coalesce(F.col("s_stat"), F.lit(0)).cast("bigint")
+    z = F.when(st > 0, (st - F.lit(1)).cast("double") / F.sqrt(var)) \
+        .when(st < 0, (st + F.lit(1)).cast("double") / F.sqrt(var)) \
+        .otherwise(F.lit(0.0))
+    ok = (n > 1) & (var > 0.0)
+    return j.select(
+        "n", st.alias("s_stat"), var.alias("var_s"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, normal_p_two_sided(z)).alias("p"))
+
+
+def mann_kendall_sql(table: str, value_expr: str, time_expr: str) -> str:
+    """DuckDB mirror of :func:`mann_kendall` — identical integer S and
+    tie terms, identical z chain."""
+    z = ("CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(v)"
+         " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(v)"
+         " ELSE 0.0 END")
+    return f"""
+    WITH s AS (
+        SELECT {time_expr} AS t, CAST({value_expr} AS BIGINT) AS x
+        FROM {table}
+    ),
+    pair AS (
+        SELECT CAST(COALESCE(SUM(CAST(sign(CAST(b.x - a.x AS DOUBLE))
+                                      AS BIGINT)), 0) AS BIGINT) AS s_stat
+        FROM s a JOIN s b ON b.t > a.t
+    ),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0)
+                    AS BIGINT) AS tt
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY x)
+    ),
+    j AS (
+        SELECT n, s_stat,
+               CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0 AS v
+        FROM base CROSS JOIN pair CROSS JOIN ties
+    )
+    SELECT n, s_stat, v AS var_s,
+           CASE WHEN n > 1 AND v > 0.0 THEN {z} END AS z,
+           CASE WHEN n > 1 AND v > 0.0
+                THEN {normal_p_two_sided_sql(f'({z})')} END AS p
+    FROM j
+    """
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """KENDALL'S τ-b rank correlation with tie correction (Kendall
+    1945) between two integer columns — the rank-concordance
+    complement of Spearman: concordant/discordant mass computed on the
+    DISTINCT-CELL relation ``(x, y, count)``, so the O(pairs) work is
+    O(cells²), bounded by the joint value DOMAIN (quantize unbounded
+    measures upstream — the wasserstein bounded-domain contract),
+    never corpus rows².
+
+    ``C − D = Σ_{cell pairs, x₂>x₁} c₁·c₂·sign(y₂ − y₁)`` with the
+    products DECIMAL(38,0)-staged (cell-count products pass int64 at
+    ~3e9 rows); tie terms ``T_x = Σ n_x(n_x−1)/2`` (same for y) are
+    exact integers via the even-product-first division;
+    ``τ_b = (C−D) / √((N₀−T_x)(N₀−T_y))`` is a fixed double chain.
+    Degenerate (all x tied or all y tied) emits NULL τ.
+
+    Output: one row ``(n, n_cells, concordant, discordant, tau_b)``
+    (C/D as exact-integer-valued DOUBLEs — exact to 2⁵³).  SQL mirror
+    :func:`kendall_tau_b_sql`.
+    """
+    cells = (df.select(F.col(x_col).cast("bigint").alias("__x"),
+                       F.col(y_col).cast("bigint").alias("__y"))
+             .groupBy("__x", "__y")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+    a, b = cells.alias("a"), cells.alias("b")
+    prod = (F.col("a.__c").cast("decimal(38,0)") * F.col("b.__c"))
+    cd = (a.join(b, F.col("b.__x") > F.col("a.__x"))
+          .agg(F.sum(F.when(F.col("b.__y") > F.col("a.__y"), prod)
+                     .otherwise(F.lit(0).cast("decimal(38,0)")))
+               .alias("__conc"),
+               F.sum(F.when(F.col("b.__y") < F.col("a.__y"), prod)
+                     .otherwise(F.lit(0).cast("decimal(38,0)")))
+               .alias("__disc")))
+    def tie_term(col):
+        # n(n-1) is even -> DIV 2 exact before the decimal stage
+        return (cells.groupBy(col)
+                .agg(F.sum("__c").cast("bigint").alias("__nx"))
+                .agg(F.sum((F.col("__nx") * (F.col("__nx") - 1) / 2)
+                           .cast("bigint").cast("decimal(38,0)"))
+                     .alias("__t")))
+    tx = tie_term("__x").withColumnRenamed("__t", "__tx")
+    ty = tie_term("__y").withColumnRenamed("__t", "__ty")
+    base = cells.agg(F.sum("__c").cast("bigint").alias("n"),
+                     F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    j = (base.crossJoin(F.broadcast(cd)).crossJoin(F.broadcast(tx))
+         .crossJoin(F.broadcast(ty)))
+    n0 = ((F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+          .cast("decimal(38,0)"))
+    dx = (n0 - F.col("__tx")).cast("double")
+    dy = (n0 - F.col("__ty")).cast("double")
+    tau = F.when(
+        (dx > 0.0) & (dy > 0.0),
+        (F.col("__conc") - F.col("__disc")).cast("double")
+        / F.sqrt(dx * dy))
+    cz = F.coalesce(F.col("__conc"), F.lit(0).cast("decimal(38,0)"))
+    dz = F.coalesce(F.col("__disc"), F.lit(0).cast("decimal(38,0)"))
+    return j.select(
+        "n", "n_cells",
+        cz.cast("double").alias("concordant"),
+        dz.cast("double").alias("discordant"),
+        tau.alias("tau_b"))
+
+
+def kendall_tau_b_sql(table: str, x_expr: str, y_expr: str) -> str:
+    """DuckDB mirror of :func:`kendall_tau_b` — identical cell
+    relation, HUGEINT-staged products, identical double chain."""
+    return f"""
+    WITH cells AS (
+        SELECT CAST({x_expr} AS BIGINT) AS x, CAST({y_expr} AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    cd AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y
+                   THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0)
+                   AS DECIMAL(38,0)) AS conc,
+               CAST(COALESCE(SUM(CASE WHEN b.y < a.y
+                   THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0)
+                   AS DECIMAL(38,0)) AS disc
+        FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    tx AS (
+        SELECT CAST(COALESCE(SUM(nx * (nx - 1) // 2), 0) AS DECIMAL(38,0))
+               AS t
+        FROM (SELECT CAST(SUM(c) AS BIGINT) AS nx FROM cells GROUP BY x)
+    ),
+    ty AS (
+        SELECT CAST(COALESCE(SUM(ny * (ny - 1) // 2), 0) AS DECIMAL(38,0))
+               AS t
+        FROM (SELECT CAST(SUM(c) AS BIGINT) AS ny FROM cells GROUP BY y)
+    ),
+    base AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells
+    ),
+    j AS (
+        SELECT n, n_cells, conc, disc,
+               CAST(CAST(n * (n - 1) // 2 AS DECIMAL(38,0)) - tx.t
+                    AS DOUBLE) AS dx,
+               CAST(CAST(n * (n - 1) // 2 AS DECIMAL(38,0)) - ty.t
+                    AS DOUBLE) AS dy
+        FROM base CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty
+    )
+    SELECT n, n_cells,
+           CAST(conc AS DOUBLE) AS concordant,
+           CAST(disc AS DOUBLE) AS discordant,
+           CASE WHEN dx > 0.0 AND dy > 0.0 THEN
+               CAST(conc - disc AS DOUBLE) / sqrt(dx * dy)
+           END AS tau_b
+    FROM j
+    """

@@ -5843,3 +5843,76 @@ def ess_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     lw = Q.dsir_logweights(d, F.col("lang") == "en")
     w = lw.select(F.round(F.exp(F.col("logw")), 9).alias("w"))
     return SM.effective_sample_size(w, "w")
+
+
+# -- paired gates / trend / rank concordance (round 14) ----------------------
+_MCN_TOKS = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+
+@query(
+    "mcnemar_quality_gates",
+    oracle=ES.mcnemar_test_sql(
+        f"""(SELECT CASE WHEN n_chars BETWEEN 150 AND 1500
+                         THEN 1 ELSE 0 END AS ga,
+                    CASE WHEN {_MCN_TOKS} BETWEEN 30 AND 300
+                         THEN 1 ELSE 0 END AS gb
+             FROM documents)""",
+        "ga", "gb"),
+)
+def mcnemar_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR paired comparison of two quality gates on the SAME corpus
+    (operators/evalstats.mcnemar_test): the char-length band vs the
+    token-count band — "do the filters disagree beyond chance?" scored
+    on the discordant documents only, the correct design for paired
+    classifier verdicts.  Exact integer discordance counts, continuity-
+    corrected χ², p via the shared erfc chain."""
+    d = load_table(spark, sf_dir, "documents")
+    gates = d.select(
+        F.col("n_chars").between(150, 1500).cast("int").alias("ga"),
+        F.size(T.tokenize("text")).cast("bigint").between(30, 300)
+        .cast("int").alias("gb"))
+    return ES.mcnemar_test(gates, "ga", "gb")
+
+
+@query(
+    "mann_kendall_daily_events",
+    oracle=ES.mann_kendall_sql(
+        """(SELECT CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1)""",
+        "n_events", "d"),
+)
+def mann_kendall_daily_events(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """MANN-KENDALL monotone-trend test on DAILY event volume
+    (operators/evalstats.mann_kendall): "is ingest drifting?" without a
+    linearity assumption — S = Σ sign over the bounded day×day pair
+    relation (calendar-bounded, never corpus rows), tie-corrected
+    integer variance, z and p through the shared erfc chain."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return ES.mann_kendall(daily, "n_events", "d")
+
+
+@query(
+    "kendall_tau_doclen_tokens",
+    oracle=ES.kendall_tau_b_sql(
+        f"""(SELECT n_chars // 100 AS xb, {_MCN_TOKS} // 20 AS yb
+             FROM documents)""",
+        "xb", "yb"),
+)
+def kendall_tau_doclen_tokens(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """KENDALL τ-b between quantized document length and token count
+    (operators/evalstats.kendall_tau_b) — the tie-corrected rank
+    concordance that complements Spearman: concordant/discordant mass
+    on the DISTINCT-CELL relation (bounded by the quantized value
+    domain — the wasserstein bounded-domain contract), DECIMAL-staged
+    cell-count products, one fixed double chain for τ."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        (F.col("n_chars") / 100).cast("bigint").alias("xb"),
+        (F.size(T.tokenize("text")).cast("bigint") / 20).cast("bigint")
+        .alias("yb"))
+    return ES.kendall_tau_b(q, "xb", "yb")

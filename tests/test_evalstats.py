@@ -956,3 +956,92 @@ def test_normal_p_and_bh_fdr(spark):
           for r in E.bh_fdr(h2, "p", "key", 50).collect()}
     # m=2: p1=.011 > .025? no, .011 <= .025 yes;  p2=.02 <= .05 yes
     assert o2 == {"a": True, "b": True}
+
+
+def test_mcnemar_hand_case(spark):
+    """Textbook 2x2 discordance: n10=10, n01=2 -> chi2=(|8|-1)^2/12."""
+    rows = ([(1, 0)] * 10 + [(0, 1)] * 2 + [(1, 1)] * 5 + [(0, 0)] * 3)
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = E.mcnemar_test(df, "a", "b").collect()[0]
+    assert (r["n"], r["n10"], r["n01"]) == (20, 10, 2)
+    assert r["chi2"] == 49.0 / 12.0
+    assert 0.0 <= r["p"] <= 1.0
+    # perfect agreement -> no discordant pairs -> NULL chi2/p
+    agree = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    ra = E.mcnemar_test(agree, "a", "b").collect()[0]
+    assert ra["chi2"] is None and ra["p"] is None
+
+
+def test_mann_kendall_trend_and_ties(spark):
+    """Strictly increasing series -> S = C(n,2), p small; constant
+    series -> V = 0 -> NULL z/p; known tie case matches the longhand
+    tie-corrected variance."""
+    up = spark.createDataFrame([(i, i * 2) for i in range(10)],
+                               "t int, x bigint")
+    r = E.mann_kendall(up, "x", "t").collect()[0]
+    assert r["s_stat"] == 45 and r["n"] == 10
+    assert r["p"] < 0.001 and r["z"] > 0
+    flat = spark.createDataFrame([(i, 7) for i in range(5)],
+                                 "t int, x bigint")
+    rf = E.mann_kendall(flat, "x", "t").collect()[0]
+    assert rf["s_stat"] == 0 and rf["z"] is None and rf["p"] is None
+    # hand case with one tie pair: x = [1, 2, 2, 3]
+    # S = sign-sum over ordered pairs = 5; ties: one value (2) with t=2
+    # -> V = [4*3*13 - 2*1*9]/18 = (156-18)/18
+    tie = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 2), (3, 3)], "t int, x bigint")
+    rt = E.mann_kendall(tie, "x", "t").collect()[0]
+    assert rt["s_stat"] == 5
+    assert rt["var_s"] == (156 - 18) / 18.0
+    # z = (5-1)/sqrt(V)
+    import math
+
+    assert rt["z"] == 4.0 / math.sqrt((156 - 18) / 18.0)
+
+
+def test_kendall_tau_b_reference(spark):
+    """tau-b equals the O(n^2) pure-python reference on a tied sample,
+    hits +1/-1 on perfect (anti)concordance, and NULLs when one side is
+    constant."""
+    import itertools
+    import math
+
+    data = [(1, 2), (2, 2), (2, 3), (3, 1), (4, 5), (4, 5), (5, 7)]
+    df = spark.createDataFrame(data, "x bigint, y bigint")
+    r = E.kendall_tau_b(df, "x", "y").collect()[0]
+    conc = disc = tx = ty = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(data, 2):
+        if x1 == x2:
+            tx += 1
+            if y1 == y2:
+                pass
+            continue
+        if y1 == y2:
+            ty += 1
+            continue
+        if (x2 - x1) * (y2 - y1) > 0:
+            conc += 1
+        else:
+            disc += 1
+    n = len(data)
+    n0 = n * (n - 1) // 2
+    # tie terms count pairs tied on EACH axis (including both-tied)
+    t_x = sum(c * (c - 1) // 2 for c in
+              [sum(1 for d in data if d[0] == v)
+               for v in {d[0] for d in data}])
+    t_y = sum(c * (c - 1) // 2 for c in
+              [sum(1 for d in data if d[1] == v)
+               for v in {d[1] for d in data}])
+    want = (conc - disc) / math.sqrt((n0 - t_x) * (n0 - t_y))
+    assert r["n"] == n and r["concordant"] == conc
+    assert r["discordant"] == disc
+    assert abs(r["tau_b"] - want) < 1e-12
+    perfect = spark.createDataFrame([(i, i + 10) for i in range(6)],
+                                    "x bigint, y bigint")
+    assert E.kendall_tau_b(perfect, "x", "y").collect()[0]["tau_b"] == 1.0
+    anti = spark.createDataFrame([(i, -i) for i in range(6)],
+                                 "x bigint, y bigint")
+    assert E.kendall_tau_b(anti, "x", "y").collect()[0]["tau_b"] == -1.0
+    const = spark.createDataFrame([(i, 5) for i in range(6)],
+                                  "x bigint, y bigint")
+    assert E.kendall_tau_b(const, "x", "y").collect()[0]["tau_b"] is None
