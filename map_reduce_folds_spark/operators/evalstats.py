@@ -3109,3 +3109,101 @@ def kendall_tau_b_sql(table: str, x_expr: str, y_expr: str) -> str:
            END AS tau_b
     FROM j
     """
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+) -> DataFrame:
+    """THEIL-SEN robust slope (Theil 1950, Sen 1968) — the estimator
+    that pairs with :func:`mann_kendall`: MK answers "is there a
+    monotone trend?", Theil-Sen answers "how steep?" with a 29%
+    breakdown point (the median of pairwise slopes shrugs off outlier
+    days a least-squares line chases).
+
+    INPUT CONTRACT: one row per time point, integer ``time_col`` and
+    ``value_col`` (pre-aggregate upstream); the pair relation is the
+    BOUNDED T×T self-join (calendar-bounded — the wasserstein
+    bounded-domain acceptance class).  Each slope is ONE exactly-
+    rounded IEEE division of two integer differences; the median is an
+    order statistic of the sorted bounded slope list (even count =
+    the mean of the two middles, one fixed chain), so both engines
+    agree bitwise.  Intercept = median of ``x_i − slope·t_i`` (same
+    order-statistic rule).  n < 2 emits NULL slope/intercept.
+
+    Output: one row ``(n, n_pairs, slope, intercept)``.  SQL mirror
+    :func:`theil_sen_sql`.
+    """
+    s = df.select(F.col(time_col).cast("bigint").alias("__t"),
+                  F.col(value_col).cast("bigint").alias("__x"))
+    a, b = s.alias("a"), s.alias("b")
+    sl = (a.join(b, F.col("b.__t") > F.col("a.__t"))
+          .select(((F.col("b.__x") - F.col("a.__x")).cast("double")
+                   / (F.col("b.__t") - F.col("a.__t")).cast("double"))
+                  .alias("__s")))
+    arr = sl.agg(F.array_sort(F.collect_list("__s")).alias("__arr"))
+
+    def med(arr_col):
+        m = F.size(arr_col).cast("bigint")
+        lo = ((m + 1) / 2).cast("bigint").cast("int")
+        hi = (m / 2 + 1).cast("bigint").cast("int")
+        return F.when(
+            m > 0,
+            (F.element_at(arr_col, lo) + F.element_at(arr_col, hi))
+            / F.lit(2.0))
+
+    slope = med(F.col("__arr"))
+    base = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = (base.crossJoin(F.broadcast(arr.select(slope.alias("slope"))))
+         # n_pairs from n, not len(arr): DuckDB's list() over zero rows
+         # is NULL where Spark's collect_list is [], so the arithmetic
+         # form is the engine-portable one
+         .withColumn("n_pairs",
+                     (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")))
+    resid = (s.crossJoin(F.broadcast(j.select("slope")))
+             .select((F.col("__x").cast("double")
+                      - F.col("slope") * F.col("__t").cast("double"))
+                     .alias("__r"))
+             .agg(F.array_sort(F.collect_list("__r")).alias("__rarr")))
+    return (j.crossJoin(F.broadcast(resid))
+            .select("n", "n_pairs",
+                    F.when(F.col("n") > 1, F.col("slope")).alias("slope"),
+                    F.when(F.col("n") > 1, med(F.col("__rarr")))
+                    .alias("intercept")))
+
+
+def theil_sen_sql(table: str, value_expr: str, time_expr: str) -> str:
+    """DuckDB mirror of :func:`theil_sen` — identical slope divisions,
+    identical order-statistic median rule."""
+    def med(arr):
+        return (f"CASE WHEN len({arr}) > 0 THEN "
+                f"({arr}[CAST((len({arr}) + 1) // 2 AS BIGINT)]"
+                f" + {arr}[CAST(len({arr}) // 2 + 1 AS BIGINT)]) / 2.0 END")
+    return f"""
+    WITH s AS (
+        SELECT CAST({time_expr} AS BIGINT) AS t,
+               CAST({value_expr} AS BIGINT) AS x
+        FROM {table}
+    ),
+    sl AS (
+        SELECT list_sort(list(CAST(b.x - a.x AS DOUBLE)
+                              / CAST(b.t - a.t AS DOUBLE))) AS arr
+        FROM s a JOIN s b ON b.t > a.t
+    ),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    j AS (
+        SELECT n, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+               {med('arr')} AS slope
+        FROM base CROSS JOIN sl
+    ),
+    r AS (
+        SELECT list_sort(list(CAST(s.x AS DOUBLE)
+                              - j.slope * CAST(s.t AS DOUBLE))) AS rarr
+        FROM s CROSS JOIN j
+    )
+    SELECT n, n_pairs,
+           CASE WHEN n > 1 THEN slope END AS slope,
+           CASE WHEN n > 1 THEN {med('rarr')} END AS intercept
+    FROM j CROSS JOIN r
+    """

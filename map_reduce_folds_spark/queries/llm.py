@@ -5916,3 +5916,29 @@ def kendall_tau_doclen_tokens(spark: SparkSession, sf_dir: str) \
         (F.size(T.tokenize("text")).cast("bigint") / 20).cast("bigint")
         .alias("yb"))
     return ES.kendall_tau_b(q, "xb", "yb")
+
+
+@query(
+    "theil_sen_daily_events",
+    oracle=ES.theil_sen_sql(
+        """(SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1)""",
+        "n_events", "d"),
+)
+def theil_sen_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust slope of daily event volume
+    (operators/evalstats.theil_sen) — mann_kendall_daily_events'
+    effect-size companion: events/day of drift, median-of-pairwise-
+    slopes so outlier days don't drag the line.  Day index = integer
+    days since 2024-01-01 (both engines' date arithmetic agrees on
+    whole days); every slope is one IEEE division of integer
+    differences; medians are order statistics of the bounded sorted
+    slope list."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint")
+        .alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return ES.theil_sen(daily, "n_events", "d")

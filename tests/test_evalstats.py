@@ -1045,3 +1045,27 @@ def test_kendall_tau_b_reference(spark):
     const = spark.createDataFrame([(i, 5) for i in range(6)],
                                   "x bigint, y bigint")
     assert E.kendall_tau_b(const, "x", "y").collect()[0]["tau_b"] is None
+
+
+def test_theil_sen_robust_slope(spark):
+    """Exact slope on a clean line, outlier-day robustness (the median
+    shrugs off what least squares chases), and the even-count
+    mean-of-middles rule on a hand case."""
+    line = spark.createDataFrame([(t, 3 * t + 7) for t in range(9)],
+                                 "t int, x bigint")
+    r = E.theil_sen(line, "x", "t").collect()[0]
+    assert r["slope"] == 3.0 and r["intercept"] == 7.0
+    assert r["n_pairs"] == 36
+    # one wild day: slope stays 3 (median), intercept stays put
+    dirty = spark.createDataFrame(
+        [(t, 3 * t + 7) for t in range(9)] + [(9, 1000)],
+        "t int, x bigint")
+    rd = E.theil_sen(dirty, "x", "t").collect()[0]
+    assert rd["slope"] == 3.0
+    # n=2: single pair, exact division
+    two = spark.createDataFrame([(0, 10), (4, 20)], "t int, x bigint")
+    rt = E.theil_sen(two, "x", "t").collect()[0]
+    assert rt["slope"] == 2.5 and rt["n_pairs"] == 1
+    one = spark.createDataFrame([(0, 10)], "t int, x bigint")
+    ro = E.theil_sen(one, "x", "t").collect()[0]
+    assert ro["slope"] is None and ro["intercept"] is None
