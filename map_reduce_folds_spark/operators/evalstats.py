@@ -2912,6 +2912,7 @@ def mann_kendall(
     df: DataFrame,
     value_col: str,
     time_col: str,
+    keys: "Sequence[str]" = (),
 ) -> DataFrame:
     """MANN-KENDALL monotone-trend test (Mann 1945, Kendall 1975) over
     a TIME-ORDERED series — "is daily ingest volume / quality drifting?"
@@ -2928,22 +2929,36 @@ def mann_kendall(
     the p-value ride the shared erfc chain.  n < 2 or V = 0 (all
     values tied) emit NULL z/p.
 
-    Output: one row ``(n, s_stat, var_s, z, p)``.  SQL mirror
+    ``keys`` runs one test PER GROUP (e.g. per source/event-type drift
+    screening — feed the p column into :func:`bh_fdr` for multiplicity
+    control); the pair join then carries the group key as an equi-key,
+    so the bounded T×T blow-up stays per-group.
+
+    Output: ``(keys…, n, s_stat, var_s, z, p)``.  SQL mirror
     :func:`mann_kendall_sql`.
     """
-    s = df.select(F.col(time_col).alias("__t"),
+    df, gkeys = _with_group(df, keys)
+    s = df.select(*gkeys, F.col(time_col).alias("__t"),
                   F.col(value_col).cast("bigint").alias("__x"))
     a, b = s.alias("a"), s.alias("b")
-    pair = a.join(b, F.col("b.__t") > F.col("a.__t")).agg(
-        F.sum(F.signum(
-            (F.col("b.__x") - F.col("a.__x")).cast("double"))
-            .cast("bigint")).alias("s_stat"))
-    base = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ties = (s.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+    cond = F.col("b.__t") > F.col("a.__t")
+    for k in gkeys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    pair = (a.join(b, cond)
+            .groupBy(*[F.col(f"a.{k}").alias(k) for k in gkeys])
+            .agg(F.sum(F.signum(
+                (F.col("b.__x") - F.col("a.__x")).cast("double"))
+                .cast("bigint")).alias("s_stat")))
+    base = s.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (s.groupBy(*gkeys, "__x")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(*gkeys)
             .agg(F.sum(F.col("__c") * (F.col("__c") - 1)
                        * (2 * F.col("__c") + 5))
                  .cast("bigint").alias("__tt")))
-    j = base.crossJoin(F.broadcast(pair)).crossJoin(F.broadcast(ties))
+    # left joins: a 1-point group has no pair rows (s_stat -> 0 below)
+    j = base.join(pair, gkeys, "left").join(ties, gkeys, "left")
     n = F.col("n")
     var = ((n * (n - 1) * (2 * n + 5) - F.col("__tt")).cast("double")
            / F.lit(18.0))
@@ -2953,39 +2968,55 @@ def mann_kendall(
         .otherwise(F.lit(0.0))
     ok = (n > 1) & (var > 0.0)
     return j.select(
+        *(list(keys) or []),
         "n", st.alias("s_stat"), var.alias("var_s"),
         F.when(ok, z).alias("z"),
         F.when(ok, normal_p_two_sided(z)).alias("p"))
 
 
-def mann_kendall_sql(table: str, value_expr: str, time_expr: str) -> str:
+def mann_kendall_sql(table: str, value_expr: str, time_expr: str,
+                     keys: "Sequence[str]" = ()) -> str:
     """DuckDB mirror of :func:`mann_kendall` — identical integer S and
-    tie terms, identical z chain."""
+    tie terms, identical z chain; ``keys`` mirrors the per-group form."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    agrp = ", ".join(f"a.{k}" for k in keys)
+    agrp_pref = f"{agrp}, " if keys else ""
+    kjoin = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    pair_on = f"b.t > a.t{' AND ' + kjoin if keys else ''}"
+    jleft = (f"base LEFT JOIN pair USING ({kcols}) "
+             f"LEFT JOIN ties USING ({kcols})" if keys
+             else "base CROSS JOIN pair CROSS JOIN ties")
+    grp = f"GROUP BY {kcols}" if keys else ""
     z = ("CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(v)"
          " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(v)"
          " ELSE 0.0 END")
     return f"""
     WITH s AS (
-        SELECT {time_expr} AS t, CAST({value_expr} AS BIGINT) AS x
+        SELECT {kpref}{time_expr} AS t, CAST({value_expr} AS BIGINT) AS x
         FROM {table}
     ),
     pair AS (
-        SELECT CAST(COALESCE(SUM(CAST(sign(CAST(b.x - a.x AS DOUBLE))
-                                      AS BIGINT)), 0) AS BIGINT) AS s_stat
-        FROM s a JOIN s b ON b.t > a.t
+        SELECT {agrp_pref}CAST(COALESCE(SUM(CAST(
+                   sign(CAST(b.x - a.x AS DOUBLE)) AS BIGINT)), 0)
+                   AS BIGINT) AS s_stat
+        FROM s a JOIN s b ON {pair_on}
+        {f'GROUP BY {agrp}' if keys else ''}
     ),
-    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    base AS (SELECT {kpref}CAST(COUNT(*) AS BIGINT) AS n FROM s {grp}),
     ties AS (
-        SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0)
+        SELECT {kpref}CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0)
                     AS BIGINT) AS tt
-        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY x)
+        FROM (SELECT {kpref}CAST(COUNT(*) AS BIGINT) AS c
+              FROM s GROUP BY {kpref}x)
+        {grp}
     ),
     j AS (
-        SELECT n, s_stat,
+        SELECT {kpref}n, CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat,
                CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0 AS v
-        FROM base CROSS JOIN pair CROSS JOIN ties
+        FROM {jleft}
     )
-    SELECT n, s_stat, v AS var_s,
+    SELECT {kpref}n, s_stat, v AS var_s,
            CASE WHEN n > 1 AND v > 0.0 THEN {z} END AS z,
            CASE WHEN n > 1 AND v > 0.0
                 THEN {normal_p_two_sided_sql(f'({z})')} END AS p

@@ -5942,3 +5942,35 @@ def theil_sen_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"))
     return ES.theil_sen(daily, "n_events", "d")
+
+
+def _mk_drift_oracle() -> str:
+    mk = ES.mann_kendall_sql(
+        """(SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2)""",
+        "n_events", "d", keys=["event_type"])
+    return ES.bh_fdr_sql(
+        f"(SELECT event_type AS key, p FROM ({mk}) WHERE p IS NOT NULL)",
+        alpha_permille=_FDR_A)
+
+
+@query("mk_drift_by_event_type_fdr", oracle=_mk_drift_oracle())
+def mk_drift_by_event_type_fdr(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """DRIFT SCREEN with multiplicity control — the monitoring
+    composition a production corpus pipeline runs nightly: per
+    EVENT TYPE, Mann-Kendall trend on daily volume
+    (operators/evalstats.mann_kendall keys= — the pair join carries
+    the group as an equi-key, so the bounded day×day blow-up stays
+    per-group), p-values through the shared erfc chain, then
+    Benjamini-Hochberg at 5% across the event-type family so the
+    screen's smallest p survives multiple testing before anyone acts
+    on it."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    mk = ES.mann_kendall(daily, "n_events", "d", keys=["event_type"])
+    hyp = mk.where(F.col("p").isNotNull()).select(
+        F.col("event_type").alias("key"), "p")
+    return ES.bh_fdr(hyp, "p", "key", alpha_permille=_FDR_A)
