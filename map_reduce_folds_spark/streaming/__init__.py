@@ -1337,3 +1337,38 @@ def stream_conformal_flag(
          .write.mode("append").parquet(out_dir))
 
     return write_foreach_batch(stream, process, checkpoint_dir)
+
+
+def stream_daily_counts(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    keys=(),
+):
+    """TREND-MONITOR ingest stream: append each arriving micro-batch's
+    per-(keys, day) count relation to ``out_dir``.  Counts are an
+    additive monoid, so finalizing the accumulated directory — re-sum
+    per (keys, day), then ``evalstats.mann_kendall(keys=)`` /
+    ``theil_sen`` / the BH-FDR composition — yields BITWISE the batch
+    drift screen at any point in the stream's life (the fifth
+    mergeable-relation-on-a-stream twin: digest/HLL/moments/bootstrap,
+    now daily counts).  The per-batch relation is bounded by
+    keys × days touched, not batch rows."""
+    kcols = list(keys)
+
+    def process(df: DataFrame, batch_id: int):
+        (df.groupBy(*kcols, F.to_date(ts_col).alias("d"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+         .write.mode("append").parquet(out_dir))
+
+    return write_foreach_batch(stream, process, checkpoint_dir)
+
+
+def daily_counts_finalize(spark, out_dir: str, keys=()):
+    """Merge an accumulated ``stream_daily_counts`` directory back to
+    the exact whole-history per-(keys, day) counts (pure additive
+    union — re-sum)."""
+    df = spark.read.parquet(out_dir)
+    return (df.groupBy(*list(keys), "d")
+            .agg(F.sum("n_events").cast("bigint").alias("n_events")))

@@ -1464,3 +1464,48 @@ def test_stream_conformal_flag_matches_batch(spark, tmp_path_factory):
     assert got == want
     none = run(None, "tinf")
     assert all(not f for (_, _, f) in none) and len(none) == 500
+
+
+def test_stream_daily_counts_drift_matches_batch(spark, tmp_path_factory):
+    """Daily-count relations accumulated over a two-batch stream, merged
+    and fed to the Mann-Kendall drift screen, equal the whole-history
+    batch screen BITWISE — counts are an additive monoid, and the day a
+    row lands in is a pure function of its timestamp, so the stream
+    split cannot matter (fifth mergeable-relation twin)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_folds_spark.operators import evalstats as E
+    from map_reduce_folds_spark.sources import load_table
+    from map_reduce_folds_spark.streaming import (
+        daily_counts_finalize,
+        stream_daily_counts,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events") \
+        .select("event_id", "ts", "event_type")
+    base = str(tmp_path_factory.mktemp("dailystream"))
+    src = os.path.join(base, "in")
+    ev.where("event_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(src, "f0"))
+    ev.where("event_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(src, "f1"))
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/f*"))
+    out = os.path.join(base, "daily")
+    q = stream_daily_counts(stream, out, os.path.join(base, "ckpt"),
+                            keys=["event_type"])
+    q.awaitTermination(120)
+    q.stop()
+
+    merged = daily_counts_finalize(spark, out, keys=["event_type"])
+    got = {r["event_type"]: r.asDict() for r in E.mann_kendall(
+        merged, "n_events", "d", keys=["event_type"]).collect()}
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    want = {r["event_type"]: r.asDict() for r in E.mann_kendall(
+        daily, "n_events", "d", keys=["event_type"]).collect()}
+    assert got == want and got
