@@ -3238,3 +3238,104 @@ def theil_sen_sql(table: str, value_expr: str, time_expr: str) -> str:
            CASE WHEN n > 1 THEN {med('rarr')} END AS intercept
     FROM j CROSS JOIN r
     """
+
+
+def cochran_armitage(
+    df: DataFrame,
+    success_col: str,
+    score_col: str,
+) -> DataFrame:
+    """COCHRAN-ARMITAGE trend test (Cochran 1954, Armitage 1955): is a
+    RATE trending across ORDERED buckets?  The categorical companion to
+    :func:`mann_kendall` — "does English share rise with document
+    length?", "does conversion fall across cohort deciles?" — strictly
+    more powerful than chi² when the alternative is ordered.
+
+    ``success_col`` is 0/1 per row; ``score_col`` is the integer bucket
+    score (quantize upstream — the bounded-domain contract; the working
+    relation is one row per distinct score).  With per-bucket exact
+    integer moments (nᵢ, sᵢ) and scores wᵢ:
+
+        z = (Σwᵢsᵢ − S·ΣwᵢNᵢ/N)
+            / √( p̂(1−p̂) · (Σwᵢ²Nᵢ − (ΣwᵢNᵢ)²/N) )
+
+    with S = Σsᵢ, p̂ = S/N.  Every Σ is an exact DECIMAL(38,0) integer
+    (w·s and w²·N products staged before summing); z is one fixed
+    double chain and p rides the shared erfc chain.  Degenerate inputs
+    (all-success/all-failure pools, or a single score) emit NULL z/p.
+
+    Output: one row ``(n, successes, n_scores, z, p)``.  SQL mirror
+    :func:`cochran_armitage_sql`.
+    """
+    g = (df.select(F.col(score_col).cast("bigint").alias("__w"),
+                   F.col(success_col).cast("bigint").alias("__y"))
+         .groupBy("__w")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"),
+              F.sum("__y").cast("bigint").alias("__s")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = g.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__s").cast("bigint").alias("successes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum(dec(F.col("__w")) * F.col("__s")).alias("__ws"),
+        F.sum(dec(F.col("__w")) * F.col("__n")).alias("__wn"),
+        F.sum(dec(F.col("__w")) * F.col("__w") * F.col("__n"))
+        .alias("__wwn"))
+    n = F.col("n").cast("double")
+    s = F.col("successes").cast("double")
+    ws = F.col("__ws").cast("double")
+    wn = F.col("__wn").cast("double")
+    wwn = F.col("__wwn").cast("double")
+    phat = s / n
+    num = ws - s * wn / n
+    den2 = phat * (F.lit(1.0) - phat) * (wwn - wn * wn / n)
+    ok = ((F.col("successes") > 0) & (F.col("successes") < F.col("n"))
+          & (F.col("n_scores") > 1) & (den2 > 0.0))
+    z = num / F.sqrt(den2)
+    return a.select(
+        "n", "successes", "n_scores",
+        F.when(ok, z).alias("z"),
+        F.when(ok, normal_p_two_sided(z)).alias("p"))
+
+
+def cochran_armitage_sql(table: str, success_expr: str,
+                         score_expr: str) -> str:
+    """DuckDB mirror of :func:`cochran_armitage` — identical staged
+    integer sums and double chain."""
+    return f"""
+    WITH g AS (
+        SELECT CAST({score_expr} AS BIGINT) AS w,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({success_expr} AS BIGINT)) AS BIGINT) AS s
+        FROM {table} GROUP BY 1
+    ),
+    a AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS successes,
+               CAST(COUNT(*) AS BIGINT) AS n_scores,
+               SUM(CAST(w AS HUGEINT) * s) AS ws,
+               SUM(CAST(w AS HUGEINT) * n) AS wn,
+               SUM(CAST(w AS HUGEINT) * w * n) AS wwn
+        FROM g
+    ),
+    b AS (
+        SELECT n, successes, n_scores,
+               CAST(ws AS DOUBLE)
+                   - CAST(successes AS DOUBLE) * CAST(wn AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS num,
+               (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(wwn AS DOUBLE)
+                      - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS den2
+        FROM a
+    )
+    SELECT n, successes, n_scores,
+           CASE WHEN successes > 0 AND successes < n AND n_scores > 1
+                     AND den2 > 0.0 THEN num / sqrt(den2) END AS z,
+           CASE WHEN successes > 0 AND successes < n AND n_scores > 1
+                     AND den2 > 0.0
+                THEN {normal_p_two_sided_sql('(num / sqrt(den2))')}
+           END AS p
+    FROM b
+    """

@@ -5974,3 +5974,26 @@ def mk_drift_by_event_type_fdr(spark: SparkSession, sf_dir: str) \
     hyp = mk.where(F.col("p").isNotNull()).select(
         F.col("event_type").alias("key"), "p")
     return ES.bh_fdr(hyp, "p", "key", alpha_permille=_FDR_A)
+
+
+@query(
+    "ca_trend_en_by_length",
+    oracle=ES.cochran_armitage_sql(
+        """(SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   LEAST(n_chars // 300, 6) AS w
+            FROM documents)""",
+        "y", "w"),
+)
+def ca_trend_en_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE trend of English share across ordered length
+    buckets (operators/evalstats.cochran_armitage) — "does language mix
+    drift with document length?" as ONE ordered-alternative test
+    instead of a bucket-by-bucket z sweep.  Buckets = n_chars//300
+    capped at 6 (the bounded-domain contract); all sums exact staged
+    integers, z one chain, p via the shared erfc."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+        F.least((F.col("n_chars") / 300).cast("bigint"), F.lit(6))
+        .alias("w"))
+    return ES.cochran_armitage(g, "y", "w")

@@ -1069,3 +1069,31 @@ def test_theil_sen_robust_slope(spark):
     one = spark.createDataFrame([(0, 10)], "t int, x bigint")
     ro = E.theil_sen(one, "x", "t").collect()[0]
     assert ro["slope"] is None and ro["intercept"] is None
+
+
+def test_cochran_armitage_hand_case(spark):
+    """Longhand CA on a 3-bucket table with a planted rising rate;
+    flat rates give z ~ 0; all-success pool is NULL."""
+    import math
+
+    # buckets w=0,1,2: (n, s) = (10, 2), (10, 5), (10, 8)
+    rows = ([(0, 1)] * 2 + [(0, 0)] * 8 + [(1, 1)] * 5 + [(1, 0)] * 5
+            + [(2, 1)] * 8 + [(2, 0)] * 2)
+    df = spark.createDataFrame(rows, "w int, y int")
+    r = E.cochran_armitage(df, "y", "w").collect()[0]
+    n, s = 30, 15
+    ws = 0 * 2 + 1 * 5 + 2 * 8
+    wn = 0 * 10 + 1 * 10 + 2 * 10
+    wwn = 0 + 10 + 40
+    num = ws - s * wn / n
+    den2 = (s / n) * (1 - s / n) * (wwn - wn * wn / n)
+    assert (r["n"], r["successes"], r["n_scores"]) == (30, 15, 3)
+    assert r["z"] == num / math.sqrt(den2)
+    assert r["p"] < 0.01  # strong planted trend
+    flat = spark.createDataFrame(
+        [(w, y) for w in range(3) for y in (0, 1)] * 5, "w int, y int")
+    rf = E.cochran_armitage(flat, "y", "w").collect()[0]
+    assert rf["z"] == 0.0
+    allpass = spark.createDataFrame([(0, 1), (1, 1)], "w int, y int")
+    ra = E.cochran_armitage(allpass, "y", "w").collect()[0]
+    assert ra["z"] is None and ra["p"] is None
