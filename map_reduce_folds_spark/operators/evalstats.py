@@ -3339,3 +3339,165 @@ def cochran_armitage_sql(table: str, success_expr: str,
            END AS p
     FROM b
     """
+
+
+def eb_shrunk_means(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """EMPIRICAL-BAYES shrinkage of per-group means (James & Stein 1961
+    via the DerSimonian-Laird 1986 random-effects estimator — the
+    standard method-of-moments form): small groups' noisy means pull
+    toward the family consensus, weighted by how noisy they are — the
+    right per-source quality/score table when sources differ 1000× in
+    size (a 50-doc source's raw mean is mostly noise; ranking sources
+    by raw means over-rewards small-sample flukes).
+
+    Per group: exact integer moments → mean ``m_g`` and the variance of
+    the mean ``v_g = s²_g/n_g``.  Family (groups with n ≥ 2, v > 0):
+    fixed-effect weights ``w = 1/v``, heterogeneity
+    ``Q = Σ w (m − μ_w)²``, between-group variance
+    ``τ² = max(0, (Q − (k−1)) / (Σw − Σw²/Σw))``, consensus
+    ``μ* = Σ m/(v+τ²) / Σ 1/(v+τ²)``, shrinkage ``B = v/(v+τ²)``,
+    ``shrunk = B·μ* + (1−B)·m``.  Every Σ folds over the GROUP-SORTED
+    bounded family list (fixed parenthesization — bitwise mirrorable);
+    degenerate groups (n < 2 or zero within-variance) keep their raw
+    mean with NULL shrunk/B and are excluded from the family fit;
+    k < 2 leaves every shrunk NULL (no family to borrow from).
+
+    Output per group: ``(grp, n, mean, shrunk_mean, b, tau2)``.  SQL
+    mirror :func:`eb_shrunk_means_sql`.
+    """
+    g = (df.select(F.col(group_col).cast("string").alias("__g"),
+                   F.col(value_col).cast("bigint").alias("__x"))
+         .groupBy("__g")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"),
+              F.sum("__x").cast("decimal(38,0)").alias("__s"),
+              F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)"))
+              .alias("__q")))
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    q = F.col("__q").cast("double")
+    m = s / n
+    v = ((q - s * s / n) / (n - F.lit(1.0))) / n
+    g2 = g.select(
+        "__g", "__n", m.alias("__m"),
+        F.when(F.col("__n") > 1, v).alias("__v"),
+        ((F.col("__n") > 1) & (v > 0.0)).alias("__ok"))
+    fam = (g2.where("__ok")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("__g").alias("g"), F.col("__m").alias("m"),
+               F.col("__v").alias("v")))).alias("__A"),
+                F.count(F.lit(1)).cast("bigint").alias("__k")))
+
+    def fold(expr):
+        return F.aggregate("__A", F.lit(0.0), expr)
+
+    sw = fold(lambda a, t: a + F.lit(1.0) / t["v"])
+    swm = fold(lambda a, t: a + t["m"] / t["v"])
+    sww = fold(lambda a, t: a + (F.lit(1.0) / t["v"])
+               * (F.lit(1.0) / t["v"]))
+    s1 = fam.select("__A", "__k", sw.alias("__sw"), swm.alias("__swm"),
+                    sww.alias("__sww"))
+    mu_w = F.col("__swm") / F.col("__sw")
+    s2 = s1.select("__A", "__k", "__sw", "__sww", mu_w.alias("__muw"))
+    qstat = F.aggregate(
+        "__A", F.lit(0.0),
+        lambda a, t: a + (t["m"] - F.col("__muw"))
+        * (t["m"] - F.col("__muw")) / t["v"])
+    denom = F.col("__sw") - F.col("__sww") / F.col("__sw")
+    tau2 = F.when(
+        (F.col("__k") > 1) & (denom > 0.0),
+        F.greatest(F.lit(0.0),
+                   (qstat - (F.col("__k") - F.lit(1)).cast("double"))
+                   / denom))
+    s3 = s2.select("__A", "__k", tau2.alias("__tau2"))
+    sws = F.aggregate("__A", F.lit(0.0),
+                      lambda a, t: a + F.lit(1.0) / (t["v"] + F.col("__tau2")))
+    swsm = F.aggregate("__A", F.lit(0.0),
+                       lambda a, t: a + t["m"] / (t["v"] + F.col("__tau2")))
+    sc = s3.select("__k", "__tau2", (swsm / sws).alias("__mustar"))
+    j = g2.crossJoin(F.broadcast(sc))
+    b = F.col("__v") / (F.col("__v") + F.col("__tau2"))
+    shrunk = b * F.col("__mustar") + (F.lit(1.0) - b) * F.col("__m")
+    usable = F.col("__ok") & (F.col("__k") > 1) & F.col("__tau2").isNotNull()
+    return j.select(
+        F.col("__g").alias("grp"), F.col("__n").alias("n"),
+        F.col("__m").alias("mean"),
+        F.when(usable, shrunk).alias("shrunk_mean"),
+        F.when(usable, b).alias("b"),
+        F.when(F.col("__k") > 1, F.col("__tau2")).alias("tau2"))
+
+
+def eb_shrunk_means_sql(table: str, value_expr: str,
+                        group_expr: str) -> str:
+    """DuckDB mirror of :func:`eb_shrunk_means` — identical moments,
+    identical group-sorted left folds and chains."""
+    def fold(term):
+        return (f"list_reduce(list_prepend(0.0, list_transform(A, "
+                f"t -> {term})), (p, q) -> p + q)")
+    return f"""
+    WITH g AS (
+        SELECT CAST({group_expr} AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({value_expr} AS BIGINT)) AS DECIMAL(38,0))
+                   AS s,
+               SUM(CAST(CAST({value_expr} AS BIGINT)
+                        * CAST({value_expr} AS BIGINT)
+                        AS DECIMAL(38,0))) AS q
+        FROM {table} GROUP BY 1
+    ),
+    g2 AS (
+        SELECT grp, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+               CASE WHEN n > 1 THEN
+                   ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                     * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)
+               END AS v,
+               n > 1 AND ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                           * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0))
+                         / CAST(n AS DOUBLE) > 0.0 AS ok
+        FROM g
+    ),
+    fam AS (
+        SELECT list_sort(list({{'g': grp, 'm': m, 'v': v}})) AS A,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g2 WHERE ok
+    ),
+    s1 AS (
+        SELECT A, k,
+               {fold('1.0 / t.v')} AS sw,
+               {fold('t.m / t.v')} AS swm,
+               {fold('(1.0 / t.v) * (1.0 / t.v)')} AS sww
+        FROM fam
+    ),
+    s2 AS (SELECT A, k, sw, sww, swm / sw AS muw FROM s1),
+    s3 AS (
+        SELECT A, k,
+               CASE WHEN k > 1 AND sw - sww / sw > 0.0 THEN
+                   GREATEST(0.0,
+                       ({fold('(t.m - muw) * (t.m - muw) / t.v')}
+                        - CAST(k - 1 AS DOUBLE))
+                       / (sw - sww / sw))
+               END AS tau2
+        FROM s2
+    ),
+    sc AS (
+        SELECT k, tau2,
+               {fold('t.m / (t.v + tau2)')}
+                   / {fold('1.0 / (t.v + tau2)')} AS mustar
+        FROM s3
+    )
+    SELECT g2.grp, g2.n, g2.m AS mean,
+           CASE WHEN ok AND k > 1 AND tau2 IS NOT NULL THEN
+               (v / (v + tau2)) * mustar
+               + (1.0 - v / (v + tau2)) * m
+           END AS shrunk_mean,
+           CASE WHEN ok AND k > 1 AND tau2 IS NOT NULL
+                THEN v / (v + tau2) END AS b,
+           CASE WHEN k > 1 THEN tau2 END AS tau2
+    FROM g2 CROSS JOIN sc
+    """

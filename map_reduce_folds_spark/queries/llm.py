@@ -5997,3 +5997,20 @@ def ca_trend_en_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least((F.col("n_chars") / 300).cast("bigint"), F.lit(6))
         .alias("w"))
     return ES.cochran_armitage(g, "y", "w")
+
+
+@query(
+    "eb_shrunk_doclen_by_source",
+    oracle=ES.eb_shrunk_means_sql("documents", "n_chars", "source"),
+)
+def eb_shrunk_doclen_by_source(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """EMPIRICAL-BAYES shrunk mean document length per source
+    (operators/evalstats.eb_shrunk_means — James-Stein via the
+    DerSimonian-Laird τ²): small sources' noisy means pull toward the
+    family consensus in proportion to their noise — the per-source
+    score table that doesn't over-rank small-sample flukes.  Exact
+    integer moments; every family fold runs in group-sorted fixed
+    parenthesization."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.eb_shrunk_means(d, "n_chars", "source")

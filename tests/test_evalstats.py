@@ -1097,3 +1097,40 @@ def test_cochran_armitage_hand_case(spark):
     allpass = spark.createDataFrame([(0, 1), (1, 1)], "w int, y int")
     ra = E.cochran_armitage(allpass, "y", "w").collect()[0]
     assert ra["z"] is None and ra["p"] is None
+
+
+def test_eb_shrinkage_properties(spark):
+    """Shrunk means sit between the raw mean and the consensus, small
+    groups shrink MORE than big ones at equal variance, a homogeneous
+    family shrinks ~fully (tau2 -> 0 => B -> 1), and degenerate groups
+    keep raw means with NULL shrinkage."""
+    import random
+
+    random.seed(7)
+    rows = []
+    # big group around 100, small group around 160, medium around 100
+    for i in range(400):
+        rows.append(("big", 100 + (i * 37) % 21 - 10))
+    for i in range(6):
+        rows.append(("small", 160 + (i * 13) % 11 - 5))
+    for i in range(80):
+        rows.append(("mid", 100 + (i * 29) % 21 - 10))
+    rows.append(("single", 999))  # n=1: no within-variance
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    out = {r["grp"]: r for r in E.eb_shrunk_means(df, "x", "g").collect()}
+    assert out["single"]["shrunk_mean"] is None
+    assert out["single"]["mean"] == 999.0
+    sm = out["small"]
+    # the outlier small group moves toward the consensus...
+    assert sm["shrunk_mean"] < sm["mean"]
+    # ...but not past it
+    assert sm["shrunk_mean"] > out["big"]["mean"]
+    # shrinkage factor: small group's B exceeds the big group's
+    assert sm["b"] > out["big"]["b"]
+    # near-homogeneous family: groups drawn from the same pattern
+    homo = spark.createDataFrame(
+        [(f"g{i % 4}", 50 + (j * 17) % 13) for i in range(4)
+         for j in range(50)], "g string, x bigint")
+    ho = {r["grp"]: r for r in E.eb_shrunk_means(homo, "x", "g").collect()}
+    for r in ho.values():
+        assert abs(r["shrunk_mean"] - r["mean"]) < 1.0
