@@ -1336,13 +1336,14 @@ def kaplan_meier(
     return out
 
 
-def _km_curve(df: DataFrame, duration_col: str, event_col: str,
-              gkeys: "list[str]") -> DataFrame:
-    """Shared product-limit machinery: per group, the time-sorted step
-    array ``__arr_s`` of structs (t, d, n, survival) — survival exactly
-    as documented on :func:`kaplan_meier` (rounded-ln left folds, d = n
-    absorbing 0.0).  Used by kaplan_meier (explode) and
-    :func:`restricted_mean_survival` (area fold)."""
+def _risk_set_arr(df: DataFrame, duration_col: str, event_col: str,
+                  gkeys: "list[str]") -> DataFrame:
+    """Shared survival pass 1: per group, the time-sorted step array
+    ``__arr2`` of structs (t, d, n) — d (events at t) and c (censored
+    at t) are exact integer sums over the DISTINCT-duration relation,
+    and n (at risk at t) = total − Σ_{i<j} (d_i + c_i) by an exact
+    integer prefix fold.  Used by :func:`_km_curve` (product-limit) and
+    :func:`nelson_aalen` (cumulative hazard)."""
     ev = F.col(event_col).cast("bigint")
     g = (
         df.select(*gkeys,
@@ -1367,7 +1368,17 @@ def _km_curve(df: DataFrame, duration_col: str, event_col: str,
                 F.slice(F.col("__arr"), F.lit(1), i),
                 F.lit(0).cast("bigint"),
                 lambda acc, y: acc + y["d"] + y["c"])).alias("n")))
-    b = a.select(*gkeys, arr_n.alias("__arr2"))
+    return a.select(*gkeys, arr_n.alias("__arr2"))
+
+
+def _km_curve(df: DataFrame, duration_col: str, event_col: str,
+              gkeys: "list[str]") -> DataFrame:
+    """Shared product-limit machinery: per group, the time-sorted step
+    array ``__arr_s`` of structs (t, d, n, survival) — survival exactly
+    as documented on :func:`kaplan_meier` (rounded-ln left folds, d = n
+    absorbing 0.0).  Used by kaplan_meier (explode) and
+    :func:`restricted_mean_survival` (area fold)."""
+    b = _risk_set_arr(df, duration_col, event_col, gkeys)
     # pass 2: per-step survival = exp(left-fold of rounded ln factors),
     # pinned to exactly 0.0 once any prefix step had d = n
     arr_s = F.transform(
@@ -3500,4 +3511,145 @@ def eb_shrunk_means_sql(table: str, value_expr: str,
                 THEN v / (v + tau2) END AS b,
            CASE WHEN k > 1 THEN tau2 END AS tau2
     FROM g2 CROSS JOIN sc
+    """
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard
+# ---------------------------------------------------------------------------
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """NELSON-AALEN cumulative-hazard estimate (Nelson 1972, Aalen
+    1978 — public literature): from the same one-row-per-subject
+    contract as :func:`kaplan_meier` (integer ``duration_col``,
+    ``event_col`` 1 = observed / 0 = right-censored), estimate
+    Ĥ(t) = Σ_{t_j ≤ t} d_j/n_j — the hazard-scale twin of the KM
+    curve (KM ≈ exp(−Ĥ)), preferred when hazards are the modelling
+    target (churn intensity, failure rates) because it sums observed
+    risk directly instead of multiplying survival factors.
+
+    Exactness: d_j and n_j ride the shared exact-integer risk-set pass
+    (:func:`_risk_set_arr`); each hazard increment is ONE correctly-
+    rounded IEEE division d/n and each variance increment the fixed
+    chain ``(d/n) · ((n−d)/n) / n`` (the binomial-variance estimator,
+    Klein 1991) — NO transcendental anywhere, so no rounding step is
+    needed: both engines fold identical doubles LEFT-TO-RIGHT over the
+    time-sorted step array and agree bitwise (SQL mirror
+    :func:`nelson_aalen_sql`).  The ratio form keeps every term in
+    range at any n (never materializes n³, which would overflow bigint
+    past n ≈ 2M subjects at risk).
+
+    Scale: identical to kaplan_meier — the corpus aggregates to the
+    bounded DISTINCT-DURATION relation before any per-group array
+    work; the O(k²) prefix re-fold runs on k ≤ a few hundred
+    calendar-bucketed durations, never corpus rows.
+
+    Output: ``keys…, duration, n_risk, n_events, cum_hazard,
+    var_hazard`` — one row per duration with d > 0.
+    """
+    df, gkeys = _with_group(df, keys)
+    b = _risk_set_arr(df, duration_col, event_col, gkeys)
+
+    def _h(y):
+        return F.when(
+            y["d"] > 0,
+            y["d"].cast("double") / y["n"].cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    def _vh(y):
+        return F.when(
+            y["d"] > 0,
+            (y["d"].cast("double") / y["n"].cast("double"))
+            * ((y["n"] - y["d"]).cast("double") / y["n"].cast("double"))
+            / y["n"].cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    arr = F.transform(
+        F.col("__arr2"),
+        lambda x, i: F.struct(
+            x["t"].alias("t"), x["d"].alias("d"), x["n"].alias("n"),
+            F.aggregate(
+                F.slice(F.col("__arr2"), F.lit(1), i + 1), F.lit(0.0),
+                lambda acc, y: acc + _h(y)).alias("h"),
+            F.aggregate(
+                F.slice(F.col("__arr2"), F.lit(1), i + 1), F.lit(0.0),
+                lambda acc, y: acc + _vh(y)).alias("vh")))
+    return (
+        b.select(*gkeys, F.explode(arr).alias("__x"))
+        .where(F.col("__x.d") > 0)
+        .select(*(list(keys) or []),
+                F.col("__x.t").alias("duration"),
+                F.col("__x.n").alias("n_risk"),
+                F.col("__x.d").alias("n_events"),
+                F.col("__x.h").alias("cum_hazard"),
+                F.col("__x.vh").alias("var_hazard"))
+    )
+
+
+def nelson_aalen_sql(
+    subjects_sql: str,
+    duration_expr: str = "duration",
+    event_expr: str = "event",
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`nelson_aalen` — identical integer risk
+    sets and the same left-folded division chains (single-float
+    ``list_reduce`` accumulators, the kaplan_meier_sql idiom)."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    kout = f"{kpref}" if keys else ""
+    hterm = ("CASE WHEN y.d > 0 THEN CAST(y.d AS DOUBLE)"
+             " / CAST(y.n AS DOUBLE) ELSE 0.0 END")
+    vterm = ("CASE WHEN y.d > 0 THEN"
+             " (CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE))"
+             " * (CAST(y.n - y.d AS DOUBLE) / CAST(y.n AS DOUBLE))"
+             " / CAST(y.n AS DOUBLE) ELSE 0.0 END")
+    return f"""
+    WITH subj AS ({subjects_sql}),
+    g AS (
+        SELECT {kpref}CAST({duration_expr} AS BIGINT) AS t,
+               CAST(SUM(CAST({event_expr} AS BIGINT)) AS BIGINT) AS d,
+               CAST(SUM(1 - CAST({event_expr} AS BIGINT)) AS BIGINT) AS c
+        FROM subj GROUP BY {kpref}t
+    ),
+    a AS (
+        SELECT {kpref}
+               list_sort(list({{'t': t, 'd': d, 'c': c}})) AS arr,
+               CAST(SUM(d + c) AS BIGINT) AS total
+        FROM g {grp}
+    ),
+    b AS (
+        SELECT {kpref}
+               list_transform(arr, (x, i) -> {{
+                   't': x.t, 'd': x.d,
+                   'n': total - list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(arr[1:i-1], y -> y.d + y.c)),
+                       (p, q) -> p + q)}}) AS arr2
+        FROM a
+    ),
+    e AS (
+        SELECT {kpref}
+               unnest(list_transform(arr2, (x, i) -> {{
+                   't': x.t, 'd': x.d, 'n': x.n,
+                   'h': list_reduce(
+                       list_prepend(0.0, list_transform(arr2[1:i],
+                           y -> {hterm})),
+                       (p, q) -> p + q),
+                   'vh': list_reduce(
+                       list_prepend(0.0, list_transform(arr2[1:i],
+                           y -> {vterm})),
+                       (p, q) -> p + q)}}),
+                   recursive := true)
+        FROM b
+    )
+    SELECT {kout}t AS duration, n AS n_risk, d AS n_events,
+           h AS cum_hazard, vh AS var_hazard
+    FROM e WHERE d > 0
     """

@@ -4272,6 +4272,32 @@ def km_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ES.kaplan_meier(subj, "duration", "event")
 
 
+@query(
+    "na_hazard_conversion",
+    oracle=ES.nelson_aalen_sql(_KM_SUBJECTS_SQL),
+)
+def na_hazard_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative conversion hazard (operators/evalstats.
+    nelson_aalen): Ĥ(t) = Σ d_j/n_j over the same first-event→first-
+    purchase subjects as km_conversion_curve — the hazard-scale twin of
+    the KM curve (Nelson 1972, Aalen 1978), with the binomial variance
+    (d/n)·((n−d)/n)/n per step.  Pure division/addition chains over the
+    bounded 49-duration step array: no transcendental, bitwise-mirrored
+    by construction."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.min(epoch_us("ts")).alias("f_us"))
+    p = (e.where(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min(epoch_us("ts")).alias("fp_us")))
+    raw_h = F.floor((F.col("fp_us") - F.col("f_us")) / F.lit(3600000000))
+    inside = raw_h.isNotNull() & (raw_h < _KM_HORIZON_H)
+    subj = (u.join(p, "user_id", "left")
+            .select("user_id",
+                    F.when(inside, raw_h).otherwise(F.lit(_KM_HORIZON_H))
+                    .cast("bigint").alias("duration"),
+                    F.when(inside, 1).otherwise(0).alias("event")))
+    return ES.nelson_aalen(subj, "duration", "event")
+
+
 # subjects with a binary cohort: grp = 1 iff the user's FIRST event
 # (deterministic (epoch, event_id) tiebreak) is a signup
 _LR_SUBJECTS_SQL = f"""

@@ -1134,3 +1134,47 @@ def test_eb_shrinkage_properties(spark):
     ho = {r["grp"]: r for r in E.eb_shrunk_means(homo, "x", "g").collect()}
     for r in ho.values():
         assert abs(r["shrunk_mean"] - r["mean"]) < 1.0
+
+
+def test_nelson_aalen_hand_case(spark):
+    """Same textbook subjects as the KM hand case — H(t) sums d/n over
+    event times, variance sums (d/n)((n-d)/n)/n, censor-only times
+    contribute nothing."""
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)],
+        "duration bigint, event int")
+    rows = {r["duration"]: r
+            for r in E.nelson_aalen(subj, "duration", "event").collect()}
+    assert set(rows) == {1, 3, 5}
+    h1 = 1.0 / 6.0
+    h3 = h1 + 2.0 / 4.0
+    h5 = h3 + 1.0 / 1.0
+    assert rows[1]["cum_hazard"] == h1
+    assert rows[3]["cum_hazard"] == h3
+    assert rows[5]["cum_hazard"] == h5
+    v1 = (1.0 / 6.0) * (5.0 / 6.0) / 6.0
+    v3 = v1 + (2.0 / 4.0) * (2.0 / 4.0) / 4.0
+    assert rows[1]["var_hazard"] == v1
+    assert rows[3]["var_hazard"] == v3
+    # d = n at t=5: hazard jumps by 1, variance increment is 0
+    assert rows[5]["var_hazard"] == v3
+    assert (rows[3]["n_risk"], rows[3]["n_events"]) == (4, 2)
+
+
+def test_nelson_aalen_grouped_matches_km_risk_sets(spark):
+    """Grouped hazards are independent per key and share the KM risk
+    sets exactly (same _risk_set_arr pass)."""
+    subj = spark.createDataFrame(
+        [("a", 2, 0), ("a", 3, 0),
+         ("b", 1, 1), ("b", 2, 1)],
+        "g string, duration bigint, event int")
+    na = {(r["g"], r["duration"]): r for r in
+          E.nelson_aalen(subj, "duration", "event", keys=["g"]).collect()}
+    km = {(r["g"], r["duration"]): r for r in
+          E.kaplan_meier(subj, "duration", "event", keys=["g"]).collect()}
+    assert set(na) == set(km) == {("b", 1), ("b", 2)}
+    for k in na:
+        assert na[k]["n_risk"] == km[k]["n_risk"]
+        assert na[k]["n_events"] == km[k]["n_events"]
+    assert na[("b", 1)]["cum_hazard"] == 0.5
+    assert na[("b", 2)]["cum_hazard"] == 1.5
