@@ -3653,3 +3653,120 @@ def nelson_aalen_sql(
            h AS cum_hazard, vh AS var_hazard
     FROM e WHERE d > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# Standardized effect size (Cohen's d / Hedges' g)
+# ---------------------------------------------------------------------------
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """STANDARDIZED mean-difference effect size — Cohen's d (Cohen
+    1969) with the small-sample-bias correction Hedges' g (Hedges
+    1981): the companion to :func:`welch_t`, answering "HOW BIG is the
+    difference" after the t answers "is it real" — the number a 100 TB
+    corpus forces on you, because at that n every test is significant
+    and only effect size separates signal from noise.
+
+    ``group_col`` must be 0/1.  Same exact integer moments as welch_t
+    (n, Σx, DECIMAL-staged Σx²); the pooled variance
+    ``s_p² = ((n0−1)s0² + (n1−1)s1²)/(n0+n1−2)``, d = (m1−m0)/s_p,
+    and Hedges ``g = J·d`` with ``J = 1 − 3/(4·df − 1)`` (Hedges &
+    Olkin 1985 approximation, df = n0+n1−2) are one mirrored double
+    chain each — sqrt and division only, no transcendental.
+    Degenerate inputs (either group with n < 2, missing group, zero
+    pooled variance) emit NULL d/g.
+
+    Output: one row ``(n0, n1, mean0, mean1, d, g)``.  SQL mirror
+    :func:`cohens_d_sql`.
+    """
+    g = (
+        df.select(F.col(group_col).cast("bigint").alias("__wg"),
+                  F.col(value_col).cast("bigint").alias("__x"))
+        .groupBy("__wg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"),
+             F.sum("__x").cast("decimal(38,0)").alias("__s"),
+             F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)"))
+             .alias("__q"))
+    )
+    def side(i):
+        return [F.max(F.when(F.col("__wg") == i, F.col(c)))
+                .alias(f"{c}_{i}") for c in ("__n", "__s", "__q")]
+    a = g.agg(*side(0), *side(1))
+    def stats(i):
+        n = F.col(f"__n_{i}").cast("double")
+        s = F.col(f"__s_{i}").cast("double")
+        q = F.col(f"__q_{i}").cast("double")
+        mean = s / n
+        var = (q - s * s / n) / (n - F.lit(1.0))
+        return n, mean, var
+    n0, m0, v0 = stats(0)
+    n1, m1, v1 = stats(1)
+    sp2 = ((n0 - F.lit(1.0)) * v0 + (n1 - F.lit(1.0)) * v1) \
+        / (n0 + n1 - F.lit(2.0))
+    d = (m1 - m0) / F.sqrt(sp2)
+    jf = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n0 + n1 - F.lit(2.0))
+                                    - F.lit(1.0))
+    ok = (F.col("__n_0") > 1) & (F.col("__n_1") > 1) & (sp2 > 0.0)
+    return a.select(
+        F.col("__n_0").alias("n0"), F.col("__n_1").alias("n1"),
+        m0.alias("mean0"), m1.alias("mean1"),
+        F.when(ok, d).alias("d"),
+        F.when(ok, jf * d).alias("g"))
+
+
+def cohens_d_sql(table: str, value_expr: str, group_expr: str) -> str:
+    """DuckDB mirror of :func:`cohens_d` — identical moments and
+    double chains."""
+    return f"""
+    WITH g AS (
+        SELECT CAST({group_expr} AS BIGINT) AS wg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({value_expr} AS BIGINT)) AS DECIMAL(38,0))
+                   AS s,
+               SUM(CAST(CAST({value_expr} AS BIGINT)
+                        * CAST({value_expr} AS BIGINT)
+                        AS DECIMAL(38,0))) AS q
+        FROM {table} GROUP BY 1
+    ),
+    a AS (
+        SELECT MAX(CASE WHEN wg = 0 THEN n END) AS n0,
+               MAX(CASE WHEN wg = 0 THEN s END) AS s0,
+               MAX(CASE WHEN wg = 0 THEN q END) AS q0,
+               MAX(CASE WHEN wg = 1 THEN n END) AS n1,
+               MAX(CASE WHEN wg = 1 THEN s END) AS s1,
+               MAX(CASE WHEN wg = 1 THEN q END) AS q1
+        FROM g
+    ),
+    b AS (
+        SELECT n0, n1,
+               CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+               (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                    * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / (CAST(n0 AS DOUBLE) - 1.0) AS v0,
+               (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) - 1.0) AS v1
+        FROM a
+    ),
+    c AS (
+        SELECT n0, n1, mean0, mean1,
+               ((CAST(n0 AS DOUBLE) - 1.0) * v0
+                + (CAST(n1 AS DOUBLE) - 1.0) * v1)
+                   / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0)
+                   AS sp2
+        FROM b
+    )
+    SELECT n0, n1, mean0, mean1,
+           CASE WHEN n0 > 1 AND n1 > 1 AND sp2 > 0.0 THEN
+               (mean1 - mean0) / sqrt(sp2) END AS d,
+           CASE WHEN n0 > 1 AND n1 > 1 AND sp2 > 0.0 THEN
+               (1.0 - 3.0 / (4.0 * (CAST(n0 AS DOUBLE)
+                                    + CAST(n1 AS DOUBLE) - 2.0) - 1.0))
+               * ((mean1 - mean0) / sqrt(sp2)) END AS g
+    FROM c
+    """

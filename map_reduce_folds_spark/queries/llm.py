@@ -5789,6 +5789,26 @@ def welch_t_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ES.welch_t(lab, "n_chars", "is_en")
 
 
+@query(
+    "effect_size_doclen_en",
+    oracle=ES.cohens_d_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"),
+)
+def effect_size_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S d / HEDGES' g for English-vs-rest document length
+    (operators/evalstats.cohens_d) — welch_t_doclen_en's effect-size
+    companion: at corpus n every test is "significant", and the
+    standardized mean difference is the number that actually ranks
+    interventions.  Same exact integer moments; pooled-variance d and
+    bias-corrected g are mirrored sqrt/division chains."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select("n_chars",
+                   F.when(F.col("lang") == "en", 1).otherwise(0)
+                   .alias("is_en"))
+    return ES.cohens_d(lab, "n_chars", "is_en")
+
+
 _FDR_A = 50  # permille: alpha = 0.05
 
 

@@ -1178,3 +1178,30 @@ def test_nelson_aalen_grouped_matches_km_risk_sets(spark):
         assert na[k]["n_events"] == km[k]["n_events"]
     assert na[("b", 1)]["cum_hazard"] == 0.5
     assert na[("b", 2)]["cum_hazard"] == 1.5
+
+
+def test_cohens_d_hand_case(spark):
+    """Two groups with a planted shift: d matches the longhand pooled-SD
+    formula, g applies the Hedges small-sample factor."""
+    import math
+    rows = [(0, v) for v in (1, 2, 3, 4)] + [(1, v) for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "grp int, x bigint")
+    r = E.cohens_d(df, "x", "grp").collect()[0]
+    # longhand: each group var = ((1+4+9+16) - 100/4)/3 = 5/3
+    sp2 = (3 * (5.0 / 3.0) + 3 * (5.0 / 3.0)) / 6.0
+    d = 2.0 / math.sqrt(sp2)
+    assert (r["n0"], r["n1"]) == (4, 4)
+    assert r["mean0"] == 2.5 and r["mean1"] == 4.5
+    assert abs(r["d"] - d) < 1e-12
+    assert abs(r["g"] - (1.0 - 3.0 / 23.0) * d) < 1e-12
+
+
+def test_cohens_d_degenerate_null(spark):
+    """n < 2 in a group, or zero pooled variance -> NULL d/g."""
+    df1 = spark.createDataFrame([(0, 1), (1, 2), (1, 3)], "grp int, x bigint")
+    r1 = E.cohens_d(df1, "x", "grp").collect()[0]
+    assert r1["d"] is None and r1["g"] is None
+    df2 = spark.createDataFrame(
+        [(0, 5), (0, 5), (1, 7), (1, 7)], "grp int, x bigint")
+    r2 = E.cohens_d(df2, "x", "grp").collect()[0]
+    assert r2["d"] is None and r2["g"] is None
