@@ -1492,3 +1492,160 @@ def effective_sample_size_sql(
                AS ess_ratio
     FROM a
     """
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-group jackknife
+# ---------------------------------------------------------------------------
+
+_Z975 = 1.959963984540054  # standard-normal 0.975 quantile, fixed literal
+
+
+def jackknife_ratio_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    group_col: str,
+) -> DataFrame:
+    """DELETE-ONE-GROUP JACKKNIFE for the ratio ``Σnum/Σden`` (Quenouille
+    1956, Tukey 1958; the delete-a-group form is the survey-inference
+    workhorse, e.g. Kott 2001): leave each group h out, recompute the
+    ratio from the REMAINING exact integer mass, and read the sampling
+    variability of the estimator off the spread of the G leave-one-out
+    ratios — ``var_J = (G−1)/G · Σ_h (θ_(h) − θ̄_·)²``.  The
+    deterministic complement to :func:`poisson_bootstrap_ratio_ci`:
+    no replicate draws at all, exact under ANY partitioning, and the
+    right tool when the grouping (source, shard, day) IS the natural
+    resampling unit.
+
+    Determinism: per-group sums are exact DECIMAL(38,0) integers; each
+    leave-one-out ratio is ONE exact integer subtraction and ONE
+    correctly-rounded IEEE division; θ̄ and the squared-deviation sum
+    fold LEFT-TO-RIGHT over the group-sorted bounded array (G groups —
+    sources/shards, never corpus rows), so both engines walk identical
+    double chains (no transcendental; sqrt is correctly rounded).  The
+    CI is the normal-approximation interval θ ± z₀.₉₇₅·se_J.
+    Degenerate inputs (G < 2, or any leave-one-out denominator ≤ 0)
+    emit NULL jackknife columns; θ itself always emits.
+
+    Output: one row ``(n, g_groups, theta, theta_jack, se_jack, ci_lo,
+    ci_hi)`` where theta_jack is the mean of the leave-one-out ratios
+    (bias diagnostic: G−1 times (theta_jack − theta)).  SQL mirror
+    :func:`jackknife_ratio_ci_sql`.
+    """
+    g = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum(F.col(num_col).cast("bigint")).cast("decimal(38,0)")
+             .alias("__sn"),
+             F.sum(F.col(den_col).cast("bigint")).cast("decimal(38,0)")
+             .alias("__sd"),
+             F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    a = g.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__g").alias("g"), F.col("__sn").alias("sn"),
+            F.col("__sd").alias("sd")))).alias("__arr"),
+        F.sum("__sn").cast("decimal(38,0)").alias("__ts"),
+        F.sum("__sd").cast("decimal(38,0)").alias("__td"),
+        F.count(F.lit(1)).cast("bigint").alias("__gg"),
+        F.sum("__c").cast("bigint").alias("__nrows"),
+    )
+    b = a.select(
+        "__nrows", "__gg",
+        (F.col("__ts").cast("double") / F.col("__td").cast("double"))
+        .alias("__theta"),
+        F.transform(
+            F.col("__arr"),
+            # guard keeps ANSI mode from raising on the (masked-out)
+            # zero-denominator branch; __okd NULLs the outputs anyway
+            lambda x: F.when(
+                (F.col("__td") - x["sd"]) > 0,
+                (F.col("__ts") - x["sn"]).cast("double")
+                / (F.col("__td") - x["sd"]).cast("double"))
+            .otherwise(F.lit(0.0))).alias("__th"),
+        F.forall(F.col("__arr"),
+                 lambda x: (F.col("__td") - x["sd"]) > 0).alias("__okd"),
+    )
+    c = b.withColumn(
+        "__thbar",
+        F.aggregate(F.col("__th"), F.lit(0.0), lambda acc, x: acc + x)
+        / F.col("__gg").cast("double"))
+    d = c.withColumn(
+        "__ss",
+        F.aggregate(
+            F.col("__th"), F.lit(0.0),
+            lambda acc, x: acc + (x - F.col("__thbar"))
+            * (x - F.col("__thbar"))))
+    gd = F.col("__gg").cast("double")
+    se = F.sqrt(((gd - F.lit(1.0)) / gd) * F.col("__ss"))
+    ok = (F.col("__gg") > 1) & F.col("__okd")
+    return d.select(
+        F.col("__nrows").alias("n"), F.col("__gg").alias("g_groups"),
+        F.col("__theta").alias("theta"),
+        F.when(ok, F.col("__thbar")).alias("theta_jack"),
+        F.when(ok, se).alias("se_jack"),
+        F.when(ok, F.col("__theta") - F.lit(_Z975) * se).alias("ci_lo"),
+        F.when(ok, F.col("__theta") + F.lit(_Z975) * se).alias("ci_hi"))
+
+
+def jackknife_ratio_ci_sql(
+    table: str,
+    num_expr: str,
+    den_expr: str,
+    group_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`jackknife_ratio_ci` — identical DECIMAL
+    group sums and the same left-folded double chains."""
+    z = f"{_Z975!r}e0"
+    return f"""
+    WITH g AS (
+        SELECT {group_expr} AS g,
+               CAST(SUM(CAST({num_expr} AS BIGINT)) AS DECIMAL(38,0))
+                   AS sn,
+               CAST(SUM(CAST({den_expr} AS BIGINT)) AS DECIMAL(38,0))
+                   AS sd,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1
+    ),
+    a AS (
+        SELECT list_sort(list({{'g': g, 'sn': sn, 'sd': sd}})) AS arr,
+               CAST(SUM(sn) AS DECIMAL(38,0)) AS ts,
+               CAST(SUM(sd) AS DECIMAL(38,0)) AS td,
+               CAST(COUNT(*) AS BIGINT) AS gg,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM g
+    ),
+    b AS (
+        SELECT n, gg,
+               CAST(ts AS DOUBLE) / CAST(td AS DOUBLE) AS theta,
+               list_transform(arr, x -> CASE WHEN td - x.sd > 0
+                   THEN CAST(ts - x.sn AS DOUBLE)
+                       / CAST(td - x.sd AS DOUBLE)
+                   ELSE 0.0 END) AS th,
+               list_reduce(list_prepend(TRUE,
+                   list_transform(arr, x -> td - x.sd > 0)),
+                   (p, q) -> p AND q) AS okd
+        FROM a
+    ),
+    c AS (
+        SELECT n, gg, theta, th, okd,
+               list_reduce(list_prepend(0.0, th), (p, q) -> p + q)
+                   / CAST(gg AS DOUBLE) AS thbar
+        FROM b
+    ),
+    d AS (
+        SELECT n, gg, theta, okd, thbar,
+               sqrt(((CAST(gg AS DOUBLE) - 1.0) / CAST(gg AS DOUBLE))
+                   * list_reduce(list_prepend(0.0,
+                       list_transform(th,
+                           x -> (x - thbar) * (x - thbar))),
+                       (p, q) -> p + q)) AS se
+        FROM c
+    )
+    SELECT n, gg AS g_groups, theta,
+           CASE WHEN gg > 1 AND okd THEN thbar END AS theta_jack,
+           CASE WHEN gg > 1 AND okd THEN se END AS se_jack,
+           CASE WHEN gg > 1 AND okd THEN theta - {z} * se END AS ci_lo,
+           CASE WHEN gg > 1 AND okd THEN theta + {z} * se END AS ci_hi
+    FROM d
+    """

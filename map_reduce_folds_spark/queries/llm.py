@@ -5771,6 +5771,31 @@ def bootstrap_chars_per_token_ci(spark: SparkSession, sf_dir: str) \
 
 
 @query(
+    "jackknife_chars_per_token_ci",
+    oracle=SM.jackknife_ratio_ci_sql(
+        "(SELECT source, n_chars, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks "
+        "FROM documents)",
+        "n_chars", "n_toks", "source"),
+)
+def jackknife_chars_per_token_ci(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """DELETE-ONE-SOURCE JACKKNIFE CI for corpus chars-per-token
+    (operators/sampling.jackknife_ratio_ci) — the deterministic
+    complement to bootstrap_chars_per_token_ci: sources are the natural
+    resampling unit (correlated docs WITHIN a source), so leave-one-
+    source-out spread is the honest standard error for a corpus-level
+    ratio.  Exact DECIMAL source sums; every leave-one-out ratio is one
+    integer subtraction + one IEEE division; folds walk the bounded
+    source-sorted array."""
+    d = load_table(spark, sf_dir, "documents")
+    d2 = d.select("source", "n_chars",
+                  F.size(T.tokenize("text")).cast("bigint")
+                  .alias("n_toks"))
+    return SM.jackknife_ratio_ci(d2, "n_chars", "n_toks", "source")
+
+
+@query(
     "welch_t_doclen_en",
     oracle=ES.welch_t_sql(
         "documents", "n_chars",

@@ -4018,3 +4018,41 @@ def test_effective_sample_size_properties(spark):
     assert rm["n"] == 4
     assert rm["ess"] == 2.0  # (4e6)^2 / (2*(2e6)^2)
     assert rm["ess_ratio"] == 0.5
+
+
+def test_jackknife_ratio_ci_hand_case(spark):
+    """Three groups with exact integer mass: leave-one-out ratios, the
+    (G-1)/G variance, and the z-interval all match longhand."""
+    import math
+    rows = [("a", 10, 2), ("a", 20, 3),   # group a: num 30, den 5
+            ("b", 40, 10),                # group b: num 40, den 10
+            ("c", 30, 5)]                 # group c: num 30, den 5
+    from map_reduce_folds_spark.operators import sampling as SM
+    df = spark.createDataFrame(rows, "g string, num bigint, den bigint")
+    r = SM.jackknife_ratio_ci(df, "num", "den", "g").collect()[0]
+    S, N = 100, 20
+    th = [(S - 30) / (N - 5), (S - 40) / (N - 10), (S - 30) / (N - 5)]
+    thbar = sum(th) / 3.0
+    ss = sum((t - thbar) ** 2 for t in th)
+    se = math.sqrt((2.0 / 3.0) * ss)
+    assert (r["n"], r["g_groups"]) == (4, 3)
+    assert r["theta"] == 5.0
+    assert abs(r["theta_jack"] - thbar) < 1e-12
+    assert abs(r["se_jack"] - se) < 1e-12
+    assert abs(r["ci_lo"] - (5.0 - 1.959963984540054 * se)) < 1e-12
+    assert abs(r["ci_hi"] - (5.0 + 1.959963984540054 * se)) < 1e-12
+
+
+def test_jackknife_ratio_ci_degenerate(spark):
+    """G = 1 -> NULL jackknife columns but theta still emits; a group
+    holding ALL denominator mass -> NULL (leave-one-out div by zero)."""
+    from map_reduce_folds_spark.operators import sampling as SM
+    df1 = spark.createDataFrame([("a", 6, 3), ("a", 4, 1)],
+                                "g string, num bigint, den bigint")
+    r1 = SM.jackknife_ratio_ci(df1, "num", "den", "g").collect()[0]
+    assert r1["theta"] == 2.5
+    assert r1["se_jack"] is None and r1["ci_lo"] is None
+    df2 = spark.createDataFrame([("a", 6, 4), ("b", 4, 0)],
+                                "g string, num bigint, den bigint")
+    r2 = SM.jackknife_ratio_ci(df2, "num", "den", "g").collect()[0]
+    assert r2["se_jack"] is None and r2["theta_jack"] is None
