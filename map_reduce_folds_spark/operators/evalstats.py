@@ -3770,3 +3770,166 @@ def cohens_d_sql(table: str, value_expr: str, group_expr: str) -> str:
                * ((mean1 - mean0) / sqrt(sp2)) END AS g
     FROM c
     """
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test
+# ---------------------------------------------------------------------------
+
+def pettitt_changepoint(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """PETTITT single-changepoint test (Pettitt 1979) on a TIME-ORDERED
+    series — the drift family's "WHEN did it shift" companion to
+    :func:`mann_kendall`'s "is it drifting": U_t = Σ_{i≤t<j}
+    sign(x_j − x_i), K = max_t |U_t| over 1 ≤ t < T, with the
+    changepoint located at the argmax and the classic approximation
+    p ≈ 2·exp(−6K²/(T³+T²)).
+
+    INPUT CONTRACT: one row per time point (pre-aggregate upstream),
+    INTEGER ``time_col`` (day index — the argmax tie-break negates it)
+    and integer ``value_col``.  The pair relation is the bounded T×T
+    self-join (calendar-bounded — the mann_kendall acceptance class);
+    U_t is NOT materialized per pair-and-t (that would cube T) but by
+    the exact integer recurrence U_t = U_{t−1} + out_t − in_t, where
+    out_t / in_t are per-endpoint sign sums over the pair relation —
+    O(T²) pairs, O(T) running state.  The cumulative window runs over
+    the bounded per-group time relation (the documented bounded-domain
+    window class).  Ties: sign() handles them exactly (zero
+    contribution), per Pettitt's original statistic.
+
+    K and U are exact integers; p is ONE exp rounded to 9 decimals
+    (post-transcendental discipline), capped at 1.  Argmax tie-break is
+    the EARLIEST time (max over the (|U_t|, −t) struct).  n < 2 emits
+    NULL K/p/changepoint.
+
+    Output: ``keys…, n, k_stat, u_at_cp, cp_time, p``.  SQL mirror
+    :func:`pettitt_changepoint_sql`.
+    """
+    df, gkeys = _with_group(df, keys)
+    s = df.select(*gkeys, F.col(time_col).cast("bigint").alias("__t"),
+                  F.col(value_col).cast("bigint").alias("__x"))
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col("b.__t") > F.col("a.__t")
+    for k in gkeys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    sgn = F.signum((F.col("b.__x") - F.col("a.__x")).cast("double")) \
+        .cast("bigint")
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{k}").alias(k) for k in gkeys],
+        F.col("a.__t").alias("__ti"), F.col("b.__t").alias("__tj"),
+        sgn.alias("__s"))
+    out_t = pairs.groupBy(*gkeys, F.col("__ti").alias("__t")) \
+        .agg(F.sum("__s").alias("__out"))
+    in_t = pairs.groupBy(*gkeys, F.col("__tj").alias("__t")) \
+        .agg(F.sum("__s").alias("__in"))
+    v = (s.join(out_t, [*gkeys, "__t"], "left")
+         .join(in_t, [*gkeys, "__t"], "left")
+         .select(*gkeys, "__t",
+                 (F.coalesce(F.col("__out"), F.lit(0))
+                  - F.coalesce(F.col("__in"), F.lit(0))).alias("__v")))
+    wcum = (Window.partitionBy(*gkeys).orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = v.withColumn("__u", F.sum("__v").over(wcum))
+    stats = s.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("__t").alias("__tmax"))
+    agg = (u.join(F.broadcast(stats), gkeys)
+           .where(F.col("__t") < F.col("__tmax"))
+           .groupBy(*gkeys)
+           .agg(F.max(F.struct(
+               F.abs(F.col("__u")).alias("a"),
+               (-F.col("__t")).alias("nt"),
+               F.col("__u").alias("u"))).alias("__m")))
+    j = stats.join(agg, gkeys, "left")
+    n = F.col("n").cast("double")
+    kd = F.col("__m.a").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.round(F.lit(2.0) * F.exp((F.lit(-6.0) * kd * kd)
+                                   / (n * n * n + n * n)), 9))
+    ok = (F.col("n") > 1) & F.col("__m").isNotNull()
+    return j.select(
+        *(list(keys) or []), "n",
+        F.when(ok, F.col("__m.a")).alias("k_stat"),
+        F.when(ok, F.col("__m.u")).alias("u_at_cp"),
+        F.when(ok, -F.col("__m.nt")).alias("cp_time"),
+        F.when(ok, p).alias("p"))
+
+
+def pettitt_changepoint_sql(table: str, value_expr: str, time_expr: str,
+                            keys: Sequence[str] = ()) -> str:
+    """DuckDB mirror of :func:`pettitt_changepoint` — identical integer
+    pair sums, recurrence, argmax struct, and the one rounded exp."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    agrp = ", ".join(f"a.{k}" for k in keys)
+    agrp_pref = f"{agrp}, " if keys else ""
+    kjoin = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    pair_on = f"b.t > a.t{' AND ' + kjoin if keys else ''}"
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    ujoin = f"USING ({kcols}, t)" if keys else "USING (t)"
+    sjoin = f"USING ({kcols})" if keys else ""
+    ljoin = (f"stats LEFT JOIN agg USING ({kcols})" if keys
+             else "stats LEFT JOIN agg ON TRUE")
+    return f"""
+    WITH s AS (
+        SELECT {kpref}CAST({time_expr} AS BIGINT) AS t,
+               CAST({value_expr} AS BIGINT) AS x
+        FROM {table}
+    ),
+    pairs AS (
+        SELECT {agrp_pref}a.t AS ti, b.t AS tj,
+               CAST(sign(CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS sg
+        FROM s a JOIN s b ON {pair_on}
+    ),
+    out_t AS (
+        SELECT {kpref}ti AS t, CAST(SUM(sg) AS BIGINT) AS o
+        FROM pairs GROUP BY {kpref}ti
+    ),
+    in_t AS (
+        SELECT {kpref}tj AS t, CAST(SUM(sg) AS BIGINT) AS i
+        FROM pairs GROUP BY {kpref}tj
+    ),
+    v AS (
+        SELECT {kpref}t,
+               COALESCE(o, CAST(0 AS BIGINT))
+                   - COALESCE(i, CAST(0 AS BIGINT)) AS vv
+        FROM s LEFT JOIN out_t {ujoin} LEFT JOIN in_t {ujoin}
+    ),
+    u AS (
+        SELECT {kpref}t,
+               CAST(SUM(vv) OVER (
+                   {f'PARTITION BY {kcols}' if keys else ''}
+                   ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS uu
+        FROM v
+    ),
+    stats AS (
+        SELECT {kpref}CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(t) AS tmax
+        FROM s {grp}
+    ),
+    agg AS (
+        SELECT {kpref}MAX({{'a': abs(uu), 'nt': -t, 'u': uu}}) AS m
+        FROM u JOIN stats {sjoin if keys else 'ON TRUE'}
+        WHERE t < tmax
+        {f'GROUP BY {kcols}' if keys else ''}
+    )
+    SELECT {kpref}n,
+           CASE WHEN n > 1 AND m IS NOT NULL THEN m.a END AS k_stat,
+           CASE WHEN n > 1 AND m IS NOT NULL THEN m.u END AS u_at_cp,
+           CASE WHEN n > 1 AND m IS NOT NULL THEN -m.nt END AS cp_time,
+           CASE WHEN n > 1 AND m IS NOT NULL THEN
+               LEAST(1.0, round(2.0 * exp((-6.0 * CAST(m.a AS DOUBLE)
+                   * CAST(m.a AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE)
+                      + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9))
+           END AS p
+    FROM {ljoin}
+    """

@@ -5941,6 +5941,58 @@ def mann_kendall_daily_events(spark: SparkSession, sf_dir: str) \
 
 
 @query(
+    "pettitt_changepoint_daily_events",
+    oracle=ES.pettitt_changepoint_sql(
+        """(SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1)""",
+        "n_events", "d"),
+)
+def pettitt_changepoint_daily_events(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """PETTITT changepoint on DAILY event volume (operators/evalstats.
+    pettitt_changepoint) — mann_kendall_daily_events' "WHEN did it
+    shift" companion: K = max |U_t| over the bounded day-pair sign
+    sums via the exact integer out/in recurrence (never the cubed
+    pair-and-t relation), argmax day with earliest tie-break, one
+    rounded exp for the classic p approximation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint")
+        .alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return ES.pettitt_changepoint(daily, "n_events", "d")
+
+
+@query(
+    "pettitt_cp_by_event_type",
+    oracle=ES.pettitt_changepoint_sql(
+        """(SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2)""",
+        "n_events", "d", keys=["event_type"]),
+)
+def pettitt_cp_by_event_type(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """PER-EVENT-TYPE Pettitt changepoint screen (operators/evalstats.
+    pettitt_changepoint, keys=): the grouped form — each type's daily
+    series gets its own U recurrence and argmax day, the bounded
+    day-pair join carrying the type as an equi-key so the T×T blow-up
+    stays per-group (the mann_kendall grouped contract)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint")
+        .alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return ES.pettitt_changepoint(daily, "n_events", "d",
+                                  keys=["event_type"])
+
+
+@query(
     "kendall_tau_doclen_tokens",
     oracle=ES.kendall_tau_b_sql(
         f"""(SELECT n_chars // 100 AS xb, {_MCN_TOKS} // 20 AS yb

@@ -1205,3 +1205,50 @@ def test_cohens_d_degenerate_null(spark):
         [(0, 5), (0, 5), (1, 7), (1, 7)], "grp int, x bigint")
     r2 = E.cohens_d(df2, "x", "grp").collect()[0]
     assert r2["d"] is None and r2["g"] is None
+
+
+def _pettitt_longhand(xs):
+    """O(T^2) reference: U_t for t = first..last-1, K, argmax."""
+    import math
+    T = len(xs)
+    sgn = lambda v: (v > 0) - (v < 0)  # noqa: E731
+    us = []
+    for t in range(T - 1):
+        u = sum(sgn(xs[j] - xs[i])
+                for i in range(t + 1) for j in range(t + 1, T))
+        us.append(u)
+    k = max(abs(u) for u in us)
+    cp = min(t for t, u in enumerate(us) if abs(u) == k)
+    p = min(1.0, round(2.0 * math.exp((-6.0 * k * k)
+                                      / (T ** 3 + T ** 2)), 9))
+    return us, k, cp, us[cp], p
+
+
+def test_pettitt_hand_case(spark):
+    """Step series with a planted level shift: U_t, K, the changepoint
+    day, and the exp approximation all match the longhand O(T^2)
+    reference."""
+    xs = [5, 6, 5, 7, 6, 12, 13, 12, 14, 13]
+    rows = [(t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "d bigint, x bigint")
+    r = E.pettitt_changepoint(df, "x", "d").collect()[0]
+    us, k, cp, ucp, p = _pettitt_longhand(xs)
+    assert r["n"] == 10
+    assert r["k_stat"] == k
+    assert r["cp_time"] == cp
+    assert r["u_at_cp"] == ucp
+    assert r["p"] == p
+    assert cp == 4  # shift planted after index 4
+
+
+def test_pettitt_grouped_and_degenerate(spark):
+    """keys= runs one test per group; n = 1 emits NULLs."""
+    rows = ([("a", t, x) for t, x in enumerate([1, 1, 9, 9])]
+            + [("b", 0, 5)])
+    df = spark.createDataFrame(rows, "g string, d bigint, x bigint")
+    out = {r["g"]: r for r in
+           E.pettitt_changepoint(df, "x", "d", keys=["g"]).collect()}
+    us, k, cp, ucp, p = _pettitt_longhand([1, 1, 9, 9])
+    assert out["a"]["k_stat"] == k and out["a"]["cp_time"] == cp
+    assert out["a"]["p"] == p
+    assert out["b"]["k_stat"] is None and out["b"]["p"] is None
