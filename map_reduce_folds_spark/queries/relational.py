@@ -3721,6 +3721,107 @@ def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                            9)).alias("autocorr"))
 
 
+_XCORR_MAX_LAG = 7
+
+
+@query(
+    "xcorr_views_purchases_daily",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+        FROM events
+    ),
+    span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM span),
+    cx AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+    cy AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+    dense AS (
+        SELECT g.d, COALESCE(cx.c, 0) AS x, COALESCE(cy.c, 0) AS y
+        FROM grid g LEFT JOIN cx ON cx.d = g.d LEFT JOIN cy ON cy.d = g.d
+    ),
+    lags AS (SELECT unnest(range(-{_XCORR_MAX_LAG},
+                                 {_XCORR_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x AS x, b.y AS y
+        FROM lags l JOIN dense a ON TRUE JOIN dense b ON b.d = a.d + l.lag
+    ),
+    s AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                  OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0
+                THEN NULL
+                ELSE round(
+                    CAST(CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           * CAST(CAST(n AS HUGEINT) * syy
+                                  - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 9)
+           END AS xcorr
+    FROM s
+    """,
+)
+def xcorr_views_purchases_daily(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """LEAD-LAG cross-correlation between the daily 'view' and
+    'purchase' series at lags −7…+7 — the funnel-timing diagnostic
+    (positive peak at lag ℓ > 0: views lead purchases by ℓ days),
+    autocorr_daily_events' two-series generalization.  Same dense
+    zero-filled day grid over the global event span (a missing day IS
+    a 0), a bounded grid×15-lag shifted self-join (calendar² rows at
+    most — never event rows), then per-lag Pearson r from six exact
+    bigint sums with the shared DECIMAL-staged round(num/sqrt(d1·d2), 9)
+    terminal chain; zero-variance lags emit NULL."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select("event_type",
+                  F.floor(epoch_us(F.col("ts")) / F.lit(86_400_000_000))
+                  .cast("bigint").alias("d"))
+    span = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = span.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    cx = (ev.where(F.col("event_type") == "view")
+          .groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cx")))
+    cy = (ev.where(F.col("event_type") == "purchase")
+          .groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cy")))
+    dense = (grid.join(cx, "d", "left").join(cy, "d", "left")
+             .select("d", F.coalesce("cx", F.lit(0)).alias("x"),
+                     F.coalesce("cy", F.lit(0)).alias("y")))
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1) \
+        .select(F.col("id").cast("bigint").alias("lag"))
+    a = dense.alias("a")
+    b = dense.alias("b")
+    pairs = (lags.crossJoin(a)   # bounded: 15 lags × calendar days
+             .join(b, F.col("b.d") == F.col("a.d") + F.col("lag"))
+             .select("lag", F.col("a.x").alias("x"),
+                     F.col("b.y").alias("y")))
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    d1 = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    d2 = dec("n") * dec("syy") - dec("sy") * dec("sy")
+    return s.select(
+        "lag", "n",
+        F.when((d1 == 0) | (d2 == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double")
+                           / F.sqrt(d1.cast("double") * d2.cast("double")),
+                           9)).alias("xcorr"))
+
+
 @query(
     "k_anonymity_audit",
     oracle="""

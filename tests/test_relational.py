@@ -1527,3 +1527,34 @@ def test_golden_record_survivorship_rules(spark):
     # balance tie 90.0 between custkey 2 and 3 -> higher custkey wins MAX
     assert g["mktsegment"] == "SHIP"
     assert out[9]["n_members"] == 1 and out[9]["name"] == "Zed"
+
+
+def test_xcorr_lag0_matches_numpy_and_symmetry(spark):
+    """Registered lead-lag query: lag 0 equals numpy's Pearson r of the
+    aligned dense daily series (to the 9-decimal round), and every lag's
+    n equals span - |lag|."""
+    import numpy as np
+    from map_reduce_folds_spark.queries.relational import (
+        xcorr_views_purchases_daily)
+    sf = "/root/testdata/sf0.001"
+    out = {r["lag"]: r for r in
+           xcorr_views_purchases_daily(spark, sf).collect()}
+    import duckdb
+    dense = duckdb.sql(f"""
+        WITH ev AS (SELECT event_type,
+                    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+                    FROM '{sf}/events.parquet'),
+        span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+        grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM span)
+        SELECT g.d,
+               COALESCE((SELECT COUNT(*) FROM ev
+                         WHERE event_type = 'view' AND ev.d = g.d), 0) AS x,
+               COALESCE((SELECT COUNT(*) FROM ev
+                         WHERE event_type = 'purchase' AND ev.d = g.d), 0) AS y
+        FROM grid g ORDER BY d""").df()
+    x, y = dense["x"].to_numpy(float), dense["y"].to_numpy(float)
+    span = len(x)
+    r0 = np.corrcoef(x, y)[0, 1]
+    assert abs(out[0]["xcorr"] - r0) < 1e-8
+    for lag, r in out.items():
+        assert r["n"] == span - abs(lag)
