@@ -3869,6 +3869,59 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l_diversity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000)
+                                        AS BIGINT)) AS BIGINT) AS ndist
+        FROM customer GROUP BY 1, 2
+    ),
+    ls AS (SELECT unnest([2, 3, 5]) AS l)
+    SELECT l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(ndist) AS BIGINT) AS min_distinct_sensitive,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE ndist < l), 0) AS BIGINT)
+               AS groups_below_l,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE ndist < l), 0) AS BIGINT)
+               AS rows_at_risk
+    FROM g CROSS JOIN ls
+    GROUP BY l
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ℓ-DIVERSITY audit over the same (nation, market-segment)
+    quasi-identifier as k_anonymity_audit, with the account-balance
+    band (floor(acctbal/1000)) as the SENSITIVE attribute — the attack
+    k-anonymity misses (Machanavajjhala et al. 2006): a size-50 group
+    whose members all share ONE sensitive value still discloses it.
+    For each candidate ℓ: groups whose distinct-sensitive count falls
+    below ℓ and the rows they expose.  One grouped COUNT DISTINCT over
+    the bounded sensitive-band domain (map-side partial-distinct),
+    cross-joined with the tiny ℓ ladder; pure integer arithmetic."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.countDistinct(band).cast("bigint").alias("ndist"))
+    ls = spark.createDataFrame([(2,), (3,), (5,)], "l int")
+    below_rows = F.when(F.col("ndist") < F.col("l"), F.col("sz"))
+    below_grp = F.when(F.col("ndist") < F.col("l"), F.lit(1))
+    return (
+        g.crossJoin(F.broadcast(ls))
+        .groupBy("l").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("ndist").cast("bigint")
+            .alias("min_distinct_sensitive"),
+            F.coalesce(F.count(below_grp), F.lit(0)).cast("bigint")
+            .alias("groups_below_l"),
+            F.coalesce(F.sum(below_rows), F.lit(0)).cast("bigint")
+            .alias("rows_at_risk"))
+    )
+
+
+@query(
     "weekday_profile_events",
     oracle="""
     WITH d AS (
