@@ -1153,3 +1153,58 @@ def join_size_audit_sql(
            round(CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 9)
     FROM ranked, tot WHERE rnk <= {int(top_n)}
     """
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleaving for multi-dimensional layout
+# ---------------------------------------------------------------------------
+
+def zorder_quantize(col: Column, lo: Column, hi: Column,
+                    bits: int) -> Column:
+    """Equal-width quantization of an integer column onto
+    ``[0, 2^bits)`` given its (broadcast scalar) min/max: ``q =
+    (v − lo)·(2^bits − 1) div (hi − lo)``, with a degenerate-range
+    guard (hi = lo → 0).  Pure integer arithmetic — exact and
+    SQL-mirrorable; (hi − lo)·(2^bits − 1) must fit int64 (bits ≤ 16
+    and any realistic key range)."""
+    span = hi - lo
+    num = ((col - lo) * F.lit((1 << bits) - 1)).cast("bigint")
+    # exact integer div: (num - num % span) / span is integral, and the
+    # double division of an integral quotient < 2^53 is exact
+    q = ((num - num % span) / span).cast("bigint")
+    return F.when(span > 0, q).otherwise(F.lit(0).cast("bigint"))
+
+
+def zorder_value(q1: Column, q2: Column, bits: int) -> Column:
+    """MORTON / Z-ORDER interleaving of two ``bits``-bit quantized
+    integers (Morton 1966; the multi-dimensional clustering key behind
+    Delta/Iceberg OPTIMIZE ZORDER): bit j of q1 lands at position 2j,
+    bit j of q2 at 2j+1 — so records close in BOTH dimensions land
+    close on the 1-D z-line, and range-partitioning the z-line yields
+    files whose per-dimension min/max envelopes are tight in BOTH
+    dimensions at once (the property multi-dim data skipping needs;
+    a single-column sort gives a tight envelope in ONE dimension
+    only).
+
+    Exact integer expression — an unrolled sum of ``2·bits`` disjoint
+    shifted bit terms (bits ≤ 16 keeps z < 2^32 in bigint), identical
+    in Spark and the SQL mirror :func:`zorder_value_sql`."""
+    assert 1 <= bits <= 16, "bits must be in [1, 16]"
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        z = z + F.shiftleft(F.shiftright(q1, j).bitwiseAND(F.lit(1)),
+                            2 * j).cast("bigint")
+        z = z + F.shiftleft(F.shiftright(q2, j).bitwiseAND(F.lit(1)),
+                            2 * j + 1).cast("bigint")
+    return z
+
+
+def zorder_value_sql(q1_expr: str, q2_expr: str, bits: int) -> str:
+    """DuckDB text of :func:`zorder_value` — the same unrolled sum of
+    shifted bit terms."""
+    assert 1 <= bits <= 16, "bits must be in [1, 16]"
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({q1_expr} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({q2_expr} >> {j}) & 1) << {2 * j + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -3921,6 +3921,160 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZB = 8       # z-order bits per dimension (z < 2^16)
+_ZFB = 6      # file bits: 2^6 = 64 target files per layout
+
+
+def _zq_sql(v: str, lo: str, hi: str, bits: int) -> str:
+    """DuckDB text of operators/relational.zorder_quantize (`//` is
+    DuckDB's integer floor-div; inputs are non-negative spans)."""
+    k = (1 << bits) - 1
+    return (f"CASE WHEN {hi} - {lo} > 0 THEN "
+            f"CAST((({v} - {lo}) * {k}) // ({hi} - {lo}) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END")
+
+
+@query(
+    "zorder_layout_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS ok,
+               CAST(o_custkey AS BIGINT) AS ck,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS d
+        FROM orders
+    ),
+    st AS (
+        SELECT MIN(ok) AS ok_lo, MAX(ok) AS ok_hi,
+               MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+               MIN(d) AS d_lo, MAX(d) AS d_hi
+        FROM base
+    ),
+    j AS (
+        SELECT base.*, st.*,
+               ck_lo + (ck_hi - ck_lo) // 8 AS bl_ck,
+               ck_lo + 3 * ((ck_hi - ck_lo) // 8) AS bh_ck,
+               d_lo + (d_hi - d_lo) // 8 AS bl_d,
+               d_lo + 3 * ((d_hi - d_lo) // 8) AS bh_d
+        FROM base CROSS JOIN st
+    ),
+    q AS (
+        SELECT *,
+               {_zq_sql('ck', 'ck_lo', 'ck_hi', _ZB)} AS qck,
+               {_zq_sql('d', 'd_lo', 'd_hi', _ZB)} AS qd
+        FROM j
+    ),
+    lay AS (
+        SELECT 'orderkey' AS layout,
+               {_zq_sql('ok', 'ok_lo', 'ok_hi', _ZFB)} AS f,
+               ck, d, bl_ck, bh_ck, bl_d, bh_d
+        FROM q
+        UNION ALL
+        SELECT 'zorder' AS layout,
+               {R.zorder_value_sql('qck', 'qd', _ZB)} >> {2 * _ZB - _ZFB}
+                   AS f,
+               ck, d, bl_ck, bh_ck, bl_d, bh_d
+        FROM q
+    ),
+    pf AS (
+        SELECT layout, f,
+               MIN(ck) AS f_ck_lo, MAX(ck) AS f_ck_hi,
+               MIN(d) AS f_d_lo, MAX(d) AS f_d_hi,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COALESCE(SUM(CASE WHEN ck BETWEEN bl_ck AND bh_ck
+                                       AND d BETWEEN bl_d AND bh_d
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS mrows,
+               MIN(bl_ck) AS bl_ck, MIN(bh_ck) AS bh_ck,
+               MIN(bl_d) AS bl_d, MIN(bh_d) AS bh_d
+        FROM lay GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(COALESCE(SUM(CASE WHEN f_ck_lo <= bh_ck
+                                   AND f_ck_hi >= bl_ck
+                                   AND f_d_lo <= bh_d
+                                   AND f_d_hi >= bl_d
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS files_scanned,
+           CAST(COALESCE(SUM(CASE WHEN f_ck_lo <= bh_ck
+                                   AND f_ck_hi >= bl_ck
+                                   AND f_d_lo <= bh_d
+                                   AND f_d_hi >= bl_d
+                                  THEN sz ELSE 0 END), 0) AS BIGINT)
+               AS rows_in_scanned_files,
+           CAST(SUM(mrows) AS BIGINT) AS rows_matching
+    FROM pf GROUP BY 1
+    """,
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT AUDIT (operators/relational.zorder_value — Morton
+    1966, the clustering key behind Delta/Iceberg OPTIMIZE ZORDER):
+    range-partition orders into 64 files two ways — by orderkey
+    (insertion order) and by the (custkey, order-day) z-value — then
+    measure multi-dimensional DATA SKIPPING for a fixed 2-D box
+    predicate (the middle [1/8, 3/8] band of each dimension) from
+    per-file min/max envelopes, exactly how a parquet reader prunes row
+    groups.  The 100 TB point made quantitative: the orderkey layout
+    scans ~every file (custkey is uniform within each), the z-layout
+    scans ~the box's z-range.  All integer arithmetic: equal-width
+    quantization via exact floor-div, the unrolled 16-bit interleave,
+    envelope overlap tests; no floats anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("bigint").alias("ok"),
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint").alias("d"))
+    st = base.agg(F.min("ok").alias("ok_lo"), F.max("ok").alias("ok_hi"),
+                  F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+                  F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    j = (base.crossJoin(F.broadcast(st))
+         .withColumn("bl_ck", F.expr("ck_lo + (ck_hi - ck_lo) div 8"))
+         .withColumn("bh_ck",
+                     F.expr("ck_lo + 3 * ((ck_hi - ck_lo) div 8)"))
+         .withColumn("bl_d", F.expr("d_lo + (d_hi - d_lo) div 8"))
+         .withColumn("bh_d", F.expr("d_lo + 3 * ((d_hi - d_lo) div 8)")))
+    q = (j.withColumn("qck", R.zorder_quantize(
+            F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), _ZB))
+         .withColumn("qd", R.zorder_quantize(
+            F.col("d"), F.col("d_lo"), F.col("d_hi"), _ZB)))
+    keep = ["ck", "d", "bl_ck", "bh_ck", "bl_d", "bh_d"]
+    lay = (
+        q.select(F.lit("orderkey").alias("layout"),
+                 R.zorder_quantize(F.col("ok"), F.col("ok_lo"),
+                                   F.col("ok_hi"), _ZFB).alias("f"),
+                 *keep)
+        .unionByName(q.select(
+            F.lit("zorder").alias("layout"),
+            F.shiftright(R.zorder_value(F.col("qck"), F.col("qd"), _ZB),
+                         2 * _ZB - _ZFB).cast("bigint").alias("f"),
+            *keep))
+    )
+    in_box = (F.col("ck").between(F.col("bl_ck"), F.col("bh_ck"))
+              & F.col("d").between(F.col("bl_d"), F.col("bh_d")))
+    pf = lay.groupBy("layout", "f").agg(
+        F.min("ck").alias("f_ck_lo"), F.max("ck").alias("f_ck_hi"),
+        F.min("d").alias("f_d_lo"), F.max("d").alias("f_d_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.coalesce(F.sum(F.when(in_box, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("mrows"),
+        F.min("bl_ck").alias("bl_ck"), F.min("bh_ck").alias("bh_ck"),
+        F.min("bl_d").alias("bl_d"), F.min("bh_d").alias("bh_d"))
+    hit = ((F.col("f_ck_lo") <= F.col("bh_ck"))
+           & (F.col("f_ck_hi") >= F.col("bl_ck"))
+           & (F.col("f_d_lo") <= F.col("bh_d"))
+           & (F.col("f_d_hi") >= F.col("bl_d")))
+    return pf.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("files_total"),
+        F.coalesce(F.sum(F.when(hit, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("files_scanned"),
+        F.coalesce(F.sum(F.when(hit, F.col("sz")).otherwise(0)),
+                   F.lit(0)).cast("bigint")
+        .alias("rows_in_scanned_files"),
+        F.sum("mrows").cast("bigint").alias("rows_matching"))
+
+
 @query(
     "weekday_profile_events",
     oracle="""

@@ -1558,3 +1558,51 @@ def test_xcorr_lag0_matches_numpy_and_symmetry(spark):
     assert abs(out[0]["xcorr"] - r0) < 1e-8
     for lag, r in out.items():
         assert r["n"] == span - abs(lag)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Morton interleave: q1 bits land at even positions, q2 at odd."""
+    from map_reduce_folds_spark.operators.relational import (
+        zorder_value, zorder_quantize)
+    df = spark.createDataFrame(
+        [(0b11, 0b00), (0b00, 0b11), (0b10, 0b01), (255, 255)],
+        "q1 bigint, q2 bigint")
+    out = [r["z"] for r in
+           df.select(zorder_value(F.col("q1"), F.col("q2"), 8)
+                     .alias("z")).collect()]
+    assert out[0] == 0b0101          # q1=3 -> bits 0 and 2
+    assert out[1] == 0b1010          # q2=3 -> bits 1 and 3
+    assert out[2] == 0b0110          # q1 bit1 -> pos2; q2 bit0 -> pos1
+    assert out[3] == (1 << 16) - 1   # all 16 bits set
+    # quantize endpoints: lo -> 0, hi -> 2^bits - 1, degenerate -> 0
+    qdf = spark.createDataFrame([(10, 10, 50), (50, 10, 50),
+                                 (30, 10, 50), (7, 7, 7)],
+                                "v bigint, lo bigint, hi bigint")
+    qs = [r["q"] for r in qdf.select(
+        zorder_quantize(F.col("v"), F.col("lo"), F.col("hi"), 8)
+        .alias("q")).collect()]
+    assert qs[0] == 0 and qs[1] == 255
+    assert qs[2] == (20 * 255) // 40
+    assert qs[3] == 0
+
+
+def test_zorder_sql_mirror_matches_spark(spark):
+    """The DuckDB text of zorder_value agrees with the Spark column on
+    a sweep of the full 8-bit grid corners and random-ish points."""
+    import duckdb
+    from map_reduce_folds_spark.operators.relational import (
+        zorder_value, zorder_value_sql)
+    pts = [(a, b) for a in (0, 1, 2, 3, 85, 170, 254, 255)
+           for b in (0, 1, 2, 3, 85, 170, 254, 255)]
+    df = spark.createDataFrame(pts, "q1 bigint, q2 bigint")
+    got = {(r["q1"], r["q2"]): r["z"] for r in
+           df.select("q1", "q2",
+                     zorder_value(F.col("q1"), F.col("q2"), 8)
+                     .alias("z")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (q1 BIGINT, q2 BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pts)
+    want = {(q1, q2): z for q1, q2, z in con.sql(
+        f"SELECT q1, q2, {zorder_value_sql('q1', 'q2', 8)} AS z FROM t"
+    ).fetchall()}
+    assert got == want
