@@ -3933,3 +3933,112 @@ def pettitt_changepoint_sql(table: str, value_expr: str, time_expr: str,
            END AS p
     FROM {ljoin}
     """
+
+
+# ---------------------------------------------------------------------------
+# Anytime-valid confidence sequence (Bernoulli rate)
+# ---------------------------------------------------------------------------
+
+def hoeffding_confseq(
+    df: DataFrame,
+    time_col: str,
+    trials_col: str,
+    successes_col: str,
+    keys: Sequence[str] = (),
+    alpha_permille: int = 50,
+) -> DataFrame:
+    """ANYTIME-VALID confidence sequence for a cumulative Bernoulli
+    rate (Howard, Ramdas, McAuliffe & Sekhon, Ann. Stat. 2021 — the
+    "stitched" time-uniform boundary with their recommended constants):
+    radius_t = 1.7·√((ln ln(2t) + 0.72·ln(5.2/α)) / t).  Unlike the
+    fixed-n z-interval, the band covers the TRUE rate simultaneously
+    over ALL days with probability 1−α — so the experiment can be
+    PEEKED AT and stopped any day without inflating error: the
+    sequential-testing primitive a continuously-monitored ingest or
+    A/B pipeline actually needs (classic z-tests are invalid under
+    optional stopping).
+
+    INPUT CONTRACT: one row per time bucket (pre-aggregate upstream)
+    with integer trials/successes; cumulative sums run over the
+    bounded per-group time relation (the documented bounded-domain
+    window class).  t and s are exact integers; rate is one division;
+    the radius chain rounds to 9 decimals after EACH ln (the shared
+    post-transcendental discipline — ln ln nests two), and 5.2/α is
+    computed from the integer permille so α never exists as an
+    inexact literal.  Rows with cumulative t < 2 (where ln ln(2t) ≤ 0
+    can flip sign) emit NULL radius/bounds.
+
+    Output: ``keys…, {time_col}, n_cum, s_cum, rate, radius, lo, hi``
+    with lo/hi clamped to [0, 1].  SQL mirror
+    :func:`hoeffding_confseq_sql`.
+    """
+    df, gkeys = _with_group(df, keys)
+    s = df.select(*gkeys, F.col(time_col).alias("__t"),
+                  F.col(trials_col).cast("bigint").alias("__n"),
+                  F.col(successes_col).cast("bigint").alias("__s"))
+    wcum = (Window.partitionBy(*gkeys).orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = s.select(
+        *gkeys, "__t",
+        F.sum("__n").over(wcum).cast("bigint").alias("n_cum"),
+        F.sum("__s").over(wcum).cast("bigint").alias("s_cum"))
+    t = F.col("n_cum").cast("double")
+    lnln = F.round(F.log(F.round(F.log(F.lit(2.0) * t), 9)), 9)
+    lna = F.round(F.log(F.lit(5200.0) / F.lit(float(alpha_permille))), 9)
+    radius = F.lit(1.7) * F.sqrt((lnln + F.lit(0.72) * lna) / t)
+    rate = F.col("s_cum").cast("double") / t
+    ok = F.col("n_cum") >= 2
+    return c.select(
+        *(list(keys) or []), F.col("__t").alias(time_col),
+        "n_cum", "s_cum",
+        F.when(F.col("n_cum") > 0, rate).alias("rate"),
+        F.when(ok, radius).alias("radius"),
+        F.when(ok, F.greatest(F.lit(0.0), rate - radius)).alias("lo"),
+        F.when(ok, F.least(F.lit(1.0), rate + radius)).alias("hi"))
+
+
+def hoeffding_confseq_sql(
+    table: str,
+    time_expr: str,
+    trials_expr: str,
+    successes_expr: str,
+    time_name: str = "t",
+    keys: Sequence[str] = (),
+    alpha_permille: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`hoeffding_confseq` — identical integer
+    cumulative sums and the same double-rounded ln chain."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    part = f"PARTITION BY {kcols} " if keys else ""
+    td = "CAST(n_cum AS DOUBLE)"
+    lnln = f"round(ln(round(ln(2.0 * {td}), 9)), 9)"
+    lna = f"round(ln(5200.0 / {float(alpha_permille)!r}e0), 9)"
+    radius = f"(1.7 * sqrt(({lnln} + 0.72 * {lna}) / {td}))"
+    rate = f"(CAST(s_cum AS DOUBLE) / {td})"
+    return f"""
+    WITH s AS (
+        SELECT {kpref}{time_expr} AS tt,
+               CAST({trials_expr} AS BIGINT) AS n,
+               CAST({successes_expr} AS BIGINT) AS sx
+        FROM {table}
+    ),
+    c AS (
+        SELECT {kpref}tt,
+               CAST(SUM(n) OVER ({part}ORDER BY tt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_cum,
+               CAST(SUM(sx) OVER ({part}ORDER BY tt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s_cum
+        FROM s
+    )
+    SELECT {kpref}tt AS {time_name}, n_cum, s_cum,
+           CASE WHEN n_cum > 0 THEN {rate} END AS rate,
+           CASE WHEN n_cum >= 2 THEN {radius} END AS radius,
+           CASE WHEN n_cum >= 2 THEN
+               GREATEST(0.0, {rate} - {radius}) END AS lo,
+           CASE WHEN n_cum >= 2 THEN
+               LEAST(1.0, {rate} + {radius}) END AS hi
+    FROM c
+    """

@@ -5993,6 +5993,38 @@ def pettitt_cp_by_event_type(spark: SparkSession, sf_dir: str) \
 
 
 @query(
+    "confseq_purchase_rate_daily",
+    oracle=ES.hoeffding_confseq_sql(
+        """(SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_ev,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_buy
+            FROM events GROUP BY 1)""",
+        "d", "n_ev", "n_buy", time_name="d"),
+)
+def confseq_purchase_rate_daily(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """ANYTIME-VALID confidence sequence on the cumulative purchase
+    rate by day (operators/evalstats.hoeffding_confseq — Howard et al.
+    2021 stitched boundary): the band that stays valid under DAILY
+    PEEKING, i.e. the honest monitor for a continuously-watched
+    conversion metric where repeated z-tests would inflate false
+    alarms.  Exact integer cumulative counts over the bounded daily
+    relation; the radius chain rounds after each nested ln."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint")
+        .alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                         .otherwise(0)), F.lit(0)).cast("bigint")
+        .alias("n_buy"))
+    return ES.hoeffding_confseq(daily, "d", "n_ev", "n_buy")
+
+
+@query(
     "kendall_tau_doclen_tokens",
     oracle=ES.kendall_tau_b_sql(
         f"""(SELECT n_chars // 100 AS xb, {_MCN_TOKS} // 20 AS yb

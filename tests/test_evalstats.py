@@ -1252,3 +1252,36 @@ def test_pettitt_grouped_and_degenerate(spark):
     assert out["a"]["k_stat"] == k and out["a"]["cp_time"] == cp
     assert out["a"]["p"] == p
     assert out["b"]["k_stat"] is None and out["b"]["p"] is None
+
+
+def test_hoeffding_confseq_hand_case(spark):
+    """Cumulative counts, the stitched radius chain (round-9 after each
+    nested ln), clamping, and the t < 2 guard."""
+    import math
+    rows = [(0, 1, 1), (1, 3, 1), (2, 6, 2)]
+    df = spark.createDataFrame(rows, "d bigint, n bigint, s bigint")
+    out = {r["d"]: r for r in
+           E.hoeffding_confseq(df, "d", "n", "s").collect()}
+    assert out[0]["n_cum"] == 1 and out[0]["radius"] is None
+    assert out[0]["rate"] == 1.0
+    lna = round(math.log(5200.0 / 50.0), 9)
+    for d, (t, s) in [(1, (4, 2)), (2, (10, 4))]:
+        lnln = round(math.log(round(math.log(2.0 * t), 9)), 9)
+        r = 1.7 * math.sqrt((lnln + 0.72 * lna) / t)
+        assert out[d]["n_cum"] == t and out[d]["s_cum"] == s
+        assert out[d]["rate"] == s / t
+        assert out[d]["radius"] == r
+        assert out[d]["lo"] == max(0.0, s / t - r)
+        assert out[d]["hi"] == min(1.0, s / t + r)
+
+
+def test_hoeffding_confseq_band_shrinks_and_covers(spark):
+    """On a long constant-rate series the band monotonically shrinks
+    and always contains the true rate."""
+    rows = [(d, 100, 30) for d in range(50)]
+    df = spark.createDataFrame(rows, "d bigint, n bigint, s bigint")
+    out = sorted(E.hoeffding_confseq(df, "d", "n", "s").collect(),
+                 key=lambda r: r["d"])
+    radii = [r["radius"] for r in out]
+    assert all(a > b for a, b in zip(radii, radii[1:]))
+    assert all(r["lo"] <= 0.3 <= r["hi"] for r in out)
