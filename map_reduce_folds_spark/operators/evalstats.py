@@ -4042,3 +4042,109 @@ def hoeffding_confseq_sql(
                LEAST(1.0, {rate} + {radius}) END AS hi
     FROM c
     """
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta (ordinal effect size)
+# ---------------------------------------------------------------------------
+
+def cliffs_delta(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: Sequence[str] = (),
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """CLIFF'S DELTA ordinal effect size (Cliff 1993): δ = (#(x₁>x₀) −
+    #(x₁<x₀)) / (n₁·n₀) — the rank-scale companion to :func:`cohens_d`
+    the way :func:`mannwhitney_z` companions :func:`welch_t`: robust to
+    outliers and any monotone transform, δ = 2·AUC − 1.
+
+    Exactness: rides the identical distinct-value + :func:`cum_below`
+    machinery as mannwhitney_z — num2 = 2·#> + #ties is an exact
+    DECIMAL integer, and δ = (num2 − n₁n₀)/(n₁n₀) is ONE division of
+    exact integers (no transcendental).  The magnitude label applies
+    the Romano et al. 2006 thresholds (0.147/0.33/0.474) to the
+    mirrored double.  Degenerate groups (either class empty) emit
+    NULL.
+
+    Output: ``keys…, n_pos, n_neg, delta, magnitude``.  SQL mirror
+    :func:`cliffs_delta_sql`.
+    """
+    df, gkeys = _with_group(df, keys)
+    lab = F.col(label_col).cast("bigint")
+    d = (
+        df.select(*gkeys, F.col(score_col).cast("bigint").alias("__s"),
+                  lab.alias("__y"))
+        .groupBy(*gkeys, "__s")
+        .agg(F.sum("__y").alias("__pos"),
+             F.sum(F.lit(1) - F.col("__y")).alias("__neg"))
+    )
+    c = cum_below(d, gkeys, "__s", ["__neg"], nbuckets=nbuckets)
+    agg = c.groupBy(*gkeys).agg(
+        F.sum((F.col("__pos") * (F.lit(2) * F.col("below___neg")
+                                 + F.col("__neg"))).cast("decimal(38,0)"))
+        .alias("__num2"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum("__neg").cast("bigint").alias("n_neg"))
+    pn = (F.col("n_pos").cast("decimal(38,0)")
+          * F.col("n_neg").cast("decimal(38,0)"))
+    delta = (F.col("__num2") - pn).cast("double") / pn.cast("double")
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    mag = (F.when(F.abs(delta) < 0.147, "negligible")
+           .when(F.abs(delta) < 0.33, "small")
+           .when(F.abs(delta) < 0.474, "medium")
+           .otherwise("large"))
+    return agg.select(
+        *(list(keys) or []), "n_pos", "n_neg",
+        F.when(ok, delta).alias("delta"),
+        F.when(ok, mag).alias("magnitude"))
+
+
+def cliffs_delta_sql(
+    table: str,
+    score_expr: str,
+    label_expr: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`cliffs_delta` — identical integer sums
+    and the single division."""
+    kcols = ", ".join(keys)
+    kpref = f"{kcols}, " if keys else ""
+    part = f"PARTITION BY {kcols} " if keys else ""
+    grp = f"GROUP BY {kcols}" if keys else "GROUP BY ()"
+    pn = ("CAST(n_pos AS DECIMAL(38,0)) * CAST(n_neg AS DECIMAL(38,0))")
+    delta = (f"CAST(num2 - {pn} AS DOUBLE) / CAST({pn} AS DOUBLE)")
+    return f"""
+    WITH pts AS (
+      SELECT {kpref}CAST({score_expr} AS BIGINT) AS s,
+             CAST({label_expr} AS BIGINT) AS y
+      FROM {table}
+    ),
+    d AS (
+      SELECT {kpref}s, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM pts GROUP BY {kpref}s
+    ),
+    c AS (
+      SELECT {kpref}s, pos, neg,
+             COALESCE(SUM(neg) OVER ({part}ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM d
+    ),
+    a AS (
+      SELECT {kpref}
+             CAST(SUM(pos * (2 * below + neg)) AS DECIMAL(38,0)) AS num2,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg
+      FROM c {grp}
+    )
+    SELECT {kpref}n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN {delta} END AS delta,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CASE WHEN abs({delta}) < 0.147 THEN 'negligible'
+                  WHEN abs({delta}) < 0.33 THEN 'small'
+                  WHEN abs({delta}) < 0.474 THEN 'medium'
+                  ELSE 'large' END
+           END AS magnitude
+    FROM a
+    """

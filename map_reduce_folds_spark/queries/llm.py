@@ -5834,6 +5834,28 @@ def effect_size_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ES.cohens_d(lab, "n_chars", "is_en")
 
 
+@query(
+    "cliffs_delta_doclen_by_source",
+    oracle=ES.cliffs_delta_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", keys=["source"]),
+)
+def cliffs_delta_doclen_by_source(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """CLIFF'S DELTA of English-vs-rest document length PER SOURCE
+    (operators/evalstats.cliffs_delta) — the ordinal effect-size screen
+    that pairs with fdr_doclen_en_by_source's significance screen:
+    which sources have a shift that MATTERS, robust to doc-length
+    outliers.  Same distinct-value + cum_below machinery as
+    mannwhitney_z; delta is one exact-integer division, with the
+    Romano magnitude bands on the mirrored double."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select("source", "n_chars",
+                   F.when(F.col("lang") == "en", 1).otherwise(0)
+                   .alias("is_en"))
+    return ES.cliffs_delta(lab, "n_chars", "is_en", keys=["source"])
+
+
 _FDR_A = 50  # permille: alpha = 0.05
 
 

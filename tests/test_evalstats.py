@@ -1285,3 +1285,29 @@ def test_hoeffding_confseq_band_shrinks_and_covers(spark):
     radii = [r["radius"] for r in out]
     assert all(a > b for a, b in zip(radii, radii[1:]))
     assert all(r["lo"] <= 0.3 <= r["hi"] for r in out)
+
+
+def test_cliffs_delta_hand_case(spark):
+    """delta = (#> - #<)/(n1*n0) counted longhand, ties contributing
+    zero; delta = 2*AUC - 1 against the roc_auc machinery."""
+    rows = [(1, 0), (2, 0), (3, 0), (2, 1), (4, 1), (5, 1)]
+    df = spark.createDataFrame(rows, "s bigint, y int")
+    r = E.cliffs_delta(df, "s", "y").collect()[0]
+    gt = sum(1 for a in (2, 4, 5) for b in (1, 2, 3) if a > b)
+    lt = sum(1 for a in (2, 4, 5) for b in (1, 2, 3) if a < b)
+    want = (gt - lt) / 9.0
+    assert (r["n_pos"], r["n_neg"]) == (3, 3)
+    assert r["delta"] == want
+    auc = E.roc_auc(df, "s", "y").collect()[0]["auc"]
+    assert abs(r["delta"] - (2 * auc - 1)) < 1e-15
+    assert r["magnitude"] == "large"
+
+
+def test_cliffs_delta_degenerate_and_grouped(spark):
+    """One-class groups emit NULL; keys= screens per group."""
+    rows = [("a", 1, 0), ("a", 5, 1), ("b", 3, 0), ("b", 4, 0)]
+    df = spark.createDataFrame(rows, "g string, s bigint, y int")
+    out = {r["g"]: r for r in
+           E.cliffs_delta(df, "s", "y", keys=["g"]).collect()}
+    assert out["a"]["delta"] == 1.0
+    assert out["b"]["delta"] is None and out["b"]["magnitude"] is None
