@@ -3982,16 +3982,32 @@ def hoeffding_confseq(
         *gkeys, "__t",
         F.sum("__n").over(wcum).cast("bigint").alias("n_cum"),
         F.sum("__s").over(wcum).cast("bigint").alias("s_cum"))
-    t = F.col("n_cum").cast("double")
+    return confseq_bounds(
+        c.select(*(list(keys) or []), F.col("__t").alias(time_col),
+                 "n_cum", "s_cum"),
+        alpha_permille=alpha_permille)
+
+
+def confseq_bounds(
+    df: DataFrame,
+    n_col: str = "n_cum",
+    s_col: str = "s_cum",
+    alpha_permille: int = 50,
+) -> DataFrame:
+    """Append the stitched-boundary columns (rate, radius, lo, hi) to a
+    relation of exact integer cumulative counts — the SHARED terminal
+    chain of :func:`hoeffding_confseq`, also applied by the streaming
+    twin to its integer state output so batch and stream walk the
+    identical Spark expression (bitwise parity by construction)."""
+    t = F.col(n_col).cast("double")
     lnln = F.round(F.log(F.round(F.log(F.lit(2.0) * t), 9)), 9)
     lna = F.round(F.log(F.lit(5200.0) / F.lit(float(alpha_permille))), 9)
     radius = F.lit(1.7) * F.sqrt((lnln + F.lit(0.72) * lna) / t)
-    rate = F.col("s_cum").cast("double") / t
-    ok = F.col("n_cum") >= 2
-    return c.select(
-        *(list(keys) or []), F.col("__t").alias(time_col),
-        "n_cum", "s_cum",
-        F.when(F.col("n_cum") > 0, rate).alias("rate"),
+    rate = F.col(s_col).cast("double") / t
+    ok = F.col(n_col) >= 2
+    return df.select(
+        *df.columns,
+        F.when(F.col(n_col) > 0, rate).alias("rate"),
         F.when(ok, radius).alias("radius"),
         F.when(ok, F.greatest(F.lit(0.0), rate - radius)).alias("lo"),
         F.when(ok, F.least(F.lit(1.0), rate + radius)).alias("hi"))

@@ -1372,3 +1372,63 @@ def daily_counts_finalize(spark, out_dir: str, keys=()):
     df = spark.read.parquet(out_dir)
     return (df.groupBy(*list(keys), "d")
             .agg(F.sum("n_events").cast("bigint").alias("n_events")))
+
+
+def stream_confseq(
+    stream: DataFrame,
+    key: str,
+    success_col: str,
+    alpha_permille: int = 50,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming ANYTIME-VALID monitor: the incremental twin of
+    ``evalstats.hoeffding_confseq`` — which is the whole point of a
+    confidence sequence: its guarantee is time-uniform, so the
+    streaming emission after EVERY micro-batch is a valid (1−α) band
+    to act on, no stopping rule needed.
+
+    State is TWO exact integers per key (cumulative trials, cumulative
+    successes) at any event volume; each micro-batch just adds counts
+    (order-free — addition commutes, so unlike the CUSUM/Holt twins
+    there is no arrival-order caveat at all).  The stateful part emits
+    ONLY the integer state; the rate/radius/lo/hi columns are appended
+    by the SAME Spark expression the batch operator ends with
+    (``evalstats.confseq_bounds``), so batch and stream agree bitwise
+    by construction on equal counts."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.evalstats import confseq_bounds
+
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = f"{key} {fields[key]}, n_cum bigint, s_cum bigint"
+    src = stream.select(
+        F.col(key),
+        F.col(success_col).cast("bigint").alias("__y"))
+
+    def update(key_, pdf_iter, state: GroupState):
+        import pandas as pd  # local import: runs on executors
+
+        if state.exists:
+            (st_json,) = state.get
+            n, s = json.loads(st_json)
+        else:
+            n = s = 0
+        for pdf in pdf_iter:
+            n += int(len(pdf))
+            s += int(pdf["__y"].sum())
+        state.update((json.dumps([n, s]),))
+        yield pd.DataFrame([{key: key_[0], "n_cum": n, "s_cum": s}])
+
+    out = (
+        src.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="acc string",
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return confseq_bounds(out, alpha_permille=alpha_permille)

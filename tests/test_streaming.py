@@ -1509,3 +1509,51 @@ def test_stream_daily_counts_drift_matches_batch(spark, tmp_path_factory):
     want = {r["event_type"]: r.asDict() for r in E.mann_kendall(
         daily, "n_events", "d", keys=["event_type"]).collect()}
     assert got == want and got
+
+
+def test_stream_confseq_matches_batch_final_row(spark, tmp_path_factory):
+    """Streaming confidence sequence over a two-phase replay: the LAST
+    emission per key carries the exact whole-history integer counts,
+    and its band columns equal the batch hoeffding_confseq's final
+    (max-time) row bitwise — the shared confseq_bounds expression on
+    equal integers."""
+    from map_reduce_folds_spark.operators.evalstats import (
+        hoeffding_confseq)
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, stream_confseq,
+    )
+
+    p = str(tmp_path_factory.mktemp("confseq_stream"))
+    cols = ["k", "d", "y"]
+    early = spark.createDataFrame(
+        [(1, 0, 1), (1, 0, 0), (1, 1, 0), (2, 0, 1)], cols)
+    late = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 0), (2, 2, 1), (2, 2, 0)], cols)
+    early.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = read_parquet_stream(spark, p, "k bigint, d bigint, y bigint")
+    out = stream_confseq(stream, "k", "y")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("confseq_stream").start())
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(p)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = {r["k"]: r for r in spark.table("confseq_stream").collect()
+            if r["n_cum"] == max(
+                x["n_cum"] for x in spark.table("confseq_stream").collect()
+                if x["k"] == r["k"])}
+    daily = (early.union(late).groupBy("k", "d")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")))
+    batch = {}
+    for r in hoeffding_confseq(daily, "d", "n", "s", keys=["k"]).collect():
+        cur = batch.get(r["k"])
+        if cur is None or r["d"] > cur["d"]:
+            batch[r["k"]] = r
+    assert set(last) == {1, 2}
+    for k in (1, 2):
+        for c in ("n_cum", "s_cum", "rate", "radius", "lo", "hi"):
+            assert last[k][c] == batch[k][c], (k, c)
+    assert (last[1]["n_cum"], last[1]["s_cum"]) == (4, 2)
+    assert (last[2]["n_cum"], last[2]["s_cum"]) == (4, 2)
