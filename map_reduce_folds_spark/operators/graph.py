@@ -1064,3 +1064,87 @@ def sparsify_topk_edges_sql(
            w AS {weight_col}
     FROM kept
     """
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    rounds: int,
+) -> DataFrame:
+    """k-CORE via SYNCHRONIZED fixed-round peeling (Seidman 1983;
+    Batagelj-Zaversnik is the sequential algorithm, this is its
+    parallel synchronized form): repeat ``rounds`` times — compute each
+    node's degree within the current surviving set, drop nodes with
+    degree < k.  The near-dup graph use: a dup CLUSTER core survives
+    peeling, a borderline CHAIN (degree ≤ 2 path) peels away — so the
+    2-core separates real duplicate mass from transitive chains the
+    way neardup_triangles' cliquishness score suggests but per-node.
+
+    FIXED ``rounds`` is the determinism contract: both the Spark loop
+    and the unrolled SQL mirror (:func:`kcore_peel_sql`) run EXACTLY
+    ``rounds`` synchronized sweeps, so they agree even short of the
+    fixpoint; convergence (one extra sweep removes nobody) is asserted
+    at fixture scale in tests, and at cluster scale the caller bounds
+    rounds the way pagerank bounds iterations (each sweep is one
+    degree aggregation + one semi-join — peeling depth on near-dup
+    graphs is small because chains are short).  Pure integer counting;
+    no floats anywhere.
+
+    Output: ``(node, deg)`` — surviving nodes with their degree inside
+    the final core (so every deg ≥ k); empty when the k-core is empty.
+    """
+    # the edge view is referenced 2·(rounds+1) times — without a
+    # checkpoint each sweep would REPLAY the upstream candidate-pair
+    # pipeline (the pipeline_curation_v5 shared-stage lesson); a lazy
+    # localCheckpoint computes it once
+    e = symmetric_edges(edges, src, dst).localCheckpoint(eager=False)
+    surv = e.select(F.col("u").alias("node")).distinct()
+    for _ in range(int(rounds)):
+        alive = (e.join(surv.withColumnRenamed("node", "u"), "u")
+                 .join(surv.withColumnRenamed("node", "v"), "v"))
+        deg = alive.groupBy("u").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg"))
+        surv = (deg.where(F.col("deg") >= k)
+                .select(F.col("u").alias("node")))
+    alive = (e.join(surv.withColumnRenamed("node", "u"), "u")
+             .join(surv.withColumnRenamed("node", "v"), "v"))
+    return (alive.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg")))
+
+
+def kcore_peel_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB mirror of :func:`kcore_peel` — the same ``rounds``
+    synchronized sweeps unrolled as chained CTEs over the symmetric
+    deduplicated edge view.  ``edges_sql``: a SELECT yielding columns
+    ``s, t`` (one row per undirected pair, either orientation)."""
+    # base is referenced twice (both orientations) and e 2·(rounds+1)
+    # times — MATERIALIZED stops DuckDB re-evaluating the (typically
+    # expensive) candidate-pair subplan per reference, mirroring the
+    # Spark side's localCheckpoint
+    ctes = [f"base AS MATERIALIZED ({edges_sql})", f"""e AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT s AS u, t AS v FROM base
+            UNION SELECT t, s FROM base
+        ) WHERE u != v
+    )""", """s0 AS (SELECT DISTINCT u AS node FROM e)"""]
+    prev = "s0"
+    for i in range(1, int(rounds) + 1):
+        ctes.append(f"""d{i} AS (
+        SELECT e.u, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM e
+        JOIN {prev} a ON a.node = e.u
+        JOIN {prev} b ON b.node = e.v
+        GROUP BY e.u
+    )""")
+        ctes.append(f"s{i} AS (SELECT u AS node FROM d{i} "
+                    f"WHERE deg >= {int(k)})")
+        prev = f"s{i}"
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT e.u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e
+    JOIN {prev} a ON a.node = e.u
+    JOIN {prev} b ON b.node = e.v
+    GROUP BY e.u
+    """)

@@ -2200,6 +2200,32 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kcore_neardup_docs",
+    oracle=G2.kcore_peel_sql(f"""
+        SELECT a.doc_id AS s, b.doc_id AS t
+        FROM (SELECT doc_id, {D.simhash_sql('text', 60)} AS sg FROM documents) a
+        JOIN (SELECT doc_id, {D.simhash_sql('text', 60)} AS sg FROM documents) b
+          ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sg, b.sg)) <= 3
+    """, k=2, rounds=6),
+)
+def kcore_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-CORE of the SimHash near-dup graph (operators/graph.kcore_peel,
+    6 synchronized peel sweeps): the per-node refinement of
+    neardup_triangles' cliquishness score — docs surviving the 2-core
+    sit in genuine duplicate CLUSTERS, docs peeled away hung off
+    borderline transitive CHAINS.  Spark runs the factored pair
+    generator + the peel loop; the oracle brute-forces the pair graph
+    and unrolls the same 6 sweeps (fixed-round contract — convergence
+    at fixture is a unit-test assertion, not an oracle assumption)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs_factored(d, "doc_id", "text",
+                                              bits=60, max_hamming=3,
+                                              blocks="auto")
+    return G2.kcore_peel(pairs, "id_a", "id_b", k=2, rounds=6)
+
+
+@query(
     "negative_samples_docs",
     oracle=SM.negative_samples_sql("doc_id", "documents", 2),
 )

@@ -729,3 +729,52 @@ def test_sparsify_topk_equals_bruteforce_reference(spark):
     got = {(r["id_a"], r["id_b"])
            for r in G.sparsify_topk_edges(pairs, k=k).collect()}
     assert got == keep
+
+
+def test_kcore_peel_chain_vs_clique(spark):
+    """A triangle with a pendant chain: the 2-core keeps exactly the
+    triangle (each at degree 2); the chain peels away over rounds."""
+    from map_reduce_folds_spark.operators.graph import kcore_peel
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),          # triangle
+         (3, 4), (4, 5), (5, 6)],         # chain hanging off node 3
+        "a bigint, b bigint")
+    out = {r["node"]: r["deg"]
+           for r in kcore_peel(edges, "a", "b", k=2, rounds=6).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peel_fixed_rounds_and_convergence(spark):
+    """Too few rounds leaves chain remnants (the fixed-round contract:
+    both engines run the same sweeps); at convergence an extra sweep
+    changes nothing — also asserted for the REGISTERED fixture row, so
+    the 6-round oracle is a true k-core there."""
+    from map_reduce_folds_spark.operators.graph import kcore_peel
+    chain = [(i, i + 1) for i in range(1, 8)]
+    edges = spark.createDataFrame(chain + [(10, 11), (11, 12), (10, 12)],
+                                  "a bigint, b bigint")
+    # chain of 7 edges needs ceil(7/2)=4 sweeps to vanish (peels from
+    # both ends); after 1 round the interior survives
+    r1 = kcore_peel(edges, "a", "b", k=2, rounds=1).collect()
+    assert {r["node"] for r in r1} > {10, 11, 12}
+    r4 = {r["node"] for r in
+          kcore_peel(edges, "a", "b", k=2, rounds=4).collect()}
+    r5 = {r["node"] for r in
+          kcore_peel(edges, "a", "b", k=2, rounds=5).collect()}
+    assert r4 == r5 == {10, 11, 12}
+
+
+def test_kcore_registered_row_converged(spark):
+    """The registered 6-round fixture row is at fixpoint: a 7th sweep
+    returns the identical (node, deg) set at sf0.001."""
+    from map_reduce_folds_spark.operators import dedup as D
+    from map_reduce_folds_spark.operators.graph import kcore_peel
+    from map_reduce_folds_spark.sources import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = D.simhash_near_dup_pairs_factored(
+        d, "doc_id", "text", bits=60, max_hamming=3, blocks="auto")
+    six = {(r["node"], r["deg"]) for r in
+           kcore_peel(pairs, "id_a", "id_b", k=2, rounds=6).collect()}
+    seven = {(r["node"], r["deg"]) for r in
+             kcore_peel(pairs, "id_a", "id_b", k=2, rounds=7).collect()}
+    assert six == seven and six
