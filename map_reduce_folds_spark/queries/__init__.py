@@ -69,8 +69,21 @@ _PRIORITY = [
     #     strictly richer row; the tumbling agg stays hash-exact just
     #     past the window alongside events_sliding_window).
     # All displaced rows re-register immediately past the window.
+    # Round-14 session-7 rotation, same displacement rule: TWO new
+    # families enter.  zorder_layout_audit (NEW data-layout /
+    # multi-dimensional data-skipping family: Morton interleave +
+    # per-file min/max envelope pruning) displaces dedup_lines —
+    # corpus-rewrite dedup stays represented by dedup_span_rewrite
+    # (plus exact/minhash/t09 in-window) and the line-level row
+    # re-registers immediately past the window.
+    # confseq_purchase_rate_daily (NEW anytime-valid sequential-
+    # monitoring family: Howard et al. stitched confidence sequence,
+    # with a no-arrival-order-caveat streaming twin) displaces
+    # mr_unpack_only — the unpack family keeps mr_melt and the Arrow
+    # UnpackM path mr_filter_mapinpandas in-window; unpack_only
+    # re-registers immediately past the window.
     "mr_readme_sum", "mr_applicative", "mr_melt",
-    "dedup_lines", "mr_fold_vocab", "k_anonymity_audit",
+    "zorder_layout_audit", "mr_fold_vocab", "k_anonymity_audit",
     # core operators driver-verified from round 2 (VERDICT r1 item 5)
     # Round 10 swaps, per the same displacement rule (r9 verdict Next #4):
     # four round-9 families enter — rfm_customer_segments (NEW value-based
@@ -103,7 +116,8 @@ _PRIORITY = [
     # (survival's second shape) and bootstrap_incremental_ci /
     # anova_doclen_source register just past it too.
     "km_conversion_curve",
-    "mr_unpack_only", "mr_filter_mapinpandas", "rfm_customer_segments",
+    "confseq_purchase_rate_daily", "mr_filter_mapinpandas",
+    "rfm_customer_segments",
     "mr_product_median", "activity_streaks",
     "mr_group_reduce_ordered",
     # LLM-pipeline block (dedup / similarity / text / multimodal / quality)
@@ -298,6 +312,8 @@ _PRIORITY = [
     "fdr_doclen_en_by_source",
     "chao1_vocab_by_source",
     "temperature_mix_sources",
+    # session-7 displaced rows re-register immediately past the window
+    "dedup_lines", "mr_unpack_only",
     # Round-14 rotation candidates (new round-13 session-2 FAMILIES,
     # all hash-exact locally, registering past the window in module
     # order): kmeans_centroids (distributed trained quantizer — the

@@ -111,7 +111,16 @@ def test_driver_window_covers_every_family():
     # oracle contains the full per-source MW z machinery); evaluation
     # statistics keep chao1 in-window and the AUC row re-registers
     # immediately past the window.
+    # Round-14 session-7 rotation: zorder_layout_audit (NEW data-layout
+    # / multi-dimensional data-skipping family) displaces dedup_lines
+    # (corpus-rewrite dedup keeps dedup_span_rewrite, plus
+    # exact/minhash/t09), and confseq_purchase_rate_daily (NEW
+    # anytime-valid sequential-monitoring family, streaming twin in
+    # streaming.stream_confseq) displaces mr_unpack_only (unpack keeps
+    # mr_melt + the Arrow UnpackM path mr_filter_mapinpandas).  Both
+    # displaced rows re-register immediately past the window.
     for must_have in [
+        "zorder_layout_audit", "confseq_purchase_rate_daily",
         "mr_fold_vocab", "mr_group_reduce_keyed", "mr_product_median",
         "dedup_exact", "dedup_minhash",
         "dedup_span_rewrite", "rfm_customer_segments",
@@ -167,7 +176,7 @@ def test_driver_window_exact_composition():
     composition changes should always be explicit in a diff."""
     import __spark_entry__ as entrymod
 
-    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'dedup_lines', 'mr_fold_vocab', 'k_anonymity_audit', 'mr_group_reduce_keyed', 'mr_concat_fold', 'km_conversion_curve', 'mr_unpack_only', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'hybrid_search_rrf', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'bootstrap_doclen_ci', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'conformal_novelty_gate', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'fdr_doclen_en_by_source', 'chao1_vocab_by_source', 'temperature_mix_sources']
+    assert list(entrymod.queries())[:50] == ['mr_readme_sum', 'mr_applicative', 'mr_melt', 'zorder_layout_audit', 'mr_fold_vocab', 'k_anonymity_audit', 'mr_group_reduce_keyed', 'mr_concat_fold', 'km_conversion_curve', 'confseq_purchase_rate_daily', 'mr_filter_mapinpandas', 'rfm_customer_segments', 'mr_product_median', 'activity_streaks', 'mr_group_reduce_ordered', 'text_stats', 'bpe_encode_corpus', 'embedding_pca_residuals', 'label_prop_neardup', 'holt_user_forecast', 'benford_totalprice_audit', 'dedup_exact', 'record_linkage_customers', 'dedup_minhash', 'dedup_span_rewrite', 'dedup_embedding_clusters_t09', 'hybrid_search_rrf', 'dsir_importance_weights', 'bloom_pruned_join', 'pagerank_event_types', 'multimodal_features', 'bootstrap_doclen_ci', 'scd2_user_event_history', 'nb_lang_confusion', 'gopher_repetition_signals', 'winnow_overlap_pairs', 'sketch_union_hll', 'cusum_stream_stateful', 'asof_join_purchase_click', 'conformal_novelty_gate', 'window_topk_per_group', 'kmeans_centroids', 'rollup_region_nation', 'salted_aggregation', 'sessionize_stream_stateful', 'q1_pricing_summary', 'q9_product_profit', 'fdr_doclen_en_by_source', 'chao1_vocab_by_source', 'temperature_mix_sources']
 
 
 def test_local_gate_freshness():
