@@ -1311,3 +1311,67 @@ def test_cliffs_delta_degenerate_and_grouped(spark):
            E.cliffs_delta(df, "s", "y", keys=["g"]).collect()}
     assert out["a"]["delta"] == 1.0
     assert out["b"]["delta"] is None and out["b"]["magnitude"] is None
+
+
+def _duck_rows(sql, tbl_name, rows, schema_sql):
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE {tbl_name} ({schema_sql})")
+    ph = ", ".join("?" for _ in rows[0])
+    con.executemany(f"INSERT INTO {tbl_name} VALUES ({ph})", rows)
+    return con.sql(sql).df()
+
+
+def test_nelson_aalen_sql_mirror_grouped(spark):
+    """The keys= path of nelson_aalen_sql agrees bitwise with the Spark
+    operator (the registered row only exercises the global path)."""
+    rows = [("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 3, 1),
+            ("b", 1, 1), ("b", 2, 1), ("b", 4, 0)]
+    df = spark.createDataFrame(rows, "g string, duration bigint, event int")
+    got = {(r["g"], r["duration"]):
+           (r["n_risk"], r["n_events"], r["cum_hazard"], r["var_hazard"])
+           for r in E.nelson_aalen(df, "duration", "event",
+                                   keys=["g"]).collect()}
+    sql = E.nelson_aalen_sql("SELECT * FROM subj0", keys=["g"])
+    pdf = _duck_rows(sql, "subj0", rows,
+                     "g VARCHAR, duration BIGINT, event INT")
+    want = {(r.g, r.duration): (r.n_risk, r.n_events, r.cum_hazard,
+                                r.var_hazard)
+            for r in pdf.itertuples()}
+    assert got == want
+
+
+def test_hoeffding_confseq_sql_mirror_grouped(spark):
+    """The keys= path of hoeffding_confseq_sql agrees bitwise with the
+    Spark operator."""
+    import math
+    rows = [("a", 0, 5, 2), ("a", 1, 7, 3), ("b", 0, 1, 1), ("b", 1, 9, 0)]
+    df = spark.createDataFrame(rows, "g string, d bigint, n bigint, s bigint")
+    got = {(r["g"], r["d"]): (r["n_cum"], r["s_cum"], r["rate"],
+                              r["radius"], r["lo"], r["hi"])
+           for r in E.hoeffding_confseq(df, "d", "n", "s",
+                                        keys=["g"]).collect()}
+    sql = E.hoeffding_confseq_sql("(SELECT * FROM daily0)", "d", "n", "s",
+                                  time_name="d", keys=["g"])
+    pdf = _duck_rows(sql, "daily0", rows,
+                     "g VARCHAR, d BIGINT, n BIGINT, s BIGINT")
+    want = {}
+    for r in pdf.itertuples():
+        want[(r.g, r.d)] = tuple(
+            None if (isinstance(v, float) and math.isnan(v)) else v
+            for v in (r.n_cum, r.s_cum, r.rate, r.radius, r.lo, r.hi))
+    assert got == want
+
+
+def test_cliffs_delta_sql_mirror_grouped(spark):
+    """The keys= path of cliffs_delta_sql agrees with the operator."""
+    rows = [("a", 1, 0), ("a", 2, 1), ("a", 2, 0), ("a", 5, 1),
+            ("b", 9, 1), ("b", 3, 0), ("b", 3, 0)]
+    df = spark.createDataFrame(rows, "g string, s bigint, y int")
+    got = {r["g"]: (r["n_pos"], r["n_neg"], r["delta"], r["magnitude"])
+           for r in E.cliffs_delta(df, "s", "y", keys=["g"]).collect()}
+    sql = E.cliffs_delta_sql("(SELECT * FROM pts0)", "s", "y", keys=["g"])
+    pdf = _duck_rows(sql, "pts0", rows, "g VARCHAR, s BIGINT, y INT")
+    want = {r.g: (r.n_pos, r.n_neg, r.delta, r.magnitude)
+            for r in pdf.itertuples()}
+    assert got == want
