@@ -2200,6 +2200,82 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_capture_recapture",
+    oracle=f"""
+    WITH mh AS MATERIALIZED ({_minhash_oracle()}),
+    shp AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id, {D.simhash_sql('text', 60)} AS sg
+              FROM documents) a
+        JOIN (SELECT doc_id, {D.simhash_sql('text', 60)} AS sg
+              FROM documents) b
+          ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sg, b.sg)) <= 3
+    ),
+    ca AS (SELECT DISTINCT doc_id FROM
+           (SELECT id_a AS doc_id FROM mh
+            UNION SELECT id_b FROM mh)),
+    cb AS (SELECT DISTINCT doc_id FROM
+           (SELECT id_a AS doc_id FROM shp
+            UNION SELECT id_b FROM shp)),
+    n AS (SELECT CAST((SELECT COUNT(*) FROM ca) AS BIGINT) AS n1,
+                 CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS n2,
+                 CAST((SELECT COUNT(*) FROM ca JOIN cb USING (doc_id))
+                      AS BIGINT) AS m)
+    SELECT n1, n2, m,
+           CAST(n1 + n2 - m AS BIGINT) AS caught_union,
+           CAST(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                / CAST(m + 1 AS DOUBLE) - 1.0 AS DOUBLE) AS n_hat,
+           CAST(CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)
+                     * (n1 - m) * (n2 - m) AS DOUBLE)
+                / CAST(CAST(m + 1 AS DECIMAL(38,0)) * (m + 1) * (m + 2)
+                       AS DOUBLE) AS DOUBLE) AS var_hat
+    FROM n
+    """,
+)
+def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE audit of near-dup coverage (Chapman 1951, the
+    bias-corrected Lincoln-Petersen estimator; Seber variance): treat
+    the MinHash-LSH catch and the SimHash catch as two independent
+    "captures" of the same duplicate population — N̂ = (n₁+1)(n₂+1)/
+    (m+1) − 1 estimates how many duplicated docs EXIST, so
+    N̂ − |union| estimates what BOTH methods missed: the answer to
+    "is one more dedup pass worth it" that neither method can give
+    alone.  (Independence is the model assumption, as in any mark-
+    recapture survey — the two hash families' disagreement is exactly
+    what makes the overlap informative; documented, not hidden.)
+    Catch sets ride the registered pair generators verbatim; the
+    estimator is exact integer arithmetic with DECIMAL-staged variance
+    products (the 4-factor numerator passes int64 at ~30k flagged
+    docs) and two final divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = D.minhash_near_dup_pairs(d, "doc_id", "text", n=_N, k=_K,
+                                  bands=_BANDS, threshold=_JT)
+    shp = D.simhash_near_dup_pairs_factored(d, "doc_id", "text", bits=60,
+                                            max_hamming=3, blocks="auto")
+    def catch(pairs):
+        return (pairs.select(F.explode(F.array("id_a", "id_b"))
+                             .alias("doc_id")).distinct())
+    ca, cb = catch(mh), catch(shp)
+    n1c = ca.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2c = cb.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    mc = (ca.join(cb, "doc_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("m")))
+    j = n1c.crossJoin(n2c).crossJoin(mc)   # three one-row scalars
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_hat = (((n1 + 1) * (n2 + 1)).cast("double")
+             / (m + 1).cast("double") - F.lit(1.0))
+    var = ((dec(n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)).cast("double")
+           / (dec(m + 1) * (m + 1) * (m + 2)).cast("double"))
+    return j.select(
+        "n1", "n2", "m",
+        (n1 + n2 - m).cast("bigint").alias("caught_union"),
+        n_hat.cast("double").alias("n_hat"),
+        var.cast("double").alias("var_hat"))
+
+
+@query(
     "kcore_neardup_docs",
     oracle=G2.kcore_peel_sql(f"""
         SELECT a.doc_id AS s, b.doc_id AS t

@@ -4056,3 +4056,18 @@ def test_jackknife_ratio_ci_degenerate(spark):
                                 "g string, num bigint, den bigint")
     r2 = SM.jackknife_ratio_ci(df2, "num", "den", "g").collect()[0]
     assert r2["se_jack"] is None and r2["theta_jack"] is None
+
+
+def test_capture_recapture_chapman_arithmetic(spark):
+    """The registered row's Chapman estimate and Seber variance equal
+    the longhand formulas on its own catch counts at sf0.001."""
+    from map_reduce_folds_spark.queries.llm import dedup_capture_recapture
+    r = dedup_capture_recapture(spark, "/root/testdata/sf0.001").collect()[0]
+    n1, n2, m = r["n1"], r["n2"], r["m"]
+    assert r["caught_union"] == n1 + n2 - m
+    assert r["n_hat"] == (n1 + 1) * (n2 + 1) / (m + 1) - 1.0
+    want_var = ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+                / ((m + 1) ** 2 * (m + 2)))
+    assert abs(r["var_hat"] - want_var) < 1e-9 * max(1.0, want_var)
+    # both methods caught something and overlapped, else the row is vacuous
+    assert m > 0 and n1 > m and n2 > m
