@@ -3767,9 +3767,7 @@ def lorenz_curve_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "vocab_growth_curve",
-    oracle="""
+_VOCAB_CURVE_SQL = """
     WITH dr AS (
         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
                COUNT(*) OVER () AS nd,
@@ -3793,8 +3791,10 @@ def lorenz_curve_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
             WHERE first_rk <= c.cut) AS n_distinct
     FROM cuts c
-    """,
-)
+    """
+
+
+@query("vocab_growth_curve", oracle=_VOCAB_CURVE_SQL)
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth curve: cumulative distinct-token
     count against cumulative token count at each corpus decile (docs
@@ -3841,6 +3841,87 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .alias("n_distinct")))
     return toks_at.join(dist_at, "decile").select(
         "decile", "n_tokens", "n_distinct")
+
+
+@query(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH curve AS ({_VOCAB_CURVE_SQL}),
+    pts AS (SELECT * FROM curve WHERE n_tokens > 0 AND n_distinct > 0),
+    folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               list_reduce(
+                   list_prepend(
+                       {{'sx': 0.0, 'sy': 0.0, 'sxy': 0.0, 'sxx': 0.0}},
+                       list({{'sx': ln(CAST(n_tokens AS DOUBLE)),
+                              'sy': ln(CAST(n_distinct AS DOUBLE)),
+                              'sxy': ln(CAST(n_tokens AS DOUBLE))
+                                     * ln(CAST(n_distinct AS DOUBLE)),
+                              'sxx': ln(CAST(n_tokens AS DOUBLE))
+                                     * ln(CAST(n_tokens AS DOUBLE))}}
+                            ORDER BY decile)),
+                   (a, e) -> {{'sx': a.sx + e.sx, 'sy': a.sy + e.sy,
+                               'sxy': a.sxy + e.sxy,
+                               'sxx': a.sxx + e.sxx}}) AS s
+        FROM pts
+    )
+    SELECT n_points,
+           CASE WHEN n_points > 1
+                 AND CAST(n_points AS DOUBLE) * s.sxx - s.sx * s.sx > 0.0
+           THEN round((CAST(n_points AS DOUBLE) * s.sxy - s.sx * s.sy)
+                 / (CAST(n_points AS DOUBLE) * s.sxx - s.sx * s.sx), 9)
+           END AS heaps_beta,
+           CASE WHEN n_points > 1
+                 AND CAST(n_points AS DOUBLE) * s.sxx - s.sx * s.sx > 0.0
+           THEN round(exp((s.sy
+                 - ((CAST(n_points AS DOUBLE) * s.sxy - s.sx * s.sy)
+                    / (CAST(n_points AS DOUBLE) * s.sxx - s.sx * s.sx))
+                   * s.sx) / CAST(n_points AS DOUBLE)), 9)
+           END AS heaps_k
+    FROM folded
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW fit V = k·N^β over the ten-decile vocabulary growth
+    curve (Heaps 1978; Herdan's law) — the SCALING-LAW summary of
+    vocab_growth_curve: β near 0.5 is natural text, β drifting low
+    says the vocabulary is saturating (dedup/boilerplate signal), and
+    extrapolating k·N^β prices the tokenizer vocab for a 100 TB
+    corpus from a fixture-sized prefix.  Rides the zipf_slope sorted-
+    fold OLS idiom verbatim: the ten (ln N, ln V) points fold in
+    DECILE ORDER on both engines, β and k = exp(intercept) emit
+    through one rounded chain each (round-9 after the exp, the shared
+    discipline)."""
+    curve = vocab_growth_curve(spark, sf_dir)
+    pts = curve.where((F.col("n_tokens") > 0) & (F.col("n_distinct") > 0))
+    x = F.log(F.col("n_tokens").cast("double"))
+    y = F.log(F.col("n_distinct").cast("double"))
+    terms = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("decile").alias("d"), x.alias("sx"), y.alias("sy"),
+            (x * y).alias("sxy"), (x * x).alias("sxx")))).alias("arr"))
+    zero = F.struct(F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
+                    F.lit(0.0).alias("sxy"), F.lit(0.0).alias("sxx"))
+    s = F.aggregate(
+        "arr", zero,
+        lambda a, e: F.struct(
+            (a["sx"] + e["sx"]).alias("sx"),
+            (a["sy"] + e["sy"]).alias("sy"),
+            (a["sxy"] + e["sxy"]).alias("sxy"),
+            (a["sxx"] + e["sxx"]).alias("sxx")))
+    st = terms.select("n_points", s.alias("s"))
+    n = F.col("n_points").cast("double")
+    beta = ((n * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy"))
+            / (n * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")))
+    ok = (F.col("n_points") > 1) \
+        & ((n * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")) > 0.0)
+    return st.select(
+        "n_points",
+        F.when(ok, F.round(beta, 9)).alias("heaps_beta"),
+        F.when(ok, F.round(F.exp(
+            (F.col("s.sy") - beta * F.col("s.sx")) / n), 9))
+        .alias("heaps_k"))
 
 
 # ---------------------------------------------------------------------------

@@ -4071,3 +4071,20 @@ def test_capture_recapture_chapman_arithmetic(spark):
     assert abs(r["var_hat"] - want_var) < 1e-9 * max(1.0, want_var)
     # both methods caught something and overlapped, else the row is vacuous
     assert m > 0 and n1 > m and n2 > m
+
+
+def test_heaps_law_fit_saturated_fixture_and_formula(spark):
+    """The synthetic corpus has a FIXED generator vocabulary, so the
+    honest Heaps fit is saturation: beta = 0 and k = the constant
+    distinct-token count; the OLS fold must reproduce exactly that
+    (a flat curve in log space has slope 0 and intercept ln V)."""
+    from map_reduce_folds_spark.queries.llm import (
+        heaps_law_fit, vocab_growth_curve)
+    sf = "/root/testdata/sf0.001"
+    r = heaps_law_fit(spark, sf).collect()[0]
+    curve = {c["decile"]: c for c in vocab_growth_curve(spark, sf).collect()}
+    vocab = {c["n_distinct"] for c in curve.values()}
+    assert len(vocab) == 1          # generator vocab saturates immediately
+    assert r["n_points"] == 10
+    assert r["heaps_beta"] == 0.0
+    assert r["heaps_k"] == float(next(iter(vocab)))
