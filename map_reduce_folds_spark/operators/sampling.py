@@ -1649,3 +1649,130 @@ def jackknife_ratio_ci_sql(
            CASE WHEN gg > 1 AND okd THEN theta + {z} * se END AS ci_hi
     FROM d
     """
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting (raking)
+# ---------------------------------------------------------------------------
+
+def ipf_rake_uniform(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    rounds: int = 5,
+) -> DataFrame:
+    """IPF / RAKING to uniform marginals (Deming & Stephan 1940; the
+    survey-calibration workhorse): fit one weight per (row, col) cell
+    so the WEIGHTED mass is uniform across observed rows AND across
+    observed columns simultaneously — the two-constraint upgrade of
+    temperature_mix/unimax (which balance ONE marginal): e.g. reweight
+    a corpus so no source and no language dominates, without solving
+    either margin at the other's expense.
+
+    ``rounds`` full sweeps (row-step then col-step per round), FIXED —
+    the kcore_peel determinism contract: both engines run exactly the
+    same sweeps (SQL mirror :func:`ipf_rake_uniform_sql` unrolls
+    them), so they agree bitwise even short of convergence; IPF on a
+    connected positive table converges geometrically, asserted at
+    fixture scale in tests.  The entire cell table is BOUNDED (the
+    observed row×col domain — the strata-relation acceptance class,
+    never corpus rows), held as ONE (r,c)-sorted array; each step's
+    marginal sums fold in array order (the zipf sorted-fold
+    discipline), each weight update is the fixed chain
+    ``w · ((tot/k) / marginal)``.  Targets are the uniform shares of
+    the OBSERVED marginals; structural zeros (absent cells) simply
+    don't exist in the table, the standard incomplete-table raking.
+
+    Output: one row per cell ``(row_col, col_col, n, weight)`` with
+    Σ n·w = total preserved by each sweep's row step.
+    """
+    r = F.col(row_col).cast("string").alias("__r")
+    c = F.col(col_col).cast("string").alias("__c")
+    cells = df.select(r, c).groupBy("__r", "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"))
+    one = cells.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__r").alias("r"), F.col("__c").alias("c"),
+            F.col("__n").alias("n"),
+            F.lit(1.0).alias("w")))).alias("__arr"),
+        F.countDistinct("__r").cast("bigint").alias("__nr"),
+        F.countDistinct("__c").cast("bigint").alias("__nc"),
+        F.sum("__n").cast("bigint").alias("__tot"))
+
+    def marg(arr, x, axis):
+        return F.aggregate(
+            F.filter(arr, lambda y: y[axis] == x[axis]),
+            F.lit(0.0),
+            lambda acc, y: acc + y["n"].cast("double") * y["w"])
+
+    def step(colname, axis, k_col):
+        arr = F.col(colname)
+        target = (F.col("__tot").cast("double")
+                  / F.col(k_col).cast("double"))
+        return F.transform(
+            arr,
+            lambda x: F.struct(
+                x["r"].alias("r"), x["c"].alias("c"), x["n"].alias("n"),
+                (x["w"] * (target / marg(arr, x, axis))).alias("w")))
+
+    cur = one
+    name = "__arr"
+    for i in range(int(rounds)):
+        # one plan barrier per sweep: without it CollapseProject inlines
+        # every step's HOF expression into the next (the marg() fold
+        # references the array 3x per level -> exponential expression
+        # growth); the checkpointed relation is ONE row of bounded arrays
+        cur = (cur.withColumn(f"__a{i}r", step(name, "r", "__nr"))
+               .withColumn(f"__a{i}c", step(f"__a{i}r", "c", "__nc"))
+               .select("__nr", "__nc", "__tot", f"__a{i}c")
+               .localCheckpoint(eager=False))
+        name = f"__a{i}c"
+    return (cur.select(F.explode(F.col(name)).alias("__x"))
+            .select(F.col("__x.r").alias(row_col),
+                    F.col("__x.c").alias(col_col),
+                    F.col("__x.n").alias("n"),
+                    F.col("__x.w").alias("weight")))
+
+
+def ipf_rake_uniform_sql(
+    table: str,
+    row_expr: str,
+    col_expr: str,
+    rounds: int = 5,
+    row_name: str = "r",
+    col_name: str = "c",
+) -> str:
+    """DuckDB mirror of :func:`ipf_rake_uniform` — the same sweeps
+    unrolled as chained CTEs with identical array-order folds."""
+    def marg_sql(axis):
+        return ("list_reduce(list_prepend(0.0, list_transform("
+                f"list_filter(arr, y -> y.{axis} = x.{axis}), "
+                "y -> CAST(y.n AS DOUBLE) * y.w)), (p, q) -> p + q)")
+
+    def step_sql(prev, axis, k):
+        return (f"SELECT nr, nc, tot, list_transform(arr, x -> "
+                f"{{'r': x.r, 'c': x.c, 'n': x.n, "
+                f"'w': x.w * ((CAST(tot AS DOUBLE) / CAST({k} AS DOUBLE))"
+                f" / {marg_sql(axis)})}}) AS arr FROM {prev}")
+
+    ctes = [f"""cells AS (
+        SELECT CAST({row_expr} AS VARCHAR) AS r,
+               CAST({col_expr} AS VARCHAR) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1, 2
+    )""", """one AS (
+        SELECT list_sort(list({'r': r, 'c': c, 'n': n, 'w': 1.0})) AS arr,
+               CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS nc,
+               CAST(SUM(n) AS BIGINT) AS tot
+        FROM cells
+    )"""]
+    prev = "one"
+    for i in range(int(rounds)):
+        ctes.append(f"s{i}r AS MATERIALIZED ({step_sql(prev, 'r', 'nr')})")
+        ctes.append(f"s{i}c AS MATERIALIZED ({step_sql(f's{i}r', 'c', 'nc')})")
+        prev = f"s{i}c"
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT x.r AS {row_name}, x.c AS {col_name}, x.n AS n, x.w AS weight
+    FROM (SELECT unnest(arr) AS x FROM {prev})
+    """)

@@ -6039,6 +6039,25 @@ def cliffs_delta_doclen_by_source(spark: SparkSession, sf_dir: str) \
     return ES.cliffs_delta(lab, "n_chars", "is_en", keys=["source"])
 
 
+@query(
+    "rake_source_lang_uniform",
+    oracle=SM.ipf_rake_uniform_sql(
+        "documents", "source", "lang", rounds=5,
+        row_name="source", col_name="lang"),
+)
+def rake_source_lang_uniform(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """IPF RAKING of the corpus to uniform source AND language
+    marginals (operators/sampling.ipf_rake_uniform, 5 fixed sweeps) —
+    the two-constraint calibration temperature/UniMax mixing can't do:
+    one weight per (source, lang) cell so neither marginal dominates
+    after weighting.  The whole cell table is the bounded observed
+    source×lang domain in one sorted array; sweeps and folds are
+    engine-identical by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return SM.ipf_rake_uniform(d, "source", "lang", rounds=5)
+
+
 _FDR_A = 50  # permille: alpha = 0.05
 
 

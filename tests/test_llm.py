@@ -4088,3 +4088,63 @@ def test_heaps_law_fit_saturated_fixture_and_formula(spark):
     assert r["n_points"] == 10
     assert r["heaps_beta"] == 0.0
     assert r["heaps_k"] == float(next(iter(vocab)))
+
+
+def test_ipf_rake_marginals_converge_and_preserve_mass(spark):
+    """After 5 sweeps the weighted mass is uniform across rows and
+    columns to a tight tolerance (IPF converges geometrically on a
+    connected positive table), and total mass is preserved exactly by
+    the construction of each row step."""
+    from collections import defaultdict
+    from map_reduce_folds_spark.operators import sampling as SM
+    rows = [("s1", "en")] * 8 + [("s1", "de")] * 2 + \
+           [("s2", "en")] * 3 + [("s2", "de")] * 7 + \
+           [("s3", "en")] * 5 + [("s3", "de")] * 5
+    df = spark.createDataFrame(rows, "src string, lg string")
+    out = SM.ipf_rake_uniform(df, "src", "lg", rounds=5).collect()
+    tot = sum(r["n"] for r in out)
+    rm, cm = defaultdict(float), defaultdict(float)
+    wtot = 0.0
+    for r in out:
+        m = r["n"] * r["weight"]
+        rm[r["src"]] += m
+        cm[r["lg"]] += m
+        wtot += m
+    assert tot == 30
+    # the final sweep ends with the COL step: column marginals are
+    # float-exact, row marginals carry the remaining geometric residual
+    for v in rm.values():
+        assert abs(v - tot / 3) < 1e-3
+    for v in cm.values():
+        assert abs(v - tot / 2) < 1e-9
+    # the final sweep ends with a col step, so column marginals are
+    # EXACT and total mass equals tot up to that same float chain
+    assert abs(wtot - tot) < 1e-9
+
+
+def test_ipf_rake_invariants_2x2(spark):
+    """The two defining IPF properties: a table whose marginals already
+    match the targets is a FIXPOINT (all weights exactly 1.0 — raking
+    matches margins, it does NOT flatten cells), and raking an
+    unbalanced table preserves the odds ratio (the interaction
+    structure) while converging the margins."""
+    from map_reduce_folds_spark.operators import sampling as SM
+    bal = [("r1", "c1")] * 6 + [("r1", "c2")] * 2 + \
+          [("r2", "c1")] * 2 + [("r2", "c2")] * 6
+    df = spark.createDataFrame(bal, "rr string, cc string")
+    out = {(r["rr"], r["cc"]): r for r in
+           SM.ipf_rake_uniform(df, "rr", "cc", rounds=8).collect()}
+    assert all(r["weight"] == 1.0 for r in out.values())
+
+    unbal = [("r1", "c1")] * 9 + [("r1", "c2")] * 3 + \
+            [("r2", "c1")] * 2 + [("r2", "c2")] * 6
+    df2 = spark.createDataFrame(unbal, "rr string, cc string")
+    o2 = {(r["rr"], r["cc"]): r for r in
+          SM.ipf_rake_uniform(df2, "rr", "cc", rounds=10).collect()}
+    m = lambda rr, cc: o2[(rr, cc)]["n"] * o2[(rr, cc)]["weight"]  # noqa: E731
+    # margins -> 10 each (20 total over 2 rows / 2 cols)
+    assert abs(m("r1", "c1") + m("r1", "c2") - 10.0) < 1e-6
+    assert abs(m("r1", "c1") + m("r2", "c1") - 10.0) < 1e-9
+    # odds ratio preserved: (9*6)/(3*2) = 9
+    got_or = (m("r1", "c1") * m("r2", "c2")) / (m("r1", "c2") * m("r2", "c1"))
+    assert abs(got_or - 9.0) < 1e-6
