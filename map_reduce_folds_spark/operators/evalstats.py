@@ -4164,3 +4164,288 @@ def cliffs_delta_sql(
            END AS magnitude
     FROM a
     """
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval
+# ---------------------------------------------------------------------------
+
+_Z975 = 1.959963984540054  # standard-normal 0.975 quantile, fixed literal
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """WILSON SCORE 95% interval for a per-group proportion (Wilson
+    1927) — the CI companion to :func:`two_proportion_ztest`, and the
+    interval that behaves at the boundaries where the Wald ±z√(pq/n)
+    collapses (p̂ = 0 or 1 gives a zero-width Wald interval; Wilson
+    stays honest and inside [0, 1] by construction, no clamping).
+
+    Exact integer (n, s) per group; center = (p̂ + z²/2n)/(1 + z²/n)
+    and radius = (z/(1 + z²/n))·√((p̂(1−p̂) + z²/4n)/n) are one
+    mirrored sqrt/division chain each with z the fixed 0.975-quantile
+    literal.  n = 0 emits NULL bounds.
+
+    Output: ``group, n, successes, rate, lo, hi``.  SQL mirror
+    :func:`wilson_ci_sql`.
+    """
+    g = (
+        df.select(F.col(group_col).alias("g"),
+                  F.col(success_col).cast("bigint").alias("__s"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum("__s").cast("bigint").alias("successes"))
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z = F.lit(_Z975)
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    rad = (z / denom) * F.sqrt(
+        (p * (F.lit(1.0) - p) + z * z / (F.lit(4.0) * n)) / n)
+    ok = F.col("n") > 0
+    return g.select(
+        "g", "n", "successes",
+        F.when(ok, p).alias("rate"),
+        F.when(ok, center - rad).alias("lo"),
+        F.when(ok, center + rad).alias("hi"))
+
+
+def wilson_ci_sql(table: str, group_expr: str, success_expr: str) -> str:
+    """DuckDB mirror of :func:`wilson_ci` — identical chains."""
+    z = f"{_Z975!r}e0"
+    n = "CAST(n AS DOUBLE)"
+    p = f"(CAST(successes AS DOUBLE) / {n})"
+    denom = f"(1.0e0 + {z} * {z} / {n})"
+    center = f"(({p} + {z} * {z} / (2.0e0 * {n})) / {denom})"
+    rad = (f"(({z} / {denom}) * sqrt((({p} * (1.0e0 - {p})"
+           f" + {z} * {z} / (4.0e0 * {n})) / {n})))")
+    return f"""
+    WITH g AS (
+        SELECT {group_expr} AS g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({success_expr} AS BIGINT)) AS BIGINT)
+                   AS successes
+        FROM {table} GROUP BY 1
+    )
+    SELECT g, n, successes,
+           CASE WHEN n > 0 THEN {p} END AS rate,
+           CASE WHEN n > 0 THEN {center} - {rad} END AS lo,
+           CASE WHEN n > 0 THEN {center} + {rad} END AS hi
+    FROM g
+    """
+
+
+# ---------------------------------------------------------------------------
+# G-test of independence
+# ---------------------------------------------------------------------------
+
+def g_test_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """G-TEST (log-likelihood ratio) of independence (Sokal & Rohlf;
+    Woolf 1957) — :func:`chi2_independence`'s likelihood-scale twin,
+    preferred when cells are small or effects multiplicative:
+    G = 2·Σ_cells O·ln(O·N/(R·C)) over occupied cells (empty cells
+    contribute 0 by the x·ln x → 0 limit, exactly — they simply don't
+    exist in the sparse cell relation).
+
+    Same confusion-matrix + margin machinery as chi2; each cell's ln
+    rounds to 9 decimals (post-transcendental discipline), the sum
+    folds over the (a, b)-sorted cell array, G emits via one final
+    round.  dof = (R−1)(C−1); dof = 0 emits NULL G.
+
+    Output: one row — ``g_stat, dof, n``.  SQL mirror
+    :func:`g_test_independence_sql`.
+    """
+    conf = (
+        df.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__bv"))
+        .groupBy("__a", "__bv").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ra = conf.groupBy("__a").agg(F.sum("__c").cast("bigint").alias("__ra"))
+    rb = conf.groupBy("__bv").agg(F.sum("__c").cast("bigint").alias("__rb"))
+    j = conf.join(F.broadcast(ra), "__a").join(F.broadcast(rb), "__bv")
+    # N joins in via a one-row scalar broadcast (the grand-total idiom)
+    tot = conf.agg(F.sum("__c").cast("bigint").alias("__n"))
+    jj = j.crossJoin(F.broadcast(tot))
+    term = F.col("__c").cast("double") * F.round(F.log(
+        (F.col("__c") * F.col("__n")).cast("decimal(38,0)").cast("double")
+        / (F.col("__ra") * F.col("__rb")).cast("decimal(38,0)")
+        .cast("double")), 9)
+    cells = jj.select("__a", "__bv", term.alias("__t"), F.col("__c"))
+    pairs = F.array_sort(F.collect_list(
+        F.struct(F.col("__a"), F.col("__bv"), F.col("__t"))))
+    ssum = F.aggregate(pairs, F.lit(0.0), lambda acc, s: acc + s["__t"])
+    agg = cells.agg(
+        ssum.alias("__s"),
+        F.sum("__c").cast("bigint").alias("n"),
+        F.count_distinct(F.col("__a")).cast("bigint").alias("__nr"),
+        F.count_distinct(F.col("__bv")).cast("bigint").alias("__nk"),
+    )
+    dof = (F.col("__nr") - 1) * (F.col("__nk") - 1)
+    return agg.select(
+        F.when(dof > 0, F.round(F.lit(2.0) * F.col("__s"), 9))
+        .alias("g_stat"),
+        dof.cast("bigint").alias("dof"),
+        "n",
+    )
+
+
+def g_test_independence_sql(table: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB mirror of :func:`g_test_independence` — same sorted fold,
+    rounds, and expression order."""
+    return f"""
+    WITH pts AS (SELECT {a_expr} AS a, {b_expr} AS b FROM {table}),
+    conf AS (SELECT a, b, COUNT(*) AS c FROM pts GROUP BY a, b),
+    ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM conf GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rb FROM conf GROUP BY b),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM conf),
+    cells AS (
+      SELECT conf.a, conf.b,
+             CAST(c AS DOUBLE) * round(ln(
+                 CAST(CAST(c * nn AS DECIMAL(38,0)) AS DOUBLE)
+                 / CAST(CAST(ra * rb AS DECIMAL(38,0)) AS DOUBLE)), 9)
+                 AS t,
+             c
+      FROM conf JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list_sort(list({{'a': a, 'b': b, 't': t}}))
+                            .apply(e -> e.t)),
+               (acc, x) -> acc + x) AS s,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS nk
+      FROM cells
+    )
+    SELECT CASE WHEN (nr - 1) * (nk - 1) > 0 THEN
+             round(2.0 * s, 9) END AS g_stat,
+           CAST((nr - 1) * (nk - 1) AS BIGINT) AS dof,
+           n
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Combined p-values (Fisher / Stouffer)
+# ---------------------------------------------------------------------------
+
+def combine_pvalues(
+    df: DataFrame,
+    p_col: str,
+    z_col: str,
+) -> DataFrame:
+    """COMBINE a bounded family of independent tests into ONE verdict —
+    Fisher's method (1932): X² = −2·Σ ln p ~ χ²(2k), whose survival
+    function at even df has the CLOSED FORM exp(−h)·Σ_{j<k} h^j/j!
+    (h = X²/2, the Erlang tail — no incomplete-gamma needed, so it
+    mirrors exactly); and Stouffer's Z (1949): Z = Σ z_i/√k.  The
+    complement to :func:`bh_fdr`: BH asks "WHICH hypotheses", this
+    asks "is there ANY effect in the family" with more power than the
+    smallest adjusted p when effects are diffuse.
+
+    Exactness: NULL-p rows drop out (the bh_fdr convention); folds run
+    over the (p, z)-sorted bounded family array; each ln rounds to 9
+    decimals (p floored at 1e-300 first — ln(0) is NULL on Spark and
+    an ERROR on DuckDB); the Erlang partial sum folds j = 1..k−1
+    sequentially with the fixed chain ``t·h/j``; both final p's round
+    after their exp/erfc.
+
+    Output: one row — ``k, fisher_x2, fisher_p, stouffer_z,
+    stouffer_p``; k = 0 emits NULLs.  SQL mirror
+    :func:`combine_pvalues_sql`.
+    """
+    d = df.where(F.col(p_col).isNotNull()).select(
+        F.col(p_col).cast("double").alias("__p"),
+        F.col(z_col).cast("double").alias("__z"))
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("__p").alias("p"), F.col("__z").alias("z"))))
+    agg = d.agg(arr.alias("__arr"),
+                F.count(F.lit(1)).cast("bigint").alias("k"))
+    lnterm = lambda y: F.round(  # noqa: E731
+        F.log(F.greatest(y["p"], F.lit(1e-300))), 9)
+    x2 = F.lit(-2.0) * F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, y: acc + lnterm(y))
+    sz = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, y: acc + y["z"])
+    st = agg.select(
+        "k", x2.alias("__x2"),
+        (sz / F.sqrt(F.col("k").cast("double"))).alias("__sz"))
+    h = F.col("__x2") / F.lit(2.0)
+    # Erlang partial sum Σ_{j<k} h^j/j! as nested SINGLE-DOUBLE folds
+    # (term_j = Π_{i≤j} h/i) — the multi-float struct accumulator is the
+    # documented holt_last_sql hazard on the DuckDB side, so both
+    # engines run the same O(k²) scalar folds on the bounded family
+    erl = F.when(
+        F.col("k") > 1,
+        F.lit(1.0) + F.aggregate(
+            F.sequence(F.lit(1), (F.col("k") - 1).cast("int")),
+            F.lit(0.0),
+            lambda acc, jj: acc + F.aggregate(
+                F.sequence(F.lit(1), jj),
+                F.lit(1.0),
+                lambda a, ii: a * (h / ii.cast("double"))),
+        )).otherwise(F.lit(1.0))
+    ok = F.col("k") > 0
+    return st.select(
+        "k",
+        F.when(ok, F.round(F.col("__x2"), 9)).alias("fisher_x2"),
+        F.when(ok, F.round(F.exp(-h) * erl, 9)).alias("fisher_p"),
+        F.when(ok, F.col("__sz")).alias("stouffer_z"),
+        F.when(ok, normal_p_two_sided(F.col("__sz"))).alias("stouffer_p"))
+
+
+def combine_pvalues_sql(hypotheses_sql: str, p_expr: str = "p",
+                        z_expr: str = "z") -> str:
+    """DuckDB mirror of :func:`combine_pvalues` — identical sorted
+    folds, Erlang partial sum, and rounding points."""
+    lnterm = f"round(ln(GREATEST(y.p, 1e-300)), 9)"
+    return f"""
+    WITH hyp AS ({hypotheses_sql}),
+    d AS (SELECT CAST({p_expr} AS DOUBLE) AS p,
+                 CAST({z_expr} AS DOUBLE) AS z
+          FROM hyp WHERE {p_expr} IS NOT NULL),
+    a AS (
+        SELECT list_sort(list({{'p': p, 'z': z}})) AS arr,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM d
+    ),
+    st AS (
+        SELECT k,
+               -2.0 * list_reduce(
+                   list_prepend(0.0, list_transform(arr, y -> {lnterm})),
+                   (p, q) -> p + q) AS x2,
+               list_reduce(list_prepend(0.0,
+                   list_transform(arr, y -> y.z)), (p, q) -> p + q)
+                   / sqrt(CAST(k AS DOUBLE)) AS sz
+        FROM a
+    ),
+    e AS (
+        SELECT k, x2, sz, x2 / 2.0 AS h,
+               CASE WHEN k > 1 THEN
+                   1.0 + list_reduce(
+                       list_prepend(0.0,
+                           list_transform(range(1, CAST(k AS INT)),
+                               j -> list_reduce(
+                                   list_prepend(1.0,
+                                       list_transform(range(1, j + 1),
+                                           i -> CAST(i AS DOUBLE))),
+                                   (a, i) -> a * ((x2 / 2.0) / i)))),
+                       (p, q) -> p + q)
+               ELSE 1.0 END AS erl
+        FROM st
+    )
+    SELECT k,
+           CASE WHEN k > 0 THEN round(x2, 9) END AS fisher_x2,
+           CASE WHEN k > 0 THEN round(exp(-h) * erl, 9) END AS fisher_p,
+           CASE WHEN k > 0 THEN sz END AS stouffer_z,
+           CASE WHEN k > 0 THEN {normal_p_two_sided_sql('sz')} END
+               AS stouffer_p
+    FROM e
+    """

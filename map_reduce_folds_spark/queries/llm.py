@@ -5157,6 +5157,19 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_test_lang_source",
+    oracle=ES.g_test_independence_sql("documents", "lang", "source"),
+)
+def g_test_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-TEST (log-likelihood ratio) of language×source independence
+    (operators/evalstats.g_test_independence) — chi2_lang_source's
+    likelihood-scale twin, sturdier on small cells: G = 2·Σ O·ln(O·N/
+    (R·C)) over the occupied sparse cells, rounded-ln sorted fold."""
+    d = load_table(spark, sf_dir, "documents")
+    return ES.g_test_independence(d, "lang", "source")
+
+
+@query(
     "mi_lang_source",
     oracle=ES.mutual_information_sql("documents", "lang", "source"),
 )
@@ -6091,6 +6104,35 @@ def fdr_doclen_en_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyp = mw.select(F.col("source").alias("key"),
                     ES.normal_p_two_sided(F.col("z")).alias("p"))
     return ES.bh_fdr(hyp, "p", "key", alpha_permille=_FDR_A)
+
+
+def _combine_oracle() -> str:
+    mw = ES.mannwhitney_z_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", keys=["source"])
+    hyp = f"""SELECT {ES.normal_p_two_sided_sql('z')} AS p, z
+    FROM ({mw})"""
+    return ES.combine_pvalues_sql(hyp)
+
+
+@query("combine_pvalues_doclen_en", oracle=_combine_oracle())
+def combine_pvalues_doclen_en(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """FISHER + STOUFFER combination of the per-source Mann-Whitney
+    screen (operators/evalstats.combine_pvalues) — the "is there ANY
+    length shift in the family" verdict that complements
+    fdr_doclen_en_by_source's "which sources": Fisher's −2Σln p with
+    the closed-form even-df Erlang tail (no incomplete gamma — it
+    mirrors exactly), Stouffer's Σz/√k through the shared erfc
+    chain."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select("source", "n_chars",
+                   F.when(F.col("lang") == "en", 1).otherwise(0)
+                   .alias("is_en"))
+    mw = ES.mannwhitney_z(lab, "n_chars", "is_en", keys=["source"])
+    hyp = mw.select(ES.normal_p_two_sided(F.col("z")).alias("p"),
+                    F.col("z"))
+    return ES.combine_pvalues(hyp, "p", "z")
 
 
 @query(

@@ -4530,6 +4530,28 @@ def purchase_ztest_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ES.two_proportion_ztest(eb, "bucket", "succ")
 
 
+@query(
+    "wilson_ci_purchase_by_bucket",
+    oracle=f"""SELECT g AS bucket, n, successes, rate, lo, hi
+    FROM ({ES.wilson_ci_sql(
+        "events", "CAST(user_id % 8 AS BIGINT)",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")})""",
+)
+def wilson_ci_purchase_by_bucket(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """WILSON SCORE 95% interval on each cohort's purchase rate
+    (operators/evalstats.wilson_ci) — purchase_ztest_by_bucket's CI
+    companion, and the interval that stays honest at the boundaries
+    where the Wald ±z√(pq/n) collapses to zero width.  Exact integer
+    cohort counts; one mirrored sqrt/division chain per bound."""
+    e = load_table(spark, sf_dir, "events")
+    eb = e.select((F.col("user_id") % 8).cast("bigint").alias("bucket"),
+                  (F.col("event_type") == "purchase").cast("int")
+                  .alias("succ"))
+    out = ES.wilson_ci(eb, "bucket", "succ")
+    return out.withColumnRenamed("g", "bucket")
+
+
 _KM_HORIZON_H = 48  # administrative-censoring horizon (hours)
 
 # subjects: one row per user — hours from first event to first purchase,

@@ -1375,3 +1375,71 @@ def test_cliffs_delta_sql_mirror_grouped(spark):
     want = {r.g: (r.n_pos, r.n_neg, r.delta, r.magnitude)
             for r in pdf.itertuples()}
     assert got == want
+
+
+def test_wilson_ci_hand_case_and_boundary(spark):
+    """Wilson center/radius match longhand; p-hat = 0 still gets a
+    positive-width interval inside [0, 1] (the Wald failure case)."""
+    import math
+    z = 1.959963984540054
+    rows = [(1, 1)] * 3 + [(1, 0)] * 7 + [(2, 0)] * 5
+    df = spark.createDataFrame(rows, "g int, s int")
+    out = {r["g"]: r for r in E.wilson_ci(df, "g", "s").collect()}
+    n, p = 10.0, 0.3
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    rad = (z / denom) * math.sqrt((p * (1 - p) + z * z / (4.0 * n)) / n)
+    assert out[1]["rate"] == 0.3
+    assert abs(out[1]["lo"] - (center - rad)) < 1e-15
+    assert abs(out[1]["hi"] - (center + rad)) < 1e-15
+    assert out[2]["rate"] == 0.0
+    assert 0.0 <= out[2]["lo"] < out[2]["hi"] < 1.0
+    assert out[2]["hi"] > 0.3  # n=5 zero-successes upper bound ~0.43
+
+
+def test_g_test_matches_longhand_and_chi2_scale(spark):
+    """G matches the longhand 2*sum(O ln(O N / (R C))) with the round-9
+    ln discipline; on a strongly associated table G and chi2 agree in
+    order of magnitude."""
+    import math
+    rows = [("a", "x")] * 30 + [("a", "y")] * 10 + \
+           [("b", "x")] * 10 + [("b", "y")] * 30
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = E.g_test_independence(df, "u", "v").collect()[0]
+    N = 80
+    cells = {("a", "x"): 30, ("a", "y"): 10, ("b", "x"): 10, ("b", "y"): 30}
+    R = {"a": 40, "b": 40}
+    C = {"x": 40, "y": 40}
+    want = 2.0 * sum(c * round(math.log(c * N / (R[u] * C[v])), 9)
+                     for (u, v), c in sorted(cells.items()))
+    assert r["g_stat"] == round(want, 9)
+    assert r["dof"] == 1 and r["n"] == 80
+    chi2 = E.chi2_independence(df, "u", "v").collect()[0]["chi2"]
+    assert 0.5 < r["g_stat"] / chi2 < 2.0
+
+
+def test_combine_pvalues_matches_scipy_formulas(spark):
+    """Fisher's Erlang-tail closed form and Stouffer's Z match the
+    textbook formulas computed longhand (scipy-grade, via math)."""
+    import math
+    hyp = [(0.04, 2.05), (0.20, 1.28), (0.50, 0.67), (0.01, 2.58)]
+    df = spark.createDataFrame(hyp, "p double, z double")
+    r = E.combine_pvalues(df, "p", "z").collect()[0]
+    x2 = -2.0 * sum(round(math.log(p), 9) for p, _ in sorted(hyp))
+    assert r["k"] == 4
+    assert r["fisher_x2"] == round(x2, 9)
+    h = x2 / 2.0
+    s = 1.0
+    for j in range(1, 4):
+        t = 1.0
+        for i in range(1, j + 1):
+            t = t * (h / i)
+        s += t
+    assert abs(r["fisher_p"] - math.exp(-h) * s) < 1e-9
+    # cross-check against the chi2 survival function numerically
+    from math import exp
+    want_p = exp(-h) * sum((h ** j) / math.factorial(j) for j in range(4))
+    assert abs(r["fisher_p"] - want_p) < 1e-9
+    sz = sum(z for _, z in sorted(hyp)) / math.sqrt(4.0)
+    assert abs(r["stouffer_z"] - sz) < 1e-12
+    assert r["fisher_p"] < 0.01  # four small p's combine strongly
