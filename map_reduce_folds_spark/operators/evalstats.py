@@ -4449,3 +4449,159 @@ def combine_pvalues_sql(hypotheses_sql: str, p_expr: str = "p",
                AS stouffer_p
     FROM e
     """
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified association
+# ---------------------------------------------------------------------------
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL test of exposure×outcome association
+    ACROSS strata (Mantel & Haenszel 1959; Cochran 1954) with the MH
+    common odds ratio — the stratified answer to "is the effect real,
+    or is it Simpson's paradox": pooling 2×2 tables naively can invert
+    an association that every stratum shows; CMH sums per-stratum
+    evidence instead.  ``exposure_col``/``outcome_col`` must be 0/1.
+
+    Per stratum: a = (1,1) count, E = r₁c₁/n, V = r₁r₀c₁c₀/(n²(n−1))
+    — the hypergeometric moments, exactly the :func:`logrank_test`
+    machinery shape.  Margins are exact integers (products DECIMAL-
+    staged); Σa is an exact integer; ΣE/ΣV and the two OR_MH sums
+    (Σ a·d/n, Σ b·c/n — each ONE division) fold over the stratum-
+    sorted bounded family array.  CMH = (Σa − ΣE)²/ΣV ~ χ²(1), whose
+    survival function is 2(1−Φ(√x)) — the shared erfc chain, no
+    incomplete gamma.  Strata with n < 2 are excluded (V's n−1
+    denominator; the standard convention); degenerate-margin strata
+    contribute zero through their own zeros.  ΣV = 0 emits NULL
+    cmh/p; zero b·c mass emits NULL or_mh.
+
+    Output: one row — ``k_strata, sum_a, cmh, p, or_mh``.  SQL mirror
+    :func:`cmh_test_sql`.
+    """
+    s = df.select(
+        F.col(stratum_col).alias("__h"),
+        F.col(exposure_col).cast("bigint").alias("__e"),
+        F.col(outcome_col).cast("bigint").alias("__o"))
+    g = s.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__e") * F.col("__o")).cast("bigint").alias("__a"),
+        F.sum(F.col("__e")).cast("bigint").alias("__r1"),
+        F.sum(F.col("__o")).cast("bigint").alias("__c1"))
+    g = g.where(F.col("__n") >= 2).select(
+        "__h", "__n", "__a", "__r1", "__c1",
+        (F.col("__r1") - F.col("__a")).alias("__b"),
+        (F.col("__c1") - F.col("__a")).alias("__c"),
+        (F.col("__n") - F.col("__r1") - F.col("__c1") + F.col("__a"))
+        .alias("__d"))
+    nd = F.col("__n").cast("double")
+    e_h = (F.col("__r1") * F.col("__c1")).cast("decimal(38,0)") \
+        .cast("double") / nd
+    v_h = ((F.col("__r1") * (F.col("__n") - F.col("__r1")))
+           .cast("decimal(38,0)")
+           * (F.col("__c1") * (F.col("__n") - F.col("__c1")))
+           .cast("decimal(38,0)")).cast("double") \
+        / (nd * nd * (nd - F.lit(1.0)))
+    ad_h = (F.col("__a") * F.col("__d")).cast("decimal(38,0)") \
+        .cast("double") / nd
+    bc_h = (F.col("__b") * F.col("__c")).cast("decimal(38,0)") \
+        .cast("double") / nd
+    cells = g.select(
+        "__h", F.col("__a"),
+        e_h.alias("__eh"), v_h.alias("__vh"),
+        ad_h.alias("__adh"), bc_h.alias("__bch"))
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("__h").alias("h"), F.col("__eh").alias("e"),
+        F.col("__vh").alias("v"), F.col("__adh").alias("ad"),
+        F.col("__bch").alias("bc"))))
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_strata"),
+        F.sum("__a").cast("bigint").alias("sum_a"),
+        arr.alias("__arr"))
+    fold = lambda f: F.aggregate(  # noqa: E731
+        F.col("__arr"), F.lit(0.0), lambda acc, y: acc + y[f])
+    st = agg.select(
+        "k_strata", "sum_a",
+        fold("e").alias("__se"), fold("v").alias("__sv"),
+        fold("ad").alias("__sad"), fold("bc").alias("__sbc"))
+    diff = F.col("sum_a").cast("double") - F.col("__se")
+    cmh = diff * diff / F.col("__sv")
+    okv = F.col("__sv") > 0.0
+    return st.select(
+        "k_strata", "sum_a",
+        F.when(okv, F.round(cmh, 9)).alias("cmh"),
+        F.when(okv, normal_p_two_sided(F.sqrt(cmh))).alias("p"),
+        F.when(F.col("__sbc") > 0.0,
+               F.round(F.col("__sad") / F.col("__sbc"), 9))
+        .alias("or_mh"))
+
+
+def cmh_test_sql(table: str, stratum_expr: str, exposure_expr: str,
+                 outcome_expr: str) -> str:
+    """DuckDB mirror of :func:`cmh_test` — identical integer margins,
+    stratum-sorted folds, and chains."""
+    return f"""
+    WITH s AS (
+        SELECT {stratum_expr} AS h,
+               CAST({exposure_expr} AS BIGINT) AS e,
+               CAST({outcome_expr} AS BIGINT) AS o
+        FROM {table}
+    ),
+    g0 AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(e * o) AS BIGINT) AS a,
+               CAST(SUM(e) AS BIGINT) AS r1,
+               CAST(SUM(o) AS BIGINT) AS c1
+        FROM s GROUP BY h
+    ),
+    g AS (
+        SELECT *, r1 - a AS b, c1 - a AS c, n - r1 - c1 + a AS d
+        FROM g0 WHERE n >= 2
+    ),
+    cells AS (
+        SELECT h, a,
+               CAST(CAST(r1 * c1 AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS eh,
+               CAST(CAST(r1 * (n - r1) AS DECIMAL(38,0))
+                    * CAST(c1 * (n - c1) AS DECIMAL(38,0)) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0)) AS vh,
+               CAST(CAST(a * d AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS adh,
+               CAST(CAST(b * c AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS bch
+        FROM g
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+               CAST(SUM(a) AS BIGINT) AS sum_a,
+               list_sort(list({{'h': h, 'e': eh, 'v': vh,
+                                'ad': adh, 'bc': bch}})) AS arr
+        FROM cells
+    ),
+    st AS (
+        SELECT k_strata, sum_a,
+               list_reduce(list_prepend(0.0,
+                   list_transform(arr, y -> y.e)), (p, q) -> p + q) AS se,
+               list_reduce(list_prepend(0.0,
+                   list_transform(arr, y -> y.v)), (p, q) -> p + q) AS sv,
+               list_reduce(list_prepend(0.0,
+                   list_transform(arr, y -> y.ad)), (p, q) -> p + q) AS sad,
+               list_reduce(list_prepend(0.0,
+                   list_transform(arr, y -> y.bc)), (p, q) -> p + q) AS sbc
+        FROM agg
+    )
+    SELECT k_strata, sum_a,
+           CASE WHEN sv > 0.0 THEN round(
+               (CAST(sum_a AS DOUBLE) - se) * (CAST(sum_a AS DOUBLE) - se)
+               / sv, 9) END AS cmh,
+           CASE WHEN sv > 0.0 THEN {normal_p_two_sided_sql(
+               'sqrt((CAST(sum_a AS DOUBLE) - se)'
+               ' * (CAST(sum_a AS DOUBLE) - se) / sv)')} END AS p,
+           CASE WHEN sbc > 0.0 THEN round(sad / sbc, 9) END AS or_mh
+    FROM st
+    """

@@ -6106,6 +6106,29 @@ def fdr_doclen_en_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ES.bh_fdr(hyp, "p", "key", alpha_permille=_FDR_A)
 
 
+@query(
+    "cmh_en_long_by_source",
+    oracle=ES.cmh_test_sql(
+        "documents", "source",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        "CASE WHEN n_chars >= 3000 THEN 1 ELSE 0 END"),
+)
+def cmh_en_long_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL: is "English docs run long" a REAL
+    association once stratified by source, or a Simpson's-paradox
+    artifact of source composition (operators/evalstats.cmh_test)?
+    Per-source 2×2 hypergeometric moments (the logrank machinery
+    shape), stratum-sorted folds, χ²(1) p via the erfc chain, plus the
+    MH common odds ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select("source",
+                   F.when(F.col("lang") == "en", 1).otherwise(0)
+                   .alias("is_en"),
+                   F.when(F.col("n_chars") >= 3000, 1).otherwise(0)
+                   .alias("is_long"))
+    return ES.cmh_test(lab, "source", "is_en", "is_long")
+
+
 def _combine_oracle() -> str:
     mw = ES.mannwhitney_z_sql(
         "documents", "n_chars",

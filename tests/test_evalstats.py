@@ -1443,3 +1443,50 @@ def test_combine_pvalues_matches_scipy_formulas(spark):
     sz = sum(z for _, z in sorted(hyp)) / math.sqrt(4.0)
     assert abs(r["stouffer_z"] - sz) < 1e-12
     assert r["fisher_p"] < 0.01  # four small p's combine strongly
+
+
+def test_cmh_hand_case_matches_longhand(spark):
+    """Two strata with a consistent positive association: CMH and the
+    MH odds ratio match the longhand hypergeometric sums; a stratum of
+    size 1 is excluded by the n >= 2 convention."""
+    import math
+    rows = (
+        [("s1", 1, 1)] * 12 + [("s1", 1, 0)] * 4
+        + [("s1", 0, 1)] * 5 + [("s1", 0, 0)] * 9
+        + [("s2", 1, 1)] * 7 + [("s2", 1, 0)] * 3
+        + [("s2", 0, 1)] * 2 + [("s2", 0, 0)] * 8
+        + [("tiny", 1, 1)]   # n = 1: excluded
+    )
+    df = spark.createDataFrame(rows, "h string, e int, o int")
+    r = E.cmh_test(df, "h", "e", "o").collect()[0]
+    strata = {"s1": (12, 4, 5, 9), "s2": (7, 3, 2, 8)}
+    sa = se = sv = sad = sbc = 0.0
+    for h in sorted(strata):
+        a, b, c, d = strata[h]
+        n = a + b + c + d
+        r1, c1 = a + b, a + c
+        sa += a
+        se += (r1 * c1) / n
+        sv += (r1 * (n - r1)) * (c1 * (n - c1)) / (n * n * (n - 1.0))
+        sad += a * d / n
+        sbc += b * c / n
+    cmh = (sa - se) ** 2 / sv
+    assert r["k_strata"] == 2 and r["sum_a"] == 19
+    assert r["cmh"] == round(cmh, 9)
+    assert r["or_mh"] == round(sad / sbc, 9)
+    assert r["or_mh"] > 1.0 and r["p"] < 0.05
+    del math
+
+
+def test_cmh_null_association_and_degenerate(spark):
+    """Independent strata give small CMH / OR near 1; an all-one-margin
+    family (sv = 0) emits NULLs."""
+    rows = ([("s", 1, 1), ("s", 1, 0), ("s", 0, 1), ("s", 0, 0)] * 5)
+    df = spark.createDataFrame(rows, "h string, e int, o int")
+    r = E.cmh_test(df, "h", "e", "o").collect()[0]
+    assert r["cmh"] is not None and r["cmh"] < 0.5
+    assert abs(r["or_mh"] - 1.0) < 1e-9
+    deg = spark.createDataFrame([("s", 1, 1), ("s", 1, 0)] * 3,
+                                "h string, e int, o int")
+    r2 = E.cmh_test(deg, "h", "e", "o").collect()[0]
+    assert r2["cmh"] is None and r2["p"] is None
