@@ -4605,3 +4605,30 @@ def cmh_test_sql(table: str, stratum_expr: str, exposure_expr: str,
            CASE WHEN sbc > 0.0 THEN round(sad / sbc, 9) END AS or_mh
     FROM st
     """
+
+
+def confseq_bounds_sql(
+    inner_sql: str,
+    keep_cols: str,
+    alpha_permille: int = 50,
+) -> str:
+    """DuckDB text of :func:`confseq_bounds` over a relation exposing
+    integer ``n_cum``/``s_cum`` — the same chain
+    :func:`hoeffding_confseq_sql` inlines, factored for the streaming
+    twin's final-state oracle.  ``keep_cols``: leading pass-through
+    column list (e.g. ``"bucket"``)."""
+    td = "CAST(n_cum AS DOUBLE)"
+    lnln = f"round(ln(round(ln(2.0 * {td}), 9)), 9)"
+    lna = f"round(ln(5200.0 / {float(alpha_permille)!r}e0), 9)"
+    radius = f"(1.7 * sqrt(({lnln} + 0.72 * {lna}) / {td}))"
+    rate = f"(CAST(s_cum AS DOUBLE) / {td})"
+    return f"""
+    SELECT {keep_cols}, n_cum, s_cum,
+           CASE WHEN n_cum > 0 THEN {rate} END AS rate,
+           CASE WHEN n_cum >= 2 THEN {radius} END AS radius,
+           CASE WHEN n_cum >= 2 THEN
+               GREATEST(0.0, {rate} - {radius}) END AS lo,
+           CASE WHEN n_cum >= 2 THEN
+               LEAST(1.0, {rate} + {radius}) END AS hi
+    FROM ({inner_sql})
+    """

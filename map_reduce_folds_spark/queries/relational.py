@@ -4466,6 +4466,83 @@ def _holt_stream_oracle() -> str:
                          horizon=_HOLT_H)
 
 
+# needed above the evalstats-family section's own import (line order)
+from map_reduce_folds_spark.operators import evalstats as ES  # noqa: E402
+
+
+def _confseq_stream_stateful_impl(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FOURTH stateful-streaming path under the driver gate: per-cohort
+    purchase counts replayed as a TWO-BATCH file stream through
+    ``streaming.stream_confseq`` (GroupState, applyInPandasWithState)
+    must equal the batch whole-history counts + confseq_bounds chain
+    bitwise.  Simpler determinism argument than the CUSUM/Holt rows:
+    the state is two COMMUTATIVE integer sums, so no (ts, tiebreak)
+    ordering is needed at all — any split/arrival order yields the
+    same final state; the band columns are the SAME Spark expression
+    on both sides.  Final per-cohort state = the max-n_cum emission
+    (monotone per key under update mode)."""
+    import os
+    import tempfile
+    import time
+
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, run_to_memory, stream_confseq)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).cast("bigint").alias("bucket"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("succ"),
+        "ts")
+    cut = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).first()["c"]
+    src = tempfile.mkdtemp(prefix="mrf_confseq_stream_")
+    stage = tempfile.mkdtemp(prefix="mrf_confseq_stage_")
+    t0 = time.time()
+    for i, (half, cond) in enumerate(
+            (("a", F.col("ts") <= F.lit(cut)),
+             ("b", F.col("ts") > F.lit(cut)))):
+        d = os.path.join(stage, half)
+        ev.where(cond).select("bucket", "succ").coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        n = 0
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                tgt = os.path.join(d, f)
+                os.utime(tgt, (t0 + 100 * i, t0 + 100 * i))
+                os.symlink(tgt, os.path.join(src, f"{half}_{n}.parquet"))
+                n += 1
+    stream = read_parquet_stream(
+        spark, src, "bucket bigint, succ bigint", max_files_per_trigger=1)
+    out = stream_confseq(stream, "bucket", "succ")
+    got = run_to_memory(out, "confseq_stream_stateful_q",
+                        timeout_s=300, output_mode="update")
+    return (got.groupBy("bucket")
+            .agg(F.max_by(F.struct("n_cum", "s_cum", "rate", "radius",
+                                   "lo", "hi"), "n_cum").alias("s"))
+            .select("bucket", "s.*"))
+
+
+@query(
+    "confseq_stream_stateful",
+    oracle=ES.confseq_bounds_sql(
+        """SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n_cum,
+                  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS s_cum
+           FROM events GROUP BY 1""",
+        keep_cols="bucket"),
+)
+def confseq_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth stateful-streaming path under the driver gate: the
+    ANYTIME-VALID purchase-rate monitor run END-TO-END as a GroupState
+    stream over a two-batch file replay, verified bitwise against the
+    batch whole-history counts + the shared confseq_bounds chain.
+    The twin with NO ordering caveat — its state is two commutative
+    integer sums (implementation in
+    ``_confseq_stream_stateful_impl``)."""
+    return _confseq_stream_stateful_impl(spark, sf_dir)
+
+
 @query("holt_stream_stateful", oracle=_holt_stream_oracle())
 def holt_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third stateful-streaming path under the driver gate: the HOLT
