@@ -1990,3 +1990,44 @@ def ngram_jaccard_pairs_prefix(
                 .alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_kcore_factored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int | str = "auto",
+    max_hamming: int = 3,
+    blocks: int | str = "auto",
+    k: int = 2,
+    rounds: int = 6,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """k-CORE of the SimHash near-dup DOC graph via the DISTINCT-
+    SIGNATURE factoring — identical output to ``graph.kcore_peel`` over
+    :func:`simhash_near_dup_pairs_factored` (property-tested), without
+    ever materializing the C(m,2) same-signature doc pairs: all m docs
+    behind one signature are structurally identical in the doc graph
+    (mutual hamming-0 clique + shared cross-sig edges), so synchronized
+    peeling removes them together and the peel runs on the sig graph
+    with multiplicities (``graph.kcore_peel_weighted``) — the same
+    argument that makes the factored pair generator linear where the
+    doc-level join is quadratic in bucket occupancy.
+
+    Output: ``({id_col}, deg)`` — every doc in the final core with its
+    doc-level degree inside it.
+    """
+    from .graph import kcore_peel_weighted  # lazy import
+
+    bits, n_docs = _resolve_bits(docs, bits, n_docs)
+    s = simhash_rows(docs, id_col, text_col, bits) \
+        .localCheckpoint(eager=False)
+    w = s.groupBy("sig").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    dsig = w.select("sig").withColumn("__sid", F.col("sig"))
+    sig_edges = _pigeonhole_sig_pairs(
+        dsig, "__sid", bits, max_hamming, blocks,
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    core = kcore_peel_weighted(w.select(F.col("sig").alias("node"), "m"),
+                               sig_edges, k=k, rounds=rounds)
+    return (s.join(core.select(F.col("node").alias("sig"), "deg"), "sig")
+            .select(F.col(id_col).alias("node"), "deg"))

@@ -1106,8 +1106,11 @@ def kcore_peel(
                  .join(surv.withColumnRenamed("node", "v"), "v"))
         deg = alive.groupBy("u").agg(
             F.count(F.lit(1)).cast("bigint").alias("deg"))
+        # each sweep references surv TWICE (u and v sides) — without a
+        # per-round snapshot the lineage doubles per sweep (2^R replans)
         surv = (deg.where(F.col("deg") >= k)
-                .select(F.col("u").alias("node")))
+                .select(F.col("u").alias("node"))
+                .localCheckpoint(eager=False))
     alive = (e.join(surv.withColumnRenamed("node", "u"), "u")
              .join(surv.withColumnRenamed("node", "v"), "v"))
     return (alive.groupBy(F.col("u").alias("node"))
@@ -1148,3 +1151,55 @@ def kcore_peel_sql(edges_sql: str, k: int, rounds: int) -> str:
     JOIN {prev} b ON b.node = e.v
     GROUP BY e.u
     """)
+
+
+def kcore_peel_weighted(
+    weights: DataFrame,
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+) -> DataFrame:
+    """:func:`kcore_peel` on a NODE-WEIGHTED graph where each node
+    stands for m structurally-identical vertices forming a clique
+    (plus shared external edges) — the distinct-signature factoring of
+    a duplicate-heavy similarity graph: every vertex behind node u has
+    degree (m_u − 1) + Σ_{v ∈ N(u) ∩ surviving} m_v, identical for
+    all m_u of them, so SYNCHRONIZED peeling removes whole nodes and
+    the weighted peel runs EXACTLY the doc-level rounds without ever
+    materializing the C(m,2) intra-clique pairs (the same argument
+    that factors simhash_near_dup_pairs_factored; equality is
+    property-tested).
+
+    ``weights``: (node, m); ``edges``: one row per undirected distinct
+    pair, either orientation.  Output: ``(node, m, deg)`` for
+    surviving nodes — deg is each underlying vertex's degree inside
+    the final core.
+    """
+    e = symmetric_edges(edges, "u", "v").localCheckpoint(eager=False) \
+        if set(edges.columns) >= {"u", "v"} else None
+    assert e is not None, "edges must have columns (u, v)"
+    w = weights.select(F.col(weights.columns[0]).alias("node"),
+                       F.col(weights.columns[1]).cast("bigint")
+                       .alias("m")).localCheckpoint(eager=False)
+    def degrees(surv: DataFrame) -> DataFrame:
+        nb = (e.join(surv.select(F.col("node").alias("u")), "u")
+              .join(surv.select(F.col("node").alias("v"),
+                                F.col("m").alias("__mv")), "v")
+              .groupBy("u").agg(F.sum("__mv").alias("__nbm")))
+        return (surv.join(nb.withColumnRenamed("u", "node"),
+                          "node", "left")
+                .select("node", "m",
+                        (F.col("m") - 1 + F.coalesce(F.col("__nbm"),
+                                                     F.lit(0)))
+                        .cast("bigint").alias("deg")))
+
+    surv = w
+    for _ in range(int(rounds)):
+        # degrees() reads surv twice (u and v sides): snapshot per sweep
+        # or the lineage doubles per round (2^R replans — measured 72 s
+        # vs 8 s at sf0.01)
+        surv = degrees(surv).where(F.col("deg") >= k) \
+            .select("node", "m").localCheckpoint(eager=False)
+    # final pass mirrors kcore_peel: degrees WITHIN the final surviving
+    # set, unfiltered (short of the fixpoint they can dip below k)
+    return degrees(surv)

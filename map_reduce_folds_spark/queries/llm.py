@@ -2290,15 +2290,20 @@ def kcore_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 synchronized peel sweeps): the per-node refinement of
     neardup_triangles' cliquishness score — docs surviving the 2-core
     sit in genuine duplicate CLUSTERS, docs peeled away hung off
-    borderline transitive CHAINS.  Spark runs the factored pair
-    generator + the peel loop; the oracle brute-forces the pair graph
-    and unrolls the same 6 sweeps (fixed-round contract — convergence
-    at fixture is a unit-test assertion, not an oracle assumption)."""
+    borderline transitive CHAINS.  Spark runs the SIGNATURE-FACTORED
+    weighted peel (dedup.simhash_kcore_factored /
+    graph.kcore_peel_weighted — all m docs behind one signature are
+    structurally identical, so peeling whole signatures with
+    multiplicities runs the exact doc-level rounds without the C(m,2)
+    same-sig pair blow-up that stalled the doc-level peel at 100×;
+    equality property-tested at k=2/3, converged and short); the
+    oracle brute-forces the doc pair graph and unrolls the same 6
+    sweeps (fixed-round contract — convergence at fixture is a
+    unit-test assertion, not an oracle assumption)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs_factored(d, "doc_id", "text",
-                                              bits=60, max_hamming=3,
-                                              blocks="auto")
-    return G2.kcore_peel(pairs, "id_a", "id_b", k=2, rounds=6)
+    return D.simhash_kcore_factored(d, "doc_id", "text", bits=60,
+                                    max_hamming=3, blocks="auto",
+                                    k=2, rounds=6)
 
 
 @query(

@@ -778,3 +778,25 @@ def test_kcore_registered_row_converged(spark):
     seven = {(r["node"], r["deg"]) for r in
              kcore_peel(pairs, "id_a", "id_b", k=2, rounds=7).collect()}
     assert six == seven and six
+
+
+def test_kcore_weighted_factored_equals_doc_level(spark):
+    """The signature-factored weighted peel equals kcore_peel over the
+    materialized doc pair graph — node set AND per-doc degrees — at
+    sf0.001, for k=2 and k=3 and short of convergence (rounds=1)."""
+    from map_reduce_folds_spark.operators import dedup as D
+    from map_reduce_folds_spark.operators.graph import kcore_peel
+    from map_reduce_folds_spark.sources import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = D.simhash_near_dup_pairs_factored(
+        d, "doc_id", "text", bits=60, max_hamming=3, blocks="auto")
+    for k, rounds in ((2, 6), (3, 6), (2, 1)):
+        doc = {(r["node"], r["deg"]) for r in
+               kcore_peel(pairs, "id_a", "id_b",
+                          k=k, rounds=rounds).collect()}
+        fac = {(r["node"], r["deg"]) for r in
+               D.simhash_kcore_factored(
+                   d, "doc_id", "text", bits=60, max_hamming=3,
+                   blocks="auto", k=k, rounds=rounds).collect()}
+        assert doc == fac, (k, rounds, len(doc), len(fac))
+        assert doc
