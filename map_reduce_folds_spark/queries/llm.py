@@ -6235,6 +6235,31 @@ def mann_kendall_daily_events(spark: SparkSession, sf_dir: str) \
 
 
 @query(
+    "siegel_slope_daily_events",
+    oracle=ES.siegel_slope_sql(
+        """(SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1)""",
+        "n_events", "d"),
+)
+def siegel_slope_daily_events(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """SIEGEL REPEATED-MEDIANS slope of daily event volume
+    (operators/evalstats.siegel_slope) — theil_sen_daily_events'
+    50%-breakdown upgrade: per-day median slopes, then the median of
+    medians, so the trend line holds even when half the days are
+    corrupted.  Bounded day-pair relation; every median a fixed
+    order statistic over a sorted bounded array."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint")
+        .alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return ES.siegel_slope(daily, "n_events", "d")
+
+
+@query(
     "pettitt_changepoint_daily_events",
     oracle=ES.pettitt_changepoint_sql(
         """(SELECT CAST(date_diff('day', DATE '2024-01-01',

@@ -1490,3 +1490,31 @@ def test_cmh_null_association_and_degenerate(spark):
                                 "h string, e int, o int")
     r2 = E.cmh_test(deg, "h", "e", "o").collect()[0]
     assert r2["cmh"] is None and r2["p"] is None
+
+
+def test_siegel_slope_exact_line_and_breakdown(spark):
+    """A clean integer line recovers its slope exactly; corrupting
+    ~45% of the points (which bends Theil-Sen) leaves the Siegel
+    repeated-medians line on the true slope."""
+    clean = [(t, 3 * t + 7) for t in range(11)]
+    df = spark.createDataFrame(clean, "d bigint, x bigint")
+    r = E.siegel_slope(df, "x", "d").collect()[0]
+    assert r["slope"] == 3.0 and r["intercept"] == 7.0
+    # corrupt 4 of 11 points grossly: each clean anchor still sees a
+    # clean MAJORITY of its 10 pairwise slopes (6 of 10), and clean
+    # anchors are 7 of 11 — both medians hold; Theil-Sen's pooled pair
+    # median (only C(7,2)=21 of 55 pairs clean) is dragged
+    bad = [(t, 3 * t + 7) for t in range(7)] + \
+          [(t, 100000 + t) for t in range(7, 11)]
+    df2 = spark.createDataFrame(bad, "d bigint, x bigint")
+    sieg = E.siegel_slope(df2, "x", "d").collect()[0]["slope"]
+    ts = E.theil_sen(df2, "x", "d").collect()[0]["slope"]
+    assert sieg == 3.0            # repeated medians hold
+    assert abs(ts - 3.0) > 100    # pooled pair median dragged
+
+
+def test_siegel_slope_degenerate(spark):
+    """n = 1 emits NULL slope/intercept."""
+    df = spark.createDataFrame([(0, 5)], "d bigint, x bigint")
+    r = E.siegel_slope(df, "x", "d").collect()[0]
+    assert r["slope"] is None and r["intercept"] is None
