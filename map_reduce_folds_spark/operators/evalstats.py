@@ -4731,3 +4731,112 @@ def siegel_slope_sql(table: str, value_expr: str, time_expr: str) -> str:
            CASE WHEN n > 1 THEN {med('rarr')} END AS intercept
     FROM j CROSS JOIN r
     """
+
+
+# ---------------------------------------------------------------------------
+# Holm-Bonferroni step-down
+# ---------------------------------------------------------------------------
+
+def holm_adjust(
+    df: DataFrame,
+    p_col: str,
+    key_col: str,
+    alpha_permille: int = 50,
+) -> DataFrame:
+    """HOLM-BONFERRONI step-down FWER control (Holm 1979) — the
+    family-wise companion to :func:`bh_fdr`: where BH bounds the
+    expected FALSE-DISCOVERY FRACTION, Holm bounds the probability of
+    even ONE false rejection — the guard for decisions where a single
+    wrong call is expensive (blocking a source, flagging contamination)
+    — uniformly more powerful than plain Bonferroni at the same
+    guarantee.
+
+    Same bounded-family machinery as bh_fdr: sort p ascending, reject
+    ranks 1..k* where k* = (first i with p_(i) > α/(m−i+1)) − 1
+    (all-pass ⇒ k* = m); adjusted p̃_(i) = max_{j≤i} min(1,
+    (m−j+1)·p_(j)) via bounded prefix folds over per-rank term arrays.
+    The threshold compare ``p·(m−i+1)·1000 ≤ α`` uses identical double
+    ops on both engines; NULL p's are excluded from the family.
+
+    Output: ``key, p, rank, m, p_adj, rejected``.  SQL mirror
+    :func:`holm_adjust_sql`.
+    """
+    a = int(alpha_permille)
+    d = (df.select(F.col(key_col).alias("k"),
+                   F.col(p_col).cast("double").alias("p"))
+         .where(F.col("p").isNotNull()))
+    g = d.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("p").alias("p"), F.col("k").alias("k")))).alias("arr"))
+    m = F.size("arr").cast("bigint")
+    fail_at = F.aggregate(
+        F.transform(F.col("arr"),
+                    lambda x, i: F.when(
+                        x["p"] * (m - i).cast("double") * F.lit(1000.0)
+                        > F.lit(float(a)),
+                        (i + 1).cast("bigint"))
+                    .otherwise((m + 1).cast("bigint"))),
+        F.lit((1 << 62)).cast("bigint"),
+        lambda acc, v: F.least(acc, v))
+    terms = F.transform(
+        F.col("arr"),
+        lambda x, i: F.least(F.lit(1.0),
+                             (m - i).cast("double") * x["p"]))
+    g2 = g.select(F.col("arr"), m.alias("m"),
+                  F.least(fail_at, m + 1).alias("__fa"),
+                  terms.alias("__terms"))
+    padj = F.transform(
+        F.col("__terms"),
+        lambda t, i: F.aggregate(
+            F.slice(F.col("__terms"), F.lit(1), i + 1),
+            F.lit(0.0), lambda acc, y: F.greatest(acc, y)))
+    rows = g2.select(
+        "m", (F.col("__fa") - 1).alias("__kstar"),
+        F.posexplode(F.arrays_zip(F.col("arr"), padj.alias("pa")))
+        .alias("__i", "__x"))
+    return rows.select(
+        F.col("__x.arr.k").alias("key"), F.col("__x.arr.p").alias("p"),
+        (F.col("__i") + 1).cast("bigint").alias("rank"), "m",
+        F.col("__x.pa").alias("p_adj"),
+        ((F.col("__i") + 1) <= F.col("__kstar")).alias("rejected"))
+
+
+def holm_adjust_sql(
+    hypotheses_sql: str,
+    p_expr: str = "p",
+    key_expr: str = "key",
+    alpha_permille: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`holm_adjust` over a hypotheses
+    subquery."""
+    a = int(alpha_permille)
+    return f"""
+    WITH h AS (
+        SELECT {key_expr} AS k, CAST({p_expr} AS DOUBLE) AS p
+        FROM ({hypotheses_sql}) WHERE {p_expr} IS NOT NULL
+    ),
+    g AS (SELECT list_sort(list({{'p': p, 'k': k}})) AS arr FROM h),
+    s AS (
+        SELECT CAST(len(arr) AS BIGINT) AS m, arr,
+               LEAST(list_reduce(list_prepend(CAST(4611686018427387904
+                       AS BIGINT),
+                   list_transform(arr, (x, i) ->
+                       CASE WHEN x.p
+                                 * CAST(len(arr) - i + 1 AS DOUBLE)
+                                 * 1000.0 > {float(a)!r}e0
+                            THEN CAST(i AS BIGINT)
+                            ELSE CAST(len(arr) + 1 AS BIGINT) END)),
+                   (p, q) -> LEAST(p, q)),
+                   CAST(len(arr) + 1 AS BIGINT)) AS fa,
+               list_transform(arr, (x, i) -> LEAST(1.0,
+                   CAST(len(arr) - i + 1 AS DOUBLE) * x.p)) AS terms
+        FROM g
+    )
+    SELECT u.x.k AS key, u.x.p AS p,
+           CAST(u.i AS BIGINT) AS rank, s.m,
+           list_reduce(list_prepend(0.0, s.terms[1:u.i]),
+                       (p, q) -> GREATEST(p, q)) AS p_adj,
+           u.i <= s.fa - 1 AS rejected
+    FROM s, LATERAL (SELECT unnest(arr) AS x,
+                            unnest(range(1, len(arr) + 1)) AS i) u
+    """

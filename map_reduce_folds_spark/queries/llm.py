@@ -6089,6 +6089,35 @@ def _fdr_oracle() -> str:
     return ES.bh_fdr_sql(hyp, alpha_permille=_FDR_A)
 
 
+def _holm_oracle() -> str:
+    mw = ES.mannwhitney_z_sql(
+        "documents", "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", keys=["source"])
+    hyp = f"""SELECT source AS key,
+           {ES.normal_p_two_sided_sql('z')} AS p
+    FROM ({mw})"""
+    return ES.holm_adjust_sql(hyp, alpha_permille=_FDR_A)
+
+
+@query("holm_doclen_en_by_source", oracle=_holm_oracle())
+def holm_doclen_en_by_source(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """HOLM step-down FWER control over the per-source Mann-Whitney
+    screen (operators/evalstats.holm_adjust) — the strict companion to
+    fdr_doclen_en_by_source: BH bounds the false-discovery FRACTION,
+    Holm bounds the chance of even ONE false call (the right guard
+    when acting on a flagged source is expensive), with adjusted
+    p-values via bounded prefix folds."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select("source", "n_chars",
+                   F.when(F.col("lang") == "en", 1).otherwise(0)
+                   .alias("is_en"))
+    mw = ES.mannwhitney_z(lab, "n_chars", "is_en", keys=["source"])
+    hyp = mw.select(F.col("source").alias("key"),
+                    ES.normal_p_two_sided(F.col("z")).alias("p"))
+    return ES.holm_adjust(hyp, "p", "key", alpha_permille=_FDR_A)
+
+
 @query("fdr_doclen_en_by_source", oracle=_fdr_oracle())
 def fdr_doclen_en_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENJAMINI-HOCHBERG FDR over the per-source Mann-Whitney screen

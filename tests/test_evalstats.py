@@ -1518,3 +1518,41 @@ def test_siegel_slope_degenerate(spark):
     df = spark.createDataFrame([(0, 5)], "d bigint, x bigint")
     r = E.siegel_slope(df, "x", "d").collect()[0]
     assert r["slope"] is None and r["intercept"] is None
+
+
+def test_holm_textbook_case(spark):
+    """Textbook Holm at alpha=0.05: p = (0.01, 0.02, 0.03, 0.04) with
+    m=4 -> thresholds 0.0125, 0.0167, 0.025, 0.05: rank 1 passes,
+    rank 2 FAILS (0.02 > 0.0167) so rejection stops after rank 1;
+    adjusted p's are the running max of (m-j+1)p_(j)."""
+    hyp = [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04)]
+    df = spark.createDataFrame(hyp, "key string, p double")
+    out = {r["key"]: r for r in
+           E.holm_adjust(df, "p", "key").collect()}
+    assert out["a"]["rejected"] is True
+    assert out["b"]["rejected"] is False
+    assert out["c"]["rejected"] is False and out["d"]["rejected"] is False
+    assert out["a"]["p_adj"] == 0.04                  # 4*0.01
+    assert out["b"]["p_adj"] == max(0.04, 3 * 0.02)   # 0.06
+    assert out["c"]["p_adj"] == max(0.06, 2 * 0.03)   # 0.06
+    assert out["d"]["p_adj"] == max(0.06, 1 * 0.04)   # 0.06
+    # all-tiny family rejects everything (k* = m); NULLs excluded
+    df2 = spark.createDataFrame(
+        [("a", 1e-6), ("b", 1e-5), ("x", None)], "key string, p double")
+    o2 = E.holm_adjust(df2, "p", "key").collect()
+    assert len(o2) == 2 and all(r["rejected"] for r in o2)
+    assert all(r["m"] == 2 for r in o2)
+
+
+def test_holm_rejects_subset_of_bh(spark):
+    """Holm (FWER) never rejects a hypothesis BH (FDR) retains — the
+    standard strictness ordering — on the registered screen's shape."""
+    import random
+    rng = random.Random(7)
+    hyp = [(f"s{i}", rng.random() * 0.2) for i in range(20)]
+    df = spark.createDataFrame(hyp, "key string, p double")
+    holm = {r["key"] for r in E.holm_adjust(df, "p", "key").collect()
+            if r["rejected"]}
+    bh = {r["key"] for r in E.bh_fdr(df, "p", "key").collect()
+          if r["rejected"]}
+    assert holm <= bh
