@@ -4629,6 +4629,50 @@ def wilson_ci_purchase_by_bucket(spark: SparkSession, sf_dir: str) \
     return out.withColumnRenamed("g", "bucket")
 
 
+@query(
+    "ucb1_purchase_cohorts",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS successes
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g)
+    SELECT bucket, n, successes,
+           CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS mean_reward,
+           CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+               + sqrt(2.0 * round(ln(CAST(nn AS DOUBLE)), 9)
+                      / CAST(n AS DOUBLE)) AS ucb
+    FROM g CROSS JOIN t
+    """,
+)
+def ucb1_purchase_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 exploration scores per user cohort (Auer, Cesa-Bianchi &
+    Fischer 2002): mean purchase reward + √(2·ln N / n) — the
+    DETERMINISTIC bandit allocation rule (no RNG state, unlike
+    Thompson sampling), ranking which cohort an adaptive experiment
+    should probe next: high-mean OR under-sampled.  Exact integer
+    counts; one rounded ln (the shared discipline) and one sqrt chain;
+    the grand total joins by the one-row scalar-broadcast idiom."""
+    e = load_table(spark, sf_dir, "events")
+    g = (e.groupBy((F.col("user_id") % 8).cast("bigint").alias("bucket"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.coalesce(F.sum(F.when(F.col("event_type") == "purchase",
+                                      1).otherwise(0)), F.lit(0))
+              .cast("bigint").alias("successes")))
+    t = g.agg(F.sum("n").cast("bigint").alias("nn"))
+    j = g.crossJoin(F.broadcast(t))
+    mean = F.col("successes").cast("double") / F.col("n").cast("double")
+    ucb = mean + F.sqrt(F.lit(2.0)
+                        * F.round(F.log(F.col("nn").cast("double")), 9)
+                        / F.col("n").cast("double"))
+    return j.select("bucket", "n", "successes",
+                    mean.alias("mean_reward"), ucb.alias("ucb"))
+
+
 _KM_HORIZON_H = 48  # administrative-censoring horizon (hours)
 
 # subjects: one row per user — hours from first event to first purchase,
