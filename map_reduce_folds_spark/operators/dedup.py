@@ -240,7 +240,14 @@ def minhash_band_rows(
             if out:
                 yield pd.DataFrame(out, columns=[id_col, "sh", "bandh"])
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    from map_reduce_folds_spark.sources import spread_small_scan
+
+    # single-file fixture inputs scan as ONE task; the per-shingle md5
+    # work here is the pipeline's dominant per-row cost, so floor the
+    # parallelism before the Arrow stage (no-op at production scale —
+    # guide §2.5 input-skew fix; measured 0.84 s -> 0.44 s at sf0.1)
+    src = spread_small_scan(docs.select(id_col, text_col), id_col)
+    return src.mapInPandas(gen, schema=schema)
 
 
 def materialize_bucketed(
@@ -1131,7 +1138,12 @@ def simhash_rows(
             if out:
                 yield pd.DataFrame(out, columns=[id_col, "sig"])
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    from map_reduce_folds_spark.sources import spread_small_scan
+
+    # same parallelism floor as minhash_band_rows: per-token md5 on a
+    # one-task fixture scan would run single-core (no-op at scale)
+    src = spread_small_scan(docs.select(id_col, text_col), id_col)
+    return src.mapInPandas(gen, schema=schema)
 
 
 def simhash_sql(text_expr: str, bits: int = 60) -> str:

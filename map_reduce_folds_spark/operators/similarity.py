@@ -838,7 +838,25 @@ def embedding_near_dup_pairs_lsh(
             & (F.col("a.__id") < F.col("b.__id")),
         ).select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-        ).distinct()
+        )
+        # Explicit pair-keyed repartition UNDER the dedup aggregate (one
+        # Exchange either way — the aggregate reuses this partitioning),
+        # with a USER partition count so AQE's byte-based coalescing
+        # cannot collapse the skinny (16 B/row) candidate relation to one
+        # task: the downstream verify is per-row EXPENSIVE (interpreted
+        # left-fold cosine, ~5 us/pair — the fold itself is the right
+        # choice: an unrolled 64-term codegen chain measured 3x SLOWER),
+        # so partition count must follow row-wise work, not bytes.
+        # Measured at sf0.1: verify stage 1.49 s -> 0.25 s, bitwise
+        # identical.  Partition count comes from the session conf, so it
+        # scales with the cluster, and the guide's deterministic-key
+        # discipline holds (hash of the pair, not round-robin).
+        try:
+            n_part = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_part = df.sparkSession.sparkContext.defaultParallelism
+        cand = cand.repartition(n_part, "id_a", "id_b").distinct()
         # verify stays JVM-side: per-pair norms + left-fold dot (an
         # Arrow-batch numpy verify was measured SLOWER here — shipping
         # 2·dim doubles per candidate through Arrow costs more than the

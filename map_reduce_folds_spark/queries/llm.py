@@ -5709,11 +5709,19 @@ def conformal_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_components=_PCA_COMPS, iters=_PCA_ITERS, moments=moments)
     means = S.pca_means(moments)
     res = S.pca_residual_scores(emb, comps, means, "vec_id", "embedding")
+    # SHARED-STAGE BOUNDARY (r14 optimization — same recipe as
+    # pipeline_curation_v5's cq): the quantized-residual relation feeds
+    # THREE consumer lineages (calibration distribution, calibration
+    # count, test scan), each of which otherwise rebuilds the full
+    # PCA-projection scan of the embedding corpus.  One lazy
+    # localCheckpoint materializes the narrow (vec_id, qr, split) rows
+    # exactly once; rows and hashes unchanged.
     q = SM.hash_split(
         res.select("vec_id",
                    F.floor(F.col("resid") * 1000000.0).cast("bigint")
                    .alias("qr")),
-        "vec_id", weights=_CONF_W, salt="conformal")
+        "vec_id", weights=_CONF_W, salt="conformal") \
+        .localCheckpoint(eager=False)
     cal = q.where(F.col("split") == "cal").withColumn("__g", F.lit(1))
     d = cal.groupBy("__g", "qr").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c"))

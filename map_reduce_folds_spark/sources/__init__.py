@@ -75,6 +75,35 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite",
     df.write.mode(mode).options(**options).json(path)
 
 
+def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for per-row-EXPENSIVE downstream
+    stages (optimization guide §2.5, input skew: "one huge unsplittable
+    file ... repartition immediately after the read").
+
+    A single-file, single-row-group parquet input — the committed fixture
+    shape — scans as ONE task, so a following Arrow/mapInPandas stage
+    (per-shingle md5, per-token hashing) runs on one core of the whole
+    cluster.  When the scan yields fewer partitions than the session's
+    default parallelism, hash-repartition on ``key_cols`` (keyed: no
+    sort-before-repartition pass, deterministic placement under retries —
+    SPARK-38388 discipline) so the expensive stage uses every core.  At
+    production scale the scan already carries >= cores splits and this
+    returns the frame UNCHANGED — no Exchange is added.
+
+    Only safe for partitioning-insensitive consumers (per-row transforms,
+    order-free aggregates, joins); callers own that property.  Streaming
+    frames and other non-RDD-materializable plans pass through untouched.
+    """
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:  # noqa: BLE001 — e.g. streaming plans: leave as-is
+        return df
+    cols = [F.col(c) for c in key_cols]
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
