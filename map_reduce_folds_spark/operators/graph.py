@@ -185,7 +185,15 @@ def connected_components(
         f1 = contract_pairs_local(edges, src, dst)
         edges = contract_pairs_local(f1.repartition("u"), "u", "v")
         src, dst = "u", "v"
-    sym = symmetric_edges(edges, src, dst).persist()
+    # r14 layout pin (same recipe as pagerank's ed): sym is scanned by
+    # the seed groupBy("u") and by EVERY round's join on "u"; caching it
+    # hash-partitioned + sorted on "u" lets both reuse the layout
+    # (cached plans keep their partitioning), so rounds shuffle only the
+    # node-sized label table — the edge relation crosses the network
+    # once at build instead of once per round.
+    sym = (symmetric_edges(edges, src, dst)
+           .repartition("u").sortWithinPartitions("u")
+           .persist())
     # seed: each node's label = min(self, direct neighbors) — this folds
     # the first propagation round into the seed aggregation for free.
     # EVERY round's labels pass through cut(): the round body references
@@ -431,12 +439,25 @@ def pagerank(
     else:
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d")).persist()
         contrib_expr = "r div d"
+    # r14 loop-invariant hoist + layout pin: deg depends only on e, so
+    # the per-round ``.join(deg, "s")`` re-did the same degree attach
+    # n_iter times; join it ONCE and persist the result hash-partitioned
+    # AND sorted by the join key.  The cached layout satisfies the
+    # sort-merge join's distribution+ordering requirement (cached plans
+    # keep their partitioning — AQE does not rewrite them by default),
+    # so each round's join re-shuffles only the node-sized rank table,
+    # never the edges: per-round Exchanges drop from 3 (e, r, contrib)
+    # to 2 node-scale ones (r, contrib partial-agg).  At |E| >> |V| the
+    # edge shuffle per round is pagerank's dominant cost.  Integer
+    # fixed-point arithmetic ⇒ ranks are bit-identical regardless.
+    ed = (e.join(deg, "s")
+          .repartition("s").sortWithinPartitions("s")
+          .persist())
     try:
         r = nodes.withColumn("r", r0_col.cast("bigint"))
         for _ in range(n_iter):
             contrib = (
-                e.join(r.withColumnRenamed("u", "s"), "s")
-                .join(deg, "s")
+                ed.join(r.withColumnRenamed("u", "s"), "s")
                 .select(F.col("t").alias("u"),
                         F.expr(contrib_expr).alias("c"))
                 .groupBy("u").agg(F.sum("c").alias("csum"))
@@ -464,6 +485,7 @@ def pagerank(
         nodes.unpersist()
         deg.unpersist()
         e.unpersist()
+        ed.unpersist()
 
 
 def pagerank_sql(

@@ -2160,9 +2160,16 @@ def kmeans_fit_distributed(
     # re-deriving it per iteration is a narrow scan + row-local
     # transform (scan-shaped, spill-free), while a block-manager cache
     # of a corpus-sized relation is the heap cliff the winnowing 1000×
-    # rehearsal measured (SCALE.md round-13 session 2)
+    # rehearsal measured (SCALE.md round-13 session 2).
+    # __q rides ALONG the assignment scan (r14): the per-iteration sums
+    # used to come from assign(...).join(qx, id) — a full corpus
+    # SELF-JOIN (shuffle both sides by id) per Lloyd iteration, whose
+    # only purpose was re-attaching __q to the row that just computed
+    # its cid FROM __q.  Carrying __q through the projection makes each
+    # iteration one scan + one 512-group aggregate, zero joins; the
+    # integer sums (and therefore every centroid double) are unchanged.
     xd = qx.select(
-        id_col,
+        id_col, "__q",
         F.transform("__q", lambda q: q / F.lit(S)).alias("__xd"),
     )
     seeds = (xd.withColumn("__h", hash60(F.col(id_col).cast("string"), salt))
@@ -2179,11 +2186,11 @@ def kmeans_fit_distributed(
             d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
             cells.append(F.struct(d.alias("d"),
                                   F.lit(idx).alias("c")))
-        return xd.select(id_col,
+        return xd.select(id_col, "__q",
                          F.array_min(F.array(*cells))["c"].alias("__cid"))
 
     for _ in range(int(iters)):
-        sums = (assign(cents).join(qx, id_col)
+        sums = (assign(cents)
                 .select("__cid", F.posexplode("__q").alias("__j", "__qv"))
                 .groupBy("__cid", "__j")
                 .agg(F.sum(F.col("__qv").cast("long")).alias("__s"),
@@ -2379,18 +2386,24 @@ def kmeans_inertia(
         F.transform(vec_col, lambda v: F.floor(
             v.cast("double") * F.lit(1048576.0) + F.lit(0.5))).alias("__q"),
     )
+    # __q rides along the assignment scan — same r14 rewrite as
+    # kmeans_fit_distributed: the old a.join(qx, id) re-attached __q
+    # via a full corpus self-join per call; identical integer sums,
+    # zero joins.
     xd = qx.select(
-        id_col, F.transform("__q",
-                            lambda q: q / F.lit(1048576.0)).alias("__xd"))
+        id_col, "__q",
+        F.transform("__q",
+                    lambda q: q / F.lit(1048576.0)).alias("__xd"))
     cells = []
     for idx, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(v)) for v in c])
         diffs = F.zip_with(F.col("__xd"), carr, lambda x, y: (x - y) * (x - y))
         d = F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
         cells.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
-    a = xd.select(id_col, F.array_min(F.array(*cells))["c"].alias("__cid"))
+    a = xd.select(id_col, "__q",
+                  F.array_min(F.array(*cells))["c"].alias("__cid"))
     per_dim = (
-        a.join(qx, id_col)
+        a
         .select("__cid", F.posexplode("__q").alias("__j", "__qv"))
         .groupBy("__cid", "__j")
         .agg(F.sum(F.col("__qv").cast("decimal(38,0)")).alias("__B"),
