@@ -377,6 +377,12 @@ def bpe_encode_token_counts(
                                     _quote_sep(token_split))).alias("w"))
         .where(F.length("w") > 0)
         .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+        # SHARED-STAGE BOUNDARY (r14): wc feeds BOTH the distinct-word
+        # vocabulary (merge-replay input) and the per-doc join-back, so
+        # without a cut the corpus explode + (doc, word) aggregation —
+        # the one full-corpus pass of the encode — runs once per
+        # consumer lineage.  Lazy localCheckpoint computes it once.
+        .localCheckpoint(eager=False)
     )
     vocab = wc.select("w").distinct()
     if engine == "catalyst":

@@ -660,7 +660,12 @@ def bfs_hops(
     Deterministic: hop distance is a well-defined graph property — no
     tie-break needed."""
     spark = edges.sparkSession
-    sym = symmetric_edges(edges, src, dst).persist()
+    # r14 layout pin (the pagerank/CC recipe): every level joins sym on
+    # "u" with the frontier; cache it hash-partitioned + sorted by "u" so
+    # each level re-shuffles only the frontier, never the edge relation.
+    sym = (symmetric_edges(edges, src, dst)
+           .repartition("u").sortWithinPartitions("u")
+           .persist())
     # Seeds adopt the EDGE column's type (string-keyed graphs included) —
     # a hard bigint cast would NULL string ids and silently return an
     # empty neighborhood.  Any seed the cast cannot represent raises.
@@ -945,7 +950,15 @@ def label_propagation(
     back — all linear in |E|; per-round ``localCheckpoint`` keeps the
     plan O(1) like :func:`pagerank`.  Output: ``(node, label)`` with
     NULL for never-reached nodes."""
-    e = symmetric_edges(edges, src, dst).persist()
+    # r14 layout pin (the pagerank/CC recipe): every round joins the edge
+    # relation on "v" (labels attach to the neighbor side), so cache it
+    # hash-partitioned AND sorted by that key — cached plans keep their
+    # partitioning, the per-round sort-merge join then re-shuffles only
+    # the node-sized label table, and the edge relation crosses the
+    # network once at build instead of once per round.
+    e = (symmetric_edges(edges, src, dst)
+         .repartition("v").sortWithinPartitions("v")
+         .persist())
     nodes = e.select("u").distinct().persist()
     sd = (seeds.select(F.col(node_col).alias("u"),
                        F.col(label_col).alias("__seed"))
@@ -1118,25 +1131,39 @@ def kcore_peel(
     the final core (so every deg ≥ k); empty when the k-core is empty.
     """
     # the edge view is referenced 2·(rounds+1) times — without a
-    # checkpoint each sweep would REPLAY the upstream candidate-pair
-    # pipeline (the pipeline_curation_v5 shared-stage lesson); a lazy
-    # localCheckpoint computes it once
-    e = symmetric_edges(edges, src, dst).localCheckpoint(eager=False)
+    # materialization each sweep would REPLAY the upstream candidate-pair
+    # pipeline (the pipeline_curation_v5 shared-stage lesson).  r14: the
+    # one-time compute is a CACHE partitioned + sorted by "v" instead of
+    # a localCheckpoint — checkpoints drop partitioning (LogicalRDD scan,
+    # measured: Exchange re-inserted above it) while cached plans keep
+    # theirs, so every sweep's v-side join reuses the layout and shuffles
+    # only the node-sized survivor table.  The eager count() populates
+    # the cache in ONE job before the sweeps fan out (two concurrent
+    # first-reference stages would otherwise race-compute the expensive
+    # pair lineage twice).
+    e = (symmetric_edges(edges, src, dst)
+         .repartition("v").sortWithinPartitions("v")
+         .persist())
+    e.count()
     surv = e.select(F.col("u").alias("node")).distinct()
-    for _ in range(int(rounds)):
-        alive = (e.join(surv.withColumnRenamed("node", "u"), "u")
-                 .join(surv.withColumnRenamed("node", "v"), "v"))
-        deg = alive.groupBy("u").agg(
+
+    def core_degrees(sv: DataFrame) -> DataFrame:
+        # v-join FIRST (reuses e's cached v-layout), u-join second: the
+        # sort-merge join on "u" leaves both sides u-partitioned, so the
+        # groupBy("u") right after it needs no further Exchange — one
+        # edge-relation shuffle per sweep instead of three.
+        alive = (e.join(sv.withColumnRenamed("node", "v"), "v")
+                 .join(sv.withColumnRenamed("node", "u"), "u"))
+        return alive.groupBy("u").agg(
             F.count(F.lit(1)).cast("bigint").alias("deg"))
+
+    for _ in range(int(rounds)):
         # each sweep references surv TWICE (u and v sides) — without a
         # per-round snapshot the lineage doubles per sweep (2^R replans)
-        surv = (deg.where(F.col("deg") >= k)
+        surv = (core_degrees(surv).where(F.col("deg") >= k)
                 .select(F.col("u").alias("node"))
                 .localCheckpoint(eager=False))
-    alive = (e.join(surv.withColumnRenamed("node", "u"), "u")
-             .join(surv.withColumnRenamed("node", "v"), "v"))
-    return (alive.groupBy(F.col("u").alias("node"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("deg")))
+    return core_degrees(surv).select(F.col("u").alias("node"), "deg")
 
 
 def kcore_peel_sql(edges_sql: str, k: int, rounds: int) -> str:
@@ -1197,16 +1224,25 @@ def kcore_peel_weighted(
     surviving nodes — deg is each underlying vertex's degree inside
     the final core.
     """
-    e = symmetric_edges(edges, "u", "v").localCheckpoint(eager=False) \
-        if set(edges.columns) >= {"u", "v"} else None
+    # r14: cache partitioned + sorted by "v" (checkpoints drop
+    # partitioning, caches keep it — see kcore_peel) so each sweep's
+    # v-side join reuses the layout; eager count() populates the cache
+    # in one job before the sweep stages fan out.
+    e = ((symmetric_edges(edges, "u", "v")
+          .repartition("v").sortWithinPartitions("v").persist())
+         if set(edges.columns) >= {"u", "v"} else None)
     assert e is not None, "edges must have columns (u, v)"
+    e.count()
     w = weights.select(F.col(weights.columns[0]).alias("node"),
                        F.col(weights.columns[1]).cast("bigint")
                        .alias("m")).localCheckpoint(eager=False)
     def degrees(surv: DataFrame) -> DataFrame:
-        nb = (e.join(surv.select(F.col("node").alias("u")), "u")
-              .join(surv.select(F.col("node").alias("v"),
-                                F.col("m").alias("__mv")), "v")
+        # v-join first (cached layout), u-join second: the u-side
+        # sort-merge join leaves the relation u-partitioned so the
+        # groupBy("u") adds no Exchange (same recipe as kcore_peel)
+        nb = (e.join(surv.select(F.col("node").alias("v"),
+                                 F.col("m").alias("__mv")), "v")
+              .join(surv.select(F.col("node").alias("u")), "u")
               .groupBy("u").agg(F.sum("__mv").alias("__nbm")))
         return (surv.join(nb.withColumnRenamed("u", "node"),
                           "node", "left")

@@ -4125,22 +4125,43 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation_v3_from(load_table(spark, sf_dir, "documents"))
 
 
-def _curation_v3_from(d: DataFrame) -> DataFrame:
+def _curation_v3_from(d: DataFrame, boundaries: bool = True) -> DataFrame:
     """The v3 chain over a given documents relation — shared by the
-    raw-parquet registration and the doc_id-bucketed layout variant."""
+    raw-parquet registration and the doc_id-bucketed layout variant.
+
+    SHARED-STAGE BOUNDARIES (r14, the v5/conformal recipe): without
+    them the final plan replays the NB-classifier subplan 4× and the
+    winnow/bigram subplans 2× — s1 feeds both the winnow pair build
+    and the anti-join base, and temperature_mix reads its input twice
+    (mass aggregate + keep filter).  Each boundary is a lazy
+    ``localCheckpoint`` of a NARROW doc_id(-, source) relation only
+    (guide §2.3: keys, not payloads), so the wide documents relation
+    is never materialized, every gate join against ``d`` keeps
+    reading the caller's layout (raw parquet or the bucketed catalog
+    table), nothing is registered in the CacheManager (a fresh
+    invocation recomputes from parquet — no cross-run reuse), and the
+    ContextCleaner frees the blocks.  ``boundaries=False`` builds the
+    same chain without the cuts — used by the bucketed-layout plan
+    pin, which needs the gate joins visible in ONE plan string
+    (checkpoint subplans compile to RDDs at build time and vanish
+    from the final explain)."""
+    def cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if boundaries else df
+
     marked = _nb_marked_df(d)
     nb = Q.nb_classify(marked, "lang", F.expr(_NB_TRAIN_SQL),
                        n_buckets=_NB_B, alpha=_NB_ALPHA)
-    agree = (nb.join(d.select("doc_id", "lang"), "doc_id")
-               .where(F.col("pred") == F.col("lang")).select("doc_id"))
+    agree = cut(nb.join(d.select("doc_id", "lang"), "doc_id")
+                .where(F.col("pred") == F.col("lang")).select("doc_id"))
     s1 = d.join(agree, "doc_id", "left_semi")
     pairs = T.winnow_overlap_pairs(s1, k=_WIN_K, w=_WIN_W,
                                    min_shared=2, max_df=10)
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    drop = cut(pairs.select(F.col("id_b").alias("doc_id")).distinct())
     s2 = s1.join(drop, "doc_id", "left_anti")
-    good = Q.bigram_logprob(d).where(
-        F.col("mean_logprob") >= F.lit(_V3_BG_GATE)).select("doc_id")
-    s3 = s2.join(good, "doc_id", "left_semi")
+    good = cut(Q.bigram_logprob(d).where(
+        F.col("mean_logprob") >= F.lit(_V3_BG_GATE)).select("doc_id"))
+    s3 = cut(s2.join(good, "doc_id", "left_semi")
+             .select("doc_id", "source"))
     return SM.temperature_mix(s3, "source", "doc_id", salt="cur3") \
         .select("doc_id", "source")
 
@@ -4964,6 +4985,13 @@ def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("doc_id").alias("__nid")),
               F.col("doc_id") == F.col("__nid"))
         .select("doc_id", "source", "n_chars")
+        # SHARED-STAGE BOUNDARY (r14, the v5/conformal recipe):
+        # temperature_mix reads its input TWICE (mass aggregate + keep
+        # filter), so without a cut the PCA-residual scan and the
+        # novelty shingle pipeline replay once per consumer lineage.
+        # One lazy localCheckpoint of the narrow (doc_id, source,
+        # n_chars) relation computes both gates exactly once.
+        .localCheckpoint(eager=False)
     )
     kept = SM.temperature_mix(gated, "source", "doc_id", tau=0.5,
                               weight_col="n_chars")

@@ -793,12 +793,27 @@ def test_curation_bucketed_layout_cuts_exchanges(spark):
     try:
         bkt = _run(spark, "pipeline_curation_v3_bucketed")
         plain = _run(spark, "pipeline_curation_v3")
-        n_bkt, n_plain = P.count_exchanges(bkt), P.count_exchanges(plain)
+        # plan comparison on the boundary-free build: the registered
+        # queries cut the chain at lazy localCheckpoints (r14
+        # shared-stage fix), whose subplans compile to RDDs at build
+        # time and so no longer appear in one explain string; the gate
+        # joins whose layout this test pins are identical either way
+        from map_reduce_folds_spark.queries.llm import _curation_v3_from
+        from map_reduce_folds_spark.sources import load_table
+
+        tbl = next(r.name for r in spark.catalog.listTables()
+                   if r.name.startswith("docs_bkt_cur_"))
+        bkt_shape = _curation_v3_from(spark.table(tbl), boundaries=False)
+        plain_shape = _curation_v3_from(load_table(spark, SF_DIR,
+                                                   "documents"),
+                                        boundaries=False)
+        n_bkt = P.count_exchanges(bkt_shape)
+        n_plain = P.count_exchanges(plain_shape)
         assert n_bkt < n_plain, (n_bkt, n_plain)
         # bucket-sorted reads: no SMJ Sort on the bucketed table's side
         # (the catalog scan node names the table; a doc_id Sort directly
         # over it would mean the layout was ignored)
-        plan = P.executed_plan(bkt)
+        plan = P.executed_plan(bkt_shape)
         assert not re.search(
             r"Sort \[doc_id[^\n]*\n[^\n]*docs_bkt_cur_", plan), plan
     finally:
