@@ -71,6 +71,8 @@ def brute_force_topk(
     The query side is broadcast (it is the small side by construction);
     the corpus is scanned once, no shuffle until the per-query top-k
     window — which AQE keeps proportional to |Q|·k."""
+    from map_reduce_folds_spark.sources import spread_small_scan
+
     # norms are per-vector: compute them once per side before the join
     # (identical chain expression, so the factored form is still bitwise
     # equal to cosine() inline — and the join-side codegen shrinks 3x)
@@ -78,7 +80,14 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         norm(F.col(vec_col), dim).alias("qn"),
     )
-    c = corpus.select(
+    # r14 §2.5 input-skew fix: the |C|×|Q| scored projection is the
+    # expensive stage (64-term dot per pair) and it inherits the corpus
+    # scan's partitioning — on a single-row-group fixture that is ONE
+    # task.  Spread only when the scan is under the parallelism floor
+    # (no-op at production scale); the topk window re-shuffles by
+    # query_id anyway, so placement is free.  Measured (noop best-of-3):
+    # 0.67→0.43 s at sf0.1/5 queries, 1.85→0.70 s at sf0.01/500 queries.
+    c = spread_small_scan(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm(F.col(vec_col), dim).alias("cn"),
     )
