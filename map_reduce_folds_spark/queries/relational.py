@@ -3589,19 +3589,29 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("bigint")).alias("mon"),
     ).localCheckpoint(eager=False)
 
-    def bounds(col):
-        # hist-refinement selection (round-10): the single-global-group
-        # sort serialized into one task; the hist form's per-task work is
-        # bounded by n/nbuckets (picks identical, property-tested)
-        b = W.group_percentiles_hist(
-            m.withColumn("__g", F.lit(1)), ["__g"], col, qs=(25, 50, 75))
-        return F.broadcast(b.select(
-            F.col("p25").alias(f"{col}_b1"),
-            F.col("p50").alias(f"{col}_b2"),
-            F.col("p75").alias(f"{col}_b3")))
+    # hist-refinement selection (round-10): the single-global-group
+    # sort serialized into one task; the hist form's per-task work is
+    # bounded by n/nbuckets (picks identical, property-tested).
+    # r14: ONE hist pipeline over the melted (metric, value) relation
+    # instead of three independent ones — the three boundary relations
+    # each replayed the full stats/bucket/pick DAG over m; keying the
+    # SAME pipeline by metric computes all nine boundaries in one pass
+    # (guide §2.4 "two operations keyed the same way share one
+    # exchange"), then pivots the 3-row result into the single
+    # broadcast boundary row.  Nearest-rank picks are per-metric and
+    # unchanged, so every boundary value is identical.
+    melted = m.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("__m"), F.col(c).alias("__v"))
+        for c in ("rec", "freq", "mon")])).alias("s")) \
+        .select("s.__m", "s.__v")
+    b = W.group_percentiles_hist(melted, ["__m"], "__v", qs=(25, 50, 75))
+    bounds = F.broadcast(b.groupBy().agg(*[
+        F.max(F.when(F.col("__m") == c, F.col(f"p{q}")))
+        .alias(f"{c}_b{i}")
+        for c in ("rec", "freq", "mon")
+        for i, q in enumerate((25, 50, 75), start=1)]))
 
-    seg = m.crossJoin(bounds("rec")).crossJoin(bounds("freq")) \
-        .crossJoin(bounds("mon"))
+    seg = m.crossJoin(bounds)
 
     def code(col):
         return (1 + (F.col(col) > F.col(f"{col}_b1")).cast("int")
