@@ -855,3 +855,19 @@ def test_hybrid_rrf_multiquery_windows_partition_by_query(spark):
         assert "query_id" in s.split(",")[0], (s, plan)
     assert not any("global-order" in f for f in P.scale_audit(df)), \
         P.scale_audit(df)
+
+
+def test_rfm_single_hist_pipeline(spark):
+    """rfm's nine quartile boundaries come from ONE melted
+    group_percentiles_hist pass (r14 fuse): the pre-fuse form replayed
+    the full stats/bucket/pick DAG once per metric (3 cum windows +
+    3 pick windows and a 3-deep crossJoin of boundary rows).  Pin the
+    fused shape: exactly one cumulative window and one pick window in
+    the physical plan — a third Window node means a pipeline replica
+    crept back."""
+    df = _run(spark, "rfm_customer_segments")
+    df.collect()
+    plan = P.executed_plan(df)
+    import re
+
+    assert len(re.findall(r"\bWindow\b", plan)) == 2, plan
