@@ -4478,10 +4478,19 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_inertia): the standard k-selection curve, every value
     engine-exact (integer-staged SSE, sorted fold over the bounded
     cluster relation, 9-decimal round).  The oracle unions three full
-    train→assign→inertia chains."""
+    train→assign→inertia chains.
+
+    The three k-branches are INDEPENDENT driver-loop chains (each fit
+    is iters+1 sequential bounded collects), so they run from a small
+    thread pool — Spark schedules concurrent jobs FIFO and the next
+    branch's tasks back-fill executors the current branch's model-sized
+    aggregates leave idle (the per-job scheduling floor overlaps
+    instead of summing).  Every branch's arithmetic is exact-integer
+    and branch-local, so the output is bit-identical to the sequential
+    loop; the union order stays the (2, 4, 8) code order."""
     emb = load_table(spark, sf_dir, "embeddings")
-    outs = []
-    for kk in (2, 4, 8):
+
+    def branch(kk: int) -> DataFrame:
         km = S.kmeans_fit_distributed(emb, "vec_id", "embedding", _DIM,
                                       k=kk, iters=_KM_ITERS)
         cents: dict[int, list[float]] = {}
@@ -4494,12 +4503,17 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid", (F.col("n").cast("double") * F.col("inertia"))
             .alias("t"))))
         s = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["t"])
-        outs.append(inert.agg(
+        return inert.agg(
             F.lit(kk).alias("k"),
             F.count(F.lit(1)).alias("n_clusters"),
             F.sum("n").alias("n_vectors"),
             F.round(s / F.sum("n").cast("double"), 9).alias("mse"),
-        ))
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        outs = list(pool.map(branch, (2, 4, 8)))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

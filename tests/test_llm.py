@@ -3356,6 +3356,33 @@ def test_kmeans_inertia_matches_reference(spark):
         assert gi < 0.05  # tight clusters -> tiny within-cluster SSE
 
 
+def test_kmeans_elbow_threaded_equals_sequential(spark, emb):
+    """kmeans_elbow runs its three independent k-branches from a thread
+    pool (round-14, guide §2.6 job overlap); the result must equal the
+    sequential composition of the same fit → inertia → mse chain, with
+    the (2, 4, 8) row order preserved."""
+    from map_reduce_folds_spark.queries import QUERIES
+
+    rows = QUERIES["kmeans_elbow"](spark, SF_DIR).collect()
+    assert [r.k for r in rows] == [2, 4, 8]
+    got = {r.k: r for r in rows}
+    for kk in (2, 4, 8):
+        km = S.kmeans_fit_distributed(emb, dim=64, k=kk, iters=3)
+        cents: dict[int, list[float]] = {}
+        for r in km.collect():
+            cents.setdefault(r.cid, [0.0] * 64)[r.j] = r.c
+        centroids = [cents[c] for c in sorted(cents)]
+        inert = S.kmeans_inertia(emb, centroids, dim=64).collect()
+        acc = 0.0  # the query's fold: cid-sorted, left-associated
+        for r in sorted(inert, key=lambda r: r.cid):
+            acc = acc + float(r.n) * r.inertia
+        n_vec = sum(r.n for r in inert)
+        assert got[kk].n_clusters == len(inert)
+        assert got[kk].n_vectors == n_vec
+        # round(x, 9) moves the value by at most half a quantum
+        assert abs(got[kk].mse - acc / float(n_vec)) <= 5e-10, kk
+
+
 # ---------------------------------------------------------------------------
 # distributed PCA (round 13 session 3)
 # ---------------------------------------------------------------------------
