@@ -551,8 +551,12 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from map_reduce_folds_spark.streaming import (
-        read_parquet_stream, run_to_memory, sessionize_stateful)
+        adaptive_state_partitions, read_parquet_stream, run_to_memory,
+        sessionize_stateful, staged_parquet_rows)
 
     schema = "user_id bigint, ts timestamp"
     # stage ONE source directory: a symlink to the fixture events file
@@ -567,29 +571,36 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     src = tempfile.mkdtemp(prefix="mrf_sess_stream_")
-    sentinel_dir = tempfile.mkdtemp(prefix="mrf_sess_sentinel_")
     try:
-        spark.createDataFrame(
-            [(-1, dt.datetime(2100, 1, 1))], schema
-        ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
-        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-                   os.path.join(src, "events.parquet"))
-        n = 0
-        for f in sorted(os.listdir(sentinel_dir)):
-            if f.endswith(".parquet"):
-                os.symlink(os.path.join(sentinel_dir, f),
-                           os.path.join(src, f"sentinel_{n}.parquet"))
-                n += 1
+        # The ONE-ROW sentinel is written with pyarrow on the driver.  The
+        # previous createDataFrame(...).coalesce(1).write form cost ~4 s
+        # per invocation: a Python local relation parallelizes into
+        # defaultParallelism pickled slices, and coalesce(1) makes ONE
+        # task drain all of their Python workers sequentially — dozens of
+        # serial JVM<->Python handshakes for one row (thread dump showed
+        # the write task parked in BasePythonRunner.ReaderInputStream).
+        # A bounded fixture artifact, not corpus data, so a driver-side
+        # write is the correct tool (and TIMESTAMP(MICROS) matches what
+        # the Spark writer produced).
+        pq.write_table(
+            pa.table({"user_id": pa.array([-1], pa.int64()),
+                      "ts": pa.array([dt.datetime(2100, 1, 1)],
+                                     pa.timestamp("us"))}),
+            os.path.join(src, "sentinel_0.parquet"))
+        events_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+        os.symlink(events_path, os.path.join(src, "events.parquet"))
         stream = read_parquet_stream(
             spark, src, schema, max_files_per_trigger=1000
         ).withWatermark("ts", "0 seconds")
         out = sessionize_stateful(stream, ["user_id"], "ts",
                                   gap_seconds=1800)
-        got = run_to_memory(out, "sessionize_stream_stateful_q",
-                            timeout_s=300, output_mode="append")
+        got = run_to_memory(
+            out, "sessionize_stream_stateful_q",
+            timeout_s=300, output_mode="append",
+            state_partitions=adaptive_state_partitions(
+                spark, staged_parquet_rows(src)))
     finally:
         shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(sentinel_dir, ignore_errors=True)
     return got.where(F.col("user_id") >= 0).select(
         "user_id", "session_start_us", "session_end_us", "n_events")
 
@@ -620,7 +631,8 @@ def _cusum_stream_stateful_impl(spark: SparkSession,
     import time
 
     from map_reduce_folds_spark.streaming import (
-        read_parquet_stream, run_to_memory, stream_cusum)
+        adaptive_state_partitions, read_parquet_stream, run_to_memory,
+        staged_parquet_rows, stream_cusum)
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "value", "event_id")
@@ -651,7 +663,9 @@ def _cusum_stream_stateful_impl(spark: SparkSession,
                            _CUSUM_K, _CUSUM_H, tiebreak_col="event_id",
                            output_mode="update")
         got = run_to_memory(out, "cusum_stream_stateful_q",
-                            timeout_s=300, output_mode="update")
+                            timeout_s=300, output_mode="update",
+                            state_partitions=adaptive_state_partitions(
+                                spark, staged_parquet_rows(src)))
         # materialize before the staging dirs disappear
         final = got.groupBy("user_id").agg(
             F.max_by(F.struct("n_events", "final_cusum", "max_cusum",
@@ -4423,7 +4437,8 @@ def _holt_stream_stateful_impl(spark: SparkSession,
     import time
 
     from map_reduce_folds_spark.streaming import (
-        read_parquet_stream, run_to_memory, stream_holt)
+        adaptive_state_partitions, read_parquet_stream, run_to_memory,
+        staged_parquet_rows, stream_holt)
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "value", "event_id")
@@ -4455,7 +4470,9 @@ def _holt_stream_stateful_impl(spark: SparkSession,
                           alpha_halves=_HOLT_A, beta_halves=_HOLT_B,
                           horizon=_HOLT_H, output_mode="update")
         got = run_to_memory(out, "holt_stream_stateful_q",
-                            timeout_s=300, output_mode="update")
+                            timeout_s=300, output_mode="update",
+                            state_partitions=adaptive_state_partitions(
+                                spark, staged_parquet_rows(src)))
         final = got.groupBy("user_id").agg(
             F.max_by(F.struct("n_events", "level", "trend", "forecast"),
                      "n_events").alias("s")
@@ -4497,7 +4514,8 @@ def _confseq_stream_stateful_impl(spark: SparkSession,
     import time
 
     from map_reduce_folds_spark.streaming import (
-        read_parquet_stream, run_to_memory, stream_confseq)
+        adaptive_state_partitions, read_parquet_stream, run_to_memory,
+        staged_parquet_rows, stream_confseq)
 
     ev = load_table(spark, sf_dir, "events").select(
         (F.col("user_id") % 8).cast("bigint").alias("bucket"),
@@ -4524,7 +4542,9 @@ def _confseq_stream_stateful_impl(spark: SparkSession,
         spark, src, "bucket bigint, succ bigint", max_files_per_trigger=1)
     out = stream_confseq(stream, "bucket", "succ")
     got = run_to_memory(out, "confseq_stream_stateful_q",
-                        timeout_s=300, output_mode="update")
+                        timeout_s=300, output_mode="update",
+                        state_partitions=adaptive_state_partitions(
+                            spark, staged_parquet_rows(src)))
     return (got.groupBy("bucket")
             .agg(F.max_by(F.struct("n_cum", "s_cum", "rate", "radius",
                                    "lo", "hi"), "n_cum").alias("s"))

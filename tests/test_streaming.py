@@ -1557,3 +1557,51 @@ def test_stream_confseq_matches_batch_final_row(spark, tmp_path_factory):
             assert last[k][c] == batch[k][c], (k, c)
     assert (last[1]["n_cum"], last[1]["s_cum"]) == (4, 2)
     assert (last[2]["n_cum"], last[2]["s_cum"]) == (4, 2)
+
+
+def test_adaptive_state_partitions_rules(spark, tmp_path_factory):
+    """The stateful-shuffle sizing rule: rows/chunk, clamped to
+    [1, session shuffle partitions]; run_to_memory restores the session
+    conf after pinning it for a query."""
+    from map_reduce_folds_spark.streaming import (
+        adaptive_state_partitions, staged_parquet_rows)
+
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert adaptive_state_partitions(spark, 0) == 1
+    assert adaptive_state_partitions(spark, 1) == 1
+    assert adaptive_state_partitions(spark, 2500) == 1
+    assert adaptive_state_partitions(spark, 2501) == min(2, sess)
+    assert adaptive_state_partitions(spark, 10 ** 12) == sess
+
+    # footer-only row count over a staged directory
+    p = str(tmp_path_factory.mktemp("staged_rows"))
+    spark.range(7).write.mode("overwrite").parquet(p + "/a")
+    spark.range(5).write.mode("overwrite").parquet(p + "/b")
+    import os
+    src = p + "/src"
+    os.makedirs(src)
+    n = 0
+    for half in ("a", "b"):
+        for f in sorted(os.listdir(p + "/" + half)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(p, half, f),
+                           os.path.join(src, f"{half}_{n}.parquet"))
+                n += 1
+    assert staged_parquet_rows(src) == 12
+
+
+def test_run_to_memory_restores_shuffle_partitions(spark, tmp_path_factory):
+    from map_reduce_folds_spark.streaming import (
+        read_parquet_stream, run_to_memory, stream_confseq)
+
+    p = str(tmp_path_factory.mktemp("rtm_restore"))
+    spark.createDataFrame([(1, 1), (1, 0), (2, 1)], ["k", "y"]) \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = read_parquet_stream(spark, p, "k bigint, y bigint")
+    out = stream_confseq(stream, "k", "y")
+    got = run_to_memory(out, "rtm_restore_q", timeout_s=120,
+                        output_mode="update", state_partitions=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    rows = {r["k"]: (r["n_cum"], r["s_cum"]) for r in got.collect()}
+    assert rows == {1: (2, 1), 2: (1, 1)}
