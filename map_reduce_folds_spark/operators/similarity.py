@@ -2117,6 +2117,34 @@ def mmr_topk_sql(
     return "".join(parts)
 
 
+def kmeans_seed_vectors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "km",
+) -> "list[list[float]]":
+    """The deterministic k-means init set: the ``k`` quantized-descaled
+    vectors with the smallest portable ``hash60(id)`` (ties by id) — the
+    exact seeds :func:`kmeans_fit_distributed` uses.  Exposed so callers
+    fitting SEVERAL k values over one corpus (the elbow sweep) can run the
+    seed scan ONCE: the ordering is total and k-independent, so the k=2
+    and k=4 seed sets are PREFIXES of the k=8 list — one limit-8 collect
+    replaces three corpus scans, bit-identically."""
+    S = 1048576.0
+    from map_reduce_folds_spark.operators.text import hash60
+
+    xd = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: F.floor(
+            v.cast("double") * F.lit(S) + F.lit(0.5)) / F.lit(S)
+        ).alias("__xd"),
+    )
+    seeds = (xd.withColumn("__h", hash60(F.col(id_col).cast("string"), salt))
+               .orderBy("__h", id_col).limit(k).collect())
+    return [list(r["__xd"]) for r in seeds]
+
+
 def kmeans_fit_distributed(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -2125,6 +2153,7 @@ def kmeans_fit_distributed(
     k: int = 8,
     iters: int = 3,
     salt: str = "km",
+    seed_vectors: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """DISTRIBUTED Lloyd's k-means over the full corpus — the trained
     coarse quantizer without :func:`_train_centroids`'s bounded driver
@@ -2181,9 +2210,18 @@ def kmeans_fit_distributed(
         id_col, "__q",
         F.transform("__q", lambda q: q / F.lit(S)).alias("__xd"),
     )
-    seeds = (xd.withColumn("__h", hash60(F.col(id_col).cast("string"), salt))
-               .orderBy("__h", id_col).limit(k).collect())
-    cents = [list(r["__xd"]) for r in seeds]
+    if seed_vectors is None:
+        seeds = (xd.withColumn("__h",
+                               hash60(F.col(id_col).cast("string"), salt))
+                   .orderBy("__h", id_col).limit(k).collect())
+        cents = [list(r["__xd"]) for r in seeds]
+    else:
+        # caller-provided init (kmeans_seed_vectors shared across an
+        # elbow sweep's k values); must be the same total-order prefix
+        if len(seed_vectors) < k:
+            raise ValueError(
+                f"seed_vectors has {len(seed_vectors)} rows, need k={k}")
+        cents = [list(v) for v in seed_vectors[:k]]
     counts = [0] * len(cents)
 
     def assign(cs):

@@ -4452,6 +4452,22 @@ def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_inertia(emb, centroids, "vec_id", "embedding", _DIM)
 
 
+_ELBOW_POOL = None
+
+
+def _elbow_pool():
+    """One process-lifetime 3-worker pool for the elbow's k-branches
+    (see kmeans_elbow): pins 3 JVM threads ONCE instead of churning a
+    fresh pinned thread per branch per invocation."""
+    global _ELBOW_POOL
+    if _ELBOW_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ELBOW_POOL = ThreadPoolExecutor(
+            max_workers=3, thread_name_prefix="mrf-elbow")
+    return _ELBOW_POOL
+
+
 def _kmeans_elbow_sql() -> str:
     branches = []
     for kk in (2, 4, 8):
@@ -4489,10 +4505,16 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     and branch-local, so the output is bit-identical to the sequential
     loop; the union order stays the (2, 4, 8) code order."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE seed scan serves all three branches: the init ordering is total
+    # and k-independent, so the k=2/4 seed sets are prefixes of the k=8
+    # list (kmeans_seed_vectors docstring) — replaces three identical
+    # limit-k corpus scans with one limit-8 collect, bit-identically.
+    seeds8 = S.kmeans_seed_vectors(emb, "vec_id", "embedding", k=8)
 
     def branch(kk: int) -> DataFrame:
         km = S.kmeans_fit_distributed(emb, "vec_id", "embedding", _DIM,
-                                      k=kk, iters=_KM_ITERS)
+                                      k=kk, iters=_KM_ITERS,
+                                      seed_vectors=seeds8)
         cents: dict[int, list[float]] = {}
         for r in km.collect():  # bounded K×dim model
             cents.setdefault(r.cid, [0.0] * _DIM)[r.j] = r.c
@@ -4510,10 +4532,15 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(s / F.sum("n").cast("double"), 9).alias("mse"),
         )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        outs = list(pool.map(branch, (2, 4, 8)))
+    # MODULE-LEVEL pool (r14 ADVICE): under pinned-thread mode each plain
+    # Python thread pins one JVM thread for its lifetime, so a fresh
+    # 3-thread pool per invocation churned/leaked JVM threads across
+    # repeated calls.  The advice's alternatives: inheritable_thread_target
+    # (measured here: +1-1.5 s per invocation — its per-call py4j
+    # connection teardown) or ONE reusable pool whose 3 threads pin 3 JVM
+    # threads once for the process — chosen.  Branches set no job
+    # groups/descriptions, so no thread-local inheritance is needed.
+    outs = list(_elbow_pool().map(branch, (2, 4, 8)))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -3383,6 +3383,22 @@ def test_kmeans_elbow_threaded_equals_sequential(spark, emb):
         assert abs(got[kk].mse - acc / float(n_vec)) <= 5e-10, kk
 
 
+def test_kmeans_seed_vectors_prefix_and_fit_equivalence(spark, emb):
+    """The shared-seed elbow optimization's two load-bearing facts
+    (round 15): the init ordering is total and k-independent (smaller-k
+    seed sets are PREFIXES of larger-k ones), and a fit fed
+    ``seed_vectors`` is bit-identical to one computing its own seeds."""
+    seeds8 = S.kmeans_seed_vectors(emb, k=8)
+    assert len(seeds8) == 8
+    assert S.kmeans_seed_vectors(emb, k=2) == seeds8[:2]
+    assert S.kmeans_seed_vectors(emb, k=4) == seeds8[:4]
+    own = sorted(map(tuple, S.kmeans_fit_distributed(
+        emb, dim=64, k=4, iters=2).collect()))
+    fed = sorted(map(tuple, S.kmeans_fit_distributed(
+        emb, dim=64, k=4, iters=2, seed_vectors=seeds8).collect()))
+    assert own == fed
+
+
 # ---------------------------------------------------------------------------
 # distributed PCA (round 13 session 3)
 # ---------------------------------------------------------------------------
