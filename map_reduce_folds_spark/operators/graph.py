@@ -1144,26 +1144,38 @@ def kcore_peel(
     e = (symmetric_edges(edges, src, dst)
          .repartition("v").sortWithinPartitions("v")
          .persist())
-    e.count()
-    surv = e.select(F.col("u").alias("node")).distinct()
+    try:
+        e.count()
+        surv = e.select(F.col("u").alias("node")).distinct()
 
-    def core_degrees(sv: DataFrame) -> DataFrame:
-        # v-join FIRST (reuses e's cached v-layout), u-join second: the
-        # sort-merge join on "u" leaves both sides u-partitioned, so the
-        # groupBy("u") right after it needs no further Exchange — one
-        # edge-relation shuffle per sweep instead of three.
-        alive = (e.join(sv.withColumnRenamed("node", "v"), "v")
-                 .join(sv.withColumnRenamed("node", "u"), "u"))
-        return alive.groupBy("u").agg(
-            F.count(F.lit(1)).cast("bigint").alias("deg"))
+        def core_degrees(sv: DataFrame) -> DataFrame:
+            # v-join FIRST (reuses e's cached v-layout), u-join second:
+            # the sort-merge join on "u" leaves both sides u-partitioned,
+            # so the groupBy("u") right after it needs no further
+            # Exchange — one edge-relation shuffle per sweep instead of
+            # three.
+            alive = (e.join(sv.withColumnRenamed("node", "v"), "v")
+                     .join(sv.withColumnRenamed("node", "u"), "u"))
+            return alive.groupBy("u").agg(
+                F.count(F.lit(1)).cast("bigint").alias("deg"))
 
-    for _ in range(int(rounds)):
-        # each sweep references surv TWICE (u and v sides) — without a
-        # per-round snapshot the lineage doubles per sweep (2^R replans)
-        surv = (core_degrees(surv).where(F.col("deg") >= k)
-                .select(F.col("u").alias("node"))
-                .localCheckpoint(eager=False))
-    return core_degrees(surv).select(F.col("u").alias("node"), "deg")
+        for _ in range(int(rounds)):
+            # each sweep references surv TWICE (u and v sides) — without
+            # a per-round snapshot the lineage doubles per sweep (2^R
+            # replans)
+            surv = (core_degrees(surv).where(F.col("deg") >= k)
+                    .select(F.col("u").alias("node"))
+                    .localCheckpoint(eager=False))
+        # EAGER final snapshot so e can be unpersisted before returning
+        # (r15, the pagerank finally-discipline): the cache otherwise
+        # outlives the call in the CacheManager for the session lifetime,
+        # and a lazy snapshot would recompute the whole pair pipeline
+        # from scratch once the cache is gone.  Node-sized result.
+        return (core_degrees(surv)
+                .select(F.col("u").alias("node"), "deg")
+                .localCheckpoint(eager=True))
+    finally:
+        e.unpersist()
 
 
 def kcore_peel_sql(edges_sql: str, k: int, rounds: int) -> str:
@@ -1232,32 +1244,39 @@ def kcore_peel_weighted(
           .repartition("v").sortWithinPartitions("v").persist())
          if set(edges.columns) >= {"u", "v"} else None)
     assert e is not None, "edges must have columns (u, v)"
-    e.count()
-    w = weights.select(F.col(weights.columns[0]).alias("node"),
-                       F.col(weights.columns[1]).cast("bigint")
-                       .alias("m")).localCheckpoint(eager=False)
-    def degrees(surv: DataFrame) -> DataFrame:
-        # v-join first (cached layout), u-join second: the u-side
-        # sort-merge join leaves the relation u-partitioned so the
-        # groupBy("u") adds no Exchange (same recipe as kcore_peel)
-        nb = (e.join(surv.select(F.col("node").alias("v"),
-                                 F.col("m").alias("__mv")), "v")
-              .join(surv.select(F.col("node").alias("u")), "u")
-              .groupBy("u").agg(F.sum("__mv").alias("__nbm")))
-        return (surv.join(nb.withColumnRenamed("u", "node"),
-                          "node", "left")
-                .select("node", "m",
-                        (F.col("m") - 1 + F.coalesce(F.col("__nbm"),
-                                                     F.lit(0)))
-                        .cast("bigint").alias("deg")))
+    try:
+        e.count()
+        w = weights.select(F.col(weights.columns[0]).alias("node"),
+                           F.col(weights.columns[1]).cast("bigint")
+                           .alias("m")).localCheckpoint(eager=False)
 
-    surv = w
-    for _ in range(int(rounds)):
-        # degrees() reads surv twice (u and v sides): snapshot per sweep
-        # or the lineage doubles per round (2^R replans — measured 72 s
-        # vs 8 s at sf0.01)
-        surv = degrees(surv).where(F.col("deg") >= k) \
-            .select("node", "m").localCheckpoint(eager=False)
-    # final pass mirrors kcore_peel: degrees WITHIN the final surviving
-    # set, unfiltered (short of the fixpoint they can dip below k)
-    return degrees(surv)
+        def degrees(surv: DataFrame) -> DataFrame:
+            # v-join first (cached layout), u-join second: the u-side
+            # sort-merge join leaves the relation u-partitioned so the
+            # groupBy("u") adds no Exchange (same recipe as kcore_peel)
+            nb = (e.join(surv.select(F.col("node").alias("v"),
+                                     F.col("m").alias("__mv")), "v")
+                  .join(surv.select(F.col("node").alias("u")), "u")
+                  .groupBy("u").agg(F.sum("__mv").alias("__nbm")))
+            return (surv.join(nb.withColumnRenamed("u", "node"),
+                              "node", "left")
+                    .select("node", "m",
+                            (F.col("m") - 1 + F.coalesce(F.col("__nbm"),
+                                                         F.lit(0)))
+                            .cast("bigint").alias("deg")))
+
+        surv = w
+        for _ in range(int(rounds)):
+            # degrees() reads surv twice (u and v sides): snapshot per
+            # sweep or the lineage doubles per round (2^R replans —
+            # measured 72 s vs 8 s at sf0.01)
+            surv = degrees(surv).where(F.col("deg") >= k) \
+                .select("node", "m").localCheckpoint(eager=False)
+        # final pass mirrors kcore_peel: degrees WITHIN the final
+        # surviving set, unfiltered (short of the fixpoint they can dip
+        # below k).  EAGER snapshot so e can be unpersisted before
+        # returning (r15, the pagerank finally-discipline — see
+        # kcore_peel).
+        return degrees(surv).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

@@ -800,3 +800,27 @@ def test_kcore_weighted_factored_equals_doc_level(spark):
                    blocks="auto", k=k, rounds=rounds).collect()}
         assert doc == fac, (k, rounds, len(doc), len(fac))
         assert doc
+
+
+def test_kcore_unpersists_edge_cache(spark):
+    """r15: both peels eager-materialize their result and unpersist the
+    edge cache before returning (the pagerank finally-discipline) — no
+    CacheManager entry survives the call, and the returned frame stays
+    collectable after the cache is gone."""
+    from map_reduce_folds_spark.operators.graph import (
+        kcore_peel, kcore_peel_weighted)
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a bigint, b bigint")
+    out = kcore_peel(edges, "a", "b", k=2, rounds=3)
+    assert cm.isEmpty()
+    assert {r["node"] for r in out.collect()} == {1, 2, 3}
+
+    w = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "node bigint, m bigint")
+    we = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "u bigint, v bigint")
+    out2 = kcore_peel_weighted(w, we, k=2, rounds=2)
+    assert cm.isEmpty()
+    assert out2.count() > 0
