@@ -1871,25 +1871,51 @@ def cluster_savings(
         comp = simhash_components(docs, id_col, text_col, bits=bits,
                                   n_docs=n_docs,
                                   max_hamming=max_hamming, blocks=blocks)
+    # One narrow lazy snapshot of (id, group, size, cluster): the two
+    # aggregates below are separate lineages, so without it Catalyst
+    # replays the docs ⨝ labels join twice (§3.3, the curation recipe).
     d = (
         docs.select(id_col, group_col, size_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .withColumn("cluster",
                     F.coalesce(F.col("component"), F.col(id_col)))
+        .localCheckpoint(eager=False)
     )
+    # r15: the accounting used to join the cluster→rep relation BACK onto
+    # the corpus-sized d (at scale: a second corpus shuffle — rep is
+    # cluster-count-sized, too big to broadcast).  The per-group metrics
+    # are pure arithmetic between two map-side-combinable aggregates
+    # instead: a dropped doc's chars are total chars in its group minus
+    # the chars of reps HOMED in that group, because kept == rep and the
+    # rep's own row carries its group.  The arg-min struct carries the
+    # winner's (group, size) along — the (−size, id) prefix already
+    # determines a unique winner, so the extra fields change nothing
+    # about which row wins.  Exact bigint arithmetic throughout; output
+    # values identical (oracle hash-exact on all three consumers).
+    per_group = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(size_col)).cast("bigint").alias("__sum_size"))
     rep = d.groupBy("cluster").agg(
         F.min(F.struct((-F.col(size_col)).alias("a"),
-                       F.col(id_col).alias("b")))
-        .getField("b").alias("rep_id"))
-    kept = F.col(id_col) == F.col("rep_id")
+                       F.col(id_col).alias("b"),
+                       F.col(group_col).alias("g"),
+                       F.col(size_col).alias("s"))).alias("w"))
+    kept_by_group = rep.groupBy(
+        F.col("w.g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+        F.sum(F.col("w.s")).cast("bigint").alias("__kept_size"))
+    z = F.lit(0).cast("bigint")
     return (
-        d.join(rep, "cluster")
-        .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum(kept.cast("bigint")).alias("n_kept"),
-             F.sum((~kept).cast("bigint")).alias("n_dropped"),
-             F.sum(F.when(~kept, F.col(size_col)).otherwise(F.lit(0)))
-             .cast("bigint").alias("chars_dropped"))
+        per_group.join(kept_by_group, group_col, "left")
+        .select(
+            group_col,
+            F.col("n_docs"),
+            F.coalesce(F.col("__n_kept"), z).alias("n_kept"),
+            (F.col("n_docs") - F.coalesce(F.col("__n_kept"), z))
+            .cast("bigint").alias("n_dropped"),
+            (F.col("__sum_size") - F.coalesce(F.col("__kept_size"), z))
+            .cast("bigint").alias("chars_dropped"),
+        )
     )
 
 
