@@ -4148,6 +4148,20 @@ def _curation_v3_from(d: DataFrame, boundaries: bool = True) -> DataFrame:
     def cut(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False) if boundaries else df
 
+    good_lazy = Q.bigram_logprob(d).where(
+        F.col("mean_logprob") >= F.lit(_V3_BG_GATE)).select("doc_id")
+    if boundaries:
+        # r15 (§2.6 job overlap, the elbow recipe): the perplexity gate
+        # is INDEPENDENT of the NB→winnow chain but the lazy boundaries
+        # used to materialize strictly serially inside the final action
+        # (measured sf0.01 warm: good 0.98 s + nb_agree 1.58 s +
+        # winnow_drop 2.07 s summed).  Materialize `good` from the
+        # shared pool while THIS thread eagerly materializes the
+        # nb→winnow drop list — the 1 s gate rides inside the 3.7 s
+        # chain.  Same checkpoints, same contents, order-free (the
+        # stages share no state), so results are bit-identical.
+        good_fut = _branch_pool().submit(
+            lambda: good_lazy.localCheckpoint(eager=True))
     marked = _nb_marked_df(d)
     nb = Q.nb_classify(marked, "lang", F.expr(_NB_TRAIN_SQL),
                        n_buckets=_NB_B, alpha=_NB_ALPHA)
@@ -4156,10 +4170,13 @@ def _curation_v3_from(d: DataFrame, boundaries: bool = True) -> DataFrame:
     s1 = d.join(agree, "doc_id", "left_semi")
     pairs = T.winnow_overlap_pairs(s1, k=_WIN_K, w=_WIN_W,
                                    min_shared=2, max_df=10)
-    drop = cut(pairs.select(F.col("id_b").alias("doc_id")).distinct())
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    if boundaries:
+        drop = drop.localCheckpoint(eager=True)  # runs ∥ good_fut
+        good = good_fut.result()
+    else:
+        good = good_lazy
     s2 = s1.join(drop, "doc_id", "left_anti")
-    good = cut(Q.bigram_logprob(d).where(
-        F.col("mean_logprob") >= F.lit(_V3_BG_GATE)).select("doc_id"))
     s3 = cut(s2.join(good, "doc_id", "left_semi")
              .select("doc_id", "source"))
     return SM.temperature_mix(s3, "source", "doc_id", salt="cur3") \
@@ -4452,20 +4469,21 @@ def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_inertia(emb, centroids, "vec_id", "embedding", _DIM)
 
 
-_ELBOW_POOL = None
+_BRANCH_POOL = None
 
 
-def _elbow_pool():
-    """One process-lifetime 3-worker pool for the elbow's k-branches
-    (see kmeans_elbow): pins 3 JVM threads ONCE instead of churning a
-    fresh pinned thread per branch per invocation."""
-    global _ELBOW_POOL
-    if _ELBOW_POOL is None:
+def _branch_pool():
+    """One process-lifetime 3-worker pool for overlapping INDEPENDENT
+    driver-submitted job chains (kmeans_elbow's k-branches, curation
+    v3's perplexity gate): pins 3 JVM threads ONCE instead of churning
+    a fresh pinned thread per branch per invocation."""
+    global _BRANCH_POOL
+    if _BRANCH_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
-        _ELBOW_POOL = ThreadPoolExecutor(
-            max_workers=3, thread_name_prefix="mrf-elbow")
-    return _ELBOW_POOL
+        _BRANCH_POOL = ThreadPoolExecutor(
+            max_workers=3, thread_name_prefix="mrf-branch")
+    return _BRANCH_POOL
 
 
 def _kmeans_elbow_sql() -> str:
@@ -4540,7 +4558,7 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connection teardown) or ONE reusable pool whose 3 threads pin 3 JVM
     # threads once for the process — chosen.  Branches set no job
     # groups/descriptions, so no thread-local inheritance is needed.
-    outs = list(_elbow_pool().map(branch, (2, 4, 8)))
+    outs = list(_branch_pool().map(branch, (2, 4, 8)))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
