@@ -5989,13 +5989,27 @@ def pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residual relation (vec_id, qr, split — 3 narrow columns) exactly
     # once; same boundary discipline as the winnow/LSH materialize_path
     # recipe, RDD-level so the ContextCleaner frees the blocks.
+    from map_reduce_folds_spark.operators import evalstats as _ES
+
+    # r15 (§2.6, the v3/elbow recipe): the harmonized-length gate below
+    # is INDEPENDENT of the conformal chain until the survivor join, but
+    # the all-lazy boundaries materialized strictly serially inside the
+    # final action.  Materialize keep_len from the shared pool while
+    # THIS thread materializes the quantized-residual relation — same
+    # checkpoints, same contents, no shared state ⇒ bit-identical.
+    qnmap = _ES.quantile_normalize(d, "n_chars", "source")
+    keep_len_lazy = (d.join(qnmap, (qnmap["grp"] == d["source"])
+                            & (qnmap["v"] == d["n_chars"]))
+                     .where(F.col("v_norm").between(_V5_LO, _V5_HI))
+                     .select("doc_id"))
+    keep_len_fut = _branch_pool().submit(
+        lambda: keep_len_lazy.localCheckpoint(eager=True))
     cq = SM.hash_split(
         res.select("vec_id",
                    F.floor(F.col("resid") * 1000000.0).cast("bigint")
                    .alias("qr")),
         "vec_id", weights=_CONF_W, salt="conformal") \
-        .localCheckpoint(eager=False)
-    from map_reduce_folds_spark.operators import evalstats as _ES
+        .localCheckpoint(eager=True)  # runs ∥ keep_len_fut
     cal = cq.where(F.col("split") == "cal").withColumn("__g", F.lit(1))
     cdist = cal.groupBy("__g", "qr").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c"))
@@ -6011,12 +6025,8 @@ def pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where((F.col("qr") <= F.col("tau"))
                        | F.col("tau").isNull())
                 .select("vec_id"))
-    # (2) harmonized length band
-    qnmap = _ES.quantile_normalize(d, "n_chars", "source")
-    keep_len = (d.join(qnmap, (qnmap["grp"] == d["source"])
-                       & (qnmap["v"] == d["n_chars"]))
-                .where(F.col("v_norm").between(_V5_LO, _V5_HI))
-                .select("doc_id"))
+    # (2) harmonized length band — materialized concurrently above
+    keep_len = keep_len_fut.result()
     # (3) survivors -> leakage-safe cluster split
     # second shared boundary: survivors feed BOTH the simhash component
     # build and the labeling join — checkpoint so the two-gate filter
